@@ -1,0 +1,113 @@
+"""M3: adapter lifecycle, rollup maintenance, query router.
+
+Server-aggregate and client-aggregate paths must agree on
+bucket-aligned queries (ref: server-aggregates suite,
+pqueriertest/server_aggregates_integration_test.go).
+"""
+
+import pytest
+from conftest import MIN, T0, rows_to_dict
+
+from v3io_tsdb_spark.adapter import TSDBAdapter
+from v3io_tsdb_spark.config import TSDBConfig
+from v3io_tsdb_spark.errors import BadRequest, SchemaError
+from v3io_tsdb_spark.querier import SelectParams
+
+HOUR = 3_600_000
+# T0 aligned down to the hour for bucket-aligned comparisons
+T0H = (T0 // HOUR) * HOUR
+
+
+def _mk(tmp_path, spark, **cfg):
+    return TSDBAdapter(spark, str(tmp_path / "tsdb"), TSDBConfig(**cfg)).create()
+
+
+def test_create_append_select(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    a.append(
+        [
+            {"ts": T0 + i * MIN, "name": "cpu", "labels": {"os": "linux"}, "value": 10.0 * (i + 1)}
+            for i in range(4)
+        ]
+    )
+    res = a.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 10 * MIN))
+    assert sorted(r["value"] for r in res.collect()) == [10.0, 20.0, 30.0, 40.0]
+    assert a.count_metrics() == 1
+    assert a.metric_names() == ["cpu"]
+    with pytest.raises(SchemaError):
+        a.create()
+    a.create(if_not_exists=True)
+
+
+def test_duplicate_dedup(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    a.append([{"ts": T0, "name": "cpu", "labels": {}, "value": 1.0}] * 3)
+    assert a.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + MIN)).count() == 1
+
+
+def test_validation(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    with pytest.raises(BadRequest):
+        a.append([{"ts": -5, "name": "cpu", "labels": {}, "value": 1.0}])
+    with pytest.raises(BadRequest):
+        a.append([{"ts": T0, "name": "9bad", "labels": {}, "value": 1.0}])
+    with pytest.raises(BadRequest):
+        a.append(
+            [
+                {"ts": T0, "name": "log", "labels": {}, "value": 1.0},
+                {"ts": T0 + 1, "name": "log", "labels": {}, "value_str": "x"},
+            ]
+        )
+
+
+def test_rollup_router_agreement(tmp_path, spark):
+    """Rollup (server) path equals client path on bucket-aligned queries."""
+    a = _mk(tmp_path, spark, aggregation_granularity="1h")
+    pts = [
+        {"ts": T0H + i * 7 * MIN, "name": "cpu", "labels": {"os": "linux"}, "value": float(i * i % 17)}
+        for i in range(100)
+    ]
+    a.append(pts)
+
+    q = a.querier()
+    params = dict(name="cpu", functions="sum,count,min,max,avg", step="4h",
+                  from_time=T0H, to_time=T0H + 12 * HOUR)
+    assert q._can_use_rollup(["sum"], 4 * HOUR, 0, SelectParams(**params))
+    server = q.select(SelectParams(**params))
+    client = q.select(SelectParams(**params, use_only_client_aggr=True))
+    skey = rows_to_dict(server, ["t"], ["sum", "count", "min", "max", "avg"])
+    ckey = rows_to_dict(client, ["t"], ["sum", "count", "min", "max", "avg"])
+    assert set(skey) == set(ckey)
+    for k in skey:
+        assert skey[k] == pytest.approx(ckey[k])
+
+
+def test_rollup_not_used_for_fine_step(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    q = a.querier()
+    # step/gran = 2 < coefficient 3 → client path
+    assert not q._can_use_rollup(["sum"], 2 * HOUR, 0, SelectParams())
+
+
+def test_delete_range(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    a.append(
+        [{"ts": T0 + i * MIN, "name": "cpu", "labels": {}, "value": float(i)} for i in range(10)]
+    )
+    a.delete(from_time=T0 + 2 * MIN, to_time=T0 + 5 * MIN)
+    left = a.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 20 * MIN))
+    assert sorted(r["value"] for r in left.collect()) == [0.0, 1.0, 6.0, 7.0, 8.0, 9.0]
+
+
+def test_compact_rollup(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    for batch in range(3):
+        a.append(
+            [{"ts": T0H + batch * MIN + i * 10, "name": "m", "labels": {}, "value": 1.0} for i in range(5)]
+        )
+    pre = spark.read.parquet(a.rollup_path).count()
+    a.compact_rollup()
+    post = spark.read.parquet(a.rollup_path)
+    assert post.count() == 1  # one (series, bucket)
+    assert pre >= 3
+    assert post.first()["count"] == 15

@@ -1,0 +1,98 @@
+"""M2: client aggregations (FIXTURES.md §1 goldens + derived funcs).
+
+Golden source: reference client-aggregates suite
+(ref: pqueriertest/client_aggregates_integration_test.go:168-222).
+"""
+
+import math
+
+import pytest
+from conftest import MIN, T0, rows_to_dict
+
+from v3io_tsdb_spark.errors import BadRequest
+from v3io_tsdb_spark.querier import Querier, SelectParams
+
+BASIC = [("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20), (2 * MIN, 30), (3 * MIN, 40)])]
+
+
+def test_sum_min_max_step(spark, make_samples):
+    q = Querier(spark, make_samples(BASIC))
+    res = q.select(
+        SelectParams(name="cpu", functions="sum,min,max", step="2m", from_time=T0, to_time=T0 + 10 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["sum", "min", "max"])
+    assert got == {T0: (30.0, 10.0, 20.0), T0 + 2 * MIN: (70.0, 30.0, 40.0)}
+
+
+def test_avg_count_last(spark, make_samples):
+    q = Querier(spark, make_samples(BASIC))
+    res = q.select(
+        SelectParams(name="cpu", functions="avg,count,last", step="2m", from_time=T0, to_time=T0 + 10 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["avg", "count", "last"])
+    assert got == {T0: (15.0, 2, 20.0), T0 + 2 * MIN: (35.0, 2, 40.0)}
+
+
+def test_stddev_stdvar_formula(spark, make_samples):
+    # sample formula (n*sqr - sum^2)/(n*(n-1)), ref: aggregate.go:371-388
+    q = Querier(spark, make_samples(BASIC))
+    res = q.select(
+        SelectParams(name="cpu", functions="stddev,stdvar", step="4m", from_time=T0, to_time=T0 + 4 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["stddev", "stdvar"])
+    vals = [10.0, 20.0, 30.0, 40.0]
+    n = 4
+    s = sum(vals)
+    sq = sum(v * v for v in vals)
+    var = (n * sq - s * s) / (n * (n - 1))
+    assert got[T0][1] == pytest.approx(var)
+    assert got[T0][0] == pytest.approx(math.sqrt(var))
+
+
+def test_rate(spark, make_samples):
+    # rate = (last[i] - last[i-1]) / step_sec, ref: aggregate/iterator.go:327-334
+    q = Querier(spark, make_samples(BASIC))
+    res = q.select(
+        SelectParams(name="cpu", functions="rate", step="2m", from_time=T0, to_time=T0 + 10 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["rate"])
+    assert got[T0] is None  # no previous bucket
+    assert got[T0 + 2 * MIN] == pytest.approx((40.0 - 20.0) / 120.0)
+
+
+def test_empty_bucket_suppression(spark, make_samples):
+    # buckets without samples are absent, ref: aggregate/iterator.go:361-364
+    df = make_samples([("cpu", {}, [(0, 1), (9 * MIN, 2)])])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu", functions="sum", step="1m", from_time=T0, to_time=T0 + 10 * MIN))
+    assert sorted(r["t"] - T0 for r in res.collect()) == [0, 9 * MIN]
+
+
+def test_default_single_bucket(spark, make_samples):
+    # no step → one bucket over the whole range
+    q = Querier(spark, make_samples(BASIC))
+    res = q.select(SelectParams(name="cpu", functions="sum", from_time=T0, to_time=T0 + 10 * MIN))
+    got = rows_to_dict(res, ["t"], ["sum"])
+    assert got == {T0: 100.0}
+
+
+def test_mixed_cross_series_error(spark, make_samples):
+    q = Querier(spark, make_samples(BASIC))
+    with pytest.raises(BadRequest):
+        q.select(SelectParams(name="cpu", functions="sum,avg_all", step="2m", from_time=T0, to_time=T0 + 4 * MIN))
+
+
+def test_multi_series_aggregation(spark, make_samples):
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20)]),
+            ("cpu", {"os": "mac"}, [(0, 30), (1 * MIN, 40)]),
+        ]
+    )
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu", functions="sum", step="2m", from_time=T0, to_time=T0 + 2 * MIN))
+    rows = res.collect()
+    assert len(rows) == 2  # one bucket per series
+    assert sorted(r["sum"] for r in rows) == [30.0, 70.0]
+    by_labels = {r["labels"]["os"]: r["sum"] for r in rows}
+    assert by_labels == {"linux": 30.0, "mac": 70.0}

@@ -1,0 +1,130 @@
+"""M4+M5: cross-series (_all), windowed aggregation, downsample, group-by.
+
+Goldens: FIXTURES.md §2 (ts_cross), §3 (ts_window), §4 (ts_downsample),
+§7 (ts_groupby) — distilled from the reference integration suites.
+"""
+
+import pytest
+from conftest import MIN, T0, rows_to_dict
+
+from v3io_tsdb_spark.errors import BadRequest
+from v3io_tsdb_spark.querier import Querier, SelectParams
+
+
+def test_cross_series_fixture(spark, make_samples):
+    # ref: cross_series_aggregation_integration_test.go:46-110
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (2 * MIN, 20), (4 * MIN, 30)]),
+            ("cpu", {"os": "mac"}, [(0, 20), (2 * MIN, 30), (4 * MIN, 40)]),
+        ]
+    )
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu", functions="sum_all,min_all,avg_all", step="2m", from_time=T0, to_time=T0 + 5 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["sum", "min", "avg"])
+    assert got == {
+        T0: (30.0, 10.0, 15.0),
+        T0 + 2 * MIN: (50.0, 20.0, 25.0),
+        T0 + 4 * MIN: (70.0, 30.0, 35.0),
+    }
+
+
+def test_windowed_aggregation_fixture(spark, make_samples):
+    # ref: windowed_aggregation_integration_test.go:45-108
+    df = make_samples([("cpu", {"os": "linux"}, [(i * MIN, 10 * i) for i in range(10)])])
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(
+            name="cpu", functions="sum", step="5m", aggregation_window="6m",
+            from_time=T0, to_time=T0 + 10 * MIN,
+        )
+    )
+    got = rows_to_dict(res, ["t"], ["sum"])
+    assert got == {T0: 0.0, T0 + 5 * MIN: 150.0, T0 + 10 * MIN: 390.0}
+
+
+def test_windowed_smaller_than_step(spark, make_samples):
+    # window < step: bucket covers [b-w, b] only
+    df = make_samples([("cpu", {}, [(i * MIN, 10 * i) for i in range(10)])])
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(
+            name="cpu", functions="sum", step="5m", aggregation_window="2m",
+            from_time=T0, to_time=T0 + 10 * MIN,
+        )
+    )
+    got = rows_to_dict(res, ["t"], ["sum"])
+    # bucket T0: [T0-2m, T0] → i=0 → 0; T0+5m: i∈{3,4,5} → 120; T0+10m: i∈{8,9} → 170
+    assert got == {T0: 0.0, T0 + 5 * MIN: 120.0, T0 + 10 * MIN: 170.0}
+
+
+def test_downsample_fixture(spark, make_samples):
+    # ref: downsample_query_integration_test.go:45-110; default interp
+    # next_val with tolerance 2×step
+    df = make_samples([("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20), (6 * MIN, 30), (9 * MIN, 40)])])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu", step="2m", from_time=T0, to_time=T0 + 10 * MIN))
+    got = rows_to_dict(res, ["t"], ["value"])
+    assert got == {
+        T0: 10.0,            # exact
+        T0 + 2 * MIN: 30.0,  # next at 6m, gap 4m == tol
+        T0 + 4 * MIN: 30.0,
+        T0 + 6 * MIN: 30.0,  # exact
+        T0 + 8 * MIN: 40.0,  # next at 9m
+        # T0+10m omitted: no next sample (Seek fails)
+    }
+
+
+def test_downsample_prev_val(spark, make_samples):
+    df = make_samples([("cpu", {}, [(0, 10), (6 * MIN, 30)])])
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu", step="2m", interpolator="prev_val", from_time=T0, to_time=T0 + 6 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["value"])
+    # 2m,4m → prev=T0 within tol 4m; 6m exact
+    assert got == {T0: 10.0, T0 + 2 * MIN: 10.0, T0 + 4 * MIN: 10.0, T0 + 6 * MIN: 30.0}
+
+
+def test_downsample_linear(spark, make_samples):
+    df = make_samples([("cpu", {}, [(0, 10), (4 * MIN, 30)])])
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu", step="2m", interpolator="linear", from_time=T0, to_time=T0 + 4 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["value"])
+    assert got == {T0: 10.0, T0 + 2 * MIN: 20.0, T0 + 4 * MIN: 30.0}
+
+
+def test_group_by_labels(spark, make_samples):
+    # ref: query_sql_integration_test.go:48-199; FIXTURES §7
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux", "region": "europe"}, [(0, 10), (1 * MIN, 20)]),
+            ("cpu", {"os": "linux", "region": "asia"}, [(0, 30), (1 * MIN, 40)]),
+            ("cpu", {"os": "mac", "region": "europe"}, [(0, 50), (1 * MIN, 60)]),
+        ]
+    )
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu", functions="sum", group_by="os", from_time=T0, to_time=T0 + 10 * MIN)
+    )
+    got = rows_to_dict(res, ["os"], ["sum"])
+    assert got == {"linux": 100.0, "mac": 110.0}
+
+    res2 = q.select(
+        SelectParams(name="cpu", functions="sum", group_by="os,region", from_time=T0, to_time=T0 + 10 * MIN)
+    )
+    got2 = rows_to_dict(res2, ["os", "region"], ["sum"])
+    assert got2 == {("linux", "europe"): 30.0, ("linux", "asia"): 70.0, ("mac", "europe"): 110.0}
+
+
+def test_group_by_missing_label_errors(spark, make_samples):
+    df = make_samples([("cpu", {"os": "linux"}, [(0, 10)])])
+    q = Querier(spark, df)
+    with pytest.raises(BadRequest):
+        q.select(
+            SelectParams(name="cpu", functions="sum", group_by="nosuch", from_time=T0, to_time=T0 + MIN)
+        )

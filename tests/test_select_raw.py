@@ -1,0 +1,51 @@
+"""M1: raw select + wide frames (FIXTURES.md §1, §5)."""
+
+import math
+
+from conftest import MIN, T0
+
+from v3io_tsdb_spark.operators.frames import to_wide_frame
+from v3io_tsdb_spark.querier import Querier, SelectParams
+
+
+def test_raw_select(spark, make_samples):
+    df = make_samples([("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20), (2 * MIN, 30), (3 * MIN, 40)])])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 10 * MIN))
+    rows = sorted(res.collect(), key=lambda r: r["t"])
+    assert [(r["t"] - T0, r["value"]) for r in rows] == [
+        (0, 10.0), (MIN, 20.0), (2 * MIN, 30.0), (3 * MIN, 40.0)
+    ]
+    assert rows[0]["labels"] == {"os": "linux"}
+
+
+def test_raw_select_time_clip_and_filter(spark, make_samples):
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20), (9 * MIN, 90)]),
+            ("cpu", {"os": "mac"}, [(0, 11)]),
+            ("mem", {"os": "linux"}, [(0, 5)]),
+        ]
+    )
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu", filter="os=='linux'", from_time=T0, to_time=T0 + 5 * MIN)
+    )
+    assert sorted(r["value"] for r in res.collect()) == [10.0, 20.0]
+
+
+def test_wide_frame(spark, make_samples):
+    # FIXTURES.md §5 golden wide frame
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (2 * MIN, 30)]),
+            ("diskio", {"os": "linux"}, [(1 * MIN, 0.5), (2 * MIN, 0.7)]),
+        ]
+    )
+    q = Querier(spark, df)
+    raw = q.select(SelectParams(from_time=T0, to_time=T0 + 10 * MIN))
+    wide = to_wide_frame(raw).collect()
+    assert [r["t"] - T0 for r in wide] == [0, MIN, 2 * MIN]
+    assert wide[0]["cpu"] == 10.0 and math.isnan(wide[0]["diskio"])
+    assert math.isnan(wide[1]["cpu"]) and wide[1]["diskio"] == 0.5
+    assert wide[2]["cpu"] == 30.0 and wide[2]["diskio"] == 0.7

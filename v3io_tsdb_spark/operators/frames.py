@@ -1,0 +1,47 @@
+"""Wide-frame assembly (the reference's columnar DataFrame view).
+
+The reference merges multiple series onto one time index with NaN
+padding — a k-way full outer join on time
+(ref: pkg/pquerier/frames.go:479-642 rawSeriesToColumns). In Spark
+this is a single groupBy(time).pivot(series) — one shuffle, no
+row-at-a-time merge loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.labels import labels_string_col
+
+
+def to_wide_frame(
+    long_df: DataFrame,
+    time_col: str = "t",
+    value_col: str = "value",
+    column_key: str = "name",
+    include_labels: bool = False,
+    nan_fill: bool = True,
+) -> DataFrame:
+    """Pivot a long result ``(name, [labels], t, value)`` to a wide frame
+    ``(t, <metric1>, <metric2>, ...)`` ordered by time.
+
+    ``include_labels`` appends the canonical labels string to the column
+    key so distinct series of one metric become distinct columns.
+    NaN padding replicates the reference's missing-cell convention
+    (ref: pkg/pquerier/frames.go:550-586).
+    """
+    key = F.col(column_key)
+    if include_labels and "labels" in long_df.columns:
+        key = F.concat_ws("{", key, labels_string_col(F.col("labels")))
+    df = long_df.withColumn("_ckey", key)
+    wide = (
+        df.groupBy(F.col(time_col).alias(time_col))
+        .pivot("_ckey")
+        .agg(F.first(value_col, ignorenulls=True))
+        .orderBy(time_col)
+    )
+    if nan_fill:
+        value_cols = [c for c in wide.columns if c != time_col]
+        wide = wide.fillna(float("nan"), subset=value_cols)
+    return wide

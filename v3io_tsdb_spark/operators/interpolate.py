@@ -1,0 +1,152 @@
+"""Grid alignment with interpolation — the engine's seek/interpolate operator.
+
+Replicates the reference's per-cell collector semantics
+(ref: pkg/pquerier/collector.go:236-338 downsampleRawData /
+aggregateClientAggregatesCrossSeries; pkg/pquerier/interpolate.go:76-120):
+
+For every grid cell time ``t`` (``from``-anchored, step-spaced) and
+every series:
+
+1. *Seek*: find the first sample at ``ts >= t``. If none exists the
+   cell is omitted (the reference only fills a cell when Seek succeeds).
+2. If that sample is exactly at ``t``, its value is used regardless of
+   interpolation type (exact-match branch).
+3. Otherwise apply the column's interpolation function with tolerance
+   (default 2×step, ref: pkg/pquerier/select.go:41,421-424):
+   - ``none``  → next sample's value, no tolerance check
+   - ``nan``   → NaN
+   - ``prev_val`` → previous sample's value if ``t − t_prev <= tol``
+   - ``next_val`` → next sample's value if ``t_next − t <= tol``
+   - ``linear``   → line between prev and next if both within tol
+   Cells whose tolerance check fails are omitted.
+
+The reference's cross-partition continuity (using the previous
+partition's last point, collector.go:262-267) is automatic here: the
+samples table is one logical DataFrame, so window functions see the
+whole series.
+
+Implementation: union the (tiny) per-series grid with the sample rows
+and resolve prev/next via two window functions partitioned by
+``series_id`` — one shuffle, sorted once, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.errors import BadRequest
+
+INTERPOLATORS = ("none", "nan", "prev_val", "prev", "next_val", "next", "linear", "lin")
+
+MAX_GRID_CELLS = 10_000_000
+
+
+def _canon_interp(interp: str | None) -> str:
+    s = (interp or "next_val").lower()
+    if s in ("next", "next_val", ""):
+        return "next_val"
+    if s in ("prev", "prev_val"):
+        return "prev_val"
+    if s in ("lin", "linear"):
+        return "linear"
+    if s in ("none", "nan"):
+        return s
+    raise BadRequest(f"unknown interpolation function {interp!r}")
+
+
+def align_to_grid(
+    samples: DataFrame,
+    from_ms: int,
+    to_ms: int,
+    step_ms: int,
+    interp: str | None = "next_val",
+    tolerance_ms: int | None = None,
+    key_cols: tuple = ("name", "labels", "series_id"),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Align each series onto the [from, to] step grid.
+
+    Returns ``(key_cols..., t, value)`` with one row per non-omitted
+    cell. ``samples`` may contain points outside [from, to] — they
+    participate as prev/next neighbors, exactly like the reference's
+    iterator spanning partitions.
+    """
+    interp = _canon_interp(interp)
+    if tolerance_ms is None:
+        tolerance_ms = 2 * step_ms  # ref: pkg/pquerier/select.go:41 (defaultToleranceFactor)
+    n_cells = (to_ms - from_ms) // step_ms + 1
+    if n_cells * 1.0 > MAX_GRID_CELLS:
+        raise BadRequest(f"grid too large: {n_cells} cells (max {MAX_GRID_CELLS})")
+
+    keys = list(key_cols)
+    pts = samples.select(
+        *keys,
+        F.col(ts_col).alias("t"),
+        F.col(value_col).alias("_v"),
+        F.lit(1).alias("_is_pt"),
+    )
+    # Distinct series list. Map-typed key columns (labels) can't be
+    # grouped/distinct-ed in Spark — group on the hashable keys and
+    # carry maps via first() (constant per series_id).
+    map_cols = {f.name for f in samples.schema.fields if f.dataType.typeName() == "map" and f.name in keys}
+    hash_keys = [k for k in keys if k not in map_cols]
+    series = samples.groupBy(*hash_keys).agg(
+        *[F.first(c).alias(c) for c in map_cols]
+    ) if map_cols else samples.select(*keys).distinct()
+    grid = (
+        series
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.lit(from_ms), F.lit(to_ms), F.lit(step_ms))
+            ).alias("t"),
+            F.lit(None).cast("double").alias("_v"),
+            F.lit(0).alias("_is_pt"),
+        )
+    )
+    u = pts.unionByName(grid)
+
+    # At equal t the grid row sorts before the sample row, so "prev"
+    # (frame ending before current) excludes a same-time sample while
+    # "next" (frame from current on) includes it — matching Seek/PeakBack.
+    order = [F.col("t"), F.col("_is_pt")]
+    w_prev = Window.partitionBy("series_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.partitionBy("series_id").orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+
+    pt_t = F.when(F.col("_is_pt") == 1, F.col("t"))
+    cells = (
+        u.withColumn("_prev_t", F.last(pt_t, ignorenulls=True).over(w_prev))
+        .withColumn("_prev_v", F.last("_v", ignorenulls=True).over(w_prev))
+        .withColumn("_next_t", F.first(pt_t, ignorenulls=True).over(w_next))
+        .withColumn("_next_v", F.first("_v", ignorenulls=True).over(w_next))
+        .where(F.col("_is_pt") == 0)
+    )
+
+    t, tol = F.col("t"), F.lit(tolerance_ms)
+    prev_t, prev_v = F.col("_prev_t"), F.col("_prev_v")
+    next_t, next_v = F.col("_next_t"), F.col("_next_v")
+
+    if interp == "none":
+        interped: Column = next_v
+    elif interp == "nan":
+        interped = F.lit(float("nan"))
+    elif interp == "prev_val":
+        interped = F.when(prev_t.isNotNull() & ((t - prev_t) <= tol), prev_v)
+    elif interp == "next_val":
+        interped = F.when((next_t - t) <= tol, next_v)
+    else:  # linear
+        interped = F.when(
+            prev_t.isNotNull() & ((t - prev_t) <= tol) & ((next_t - t) <= tol),
+            prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+        )
+
+    value = F.when(next_t == t, next_v).otherwise(interped)
+    out = (
+        cells.where(next_t.isNotNull())  # Seek must succeed
+        .withColumn("value", value)
+        .where(F.col("value").isNotNull())
+        .select(*keys, "t", "value")
+    )
+    return out

@@ -1,0 +1,336 @@
+"""Query engine — Select over the samples (and rollup) tables.
+
+This is the Spark-first re-expression of the reference's query
+lifecycle (ref: pkg/pquerier/querier.go:128-206 baseSelectQry;
+pkg/pquerier/select.go:70-135): validation and time-range resolution,
+a small planner choosing the rollup ("server aggregates") path vs the
+raw ("client aggregates") path, then ONE lazy DataFrame whose physical
+execution (scan pushdown, partial aggregation, shuffle, codegen) is
+left to Catalyst/Tungsten — replacing the reference's worker channels
+and collector goroutines.
+
+Result shapes (long-format; see operators.frames.to_wide_frame for the
+columnar view):
+
+- raw:           (name, labels, series_id, t, value)
+- downsample:    (name, labels, series_id, t, value)
+- aggregate:     (name, labels, series_id, t, <func>...)
+- group_by:      (name, <label>..., t, <func>...)
+- cross-series:  (name, t, <func>...)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.config import TSDBConfig
+from v3io_tsdb_spark.errors import BadRequest
+from v3io_tsdb_spark.labels import series_id_col
+from v3io_tsdb_spark.operators import aggregates as agg
+from v3io_tsdb_spark.operators.bucketing import sliding_bucket_ids, tumbling_bucket
+from v3io_tsdb_spark.operators.interpolate import align_to_grid
+from v3io_tsdb_spark.sql.filters import translate_filter
+from v3io_tsdb_spark.timeutils import get_time_range, str2duration_ms
+
+
+@dataclass
+class RequestedColumn:
+    """A requested output column (ref: pkg/pquerier/types.go:56-92)."""
+
+    metric: str
+    function: str = ""
+    interpolator: str = ""
+    tolerance: str | int | None = None
+    alias: str = ""
+
+
+@dataclass
+class SelectParams:
+    """Query parameters (ref: pkg/pquerier/querier.go:60-96 SelectParams)."""
+
+    name: str | None = None  # comma-separated metric names; None/'' = all
+    functions: str | None = None  # e.g. "sum,max" or "sum_all"
+    step: str | int = 0
+    from_time: object = None
+    to_time: object = None
+    filter: str | None = None  # v3io filter dialect or Spark SQL predicate
+    group_by: str | None = None  # comma-separated label names
+    aggregation_window: str | int = 0
+    interpolator: str = ""  # for downsample / cross-series alignment
+    tolerance: str | int | None = None
+    use_only_client_aggr: bool = False
+    columns: list = field(default_factory=list)  # list[RequestedColumn]
+
+
+class Querier:
+    """Query facade over a samples DataFrame/path and optional rollup.
+
+    ref: pkg/pquerier/querier.go:40-58 (NewV3ioQuerier).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        samples,
+        rollup=None,
+        config: TSDBConfig | None = None,
+    ):
+        self.spark = spark
+        self.config = config or TSDBConfig()
+        self._samples = samples
+        self._rollup = rollup
+
+    # -- inputs ------------------------------------------------------------
+
+    def samples_df(self) -> DataFrame:
+        df = self._samples
+        if isinstance(df, str):
+            df = self.spark.read.parquet(df)
+        if "series_id" not in df.columns:
+            df = df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+        return df
+
+    def rollup_df(self) -> DataFrame | None:
+        if self._rollup is None:
+            return None
+        if isinstance(self._rollup, str):
+            return self.spark.read.parquet(self._rollup)
+        return self._rollup
+
+    # -- public API --------------------------------------------------------
+
+    def select(self, params: SelectParams | None = None, **kwargs) -> DataFrame:
+        """Build the lazy DataFrame for a select query."""
+        if params is None:
+            params = SelectParams(**kwargs)
+        from_ms, to_ms = get_time_range(params.from_time, params.to_time)
+        step_ms = str2duration_ms(params.step or 0)
+        window_ms = str2duration_ms(params.aggregation_window or 0)
+        funcs, cross_series = agg.parse_functions(params.functions)
+        group_by = [g.strip() for g in (params.group_by or "").split(",") if g.strip()]
+
+        base = self._scan(params, from_ms, to_ms, window_ms)
+
+        if funcs and cross_series:
+            return self._cross_series(base, params, funcs, from_ms, to_ms, step_ms, group_by)
+        if funcs:
+            return self._aggregate(base, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by)
+        if step_ms:
+            return self._downsample(base, params, from_ms, to_ms, step_ms)
+        return self._raw(base)
+
+    # -- scan --------------------------------------------------------------
+
+    def _scan(self, params: SelectParams, from_ms: int, to_ms: int, window_ms: int) -> DataFrame:
+        """Time/name/filter-pruned scan.
+
+        The time-range predicate reaches the Parquet scan (plus ``dt``
+        partition pruning when present); this is the analog of the
+        reference's partition pruning + attribute projection
+        (ref: pkg/pquerier/querier.go:195-206, select.go:583-606).
+        """
+        df = self.samples_df()
+        lo = from_ms - window_ms  # ref: PartsForRange(from - aggWindow, to)
+        df = df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(to_ms)))
+        if "dt" in df.columns:
+            lo_dt = F.date_format(F.timestamp_millis(F.lit(lo)), "yyyy-MM-dd")
+            hi_dt = F.date_format(F.timestamp_millis(F.lit(to_ms)), "yyyy-MM-dd")
+            df = df.where(F.col("dt").between(lo_dt, hi_dt))
+        names = self._requested_names(params)
+        if names:
+            # name-equality fast path → partition/row-group pruning
+            # (ref: pkg/pquerier/select.go:579-581 sharding-key range scan)
+            df = df.where(F.col("name").isin(names))
+        if params.filter:
+            df = df.where(F.expr(translate_filter(params.filter)))
+        return df
+
+    def _requested_names(self, params: SelectParams) -> list[str]:
+        names = []
+        if params.name:
+            names += [n.strip() for n in str(params.name).split(",") if n.strip()]
+        for c in params.columns or []:
+            if c.metric and c.metric not in names:
+                names.append(c.metric)
+        return names
+
+    # -- paths -------------------------------------------------------------
+
+    def _raw(self, base: DataFrame) -> DataFrame:
+        return base.select("name", "labels", "series_id", F.col("ts").alias("t"), "value")
+
+    def _downsample(self, base, params, from_ms, to_ms, step_ms) -> DataFrame:
+        """Step without functions → per-cell seek+interpolate value
+        (ref: pkg/pquerier/collector.go:236-281 downsampleRawData)."""
+        tol = str2duration_ms(params.tolerance) if params.tolerance else None
+        return align_to_grid(
+            base, from_ms, to_ms, step_ms,
+            interp=params.interpolator or "next_val",
+            tolerance_ms=tol,
+        )
+
+    def _group_keys(self, group_by: list[str]):
+        """Label-subset grouping (ref: pkg/pquerier/select.go:354-367)."""
+        return [F.element_at(F.col("labels"), g).alias(g) for g in group_by]
+
+    def _validate_group_by(self, base: DataFrame, group_by: list[str]) -> None:
+        """GroupBy on a nonexistent label is an error, as in the
+        reference (ref: pkg/pquerier/select.go:354-367)."""
+        checks = base.select(
+            *[F.max(F.element_at(F.col("labels"), g).isNotNull()).alias(g) for g in group_by]
+        ).first()
+        if checks is not None:
+            for g in group_by:
+                if not checks[g]:
+                    raise BadRequest(f"group-by label {g!r} does not exist in the data")
+
+    def _aggregate(self, base, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by) -> DataFrame:
+        if not step_ms:
+            step_ms = to_ms - from_ms or 1  # single bucket over the range
+        if group_by:
+            self._validate_group_by(base, group_by)
+
+        use_rollup = self._can_use_rollup(funcs, step_ms, window_ms, params)
+        if use_rollup:
+            return self._aggregate_from_rollup(params, funcs, from_ms, to_ms, step_ms, group_by)
+
+        if window_ms:
+            b = base.withColumn(
+                "_buckets", sliding_bucket_ids(F.col("ts"), from_ms, to_ms, step_ms, window_ms)
+            ).withColumn("t", F.explode("_buckets"))
+        else:
+            b = base.withColumn("t", tumbling_bucket(F.col("ts"), from_ms, step_ms)).where(
+                F.col("t") <= F.lit(to_ms)
+            )
+
+        raws = agg.required_raw(funcs)
+        if group_by:
+            keys = [F.col("name")] + self._group_keys(group_by) + [F.col("t")]
+            grouped = b.groupBy(*keys).agg(*agg.raw_agg_exprs(raws))
+            part_keys = ["name"] + group_by
+        else:
+            grouped = (
+                b.groupBy("name", "series_id", "t")
+                .agg(F.first("labels").alias("labels"), *agg.raw_agg_exprs(raws))
+            )
+            part_keys = ["name", "series_id"]
+        return self._finish_aggregate(grouped, funcs, raws, step_ms, part_keys, group_by)
+
+    def _finish_aggregate(self, grouped, funcs, raws, step_ms, part_keys, group_by) -> DataFrame:
+        """Derived columns + projection; empty buckets are naturally
+        absent (count==0 suppression, ref: pkg/aggregate/iterator.go:361-364)."""
+        out = grouped
+        if "rate" in funcs:
+            w = Window.partitionBy(*part_keys).orderBy("t")
+            out = out.withColumn(
+                "rate", agg.rate_col(F.col("last"), F.lag("last").over(w), step_ms)
+            )
+        for f in funcs:
+            if f in ("avg", "stddev", "stdvar"):
+                out = out.withColumn(f, agg.derived_col(f, step_ms))
+        head = ["name"] + (group_by if group_by else ["labels", "series_id"]) + ["t"]
+        existing = [c for c in head if c in out.columns]
+        return out.select(*existing, *[F.col(f).alias(f) for f in funcs])
+
+    def _cross_series(self, base, params, funcs, from_ms, to_ms, step_ms, group_by) -> DataFrame:
+        """``*_all`` aggregation: align each series to the step grid
+        with interpolation, then aggregate across series per bucket
+        (ref: pkg/pquerier/collector.go:283-338).
+        """
+        if not step_ms:
+            step_ms = to_ms - from_ms or 1
+        if group_by:
+            self._validate_group_by(base, group_by)
+        tol = str2duration_ms(params.tolerance) if params.tolerance else None
+        aligned = align_to_grid(
+            base, from_ms, to_ms, step_ms,
+            interp=params.interpolator or "next_val",
+            tolerance_ms=tol,
+        )
+        raws = agg.required_raw(funcs)
+        keys = [F.col("name")] + (self._group_keys_from_map(aligned, group_by) if group_by else []) + [F.col("t")]
+        grouped = aligned.groupBy(*keys).agg(
+            *agg.raw_agg_exprs(raws, value_col="value", ts_col="series_id")
+        )
+        part_keys = ["name"] + group_by
+        out = grouped
+        if "rate" in funcs:
+            w = Window.partitionBy(*part_keys).orderBy("t")
+            out = out.withColumn("rate", agg.rate_col(F.col("last"), F.lag("last").over(w), step_ms))
+        for f in funcs:
+            if f in ("avg", "stddev", "stdvar"):
+                out = out.withColumn(f, agg.derived_col(f, step_ms))
+        head = ["name"] + (group_by or []) + ["t"]
+        return out.select(*head, *[F.col(f).alias(f) for f in funcs])
+
+    def _group_keys_from_map(self, df, group_by):
+        return [F.element_at(F.col("labels"), g).alias(g) for g in group_by]
+
+    # -- rollup ("server aggregates") routing ------------------------------
+
+    def _can_use_rollup(self, funcs, step_ms, window_ms, params: SelectParams) -> bool:
+        """The ~100-line query router (SURVEY §4): use the materialized
+        rollup table iff it exists, covers the requested aggregates,
+        and the step is coarse enough —
+        ``step / granularity > coefficient`` (default 3)
+        (ref: pkg/aggregate/aggregationParams.go:67-77,
+        pkg/pquerier/select.go:183-226).
+        """
+        if self.rollup_df() is None or not funcs:
+            return False
+        if params.use_only_client_aggr or self.config.use_only_client_aggr:
+            return False
+        if window_ms:  # windowed-aggregation rollup path not yet routed
+            return False
+        if "rate" in funcs:
+            pass  # rate derives from 'last', which rollups carry
+        needed = set(agg.required_raw(funcs))
+        if not needed.issubset(set(self.config.aggregates)):
+            return False
+        gran = self.config.granularity_ms
+        return step_ms / gran > self.config.use_server_aggregate_coefficient
+
+    def _aggregate_from_rollup(self, params, funcs, from_ms, to_ms, step_ms, group_by) -> DataFrame:
+        """Re-bucket rollup rows into query cells by bucket **median**
+        time with truncating division, replicating the reference's
+        mapping (ref: pkg/pquerier/collector.go:187-234
+        aggregateServerAggregates).
+        """
+        gran = self.config.granularity_ms
+        r = self.rollup_df()
+        names = self._requested_names(params)
+        if names:
+            r = r.where(F.col("name").isin(names))
+        if params.filter:
+            r = r.where(F.expr(translate_filter(params.filter)))
+        median = F.col("bucket") + F.lit(gran // 2)
+        # inclusion margin, ref: collector.go:219-223
+        r = r.where((median >= F.lit(from_ms - step_ms)) & (median <= F.lit(to_ms + step_ms)))
+        cell = (
+            F.expr(f"(bucket + {gran // 2} - {from_ms}) div {step_ms}") * F.lit(step_ms)
+            + F.lit(from_ms)
+        ).cast("long")
+        r = r.withColumn("t", cell).where((F.col("t") >= F.lit(from_ms)) & (F.col("t") <= F.lit(to_ms)))
+
+        raws = agg.required_raw(funcs)
+        combine = {
+            "count": F.sum("count"),
+            "sum": F.sum("sum"),
+            "sqr": F.sum("sqr"),
+            "min": F.min("min"),
+            "max": F.max("max"),
+            "last": F.max_by("last", "last_ts"),
+        }
+        if group_by:
+            keys = [F.col("name")] + self._group_keys_from_map(r, group_by) + [F.col("t")]
+            grouped = r.groupBy(*keys).agg(*[combine[x].alias(x) for x in raws])
+            part_keys = ["name"] + group_by
+        else:
+            grouped = r.groupBy("name", "series_id", "t").agg(
+                F.first("labels").alias("labels"), *[combine[x].alias(x) for x in raws]
+            )
+            part_keys = ["name", "series_id"]
+        return self._finish_aggregate(grouped, funcs, raws, step_ms, part_keys, group_by)
