@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator from SURVEY.md §2,
+each with a DuckDB ``oracle_sql()`` twin unless the op is genuinely
+non-SQL-expressible (xxhash64-based sketches → rows-only check).
+
+Float-parity conventions (both sides identical):
+- aggregate outputs rounded: ROUND(x, 4) for small-cardinality TSDB
+  buckets, exact DECIMAL(18,6)-sum → DOUBLE for large TPC-H sums;
+- all timestamps are epoch-ms BIGINTs (no timezone ambiguity);
+- integer-ish outputs cast to BIGINT on the Spark side.
 """
 
 from __future__ import annotations
@@ -12,27 +16,592 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.config import TSDBConfig
+from v3io_tsdb_spark.datasets import events_as_samples, load_table
+from v3io_tsdb_spark.querier import Querier, SelectParams
+from v3io_tsdb_spark.rollup import build_rollup
+
+# events table time envelope: [2024-01-01, 2024-02-01) UTC
+F0 = 1704067200000
+T1 = 1706745600000
+DAY = 86_400_000
+HOUR = 3_600_000
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _uid(df: DataFrame) -> DataFrame:
+    return df.withColumn("uid", F.element_at(F.col("labels"), "uid"))
+
+
+# Rounding-tie guard: divisions/variances of 2-decimal inputs land
+# exactly on round-half boundaries, where Spark's and DuckDB's rounding
+# can disagree. A tiny epsilon added before rounding ON BOTH SIDES makes
+# every rounding unambiguous without changing any non-tied value.
+EPS4 = 1e-7
+EPS6 = 1e-9
+
+
+def _r(col: str, n: int = 4):
+    return F.round(F.col(col) + (EPS4 if n == 4 else EPS6), n).alias(col)
+
+
+# ---------------------------------------------------------------------------
+# TSDB queries (engine: v3io_tsdb_spark.querier over events-as-samples)
+# ---------------------------------------------------------------------------
+
+def q_tsdb_raw_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw select + name fast-path + v3io filter dialect (P1, P2, S4)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(SelectParams(name="click,purchase", filter="uid=='7'", from_time=F0, to_time=T1))
+    return _uid(res).select("t", "name", "value", "uid")
+
+
+def q_tsdb_client_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client aggregation with label group-by (A3, A4, A7)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="sum,count,min,max,avg", step="1d", group_by="uid",
+                     from_time=F0, to_time=T1)
+    )
+    return res.select("name", "uid", "t", _r("sum"), F.col("count").cast("long").alias("count"),
+                      _r("min"), _r("max"), _r("avg"))
+
+
+def q_tsdb_stddev_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/stdvar from count/sum/sqr — reference sample formula (A4)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="stddev,stdvar,count", step="7d", group_by="uid",
+                     from_time=F0, to_time=T1)
+    )
+    return res.select("name", "uid", "t", _r("stddev"), _r("stdvar"),
+                      F.col("count").cast("long").alias("count"))
+
+
+def q_tsdb_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last + rate = Δlast/step_sec (A5)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="last,rate", step="1d", group_by="uid", from_time=F0, to_time=T1)
+    )
+    return res.select("name", "uid", "t", _r("last"), _r("rate"))
+
+
+def q_tsdb_downsample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample: per-cell seek + next_val interpolation, tol 2×step (A11, A12)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(SelectParams(step="6h", from_time=F0, to_time=T1))
+    return _uid(res).select("name", "uid", "t", "value")
+
+
+def q_tsdb_cross_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series *_all aggregation over interpolated step grid (A6)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="sum_all,avg_all,count_all", step="1d", from_time=F0, to_time=T1)
+    )
+    return res.select("name", "t", _r("sum"), _r("avg"), F.col("count").cast("long").alias("count"))
+
+
+def q_tsdb_windowed_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding aggregation window: bucket covers [b-2d, b] (A8)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="sum,count", step="1d", aggregation_window="2d",
+                     from_time=F0, to_time=T1)
+    )
+    return _uid(res).select("name", "uid", "t", _r("sum"), F.col("count").cast("long").alias("count"))
+
+
+def q_tsdb_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Server-aggregates path: query answered from the 1h rollup table
+    (A1, A2 + §4 router; step/gran = 24 > coefficient 3)."""
+    samples = events_as_samples(spark, sf_dir)
+    cfg = TSDBConfig(aggregation_granularity="1h")
+    rollup = build_rollup(samples, cfg.granularity_ms)
+    q = Querier(spark, samples, rollup=rollup, config=cfg)
+    params = SelectParams(functions="sum,count,max,last", step="1d", from_time=F0, to_time=T1)
+    assert q._can_use_rollup(["sum", "count", "max", "last"], DAY, 0, params)
+    res = q.select(params)
+    return _uid(res).select("name", "uid", "t", _r("sum"),
+                            F.col("count").cast("long").alias("count"), _r("max"), _r("last"))
+
+
+def q_tsdb_groupby_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bucket aggregation with OR filter + group-by (A7, P1)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="sum,count", filter="uid=='3' or uid=='7'", group_by="uid",
+                     from_time=F0, to_time=T1)
+    )
+    return res.select("name", "uid", "t", _r("sum"), F.col("count").cast("long").alias("count"))
+
+
+def q_tsdb_wide_frame_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide columnar frame: metrics pivot onto one time index (J1, J2)."""
+    from v3io_tsdb_spark.operators.frames import to_wide_frame
+
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="sum", step="1d", filter="uid=='3'", group_by="uid",
+                     from_time=F0, to_time=T1)
+    )
+    long = res.select("name", "t", F.round(F.col("sum") + EPS4, 4).alias("value"))
+    return to_wide_frame(long, nan_fill=False)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style scan/join/agg (S4, J-class operators at scale)
+# ---------------------------------------------------------------------------
+
+_DEC = "CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(_DEC.format(expr="l_quantity")).alias("sum_qty"),
+            F.expr(_DEC.format(expr="l_extendedprice")).alias("sum_base_price"),
+            F.expr(_DEC.format(expr="l_extendedprice*(1-l_discount)")).alias("sum_disc_price"),
+            F.expr(_DEC.format(expr="l_extendedprice*(1-l_discount)*(1+l_tax)")).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order") + 0.000000001, 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order") + 0.000000001, 6))
+    )
+
+
+def q_tpch_join_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ broadcast(customer) → monthly revenue per market segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"),
+        )
+        .agg(
+            F.expr(_DEC.format(expr="o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_tpch_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation (broadcast dim chain) → revenue per nation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(_DEC.format(expr="o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from v3io_tsdb_spark.functions.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "stopword_ratio_en", "lang_pred", "quality", "fingerprint",
+    )
+
+
+def q_doc_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from v3io_tsdb_spark.functions.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from v3io_tsdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from v3io_tsdb_spark.functions.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return cosine_topk(emb, qvec, k=20)
+
+
+def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column → mapInPandas batch
+    feature extraction (deterministic stub decoder)."""
+    from v3io_tsdb_spark.functions.multimodal import attach_fake_payload, extract_features
+
+    docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(docs, fake=True)
+    return feats.select("doc_id", "n_bytes", "content_sha")
+
+
+# rows-only (xxhash64-based sketches aren't reproducible in DuckDB SQL)
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from v3io_tsdb_spark.functions.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return minhash_dedup(docs, threshold=0.3)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from v3io_tsdb_spark.functions.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    return simhash_near_dup_pairs(docs, max_hamming=16)
+
+
+def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from v3io_tsdb_spark.functions.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_bucketed_topk(emb, qvec, k=20, probe_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: daily per-user client aggregation."""
+    return q_tsdb_client_agg_daily(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tsdb_raw_filter": q_tsdb_raw_filter,
+        "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
+        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
+        "tsdb_rate_daily": q_tsdb_rate_daily,
+        "tsdb_downsample_6h": q_tsdb_downsample_6h,
+        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
+        "tsdb_windowed_2d": q_tsdb_windowed_2d,
+        "tsdb_rollup_daily": q_tsdb_rollup_daily,
+        "tsdb_groupby_total": q_tsdb_groupby_total,
+        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_join_segment_month": q_tpch_join_segment_month,
+        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "mm_extract_features": q_mm_extract_features,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_lsh_topk": q_emb_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_PTS = f"""
+  SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+         epoch_ms(ts) AS t, value
+  FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+"""
+
+_DAY_BUCKET = f"{F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY}"
+
+
+def _interp_cells(step_ms: int, tol_ms: int) -> str:
+    """Union-grid + window SQL replicating the engine's seek+next_val
+    interpolation (same construction as operators/interpolate.py)."""
+    return f"""
+  pts AS (SELECT name, uid, t, value, 1 AS is_pt FROM ({_PTS})),
+  grid AS (
+    SELECT s.name, s.uid, g.g AS t, CAST(NULL AS DOUBLE) AS value, 0 AS is_pt
+    FROM (SELECT DISTINCT name, uid FROM pts) s
+    CROSS JOIN generate_series({F0}, {T1}, {step_ms}) g(g)
+  ),
+  u AS (SELECT * FROM pts UNION ALL SELECT * FROM grid),
+  w AS (
+    SELECT name, uid, t, is_pt,
+      first_value(CASE WHEN is_pt=1 THEN t END IGNORE NULLS) OVER nxt AS nt,
+      first_value(CASE WHEN is_pt=1 THEN value END IGNORE NULLS) OVER nxt AS nv
+    FROM u
+    WINDOW nxt AS (PARTITION BY name, uid ORDER BY t, is_pt
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+  ),
+  cells AS (
+    SELECT name, uid, t, nv AS value FROM w
+    WHERE is_pt = 0 AND nt IS NOT NULL AND nt - t <= {tol_ms}
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    day_agg = f"""
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+             {_DAY_BUCKET} AS t,
+             round(sum(value) + 0.0000001, 4) AS sum, count(value) AS count,
+             round(min(value) + 0.0000001, 4) AS min, round(max(value) + 0.0000001, 4) AS max,
+             round(sum(value) / count(value) + 0.0000001, 4) AS avg
+      FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+      GROUP BY 1, 2, 3
     """
-    return {}
+
+    week = 7 * DAY
+    stddev = f"""
+      WITH b AS (
+        SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+               {F0} + ((epoch_ms(ts) - {F0}) // {week}) * {week} AS t,
+               count(value) AS n, sum(value) AS s, sum(value*value) AS q
+        FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+        GROUP BY 1, 2, 3
+      )
+      SELECT name, uid, t,
+        CASE WHEN n > 1 THEN round(sqrt((n*q - s*s) / (n*(n-1))) + 0.0000001, 4) END AS stddev,
+        CASE WHEN n > 1 THEN round((n*q - s*s) / (n*(n-1)) + 0.0000001, 4) END AS stdvar,
+        n AS count
+      FROM b
+    """
+
+    rate = f"""
+      WITH b AS (
+        SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+               {_DAY_BUCKET} AS t, arg_max(value, epoch_ms(ts)) AS lastv
+        FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+        GROUP BY 1, 2, 3
+      )
+      SELECT name, uid, t, round(lastv + 0.0000001, 4) AS last,
+        round((lastv - lag(lastv) OVER (PARTITION BY name, uid ORDER BY t)) / {DAY / 1000.0} + 0.0000001, 4) AS rate
+      FROM b
+    """
+
+    downsample = f"""
+      WITH {_interp_cells(6 * HOUR, 12 * HOUR)}
+      SELECT name, uid, t, value FROM cells
+    """
+
+    cross_series = f"""
+      WITH {_interp_cells(DAY, 2 * DAY)}
+      SELECT name, t, round(sum(value) + 0.0000001, 4) AS sum,
+             round(sum(value) / count(value) + 0.0000001, 4) AS avg,
+             count(value) AS count
+      FROM cells GROUP BY name, t
+    """
+
+    windowed = f"""
+      WITH pts AS (
+        SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+               epoch_ms(ts) AS t, value
+        FROM events WHERE epoch_ms(ts) BETWEEN {F0 - 2 * DAY} AND {T1}
+      )
+      SELECT p.name, p.uid, g.b AS t, round(sum(p.value) + 0.0000001, 4) AS sum, count(p.value) AS count
+      FROM generate_series({F0}, {T1}, {DAY}) g(b)
+      JOIN pts p ON p.t >= g.b - {2 * DAY} AND p.t <= g.b
+      GROUP BY 1, 2, 3
+    """
+
+    rollup_daily = f"""
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+             {_DAY_BUCKET} AS t,
+             round(sum(value) + 0.0000001, 4) AS sum, count(value) AS count,
+             round(max(value) + 0.0000001, 4) AS max,
+             round(arg_max(value, epoch_ms(ts)) + 0.0000001, 4) AS last
+      FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+      GROUP BY 1, 2, 3
+    """
+
+    groupby_total = f"""
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+             {F0}::BIGINT AS t,
+             round(sum(value) + 0.0000001, 4) AS sum, count(value) AS count
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {F0} AND {T1} AND user_id IN (3, 7)
+      GROUP BY 1, 2
+    """
+
+    evtypes = ["click", "error", "purchase", "signup", "view"]
+    wide_cols = ",\n        ".join(
+        f"round(sum(CASE WHEN event_type = '{t}' THEN value END) + 0.0000001, 4) AS {t}" for t in evtypes
+    )
+    wide_frame = f"""
+      SELECT {_DAY_BUCKET} AS t,
+        {wide_cols}
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {F0} AND {T1} AND user_id = 3
+      GROUP BY 1
+    """
+
+    dec = "CAST(sum(CAST({e} AS DECIMAL(18,6))) AS DOUBLE)"
+    q1 = f"""
+      SELECT l_returnflag, l_linestatus,
+        {dec.format(e='l_quantity')} AS sum_qty,
+        {dec.format(e='l_extendedprice')} AS sum_base_price,
+        {dec.format(e='l_extendedprice*(1-l_discount)')} AS sum_disc_price,
+        {dec.format(e='l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+        count(*) AS count_order,
+        round({dec.format(e='l_quantity')} / count(*) + 0.000000001, 6) AS avg_qty,
+        round({dec.format(e='l_extendedprice')} / count(*) + 0.000000001, 6) AS avg_price
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1998-09-03'
+      GROUP BY 1, 2
+    """
+
+    seg_month = f"""
+      SELECT c_mktsegment, strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        {dec.format(e='o_totalprice')} AS revenue, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    """
+
+    nation_rev = f"""
+      SELECT n_name, {dec.format(e='o_totalprice')} AS revenue, count(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    """
+
+    sw = "('the','and','of','to','a','in','is','that','it','for')"
+    langs = {
+        "en": "('the','and','of','to','a','in','is','that','it','for')",
+        "es": "('el','la','de','que','y','en','un','es','por','con')",
+        "fr": "('le','la','de','et','les','des','un','une','du','en')",
+        "de": "('der','die','und','das','von','zu','mit','den','ein','ist')",
+        "zh": "('的','是','在','了','和','有','我','他','这','中')",
+    }
+    scores = ",\n          ".join(
+        f"len(list_filter(toks, x -> x IN {ws}))::BIGINT AS s_{lg}" for lg, ws in langs.items()
+    )
+    text_stats = f"""
+      WITH base AS (
+        SELECT doc_id, text,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks,
+          CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT
+               ELSE len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT END AS n_tokens,
+          length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT AS n_tok_chars
+        FROM documents
+      ),
+      scored AS (
+        SELECT doc_id, text, n_tokens,
+          CASE WHEN n_tokens > 0 THEN n_tok_chars::DOUBLE / n_tokens END AS atl,
+          CASE WHEN n_tokens > 0
+               THEN len(list_filter(toks, x -> x IN {sw}))::DOUBLE / n_tokens
+               ELSE 0.0 END AS swr,
+          {scores}
+        FROM base
+      )
+      SELECT doc_id,
+        length(text)::BIGINT AS n_chars,
+        n_tokens,
+        round(coalesce(atl, 0.0) + 0.000000001, 6) AS avg_token_len,
+        round(swr + 0.000000001, 6) AS stopword_ratio_en,
+        CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+             WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+             ELSE 'zh' END AS lang_pred,
+        round((
+          (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN coalesce(atl, 0.0) >= 2.0 AND coalesce(atl, 0.0) <= 12.0 THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN swr >= 0.01 THEN 1.0 ELSE 0.0 END)
+        ) / 3.0 + 0.000000001, 6) AS quality,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM scored
+    """
+
+    dedup_stats = """
+      SELECT count(*) AS n_docs,
+             count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique,
+             count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dup_docs
+      FROM documents
+    """
+
+    jaccard = """
+      WITH d AS (
+        SELECT doc_id AS id,
+          list_distinct(
+            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                 ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+            END) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents WHERE doc_id % 20 = 0)
+      ),
+      inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS g FROM d),
+      p AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+        FROM inv a JOIN inv b USING (g)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+      )
+      SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter) + 0.000000001, 6) AS jaccard
+      FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.2
+    """
+
+    topk = """
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+        round(
+          list_sum(list_transform(list_zip(e.embedding, q.qv), p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+          (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+           sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))) + 0.000000001, 6) AS cosine
+      FROM embeddings e, q
+      ORDER BY cosine DESC, e.vec_id
+      LIMIT 20
+    """
+
+    mm = """
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS content_sha
+      FROM documents
+    """
+
+    raw_filter = f"""
+      SELECT epoch_ms(ts) AS t, event_type AS name, value, CAST(user_id AS VARCHAR) AS uid
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND user_id = 7
+        AND epoch_ms(ts) BETWEEN {F0} AND {T1}
+    """
+
+    return {
+        "tsdb_raw_filter": raw_filter,
+        "tsdb_client_agg_daily": day_agg,
+        "tsdb_stddev_weekly": stddev,
+        "tsdb_rate_daily": rate,
+        "tsdb_downsample_6h": downsample,
+        "tsdb_cross_series_daily": cross_series,
+        "tsdb_windowed_2d": windowed,
+        "tsdb_rollup_daily": rollup_daily,
+        "tsdb_groupby_total": groupby_total,
+        "tsdb_wide_frame_daily": wide_frame,
+        "tpch_q1_pricing": q1,
+        "tpch_join_segment_month": seg_month,
+        "tpch_join_nation_revenue": nation_rev,
+        "doc_text_stats": text_stats,
+        "doc_dedup_exact_stats": dedup_stats,
+        "doc_ngram_jaccard": jaccard,
+        "emb_cosine_topk": topk,
+        "mm_extract_features": mm,
+        # doc_minhash_pairs / doc_simhash_pairs / emb_lsh_topk:
+        # xxhash64-based sketches — intentionally rows-only.
+    }

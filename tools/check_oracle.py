@@ -1,0 +1,104 @@
+"""Local emulation of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry at a given SF and compares
+against the DuckDB oracle_sql() twin: row count, column names, and
+order-insensitive cell equality. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from v3io_tsdb_spark.datasets import TABLES
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(drop=True)
+    return df
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error {type(exc).__name__}: {str(exc)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows-only ({len(sdf)} rows, cols={sorted(sdf.columns)})")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error {type(exc).__name__}: {str(exc)[:200]}")
+            failures += 1
+            continue
+        s, o = norm(sdf), norm(odf)
+        if list(s.columns) != list(o.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            failures += 1
+            continue
+        if len(s) != len(o):
+            print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            failures += 1
+            continue
+        diff_cells = []
+        for c in s.columns:
+            a, b = s[c], o[c]
+            if str(a.dtype).startswith("float") or str(b.dtype).startswith("float"):
+                bad = ~(
+                    (a.isna() & b.isna())
+                    | (a == b)
+                    | ((a - b).abs() <= 1e-9)
+                )
+            else:
+                bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
+            if bad.any():
+                i = bad.idxmax()
+                diff_cells.append((c, int(bad.sum()), a[i], b[i]))
+        if diff_cells:
+            print(f"FAIL {name}: {diff_cells[:3]}")
+            failures += 1
+        else:
+            print(f"PASS {name}: {len(s)} rows")
+    print("FAILURES:", failures)
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(1 if main() else 0)

@@ -1,0 +1,49 @@
+"""Loaders for the driver-generated test tables (/root/testdata/sf*).
+
+``events`` is the TSDB ingest feed: each event becomes a sample with
+``name = event_type`` and a ``uid`` label, matching the reference's
+``(labels, t, v)`` model (ref: pkg/appender/appender.go:194-208).
+
+events.parquet stores ns-precision INT64 timestamps, which Spark 4
+rejects by default — ``spark.sql.legacy.parquet.nanosAsLong`` is set
+at session level and the ns longs are converted with exact integer
+division (never float division: ns epochs exceed 2^53).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.labels import series_id_col
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → long-format samples: (ts ms, name, labels{uid}, series_id, value)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts_ms = F.expr("ts div 1000000")  # exact integer ns→ms
+    else:
+        ts_ms = F.unix_millis(F.col("ts"))
+    df = ev.select(
+        ts_ms.cast("long").alias("ts"),
+        F.col("event_type").alias("name"),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("labels"),
+        F.col("value").cast("double").alias("value"),
+        F.lit(None).cast("string").alias("value_str"),
+    )
+    return df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))

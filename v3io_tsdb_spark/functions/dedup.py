@@ -1,0 +1,270 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Design for 100 TB: every algorithm is a shuffle-on-key groupBy/join —
+no driver-side loops, no per-row Python. Hash functions are md5-based
+where oracle (DuckDB) parity matters and xxhash64 (JVM built-in)
+where raw speed matters.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per identical normalized text.
+
+    Returns the input plus ``content_hash``, ``keep`` (bool) and
+    ``dup_of`` (id of the kept representative; null for keepers).
+    One hash-groupBy shuffle; at scale the hash column doubles as a
+    bucketing key.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    h = F.md5(norm)
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    out = (
+        df.withColumn("content_hash", h)
+        .withColumn("_rep", F.first(id_col).over(w))
+        .withColumn("keep", F.col(id_col) == F.col("_rep"))
+        .withColumn("dup_of", F.when(~F.col("keep"), F.col("_rep")))
+        .drop("_rep")
+    )
+    return out
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n_docs, n_unique, n_dup_docs) one-row summary."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(F.md5(norm).alias("h")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count("*") - F.countDistinct("h")).alias("n_dup_docs"),
+    )
+
+
+# -- shingles / n-gram Jaccard ---------------------------------------------
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), lowercased."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard via shingle inverted index.
+
+    Candidate pairs share ≥1 shingle (inverted-index self-join on the
+    shingle key — no O(N²) cross join); Jaccard = |∩| / |∪| computed
+    from shingle counts. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of
+    xxhash64(i, shingle). Computed with array expressions (no explode,
+    no UDF): one pass, JVM-side."""
+    sh = shingles_col(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda g: F.xxhash64(i, g))),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash) buckets.
+
+    Docs sharing any band land in the same bucket → candidate pair.
+    Returns distinct (id_a, id_b, n_bands_shared).
+    """
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.concat_ws(",", F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with signature-estimated Jaccard
+    (fraction of matching signature positions) ≥ threshold."""
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, bands, rows)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash_col(text: Column, bits: int = 48) -> Column:
+    """SimHash (48-bit, staying clear of signed-64 overflow under ANSI
+    mode) from token xxhash64s: bit b of the result is the sign of
+    Σ_tokens (±1 by token-hash bit b).
+
+    shiftleft/shiftright take Python-int bit counts, so the per-bit
+    expressions are assembled in a Python loop — still one JVM
+    expression tree, no UDF.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    # closure factory: PySpark introspects lambda arity, so default-arg
+    # binding (lambda acc, h, b=b: ...) would look like a 3-arg lambda
+    def _bit_acc(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0), _bit_acc(b))
+        sig = sig.bitwiseOR(F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long"))
+    return sig
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal), so the
+    join is equi-join on chunk value — never a cross join."""
+    h = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
+    chunks = h.select(
+        "id", "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("sh"), 12 * i).bitwiseAND(F.lit(0xFFF)) for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    popcount = F.bit_count  # Spark 3.0+
+    cand = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), on=["chunk_idx", "chunk"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+        .withColumn("hamming", popcount(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return cand
+
+
+# -- embedding near-dup -----------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Cosine near-dup pairs, LSH-blocked by random-hyperplane sign
+    signature (deterministic planes from xxhash64) so candidate
+    generation is an equi-join on the signature; exact cosine verifies.
+    """
+    from v3io_tsdb_spark.functions.similarity import cosine_sim_col, norm_col
+
+    from v3io_tsdb_spark.functions.similarity import hyperplane_sig_col
+
+    d = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    d = d.withColumn("nrm", norm_col(F.col("v")))
+    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes))
+    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig")
+    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "sig")
+    return (
+        a.join(b, "sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim_col(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,104 @@
+"""Text analysis operators: token counting, quality scoring,
+language ID, fingerprinting.
+
+All metrics are pure built-in-function column expressions (no UDFs):
+they run JVM-side inside whole-stage codegen and are exactly
+reproducible in ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword sets for the n-gram/stopword heuristic
+# language-ID (public, standard function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "en"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "ist"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "他", "这", "中"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def avg_token_len_col(text: Column) -> Column:
+    n = token_count_col(text)
+    total = F.aggregate(
+        F.transform(tokens_col(text), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total.cast("double") / n)
+
+
+def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    n = token_count_col(text)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """Stopword-hit count for one language (the n-gram heuristic core)."""
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def lang_id_col(text: Column, langs: tuple = ("en", "es", "fr", "de", "zh")) -> Column:
+    """argmax-score language ID; ties resolve in ``langs`` order,
+    zero hits → 'und'."""
+    scores = [lang_score_col(text, lg) for lg in langs]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    out = F.lit("und")
+    for lg, sc in reversed(list(zip(langs, scores))):
+        out = F.when((best > 0) & (sc == best), F.lit(lg)).otherwise(out)
+    return out
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + mean-token-length band
+    + stopword presence (classic pre-training quality filters)."""
+    n = token_count_col(text)
+    atl = F.coalesce(avg_token_len_col(text), F.lit(0.0))
+    sw = stopword_ratio_col(text, "en")
+    len_ok = F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
+    tok_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.0)
+    sw_ok = F.when(sw >= 0.01, 1.0).otherwise(0.0)
+    return F.round((len_ok + tok_ok + sw_ok) / F.lit(3.0), 6)
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (stable across engines; the rolling-hash analog)."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats table."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count_col(t).alias("n_tokens"),
+        # +1e-9 before rounding: int/int ratios land exactly on round-half
+        # boundaries where engines' tie-breaks differ; the shift (applied
+        # identically in the DuckDB oracles) makes rounding unambiguous.
+        F.round(F.coalesce(avg_token_len_col(t), F.lit(0.0)) + 1e-9, 6).alias("avg_token_len"),
+        F.round(stopword_ratio_col(t, "en") + 1e-9, 6).alias("stopword_ratio_en"),
+        lang_id_col(t).alias("lang_pred"),
+        quality_score_col(t).alias("quality"),
+        fingerprint_col(t).alias("fingerprint"),
+    )
