@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Each query is fully materialized through the noop sink (no driver-side
+collect, no skipped column evaluation — measures the real plan).
+Prints ONE JSON line: {"metric", "value" (total sec), "unit",
+"queries" (per-query sec), "sf"}.
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    "tsdb_raw_filter",
+    "tsdb_client_agg_daily",
+    "tsdb_rate_daily",
+    "tsdb_cross_series_daily",
+    "tsdb_windowed_2d",
+    "tsdb_downsample_6h",
+    "tsdb_rollup_daily",
+    "tsdb_wide_frame_daily",
+    "tpch_q1_pricing",
+    "tpch_join_segment_month",
+    "tpch_join_nation_revenue",
+    "doc_text_stats",
+    "doc_dedup_exact_stats",
+    "doc_ngram_jaccard",
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "mm_extract_features",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("v3io-tsdb-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # sf* inputs are single parquet files; without a smaller split
+        # size every scan is one task and 31 of 32 cores idle. At real
+        # scale files abound — this just restores normal parallelism.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # untimed warmup: JVM/codegen spin-up and file-footer reads
+    from v3io_tsdb_spark.datasets import load_table
+
+    for t in ("events", "lineitem", "documents", "embeddings", "orders", "customer"):
+        load_table(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
+    times = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        except Exception as exc:  # keep the harness alive; report the failure
+            dt = time.perf_counter() - t0
+            print(f"bench {name} FAILED: {type(exc).__name__}: {str(exc)[:160]}", file=sys.stderr)
+            times[name] = -1.0
+            continue
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"bench {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

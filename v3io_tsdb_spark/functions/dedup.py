@@ -79,7 +79,8 @@ def ngram_jaccard_pairs(
     docs = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
+    # persist: the inverted index feeds both sides of the self-join
+    inv = docs.select("id", "n_sh", F.explode("sh").alias("g")).persist()
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="g")
@@ -161,7 +162,10 @@ def minhash_dedup(
     """MinHash-LSH near-dup pairs with signature-estimated Jaccard
     (fraction of matching signature positions) ≥ threshold."""
     rows = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    # persist: the signature subtree feeds three self-join branches and
+    # would be recomputed per branch otherwise (at scale, signatures are
+    # a materialized table)
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).persist()
     cands = minhash_lsh_candidates(sigs, bands, rows)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -213,7 +217,7 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
     chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal), so the
     join is equi-join on chunk value — never a cross join."""
-    h = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh"))
+    h = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")).persist()
     chunks = h.select(
         "id", "sh",
         F.posexplode(
@@ -258,7 +262,7 @@ def embedding_near_dup_pairs(
 
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     d = d.withColumn("nrm", norm_col(F.col("v")))
-    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes))
+    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes)).persist()
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig")
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "sig")
     return (

@@ -87,18 +87,66 @@ def fingerprint_col(text: Column) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document stats table."""
+    """Per-document stats table.
+
+    Tokenizes ONCE into intermediate columns and derives every metric
+    from them — the naive per-metric expressions would re-run the
+    regex split ~10× per row (Spark's subexpression elimination does
+    not reliably collapse repeated ``split`` calls).
+    """
     t = F.col(text_col)
-    return df.select(
+    langs = ("en", "es", "fr", "de", "zh")
+    toks = F.col("_toks")
+    ltoks = F.col("_ltoks")
+    n = F.col("_n")
+
+    base = df.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        token_count_col(t).alias("n_tokens"),
+        t.alias("_t"),
+        tokens_col(t).alias("_toks"),
+    ).select(
+        id_col, "_t", "_toks",
+        F.transform(toks, lambda x: F.lower(x)).alias("_ltoks"),
+        F.size(toks).cast("long").alias("_n"),
+    )
+
+    def hits(lang: str):
+        return F.size(F.filter(ltoks, lambda x: x.isin(*STOPWORDS[lang])))
+
+    scored = base.select(
+        id_col, "_t", "_n",
+        F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+        .alias("_sumlen"),
+        *[hits(lg).alias(f"_s_{lg}") for lg in langs],
+    )
+
+    atl = F.when(n > 0, F.col("_sumlen").cast("double") / n)
+    swr = F.when(n > 0, F.col("_s_en").cast("double") / n).otherwise(F.lit(0.0))
+    best = F.greatest(*[F.col(f"_s_{lg}") for lg in langs])
+    lang_pred = F.lit("und")
+    for lg in reversed(langs):
+        lang_pred = F.when((best > 0) & (F.col(f"_s_{lg}") == best), F.lit(lg)).otherwise(lang_pred)
+    atl0 = F.coalesce(atl, F.lit(0.0))
+    quality = F.round(
+        (
+            F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
+            + F.when((atl0 >= 2.0) & (atl0 <= 12.0), 1.0).otherwise(0.0)
+            + F.when(swr >= 0.01, 1.0).otherwise(0.0)
+        )
+        / F.lit(3.0),
+        6,
+    )
+
+    return scored.select(
+        F.col(id_col),
+        F.length(F.col("_t")).cast("long").alias("n_chars"),
+        n.alias("n_tokens"),
         # +1e-9 before rounding: int/int ratios land exactly on round-half
         # boundaries where engines' tie-breaks differ; the shift (applied
         # identically in the DuckDB oracles) makes rounding unambiguous.
-        F.round(F.coalesce(avg_token_len_col(t), F.lit(0.0)) + 1e-9, 6).alias("avg_token_len"),
-        F.round(stopword_ratio_col(t, "en") + 1e-9, 6).alias("stopword_ratio_en"),
-        lang_id_col(t).alias("lang_pred"),
-        quality_score_col(t).alias("quality"),
-        fingerprint_col(t).alias("fingerprint"),
+        F.round(atl0 + 1e-9, 6).alias("avg_token_len"),
+        F.round(swr + 1e-9, 6).alias("stopword_ratio_en"),
+        lang_pred.alias("lang_pred"),
+        quality.alias("quality"),
+        fingerprint_col(F.col("_t")).alias("fingerprint"),
     )
