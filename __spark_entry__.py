@@ -153,6 +153,54 @@ def q_tsdb_wide_frame_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_wide_frame(long, nan_fill=False)
 
 
+def q_tsdb_overlapping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 overlapping windows: last 1h/6h/24h cells per series (A9)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="sum,count", step="1h", overlapping_windows=[1, 6, 24],
+                     from_time=T1 - 4 * DAY, to_time=T1 - DAY)
+    )
+    return _uid(res).select(
+        "name", "uid", F.col("window").cast("int").alias("window"), "t",
+        _r("sum"), F.col("count").cast("long").alias("count"),
+    )
+
+
+def q_tsdb_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSDB SQL dialect → wide frame (§2.7): per-uid daily sum/avg."""
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    wide = run_sql(
+        q, "select sum(click) as s_click, avg(purchase) as a_purch from samples group by uid",
+        from_time=F0, to_time=T1, step="1d",
+    )
+    return wide.select(
+        "time", "uid",
+        F.round(F.col("s_click") + EPS4, 4).alias("s_click"),
+        F.round(F.col("a_purch") + EPS4, 4).alias("a_purch"),
+    )
+
+
+def q_tsdb_variant_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant (string) metric raw select (M9): events.props as a
+    string-valued series."""
+    from v3io_tsdb_spark.labels import series_id_col
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.expr("ts div 1000000") if dict(ev.dtypes)["ts"] in ("bigint", "long") else F.unix_millis(F.col("ts"))
+    samples = ev.select(
+        ts_ms.cast("long").alias("ts"),
+        F.lit("props_log").alias("name"),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("labels"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("props").alias("value_str"),
+    ).withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    q = Querier(spark, samples)
+    res = q.select(SelectParams(name="props_log", filter="uid=='3'", from_time=F0, to_time=T1))
+    return _uid(res).select("t", "name", "value_str", "uid")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style scan/join/agg (S4, J-class operators at scale)
 # ---------------------------------------------------------------------------
@@ -303,6 +351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_rollup_daily": q_tsdb_rollup_daily,
         "tsdb_groupby_total": q_tsdb_groupby_total,
         "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
+        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
+        "tsdb_sql_frontend": q_tsdb_sql_frontend,
+        "tsdb_variant_raw": q_tsdb_variant_raw,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_join_segment_month": q_tpch_join_segment_month,
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
@@ -437,6 +488,38 @@ def oracle_sql() -> dict[str, str]:
       FROM events
       WHERE epoch_ms(ts) BETWEEN {F0} AND {T1} AND user_id IN (3, 7)
       GROUP BY 1, 2
+    """
+
+    overlapping = f"""
+      WITH pts AS (
+        SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts) AS t, value
+        FROM events WHERE epoch_ms(ts) BETWEEN {T1 - 4 * DAY} AND {T1 - DAY}
+      ),
+      w(win) AS (SELECT * FROM (VALUES (1), (6), (24)) v(win))
+      SELECT p.name, p.uid, w.win AS "window", {T1 - DAY}::BIGINT - w.win * {HOUR} AS t,
+        round(sum(p.value) + 0.0000001, 4) AS sum, count(p.value) AS count
+      FROM pts p, w
+      WHERE p.t > {T1 - DAY} - w.win * {HOUR} AND p.t < {T1 - DAY}
+      GROUP BY 1, 2, 3, 4
+    """
+
+    sql_frontend = f"""
+      SELECT {_DAY_BUCKET} AS time, CAST(user_id AS VARCHAR) AS uid,
+        round(sum(CASE WHEN event_type = 'click' THEN value END) + 0.0000001, 4) AS s_click,
+        CASE WHEN count(CASE WHEN event_type = 'purchase' THEN value END) > 0
+             THEN round(sum(CASE WHEN event_type = 'purchase' THEN value END)
+                        / count(CASE WHEN event_type = 'purchase' THEN value END)
+                        + 0.0000001, 4) END AS a_purch
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {F0} AND {T1} AND event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    """
+
+    variant_raw = f"""
+      SELECT epoch_ms(ts) AS t, 'props_log' AS name, props AS value_str,
+             CAST(user_id AS VARCHAR) AS uid
+      FROM events
+      WHERE user_id = 3 AND epoch_ms(ts) BETWEEN {F0} AND {T1}
     """
 
     evtypes = ["click", "error", "purchase", "signup", "view"]
@@ -594,6 +677,9 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_rollup_daily": rollup_daily,
         "tsdb_groupby_total": groupby_total,
         "tsdb_wide_frame_daily": wide_frame,
+        "tsdb_overlapping_windows": overlapping,
+        "tsdb_sql_frontend": sql_frontend,
+        "tsdb_variant_raw": variant_raw,
         "tpch_q1_pricing": q1,
         "tpch_join_segment_month": seg_month,
         "tpch_join_nation_revenue": nation_rev,

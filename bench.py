@@ -25,6 +25,9 @@ HEADLINE = [
     "tsdb_downsample_6h",
     "tsdb_rollup_daily",
     "tsdb_wide_frame_daily",
+    "tsdb_overlapping_windows",
+    "tsdb_sql_frontend",
+    "tsdb_variant_raw",
     "tpch_q1_pricing",
     "tpch_join_segment_month",
     "tpch_join_nation_revenue",

@@ -1,0 +1,140 @@
+"""M6: SQL dialect, CLI, formatters; plus overlapping windows and
+variant metrics (A9, M9)."""
+
+import json
+
+import pytest
+from conftest import MIN, T0, rows_to_dict
+
+from v3io_tsdb_spark.errors import BadRequest
+from v3io_tsdb_spark.formatters import format_df
+from v3io_tsdb_spark.querier import Querier, SelectParams
+from v3io_tsdb_spark.sql.parser import parse_query, run_sql
+
+HOUR = 3_600_000
+
+
+def test_parse_query_shapes():
+    p = parse_query("select avg(cpu), max(cpu) from tsdb where os=='linux' group by os")
+    assert [c.function for c in p.columns] == ["avg", "max"]
+    assert p.columns[0].metric == "cpu"
+    assert p.filter == "os=='linux'" and p.group_by == "os"
+
+    p2 = parse_query("select avg(prev_val(cpu, '10m')) as c from tsdb")
+    assert p2.columns[0].interpolator == "prev_val"
+    assert p2.columns[0].tolerance == "10m"
+    assert p2.columns[0].alias == "c"
+
+    p3 = parse_query("select * from tsdb")
+    assert p3.wildcard
+
+    with pytest.raises(BadRequest):
+        parse_query("select cpu from a join b on x")
+    with pytest.raises(BadRequest):
+        parse_query("select avg(cpu), avg(cpu) from tsdb")
+    with pytest.raises(BadRequest):
+        parse_query("select nosuchfunc(cpu) from tsdb")
+
+
+def test_run_sql_aggregates(spark, make_samples):
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20), (2 * MIN, 30), (3 * MIN, 40)]),
+            ("mem", {"os": "linux"}, [(0, 5), (2 * MIN, 7)]),
+        ]
+    )
+    q = Querier(spark, df)
+    wide = run_sql(
+        q, "select sum(cpu) as s, max(cpu), min(mem) from tsdb",
+        from_time=T0, to_time=T0 + 10 * MIN, step="2m",
+    )
+    rows = {r["time"]: r for r in wide.collect()}
+    assert rows[T0]["s"] == 30.0 and rows[T0]["max(cpu)"] == 20.0 and rows[T0]["min(mem)"] == 5.0
+    assert rows[T0 + 2 * MIN]["s"] == 70.0 and rows[T0 + 2 * MIN]["min(mem)"] == 7.0
+
+
+def test_run_sql_group_by(spark, make_samples):
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20)]),
+            ("cpu", {"os": "mac"}, [(0, 30), (1 * MIN, 40)]),
+        ]
+    )
+    q = Querier(spark, df)
+    wide = run_sql(
+        q, "select sum(cpu) as s from tsdb group by os",
+        from_time=T0, to_time=T0 + 10 * MIN,
+    )
+    got = {r["os"]: r["s"] for r in wide.collect()}
+    assert got == {"linux": 30.0, "mac": 70.0}
+
+
+def test_overlapping_windows(spark, make_samples):
+    # v1 SelectOverlap: one cell per window over (maxAligned-w*step, maxAligned)
+    df = make_samples([("cpu", {}, [(i * HOUR, float(i)) for i in range(25)])])
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(
+            name="cpu", functions="sum,count", step="1h",
+            overlapping_windows=[1, 6, 24],
+            from_time=T0, to_time=T0 + 24 * HOUR + 30 * MIN,
+        )
+    )
+    # maxAligned = T0+24h (T0 is hour-aligned? T0=...21:40 NOT aligned)
+    # T0 % 1h != 0, so maxAligned = floor((T0+24.5h)/1h)*1h = T0+24h-40m+... — compute directly:
+    max_aligned = ((T0 + 24 * HOUR + 30 * MIN) // HOUR) * HOUR
+    got = rows_to_dict(res, ["window"], ["sum", "count"])
+    for w in (1, 6, 24):
+        lo = max_aligned - w * HOUR
+        expected = [float(i) for i in range(25) if lo < T0 + i * HOUR < max_aligned]
+        assert got[w] == (sum(expected), len(expected)), f"window {w}"
+
+
+def test_variant_metrics_raw(spark, make_samples):
+    # FIXTURES §6: string metric series
+    df = make_samples([("log", {"os": "linux"}, [(i * MIN, s) for i, s in enumerate("abcde")])])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="log", from_time=T0, to_time=T0 + 10 * MIN))
+    rows = sorted(res.collect(), key=lambda r: r["t"])
+    assert [r["value_str"] for r in rows] == list("abcde")
+    assert all(r["value"] is None for r in rows)
+    # aggregates ignore string series
+    agg = q.select(SelectParams(name="log", functions="count", step="1m", from_time=T0, to_time=T0 + 10 * MIN))
+    assert agg.count() == 0
+
+
+def test_formatters(spark, make_samples):
+    df = make_samples([("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20)])])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 10 * MIN))
+    txt = format_df(res, "text")
+    assert "cpu" in txt
+    csv = format_df(res.drop("labels"), "csv")
+    assert csv.splitlines()[0] == "name,series_id,t,value,value_str"
+    js = json.loads(format_df(res, "json"))
+    assert js[0]["target"] == "cpu{os=linux}"
+    assert [v for v, _ in js[0]["datapoints"]] == [10.0, 20.0]
+    assert format_df(res, "none").startswith("2 rows")
+
+
+def test_cli_end_to_end(tmp_path, spark, capsys):
+    from v3io_tsdb_spark import cli
+
+    path = str(tmp_path / "clidb")
+    assert cli.main(["create", "-p", path, "--granularity", "1h"]) == 0
+    csv_file = tmp_path / "in.csv"
+    csv_file.write_text(
+        f"cpu,os=linux,1.5,{T0}\ncpu,os=linux,2.5,{T0 + MIN}\nlog,os=linux,hello,{T0}\n"
+    )
+    assert cli.main(["add", "-p", path, "-f", str(csv_file)]) == 0
+    assert cli.main([
+        "query", "-p", path, "-m", "cpu", "--aggregates", "sum", "-i", "2m",
+        "-a", str(T0), "-e", str(T0 + 10 * MIN), "-o", "csv",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "4.0" in out  # sum of 1.5+2.5
+    assert cli.main(["info", "-p", path, "-n"]) == 0
+    assert "cpu" in capsys.readouterr().out
+    assert cli.main(["delete", "-p", path, "-a", str(T0), "-e", str(T0 + 10 * MIN), "-m", "cpu"]) == 0
+    assert cli.main(["query", "-p", path, "-m", "cpu", "-a", str(T0), "-e", str(T0 + 10 * MIN), "-o", "none"]) == 0
+    assert capsys.readouterr().out.endswith("0 rows\n")

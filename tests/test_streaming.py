@@ -1,0 +1,67 @@
+"""M7: Structured Streaming ingest (watermark, dedup, foreachBatch)."""
+
+import time
+
+from conftest import MIN, T0
+
+from v3io_tsdb_spark.adapter import TSDBAdapter
+from v3io_tsdb_spark.config import TSDBConfig
+from v3io_tsdb_spark.querier import SelectParams
+from v3io_tsdb_spark.streaming.ingest import start_stream_ingest
+
+
+def test_stream_ingest_end_to_end(tmp_path, spark):
+    a = TSDBAdapter(spark, str(tmp_path / "tsdb"), TSDBConfig()).create()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = "ts long, name string, os string, value double"
+
+    def write_batch(fname, rows):
+        import json
+
+        (in_dir / fname).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch(
+        "b1.json",
+        [
+            {"ts": T0 + i * MIN, "name": "cpu", "os": "linux", "value": float(i)}
+            for i in range(5)
+        ]
+        + [{"ts": T0, "name": "cpu", "os": "linux", "value": 0.0}],  # in-batch dup
+    )
+
+    from pyspark.sql import functions as F
+
+    raw = spark.readStream.schema(schema).json(str(in_dir))
+    stream = raw.select(
+        "ts", "name",
+        F.create_map(F.lit("os"), F.col("os")).alias("labels"),
+        "value",
+    )
+    q = start_stream_ingest(a, stream, ckpt)
+    try:
+        q.processAllAvailable()  # WaitForCompletion analog
+        res1 = a.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 30 * MIN))
+        assert res1.count() == 5  # dup dropped
+
+        # second micro-batch: new + late-but-within-watermark samples
+        write_batch(
+            "b2.json",
+            [
+                {"ts": T0 + 10 * MIN, "name": "cpu", "os": "linux", "value": 10.0},
+                {"ts": T0 + 2 * MIN, "name": "mem", "os": "linux", "value": 1.0},
+            ],
+        )
+        q.processAllAvailable()
+        res2 = a.select(SelectParams(from_time=T0, to_time=T0 + 30 * MIN))
+        assert res2.count() == 7
+    finally:
+        q.stop()
+
+    # rollup partials were maintained per micro-batch
+    rollup = spark.read.parquet(a.rollup_path)
+    assert rollup.where("name = 'cpu'").count() >= 1
+    total = rollup.groupBy("name").sum("count").collect()
+    assert {r["name"]: r["sum(count)"] for r in total} == {"cpu": 6, "mem": 1}

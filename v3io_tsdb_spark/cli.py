@@ -1,0 +1,197 @@
+"""tsdbctl-style CLI (ref: pkg/tsdbctl — create/add/query/info/delete).
+
+    python -m v3io_tsdb_spark.cli create -p /tmp/tsdb --granularity 1h
+    python -m v3io_tsdb_spark.cli add -p /tmp/tsdb cpu os=linux -d 12.5 -t now
+    python -m v3io_tsdb_spark.cli add -p /tmp/tsdb -f samples.csv
+    python -m v3io_tsdb_spark.cli query -p /tmp/tsdb "select avg(cpu) from tsdb" -a "now-1d"
+    python -m v3io_tsdb_spark.cli info -p /tmp/tsdb
+    python -m v3io_tsdb_spark.cli delete -p /tmp/tsdb -a "now-7d" -e now
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from v3io_tsdb_spark.config import TSDBConfig
+from v3io_tsdb_spark.errors import TSDBError
+from v3io_tsdb_spark.formatters import FORMATS, format_df
+from v3io_tsdb_spark.labels import labels_from_string
+from v3io_tsdb_spark.querier import SelectParams
+from v3io_tsdb_spark.timeutils import get_time_range, str2unix_ms
+
+
+def _spark(cpus: str = "*"):
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("v3io-tsdb-spark-cli")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _adapter(args):
+    from v3io_tsdb_spark.adapter import TSDBAdapter
+
+    return TSDBAdapter(_spark(), args.path)
+
+
+def cmd_create(args):
+    from v3io_tsdb_spark.adapter import TSDBAdapter
+
+    cfg = TSDBConfig(aggregation_granularity=args.granularity)
+    TSDBAdapter(_spark(), args.path, cfg).create(if_not_exists=args.if_not_exists)
+    print(f"created TSDB at {args.path} (granularity {args.granularity})")
+
+
+def cmd_add(args):
+    a = _adapter(args)
+    if args.file:
+        # CSV rows: name,labels,value[,time] (ref: pkg/tsdbctl/add.go:39-328)
+        import csv
+
+        rows = []
+        with open(args.file) as f:
+            for rec in csv.reader(f):
+                if not rec or rec[0].startswith("#"):
+                    continue
+                name, labels, value = rec[0], rec[1], rec[2]
+                t = str2unix_ms(rec[3]) if len(rec) > 3 and rec[3] else str2unix_ms("now")
+                row = {"ts": t, "name": name, "labels": labels_from_string(labels)}
+                try:
+                    row["value"] = float(value)
+                except ValueError:
+                    row["value_str"] = value
+                rows.append(row)
+        a.append(rows)
+        print(f"appended {len(rows)} samples from {args.file}")
+        return
+    if not args.metric or args.value is None:
+        raise TSDBError("either -f FILE or metric + -d VALUE is required")
+    labels = labels_from_string(args.metric_labels) if args.metric_labels else {}
+    row = {"ts": str2unix_ms(args.time or "now"), "name": args.metric, "labels": labels}
+    try:
+        row["value"] = float(args.value)
+    except ValueError:
+        row["value_str"] = args.value
+    a.append([row])
+    print("appended 1 sample")
+
+
+def cmd_query(args):
+    a = _adapter(args)
+    from_ms, to_ms = get_time_range(args.begin, args.end, last=args.last)
+    q = a.querier()
+    if args.sql:
+        from v3io_tsdb_spark.sql.parser import run_sql
+
+        df = run_sql(q, args.sql, from_time=from_ms, to_time=to_ms,
+                     step=args.aggregation_interval or 0)
+    else:
+        df = q.select(
+            SelectParams(
+                name=args.metric, functions=args.aggregates,
+                step=args.aggregation_interval or 0,
+                aggregation_window=args.aggregation_window or 0,
+                filter=args.filter, group_by=args.group_by,
+                from_time=from_ms, to_time=to_ms,
+            )
+        )
+    sys.stdout.write(format_df(df, args.output))
+
+
+def cmd_info(args):
+    a = _adapter(args)
+    print(f"TSDB at {a.path}")
+    print(f"config: {a.config.to_json()}")
+    if args.names:
+        print("metric names:", ", ".join(a.metric_names()))
+    if args.performance:
+        print("series count:", a.count_metrics())
+
+
+def cmd_delete(args):
+    a = _adapter(args)
+    if args.delete_all:
+        if not args.force:
+            raise TSDBError("refusing --all without --force")
+        a.delete(delete_all=True)
+        print("deleted entire TSDB")
+        return
+    a.delete(metrics=args.metrics.split(",") if args.metrics else None,
+             filter=args.filter, from_time=args.begin, to_time=args.end)
+    print("delete completed")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="v3io-tsdb-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("-p", "--path", required=True, help="TSDB base path")
+
+    c = sub.add_parser("create", help="create a new TSDB")
+    common(c)
+    c.add_argument("--granularity", default="1h")
+    c.add_argument("--if-not-exists", action="store_true")
+    c.set_defaults(fn=cmd_create)
+
+    a = sub.add_parser("add", help="append samples")
+    common(a)
+    a.add_argument("metric", nargs="?", help="metric name")
+    a.add_argument("metric_labels", nargs="?", help='labels "k1=v1,k2=v2"')
+    a.add_argument("-d", "--value", help="sample value")
+    a.add_argument("-t", "--time", help="sample time (now, unix-ms, RFC3339)")
+    a.add_argument("-f", "--file", help="CSV file: name,labels,value[,time]")
+    a.set_defaults(fn=cmd_add)
+
+    q = sub.add_parser("query", help="query the TSDB")
+    common(q)
+    q.add_argument("sql", nargs="?", help="TSDB SQL (select ... from tsdb ...)")
+    q.add_argument("-m", "--metric", help="metric name(s), comma-separated")
+    q.add_argument("-a", "--begin", help="start time")
+    q.add_argument("-e", "--end", help="end time")
+    q.add_argument("-l", "--last", help="last duration (e.g. 1h)")
+    q.add_argument("-i", "--aggregation-interval", help="step")
+    q.add_argument("-w", "--aggregation-window", help="sliding window")
+    q.add_argument("--aggregates", help="functions, e.g. sum,avg")
+    q.add_argument("-f", "--filter", help="filter expression")
+    q.add_argument("-g", "--group-by", help="group-by labels")
+    q.add_argument("-o", "--output", default="text", choices=FORMATS)
+    q.set_defaults(fn=cmd_query)
+
+    i = sub.add_parser("info", help="show TSDB info")
+    common(i)
+    i.add_argument("-n", "--names", action="store_true")
+    i.add_argument("-m", "--performance", action="store_true")
+    i.set_defaults(fn=cmd_info)
+
+    d = sub.add_parser("delete", help="delete data")
+    common(d)
+    d.add_argument("-a", "--begin")
+    d.add_argument("-e", "--end")
+    d.add_argument("-m", "--metrics")
+    d.add_argument("-f", "--filter")
+    d.add_argument("--all", dest="delete_all", action="store_true")
+    d.add_argument("--force", action="store_true")
+    d.set_defaults(fn=cmd_delete)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    try:
+        args.fn(args)
+    except TSDBError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,5 +43,23 @@ def to_wide_frame(
     )
     if nan_fill:
         value_cols = [c for c in wide.columns if c != time_col]
-        wide = wide.fillna(float("nan"), subset=value_cols)
+        numeric = [c for c in value_cols if dict(wide.dtypes).get(c) == "double"]
+        wide = wide.fillna(float("nan"), subset=numeric)
     return wide
+
+
+def to_series(agg_df: DataFrame, funcs: list, key_cols: list | None = None) -> DataFrame:
+    """Melt a wide-by-function aggregate result into the reference's
+    SeriesSet shape: one row per (series, Aggregate, t) with an
+    ``aggregate`` label column (ref: pkg/pquerier/series.go:33-63 —
+    one series per aggregate with the "Aggregate" label attached).
+    """
+    keys = key_cols if key_cols is not None else [
+        c for c in agg_df.columns if c not in funcs and c != "t"
+    ]
+    stack = F.expr(
+        "stack({n}, {args}) as (aggregate, value)".format(
+            n=len(funcs), args=", ".join(f"'{f}', `{f}`" for f in funcs)
+        )
+    )
+    return agg_df.select(*keys, "t", stack).where(F.col("value").isNotNull())

@@ -63,6 +63,9 @@ class SelectParams:
     tolerance: str | int | None = None
     use_only_client_aggr: bool = False
     columns: list = field(default_factory=list)  # list[RequestedColumn]
+    # v1 overlapping windows: aggregate the last w×step for each w
+    # (ref: pkg/querier/querier.go:99-115 SelectOverlap)
+    overlapping_windows: list = field(default_factory=list)
 
 
 class Querier:
@@ -114,6 +117,8 @@ class Querier:
 
         base = self._scan(params, from_ms, to_ms, window_ms)
 
+        if params.overlapping_windows:
+            return self._overlapping(base, params, funcs, from_ms, to_ms, step_ms)
         if funcs and cross_series:
             return self._cross_series(base, params, funcs, from_ms, to_ms, step_ms, group_by)
         if funcs:
@@ -121,6 +126,40 @@ class Querier:
         if step_ms:
             return self._downsample(base, params, from_ms, to_ms, step_ms)
         return self._raw(base)
+
+    def _overlapping(self, base, params, funcs, from_ms, to_ms, step_ms) -> DataFrame:
+        """Overlapping windows: one aggregate cell per window w covering
+        (maxAligned − w·step, maxAligned), maxAligned = ⌊to/step⌋·step.
+        Strict bounds replicate the v1 collector
+        (ref: pkg/querier/seriesset.go:187-217 chunks2WindowedAggregates,
+        pkg/aggregate/iterator.go:149-171).
+        """
+        if not funcs:
+            raise BadRequest("overlapping windows require aggregate functions")
+        if not step_ms:
+            raise BadRequest("overlapping windows require a step")
+        windows = sorted({int(w) for w in params.overlapping_windows}, reverse=True)
+        max_aligned = (to_ms // step_ms) * step_ms
+        wins = F.array(*[F.lit(w) for w in windows])
+        b = (
+            base.where(F.col("value").isNotNull())
+            .where(F.col("ts") < F.lit(max_aligned))
+            .withColumn("window", F.explode(wins))
+            .where(F.col("ts") > F.lit(max_aligned) - F.col("window") * F.lit(step_ms))
+        )
+        raws = agg.required_raw(funcs)
+        grouped = b.groupBy("name", "series_id", "window").agg(
+            F.first("labels").alias("labels"), *agg.raw_agg_exprs(raws)
+        )
+        out = grouped.withColumn("t", F.lit(max_aligned) - F.col("window") * F.lit(step_ms))
+        for f in funcs:
+            if f in ("avg", "stddev", "stdvar"):
+                out = out.withColumn(f, agg.derived_col(f, step_ms))
+        if "rate" in funcs:
+            raise BadRequest("rate is not defined for overlapping windows")
+        return out.select(
+            "name", "labels", "series_id", "window", "t", *[F.col(f).alias(f) for f in funcs]
+        )
 
     # -- scan --------------------------------------------------------------
 
@@ -160,14 +199,20 @@ class Querier:
     # -- paths -------------------------------------------------------------
 
     def _raw(self, base: DataFrame) -> DataFrame:
-        return base.select("name", "labels", "series_id", F.col("ts").alias("t"), "value")
+        """Raw samples; variant (string) metrics ride along in
+        ``value_str`` (ref: pkg/chunkenc/vartype.go — a series is float
+        XOR string, so exactly one of the two is non-null per row)."""
+        cols = ["name", "labels", "series_id", F.col("ts").alias("t"), "value"]
+        if "value_str" in base.columns:
+            cols.append("value_str")
+        return base.select(*cols)
 
     def _downsample(self, base, params, from_ms, to_ms, step_ms) -> DataFrame:
         """Step without functions → per-cell seek+interpolate value
         (ref: pkg/pquerier/collector.go:236-281 downsampleRawData)."""
         tol = str2duration_ms(params.tolerance) if params.tolerance else None
         return align_to_grid(
-            base, from_ms, to_ms, step_ms,
+            base.where(F.col("value").isNotNull()), from_ms, to_ms, step_ms,
             interp=params.interpolator or "next_val",
             tolerance_ms=tol,
         )
@@ -197,6 +242,7 @@ class Querier:
         if use_rollup:
             return self._aggregate_from_rollup(params, funcs, from_ms, to_ms, step_ms, group_by)
 
+        base = base.where(F.col("value").isNotNull())  # aggregates are float-only
         if window_ms:
             b = base.withColumn(
                 "_buckets", sliding_bucket_ids(F.col("ts"), from_ms, to_ms, step_ms, window_ms)
@@ -246,7 +292,7 @@ class Querier:
             self._validate_group_by(base, group_by)
         tol = str2duration_ms(params.tolerance) if params.tolerance else None
         aligned = align_to_grid(
-            base, from_ms, to_ms, step_ms,
+            base.where(F.col("value").isNotNull()), from_ms, to_ms, step_ms,
             interp=params.interpolator or "next_val",
             tolerance_ms=tol,
         )

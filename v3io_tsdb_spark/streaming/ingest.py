@@ -1,0 +1,80 @@
+"""Streaming ingest: readStream → watermark/dedup → foreachBatch append.
+
+Replaces the reference's async ingest pipeline (3 event loops,
+per-metric pending lists, elastic queues, UpdateItem expression
+builder — ref: pkg/appender/ingest.go:38-146, store.go:292-484) with
+the Structured Streaming shape from SURVEY §2.8:
+
+- late data: watermark = the reference's 59-minute
+  ``maxLateArrivalInterval`` (ref: pkg/appender/store.go:42);
+- duplicates: ``dropDuplicatesWithinWatermark`` on (series_id, ts) —
+  the idempotent-upsert analog of the reference's per-series
+  monotonicity drop / OverrideOld
+  (ref: pkg/appender/store.go:336-352, pkg/config/config.go:146-147);
+- each micro-batch runs the same batch append (samples + rollup
+  partials), so batch and streaming ingest share one code path;
+- recovery: Spark checkpointing replaces the ``_maxtime`` re-read
+  state machine (ref: pkg/appender/store.go:137-230);
+- ``WaitForCompletion`` (ref: pkg/appender/appender.go:302-334) maps
+  to ``query.processAllAvailable()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.adapter import TSDBAdapter
+from v3io_tsdb_spark.appender import normalize_samples
+from v3io_tsdb_spark.labels import series_id_col
+
+
+def prepare_stream(stream_df: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Normalize a streaming DataFrame to the samples shape and apply
+    watermark + in-stream dedup.
+
+    ``stream_df`` needs (ts, name, labels?, value?/value_str?); ts may
+    be a timestamp or epoch-ms long.
+    """
+    df = stream_df
+    dtypes = dict(df.dtypes)
+    if not dtypes.get("ts", "").startswith("timestamp"):
+        df = df.withColumn("_event_time", F.timestamp_millis(F.col("ts").cast("long")))
+    else:
+        df = df.withColumn("_event_time", F.col("ts")).withColumn(
+            "ts", F.unix_millis(F.col("ts"))
+        )
+    if "labels" not in df.columns:
+        df = df.withColumn("labels", F.create_map().cast("map<string,string>"))
+    if "value" not in df.columns:
+        df = df.withColumn("value", F.lit(None).cast("double"))
+    if "value_str" not in df.columns:
+        df = df.withColumn("value_str", F.lit(None).cast("string"))
+    df = df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    wm = watermark or "59 minutes"
+    df = df.withWatermark("_event_time", wm)
+    df = df.dropDuplicatesWithinWatermark(["series_id", "ts"])
+    return df.select("ts", "name", "labels", "series_id", "value", "value_str")
+
+
+def start_stream_ingest(
+    adapter: TSDBAdapter,
+    stream_df: DataFrame,
+    checkpoint: str,
+    watermark: str | None = None,
+    trigger: dict | None = None,
+):
+    """Start the ingest query. Returns the StreamingQuery; call
+    ``.processAllAvailable()`` as the WaitForCompletion analog."""
+    wm = watermark or f"{adapter.config.late_arrival_ms // 1000} seconds"
+    prepared = prepare_stream(stream_df, wm)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        adapter.append(batch_df, validate=False)
+
+    writer = prepared.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
