@@ -282,10 +282,13 @@ def q_doc_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table all-pairs near-dup: the synthetic corpus contains
+    planted near-duplicates at Jaccard ≥0.9; threshold 0.5 returns
+    exactly those (non-trivial rows at every sf)."""
     from v3io_tsdb_spark.functions.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    return ngram_jaccard_pairs(docs, threshold=0.2)
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,15 +314,15 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import minhash_dedup
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    return minhash_dedup(docs, threshold=0.3)
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import simhash_near_dup_pairs
 
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
-    return simhash_near_dup_pairs(docs, max_hamming=16)
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,7 +632,7 @@ def oracle_sql() -> dict[str, str]:
                  ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
             END) AS sh
         FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-              FROM documents WHERE doc_id % 20 = 0)
+              FROM documents)
       ),
       inv AS (SELECT id, len(sh) AS n_sh, unnest(sh) AS g FROM d),
       p AS (
@@ -639,7 +642,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3, 4
       )
       SELECT id_a, id_b, round(inter::DOUBLE / (na + nb - inter) + 0.000000001, 6) AS jaccard
-      FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.2
+      FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
     """
 
     topk = """

@@ -185,39 +185,54 @@ def minhash_dedup(
 
 # -- SimHash ----------------------------------------------------------------
 
-def simhash_col(text: Column, bits: int = 48) -> Column:
-    """SimHash (48-bit, staying clear of signed-64 overflow under ANSI
-    mode) from token xxhash64s: bit b of the result is the sign of
-    Σ_tokens (±1 by token-hash bit b).
-
-    shiftleft/shiftright take Python-int bit counts, so the per-bit
-    expressions are assembled in a Python loop — still one JVM
-    expression tree, no UDF.
+def _simhash_sql(hashes_col: str, bits: int) -> str:
+    """One higher-order-function SQL expression computing the SimHash of
+    an array<bigint> feature-hash column: per-bit ±1 vote sums via a
+    single array-accumulator ``aggregate`` (one pass over features), then
+    sign→bit packing. One compact expression tree — the per-bit
+    Python-loop formulation codegen'd ~50× more code."""
+    return f"""
+      aggregate(
+        zip_with(
+          aggregate({hashes_col}, array_repeat(0, {bits}),
+            (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
+                          (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
+          sequence(0, {bits - 1}),
+          (c, b) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+        CAST(0 AS BIGINT), (s, x) -> s | x)
     """
-    toks = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    # closure factory: PySpark introspects lambda arity, so default-arg
-    # binding (lambda acc, h, b=b: ...) would look like a 3-arg lambda
-    def _bit_acc(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0), _bit_acc(b))
-        sig = sig.bitwiseOR(F.when(bit_sum > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long"))
-    return sig
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) SimHash signatures (48-bit, staying clear of signed-64
+    overflow under ANSI mode) over word-``shingle_n``-gram features.
+
+    Shingle features (not bare tokens): on small-vocabulary corpora
+    every document contains nearly every token, so token-level SimHash
+    saturates; shingles keep the feature space large and signatures
+    discriminative — the same reason MinHash shingles (LSH standard
+    practice).
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles_col(F.col(text_col), shingle_n), lambda g: F.xxhash64(g)).alias("_h"),
+    )
+    return d.select("id", F.expr(_simhash_sql("_h", bits)).alias("sh"))
 
 
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit
+    """Near-dup pairs by SimHash Hamming distance, blocked on 12-bit
     chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal), so the
     join is equi-join on chunk value — never a cross join."""
-    h = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sh")).persist()
+    h = simhash_df(df, text_col, id_col).persist()
     chunks = h.select(
         "id", "sh",
         F.posexplode(
