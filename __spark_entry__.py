@@ -130,6 +130,34 @@ def q_tsdb_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("count").cast("long").alias("count"), _r("max"), _r("last"))
 
 
+def q_tsdb_preagg_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-label pre-aggregate path: group-by answered from the
+    label-subset rollup table (A7 server path; ref:
+    pkg/pquerier/select.go:261-283, pkg/appender/appender.go:220-231)."""
+    from v3io_tsdb_spark.rollup import build_label_rollup
+
+    samples = events_as_samples(spark, sf_dir)
+    cfg = TSDBConfig(aggregation_granularity="1h")
+    lr = build_label_rollup(samples, cfg.granularity_ms, ("uid",))
+    q = Querier(spark, samples, config=cfg, label_rollups={("uid",): lr})
+    params = SelectParams(functions="sum,count,avg,min", step="1d", group_by="uid",
+                          filter="uid=='3' or uid=='7'", from_time=F0, to_time=T1)
+    assert q._label_rollup_plan(["sum", "count", "avg", "min"], DAY, 0, params, ["uid"]) is not None
+    res = q.select(params)
+    return res.select("name", "uid", "t", _r("sum"),
+                      F.col("count").cast("long").alias("count"), _r("avg"), _r("min"))
+
+
+def q_tsdb_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample with linear interpolation + explicit tolerance
+    (A11+A12; ref: pkg/pquerier/interpolate.go:99-120 linear with
+    tolerance, collector.go:236-281)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(SelectParams(step="6h", interpolator="linear", tolerance="12h",
+                                from_time=F0, to_time=T1))
+    return _uid(res).select("name", "uid", "t", F.round(F.col("value") + EPS6, 6).alias("value"))
+
+
 def q_tsdb_groupby_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-bucket aggregation with OR filter + group-by (A7, P1)."""
     q = Querier(spark, events_as_samples(spark, sf_dir))
@@ -352,6 +380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
         "tsdb_rollup_daily": q_tsdb_rollup_daily,
+        "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
+        "tsdb_interp_linear": q_tsdb_interp_linear,
         "tsdb_groupby_total": q_tsdb_groupby_total,
         "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
         "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
@@ -482,6 +512,48 @@ def oracle_sql() -> dict[str, str]:
              round(arg_max(value, epoch_ms(ts)) + 0.0000001, 4) AS last
       FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
       GROUP BY 1, 2, 3
+    """
+
+    preagg_daily = f"""
+      SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+             {_DAY_BUCKET} AS t,
+             round(sum(value) + 0.0000001, 4) AS sum, count(value) AS count,
+             round(sum(value) / count(value) + 0.0000001, 4) AS avg,
+             round(min(value) + 0.0000001, 4) AS min
+      FROM events
+      WHERE epoch_ms(ts) BETWEEN {F0} AND {T1} AND user_id IN (3, 7)
+      GROUP BY 1, 2, 3
+    """
+
+    interp_linear = f"""
+      WITH pts AS (SELECT name, uid, t, value, 1 AS is_pt FROM ({_PTS})),
+      grid AS (
+        SELECT s.name, s.uid, g.g AS t, CAST(NULL AS DOUBLE) AS value, 0 AS is_pt
+        FROM (SELECT DISTINCT name, uid FROM pts) s
+        CROSS JOIN generate_series({F0}, {T1}, {6 * HOUR}) g(g)
+      ),
+      u AS (SELECT * FROM pts UNION ALL SELECT * FROM grid),
+      w AS (
+        SELECT name, uid, t, is_pt,
+          first_value(CASE WHEN is_pt=1 THEN t END IGNORE NULLS) OVER nxt AS nt,
+          first_value(CASE WHEN is_pt=1 THEN value END IGNORE NULLS) OVER nxt AS nv,
+          last_value(CASE WHEN is_pt=1 THEN t END IGNORE NULLS) OVER prv AS pt,
+          last_value(CASE WHEN is_pt=1 THEN value END IGNORE NULLS) OVER prv AS pv
+        FROM u
+        WINDOW nxt AS (PARTITION BY name, uid ORDER BY t, is_pt
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+               prv AS (PARTITION BY name, uid ORDER BY t, is_pt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ),
+      cells AS (
+        SELECT name, uid, t,
+          CASE WHEN nt = t THEN nv
+               WHEN pt IS NOT NULL AND (t - pt) <= {12 * HOUR} AND (nt - t) <= {12 * HOUR}
+               THEN pv + (nv - pv) * (t - pt) / (nt - pt) END AS value
+        FROM w WHERE is_pt = 0 AND nt IS NOT NULL
+      )
+      SELECT name, uid, t, round(value + 0.000000001, 6) AS value
+      FROM cells WHERE value IS NOT NULL
     """
 
     groupby_total = f"""
@@ -678,6 +750,8 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_cross_series_daily": cross_series,
         "tsdb_windowed_2d": windowed,
         "tsdb_rollup_daily": rollup_daily,
+        "tsdb_preagg_rollup_daily": preagg_daily,
+        "tsdb_interp_linear": interp_linear,
         "tsdb_groupby_total": groupby_total,
         "tsdb_wide_frame_daily": wide_frame,
         "tsdb_overlapping_windows": overlapping,

@@ -24,6 +24,8 @@ HEADLINE = [
     "tsdb_windowed_2d",
     "tsdb_downsample_6h",
     "tsdb_rollup_daily",
+    "tsdb_preagg_rollup_daily",
+    "tsdb_interp_linear",
     "tsdb_wide_frame_daily",
     "tsdb_overlapping_windows",
     "tsdb_sql_frontend",

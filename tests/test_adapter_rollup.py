@@ -111,3 +111,54 @@ def test_compact_rollup(tmp_path, spark):
     assert post.count() == 1  # one (series, bucket)
     assert pre >= 3
     assert post.first()["count"] == 15
+
+def test_label_rollup_path_agreement(tmp_path, spark):
+    """Cross-label pre-aggregate path equals client path on
+    bucket-aligned group-by queries, and is actually routed
+    (ref: pkg/pquerier/select.go:261-283)."""
+    a = _mk(tmp_path, spark, aggregation_granularity="1h", pre_aggregates=[["os"]])
+    pts = [
+        {"ts": T0H + i * 7 * MIN, "name": "cpu",
+         "labels": {"os": "linux" if i % 2 else "win", "host": f"h{i % 3}"},
+         "value": float(i * i % 17)}
+        for i in range(100)
+    ]
+    a.append(pts)
+
+    q = a.querier()
+    params = SelectParams(functions="sum,count,avg", step="4h", group_by="os",
+                          from_time=T0H, to_time=T0H + 12 * HOUR)
+    assert q._label_rollup_plan(["sum", "count", "avg"], 4 * HOUR, 0, params, ["os"]) is not None
+    server = q.select(params)
+    client = q.select(SelectParams(functions="sum,count,avg", step="4h", group_by="os",
+                                   from_time=T0H, to_time=T0H + 12 * HOUR,
+                                   use_only_client_aggr=True))
+    skey = rows_to_dict(server, ["os", "t"], ["sum", "count", "avg"])
+    ckey = rows_to_dict(client, ["os", "t"], ["sum", "count", "avg"])
+    assert set(skey) == set(ckey) and len(skey) > 2
+    for k in skey:
+        assert skey[k] == pytest.approx(ckey[k])
+
+    # filter over the subset label stays on the pre-agg path; a filter
+    # over an uncovered label must fall back
+    p2 = SelectParams(functions="sum", step="4h", group_by="os", filter="os=='linux'",
+                      from_time=T0H, to_time=T0H + 12 * HOUR)
+    assert q._label_rollup_plan(["sum"], 4 * HOUR, 0, p2, ["os"]) is not None
+    p3 = SelectParams(functions="sum", step="4h", group_by="os", filter="host=='h1'",
+                      from_time=T0H, to_time=T0H + 12 * HOUR)
+    assert q._label_rollup_plan(["sum"], 4 * HOUR, 0, p3, ["os"]) is None
+    filtered = q.select(p2)
+    assert set(r["os"] for r in filtered.select("os").distinct().collect()) == {"linux"}
+
+
+def test_label_rollup_rebuilt_on_delete(tmp_path, spark):
+    a = _mk(tmp_path, spark, aggregation_granularity="1h", pre_aggregates=[["os"]])
+    a.append([{"ts": T0H + i * MIN, "name": "cpu", "labels": {"os": "linux"},
+               "value": float(i)} for i in range(10)])
+    a.delete(from_time=T0H + 2 * MIN, to_time=T0H + 5 * MIN)
+    q = a.querier()
+    params = SelectParams(functions="sum,count", step="4h", group_by="os",
+                          from_time=T0H, to_time=T0H + 4 * HOUR)
+    assert q._label_rollup_plan(["sum", "count"], 4 * HOUR, 0, params, ["os"]) is not None
+    row = q.select(params).collect()[0]
+    assert row["count"] == 6 and row["sum"] == 0 + 1 + 6 + 7 + 8 + 9

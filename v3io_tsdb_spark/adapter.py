@@ -80,7 +80,10 @@ class TSDBAdapter:
             partial.write.mode("append").partitionBy("rdt").parquet(self.rollup_path)
             for subset in self.config.pre_aggregates:
                 p = ru.build_label_rollup(batch, self.config.granularity_ms, tuple(subset))
-                p.write.mode("append").parquet(self._label_rollup_path(subset))
+                p = p.withColumn(
+                    "rdt", F.date_format(F.timestamp_millis(F.col("bucket")), "yyyy-MM-dd")
+                )
+                p.write.mode("append").partitionBy("rdt").parquet(self._label_rollup_path(subset))
 
     def _label_rollup_path(self, subset) -> str:
         return os.path.join(self.path, "rollup_by_" + "_".join(subset))
@@ -102,7 +105,15 @@ class TSDBAdapter:
 
     def querier(self) -> Querier:
         rollup = self.rollup_path if os.path.exists(self.rollup_path) else None
-        return Querier(self.spark, self.samples_path, rollup=rollup, config=self.config)
+        label_rollups = {
+            tuple(subset): self._label_rollup_path(subset)
+            for subset in self.config.pre_aggregates
+            if os.path.exists(self._label_rollup_path(subset))
+        }
+        return Querier(
+            self.spark, self.samples_path, rollup=rollup,
+            config=self.config, label_rollups=label_rollups,
+        )
 
     def select(self, params: SelectParams | None = None, **kwargs) -> DataFrame:
         return self.querier().select(params, **kwargs)
@@ -178,3 +189,12 @@ class TSDBAdapter:
         # rollup buckets are wall-aligned so bucket-date == sample-date
         # only when granularity divides a day; rebuild the covering dates
         partial.write.mode("overwrite").partitionBy("rdt").parquet(self.rollup_path)
+        for subset in self.config.pre_aggregates:
+            path = self._label_rollup_path(subset)
+            if not os.path.exists(path):
+                continue
+            p = ru.build_label_rollup(fresh, self.config.granularity_ms, tuple(subset))
+            p = p.withColumn(
+                "rdt", F.date_format(F.timestamp_millis(F.col("bucket")), "yyyy-MM-dd")
+            )
+            p.write.mode("overwrite").partitionBy("rdt").parquet(path)

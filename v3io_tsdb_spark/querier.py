@@ -36,6 +36,19 @@ from v3io_tsdb_spark.sql.filters import translate_filter
 from v3io_tsdb_spark.timeutils import get_time_range, str2duration_ms
 
 
+def _rollup_combine_exprs() -> dict:
+    """Mergeable-aggregate algebra for combining rollup partials into
+    query cells (ref: pkg/aggregate/functions.go:48-79)."""
+    return {
+        "count": F.sum("count"),
+        "sum": F.sum("sum"),
+        "sqr": F.sum("sqr"),
+        "min": F.min("min"),
+        "max": F.max("max"),
+        "last": F.max_by("last", "last_ts"),
+    }
+
+
 @dataclass
 class RequestedColumn:
     """A requested output column (ref: pkg/pquerier/types.go:56-92)."""
@@ -80,11 +93,17 @@ class Querier:
         samples,
         rollup=None,
         config: TSDBConfig | None = None,
+        label_rollups: dict | None = None,
     ):
         self.spark = spark
         self.config = config or TSDBConfig()
         self._samples = samples
         self._rollup = rollup
+        # cross-label pre-aggregates: {(label, ...): DataFrame|path}
+        # (ref: pkg/appender/appender.go:220-231, select.go:261-283)
+        self._label_rollups = {
+            tuple(sorted(k)): v for k, v in (label_rollups or {}).items()
+        }
 
     # -- inputs ------------------------------------------------------------
 
@@ -102,6 +121,12 @@ class Querier:
         if isinstance(self._rollup, str):
             return self.spark.read.parquet(self._rollup)
         return self._rollup
+
+    def label_rollup_df(self, subset) -> DataFrame | None:
+        v = self._label_rollups.get(tuple(sorted(subset)))
+        if isinstance(v, str):
+            return self.spark.read.parquet(v)
+        return v
 
     # -- public API --------------------------------------------------------
 
@@ -238,6 +263,14 @@ class Querier:
         if group_by:
             self._validate_group_by(base, group_by)
 
+        # router order mirrors the reference: a pre-aggregated label-set
+        # table matching GroupBy wins over the per-series rollup
+        # (ref: pkg/pquerier/select.go:261-283 parsePreAggregateLabels)
+        lr = self._label_rollup_plan(funcs, step_ms, window_ms, params, group_by)
+        if lr is not None:
+            return self._aggregate_from_label_rollup(
+                lr, params, funcs, from_ms, to_ms, step_ms, group_by
+            )
         use_rollup = self._can_use_rollup(funcs, step_ms, window_ms, params)
         if use_rollup:
             return self._aggregate_from_rollup(params, funcs, from_ms, to_ms, step_ms, group_by)
@@ -317,15 +350,14 @@ class Querier:
 
     # -- rollup ("server aggregates") routing ------------------------------
 
-    def _can_use_rollup(self, funcs, step_ms, window_ms, params: SelectParams) -> bool:
-        """The ~100-line query router (SURVEY §4): use the materialized
-        rollup table iff it exists, covers the requested aggregates,
-        and the step is coarse enough —
+    def _rollup_step_ok(self, funcs, step_ms, window_ms, params: SelectParams) -> bool:
+        """Shared router predicate: aggregates covered by the rollup
+        config AND step coarse enough —
         ``step / granularity > coefficient`` (default 3)
         (ref: pkg/aggregate/aggregationParams.go:67-77,
         pkg/pquerier/select.go:183-226).
         """
-        if self.rollup_df() is None or not funcs:
+        if not funcs:
             return False
         if params.use_only_client_aggr or self.config.use_only_client_aggr:
             return False
@@ -338,6 +370,58 @@ class Querier:
             return False
         gran = self.config.granularity_ms
         return step_ms / gran > self.config.use_server_aggregate_coefficient
+
+    def _can_use_rollup(self, funcs, step_ms, window_ms, params: SelectParams) -> bool:
+        """The ~100-line query router (SURVEY §4): use the materialized
+        per-series rollup iff it exists and _rollup_step_ok holds."""
+        if self.rollup_df() is None:
+            return False
+        return self._rollup_step_ok(funcs, step_ms, window_ms, params)
+
+    def _label_rollup_plan(
+        self, funcs, step_ms, window_ms, params: SelectParams, group_by
+    ) -> DataFrame | None:
+        """Choose a cross-label pre-aggregate table when GroupBy exactly
+        matches a declared label subset and the filter only references
+        those labels (ref: pkg/pquerier/select.go:261-283)."""
+        if not group_by:
+            return None
+        r = self.label_rollup_df(group_by)
+        if r is None or not self._rollup_step_ok(funcs, step_ms, window_ms, params):
+            return None
+        if params.filter:
+            pred = translate_filter(params.filter)
+            for g in group_by:
+                pred = pred.replace(f"labels['{g}']", f"`{g}`")
+            if "labels[" in pred:  # filter needs labels the table lacks
+                return None
+            r = r.where(F.expr(pred))
+        return r
+
+    def _aggregate_from_label_rollup(
+        self, r, params, funcs, from_ms, to_ms, step_ms, group_by
+    ) -> DataFrame:
+        """Same bucket→cell median mapping as the per-series rollup path,
+        over a table already keyed by the label subset."""
+        gran = self.config.granularity_ms
+        names = self._requested_names(params)
+        if names:
+            r = r.where(F.col("name").isin(names))
+        median = F.col("bucket") + F.lit(gran // 2)
+        r = r.where((median >= F.lit(from_ms - step_ms)) & (median <= F.lit(to_ms + step_ms)))
+        cell = (
+            F.expr(f"(bucket + {gran // 2} - {from_ms}) div {step_ms}") * F.lit(step_ms)
+            + F.lit(from_ms)
+        ).cast("long")
+        r = r.withColumn("t", cell).where(
+            (F.col("t") >= F.lit(from_ms)) & (F.col("t") <= F.lit(to_ms))
+        )
+        raws = agg.required_raw(funcs)
+        combine = _rollup_combine_exprs()
+        grouped = r.groupBy("name", *group_by, "t").agg(
+            *[combine[x].alias(x) for x in raws]
+        )
+        return self._finish_aggregate(grouped, funcs, raws, step_ms, ["name"] + group_by, group_by)
 
     def _aggregate_from_rollup(self, params, funcs, from_ms, to_ms, step_ms, group_by) -> DataFrame:
         """Re-bucket rollup rows into query cells by bucket **median**
@@ -362,14 +446,7 @@ class Querier:
         r = r.withColumn("t", cell).where((F.col("t") >= F.lit(from_ms)) & (F.col("t") <= F.lit(to_ms)))
 
         raws = agg.required_raw(funcs)
-        combine = {
-            "count": F.sum("count"),
-            "sum": F.sum("sum"),
-            "sqr": F.sum("sqr"),
-            "min": F.min("min"),
-            "max": F.max("max"),
-            "last": F.max_by("last", "last_ts"),
-        }
+        combine = _rollup_combine_exprs()
         if group_by:
             keys = [F.col("name")] + self._group_keys_from_map(r, group_by) + [F.col("t")]
             grouped = r.groupBy(*keys).agg(*[combine[x].alias(x) for x in raws])
