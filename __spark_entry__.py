@@ -36,6 +36,17 @@ def _uid(df: DataFrame) -> DataFrame:
     return df.withColumn("uid", F.element_at(F.col("labels"), "uid"))
 
 
+def _docs_scattered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, pre-scattered across cores.
+
+    The test file is a single parquet row group, so the scan is one
+    task; the dedup/text pipelines are compute-heavy per row, so an
+    explicit repartition (the standard small-input → expensive-map
+    pre-scatter) is what a production job would do too."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
 # Rounding-tie guard: divisions/variances of 2-decimal inputs land
 # exactly on round-half boundaries, where Spark's and DuckDB's rounding
 # can disagree. A tiny epsilon added before rounding ON BOTH SIDES makes
@@ -293,7 +304,7 @@ def q_tpch_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.text import text_stats
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_scattered(spark, sf_dir)
     out = text_stats(docs)
     return out.select(
         "doc_id",
@@ -306,7 +317,7 @@ def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import exact_dedup_stats
 
-    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+    return exact_dedup_stats(_docs_scattered(spark, sf_dir))
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,7 +326,7 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly those (non-trivial rows at every sf)."""
     from v3io_tsdb_spark.functions.dedup import ngram_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_scattered(spark, sf_dir)
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
@@ -332,6 +343,8 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature extraction (deterministic stub decoder)."""
     from v3io_tsdb_spark.functions.multimodal import attach_fake_payload, extract_features
 
+    # no pre-scatter: the mapInPandas stage cost here is Python-worker
+    # startup (one per partition), not per-row compute
     docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
     feats = extract_features(docs, fake=True)
     return feats.select("doc_id", "n_bytes", "content_sha")
@@ -342,14 +355,14 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import minhash_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_scattered(spark, sf_dir)
     return minhash_dedup(docs, threshold=0.5)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import simhash_near_dup_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_scattered(spark, sf_dir)
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 

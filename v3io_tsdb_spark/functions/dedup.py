@@ -51,13 +51,19 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # -- shingles / n-gram Jaccard ---------------------------------------------
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), lowercased."""
+    """Word n-gram shingle array (distinct), lowercased.
+
+    Per-position O(1) ``element_at`` lookups rather than ``slice`` —
+    slicing copies n elements per position (O(n·k) per doc) and
+    measured ~2× slower on the shingling-heavy dedup paths."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     k = F.size(toks) - (n - 1)
     grams = F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
             F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
         )
     )
     return F.array_distinct(grams)
@@ -109,14 +115,31 @@ def minhash_signature(
     shingle_n: int = 3,
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of
-    xxhash64(i, shingle). Computed with array expressions (no explode,
-    no UDF): one pass, JVM-side."""
+    xxhash64(i, base_hash(shingle)).
+
+    Shape: hash every shingle ONCE (string → int64), explode to
+    (id, h) rows, then one groupBy(id) computing all ``num_hashes``
+    mins as ordinary aggregates. Map-side partial aggregation makes the
+    shuffle one row per (doc × mapper); the per-hash work is an integer
+    rehash, not a string hash.
+
+    The obvious all-array formulation
+    (``transform(0..31, i -> array_min(transform(sh, g -> xxhash64(i,g))))``)
+    re-evaluates the whole shingle subexpression inside every hash
+    lambda — Catalyst's CollapseProject inlines the projection and no
+    CSE crosses lambda scopes — turning 1× shingling into 32×
+    (measured 78 s vs <1 s at sf0.1)."""
     sh = shingles_col(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda g: F.xxhash64(i, g))),
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(sh, lambda g: F.xxhash64(g))).alias("h"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}") for i in range(num_hashes)]
+    return (
+        exploded.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
 
 def minhash_lsh_candidates(
@@ -185,24 +208,6 @@ def minhash_dedup(
 
 # -- SimHash ----------------------------------------------------------------
 
-def _simhash_sql(hashes_col: str, bits: int) -> str:
-    """One higher-order-function SQL expression computing the SimHash of
-    an array<bigint> feature-hash column: per-bit ±1 vote sums via a
-    single array-accumulator ``aggregate`` (one pass over features), then
-    sign→bit packing. One compact expression tree — the per-bit
-    Python-loop formulation codegen'd ~50× more code."""
-    return f"""
-      aggregate(
-        zip_with(
-          aggregate({hashes_col}, array_repeat(0, {bits}),
-            (acc, h) -> zip_with(acc, sequence(0, {bits - 1}),
-                          (a, b) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1))),
-          sequence(0, {bits - 1}),
-          (c, b) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-        CAST(0 AS BIGINT), (s, x) -> s | x)
-    """
-
-
 def simhash_df(
     df: DataFrame,
     text_col: str = "text",
@@ -218,12 +223,33 @@ def simhash_df(
     saturates; shingles keep the feature space large and signatures
     discriminative — the same reason MinHash shingles (LSH standard
     practice).
+
+    Shape mirrors minhash_signature: explode feature hashes to (id, h)
+    rows, compute the ``bits`` per-bit ±1 vote sums as plain grouped
+    aggregates (map-side combinable, tiny codegen units — the nested
+    array-lambda formulation spent ~12 s in JIT), then pack signs into
+    one BIGINT.
     """
-    d = df.select(
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles_col(F.col(text_col), shingle_n), lambda g: F.xxhash64(g)).alias("_h"),
+        F.explode(
+            F.transform(shingles_col(F.col(text_col), shingle_n), lambda g: F.xxhash64(g))
+        ).alias("h"),
     )
-    return d.select("id", F.expr(_simhash_sql("_h", bits)).alias("sh"))
+    h = F.col("h")
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    g = exploded.groupBy("id").agg(*sums)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        )
+    return g.select("id", sig.alias("sh"))
 
 
 def simhash_near_dup_pairs(
