@@ -55,6 +55,9 @@ def _canon_interp(interp: str | None) -> str:
     raise BadRequest(f"unknown interpolation function {interp!r}")
 
 
+MAX_EXPLODE_FACTOR = 64
+
+
 def align_to_grid(
     samples: DataFrame,
     from_ms: int,
@@ -72,6 +75,23 @@ def align_to_grid(
     cell. ``samples`` may contain points outside [from, to] — they
     participate as prev/next neighbors, exactly like the reference's
     iterator spanning partitions.
+
+    Two physical strategies with identical semantics:
+
+    - **exploded** (``next_val``/``linear``, tolerance/step ≤ 64): each
+      sample is exploded into the ≤(tol/step+1) cells it can serve as
+      next (and prev, for linear) neighbor, then ONE
+      ``groupBy(series, cell)`` picks the nearest candidates. One scan,
+      one bounded shuffle, map-side combinable — survives a series with
+      billions of points because nothing ever sorts a whole series.
+      Valid because the tolerance check on the seek result ("first
+      sample ≥ t, then ≤ tol away") equals "minimum of the candidates
+      within tol": the global minimum is within tol iff any candidate
+      is.
+    - **windowed** (``prev_val``/``none``/``nan``, or huge tolerance):
+      union the grid with the samples and resolve neighbors via two
+      window functions. Needed when the Seek ("some sample ≥ t exists,
+      however far") cannot be bounded by the tolerance.
     """
     interp = _canon_interp(interp)
     if tolerance_ms is None:
@@ -79,6 +99,94 @@ def align_to_grid(
     n_cells = (to_ms - from_ms) // step_ms + 1
     if n_cells * 1.0 > MAX_GRID_CELLS:
         raise BadRequest(f"grid too large: {n_cells} cells (max {MAX_GRID_CELLS})")
+    if (
+        interp in ("next_val", "linear")
+        and tolerance_ms // step_ms <= MAX_EXPLODE_FACTOR
+    ):
+        return _align_exploded(
+            samples, from_ms, to_ms, step_ms, interp, tolerance_ms,
+            key_cols, ts_col, value_col,
+        )
+    return _align_windowed(
+        samples, from_ms, to_ms, step_ms, interp, tolerance_ms,
+        key_cols, ts_col, value_col,
+    )
+
+
+def _align_exploded(
+    samples, from_ms, to_ms, step_ms, interp, tolerance_ms, key_cols, ts_col, value_col
+) -> DataFrame:
+    keys = list(key_cols)
+    n_cells = (to_ms - from_ms) // step_ms  # max cell index K
+    a = F.col(ts_col) - F.lit(from_ms)
+    tol = F.lit(tolerance_ms)
+    step = F.lit(step_ms)
+
+    # cells this sample serves as NEXT neighbor (t <= ts, ts - t <= tol):
+    # k ∈ [ceil((a - tol)/step), floor(a/step)]
+    next_lo = F.greatest(F.lit(0), -F.floor((tol - a) / step).cast("long"))
+    next_hi = F.least(F.lit(n_cells), F.floor(a / step).cast("long"))
+    roles = F.when(
+        next_lo <= next_hi,
+        F.transform(F.sequence(next_lo, next_hi), lambda k: F.struct(k.alias("k"), F.lit(1).alias("role"))),
+    ).otherwise(F.array().cast("array<struct<k:bigint,role:int>>"))
+    if interp == "linear":
+        # cells this sample serves as PREV neighbor (t > ts, t - ts <= tol):
+        # k ∈ [floor(a/step) + 1, floor((a + tol)/step)]
+        prev_lo = F.greatest(F.lit(0), F.floor(a / step).cast("long") + 1)
+        prev_hi = F.least(F.lit(n_cells), F.floor((a + tol) / step).cast("long"))
+        prev_roles = F.when(
+            prev_lo <= prev_hi,
+            F.transform(F.sequence(prev_lo, prev_hi), lambda k: F.struct(k.alias("k"), F.lit(0).alias("role"))),
+        ).otherwise(F.array().cast("array<struct<k:bigint,role:int>>"))
+        roles = F.concat(roles, prev_roles)
+
+    exploded = samples.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v"),
+        F.explode(roles).alias("_r"),
+    ).select(*keys, "_ts", "_v", F.col("_r.k").alias("_k"), F.col("_r.role").alias("_role"))
+
+    # group on hashable keys; carry map-typed keys (labels) via first()
+    map_cols = {
+        f.name for f in samples.schema.fields
+        if f.dataType.typeName() == "map" and f.name in keys
+    }
+    hash_keys = [k for k in keys if k not in map_cols]
+    nxt = F.when(F.col("_role") == 1, F.col("_ts"))
+    prv = F.when(F.col("_role") == 0, F.col("_ts"))
+    cells = exploded.groupBy(*hash_keys, "_k").agg(
+        *[F.first(c).alias(c) for c in map_cols],
+        F.min(nxt).alias("_next_t"),
+        F.min_by("_v", nxt).alias("_next_v"),
+        F.max(prv).alias("_prev_t"),
+        F.max_by("_v", prv).alias("_prev_v"),
+    )
+    t = (F.lit(from_ms) + F.col("_k") * step).cast("long")
+    cells = cells.withColumn("t", t)
+    next_t, next_v = F.col("_next_t"), F.col("_next_v")
+    prev_t, prev_v = F.col("_prev_t"), F.col("_prev_v")
+    if interp == "next_val":
+        value = next_v  # role bound already enforced the tolerance
+    else:  # linear
+        value = F.when(next_t == F.col("t"), next_v).otherwise(
+            F.when(
+                prev_t.isNotNull() & next_t.isNotNull(),
+                prev_v + (next_v - prev_v) * (F.col("t") - prev_t) / (next_t - prev_t),
+            )
+        )
+    return (
+        cells.where(next_t.isNotNull())  # Seek must succeed
+        .withColumn("value", value)
+        .where(F.col("value").isNotNull())
+        .select(*keys, "t", "value")
+    )
+
+
+def _align_windowed(
+    samples, from_ms, to_ms, step_ms, interp, tolerance_ms, key_cols, ts_col, value_col
+) -> DataFrame:
 
     keys = list(key_cols)
     pts = samples.select(
