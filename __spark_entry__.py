@@ -281,6 +281,27 @@ def q_tpch_join_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the large-large join (lineitem ⋈ orders shuffles
+    on the join key; AQE may downgrade to broadcast after the date
+    filter prunes orders) + broadcast dimension (customer), then
+    deterministic top-N."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    return (
+        li.where(F.col("l_shipdate") > cut)
+        .join(o.where(F.col("o_orderdate") < cut), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.expr(_DEC.format(expr="l_extendedprice*(1-l_discount)")).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
 def q_tpch_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ customer ⋈ nation (broadcast dim chain) → revenue per nation."""
     o = load_table(spark, sf_dir, "orders")
@@ -402,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_join_segment_month": q_tpch_join_segment_month,
+        "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
         "doc_text_stats": q_doc_text_stats,
         "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
@@ -644,6 +666,20 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY 1, 2
     """
 
+    q3 = f"""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        {dec.format(e='l_extendedprice*(1-l_discount)')} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """
+
     nation_rev = f"""
       SELECT n_name, {dec.format(e='o_totalprice')} AS revenue, count(*) AS n_orders
       FROM orders
@@ -772,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_variant_raw": variant_raw,
         "tpch_q1_pricing": q1,
         "tpch_join_segment_month": seg_month,
+        "tpch_q3_top_orders": q3,
         "tpch_join_nation_revenue": nation_rev,
         "doc_text_stats": text_stats,
         "doc_dedup_exact_stats": dedup_stats,

@@ -32,6 +32,7 @@ HEADLINE = [
     "tsdb_variant_raw",
     "tpch_q1_pricing",
     "tpch_join_segment_month",
+    "tpch_q3_top_orders",
     "tpch_join_nation_revenue",
     "doc_text_stats",
     "doc_dedup_exact_stats",
