@@ -65,3 +65,51 @@ def test_stream_ingest_end_to_end(tmp_path, spark):
     assert rollup.where("name = 'cpu'").count() >= 1
     total = rollup.groupBy("name").sum("count").collect()
     assert {r["name"]: r["sum(count)"] for r in total} == {"cpu": 6, "mem": 1}
+
+
+def test_stream_monotonic_enforcement(tmp_path, spark):
+    """OverrideOld=false: the stateful per-series filter drops samples
+    at-or-older-than the series max across micro-batches
+    (ref: pkg/appender/store.go:336-352)."""
+    a = TSDBAdapter(
+        spark, str(tmp_path / "tsdb"), TSDBConfig(override_old=False)
+    ).create()
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts long, name string, value double"
+
+    def write_batch(fname, rows):
+        import json
+
+        (in_dir / fname).write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch(
+        "b1.json",
+        [
+            {"ts": T0 + 5 * MIN, "name": "cpu", "value": 5.0},
+            {"ts": T0 + 1 * MIN, "name": "cpu", "value": 1.0},  # in-batch OK (sorted)
+            {"ts": T0 + 5 * MIN, "name": "cpu", "value": 99.0},  # equal-ts dup dropped
+        ],
+    )
+    raw = spark.readStream.schema(schema).json(str(in_dir))
+    q = start_stream_ingest(a, raw, ckpt)
+    try:
+        q.processAllAvailable()
+        res1 = a.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 30 * MIN))
+        assert sorted(r["value"] for r in res1.collect()) == [1.0, 5.0]
+
+        # next micro-batch: older-than-state sample must be discarded,
+        # newer accepted
+        write_batch(
+            "b2.json",
+            [
+                {"ts": T0 + 3 * MIN, "name": "cpu", "value": 3.0},  # late → dropped
+                {"ts": T0 + 9 * MIN, "name": "cpu", "value": 9.0},  # accepted
+            ],
+        )
+        q.processAllAvailable()
+        res2 = a.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 30 * MIN))
+        assert sorted(r["value"] for r in res2.collect()) == [1.0, 5.0, 9.0]
+    finally:
+        q.stop()

@@ -57,17 +57,69 @@ def prepare_stream(stream_df: DataFrame, watermark: str | None = None) -> DataFr
     return df.select("ts", "name", "labels", "series_id", "value", "value_str")
 
 
+def monotonic_filter_stream(prepared: DataFrame) -> DataFrame:
+    """Custom stateful operator: enforce per-series sample-time
+    monotonicity, the reference's strict ingest policy of discarding
+    samples at-or-older-than the series' last written time when
+    ``OverrideOld`` is off (ref: pkg/appender/store.go:336-352,
+    pkg/chunkenc/xor.go:192-195; resume-state analog of the `_maxtime`
+    re-read, store.go:137-230).
+
+    Implemented with ``applyInPandasWithState`` keyed by ``series_id``:
+    state = the series' max accepted ts, carried across micro-batches
+    by the streaming state store (checkpointed). State size is one
+    int64 per live series — bounded by series cardinality, not data
+    volume.
+    """
+    import pandas as pd  # noqa: F401 (Arrow batches arrive as pandas)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "ts long, name string, labels map<string,string>, "
+        "series_id long, value double, value_str string"
+    )
+
+    def _accept(key, pdf_iter, state):
+        max_ts = state.get[0] if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            if max_ts is not None:
+                pdf = pdf[pdf["ts"] > max_ts]
+            if len(pdf):
+                # within-batch: strictly increasing (drop equal-ts dups)
+                pdf = pdf[~pdf["ts"].duplicated()]
+                max_ts = int(pdf["ts"].iloc[-1])
+                yield pdf
+        if max_ts is not None:
+            state.update((max_ts,))
+
+    return prepared.groupBy("series_id").applyInPandasWithState(
+        _accept, out_schema, "max_ts long", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def start_stream_ingest(
     adapter: TSDBAdapter,
     stream_df: DataFrame,
     checkpoint: str,
     watermark: str | None = None,
     trigger: dict | None = None,
+    enforce_monotonic: bool | None = None,
 ):
     """Start the ingest query. Returns the StreamingQuery; call
-    ``.processAllAvailable()`` as the WaitForCompletion analog."""
+    ``.processAllAvailable()`` as the WaitForCompletion analog.
+
+    ``enforce_monotonic`` (default: ``not config.override_old``)
+    inserts the stateful per-series monotonicity filter — the
+    reference's OverrideOld=false behavior; the default (idempotent
+    last-write-wins dedup) matches OverrideOld=true.
+    """
     wm = watermark or f"{adapter.config.late_arrival_ms // 1000} seconds"
     prepared = prepare_stream(stream_df, wm)
+    if enforce_monotonic is None:
+        enforce_monotonic = not adapter.config.override_old
+    if enforce_monotonic:
+        prepared = monotonic_filter_stream(prepared)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
