@@ -240,6 +240,28 @@ def q_tsdb_variant_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uid(res).select("t", "name", "value_str", "uid")
 
 
+def q_tsdb_variant_mixed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed float + variant (string) metrics in ONE wide frame — each
+    column keeps its own dtype (M9; ref: pkg/pquerier/frames.go:528-543)."""
+    from v3io_tsdb_spark.labels import series_id_col
+    from v3io_tsdb_spark.operators.frames import to_wide_frame_mixed
+
+    floats = events_as_samples(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.expr("ts div 1000000") if dict(ev.dtypes)["ts"] in ("bigint", "long") else F.unix_millis(F.col("ts"))
+    strs = ev.where(F.col("event_type") == "view").select(
+        ts_ms.cast("long").alias("ts"),
+        F.lit("props_log").alias("name"),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("labels"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("props").alias("value_str"),
+    ).withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    samples = floats.unionByName(strs)
+    q = Querier(spark, samples)
+    res = q.select(SelectParams(filter="uid=='3'", from_time=F0, to_time=T1))
+    return to_wide_frame_mixed(res, nan_fill=False)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style scan/join/agg (S4, J-class operators at scale)
 # ---------------------------------------------------------------------------
@@ -421,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
         "tsdb_variant_raw": q_tsdb_variant_raw,
+        "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_join_segment_month": q_tpch_join_segment_month,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
@@ -632,6 +655,19 @@ def oracle_sql() -> dict[str, str]:
       WHERE user_id = 3 AND epoch_ms(ts) BETWEEN {F0} AND {T1}
     """
 
+    mixed_frame = f"""
+      SELECT epoch_ms(ts) AS t,
+        max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        max(CASE WHEN event_type = 'error' THEN value END) AS error,
+        max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        max(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+        max(CASE WHEN event_type = 'view' THEN value END) AS view,
+        max(CASE WHEN event_type = 'view' THEN props END) AS props_log
+      FROM events
+      WHERE user_id = 3 AND epoch_ms(ts) BETWEEN {F0} AND {T1}
+      GROUP BY 1
+    """
+
     evtypes = ["click", "error", "purchase", "signup", "view"]
     wide_cols = ",\n        ".join(
         f"round(sum(CASE WHEN event_type = '{t}' THEN value END) + 0.0000001, 4) AS {t}" for t in evtypes
@@ -806,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_overlapping_windows": overlapping,
         "tsdb_sql_frontend": sql_frontend,
         "tsdb_variant_raw": variant_raw,
+        "tsdb_variant_mixed_frame": mixed_frame,
         "tpch_q1_pricing": q1,
         "tpch_join_segment_month": seg_month,
         "tpch_q3_top_orders": q3,

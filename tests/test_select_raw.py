@@ -49,3 +49,25 @@ def test_wide_frame(spark, make_samples):
     assert wide[0]["cpu"] == 10.0 and math.isnan(wide[0]["diskio"])
     assert math.isnan(wide[1]["cpu"]) and wide[1]["diskio"] == 0.5
     assert wide[2]["cpu"] == 30.0 and wide[2]["diskio"] == 0.7
+
+
+def test_wide_frame_mixed_types(spark, make_samples):
+    """Float and variant (string) metrics in one frame, per-column
+    dtypes (ref: pkg/pquerier/frames.go:528-543)."""
+    from v3io_tsdb_spark.operators.frames import to_wide_frame_mixed
+
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (2 * MIN, 30)]),
+            ("log", {"os": "linux"}, [(0, "boot"), (1 * MIN, "ready")]),
+        ]
+    )
+    q = Querier(spark, df)
+    raw = q.select(SelectParams(from_time=T0, to_time=T0 + 10 * MIN))
+    wide = to_wide_frame_mixed(raw).collect()
+    types = dict(to_wide_frame_mixed(q.select(SelectParams(from_time=T0, to_time=T0 + 10 * MIN))).dtypes)
+    assert types["cpu"] == "double" and types["log"] == "string"
+    assert [r["t"] - T0 for r in wide] == [0, MIN, 2 * MIN]
+    assert wide[0]["cpu"] == 10.0 and wide[0]["log"] == "boot"
+    assert math.isnan(wide[1]["cpu"]) and wide[1]["log"] == "ready"
+    assert wide[2]["cpu"] == 30.0 and wide[2]["log"] is None

@@ -135,6 +135,10 @@ def test_cli_end_to_end(tmp_path, spark, capsys):
     assert "4.0" in out  # sum of 1.5+2.5
     assert cli.main(["info", "-p", path, "-n"]) == 0
     assert "cpu" in capsys.readouterr().out
+    assert cli.main(["check", "-p", path, "cpu", "--files", "--preview", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "rows=2" in out and "os=linux" in out and "row_groups=" in out
+    assert "sample ts=" in out
     assert cli.main(["delete", "-p", path, "-a", str(T0), "-e", str(T0 + 10 * MIN), "-m", "cpu"]) == 0
     assert cli.main(["query", "-p", path, "-m", "cpu", "-a", str(T0), "-e", str(T0 + 10 * MIN), "-o", "none"]) == 0
     assert capsys.readouterr().out.endswith("0 rows\n")

@@ -115,6 +115,55 @@ def cmd_info(args):
         print("series count:", a.count_metrics())
 
 
+def cmd_check(args):
+    """Storage inspector — the ``tsdbctl check`` analog
+    (ref: pkg/tsdbctl/check.go:58-332): where chunk/attribute dumps
+    become per-date-partition parquet row-group stats plus a decoded
+    sample preview for one metric."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    a = _adapter(args)
+    df = a._samples().where(F.col("name") == args.metric)
+    if args.filter:
+        from v3io_tsdb_spark.sql.filters import translate_filter
+
+        df = df.where(F.expr(translate_filter(args.filter)))
+    stats = (
+        df.groupBy("dt", "series_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.first("labels").alias("labels"),
+        )
+        .orderBy("dt", "series_id")
+    )
+    rows = stats.collect()
+    print(f"metric {args.metric!r}: {len(rows)} (date-partition × series) item(s)")
+    for r in rows:
+        lbl = ",".join(f"{k}={v}" for k, v in sorted((r["labels"] or {}).items()))
+        print(
+            f"  dt={r['dt']} series={r['series_id']:016x} rows={r['rows']}"
+            f" ts=[{r['min_ts']}..{r['max_ts']}] labels={{{lbl}}}"
+        )
+    if args.files:
+        import glob
+        import os
+
+        for f in sorted(glob.glob(os.path.join(a.samples_path, "dt=*", "*.parquet"))):
+            meta = pq.ParquetFile(f)
+            print(
+                f"  file {os.path.relpath(f, a.samples_path)}:"
+                f" row_groups={meta.num_row_groups} rows={meta.metadata.num_rows}"
+                f" bytes={os.path.getsize(f)}"
+            )
+    if args.preview:
+        for r in df.orderBy("ts").limit(args.preview).collect():
+            v = r["value"] if r["value"] is not None else r["value_str"]
+            print(f"  sample ts={r['ts']} value={v!r}")
+
+
 def cmd_delete(args):
     a = _adapter(args)
     if args.delete_all:
@@ -170,6 +219,14 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("-n", "--names", action="store_true")
     i.add_argument("-m", "--performance", action="store_true")
     i.set_defaults(fn=cmd_info)
+
+    k = sub.add_parser("check", help="inspect a metric's storage items")
+    common(k)
+    k.add_argument("metric", help="metric name")
+    k.add_argument("-f", "--filter", help="filter expression")
+    k.add_argument("--files", action="store_true", help="show parquet file stats")
+    k.add_argument("--preview", type=int, default=0, help="print first N samples")
+    k.set_defaults(fn=cmd_check)
 
     d = sub.add_parser("delete", help="delete data")
     common(d)

@@ -48,6 +48,30 @@ def to_wide_frame(
     return wide
 
 
+def to_wide_frame_mixed(
+    long_df: DataFrame,
+    time_col: str = "t",
+    column_key: str = "name",
+    include_labels: bool = False,
+    nan_fill: bool = True,
+) -> DataFrame:
+    """Wide frame over MIXED float and variant (string) metrics: float
+    series pivot from ``value``, string series from ``value_str``, then
+    one full-outer join on the time index — each metric column keeps
+    its own dtype, the reference's per-column Float/String builder
+    choice (ref: pkg/pquerier/frames.go:513,528-543; a series is float
+    XOR string, pkg/appender/appender.go:244-254)."""
+    floats = long_df.where(F.col("value").isNotNull())
+    strs = long_df.where(F.col("value_str").isNotNull())
+    f = to_wide_frame(floats, time_col, "value", column_key, include_labels, nan_fill=False)
+    s = to_wide_frame(strs, time_col, "value_str", column_key, include_labels, nan_fill=False)
+    wide = f.join(s, on=time_col, how="full_outer").orderBy(time_col)
+    if nan_fill:  # after the join — outer-join nulls become NaN cells too
+        numeric = [c for c, t in wide.dtypes if c != time_col and t == "double"]
+        wide = wide.fillna(float("nan"), subset=numeric)
+    return wide
+
+
 def to_series(agg_df: DataFrame, funcs: list, key_cols: list | None = None) -> DataFrame:
     """Melt a wide-by-function aggregate result into the reference's
     SeriesSet shape: one row per (series, Aggregate, t) with an
