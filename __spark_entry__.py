@@ -393,7 +393,7 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "content_sha")
 
 
-# rows-only (xxhash64-based sketches aren't reproducible in DuckDB SQL)
+# rows-only (xxhash64-based sketches and k-means state are not reproducible in DuckDB SQL)
 
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import minhash_dedup
@@ -407,6 +407,17 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_scattered(spark, sf_dir)
     return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: DataFrame-only k-means coarse quantizer + probed
+    inverted lists (the second scale path next to LSH)."""
+    from v3io_tsdb_spark.functions.similarity import ivf_build, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    assignments, centroids = ivf_build(emb, n_clusters=16, iters=2)
+    return ivf_topk(emb, qvec, assignments, centroids, k=20, n_probe=6)
 
 
 def q_emb_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
     }
 
 
@@ -852,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": jaccard,
         "emb_cosine_topk": topk,
         "mm_extract_features": mm,
-        # doc_minhash_pairs / doc_simhash_pairs / emb_lsh_topk:
-        # xxhash64-based sketches — intentionally rows-only.
+        # doc_minhash_pairs / doc_simhash_pairs / emb_lsh_topk / emb_ivf_topk:
+        # xxhash64-based sketches and k-means quantizer state are not
+        # reproducible in DuckDB SQL — intentionally rows-only.
     }

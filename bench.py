@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_simhash_pairs",
     "emb_cosine_topk",
     "emb_lsh_topk",
+    "emb_ivf_topk",
     "mm_extract_features",
 ]
 

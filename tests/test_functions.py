@@ -1,0 +1,122 @@
+"""Training-data pipeline operators (M10): dedup, similarity, text,
+multimodal — over the sf0.001 test tables (TESTDATA.md)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from v3io_tsdb_spark.datasets import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from v3io_tsdb_spark.datasets import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def true_pairs(docs):
+    from v3io_tsdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    return {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+
+
+def test_exact_dedup(docs, spark):
+    from v3io_tsdb_spark.functions.dedup import exact_dedup, exact_dedup_stats
+
+    stats = exact_dedup_stats(docs).first()
+    assert stats["n_docs"] == 500
+    assert stats["n_unique"] + stats["n_dup_docs"] == 500
+    out = exact_dedup(docs)
+    kept = out.where("keep").count()
+    assert kept == stats["n_unique"]
+    # every dropped doc points at a kept representative with lower id
+    bad = out.where(~F.col("keep") & (F.col("dup_of") >= F.col("doc_id"))).count()
+    assert bad == 0
+
+
+def test_minhash_precision_recall(docs, true_pairs):
+    from v3io_tsdb_spark.functions.dedup import minhash_dedup
+
+    got = {(r["id_a"], r["id_b"]) for r in minhash_dedup(docs, threshold=0.5).collect()}
+    assert got, "no pairs found"
+    assert got <= true_pairs, "minhash produced false positives above threshold"
+    assert len(got) / len(true_pairs) >= 0.8, (len(got), len(true_pairs))
+
+
+def test_simhash_precision(docs, true_pairs):
+    from v3io_tsdb_spark.functions.dedup import simhash_near_dup_pairs
+
+    got = {(r["id_a"], r["id_b"]) for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    assert got and got <= true_pairs
+
+
+def test_text_stats_basics(docs):
+    from v3io_tsdb_spark.functions.text import text_stats
+
+    out = text_stats(docs)
+    rows = out.collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert r["n_chars"] >= 0 and r["n_tokens"] >= 0
+        assert 0.0 <= r["stopword_ratio_en"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert len(r["fingerprint"]) == 32
+        assert r["lang_pred"] in ("en", "es", "fr", "de", "zh", "und")
+
+
+def test_cosine_topk_exact(emb):
+    from v3io_tsdb_spark.functions.similarity import cosine_topk
+
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(emb, qvec, k=10).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+    sims = [r["cosine"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_exact_ranking(emb):
+    from v3io_tsdb_spark.functions.similarity import cosine_topk, lsh_bucketed_topk
+
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, qvec, k=500).collect()}
+    approx = lsh_bucketed_topk(emb, qvec, k=10, probe_hamming=2).collect()
+    assert approx[0]["vec_id"] == 0
+    for r in approx:  # scores must agree with the exact computation
+        assert r["cosine"] == pytest.approx(exact[r["vec_id"]], abs=1e-5)
+
+
+def test_ivf_topk(emb):
+    from v3io_tsdb_spark.functions.similarity import cosine_topk, ivf_build, ivf_topk
+
+    assignments, centroids = ivf_build(emb, n_clusters=8, iters=2)
+    assert assignments.count() == 500
+    assert len(centroids) == 8 and all(len(c) == len(centroids[0]) for c in centroids)
+    n_assigned = assignments.select("cluster").distinct().count()
+    assert n_assigned >= 2  # quantizer actually separates the data
+
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    got = ivf_topk(emb, qvec, assignments, centroids, k=10, n_probe=4)
+    rows = got.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+    exact_ids = [r["vec_id"] for r in cosine_topk(emb, qvec, k=10).collect()]
+    recall = len(set(r["vec_id"] for r in rows) & set(exact_ids)) / 10
+    assert recall >= 0.3, recall  # random gaussian data: probes cover ~half
+
+
+def test_multimodal_plumbing(docs):
+    from v3io_tsdb_spark.functions.multimodal import attach_fake_payload, extract_features
+
+    feats = extract_features(attach_fake_payload(docs), fake=True)
+    rows = feats.collect()
+    assert len(rows) == 500
+    assert all(r["n_bytes"] > 0 and len(r["content_sha"]) == 64 for r in rows[:20])

@@ -104,6 +104,97 @@ def cosine_topk_per_query(
     )
 
 
+def sq_dist_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    iters: int = 2,
+):
+    """Train an IVF coarse quantizer with DataFrame-only k-means.
+
+    Seeds = the ``n_clusters`` vectors with the smallest
+    ``xxhash64(id)`` (deterministic pseudo-random sample); each Lloyd
+    iteration assigns every vector to its nearest centroid (broadcast
+    literal centroids, argmin over squared distance) and recomputes
+    centroids as per-dimension means via posexplode + groupBy — all
+    distributed, only the (n_clusters × dim) centroid matrix ever
+    reaches the driver (it IS the index metadata).
+
+    Returns (assignments DataFrame ``(id, cluster)``, centroids list).
+    At scale the assignments are persisted/partitioned by cluster and
+    maintained incrementally.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = (
+        base.orderBy(F.xxhash64("id"), "id").limit(n_clusters).select("v").collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+
+    def _assign(cents):
+        dists = F.array(*[sq_dist_col(F.col("v"), query_vec_lit(c)) for c in cents])
+        return base.withColumn(
+            "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("c"))
+            .collect()
+        )
+        for r in means:  # empty clusters keep their previous centroid
+            centroids[r["cluster"]] = list(r["c"])
+    return _assign(centroids).select("id", "cluster"), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec,
+    assignments: DataFrame,
+    centroids,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: probe the ``n_probe`` clusters whose centroids are
+    nearest the query (driver-side — centroids are index metadata),
+    then exact cosine top-k inside the probed inverted lists only."""
+    import math
+
+    def _sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda c: _sq(centroids[c], list(query_vec)))
+    probes = order[:n_probe]
+    v = F.col(vec_col).cast("array<double>")
+    q = query_vec_lit(query_vec)
+    cand = df.join(
+        assignments.where(F.col("cluster").isin(probes)),
+        df[id_col] == assignments.id,
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_sim_col(v, q) + 1e-9, 6))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec,

@@ -248,14 +248,17 @@ class Querier:
 
     def _validate_group_by(self, base: DataFrame, group_by: list[str]) -> None:
         """GroupBy on a nonexistent label is an error, as in the
-        reference (ref: pkg/pquerier/select.go:354-367)."""
-        checks = base.select(
-            *[F.max(F.element_at(F.col("labels"), g).isNotNull()).alias(g) for g in group_by]
-        ).first()
-        if checks is not None:
-            for g in group_by:
-                if not checks[g]:
-                    raise BadRequest(f"group-by label {g!r} does not exist in the data")
+        reference (ref: pkg/pquerier/select.go:354-367).
+
+        Existence is probed with ``limit(1)`` per label: when the label
+        exists (the common case) the scan short-circuits after the
+        first matching chunk instead of aggregating the whole input —
+        the full-scan ``max(isNotNull)`` formulation was a second
+        complete pass before every group-by query."""
+        for g in group_by:
+            probe = base.where(F.element_at(F.col("labels"), g).isNotNull()).limit(1)
+            if probe.isEmpty():
+                raise BadRequest(f"group-by label {g!r} does not exist in the data")
 
     def _aggregate(self, base, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by) -> DataFrame:
         if not step_ms:
