@@ -57,6 +57,19 @@ def labels_string_col(labels_col: Column) -> Column:
     return F.concat_ws(",", kv)
 
 
+def labels_map_col(labels_str_col: Column) -> Column:
+    """Inverse of :func:`labels_string_col` (JVM-side).
+
+    Used to carry a map-typed labels column THROUGH a groupBy as part
+    of the group key: ``first(map)`` in an aggregate forces Spark into
+    SortAggregate (two extra sorts per aggregation), while a string
+    group key keeps hash aggregation — measured on every agg path.
+    """
+    return F.when(
+        F.length(labels_str_col) == 0, F.create_map().cast("map<string,string>")
+    ).otherwise(F.str_to_map(labels_str_col, F.lit(","), F.lit("=")))
+
+
 def series_id_col(name_col: Column, labels_col: Column) -> Column:
     """Series identity = xxhash64(name, canonical labels string).
 

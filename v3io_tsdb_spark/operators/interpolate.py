@@ -148,21 +148,28 @@ def _align_exploded(
         F.explode(roles).alias("_r"),
     ).select(*keys, "_ts", "_v", F.col("_r.k").alias("_k"), F.col("_r.role").alias("_role"))
 
-    # group on hashable keys; carry map-typed keys (labels) via first()
+    # group on hashable keys; carry map-typed keys (labels) through the
+    # group key as canonical strings — first(map) would force
+    # SortAggregate (two extra sorts) instead of HashAggregate
+    from v3io_tsdb_spark.labels import labels_map_col, labels_string_col
+
     map_cols = {
         f.name for f in samples.schema.fields
         if f.dataType.typeName() == "map" and f.name in keys
     }
     hash_keys = [k for k in keys if k not in map_cols]
+    for c in map_cols:
+        exploded = exploded.withColumn(f"_mstr_{c}", labels_string_col(F.col(c)))
     nxt = F.when(F.col("_role") == 1, F.col("_ts"))
     prv = F.when(F.col("_role") == 0, F.col("_ts"))
-    cells = exploded.groupBy(*hash_keys, "_k").agg(
-        *[F.first(c).alias(c) for c in map_cols],
+    cells = exploded.groupBy(*hash_keys, *[f"_mstr_{c}" for c in map_cols], "_k").agg(
         F.min(nxt).alias("_next_t"),
         F.min_by("_v", nxt).alias("_next_v"),
         F.max(prv).alias("_prev_t"),
         F.max_by("_v", prv).alias("_prev_v"),
     )
+    for c in map_cols:
+        cells = cells.withColumn(c, labels_map_col(F.col(f"_mstr_{c}"))).drop(f"_mstr_{c}")
     t = (F.lit(from_ms) + F.col("_k") * step).cast("long")
     cells = cells.withColumn("t", t)
     next_t, next_v = F.col("_next_t"), F.col("_next_v")
@@ -196,13 +203,21 @@ def _align_windowed(
         F.lit(1).alias("_is_pt"),
     )
     # Distinct series list. Map-typed key columns (labels) can't be
-    # grouped/distinct-ed in Spark — group on the hashable keys and
-    # carry maps via first() (constant per series_id).
+    # grouped/distinct-ed in Spark — serialize them into the group key
+    # (hash-aggregate friendly) and rebuild the maps after.
+    from v3io_tsdb_spark.labels import labels_map_col, labels_string_col
+
     map_cols = {f.name for f in samples.schema.fields if f.dataType.typeName() == "map" and f.name in keys}
     hash_keys = [k for k in keys if k not in map_cols]
-    series = samples.groupBy(*hash_keys).agg(
-        *[F.first(c).alias(c) for c in map_cols]
-    ) if map_cols else samples.select(*keys).distinct()
+    if map_cols:
+        ser = samples
+        for c in map_cols:
+            ser = ser.withColumn(f"_mstr_{c}", labels_string_col(F.col(c)))
+        series = ser.select(*hash_keys, *[f"_mstr_{c}" for c in map_cols]).distinct()
+        for c in map_cols:
+            series = series.withColumn(c, labels_map_col(F.col(f"_mstr_{c}"))).drop(f"_mstr_{c}")
+    else:
+        series = samples.select(*keys).distinct()
     grid = (
         series
         .select(

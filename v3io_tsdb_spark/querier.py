@@ -28,12 +28,23 @@ from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.config import TSDBConfig
 from v3io_tsdb_spark.errors import BadRequest
-from v3io_tsdb_spark.labels import series_id_col
+from v3io_tsdb_spark.labels import labels_map_col, labels_string_col, series_id_col
 from v3io_tsdb_spark.operators import aggregates as agg
 from v3io_tsdb_spark.operators.bucketing import sliding_bucket_ids, tumbling_bucket
 from v3io_tsdb_spark.operators.interpolate import align_to_grid
 from v3io_tsdb_spark.sql.filters import translate_filter
 from v3io_tsdb_spark.timeutils import get_time_range, str2duration_ms
+
+
+def _group_keeping_labels(df: DataFrame, keys: list, aggs: list) -> DataFrame:
+    """groupBy that carries the ``labels`` map through as a serialized
+    group-key string (functionally dependent on series_id, so groups are
+    unchanged) instead of ``first(labels)`` — a map-typed aggregate
+    forces SortAggregate (two extra sorts); a string key keeps
+    HashAggregate."""
+    d = df.withColumn("_lstr", labels_string_col(F.col("labels")))
+    g = d.groupBy(*keys, "_lstr").agg(*aggs)
+    return g.withColumn("labels", labels_map_col(F.col("_lstr"))).drop("_lstr")
 
 
 def _rollup_combine_exprs() -> dict:
@@ -173,8 +184,8 @@ class Querier:
             .where(F.col("ts") > F.lit(max_aligned) - F.col("window") * F.lit(step_ms))
         )
         raws = agg.required_raw(funcs)
-        grouped = b.groupBy("name", "series_id", "window").agg(
-            F.first("labels").alias("labels"), *agg.raw_agg_exprs(raws)
+        grouped = _group_keeping_labels(
+            b, ["name", "series_id", "window"], agg.raw_agg_exprs(raws)
         )
         out = grouped.withColumn("t", F.lit(max_aligned) - F.col("window") * F.lit(step_ms))
         for f in funcs:
@@ -294,9 +305,8 @@ class Querier:
             grouped = b.groupBy(*keys).agg(*agg.raw_agg_exprs(raws))
             part_keys = ["name"] + group_by
         else:
-            grouped = (
-                b.groupBy("name", "series_id", "t")
-                .agg(F.first("labels").alias("labels"), *agg.raw_agg_exprs(raws))
+            grouped = _group_keeping_labels(
+                b, ["name", "series_id", "t"], agg.raw_agg_exprs(raws)
             )
             part_keys = ["name", "series_id"]
         return self._finish_aggregate(grouped, funcs, raws, step_ms, part_keys, group_by)
@@ -455,8 +465,8 @@ class Querier:
             grouped = r.groupBy(*keys).agg(*[combine[x].alias(x) for x in raws])
             part_keys = ["name"] + group_by
         else:
-            grouped = r.groupBy("name", "series_id", "t").agg(
-                F.first("labels").alias("labels"), *[combine[x].alias(x) for x in raws]
+            grouped = _group_keeping_labels(
+                r, ["name", "series_id", "t"], [combine[x].alias(x) for x in raws]
             )
             part_keys = ["name", "series_id"]
         return self._finish_aggregate(grouped, funcs, raws, step_ms, part_keys, group_by)

@@ -25,20 +25,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.labels import labels_map_col, labels_string_col
 from v3io_tsdb_spark.operators.bucketing import wall_bucket
 
 ROLLUP_AGG_COLS = ("count", "sum", "sqr", "min", "max", "last", "last_ts")
 
 
 def build_rollup(samples: DataFrame, gran_ms: int) -> DataFrame:
-    """Partial rollup rows for a batch of samples (float metrics only)."""
+    """Partial rollup rows for a batch of samples (float metrics only).
+
+    The labels map rides through the groupBy as a serialized group-key
+    string (constant per series_id, so groups are unchanged) — a
+    map-typed first() would force SortAggregate."""
     v, t = F.col("value"), F.col("ts")
     return (
         samples.where(v.isNotNull())
         .withColumn("bucket", wall_bucket(t, gran_ms))
-        .groupBy("name", "series_id", "bucket")
+        .withColumn("_lstr", labels_string_col(F.col("labels")))
+        .groupBy("name", "series_id", "_lstr", "bucket")
         .agg(
-            F.first("labels").alias("labels"),
             F.count(v).alias("count"),
             F.sum(v).alias("sum"),
             F.sum(v * v).alias("sqr"),
@@ -47,6 +52,7 @@ def build_rollup(samples: DataFrame, gran_ms: int) -> DataFrame:
             F.max_by(v, t).alias("last"),
             F.max(t).alias("last_ts"),
         )
+        .withColumn("labels", labels_map_col(F.col("_lstr")))
         .select(
             "bucket", "name", "labels", "series_id",
             "count", "sum", "sqr", "min", "max", "last", "last_ts",
@@ -78,9 +84,9 @@ def build_label_rollup(samples: DataFrame, gran_ms: int, label_subset: tuple) ->
 def merge_partials(rollup: DataFrame) -> DataFrame:
     """Compact partial rollup rows to one row per (series, bucket)."""
     return (
-        rollup.groupBy("name", "series_id", "bucket")
+        rollup.withColumn("_lstr", labels_string_col(F.col("labels")))
+        .groupBy("name", "series_id", "_lstr", "bucket")
         .agg(
-            F.first("labels").alias("labels"),
             F.sum("count").alias("count"),
             F.sum("sum").alias("sum"),
             F.sum("sqr").alias("sqr"),
@@ -89,6 +95,7 @@ def merge_partials(rollup: DataFrame) -> DataFrame:
             F.max_by("last", "last_ts").alias("last"),
             F.max("last_ts").alias("last_ts"),
         )
+        .withColumn("labels", labels_map_col(F.col("_lstr")))
         .select(
             "bucket", "name", "labels", "series_id",
             "count", "sum", "sqr", "min", "max", "last", "last_ts",
