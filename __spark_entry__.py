@@ -416,6 +416,9 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    # timing note: this entry measures index BUILD (2 Lloyd passes over
+    # the corpus) + one probe search; at scale the build is a one-time
+    # cost amortized across all queries
     assignments, centroids = ivf_build(emb, n_clusters=16, iters=2)
     return ivf_topk(emb, qvec, assignments, centroids, k=20, n_probe=6)
 

@@ -131,22 +131,33 @@ def ivf_build(
     At scale the assignments are persisted/partitioned by cluster and
     maintained incrementally.
     """
+    spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).persist()
     seeds = (
         base.orderBy(F.xxhash64("id"), "id").limit(n_clusters).select("v").collect()
     )
     centroids = [list(r["v"]) for r in seeds]
 
     def _assign(cents):
-        dists = F.array(*[sq_dist_col(F.col("v"), query_vec_lit(c)) for c in cents])
-        return base.withColumn(
-            "cluster", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        # centroids as broadcast DATA, not plan literals: the join plan
+        # compiles once and is reused every Lloyd iteration (literal
+        # centroids re-codegen the whole distance expression per pass)
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cluster int, cv array<double>",
+        )
+        d = sq_dist_col(F.col("v"), F.col("cv"))
+        return (
+            base.crossJoin(F.broadcast(cdf))
+            .withColumn("_d", d)
+            .groupBy("id")
+            .agg(F.min_by("cluster", "_d").alias("cluster"))
         )
 
     for _ in range(iters):
-        assigned = _assign(centroids)
+        assigned = _assign(centroids).join(base, "id")
         means = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -158,7 +169,9 @@ def ivf_build(
         )
         for r in means:  # empty clusters keep their previous centroid
             centroids[r["cluster"]] = list(r["c"])
-    return _assign(centroids).select("id", "cluster"), centroids
+    out = _assign(centroids)
+    base.unpersist()
+    return out, centroids
 
 
 def ivf_topk(
