@@ -303,6 +303,25 @@ def q_tpch_join_segment_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-only aggregation — every
+    predicate must reach the parquet scan (PushedFilters), no shuffle
+    beyond the single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(_DEC.format(expr="l_extendedprice*l_discount")).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def q_tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: the large-large join (lineitem ⋈ orders shuffles
     on the join key; AQE may downgrade to broadcast after the date
@@ -461,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_join_segment_month": q_tpch_join_segment_month,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
         "doc_text_stats": q_doc_text_stats,
         "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
@@ -731,6 +751,13 @@ def oracle_sql() -> dict[str, str]:
       LIMIT 10
     """
 
+    q6 = f"""
+      SELECT {dec.format(e='l_extendedprice*l_discount')} AS revenue, count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """
+
     nation_rev = f"""
       SELECT n_name, {dec.format(e='o_totalprice')} AS revenue, count(*) AS n_orders
       FROM orders
@@ -861,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1_pricing": q1,
         "tpch_join_segment_month": seg_month,
         "tpch_q3_top_orders": q3,
+        "tpch_q6_forecast_revenue": q6,
         "tpch_join_nation_revenue": nation_rev,
         "doc_text_stats": text_stats,
         "doc_dedup_exact_stats": dedup_stats,

@@ -33,6 +33,7 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_join_segment_month",
     "tpch_q3_top_orders",
+    "tpch_q6_forecast_revenue",
     "tpch_join_nation_revenue",
     "doc_text_stats",
     "doc_dedup_exact_stats",
