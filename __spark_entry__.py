@@ -59,6 +59,14 @@ def _r(col: str, n: int = 4):
     return F.round(F.col(col) + (EPS4 if n == 4 else EPS6), n).alias(col)
 
 
+def _rz(col: str, n: int = 4):
+    """_r for SIGNED metrics: also normalize -0.0 → +0.0 after rounding
+    (IEEE: -0.0 + 0.0 = +0.0). DuckDB's round() emits -0.0 for tiny
+    negative values where Spark emits 0.0 — numerically equal but
+    hash-different; the oracle side mirrors this with `+ 0.0`."""
+    return (F.round(F.col(col) + (EPS4 if n == 4 else EPS6), n) + F.lit(0.0)).alias(col)
+
+
 # ---------------------------------------------------------------------------
 # TSDB queries (engine: v3io_tsdb_spark.querier over events-as-samples)
 # ---------------------------------------------------------------------------
@@ -98,7 +106,7 @@ def q_tsdb_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = q.select(
         SelectParams(functions="last,rate", step="1d", group_by="uid", from_time=F0, to_time=T1)
     )
-    return res.select("name", "uid", "t", _r("last"), _r("rate"))
+    return res.select("name", "uid", "t", _r("last"), _rz("rate"))
 
 
 def q_tsdb_downsample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,7 +576,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3
       )
       SELECT name, uid, t, round(lastv + 0.0000001, 4) AS last,
-        round((lastv - lag(lastv) OVER (PARTITION BY name, uid ORDER BY t)) / {DAY / 1000.0} + 0.0000001, 4) AS rate
+        round((lastv - lag(lastv) OVER (PARTITION BY name, uid ORDER BY t)) / {DAY / 1000.0} + 0.0000001, 4) + 0.0 AS rate
       FROM b
     """
 

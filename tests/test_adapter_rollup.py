@@ -99,6 +99,44 @@ def test_delete_range(tmp_path, spark):
     assert sorted(r["value"] for r in left.collect()) == [0.0, 1.0, 6.0, 7.0, 8.0, 9.0]
 
 
+def test_delete_label_filter_missing_label(tmp_path, spark):
+    """Rows lacking the filtered label must survive a label-filter delete
+    (three-valued logic: NULL predicate != matched)."""
+    a = _mk(tmp_path, spark)
+    a.append(
+        [
+            {"ts": T0, "name": "cpu", "labels": {"os": "linux"}, "value": 1.0},
+            {"ts": T0 + MIN, "name": "cpu", "labels": {"os": "win"}, "value": 2.0},
+            {"ts": T0 + 2 * MIN, "name": "cpu", "labels": {"host": "h1"}, "value": 3.0},
+        ]
+    )
+    a.delete(filter="os=='linux'")
+    left = a.select(SelectParams(name="cpu", from_time=T0, to_time=T0 + 10 * MIN))
+    assert sorted(r["value"] for r in left.collect()) == [2.0, 3.0]
+
+
+def test_delete_whole_partition(tmp_path, spark):
+    """A dt partition whose rows all match must actually disappear, and
+    the rollup for that date must not serve deleted samples."""
+    DAY = 24 * HOUR
+    a = _mk(tmp_path, spark, aggregation_granularity="1h")
+    a.append(
+        [{"ts": T0H + i * MIN, "name": "cpu", "labels": {}, "value": 1.0} for i in range(5)]
+        + [{"ts": T0H + DAY + i * MIN, "name": "cpu", "labels": {}, "value": 2.0} for i in range(5)]
+    )
+    # delete everything on day 1 (values 1.0)
+    a.delete(from_time=T0H, to_time=T0H + 10 * MIN)
+    left = a.select(SelectParams(name="cpu", from_time=T0H, to_time=T0H + 2 * DAY))
+    assert sorted(r["value"] for r in left.collect()) == [2.0] * 5
+    # server-aggregate (rollup) path must agree — no stale day-1 buckets
+    q = a.querier()
+    params = SelectParams(name="cpu", functions="sum,count", step="1d",
+                          from_time=(T0H // DAY) * DAY, to_time=(T0H // DAY) * DAY + 2 * DAY)
+    assert q._can_use_rollup(["sum"], DAY, 0, params)
+    rows = q.select(params).collect()
+    assert len(rows) == 1 and rows[0]["sum"] == 10.0 and rows[0]["count"] == 5
+
+
 def test_compact_rollup(tmp_path, spark):
     a = _mk(tmp_path, spark)
     for batch in range(3):

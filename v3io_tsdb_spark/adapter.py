@@ -165,22 +165,43 @@ class TSDBAdapter:
             cond = cond & (F.col("ts") >= F.lit(from_ms))
         if to_ms is not None:
             cond = cond & (F.col("ts") <= F.lit(to_ms))
+        # SQL three-valued logic: a label filter over rows lacking that
+        # label is NULL, and ~NULL is NULL — which would drop rows that
+        # did NOT match the delete condition. Pin NULL to "not deleted".
+        cond = F.coalesce(cond, F.lit(False))
 
         df = self._samples()
-        affected_dts = [r["dt"] for r in df.where(cond).select("dt").distinct().collect()]
+        doomed = df.where(cond)
+        affected_dts = [r["dt"] for r in doomed.select("dt").distinct().collect()]
         if not affected_dts:
             return
+        # rdt partitions the doomed rows' buckets land in (bucket-date can
+        # differ from sample-date when granularity doesn't divide a day)
+        gran = self.config.granularity_ms
+        doomed_rdts = [
+            r["rdt"]
+            for r in doomed.select(
+                F.date_format(
+                    F.timestamp_millis(F.col("ts") - F.col("ts") % F.lit(gran)), "yyyy-MM-dd"
+                ).alias("rdt")
+            ).distinct().collect()
+        ]
         prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             kept = df.where(F.col("dt").isin(affected_dts)).where(~cond)
+            kept_dts = {r["dt"] for r in kept.select("dt").distinct().collect()}
             kept.write.mode("overwrite").partitionBy("dt").parquet(self.samples_path)
+            # dynamic overwrite only rewrites partitions present in the
+            # written frame — fully-emptied dt partitions must go explicitly
+            for dt in set(affected_dts) - kept_dts:
+                shutil.rmtree(os.path.join(self.samples_path, f"dt={dt}"), ignore_errors=True)
             if os.path.exists(self.rollup_path):
-                self._rebuild_rollup_for_dates(affected_dts)
+                self._rebuild_rollup_for_dates(affected_dts, doomed_rdts)
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    def _rebuild_rollup_for_dates(self, dts: list) -> None:
+    def _rebuild_rollup_for_dates(self, dts: list, doomed_rdts: list | None = None) -> None:
         fresh = self._samples().where(F.col("dt").isin(dts)).drop("dt")
         partial = ru.build_rollup(fresh, self.config.granularity_ms)
         partial = partial.withColumn(
@@ -188,7 +209,11 @@ class TSDBAdapter:
         )
         # rollup buckets are wall-aligned so bucket-date == sample-date
         # only when granularity divides a day; rebuild the covering dates
+        new_rdts = {r["rdt"] for r in partial.select("rdt").distinct().collect()}
         partial.write.mode("overwrite").partitionBy("rdt").parquet(self.rollup_path)
+        stale = set(doomed_rdts or []) - new_rdts
+        for rdt in stale:
+            shutil.rmtree(os.path.join(self.rollup_path, f"rdt={rdt}"), ignore_errors=True)
         for subset in self.config.pre_aggregates:
             path = self._label_rollup_path(subset)
             if not os.path.exists(path):
@@ -198,3 +223,5 @@ class TSDBAdapter:
                 "rdt", F.date_format(F.timestamp_millis(F.col("bucket")), "yyyy-MM-dd")
             )
             p.write.mode("overwrite").partitionBy("rdt").parquet(path)
+            for rdt in stale:
+                shutil.rmtree(os.path.join(path, f"rdt={rdt}"), ignore_errors=True)

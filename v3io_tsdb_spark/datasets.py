@@ -32,15 +32,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → long-format samples: (ts ms, name, labels{uid}, series_id, value)."""
+    """events → long-format samples: (ts ms, name, labels{uid}, series_id, value).
+
+    The ms column is DERIVED (``ts div 1000000``), so a range predicate
+    on it cannot reach the Parquet scan. The native column rides along
+    as ``_ts_raw_ns`` (a plain alias, which Catalyst pushes through the
+    projection); ``Querier._scan`` converts its ms clamp into an exactly
+    equivalent range on it so the scan prunes row groups / pages.
+    """
     ev = load_table(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         ts_ms = F.expr("ts div 1000000")  # exact integer ns→ms
+        raw = F.col("ts").alias("_ts_raw_ns")
     else:
         ts_ms = F.unix_millis(F.col("ts"))
+        raw = F.col("ts").alias("_ts_raw_ts")
     df = ev.select(
         ts_ms.cast("long").alias("ts"),
+        raw,
         F.col("event_type").alias("name"),
         F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("labels"),
         F.col("value").cast("double").alias("value"),

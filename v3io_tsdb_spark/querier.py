@@ -210,6 +210,21 @@ class Querier:
         df = self.samples_df()
         lo = from_ms - window_ms  # ref: PartsForRange(from - aggWindow, to)
         df = df.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(to_ms)))
+        # When the source keeps its native timestamp column alongside the
+        # derived ms one (events feed), mirror the clamp onto it: a plain
+        # column predicate reaches the Parquet scan (PushedFilters) where
+        # the derived-ms predicate cannot. ts_ms = ns div 1e6, so
+        # ts_ms ∈ [lo, to]  ⟺  ns ∈ [lo·1e6, (to+1)·1e6).
+        if "_ts_raw_ns" in df.columns:
+            df = df.where(
+                (F.col("_ts_raw_ns") >= F.lit(lo * 1_000_000))
+                & (F.col("_ts_raw_ns") < F.lit((to_ms + 1) * 1_000_000))
+            )
+        elif "_ts_raw_ts" in df.columns:
+            df = df.where(
+                (F.col("_ts_raw_ts") >= F.timestamp_millis(F.lit(lo)))
+                & (F.col("_ts_raw_ts") < F.timestamp_millis(F.lit(to_ms + 1)))
+            )
         if "dt" in df.columns:
             lo_dt = F.date_format(F.timestamp_millis(F.lit(lo)), "yyyy-MM-dd")
             hi_dt = F.date_format(F.timestamp_millis(F.lit(to_ms)), "yyyy-MM-dd")
