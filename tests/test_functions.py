@@ -120,3 +120,55 @@ def test_multimodal_plumbing(docs):
     rows = feats.collect()
     assert len(rows) == 500
     assert all(r["n_bytes"] > 0 and len(r["content_sha"]) == 64 for r in rows[:20])
+
+
+def test_plane_matrix_deterministic_and_bounded():
+    from v3io_tsdb_spark.functions.similarity import plane_matrix
+
+    a = plane_matrix(4, 16)
+    b = plane_matrix(4, 16)
+    assert a == b
+    assert all(-1.0 <= x <= 1.0 for row in a for x in row)
+    # distinct planes
+    assert a[0] != a[1]
+
+
+def test_md5_int60_matches_duckdb(spark):
+    import duckdb
+
+    from v3io_tsdb_spark.functions.dedup import md5_int60
+
+    vals = ["abc", "hello world", "x", ""]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(md5_int60(F.col("s")).alias("h")).collect()
+    )
+    want = [duckdb.sql(f"SELECT ('0x' || substr(md5('{v}'), 1, 15))::BIGINT").fetchone()[0]
+            for v in vals]
+    assert [r["h"] for r in got] == want
+
+
+def test_ivf_persisted_index_search(emb, spark, tmp_path):
+    from v3io_tsdb_spark.functions.similarity import (
+        cosine_topk, ivf_read_centroids, ivf_search, ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    cents = ivf_write_index(emb, path, n_clusters=8, iters=2)
+    assert len(cents) == 8 and ivf_read_centroids(path) == cents
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    # all-probe search over the persisted index == exact top-k
+    got = ivf_search(spark, path, qvec, k=10, n_probe=8).collect()
+    exact = cosine_topk(emb, qvec, k=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+    # probed search reads only the probed cluster partitions
+    plan = ivf_search(spark, path, qvec, k=10, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
+def test_ngram_jaccard_max_df_cap_keeps_planted_pairs(docs, true_pairs):
+    from v3io_tsdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect()}
+    assert capped == true_pairs

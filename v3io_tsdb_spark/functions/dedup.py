@@ -10,9 +10,32 @@ where raw speed matters.
 from __future__ import annotations
 
 import itertools
+import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus. a*h+b stays < 2^62 for
+# h,a,b < P31, so the mix is exact signed-64 arithmetic in ANY engine —
+# the property that makes MinHash/SimHash signatures oracle-checkable.
+P31 = 2147483647
+
+
+def md5_int60(c: Column) -> Column:
+    """First 60 bits of md5(x) as a non-negative BIGINT.
+
+    Bit-identical in DuckDB as ``('0x' || substr(md5(x),1,15))::BIGINT``,
+    which is what gives every md5-mode sketch a real SQL oracle. 60 bits
+    (15 hex chars) keeps the value comfortably inside signed-64."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def mix_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs for the universal hash family
+    ``h_i(x) = (a_i*x + b_i) mod P31`` — fixed seed so the constants are
+    identical literals in the Spark plan and the oracle SQL."""
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, P31), rng.randrange(0, P31)) for _ in range(num_hashes)]
 
 
 # -- exact ------------------------------------------------------------------
@@ -75,33 +98,53 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle inverted index.
 
     Candidate pairs share ≥1 shingle (inverted-index self-join on the
-    shingle key — no O(N²) cross join); Jaccard = |∩| / |∪| computed
-    from shingle counts. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    shingle key — no O(N²) cross join). ``max_df`` caps the document
+    frequency of shingles admitted to candidate generation: a shingle
+    shared by d documents emits d² join rows, so one stop-shingle
+    (common trigram) is a single-key quadratic hotspot at corpus scale.
+    Capped candidates are then verified with the EXACT Jaccard
+    (``array_intersect`` on the full shingle sets), so the cap never
+    distorts a reported score — it can only miss a pair whose shared
+    shingles are all above the cap, which at ``threshold ≥ 0.5`` means
+    near-identical stop-shingle soup. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
     """
     docs = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     # persist: the inverted index feeds both sides of the self-join
-    inv = docs.select("id", "n_sh", F.explode("sh").alias("g")).persist()
-    pairs = (
-        inv.alias("a")
-        .join(inv.alias("b"), on="g")
+    inv = docs.select("id", F.explode("sh").alias("g")).persist()
+    cand_inv = inv
+    if max_df is not None:
+        # window count reuses the hashpartitioning(g) the self-join needs
+        cand_inv = inv.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("g"))
+        ).where(F.col("_df") <= max_df)
+    cands = (
+        cand_inv.alias("a")
+        .join(cand_inv.alias("b"), on="g")
         .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (
+        cands.join(da, "id_a").join(db, "id_b")
+        .withColumn("inter", inter)
         .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
     )
+    # materialize (tiny output), then free the cached inverted index
+    pairs = pairs.localCheckpoint(eager=True)
+    inv.unpersist()
     return pairs
 
 
@@ -113,15 +156,22 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of
-    xxhash64(i, base_hash(shingle)).
+    """MinHash signatures: sig[i] = min over shingles of h_i(base(shingle)).
+
+    ``hash_fn="md5"`` (default): base = md5-derived 60-bit int reduced
+    mod P31, h_i = universal hash ``(a_i*x + b_i) mod P31`` with fixed
+    constants — every step is exact integer arithmetic DuckDB evaluates
+    identically, so the signatures (and everything downstream) have a
+    real SQL oracle. ``hash_fn="xxhash"``: xxhash64 base + rehash,
+    faster but engine-only.
 
     Shape: hash every shingle ONCE (string → int64), explode to
     (id, h) rows, then one groupBy(id) computing all ``num_hashes``
     mins as ordinary aggregates. Map-side partial aggregation makes the
     shuffle one row per (doc × mapper); the per-hash work is an integer
-    rehash, not a string hash.
+    mix, not a string hash.
 
     The obvious all-array formulation
     (``transform(0..31, i -> array_min(transform(sh, g -> xxhash64(i,g))))``)
@@ -130,11 +180,22 @@ def minhash_signature(
     CSE crosses lambda scopes — turning 1× shingling into 32×
     (measured 78 s vs <1 s at sf0.1)."""
     sh = shingles_col(F.col(text_col), shingle_n)
+    if hash_fn == "md5":
+        base = lambda g: md5_int60(g) % F.lit(P31)  # noqa: E731
+        consts = mix_constants(num_hashes)
+        mins = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P31)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    else:
+        base = F.xxhash64
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}") for i in range(num_hashes)
+        ]
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.transform(sh, lambda g: F.xxhash64(g))).alias("h"),
+        F.explode(F.transform(sh, lambda g: base(g))).alias("h"),
     )
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}") for i in range(num_hashes)]
     return (
         exploded.groupBy("id")
         .agg(*mins)
@@ -181,14 +242,21 @@ def minhash_dedup(
     bands: int = 8,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with signature-estimated Jaccard
-    (fraction of matching signature positions) ≥ threshold."""
+    (fraction of matching signature positions) ≥ threshold.
+
+    In md5 mode the whole pipeline is oracle-checkable: signatures are
+    exact integers, band buckets are equality classes of signature
+    slices (the engine joins on xxhash64 of the slice purely as a
+    fixed-width join key — equality semantics are the slice's), and the
+    estimate is an exact fraction of 32."""
     rows = num_hashes // bands
     # persist: the signature subtree feeds three self-join branches and
     # would be recomputed per branch otherwise (at scale, signatures are
     # a materialized table)
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).persist()
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n, hash_fn).persist()
     cands = minhash_lsh_candidates(sigs, bands, rows)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -198,12 +266,15 @@ def minhash_dedup(
             lambda m: m == 1,
         )
     ) / F.lit(float(num_hashes))
-    return (
+    pairs = (
         cands.join(sa, "id_a").join(sb, "id_b")
         .withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    pairs = pairs.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return pairs
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -214,9 +285,15 @@ def simhash_df(
     id_col: str = "doc_id",
     bits: int = 48,
     shingle_n: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, sh) SimHash signatures (48-bit, staying clear of signed-64
     overflow under ANSI mode) over word-``shingle_n``-gram features.
+
+    md5 mode uses the 60-bit md5-derived feature hash (bits 0..47), so
+    DuckDB reproduces the signatures bit-for-bit — the Hamming-pair
+    output gets a brute-force SQL oracle (exact, because the 12-bit
+    pigeonhole blocking is lossless for distance ≤ 3 over 4 chunks).
 
     Shingle features (not bare tokens): on small-vocabulary corpora
     every document contains nearly every token, so token-level SimHash
@@ -230,10 +307,11 @@ def simhash_df(
     array-lambda formulation spent ~12 s in JIT), then pack signs into
     one BIGINT.
     """
+    feat = md5_int60 if hash_fn == "md5" else F.xxhash64
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.transform(shingles_col(F.col(text_col), shingle_n), lambda g: F.xxhash64(g))
+            F.transform(shingles_col(F.col(text_col), shingle_n), lambda g: feat(g))
         ).alias("h"),
     )
     h = F.col("h")
@@ -253,12 +331,16 @@ def simhash_df(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 12-bit
     chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal), so the
     join is equi-join on chunk value — never a cross join."""
-    h = simhash_df(df, text_col, id_col).persist()
+    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn).persist()
     chunks = h.select(
         "id", "sh",
         F.posexplode(
@@ -281,6 +363,8 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    cand = cand.localCheckpoint(eager=True)
+    h.unpersist()
     return cand
 
 

@@ -31,12 +31,43 @@ def query_vec_lit(vec) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def hyperplane_sig_col(v: Column, n_planes: int = 6) -> Column:
-    """Random-hyperplane LSH signature bit p = sign(v · plane_p), with
-    deterministic pseudo-random planes from xxhash64(p, i) → [-1, 1].
-    Assembled in a Python loop (shiftleft needs int bit counts); one
-    JVM expression tree, no UDF.
+def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic hyperplane components in [-1, 1], md5-derived so a
+    SQL oracle regenerates them exactly (or embeds the same literals):
+    comp(p, i) = ((int(md5(f"{p}_{i}")[:15 hex], 16) % 2001) - 1000) / 1000.
     """
+    import hashlib
+
+    return [
+        [
+            ((int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:15], 16) % 2001) - 1000)
+            / 1000.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_sig_col(v: Column, n_planes: int = 6, dim: int | None = None) -> Column:
+    """Random-hyperplane LSH signature bit p = sign(v · plane_p).
+
+    With ``dim`` given (the fast + oracle-parity path) the planes are
+    literal constant arrays from :func:`plane_matrix` — the dot is a
+    plain ``zip_with``/``aggregate`` over literals, reproducible in SQL.
+    Without ``dim`` falls back to per-element xxhash plane generation
+    (dimension-agnostic, engine-only). Assembled in a Python loop
+    (shiftleft needs int bit counts); one JVM expression tree, no UDF.
+    """
+    sig = F.lit(0).cast("long")
+    if dim is not None:
+        planes = plane_matrix(n_planes, dim)
+        for p in range(n_planes):
+            dot = dot_col(v, F.array(*[F.lit(x) for x in planes[p]]))
+            sig = sig.bitwiseOR(
+                F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+            )
+        return sig
+
     # closure factory: PySpark introspects lambda arity, so default-arg
     # binding (lambda x, i, p=p: ...) would look like a 3-arg lambda
     def _plane_term(p: int):
@@ -44,7 +75,6 @@ def hyperplane_sig_col(v: Column, n_planes: int = 6) -> Column:
             (F.pmod(F.xxhash64(F.lit(p), i), F.lit(2000)) - 1000).cast("double") / 1000.0
         )
 
-    sig = F.lit(0).cast("long")
     for p in range(n_planes):
         dot = F.aggregate(
             F.zip_with(v, F.sequence(F.lit(0), F.size(v) - 1), _plane_term(p)),
@@ -119,24 +149,31 @@ def ivf_build(
 ):
     """Train an IVF coarse quantizer with DataFrame-only k-means.
 
-    Seeds = the ``n_clusters`` vectors with the smallest
-    ``xxhash64(id)`` (deterministic pseudo-random sample); each Lloyd
-    iteration assigns every vector to its nearest centroid (broadcast
-    literal centroids, argmin over squared distance) and recomputes
-    centroids as per-dimension means via posexplode + groupBy — all
-    distributed, only the (n_clusters × dim) centroid matrix ever
-    reaches the driver (it IS the index metadata).
+    Seeds = the ``n_clusters`` vectors with the smallest md5-derived
+    60-bit id hash (deterministic pseudo-random sample a SQL oracle can
+    reproduce); each Lloyd iteration assigns every vector to its
+    nearest centroid (broadcast centroids, argmin over squared distance
+    with (distance, cluster) tie-break) and recomputes centroids as
+    per-dimension means via posexplode + groupBy, **rounded to 6
+    decimals** — rounding collapses float-summation-order noise (both
+    Spark's own partition-order nondeterminism and engine-vs-oracle
+    differences, ~1e-13) so the quantizer state is a well-defined pure
+    function of the data. Only the (n_clusters × dim) centroid matrix
+    ever reaches the driver (it IS the index metadata).
 
-    Returns (assignments DataFrame ``(id, cluster)``, centroids list).
-    At scale the assignments are persisted/partitioned by cluster and
-    maintained incrementally.
+    Returns (assignments DataFrame ``(id, cluster, v)``, centroids
+    list). At scale the assignments are persisted partitioned by
+    cluster (:func:`ivf_write_index`) and maintained incrementally.
     """
+    from v3io_tsdb_spark.functions.dedup import md5_int60
+
     spark = df.sparkSession
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()
     seeds = (
-        base.orderBy(F.xxhash64("id"), "id").limit(n_clusters).select("v").collect()
+        base.orderBy(md5_int60(F.col("id").cast("string")), "id")
+        .limit(n_clusters).select("v").collect()
     )
     centroids = [list(r["v"]) for r in seeds]
 
@@ -153,7 +190,10 @@ def ivf_build(
             base.crossJoin(F.broadcast(cdf))
             .withColumn("_d", d)
             .groupBy("id")
-            .agg(F.min_by("cluster", "_d").alias("cluster"))
+            # struct-min: ties broken by cluster id (min_by ties are
+            # unspecified — the oracle needs a defined argmin)
+            .agg(F.min(F.struct(F.col("_d"), F.col("cluster"))).alias("_dc"))
+            .select("id", F.col("_dc.cluster").alias("cluster"))
         )
 
     for _ in range(iters):
@@ -161,7 +201,7 @@ def ivf_build(
         means = (
             assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select("cluster", F.col("dm.m").alias("c"))
@@ -169,9 +209,70 @@ def ivf_build(
         )
         for r in means:  # empty clusters keep their previous centroid
             centroids[r["cluster"]] = list(r["c"])
-    out = _assign(centroids)
+    out = _assign(centroids).join(base, "id")
     base.unpersist()
     return out, centroids
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    iters: int = 2,
+):
+    """Build the IVF quantizer and PERSIST the inverted lists:
+    ``(id, v)`` parquet partitioned by ``cluster``, centroid matrix as
+    JSON metadata alongside. Search then touches only the probed
+    cluster directories (Spark partition pruning) — I/O ∝ probed share
+    of the corpus, not the corpus. This is the piece that makes IVF an
+    *index* rather than a re-scored scan."""
+    import json
+    import os
+
+    assignments, centroids = ivf_build(df, vec_col, id_col, n_clusters, iters)
+    assignments.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_read_centroids(path: str):
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        return json.load(f)
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index: rank centroids driver-side (index
+    metadata), read ONLY the probed cluster partitions, exact cosine
+    top-k inside them. The scan's partition filter is
+    ``cluster IN probes`` — at 100 TB this prunes both I/O and compute
+    to the probed inverted lists."""
+    centroids = ivf_read_centroids(path)
+
+    def _sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda c: (_sq(centroids[c], list(query_vec)), c))
+    probes = order[:n_probe]
+    idx = spark.read.parquet(path).where(F.col("cluster").isin(probes))
+    q = query_vec_lit(query_vec)
+    return (
+        idx.withColumn("cosine", F.round(cosine_sim_col(F.col("v"), q) + 1e-9, 6))
+        .orderBy(F.desc("cosine"), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias("vec_id"), "cosine")
+    )
 
 
 def ivf_topk(
@@ -186,25 +287,24 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: probe the ``n_probe`` clusters whose centroids are
     nearest the query (driver-side — centroids are index metadata),
-    then exact cosine top-k inside the probed inverted lists only."""
-    import math
+    then exact cosine top-k inside the probed inverted lists only.
+    ``assignments`` carries the vectors (``(id, cluster, v)``, the
+    in-memory analog of the persisted index), so the probe filter
+    prunes compute directly — no join back to the corpus. ``df`` is
+    accepted for API symmetry and unused."""
 
     def _sq(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    order = sorted(range(len(centroids)), key=lambda c: _sq(centroids[c], list(query_vec)))
+    order = sorted(range(len(centroids)), key=lambda c: (_sq(centroids[c], list(query_vec)), c))
     probes = order[:n_probe]
-    v = F.col(vec_col).cast("array<double>")
     q = query_vec_lit(query_vec)
-    cand = df.join(
-        assignments.where(F.col("cluster").isin(probes)),
-        df[id_col] == assignments.id,
-    )
+    cand = assignments.where(F.col("cluster").isin(probes))
     return (
-        cand.withColumn("cosine", F.round(cosine_sim_col(v, q) + 1e-9, 6))
-        .orderBy(F.desc("cosine"), F.col(id_col))
+        cand.withColumn("cosine", F.round(cosine_sim_col(F.col("v"), q) + 1e-9, 6))
+        .orderBy(F.desc("cosine"), F.col("id"))
         .limit(k)
-        .select(id_col, "cosine")
+        .select(F.col("id").alias(id_col), "cosine")
     )
 
 
@@ -216,22 +316,24 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     n_planes: int = 6,
     probe_hamming: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signatures bucket the
     vectors; only buckets within ``probe_hamming`` of the query's
     signature are scanned (multi-probe). The scale path — at 100 TB the
     signature is precomputed/persisted and bucket pruning replaces the
-    full scan."""
+    full scan. Pass ``dim`` for literal md5-derived planes (oracle
+    parity, see :func:`plane_matrix`)."""
     v = F.col(vec_col).cast("array<double>")
     q = query_vec_lit(query_vec)
     tagged = df.select(F.col(id_col), v.alias("_v")).withColumn(
-        "sig", hyperplane_sig_col(F.col("_v"), n_planes)
+        "sig", hyperplane_sig_col(F.col("_v"), n_planes, dim)
     )
-    qsig = hyperplane_sig_col(q, n_planes)
+    qsig = hyperplane_sig_col(q, n_planes, dim)
     near = F.bit_count(F.col("sig").bitwiseXOR(qsig)) <= probe_hamming
     return (
         tagged.where(near)
-        .withColumn("cosine", F.round(cosine_sim_col(F.col("_v"), q), 6))
+        .withColumn("cosine", F.round(cosine_sim_col(F.col("_v"), q) + 1e-9, 6))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
         .select(id_col, "cosine")
