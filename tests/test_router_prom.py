@@ -1,0 +1,179 @@
+"""Router parity (DisableClientAggr / UsePreciseAggregations / windowed
+rollup) and the Prometheus SeriesSet facade.
+
+ref: pkg/pquerier/select.go:183-256 (step clamp + forceRawQuery),
+pkg/aggregate/aggregationParams.go:67-77 (CanAggregate),
+pkg/config/config.go:165-173, pkg/querier/querier.go:198-207 (bare-step
+avg injection), pkg/pquerier/series.go:33-63 (SeriesSet shape).
+"""
+
+import pytest
+from conftest import MIN, T0, rows_to_dict
+
+from v3io_tsdb_spark.config import TSDBConfig
+from v3io_tsdb_spark.querier import Querier, RequestedColumn, SelectParams
+from v3io_tsdb_spark.rollup import build_rollup
+
+HOUR = 60 * MIN
+# hour-aligned anchor so rollup buckets nest exactly in query cells
+T0H = (T0 // HOUR) * HOUR
+
+
+@pytest.fixture()
+def rolled(spark, make_samples):
+    """(querier, samples) with a 1h rollup over 48h of minute data."""
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(i * 30 * MIN, float(i)) for i in range(96)]),
+            ("mem", {"os": "linux"}, [(i * 30 * MIN, 2.0 * i) for i in range(96)]),
+        ],
+        t0=T0H,
+    )
+    cfg = TSDBConfig(aggregation_granularity="1h")
+    rollup = build_rollup(df, cfg.granularity_ms)
+    return Querier(spark, df, rollup=rollup, config=cfg), df
+
+
+def test_step_clamp_under_disable_client_aggr(rolled):
+    """step > granularity + DisableClientAggr → step clamps to the
+    granularity and the rollup serves it (ref: select.go:185-187,
+    aggregationParams.go:75 'Interval == rollupTime && disableClientAggr')."""
+    q, _ = rolled
+    res = q.select(
+        SelectParams(name="cpu", functions="sum", step="4h", from_time=T0H,
+                     to_time=T0H + 8 * HOUR, disable_client_aggr=True)
+    )
+    ts = sorted(r["t"] for r in res.select("t").collect())
+    # clamped to 1h cells, not 4h cells
+    assert ts[1] - ts[0] == HOUR
+
+
+def test_force_raw_on_uncovered_function(rolled):
+    """DisableClientAggr + a function the rollup doesn't carry → raw
+    samples come back (ref: select.go:228-256 forceRawQuery)."""
+    q, df = rolled
+    cfg = TSDBConfig(aggregation_granularity="1h", aggregates=("count", "sum"))
+    q2 = Querier(q.spark, df, rollup=q.rollup_df(), config=cfg)
+    res = q2.select(
+        SelectParams(name="cpu", functions="max", step="24h", from_time=T0H,
+                     to_time=T0H + 48 * HOUR, disable_client_aggr=True)
+    )
+    assert "value" in res.columns and "max" not in res.columns
+    assert res.count() == 96  # all raw cpu samples
+
+
+def test_force_raw_on_mixed_capability(rolled):
+    """Two metrics with per-column functions of different rollup
+    coverage under DisableClientAggr → ALL raw, never mixed plans."""
+    q, df = rolled
+    cfg = TSDBConfig(aggregation_granularity="1h", aggregates=("count", "sum"))
+    q2 = Querier(q.spark, df, rollup=q.rollup_df(), config=cfg)
+    res = q2.select(
+        SelectParams(
+            columns=[RequestedColumn(metric="cpu", function="sum"),
+                     RequestedColumn(metric="mem", function="max")],
+            functions="sum,max", step="24h", from_time=T0H,
+            to_time=T0H + 48 * HOUR, disable_client_aggr=True,
+        )
+    )
+    assert "value" in res.columns
+    assert res.count() == 192  # raw rows of both metrics
+
+
+def test_cross_series_forces_raw_under_dca(rolled):
+    q, _ = rolled
+    res = q.select(
+        SelectParams(name="cpu", functions="sum_all", step="24h", from_time=T0H,
+                     to_time=T0H + 48 * HOUR, disable_client_aggr=True)
+    )
+    assert "value" in res.columns  # raw fallback
+
+
+def test_use_precise_aggregations_disables_rollup(rolled, spark, make_samples):
+    q, df = rolled
+    cfg = TSDBConfig(aggregation_granularity="1h", use_precise_aggregations=True)
+    q2 = Querier(spark, df, rollup=q.rollup_df(), config=cfg)
+    p = SelectParams(name="cpu", functions="sum", step="24h",
+                     from_time=T0H, to_time=T0H + 48 * HOUR)
+    assert not q2._can_use_rollup(["sum"], 24 * HOUR, 0, p)
+    assert q._can_use_rollup(["sum"], 24 * HOUR, 0, p)  # control
+
+
+def test_windowed_rollup_routes_and_matches_client(spark, make_samples):
+    """window ≥ granularity routes to the rollup (CanAggregate window
+    rule). Server windowed aggregation maps each rollup bucket by its
+    MEDIAN time (ref: collector.go:210,366-383) — placing one sample at
+    every bucket median makes the approximation exact, so the routed
+    answer must equal the client answer bit-for-bit."""
+    df = make_samples(
+        [("cpu", {"os": "linux"}, [(i * HOUR + 30 * MIN, float(i)) for i in range(48)])],
+        t0=T0H,
+    )
+    cfg = TSDBConfig(aggregation_granularity="1h")
+    q = Querier(spark, df, rollup=build_rollup(df, cfg.granularity_ms), config=cfg)
+    p = SelectParams(name="cpu", functions="sum,count", step="12h",
+                     aggregation_window="24h", from_time=T0H, to_time=T0H + 48 * HOUR)
+    assert q._can_use_rollup(["sum", "count"], 12 * HOUR, 24 * HOUR, p)
+    srv = rows_to_dict(q.select(p), ["t"], ["sum", "count"])
+    pc = SelectParams(name="cpu", functions="sum,count", step="12h",
+                      aggregation_window="24h", from_time=T0H, to_time=T0H + 48 * HOUR,
+                      use_only_client_aggr=True)
+    cli = rows_to_dict(q.select(pc), ["t"], ["sum", "count"])
+    assert srv == cli and len(srv) >= 4
+
+
+def test_window_smaller_than_granularity_stays_client(rolled):
+    q, _ = rolled
+    p = SelectParams(name="cpu", functions="sum", step="12h", aggregation_window="30m",
+                     from_time=T0H, to_time=T0H + 48 * HOUR)
+    assert not q._can_use_rollup(["sum"], 12 * HOUR, 30 * MIN, p)
+
+
+# -- Prometheus facade ------------------------------------------------------
+
+def test_prom_bare_step_injects_avg(rolled):
+    """v1 default-function injection: bare step over a rolled-up table
+    selects avg (ref: pkg/querier/querier.go:198-207)."""
+    from v3io_tsdb_spark.prom import select_series
+
+    q, _ = rolled
+    series = select_series(q, SelectParams(name="cpu", step="24h", from_time=T0H,
+                                           to_time=T0H + 48 * HOUR))
+    assert series, "no series returned"
+    for s in series:
+        assert s.labels["Aggregate"] == "avg"
+        assert s.labels["__name__"] == "cpu"
+        assert s.labels["os"] == "linux"
+    # day-1 avg of 0..47 = 23.5
+    pts = dict(series[0].points)
+    assert pts[T0H] == pytest.approx(23.5)
+
+
+def test_prom_no_injection_without_rollup(spark, make_samples):
+    """Without a rollup the bare-step query stays a downsample (v2
+    behavior) — no Aggregate label."""
+    from v3io_tsdb_spark.prom import select_series
+
+    df = make_samples([("cpu", {}, [(i * MIN, float(i)) for i in range(10)])])
+    q = Querier(spark, df)
+    series = select_series(q, SelectParams(name="cpu", step="5m", from_time=T0,
+                                           to_time=T0 + 10 * MIN))
+    assert series and all("Aggregate" not in s.labels for s in series)
+
+
+def test_prom_seriesset_shape_and_order(rolled):
+    """One series per (metric, aggregate); points time-ordered;
+    Prometheus mode strips the Aggregate label (series.go:34-38)."""
+    from v3io_tsdb_spark.prom import select_series
+
+    q, _ = rolled
+    p = SelectParams(name="cpu,mem", functions="sum,count", step="24h",
+                     from_time=T0H, to_time=T0H + 48 * HOUR)
+    series = select_series(q, p)
+    keys = {(s.labels["__name__"], s.labels["Aggregate"]) for s in series}
+    assert keys == {("cpu", "sum"), ("cpu", "count"), ("mem", "sum"), ("mem", "count")}
+    for s in series:
+        ts = [t for t, _ in s.points]
+        assert ts == sorted(ts)
+    bare = select_series(q, p, show_aggregate_label=False)
+    assert all("Aggregate" not in s.labels for s in bare)

@@ -12,6 +12,7 @@ the v3io/v3io-tsdb source tree.
 
 from v3io_tsdb_spark.adapter import TSDBAdapter
 from v3io_tsdb_spark.config import TSDBConfig
+from v3io_tsdb_spark.prom import PromSeries, select_series
 from v3io_tsdb_spark.querier import Querier, RequestedColumn, SelectParams
 from v3io_tsdb_spark.timeutils import str2duration_ms, str2unix_ms
 
@@ -23,6 +24,8 @@ __all__ = [
     "Querier",
     "SelectParams",
     "RequestedColumn",
+    "PromSeries",
+    "select_series",
     "str2duration_ms",
     "str2unix_ms",
 ]

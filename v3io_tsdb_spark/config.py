@@ -44,6 +44,15 @@ class TSDBConfig:
     aggregates: tuple = DEFAULT_AGGREGATES
     use_server_aggregate_coefficient: int = 3
     use_only_client_aggr: bool = False
+    # Serve aggregations ONLY from rollups (no client re-aggregation) —
+    # the Prometheus-library mode (ref: pkg/config/config.go:165-166
+    # DisableClientAggr). Queries that cannot use server aggregates
+    # fall back to raw data, and steps coarser than the rollup
+    # granularity are clamped to it (ref: pkg/pquerier/select.go:185-187).
+    disable_client_aggr: bool = False
+    # Always aggregate from raw samples for exact results — overrides
+    # every server-aggregate route (ref: pkg/config/config.go:172-173).
+    use_precise_aggregations: bool = False
     pre_aggregates: tuple = ()  # tuple of tuples of label names
     max_late_arrival: str = "59m"
     override_old: bool = True

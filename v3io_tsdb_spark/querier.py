@@ -86,6 +86,8 @@ class SelectParams:
     interpolator: str = ""  # for downsample / cross-series alignment
     tolerance: str | int | None = None
     use_only_client_aggr: bool = False
+    # None → inherit TSDBConfig.disable_client_aggr
+    disable_client_aggr: bool | None = None
     columns: list = field(default_factory=list)  # list[RequestedColumn]
     # v1 overlapping windows: aggregate the last w×step for each w
     # (ref: pkg/querier/querier.go:99-115 SelectOverlap)
@@ -151,10 +153,23 @@ class Querier:
         funcs, cross_series = agg.parse_functions(params.functions)
         group_by = [g.strip() for g in (params.group_by or "").split(",") if g.strip()]
 
+        # DisableClientAggr routing (ref: pkg/pquerier/select.go:183-256):
+        # clamp the step to the rollup granularity (results can only come
+        # at rollup resolution when the client may not re-aggregate) ...
+        dca = self._dca(params)
+        if funcs and dca and step_ms > self.config.granularity_ms:
+            step_ms = self.config.granularity_ms
+
         base = self._scan(params, from_ms, to_ms, window_ms)
 
         if params.overlapping_windows:
             return self._overlapping(base, params, funcs, from_ms, to_ms, step_ms)
+        # ... and fall back to ALL-raw when any requested metric cannot be
+        # served from rollups (cross-series, uncovered functions, fine
+        # steps) — a query must never silently mix exact and rolled-up
+        # answers per metric (ref: select.go:228-256 forceRawQuery)
+        if funcs and dca and self._force_raw(params, funcs, cross_series, step_ms, window_ms):
+            return self._raw(base)
         if funcs and cross_series:
             return self._cross_series(base, params, funcs, from_ms, to_ms, step_ms, group_by)
         if funcs:
@@ -162,6 +177,43 @@ class Querier:
         if step_ms:
             return self._downsample(base, params, from_ms, to_ms, step_ms)
         return self._raw(base)
+
+    def _dca(self, params: SelectParams) -> bool:
+        if params.disable_client_aggr is not None:
+            return params.disable_client_aggr
+        return self.config.disable_client_aggr
+
+    def _per_metric_funcs(self, params: SelectParams, funcs: list) -> dict:
+        """Requested functions per metric: column specs may request
+        different functions for different metrics; bare ``functions``
+        applies to every requested metric (ref:
+        pkg/pquerier/select.go:177-179 metricsAggregatesToString)."""
+        per = {}
+        for c in params.columns or []:
+            fs = per.setdefault(c.metric, [])
+            if c.function and c.function not in fs:
+                fs.append(c.function)
+        if not per:
+            for m in self._requested_names(params) or [None]:
+                per[m] = list(funcs)
+        return per
+
+    def _force_raw(
+        self, params: SelectParams, funcs, cross_series: bool, step_ms: int, window_ms: int
+    ) -> bool:
+        """With client aggregation disabled, serve raw data unless EVERY
+        requested metric can be answered from the rollup (cross-series
+        aggregates never can). Mixed capability forces all-raw rather
+        than mixing per-metric plans (ref: select.go:228-256)."""
+        if cross_series:
+            return True
+        if self.rollup_df() is None:
+            return True
+        caps = [
+            bool(fs) and self._rollup_step_ok(fs, step_ms, window_ms, params)
+            for fs in self._per_metric_funcs(params, funcs).values()
+        ]
+        return not all(caps)
 
     def _overlapping(self, base, params, funcs, from_ms, to_ms, step_ms) -> DataFrame:
         """Overlapping windows: one aggregate cell per window w covering
@@ -298,11 +350,13 @@ class Querier:
         lr = self._label_rollup_plan(funcs, step_ms, window_ms, params, group_by)
         if lr is not None:
             return self._aggregate_from_label_rollup(
-                lr, params, funcs, from_ms, to_ms, step_ms, group_by
+                lr, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by
             )
         use_rollup = self._can_use_rollup(funcs, step_ms, window_ms, params)
         if use_rollup:
-            return self._aggregate_from_rollup(params, funcs, from_ms, to_ms, step_ms, group_by)
+            return self._aggregate_from_rollup(
+                params, funcs, from_ms, to_ms, step_ms, window_ms, group_by
+            )
 
         base = base.where(F.col("value").isNotNull())  # aggregates are float-only
         if window_ms:
@@ -389,15 +443,25 @@ class Querier:
             return False
         if params.use_only_client_aggr or self.config.use_only_client_aggr:
             return False
-        if window_ms:  # windowed-aggregation rollup path not yet routed
+        if self.config.use_precise_aggregations:
+            # exact-results override: always aggregate from raw samples
+            # (ref: pkg/config/config.go:172-173)
+            return False
+        gran = self.config.granularity_ms
+        if window_ms and window_ms < gran:
+            # CanAggregate: aggregationWindow must cover ≥ one rollup
+            # bucket (ref: pkg/aggregate/aggregationParams.go:76-77)
             return False
         if "rate" in funcs:
             pass  # rate derives from 'last', which rollups carry
         needed = set(agg.required_raw(funcs))
         if not needed.issubset(set(self.config.aggregates)):
             return False
-        gran = self.config.granularity_ms
-        return step_ms / gran > self.config.use_server_aggregate_coefficient
+        if step_ms / gran > self.config.use_server_aggregate_coefficient:
+            return True
+        # step clamped to the granularity under DisableClientAggr still
+        # qualifies (ref: aggregationParams.go:75)
+        return step_ms == gran and self._dca(params)
 
     def _can_use_rollup(self, funcs, step_ms, window_ms, params: SelectParams) -> bool:
         """The ~100-line query router (SURVEY §4): use the materialized
@@ -426,24 +490,53 @@ class Querier:
             r = r.where(F.expr(pred))
         return r
 
+    def _rollup_cells(self, r, from_ms, to_ms, step_ms, window_ms) -> DataFrame:
+        """Map rollup buckets to query cells by bucket **median** time.
+
+        No window: truncating-division cell with a one-step inclusion
+        margin (ref: pkg/pquerier/collector.go:210-234). With an
+        aggregation window: each bucket contributes to every cell of the
+        from-anchored grid whose window covers its median — round-up
+        first cell, fan-out ``explode(sequence)`` when window > step
+        (ref: collector.go:219-223 bottomMargin=window,
+        collector.go:366-383 windowAggregationWithServerAggregates).
+        """
+        gran = self.config.granularity_ms
+        median = F.col("bucket") + F.lit(gran // 2)
+        bottom = window_ms if window_ms else step_ms
+        r = r.where((median >= F.lit(from_ms - bottom)) & (median <= F.lit(to_ms + step_ms)))
+        if not window_ms:
+            cell = (
+                F.expr(f"(bucket + {gran // 2} - {from_ms}) div {step_ms}") * F.lit(step_ms)
+                + F.lit(from_ms)
+            ).cast("long")
+            r = r.withColumn("t", cell)
+        elif window_ms > step_ms:
+            r = (
+                r.withColumn(
+                    "_buckets", sliding_bucket_ids(median, from_ms, to_ms, step_ms, window_ms)
+                )
+                .withColumn("t", F.explode("_buckets"))
+                .drop("_buckets")
+            )
+        else:
+            # window <= step: round-up cell only (ref: collector.go:380-382)
+            cell = (
+                F.ceil((median - F.lit(from_ms)) / F.lit(step_ms)) * F.lit(step_ms)
+                + F.lit(from_ms)
+            ).cast("long")
+            r = r.withColumn("t", cell)
+        return r.where((F.col("t") >= F.lit(from_ms)) & (F.col("t") <= F.lit(to_ms)))
+
     def _aggregate_from_label_rollup(
-        self, r, params, funcs, from_ms, to_ms, step_ms, group_by
+        self, r, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by
     ) -> DataFrame:
         """Same bucket→cell median mapping as the per-series rollup path,
         over a table already keyed by the label subset."""
-        gran = self.config.granularity_ms
         names = self._requested_names(params)
         if names:
             r = r.where(F.col("name").isin(names))
-        median = F.col("bucket") + F.lit(gran // 2)
-        r = r.where((median >= F.lit(from_ms - step_ms)) & (median <= F.lit(to_ms + step_ms)))
-        cell = (
-            F.expr(f"(bucket + {gran // 2} - {from_ms}) div {step_ms}") * F.lit(step_ms)
-            + F.lit(from_ms)
-        ).cast("long")
-        r = r.withColumn("t", cell).where(
-            (F.col("t") >= F.lit(from_ms)) & (F.col("t") <= F.lit(to_ms))
-        )
+        r = self._rollup_cells(r, from_ms, to_ms, step_ms, window_ms)
         raws = agg.required_raw(funcs)
         combine = _rollup_combine_exprs()
         grouped = r.groupBy("name", *group_by, "t").agg(
@@ -451,27 +544,22 @@ class Querier:
         )
         return self._finish_aggregate(grouped, funcs, raws, step_ms, ["name"] + group_by, group_by)
 
-    def _aggregate_from_rollup(self, params, funcs, from_ms, to_ms, step_ms, group_by) -> DataFrame:
+    def _aggregate_from_rollup(
+        self, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by
+    ) -> DataFrame:
         """Re-bucket rollup rows into query cells by bucket **median**
         time with truncating division, replicating the reference's
         mapping (ref: pkg/pquerier/collector.go:187-234
-        aggregateServerAggregates).
+        aggregateServerAggregates); windowed cells via
+        :meth:`_rollup_cells`.
         """
-        gran = self.config.granularity_ms
         r = self.rollup_df()
         names = self._requested_names(params)
         if names:
             r = r.where(F.col("name").isin(names))
         if params.filter:
             r = r.where(F.expr(translate_filter(params.filter)))
-        median = F.col("bucket") + F.lit(gran // 2)
-        # inclusion margin, ref: collector.go:219-223
-        r = r.where((median >= F.lit(from_ms - step_ms)) & (median <= F.lit(to_ms + step_ms)))
-        cell = (
-            F.expr(f"(bucket + {gran // 2} - {from_ms}) div {step_ms}") * F.lit(step_ms)
-            + F.lit(from_ms)
-        ).cast("long")
-        r = r.withColumn("t", cell).where((F.col("t") >= F.lit(from_ms)) & (F.col("t") <= F.lit(to_ms)))
+        r = self._rollup_cells(r, from_ms, to_ms, step_ms, window_ms)
 
         raws = agg.required_raw(funcs)
         combine = _rollup_combine_exprs()
