@@ -250,20 +250,16 @@ def q_tsdb_variant_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_variant_mixed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed float + variant (string) metrics in ONE wide frame — each
-    column keeps its own dtype (M9; ref: pkg/pquerier/frames.go:528-543)."""
-    from v3io_tsdb_spark.labels import series_id_col
+    column keeps its own dtype (M9; ref: pkg/pquerier/frames.go:528-543).
+
+    Both branches come from loaders that carry the native raw-ts rider
+    column, so ``unionByName`` lines up and the scan-pushdown range
+    predicate applies to float AND string rows alike."""
+    from v3io_tsdb_spark.datasets import events_as_string_samples
     from v3io_tsdb_spark.operators.frames import to_wide_frame_mixed
 
     floats = events_as_samples(spark, sf_dir)
-    ev = load_table(spark, sf_dir, "events")
-    ts_ms = F.expr("ts div 1000000") if dict(ev.dtypes)["ts"] in ("bigint", "long") else F.unix_millis(F.col("ts"))
-    strs = ev.where(F.col("event_type") == "view").select(
-        ts_ms.cast("long").alias("ts"),
-        F.lit("props_log").alias("name"),
-        F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("labels"),
-        F.lit(None).cast("double").alias("value"),
-        F.col("props").alias("value_str"),
-    ).withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    strs = events_as_string_samples(spark, sf_dir)
     samples = floats.unionByName(strs)
     q = Querier(spark, samples)
     res = q.select(SelectParams(filter="uid=='3'", from_time=F0, to_time=T1))

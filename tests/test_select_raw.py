@@ -71,3 +71,30 @@ def test_wide_frame_mixed_types(spark, make_samples):
     assert wide[0]["cpu"] == 10.0 and wide[0]["log"] == "boot"
     assert math.isnan(wide[1]["cpu"]) and wide[1]["log"] == "ready"
     assert wide[2]["cpu"] == 30.0 and wide[2]["log"] is None
+
+
+def test_mixed_frame_through_raw_ts_source(spark):
+    """The r2 regression: a mixed float+variant query through sources
+    that carry the native ``_ts_raw_ns`` scan-pushdown rider. Both
+    branches must carry the rider (unionByName alignment), and the
+    string rows must SURVIVE the raw-ts range predicate — a NULL rider
+    (allowMissingColumns) would silently drop every variant row."""
+    from v3io_tsdb_spark.datasets import events_as_samples, events_as_string_samples
+    from v3io_tsdb_spark.operators.frames import to_wide_frame_mixed
+
+    sf = "/root/testdata/sf0.001"
+    floats = events_as_samples(spark, sf)
+    strs = events_as_string_samples(spark, sf)
+    assert set(floats.columns) == set(strs.columns)
+    samples = floats.unionByName(strs)
+    q = Querier(spark, samples)
+    res = q.select(
+        SelectParams(filter="uid=='3'", from_time=1704067200000, to_time=1706745600000)
+    )
+    n_str = res.where(res.value_str.isNotNull()).count()
+    n_flt = res.where(res.value.isNotNull()).count()
+    assert n_str > 0 and n_flt > 0  # both branches survive the ts clamp
+    wide = to_wide_frame_mixed(res, nan_fill=False)
+    types = dict(wide.dtypes)
+    assert types.get("props_log") == "string"
+    assert any(t == "double" for c, t in wide.dtypes if c not in ("t", "props_log"))

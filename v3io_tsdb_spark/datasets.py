@@ -57,3 +57,38 @@ def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("value_str"),
     )
     return df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+
+
+def events_as_string_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str = "view",
+    name: str = "props_log",
+) -> DataFrame:
+    """events → variant (string-valued) samples: ``props`` as ``value_str``.
+
+    Mirrors :func:`events_as_samples` exactly — including the native
+    ``_ts_raw_ns`` / ``_ts_raw_ts`` rider column — so the two feeds can
+    be ``unionByName``-ed into one mixed float+variant source and the
+    ``Querier._scan`` raw-ts range predicate still reaches the Parquet
+    scan for BOTH branches (a string row with a NULL raw column would be
+    silently dropped by the range filter).
+    Ref: variant metrics, pkg/appender/appender.go:244-254.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        ts_ms = F.expr("ts div 1000000")
+        raw = F.col("ts").alias("_ts_raw_ns")
+    else:
+        ts_ms = F.unix_millis(F.col("ts"))
+        raw = F.col("ts").alias("_ts_raw_ts")
+    df = ev.where(F.col("event_type") == event_type).select(
+        ts_ms.cast("long").alias("ts"),
+        raw,
+        F.lit(name).alias("name"),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("labels"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("props").alias("value_str"),
+    )
+    return df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))

@@ -81,9 +81,14 @@ def to_series(agg_df: DataFrame, funcs: list, key_cols: list | None = None) -> D
     keys = key_cols if key_cols is not None else [
         c for c in agg_df.columns if c not in funcs and c != "t"
     ]
+    # Every stacked value is cast to DOUBLE: ``stack`` requires uniform
+    # types per output column, and a mixed request like sum (DOUBLE) +
+    # count (BIGINT) would otherwise fail DATATYPE_MISMATCH. Prom sample
+    # values are float64 anyway (ref: pkg/pquerier/series.go:89-104).
     stack = F.expr(
         "stack({n}, {args}) as (aggregate, value)".format(
-            n=len(funcs), args=", ".join(f"'{f}', `{f}`" for f in funcs)
+            n=len(funcs),
+            args=", ".join(f"'{f}', CAST(`{f}` AS DOUBLE)" for f in funcs),
         )
     )
     return agg_df.select(*keys, "t", stack).where(F.col("value").isNotNull())
