@@ -172,3 +172,23 @@ def test_ngram_jaccard_max_df_cap_keeps_planted_pairs(docs, true_pairs):
     capped = {(r["id_a"], r["id_b"])
               for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect()}
     assert capped == true_pairs
+
+
+def test_ngram_jaccard_hot_pair_exact_verify(spark):
+    """When the df cap FIRES, pairs touching a hot (high-df) shingle
+    must still get the EXACT jaccard via the array re-verify path —
+    the capped count alone would under-report their intersection."""
+    from v3io_tsdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    stop = "the quick brown fox"  # one shared stop-shingle across all docs
+    rows = [(i, f"{stop} unique{i} filler{i} pad{i} tail{i}") for i in range(20)]
+    # two near-dup docs sharing the stop-shingle AND distinctive text
+    rows += [(100, f"{stop} alpha beta gamma delta epsilon zeta"),
+             (101, f"{stop} alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=None).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=5).collect()}
+    assert (100, 101) in capped  # the near-dup pair survives the cap
+    assert capped[(100, 101)] == exact[(100, 101)]  # and its score is exact
