@@ -192,3 +192,25 @@ def test_ngram_jaccard_hot_pair_exact_verify(spark):
               for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=5).collect()}
     assert (100, 101) in capped  # the near-dup pair survives the cap
     assert capped[(100, 101)] == exact[(100, 101)]  # and its score is exact
+
+
+def test_lsh_persisted_index_search(emb, spark, tmp_path):
+    from v3io_tsdb_spark.functions.similarity import (
+        lsh_bucketed_topk, lsh_search, lsh_write_index,
+    )
+
+    path = str(tmp_path / "lsh")
+    lsh_write_index(emb, path, n_planes=6, dim=64)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    got = lsh_search(spark, path, qvec, k=10, probe_hamming=3).collect()
+    # persisted-index search == the full-scan signature filter, exactly
+    scan = lsh_bucketed_topk(emb, qvec, k=10, probe_hamming=3, dim=64).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in scan
+    ]
+    # probed search prunes to the probed sig partitions (an INDEX read)
+    plan = (
+        lsh_search(spark, path, qvec, k=10, probe_hamming=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "sig" in plan

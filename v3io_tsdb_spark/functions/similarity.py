@@ -209,7 +209,11 @@ def ivf_build(
         )
         for r in means:  # empty clusters keep their previous centroid
             centroids[r["cluster"]] = list(r["c"])
-    out = _assign(centroids).join(base, "id")
+    # the returned assignments are LAZY — an immediate unpersist would
+    # force the caller (e.g. ivf_write_index) to recompute the full
+    # scan + assignment when it materializes. Unpersist asynchronously
+    # only after eagerly snapshotting the final assignment.
+    out = _assign(centroids).join(base, "id").localCheckpoint(eager=True)
     base.unpersist()
     return out, centroids
 
@@ -337,4 +341,82 @@ def lsh_bucketed_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
         .select(id_col, "cosine")
+    )
+
+def lsh_write_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    dim: int | None = None,
+):
+    """PERSIST the LSH buckets: ``(id, v)`` parquet partitioned by the
+    hyperplane signature, plane parameters as JSON metadata alongside.
+    The :func:`lsh_bucketed_topk` critique resolved — search reads only
+    the probed signature directories (Spark partition pruning) instead
+    of signing the full corpus per query. The mirror of
+    :func:`ivf_write_index` for the hash-bucket family."""
+    import json
+    import os
+
+    v = F.col(vec_col).cast("array<double>")
+    tagged = df.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+        "sig", hyperplane_sig_col(F.col("v"), n_planes, dim)
+    )
+    tagged.write.mode("overwrite").partitionBy("sig").parquet(path)
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "dim": dim}, f)
+
+
+def lsh_read_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_meta.json")) as f:
+        return json.load(f)
+
+
+def lsh_query_sig(query_vec, n_planes: int, dim: int) -> int:
+    """Driver-side signature of the query vector — index metadata math,
+    no Spark job (mirrors :func:`ivf_search`'s centroid ranking)."""
+    sig = 0
+    planes = plane_matrix(n_planes, dim)
+    for p in range(n_planes):
+        if sum(x * w for x, w in zip(query_vec, planes[p])) > 0:
+            sig |= 1 << p
+    return sig
+
+
+def lsh_search(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Search a persisted LSH index: enumerate the signatures within
+    ``probe_hamming`` of the query's (driver-side bit math), read ONLY
+    those bucket partitions (``sig IN probes`` is a partition filter),
+    exact cosine top-k inside them."""
+    meta = lsh_read_meta(path)
+    n_planes = meta["n_planes"]
+    if meta["dim"] is not None:
+        qsig = lsh_query_sig(list(query_vec), n_planes, meta["dim"])
+    else:  # engine-only xxhash planes: sign the query with a 1-row job
+        row = spark.range(1).select(
+            hyperplane_sig_col(query_vec_lit(query_vec), n_planes, None).alias("s")
+        ).first()
+        qsig = row["s"]
+    probes = [
+        s for s in range(1 << n_planes)
+        if bin(s ^ qsig).count("1") <= probe_hamming
+    ]
+    idx = spark.read.parquet(path).where(F.col("sig").isin(probes))
+    q = query_vec_lit(query_vec)
+    return (
+        idx.withColumn("cosine", F.round(cosine_sim_col(F.col("v"), q) + 1e-9, 6))
+        .orderBy(F.desc("cosine"), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias("vec_id"), "cosine")
     )
