@@ -6,6 +6,7 @@ pqueriertest/server_aggregates_integration_test.go).
 """
 
 import pytest
+from pyspark.sql import functions as F
 from conftest import MIN, T0, rows_to_dict
 
 from v3io_tsdb_spark.adapter import TSDBAdapter
@@ -200,3 +201,71 @@ def test_label_rollup_rebuilt_on_delete(tmp_path, spark):
     assert q._label_rollup_plan(["sum", "count"], 4 * HOUR, 0, params, ["os"]) is not None
     row = q.select(params).collect()[0]
     assert row["count"] == 6 and row["sum"] == 0 + 1 + 6 + 7 + 8 + 9
+
+
+def test_retention_sweep(tmp_path, spark):
+    """Expired dt/rdt partitions disappear, fresh ones survive, label
+    rollups sweep too, and queries stay consistent
+    (ref: pkg/config/config.go:196-200, partmgr retentionDays)."""
+    DAY = 24 * HOUR
+    D0 = (T0H // DAY) * DAY  # midnight of day 0
+    a = _mk(tmp_path, spark, aggregation_granularity="1h",
+            pre_aggregates=(("os",),), retention_hours=24)
+    a.append(
+        [{"ts": D0 + d * DAY + HOUR, "name": "cpu", "labels": {"os": "linux"},
+          "value": float(d)} for d in range(3)]
+    )
+    assert a.retention_sweep(now_ms=D0 + 10 * HOUR) == {
+        "samples": [], "rollup": [], "rollup_by_os": []
+    }  # nothing expired yet
+    # cutoff = now - 24h = D0 + 36h: day-0 partitions (end D0+24h[+1h]) expire
+    dropped = a.retention_sweep(now_ms=D0 + 2 * DAY + 12 * HOUR)
+    assert len(dropped["samples"]) == 1 and dropped["samples"][0].endswith(
+        __import__("datetime").datetime.utcfromtimestamp(D0 / 1000).strftime("%Y-%m-%d")
+    )
+    assert len(dropped["rollup"]) == 1 and len(dropped["rollup_by_os"]) == 1
+    left = a.select(SelectParams(name="cpu", from_time=D0, to_time=D0 + 4 * DAY))
+    assert sorted(r["value"] for r in left.collect()) == [1.0, 2.0]
+    # rollup path agrees with the swept samples
+    q = a.querier()
+    params = SelectParams(name="cpu", functions="sum", step="1d", from_time=D0,
+                          to_time=D0 + 4 * DAY)
+    assert q._can_use_rollup(["sum"], DAY, 0, params)
+    assert sorted(r["sum"] for r in q.select(params).collect()) == [1.0, 2.0]
+
+
+def test_retention_disabled_is_noop(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    a.append([{"ts": T0, "name": "cpu", "labels": {}, "value": 1.0}])
+    assert a.retention_sweep(now_ms=T0 + 10**12) == {}
+
+
+def test_delete_rebuilds_midnight_spanning_rdt(tmp_path, spark):
+    """Granularity not dividing a day: a bucket starting late on day R
+    spans midnight, so deleting a day-R+1 sample must rebuild rdt=R
+    from BOTH days — the r2 bug rmtree'd the whole rdt=R partition,
+    losing the surviving day-R contribution."""
+    DAY = 24 * HOUR
+    gran = 5 * HOUR  # 86400000 % 18000000 != 0 — buckets drift daily
+    # find a midnight M whose containing bucket spans it comfortably
+    M = (T0H // DAY + 1) * DAY
+    for _ in range(16):
+        p = M % gran
+        if p > HOUR // 2 and gran - p > HOUR // 2:
+            break
+        M += DAY
+    B = M - p  # bucket [B, B+5h) straddles the midnight at M
+    a = _mk(tmp_path, spark, aggregation_granularity="5h")
+    a.append(
+        [
+            {"ts": M - 30 * MIN, "name": "cpu", "labels": {}, "value": 1.0},  # day R
+            {"ts": M + 30 * MIN, "name": "cpu", "labels": {}, "value": 2.0},  # day R+1, same bucket
+            {"ts": M + 6 * HOUR, "name": "cpu", "labels": {}, "value": 4.0},  # day R+1, later bucket
+        ]
+    )
+    a.delete(from_time=M + 15 * MIN, to_time=M + 45 * MIN)  # only the 2.0 sample
+    rollup = spark.read.parquet(a.rollup_path)
+    row = rollup.where(F.col("bucket") == B).collect()
+    assert len(row) == 1 and row[0]["sum"] == 1.0 and row[0]["count"] == 1
+    left = a.select(SelectParams(name="cpu", from_time=M - DAY, to_time=M + DAY))
+    assert sorted(r["value"] for r in left.collect()) == [1.0, 4.0]

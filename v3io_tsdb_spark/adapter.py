@@ -26,6 +26,14 @@ from v3io_tsdb_spark.querier import Querier, SelectParams
 from v3io_tsdb_spark.sql.filters import translate_filter
 from v3io_tsdb_spark.timeutils import str2unix_ms
 
+DAY_MS = 86_400_000
+
+
+def _date_shift(day: str, days: int) -> str:
+    from datetime import datetime, timedelta
+
+    return (datetime.strptime(day, "%Y-%m-%d") + timedelta(days=days)).strftime("%Y-%m-%d")
+
 
 class TSDBAdapter:
     def __init__(self, spark: SparkSession, path: str, config: TSDBConfig | None = None):
@@ -197,31 +205,130 @@ class TSDBAdapter:
             for dt in set(affected_dts) - kept_dts:
                 shutil.rmtree(os.path.join(self.samples_path, f"dt={dt}"), ignore_errors=True)
             if os.path.exists(self.rollup_path):
-                self._rebuild_rollup_for_dates(affected_dts, doomed_rdts)
+                # dt reads back as DATE (partition-type inference) while
+                # rdt is a string — normalize to ISO strings for the
+                # scope set-math, re-typing at the filter boundary
+                target_rdts, source_dts = self._rollup_rebuild_scope(
+                    [str(d) for d in affected_dts], doomed_rdts
+                )
+                self._rebuild_rollup_for_dates(source_dts, target_rdts)
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    def _rebuild_rollup_for_dates(self, dts: list, doomed_rdts: list | None = None) -> None:
-        fresh = self._samples().where(F.col("dt").isin(dts)).drop("dt")
-        partial = ru.build_rollup(fresh, self.config.granularity_ms)
-        partial = partial.withColumn(
-            "rdt", F.date_format(F.timestamp_millis(F.col("bucket")), "yyyy-MM-dd")
+    def _rollup_rebuild_scope(self, affected_dts: list, doomed_rdts: list) -> tuple:
+        """(rdt partitions to rewrite, dt dates whose samples feed them).
+
+        When granularity divides a day, buckets nest in days and the
+        scope is just the affected dates. Otherwise a bucket starting
+        late on day R sources samples from up to ``ceil(gran/day)``
+        following days, so (a) every rdt an affected date contributes
+        to must be rewritten, and (b) every rewritten rdt must be
+        rebuilt from ALL its source dates — including unaffected
+        neighbors — or the dynamic overwrite would drop their
+        contributions. The rebuilt partial is then filtered to exactly
+        the target rdts so no partition is rewritten from a partial
+        source set."""
+        gran = self.config.granularity_ms
+        span = 0 if DAY_MS % gran == 0 else -(-gran // DAY_MS)  # ceil
+        target = set(doomed_rdts or []) | set(affected_dts)
+        for d in affected_dts:
+            for k in range(1, span + 1):
+                target.add(_date_shift(d, -k))  # earlier buckets spilling into d
+        source = set(target)
+        for r in target:
+            for k in range(1, span + 1):
+                source.add(_date_shift(r, k))  # later days feeding bucket of r
+        return sorted(target), sorted(source)
+
+    def _rebuild_rollup_for_dates(self, source_dts: list, target_rdts: list) -> None:
+        from datetime import date
+
+        df = self._samples()
+        # match the literal type to the inferred partition column type,
+        # so the IN stays a partition-pruning predicate (no column cast)
+        if dict(df.dtypes).get("dt") == "date":
+            src = [date.fromisoformat(s) for s in source_dts]
+        else:
+            src = list(source_dts)
+        fresh = df.where(F.col("dt").isin(src)).drop("dt")
+        rdt_col = F.date_format(F.timestamp_millis(F.col("bucket")), "yyyy-MM-dd")
+        partial = (
+            ru.build_rollup(fresh, self.config.granularity_ms)
+            .withColumn("rdt", rdt_col)
+            .where(F.col("rdt").isin(target_rdts))
         )
-        # rollup buckets are wall-aligned so bucket-date == sample-date
-        # only when granularity divides a day; rebuild the covering dates
         new_rdts = {r["rdt"] for r in partial.select("rdt").distinct().collect()}
         partial.write.mode("overwrite").partitionBy("rdt").parquet(self.rollup_path)
-        stale = set(doomed_rdts or []) - new_rdts
+        # dynamic overwrite only rewrites partitions present in the
+        # frame — target rdts left with no buckets must go explicitly
+        stale = set(target_rdts) - new_rdts
         for rdt in stale:
             shutil.rmtree(os.path.join(self.rollup_path, f"rdt={rdt}"), ignore_errors=True)
         for subset in self.config.pre_aggregates:
             path = self._label_rollup_path(subset)
             if not os.path.exists(path):
                 continue
-            p = ru.build_label_rollup(fresh, self.config.granularity_ms, tuple(subset))
-            p = p.withColumn(
-                "rdt", F.date_format(F.timestamp_millis(F.col("bucket")), "yyyy-MM-dd")
+            p = (
+                ru.build_label_rollup(fresh, self.config.granularity_ms, tuple(subset))
+                .withColumn("rdt", rdt_col)
+                .where(F.col("rdt").isin(target_rdts))
             )
             p.write.mode("overwrite").partitionBy("rdt").parquet(path)
             for rdt in stale:
                 shutil.rmtree(os.path.join(path, f"rdt={rdt}"), ignore_errors=True)
+
+    # -- retention ---------------------------------------------------------
+
+    def retention_sweep(self, now_ms: int | None = None) -> dict:
+        """Drop date partitions wholly past ``retention_hours`` — the
+        analog of the reference's partition expiry
+        (ref: pkg/config/config.go:196-200 SampleRetention/
+        LayerRetentionTime; pkg/partmgr/partmgr.go:330,357,390-411
+        retentionDays carried per partition).
+
+        Partition-level directory drops only — a metadata operation at
+        any scale, never a data rewrite. A dt partition covers
+        [dt, dt+1d) and expires when its END passes the cutoff; an rdt
+        partition holds buckets STARTING on rdt, whose coverage can
+        extend ``granularity`` past the day end, so its expiry is
+        shifted by the granularity. Returns {table: [dropped dirs]}.
+        """
+        hours = self.config.retention_hours
+        if not hours:
+            return {}
+        if now_ms is None:
+            import time
+
+            now_ms = int(time.time() * 1000)
+        cutoff_ms = now_ms - hours * 3_600_000
+        gran = self.config.granularity_ms
+        dropped = {}
+        dropped["samples"] = self._drop_expired(self.samples_path, "dt", cutoff_ms, 0)
+        dropped["rollup"] = self._drop_expired(self.rollup_path, "rdt", cutoff_ms, gran)
+        for subset in self.config.pre_aggregates:
+            path = self._label_rollup_path(subset)
+            dropped[os.path.basename(path)] = self._drop_expired(path, "rdt", cutoff_ms, gran)
+        return dropped
+
+    @staticmethod
+    def _drop_expired(path: str, key: str, cutoff_ms: int, slack_ms: int) -> list:
+        """rmtree ``key=YYYY-MM-DD`` partition dirs whose coverage end
+        (day end + slack) is at or before the cutoff."""
+        from datetime import datetime, timezone
+
+        if not os.path.exists(path):
+            return []
+        out = []
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith(f"{key}="):
+                continue
+            day = entry.split("=", 1)[1]
+            try:
+                start = datetime.strptime(day, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+            except ValueError:
+                continue
+            end_ms = int(start.timestamp() * 1000) + DAY_MS + slack_ms
+            if end_ms <= cutoff_ms:
+                shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+                out.append(entry)
+        return out

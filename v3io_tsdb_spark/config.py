@@ -57,6 +57,12 @@ class TSDBConfig:
     max_late_arrival: str = "59m"
     override_old: bool = True
     samples_partitions: str = "dt"  # derived yyyy-MM-dd partition column
+    # Retention, in hours; 0 = keep forever. The sweep drops sample/
+    # rollup date partitions wholly older than now - retention — the
+    # analog of the reference's partition expiry
+    # (ref: pkg/config/config.go:196-200 SampleRetention /
+    # LayerRetentionTime, pkg/partmgr/partmgr.go:330,357 retentionDays).
+    retention_hours: int = 0
 
     @property
     def granularity_ms(self) -> int:
