@@ -269,3 +269,51 @@ def test_delete_rebuilds_midnight_spanning_rdt(tmp_path, spark):
     assert len(row) == 1 and row[0]["sum"] == 1.0 and row[0]["count"] == 1
     left = a.select(SelectParams(name="cpu", from_time=M - DAY, to_time=M + DAY))
     assert sorted(r["value"] for r in left.collect()) == [1.0, 4.0]
+
+
+def test_names_catalog_metadata_lookups(tmp_path, spark):
+    """metric_names and group-by validation are METADATA operations
+    once the catalog exists: zero Spark jobs, as in the reference's
+    names directory (ref: pkg/appender/store.go:190-203,
+    pkg/pquerier/querier.go:231-255)."""
+    import uuid
+
+    a = _mk(tmp_path, spark)
+    a.append(
+        [
+            {"ts": T0, "name": "cpu", "labels": {"os": "linux", "host": "h1"}, "value": 1.0},
+            {"ts": T0, "name": "mem", "labels": {"host": "h2"}, "value": 2.0},
+            {"ts": T0, "name": "disk", "labels": {}, "value": 3.0},
+        ]
+    )
+    sc = spark.sparkContext
+    grp = f"catalog-{uuid.uuid4()}"
+    sc.setJobGroup(grp, "catalog metadata lookups")
+    try:
+        assert a.metric_names() == ["cpu", "disk", "mem"]
+        q = a.querier()
+        q._validate_group_by(None, ["os", "host"])  # no base needed
+        with pytest.raises(Exception):
+            q._validate_group_by(None, ["nope"])
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(grp)) == []  # ZERO jobs
+    # and the group-by query itself works end-to-end
+    res = a.select(SelectParams(name="cpu,mem", functions="sum", step="1d",
+                                group_by="host", from_time=T0 - HOUR, to_time=T0 + HOUR))
+    assert {r["host"] for r in res.collect()} == {"h1", "h2"}
+
+
+def test_names_catalog_refreshed_on_delete(tmp_path, spark):
+    a = _mk(tmp_path, spark)
+    a.append(
+        [
+            {"ts": T0, "name": "cpu", "labels": {"os": "linux"}, "value": 1.0},
+            {"ts": T0, "name": "mem", "labels": {"zone": "z1"}, "value": 2.0},
+        ]
+    )
+    assert a.metric_names() == ["cpu", "mem"]
+    a.delete(metrics=["mem"])
+    assert a.metric_names() == ["cpu"]
+    with pytest.raises(Exception):  # zone vanished with mem
+        a.querier()._validate_group_by(None, ["zone"])

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from v3io_tsdb_spark import appender as app
 from v3io_tsdb_spark import rollup as ru
+from v3io_tsdb_spark.catalog import NamesCatalog
 from v3io_tsdb_spark.config import SCHEMA_FILE, TSDBConfig
 from v3io_tsdb_spark.errors import BadRequest, SchemaError
 from v3io_tsdb_spark.querier import Querier, SelectParams
@@ -78,6 +79,8 @@ class TSDBAdapter:
             app.validate_samples(df)
         out = app.prepare_for_write(df, self.config)
         out.write.mode("append").partitionBy("dt").parquet(self.samples_path)
+        # ingest-side names directory (ref: pkg/appender/store.go:190-203)
+        NamesCatalog.load(self.path).merge_batch(out).save()
         if update_rollup:
             # read back the deduped batch shape from the in-memory plan
             batch = out.drop("dt")
@@ -118,9 +121,11 @@ class TSDBAdapter:
             for subset in self.config.pre_aggregates
             if os.path.exists(self._label_rollup_path(subset))
         }
+        cat = NamesCatalog.load(self.path)
         return Querier(
             self.spark, self.samples_path, rollup=rollup,
             config=self.config, label_rollups=label_rollups,
+            catalog={k: sorted(v) for k, v in cat.names.items()} if cat.exists() else None,
         )
 
     def select(self, params: SelectParams | None = None, **kwargs) -> DataFrame:
@@ -133,7 +138,14 @@ class TSDBAdapter:
         return self._samples().select("series_id").distinct().count()
 
     def metric_names(self) -> list:
-        """ref: pkg/pquerier/querier.go:231-255 (getMetricNames)"""
+        """Served from the names catalog when present — a metadata read,
+        no Spark job, as in the reference's names-directory listing
+        (ref: pkg/pquerier/querier.go:231-255 getMetricNames,
+        pkg/appender/store.go:190-203). Falls back to a distinct scan
+        for pre-catalog tables."""
+        cat = NamesCatalog.load(self.path)
+        if cat.exists():
+            return cat.metric_names()
         return [r["name"] for r in self._samples().select("name").distinct().orderBy("name").collect()]
 
     def _samples(self) -> DataFrame:
@@ -212,8 +224,17 @@ class TSDBAdapter:
                     [str(d) for d in affected_dts], doomed_rdts
                 )
                 self._rebuild_rollup_for_dates(source_dts, target_rdts)
+            self._refresh_catalog()
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    def _refresh_catalog(self) -> None:
+        """Names may vanish when their last samples go — recompute the
+        catalog from the surviving data."""
+        try:
+            NamesCatalog.rebuild(self.path, self._samples()).save()
+        except Exception:  # all partitions gone → empty catalog
+            NamesCatalog(self.path).save()
 
     def _rollup_rebuild_scope(self, affected_dts: list, doomed_rdts: list) -> tuple:
         """(rdt partitions to rewrite, dt dates whose samples feed them).
@@ -308,6 +329,8 @@ class TSDBAdapter:
         for subset in self.config.pre_aggregates:
             path = self._label_rollup_path(subset)
             dropped[os.path.basename(path)] = self._drop_expired(path, "rdt", cutoff_ms, gran)
+        if dropped["samples"]:
+            self._refresh_catalog()
         return dropped
 
     @staticmethod

@@ -107,6 +107,7 @@ class Querier:
         rollup=None,
         config: TSDBConfig | None = None,
         label_rollups: dict | None = None,
+        catalog: dict | None = None,
     ):
         self.spark = spark
         self.config = config or TSDBConfig()
@@ -117,6 +118,10 @@ class Querier:
         self._label_rollups = {
             tuple(sorted(k)): v for k, v in (label_rollups or {}).items()
         }
+        # names catalog {name: [label keys]} — metadata lookups (label
+        # existence) answered without a Spark job when provided
+        # (ref: pkg/appender/store.go:190-203 names directory)
+        self._catalog = catalog
 
     # -- inputs ------------------------------------------------------------
 
@@ -328,11 +333,22 @@ class Querier:
         """GroupBy on a nonexistent label is an error, as in the
         reference (ref: pkg/pquerier/select.go:354-367).
 
-        Existence is probed with ``limit(1)`` per label: when the label
-        exists (the common case) the scan short-circuits after the
-        first matching chunk instead of aggregating the whole input —
-        the full-scan ``max(isNotNull)`` formulation was a second
-        complete pass before every group-by query."""
+        With a names catalog, existence is a METADATA lookup — zero
+        Spark jobs, the reference's names-directory behavior. Without
+        one, existence is probed with ``limit(1)`` per label: when the
+        label exists (the common case) the scan short-circuits after
+        the first matching chunk instead of aggregating the whole
+        input."""
+        if self._catalog is not None:
+            known: set = set()
+            for ks in self._catalog.values():
+                known.update(ks)
+            missing = [g for g in group_by if g not in known]
+            if missing:
+                raise BadRequest(
+                    f"group-by label {missing[0]!r} does not exist in the data"
+                )
+            return
         for g in group_by:
             probe = base.where(F.element_at(F.col("labels"), g).isNotNull()).limit(1)
             if probe.isEmpty():
