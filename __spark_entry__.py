@@ -229,7 +229,10 @@ def q_tsdb_wide_frame_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                      from_time=F0, to_time=T1)
     )
     long = res.select("name", "t", F.round(F.col("sum") + EPS4, 4).alias("value"))
-    return to_wide_frame(long, nan_fill=False)
+    # explicit pivot values: the metric list is known, so the pivot
+    # skips its distinct-values pre-pass (one fewer job/shuffle)
+    return to_wide_frame(long, nan_fill=False,
+                         values=["click", "error", "purchase", "signup", "view"])
 
 
 def q_tsdb_overlapping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,7 +298,11 @@ def q_tsdb_variant_mixed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples = floats.unionByName(strs)
     q = Querier(spark, samples)
     res = q.select(SelectParams(filter="uid=='3'", from_time=F0, to_time=T1))
-    return to_wide_frame_mixed(res, nan_fill=False)
+    return to_wide_frame_mixed(
+        res, nan_fill=False,
+        float_values=["click", "error", "purchase", "signup", "view"],
+        str_values=["props_log"],
+    )
 
 
 # ---------------------------------------------------------------------------

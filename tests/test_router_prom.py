@@ -177,3 +177,39 @@ def test_prom_seriesset_shape_and_order(rolled):
         assert ts == sorted(ts)
     bare = select_series(q, p, show_aggregate_label=False)
     assert all("Aggregate" not in s.labels for s in bare)
+
+
+def test_prom_golden_mixed_variant_sum_count(spark, make_samples):
+    """GOLDEN: sum+count over a float+variant mix. Float metrics melt to
+    one series per aggregate with the Aggregate label and the metric
+    under __name__ (ref: pkg/pquerier/series.go:33-63); the variant
+    (string) metric cannot be aggregated — it is served raw as its own
+    string-valued series, never silently coerced."""
+    from v3io_tsdb_spark.prom import select_series
+
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10.0), (30 * MIN, 30.0), (HOUR, 5.0)]),
+            ("log", {"os": "linux"}, [(0, "boot"), (30 * MIN, "ready")]),
+        ],
+        t0=T0H,
+    )
+    q = Querier(spark, df)
+    agg_series = select_series(
+        q, SelectParams(name="cpu", functions="sum,count", step="1h",
+                        from_time=T0H, to_time=T0H + 2 * HOUR)
+    )
+    golden = {
+        (("Aggregate", "count"), ("__name__", "cpu"), ("os", "linux")): [
+            (T0H, 2.0), (T0H + HOUR, 1.0)],
+        (("Aggregate", "sum"), ("__name__", "cpu"), ("os", "linux")): [
+            (T0H, 40.0), (T0H + HOUR, 5.0)],
+    }
+    assert {s.key(): s.points for s in agg_series} == golden
+    # count arrives as DOUBLE (Prom sample values are float64) — the
+    # stack-typing regression would have thrown before producing it
+    raw_series = select_series(
+        q, SelectParams(name="log", from_time=T0H, to_time=T0H + 2 * HOUR)
+    )
+    assert [s.labels for s in raw_series] == [{"__name__": "log", "os": "linux"}]
+    assert raw_series[0].points == [(T0H, "boot"), (T0H + 30 * MIN, "ready")]

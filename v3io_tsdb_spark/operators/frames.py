@@ -22,6 +22,7 @@ def to_wide_frame(
     column_key: str = "name",
     include_labels: bool = False,
     nan_fill: bool = True,
+    values: list | None = None,
 ) -> DataFrame:
     """Pivot a long result ``(name, [labels], t, value)`` to a wide frame
     ``(t, <metric1>, <metric2>, ...)`` ordered by time.
@@ -30,17 +31,19 @@ def to_wide_frame(
     key so distinct series of one metric become distinct columns.
     NaN padding replicates the reference's missing-cell convention
     (ref: pkg/pquerier/frames.go:550-586).
+
+    Pass ``values`` (the expected pivot column keys) whenever the metric
+    list is known — for a named query it always is — so the pivot skips
+    its implicit distinct-values pre-pass (one whole extra job/shuffle
+    over the input at scale).
     """
     key = F.col(column_key)
     if include_labels and "labels" in long_df.columns:
         key = F.concat_ws("{", key, labels_string_col(F.col("labels")))
     df = long_df.withColumn("_ckey", key)
-    wide = (
-        df.groupBy(F.col(time_col).alias(time_col))
-        .pivot("_ckey")
-        .agg(F.first(value_col, ignorenulls=True))
-        .orderBy(time_col)
-    )
+    grouped = df.groupBy(F.col(time_col).alias(time_col))
+    pivoted = grouped.pivot("_ckey", values) if values else grouped.pivot("_ckey")
+    wide = pivoted.agg(F.first(value_col, ignorenulls=True)).orderBy(time_col)
     if nan_fill:
         value_cols = [c for c in wide.columns if c != time_col]
         numeric = [c for c in value_cols if dict(wide.dtypes).get(c) == "double"]
@@ -54,6 +57,8 @@ def to_wide_frame_mixed(
     column_key: str = "name",
     include_labels: bool = False,
     nan_fill: bool = True,
+    float_values: list | None = None,
+    str_values: list | None = None,
 ) -> DataFrame:
     """Wide frame over MIXED float and variant (string) metrics: float
     series pivot from ``value``, string series from ``value_str``, then
@@ -63,8 +68,10 @@ def to_wide_frame_mixed(
     XOR string, pkg/appender/appender.go:244-254)."""
     floats = long_df.where(F.col("value").isNotNull())
     strs = long_df.where(F.col("value_str").isNotNull())
-    f = to_wide_frame(floats, time_col, "value", column_key, include_labels, nan_fill=False)
-    s = to_wide_frame(strs, time_col, "value_str", column_key, include_labels, nan_fill=False)
+    f = to_wide_frame(floats, time_col, "value", column_key, include_labels,
+                      nan_fill=False, values=float_values)
+    s = to_wide_frame(strs, time_col, "value_str", column_key, include_labels,
+                      nan_fill=False, values=str_values)
     wide = f.join(s, on=time_col, how="full_outer").orderBy(time_col)
     if nan_fill:  # after the join — outer-join nulls become NaN cells too
         numeric = [c for c, t in wide.dtypes if c != time_col and t == "double"]
