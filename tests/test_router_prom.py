@@ -213,3 +213,40 @@ def test_prom_golden_mixed_variant_sum_count(spark, make_samples):
     )
     assert [s.labels for s in raw_series] == [{"__name__": "log", "os": "linux"}]
     assert raw_series[0].points == [(T0H, "boot"), (T0H + 30 * MIN, "ready")]
+
+
+def test_column_functions_execute_and_mask(rolled):
+    """Column-spec functions with EMPTY params.functions must execute
+    (not fall through to raw), and each metric answers only its own
+    requested functions (ref: select.go:177-181)."""
+    q, _ = rolled
+    res = q.select(
+        SelectParams(
+            columns=[RequestedColumn(metric="cpu", function="sum"),
+                     RequestedColumn(metric="mem", function="max")],
+            step="24h", from_time=T0H, to_time=T0H + 48 * HOUR,
+        )
+    )
+    assert {"sum", "max"} <= set(res.columns) and "value" not in res.columns
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        if r["name"] == "cpu":
+            assert r["sum"] is not None and r["max"] is None
+        else:
+            assert r["max"] is not None and r["sum"] is None
+
+
+def test_column_functions_route_under_dca(rolled):
+    """Routing and execution agree for column-spec queries under
+    DisableClientAggr: the step clamps to the rollup granularity and
+    the rollup serves it — previously funcs parsed empty and the DCA
+    branch was skipped entirely."""
+    q, _ = rolled
+    res = q.select(
+        SelectParams(columns=[RequestedColumn(metric="cpu", function="sum")],
+                     step="4h", from_time=T0H, to_time=T0H + 8 * HOUR,
+                     disable_client_aggr=True)
+    )
+    ts = sorted(r["t"] for r in res.select("t").collect())
+    assert ts[1] - ts[0] == HOUR  # clamped to 1h cells → served at rollup resolution

@@ -156,6 +156,20 @@ class Querier:
         step_ms = str2duration_ms(params.step or 0)
         window_ms = str2duration_ms(params.aggregation_window or 0)
         funcs, cross_series = agg.parse_functions(params.functions)
+        # column-spec functions JOIN the executed set (ref:
+        # pkg/pquerier/select.go:177-181 metricsAggregatesToString — the
+        # reference builds each metric's aggregation from its column
+        # specs, not from a global list). Routing and execution must see
+        # the same functions; unrequested (metric, function) cells are
+        # masked after aggregation so each metric only answers its own
+        # requested columns.
+        col_funcs = ",".join(
+            c.function for c in (params.columns or []) if c.function
+        )
+        if col_funcs:
+            merged, col_cross = agg.parse_functions(col_funcs)
+            funcs += [f for f in merged if f not in funcs]
+            cross_series = cross_series or col_cross
         group_by = [g.strip() for g in (params.group_by or "").split(",") if g.strip()]
 
         # DisableClientAggr routing (ref: pkg/pquerier/select.go:183-256):
@@ -178,7 +192,8 @@ class Querier:
         if funcs and cross_series:
             return self._cross_series(base, params, funcs, from_ms, to_ms, step_ms, group_by)
         if funcs:
-            return self._aggregate(base, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by)
+            res = self._aggregate(base, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by)
+            return self._mask_unrequested(res, params, funcs)
         if step_ms:
             return self._downsample(base, params, from_ms, to_ms, step_ms)
         return self._raw(base)
@@ -202,6 +217,26 @@ class Querier:
             for m in self._requested_names(params) or [None]:
                 per[m] = list(funcs)
         return per
+
+    def _mask_unrequested(self, res: DataFrame, params: SelectParams, funcs: list) -> DataFrame:
+        """With per-column functions, a metric answers ONLY its own
+        requested functions — other function cells become NULL, the
+        DataFrame analog of the reference emitting one series per
+        requested column (ref: pkg/pquerier/select.go:177-181). A column
+        spec without a function inherits the bare ``functions`` list."""
+        if not any(c.function for c in params.columns or []):
+            return res
+        bare = agg.parse_functions(params.functions)[0]
+        per: dict = {}
+        for c in params.columns:
+            fs = per.setdefault(c.metric, [])
+            for f in agg.parse_functions(c.function)[0] if c.function else bare:
+                if f not in fs:
+                    fs.append(f)
+        for f in funcs:
+            allowed = [m for m, fs in per.items() if f in fs]
+            res = res.withColumn(f, F.when(F.col("name").isin(allowed), F.col(f)))
+        return res
 
     def _force_raw(
         self, params: SelectParams, funcs, cross_series: bool, step_ms: int, window_ms: int
