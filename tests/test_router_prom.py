@@ -250,3 +250,12 @@ def test_column_functions_route_under_dca(rolled):
     )
     ts = sorted(r["t"] for r in res.select("t").collect())
     assert ts[1] - ts[0] == HOUR  # clamped to 1h cells → served at rollup resolution
+
+
+def test_select_series_row_guard(rolled):
+    from v3io_tsdb_spark.prom import select_series
+
+    q, _ = rolled
+    with pytest.raises(ValueError, match="max_rows"):
+        select_series(q, SelectParams(name="cpu", from_time=T0H,
+                                      to_time=T0H + 48 * HOUR), max_rows=5)

@@ -65,6 +65,7 @@ def select_series(
     querier: Querier,
     params: SelectParams | None = None,
     show_aggregate_label: bool = True,
+    max_rows: int = 1_000_000,
     **kwargs,
 ) -> list:
     """Run a select and shape the result as a list of :class:`PromSeries`
@@ -72,6 +73,11 @@ def select_series(
 
     ``show_aggregate_label=False`` mirrors the reference's Prometheus
     mode, which strips the ``Aggregate`` label (series.go:34-38).
+
+    A remote-read adapter must materialize its (bounded) response, but
+    an unbounded raw query over a large range would pull the corpus to
+    the driver — ``max_rows`` guards the collect and raises instead of
+    OOMing. Raise it deliberately for genuinely large reads.
     """
     if params is None:
         params = SelectParams(**kwargs)
@@ -95,7 +101,12 @@ def select_series(
         melted = melted.withColumn("_lkeys", F.map_keys("labels")).withColumn(
             "_lvals", F.map_values("labels")
         )
-    rows = melted.orderBy("t").collect()
+    rows = melted.orderBy("t").limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"select_series result exceeds max_rows={max_rows}; narrow the "
+            "query (time range / step / filter) or raise max_rows explicitly"
+        )
 
     series: dict = {}
     for r in rows:
