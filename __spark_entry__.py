@@ -264,6 +264,24 @@ def q_tsdb_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per (metric, uid) — dynamic-length
+    windows closing 30m after the last event (extension beyond the
+    reference's fixed/sliding windows; Spark-native session_window,
+    one shuffle on the group keys)."""
+    from v3io_tsdb_spark.operators.sessions import sessionize
+
+    samples = _uid(events_as_samples(spark, sf_dir)).where(
+        (F.col("ts") >= F.lit(F0)) & (F.col("ts") <= F.lit(T1))
+    )
+    res = sessionize(samples, "30m", group_cols=("name", "uid"))
+    return res.select(
+        "name", "uid", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value") + EPS4, 4).alias("sum_value"),
+    )
+
+
 def q_tsdb_variant_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variant (string) metric raw select (M9): events.props as a
     string-valued series."""
@@ -402,6 +420,31 @@ def q_tpch_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join, local-supplier volume per nation.
+    Dim chain (nation, region) broadcast explicitly; AQE picks the
+    strategy for the mid-size sides — the plan to want at 100×."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    y0 = F.lit("1999-01-01").cast("timestamp_ntz")
+    y1 = F.lit("2000-01-01").cast("timestamp_ntz")
+    return (
+        li.join(o.where((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)),
+                li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr(_DEC.format(expr="l_extendedprice*(1-l_discount)")).alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (documents / embeddings)
 # ---------------------------------------------------------------------------
@@ -444,6 +487,31 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return cosine_topk(emb, qvec, k=20)
+
+
+def q_emb_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-10 per query for a broadcast query set — the
+    many-queries pattern (broadcast join + per-query window rank, no
+    per-query scans)."""
+    from v3io_tsdb_spark.functions.similarity import cosine_topk_per_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = cosine_topk_per_query(emb, queries, k=10)
+    return res.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-signature blocking (md5
+    literal planes, 6 bits) + exact cosine verify inside blocks. The
+    corpus is near-orthogonal (max pairwise cosine ≈ 0.51, SCALE.md),
+    so the threshold is 0.4 to keep the result non-trivial."""
+    from v3io_tsdb_spark.functions.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=6, dim=64)
 
 
 def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
         "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
+        "tsdb_session_30m": q_tsdb_session_30m,
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -593,10 +662,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "doc_text_stats": q_doc_text_stats,
         "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_batch_topk": q_emb_batch_topk,
+        "emb_near_dup": q_emb_near_dup,
         "mm_extract_features": q_mm_extract_features,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -796,6 +868,28 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY 1, 2
     """
 
+    # session windows: gaps-and-islands — break strictly when the delta
+    # EXCEEDS the gap (an event at exactly prev+gap merges, matching
+    # Spark's session_window), end = last event + gap
+    session_30m = f"""
+      WITH s AS (
+        SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts) AS t, value
+        FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+      ),
+      m AS (
+        SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS brk
+        FROM s WINDOW w AS (PARTITION BY name, uid ORDER BY t)
+      ),
+      i AS (
+        SELECT *, sum(brk) OVER (PARTITION BY name, uid ORDER BY t ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+      )
+      SELECT name, uid, min(t) AS session_start, max(t) + 1800000 AS session_end,
+             count(*) AS n_events, round(sum(value) + 0.0000001, 4) AS sum_value
+      FROM i GROUP BY name, uid, island
+    """
+
     variant_raw = f"""
       SELECT epoch_ms(ts) AS t, 'props_log' AS name, props AS value_str,
              CAST(user_id AS VARCHAR) AS uid
@@ -877,6 +971,19 @@ def oracle_sql() -> dict[str, str]:
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1
+    """
+
+    q5 = f"""
+      SELECT n_name, {dec.format(e='l_extendedprice*(1-l_discount)')} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+      GROUP BY n_name
     """
 
     sw = "('the','and','of','to','a','in','is','that','it','for')"
@@ -1029,6 +1136,20 @@ def oracle_sql() -> dict[str, str]:
       LIMIT 20
     """
 
+    batch_topk = """
+      WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
+      c AS (SELECT q.query_id, e.id AS vec_id,
+              round(list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2])) /
+                (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                 sqrt(list_sum(list_transform(q.qv, x -> x * x)))) + 0.000000001, 6) AS cosine
+            FROM e, q)
+      SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM c
+      ) WHERE rank <= 10
+    """
+
     # -- LSH ANN oracle: the 6 hyperplanes are md5-derived literals
     # (similarity.plane_matrix) embedded identically in both engines
     from v3io_tsdb_spark.functions.similarity import plane_matrix
@@ -1037,6 +1158,25 @@ def oracle_sql() -> dict[str, str]:
     plane_vals = ",\n                      ".join(
         "({}, [{}])".format(p, ", ".join(repr(x) for x in planes[p])) for p in range(6)
     )
+
+    # embedding near-dup: same 6-plane signature blocks, exact cosine
+    # verify inside blocks (mirrors dedup.embedding_near_dup_pairs)
+    near_dup = f"""
+      WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      pl(p, pv) AS (VALUES {plane_vals}),
+      dots AS (SELECT e.id, pl.p,
+                 list_sum(list_transform(list_zip(e.v, pl.pv), z -> z[1] * z[2])) AS dt
+               FROM e, pl),
+      sigs AS (SELECT id, sum(CASE WHEN dt > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+               FROM dots GROUP BY id),
+      sv AS (SELECT s.id, s.sig, e.v,
+               sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nrm
+             FROM sigs s JOIN e ON s.id = e.id),
+      pc AS (SELECT a.id AS id_a, b.id AS id_b,
+               list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) / (a.nrm * b.nrm) AS cos
+             FROM sv a JOIN sv b ON a.sig = b.sig AND a.id < b.id)
+      SELECT id_a, id_b, round(cos + 0.000000001, 6) AS cosine FROM pc WHERE cos >= 0.4
+    """
     cos_expr = (
         "round(list_sum(list_transform(list_zip(c.v, q.qv), z -> z[1] * z[2])) /"
         " (sqrt(list_sum(list_transform(c.v, x -> x * x))) *"
@@ -1166,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_wide_frame_daily": wide_frame,
         "tsdb_overlapping_windows": overlapping,
         "tsdb_sql_frontend": sql_frontend,
+        "tsdb_session_30m": session_30m,
         "tsdb_variant_raw": variant_raw,
         "tsdb_variant_mixed_frame": mixed_frame,
         "tpch_q1_pricing": q1,
@@ -1173,10 +1314,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3_top_orders": q3,
         "tpch_q6_forecast_revenue": q6,
         "tpch_join_nation_revenue": nation_rev,
+        "tpch_q5_local_supplier": q5,
         "doc_text_stats": text_stats,
         "doc_dedup_exact_stats": dedup_stats,
         "doc_ngram_jaccard": jaccard,
         "emb_cosine_topk": topk,
+        "emb_batch_topk": batch_topk,
+        "emb_near_dup": near_dup,
         "mm_extract_features": mm,
         "doc_minhash_pairs": minhash,
         "doc_simhash_pairs": simhash,

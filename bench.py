@@ -29,18 +29,22 @@ HEADLINE = [
     "tsdb_wide_frame_daily",
     "tsdb_overlapping_windows",
     "tsdb_sql_frontend",
+    "tsdb_session_30m",
     "tsdb_variant_raw",
     "tpch_q1_pricing",
     "tpch_join_segment_month",
     "tpch_q3_top_orders",
     "tpch_q6_forecast_revenue",
     "tpch_join_nation_revenue",
+    "tpch_q5_local_supplier",
     "doc_text_stats",
     "doc_dedup_exact_stats",
     "doc_ngram_jaccard",
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "emb_cosine_topk",
+    "emb_batch_topk",
+    "emb_near_dup",
     "emb_lsh_topk",
     "emb_ivf_topk",
     "mm_extract_features",

@@ -128,3 +128,25 @@ def test_group_by_missing_label_errors(spark, make_samples):
         q.select(
             SelectParams(name="cpu", functions="sum", group_by="nosuch", from_time=T0, to_time=T0 + MIN)
         )
+
+
+def test_sessionize_gap_semantics(spark):
+    """Adjacency merges (delta == gap → same session), strict excess
+    splits; session_end = last event + gap."""
+    from pyspark.sql import functions as F
+
+    from v3io_tsdb_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [("cpu", 0, 1.0), ("cpu", 60_000, 2.0), ("cpu", 121_000, 4.0),
+         ("mem", 0, 8.0)],
+        "name string, ts long, value double",
+    )
+    out = {(r["name"], r["session_start"]): r
+           for r in sessionize(df, "1m", group_cols=("name",)).collect()}
+    s1 = out[("cpu", 0)]
+    assert s1["session_end"] == 121_000 - 1_000  # last(60s) + 60s gap
+    assert s1["n_events"] == 2 and s1["sum_value"] == 3.0
+    s2 = out[("cpu", 121_000)]
+    assert s2["session_end"] == 181_000 and s2["n_events"] == 1
+    assert out[("mem", 0)]["session_end"] == 60_000

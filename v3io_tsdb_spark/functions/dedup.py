@@ -449,18 +449,21 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     n_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs, LSH-blocked by random-hyperplane sign
-    signature (deterministic planes from xxhash64) so candidate
-    generation is an equi-join on the signature; exact cosine verifies.
+    signature so candidate generation is an equi-join on the signature;
+    exact cosine verifies. Pass ``dim`` for literal md5-derived planes
+    (oracle parity, see :func:`similarity.plane_matrix`); without it,
+    planes come from xxhash64 (engine-only, dimension-agnostic).
     """
-    from v3io_tsdb_spark.functions.similarity import cosine_sim_col, norm_col
-
-    from v3io_tsdb_spark.functions.similarity import hyperplane_sig_col
+    from v3io_tsdb_spark.functions.similarity import (
+        cosine_sim_col, hyperplane_sig_col, norm_col,
+    )
 
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     d = d.withColumn("nrm", norm_col(F.col("v")))
-    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes)).persist()
+    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes, dim)).persist()
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig")
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "sig")
     return (
@@ -468,5 +471,5 @@ def embedding_near_dup_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_sim_col(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
         .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", F.round(F.col("cosine") + 1e-9, 6).alias("cosine"))
     )

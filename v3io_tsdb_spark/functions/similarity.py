@@ -124,7 +124,7 @@ def cosine_topk_per_query(
     )
     base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     joined = base.crossJoin(F.broadcast(qs)).withColumn(
-        "cosine", F.round(cosine_sim_col(F.col("_v"), F.col("_qv")), 6)
+        "cosine", F.round(cosine_sim_col(F.col("_v"), F.col("_qv")) + 1e-9, 6)
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
