@@ -113,3 +113,43 @@ def test_stream_monotonic_enforcement(tmp_path, spark):
         assert sorted(r["value"] for r in res2.collect()) == [1.0, 5.0, 9.0]
     finally:
         q.stop()
+
+
+def test_streaming_session_windows(tmp_path, spark):
+    """sessionize's session_window shape runs UNCHANGED over a stream
+    with a watermark — the reason it is the built-in, not a lag/cumsum
+    island chain (which cannot execute incrementally)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"ts": T0 + off, "name": "cpu", "value": 1.0})
+            for off in (0, MIN, 40 * MIN)  # two sessions at gap 30m
+        )
+    )
+    raw = spark.readStream.schema("ts long, name string, value double").json(str(in_dir))
+    sessions = (
+        raw.withColumn("ets", F.timestamp_millis(F.col("ts")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(F.session_window("ets", "30 minutes").alias("w"), "name")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "name",
+            F.unix_millis("w.start").alias("session_start"),
+            F.unix_millis("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName("sess_out")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = {r["session_start"]: r for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert set(rows) == {T0, T0 + 40 * MIN}
+    assert rows[T0]["n_events"] == 2 and rows[T0]["session_end"] == T0 + 31 * MIN
+    assert rows[T0 + 40 * MIN]["n_events"] == 1
