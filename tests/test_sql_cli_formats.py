@@ -142,3 +142,21 @@ def test_cli_end_to_end(tmp_path, spark, capsys):
     assert cli.main(["delete", "-p", path, "-a", str(T0), "-e", str(T0 + 10 * MIN), "-m", "cpu"]) == 0
     assert cli.main(["query", "-p", path, "-m", "cpu", "-a", str(T0), "-e", str(T0 + 10 * MIN), "-o", "none"]) == 0
     assert capsys.readouterr().out.endswith("0 rows\n")
+
+
+def test_cli_time_and_sweep(tmp_path, spark, capsys):
+    from v3io_tsdb_spark import cli
+
+    assert cli.main(["time", "1537971020"]) == 0
+    assert capsys.readouterr().out.strip() == "2018-09-26T14:10:20Z"
+    assert cli.main(["time", "2018-09-26T14:10:20Z"]) == 0
+    assert capsys.readouterr().out.strip() == "1537971020"
+    assert cli.main(["time"]) == 0
+    assert capsys.readouterr().out.strip().isdigit()
+
+    path = str(tmp_path / "sweep_tsdb")
+    assert cli.main(["create", "-p", path, "--retention-hours", "24"]) == 0
+    capsys.readouterr()
+    assert cli.main(["sweep", "-p", path]) == 0
+    out = capsys.readouterr().out
+    assert "samples" in out  # retention enabled → per-table report

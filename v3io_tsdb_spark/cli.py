@@ -44,9 +44,43 @@ def _adapter(args):
 def cmd_create(args):
     from v3io_tsdb_spark.adapter import TSDBAdapter
 
-    cfg = TSDBConfig(aggregation_granularity=args.granularity)
+    cfg = TSDBConfig(
+        aggregation_granularity=args.granularity,
+        retention_hours=args.retention_hours,
+    )
     TSDBAdapter(_spark(), args.path, cfg).create(if_not_exists=args.if_not_exists)
     print(f"created TSDB at {args.path} (granularity {args.granularity})")
+
+
+def cmd_time(args):
+    """RFC 3339 ⇄ Unix conversions (ref: pkg/tsdbctl/time.go:41-47)."""
+    import time as _time
+
+    from v3io_tsdb_spark.timeutils import str2unix_ms
+
+    if args.time is None:
+        print(int(_time.time()))
+        return
+    s = str(args.time)
+    if s.isdigit():  # unix seconds → RFC 3339
+        from datetime import datetime, timezone
+
+        print(datetime.fromtimestamp(int(s), tz=timezone.utc)
+              .strftime("%Y-%m-%dT%H:%M:%SZ"))
+    else:  # RFC 3339 / relative → unix seconds
+        print(str2unix_ms(s) // 1000)
+
+
+def cmd_sweep(args):
+    """Retention sweep (extension: the reference expires partitions in
+    partmgr; here it is an explicit maintenance command)."""
+    dropped = _adapter(args).retention_sweep()
+    if not dropped:
+        print("retention disabled (retention_hours=0)")
+        return
+    for table, parts in dropped.items():
+        print(f"{table}: dropped {len(parts)} partition(s)"
+              + (f" ({', '.join(parts)})" if parts else ""))
 
 
 def cmd_add(args):
@@ -187,8 +221,18 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("create", help="create a new TSDB")
     common(c)
     c.add_argument("--granularity", default="1h")
+    c.add_argument("--retention-hours", type=int, default=0,
+                   help="drop partitions older than this (0 = keep forever)")
     c.add_argument("--if-not-exists", action="store_true")
     c.set_defaults(fn=cmd_create)
+
+    t = sub.add_parser("time", help="RFC 3339 / Unix timestamp conversions")
+    t.add_argument("time", nargs="?", help="RFC 3339 string or unix seconds; default: now")
+    t.set_defaults(fn=cmd_time)
+
+    w = sub.add_parser("sweep", help="apply the retention policy (drop expired partitions)")
+    common(w)
+    w.set_defaults(fn=cmd_sweep)
 
     a = sub.add_parser("add", help="append samples")
     common(a)
