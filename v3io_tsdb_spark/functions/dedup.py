@@ -128,19 +128,23 @@ def ngram_jaccard_pairs(
     docs = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    # persist: the inverted index feeds both sides of the self-join
-    # (plus the hot-id probe when the cap fires)
-    inv = docs.select("id", "n_sh", F.explode("sh").alias("g")).persist()
+    inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
     if max_df is not None:
-        # window count reuses the hashpartitioning(g) the self-join needs
-        dfd = inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
-        cand_inv = dfd.where(F.col("_df") <= max_df).drop("_df")
+        # persist the index WITH its df window column: the hot-set
+        # probe, both self-join sides, and the hot-id lookup all reuse
+        # one materialization (persisting pre-window cost an extra
+        # window pass per consumer)
+        inv = inv.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("g"))
+        ).persist()
+        cand_inv = inv.where(F.col("_df") <= max_df).drop("_df")
         # docs touching ANY high-df shingle: only their pairs can have
         # shared shingles missing from the capped index, so only they
         # need the (expensive) exact array verify. Empty on any corpus
         # where the cap never fires.
-        hot_ids = dfd.where(F.col("_df") > max_df).select("id").distinct()
+        hot_ids = inv.where(F.col("_df") > max_df).select("id").distinct()
     else:
+        inv = inv.persist()
         cand_inv = inv
         hot_ids = None
     # Candidate pairs AND their intersection size in ONE map-side-
