@@ -103,3 +103,80 @@ def test_client_agg_matches_pandas(spark, series):
         gs, gc, gmn, gmx, gav = got[k]
         assert (gs, gc, gmn, gmx) == (pytest.approx(s_), c, mn, mx)
         assert gav == pytest.approx(av) or (math.isnan(gav) and math.isnan(av))
+
+
+# -- round-3 operators: sessionize and count-based jaccard ------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    offs=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                  max_size=12, unique=True),
+    gap=st.integers(min_value=1, max_value=10),
+)
+def test_sessionize_matches_python_reference(spark, offs, gap):
+    """session_window == the classic island scan (break strictly > gap,
+    end = last + gap) for arbitrary event sets."""
+    from v3io_tsdb_spark.operators.sessions import sessionize
+
+    SEC = 1000
+    ts = sorted(o * SEC for o in offs)
+    df = spark.createDataFrame([("m", t, 1.0) for t in ts],
+                               "name string, ts long, value double")
+    got = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap * SEC, group_cols=("name",)).collect()
+    }
+    want = set()
+    cur = [ts[0]]
+    for t in ts[1:]:
+        if t - cur[-1] > gap * SEC:
+            want.add((cur[0], cur[-1] + gap * SEC, len(cur)))
+            cur = [t]
+        else:
+            cur.append(t)
+    want.add((cur[0], cur[-1] + gap * SEC, len(cur)))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=10),
+        min_size=2, max_size=8,
+    ),
+    max_df=st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
+)
+def test_ngram_jaccard_matches_python_reference(spark, docs, max_df):
+    """Count-based intersection (with and without a firing cap) ==
+    brute-force shingle-set jaccard on every pair the capped index can
+    reach (pairs sharing >= 1 below-cap shingle)."""
+    from collections import Counter
+
+    from v3io_tsdb_spark.functions.dedup import ngram_jaccard_pairs
+
+    texts = [" ".join(words) for words in docs]
+    sdf = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(sdf, threshold=0.3, n=2, max_df=max_df).collect()}
+
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)}
+
+    sets = [sh(t) for t in texts]
+    df_count = Counter(g for s in sets for g in s)
+    want = {}
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = sets[i] & sets[j]
+            reachable = max_df is None or any(df_count[g] <= max_df for g in inter)
+            if not inter or not reachable:
+                continue
+            jac = len(inter) / len(sets[i] | sets[j])
+            if jac >= 0.3:
+                want[(i, j)] = round(jac + 1e-9, 6)
+    assert got == want
