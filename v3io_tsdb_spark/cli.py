@@ -134,6 +134,7 @@ def cmd_query(args):
                 aggregation_window=args.aggregation_window or 0,
                 filter=args.filter, group_by=args.group_by,
                 from_time=from_ms, to_time=to_ms,
+                use_only_client_aggr=args.use_precise_aggregations,
             )
         )
     sys.stdout.write(format_df(df, args.output))
@@ -255,6 +256,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--aggregates", help="functions, e.g. sum,avg")
     q.add_argument("-f", "--filter", help="filter expression")
     q.add_argument("-g", "--group-by", help="group-by labels")
+    # ref: pkg/tsdbctl/query.go:112-114 — force exact client aggregation
+    q.add_argument("--use-precise-aggregations", action="store_true",
+                   help="disable server-side rollup aggregations for exact results")
     q.add_argument("-o", "--output", default="text", choices=FORMATS)
     q.set_defaults(fn=cmd_query)
 
