@@ -271,10 +271,12 @@ def q_tsdb_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on the group keys)."""
     from v3io_tsdb_spark.operators.sessions import sessionize
 
-    samples = _uid(events_as_samples(spark, sf_dir)).where(
-        (F.col("ts") >= F.lit(F0)) & (F.col("ts") <= F.lit(T1))
-    )
-    res = sessionize(samples, "30m", group_cols=("name", "uid"))
+    # route the time clamp through the Querier scan so the range
+    # predicate reaches the Parquet scan via the native raw-ts rider
+    # (a filter on the derived ms column alone cannot be pushed)
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    raw = _uid(q.select(SelectParams(from_time=F0, to_time=T1)))
+    res = sessionize(raw, "30m", ts_col="t", group_cols=("name", "uid"))
     return res.select(
         "name", "uid", "session_start", "session_end",
         F.col("n_events").cast("long").alias("n_events"),
