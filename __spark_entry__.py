@@ -286,18 +286,10 @@ def q_tsdb_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_variant_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variant (string) metric raw select (M9): events.props as a
-    string-valued series."""
-    from v3io_tsdb_spark.labels import series_id_col
+    string-valued series (raw-ts rider → pushed range predicate)."""
+    from v3io_tsdb_spark.datasets import events_as_string_samples
 
-    ev = load_table(spark, sf_dir, "events")
-    ts_ms = F.expr("ts div 1000000") if dict(ev.dtypes)["ts"] in ("bigint", "long") else F.unix_millis(F.col("ts"))
-    samples = ev.select(
-        ts_ms.cast("long").alias("ts"),
-        F.lit("props_log").alias("name"),
-        F.create_map(F.lit("uid"), F.col("user_id").cast("string")).alias("labels"),
-        F.lit(None).cast("double").alias("value"),
-        F.col("props").alias("value_str"),
-    ).withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    samples = events_as_string_samples(spark, sf_dir, event_type=None)
     q = Querier(spark, samples)
     res = q.select(SelectParams(name="props_log", filter="uid=='3'", from_time=F0, to_time=T1))
     return _uid(res).select("t", "name", "value_str", "uid")

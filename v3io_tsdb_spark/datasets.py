@@ -62,7 +62,7 @@ def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_as_string_samples(
     spark: SparkSession,
     sf_dir: str,
-    event_type: str = "view",
+    event_type: str | None = "view",
     name: str = "props_log",
 ) -> DataFrame:
     """events → variant (string-valued) samples: ``props`` as ``value_str``.
@@ -83,7 +83,9 @@ def events_as_string_samples(
     else:
         ts_ms = F.unix_millis(F.col("ts"))
         raw = F.col("ts").alias("_ts_raw_ts")
-    df = ev.where(F.col("event_type") == event_type).select(
+    if event_type is not None:
+        ev = ev.where(F.col("event_type") == event_type)
+    df = ev.select(
         ts_ms.cast("long").alias("ts"),
         raw,
         F.lit(name).alias("name"),
