@@ -153,3 +153,33 @@ def test_streaming_session_windows(tmp_path, spark):
     assert set(rows) == {T0, T0 + 40 * MIN}
     assert rows[T0]["n_events"] == 2 and rows[T0]["session_end"] == T0 + 31 * MIN
     assert rows[T0 + 40 * MIN]["n_events"] == 1
+
+
+def test_stream_sessions_helper(tmp_path, spark):
+    """stream_sessions emits closed sessions in append mode once the
+    watermark passes their end."""
+    import json
+
+    from v3io_tsdb_spark.streaming.ingest import stream_sessions
+
+    in_dir = tmp_path / "ss_in"
+    in_dir.mkdir()
+    HOUR = 60 * MIN
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"ts": T0 + off, "name": "cpu", "value": 2.0})
+            for off in (0, 5 * MIN, 3 * HOUR)  # closed session + open one
+        )
+    )
+    raw = spark.readStream.schema("ts long, name string, value double").json(str(in_dir))
+    sess = stream_sessions(raw, gap="30m", watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory").queryName("ss_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM ss_out").collect()
+    # only the watermark-closed first session is emitted in append mode
+    assert [(r["session_start"], r["n_events"], r["sum_value"]) for r in rows] == [
+        (T0, 2, 4.0)
+    ]

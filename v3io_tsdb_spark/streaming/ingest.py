@@ -130,3 +130,45 @@ def start_stream_ingest(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_sessions(
+    stream_df: DataFrame,
+    gap: str | int = "30m",
+    watermark: str | None = None,
+    group_cols: tuple = ("name",),
+) -> DataFrame:
+    """Continuous sessionization of a sample stream: the streaming twin
+    of :func:`operators.sessions.sessionize` — same session_window
+    aggregation, with the watermark bounding session state so late
+    events merge and closed sessions are evicted (the reason sessions
+    use the built-in rather than a lag/cumsum island chain, which
+    cannot execute incrementally).
+
+    Returns a streaming DataFrame (group_cols..., session_start,
+    session_end, n_events, sum_value); write with append output mode
+    (sessions emit when the watermark passes their end).
+    """
+    from v3io_tsdb_spark.timeutils import str2duration_ms
+
+    gap_ms = str2duration_ms(gap)
+    df = stream_df
+    if not dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        df = df.withColumn("_event_time", F.timestamp_millis(F.col("ts").cast("long")))
+    else:
+        df = df.withColumn("_event_time", F.col("ts"))
+    df = df.withWatermark("_event_time", watermark or "59 minutes")
+    return (
+        df.groupBy(
+            F.session_window("_event_time", f"{gap_ms} milliseconds").alias("_sw"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            *group_cols,
+            F.unix_millis(F.col("_sw.start")).alias("session_start"),
+            F.unix_millis(F.col("_sw.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
