@@ -130,13 +130,15 @@ def ngram_jaccard_pairs(
     ).withColumn("n_sh", F.size("sh"))
     inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
     if max_df is not None:
-        # persist the index WITH its df window column: the hot-set
-        # probe, both self-join sides, and the hot-id lookup all reuse
-        # one materialization (persisting pre-window cost an extra
-        # window pass per consumer)
-        inv = inv.withColumn(
-            "_df", F.count("*").over(Window.partitionBy("g"))
-        ).persist()
+        inv = inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+    # eagerly checkpoint the index (WITH its df window column): one
+    # materialization serves the hot-set probe, both self-join sides,
+    # and the hot-id lookup. localCheckpoint rather than persist(): the
+    # blocks are plain RDD storage GC'd with the DataFrame, with no
+    # CacheManager entry whose async unpersist can race a re-submitted
+    # identical plan (back-to-back runs of this function).
+    inv = inv.localCheckpoint(eager=True)
+    if max_df is not None:
         cand_inv = inv.where(F.col("_df") <= max_df).drop("_df")
         # docs touching ANY high-df shingle: only their pairs can have
         # shared shingles missing from the capped index, so only they
@@ -144,7 +146,6 @@ def ngram_jaccard_pairs(
         # where the cap never fires.
         hot_ids = inv.where(F.col("_df") > max_df).select("id").distinct()
     else:
-        inv = inv.persist()
         cand_inv = inv
         hot_ids = None
     # Candidate pairs AND their intersection size in ONE map-side-
@@ -176,11 +177,14 @@ def ngram_jaccard_pairs(
     # small aggregate over the cached inverted index.
     if hot_ids is not None and not hot_ids.isEmpty():
         # flag pairs touching a hot doc; hot is small by construction
-        # (AQE broadcasts it), and the flagged pair table is persisted
+        # (AQE broadcasts it), and the flagged pair table is snapshotted
         # so the clean/dirty split doesn't recompute the self-join
         ha = hot_ids.select(F.col("id").alias("id_a"), F.lit(True).alias("_hot_a"))
         hb = hot_ids.select(F.col("id").alias("id_b"), F.lit(True).alias("_hot_b"))
-        flagged = counted.join(ha, "id_a", "left").join(hb, "id_b", "left").persist()
+        flagged = (
+            counted.join(ha, "id_a", "left").join(hb, "id_b", "left")
+            .localCheckpoint(eager=True)
+        )
         clean = flagged.where(F.col("_hot_a").isNull() & F.col("_hot_b").isNull())
         dirty = flagged.where(F.col("_hot_a").isNotNull() | F.col("_hot_b").isNotNull())
         # exact verify ONLY for cap-affected pairs: re-shingle just the
@@ -209,20 +213,13 @@ def ngram_jaccard_pairs(
         )
     else:
         scored = counted
-        flagged = None
-    pairs = (
+    return (
         scored.withColumn(
             "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard"))
     )
-    # materialize (tiny output), then free the cached intermediates
-    pairs = pairs.localCheckpoint(eager=True)
-    inv.unpersist()
-    if flagged is not None:
-        flagged.unpersist()
-    return pairs
 
 
 # -- MinHash + LSH ----------------------------------------------------------
