@@ -327,10 +327,12 @@ def minhash_dedup(
     fixed-width join key — equality semantics are the slice's), and the
     estimate is an exact fraction of 32."""
     rows = num_hashes // bands
-    # persist: the signature subtree feeds three self-join branches and
-    # would be recomputed per branch otherwise (at scale, signatures are
-    # a materialized table)
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n, hash_fn).persist()
+    # eager checkpoint: the signature subtree feeds three self-join
+    # branches and would be recomputed per branch otherwise (at scale,
+    # signatures are a materialized table). localCheckpoint, not
+    # persist(): no CacheManager entry to race on back-to-back runs.
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n, hash_fn) \
+        .localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(sigs, bands, rows)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -346,8 +348,6 @@ def minhash_dedup(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
-    pairs = pairs.localCheckpoint(eager=True)
-    sigs.unpersist()
     return pairs
 
 
@@ -414,7 +414,7 @@ def simhash_near_dup_pairs(
     """Near-dup pairs by SimHash Hamming distance, blocked on 12-bit
     chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal), so the
     join is equi-join on chunk value — never a cross join."""
-    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn).persist()
+    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn).localCheckpoint(eager=True)
     chunks = h.select(
         "id", "sh",
         F.posexplode(
@@ -437,8 +437,6 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    cand = cand.localCheckpoint(eager=True)
-    h.unpersist()
     return cand
 
 
@@ -464,7 +462,8 @@ def embedding_near_dup_pairs(
 
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     d = d.withColumn("nrm", norm_col(F.col("v")))
-    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes, dim)).persist()
+    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes, dim)) \
+        .localCheckpoint(eager=True)
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig")
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "sig")
     return (
