@@ -96,3 +96,19 @@ def test_multi_series_aggregation(spark, make_samples):
     assert sorted(r["sum"] for r in rows) == [30.0, 70.0]
     by_labels = {r["labels"]["os"]: r["sum"] for r in rows}
     assert by_labels == {"linux": 30.0, "mac": 70.0}
+
+
+def test_star_expands_to_all_aggregates(spark, make_samples):
+    """functions='*' selects every aggregate (ref: aggregate.go:51,60
+    aggrTypeAll)."""
+    from v3io_tsdb_spark.operators.aggregates import ALL_AGGREGATES, parse_functions
+
+    assert parse_functions("*") == (list(ALL_AGGREGATES), False)
+    df = make_samples([("cpu", {}, [(0, 1.0), (60_000, 3.0)])])
+    from v3io_tsdb_spark.querier import Querier, SelectParams
+    from conftest import T0
+    res = Querier(spark, df).select(
+        SelectParams(name="cpu", functions="*", step="1h",
+                     from_time=T0 - 1, to_time=T0 + 3_600_000)
+    )
+    assert set(ALL_AGGREGATES) <= set(res.columns)

@@ -55,6 +55,10 @@ def parse_functions(functions: str | list | None) -> tuple[list[str], bool]:
         funcs = [f.strip().lower() for f in functions.split(",") if f.strip()]
     else:
         funcs = [str(f).strip().lower() for f in functions]
+    if "*" in funcs:  # all aggregates (ref: aggregate.go:51,60 aggrTypeAll)
+        funcs = [f for f in funcs if f != "*"] + [
+            f for f in ALL_AGGREGATES if f not in funcs
+        ]
     cross = [f.endswith("_all") for f in funcs]
     if any(cross) and not all(cross):
         raise BadRequest("cannot mix per-series and cross-series (_all) aggregates")
