@@ -19,6 +19,7 @@ from pyspark.sql import SparkSession
 HEADLINE = [
     "tsdb_raw_filter",
     "tsdb_client_agg_daily",
+    "tsdb_stddev_weekly",
     "tsdb_rate_daily",
     "tsdb_cross_series_daily",
     "tsdb_windowed_2d",
@@ -31,6 +32,8 @@ HEADLINE = [
     "tsdb_sql_frontend",
     "tsdb_session_30m",
     "tsdb_variant_raw",
+    "tsdb_variant_mixed_frame",
+    "tsdb_groupby_total",
     "tpch_q1_pricing",
     "tpch_join_segment_month",
     "tpch_q3_top_orders",
@@ -70,6 +73,12 @@ def main():
         # pre-scatter with repartition() instead (see __spark_entry__).
         .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.files.openCostInBytes", "1m")
+        # 34 queries × 2 runs × several codegen stages far exceeds the
+        # default 100-entry janino class cache; evictions intermittently
+        # re-compile the most expensive expression chains (the md5
+        # sketch pipelines, ~8 s a compile) in the middle of a "warm"
+        # run. One knob, measured: spikes gone.
+        .config("spark.sql.codegen.cache.maxEntries", "4000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
