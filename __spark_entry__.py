@@ -475,6 +475,20 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
 
 
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation: jaccard pairs → connected components
+    (min-label propagation, 2-3 rounds on dup-cluster graphs) → one
+    keeper per duplicate group. The step a real dedup pipeline runs
+    after pair generation."""
+    from v3io_tsdb_spark.functions.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs_scattered(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return dedup_clusters(pairs).select(
+        "id", "comp", F.col("keep").cast("boolean").alias("keep")
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.similarity import cosine_topk
 
@@ -660,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": q_doc_text_stats,
         "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_batch_topk": q_emb_batch_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1074,6 +1089,42 @@ def oracle_sql() -> dict[str, str]:
       FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
     """
 
+    # cluster formation over the same pairs: recursive transitive
+    # closure, component = min reachable id (mirrors the engine's
+    # min-label propagation fixpoint)
+    clusters = f"""
+      WITH RECURSIVE {shingle_d},
+      inv AS (SELECT id, unnest(sh) AS g FROM d),
+      cap AS (
+        SELECT id, g FROM (
+          SELECT id, g, count(*) OVER (PARTITION BY g) AS df FROM inv
+        ) WHERE df <= 100
+      ),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM cap a JOIN cap b USING (g) WHERE a.id < b.id
+      ),
+      p AS (
+        SELECT id_a, id_b,
+          len(list_intersect(da.sh, db.sh)) AS inter,
+          len(da.sh) AS na, len(db.sh) AS nb
+        FROM cand
+        JOIN d da ON cand.id_a = da.id
+        JOIN d db ON cand.id_b = db.id
+      ),
+      pr AS (SELECT id_a, id_b FROM p WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION SELECT id_b, id_a FROM pr
+      ),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+      )
+      SELECT id, min(r) AS comp, (id = min(r)) AS keep FROM reach GROUP BY id
+    """
+
     # -- md5-mode sketch oracles (dedup.md5_int60 ≡ ('0x'||substr(md5,1,15))::BIGINT)
     from v3io_tsdb_spark.functions.dedup import P31, mix_constants
 
@@ -1312,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": text_stats,
         "doc_dedup_exact_stats": dedup_stats,
         "doc_ngram_jaccard": jaccard,
+        "doc_dedup_clusters": clusters,
         "emb_cosine_topk": topk,
         "emb_batch_topk": batch_topk,
         "emb_near_dup": near_dup,

@@ -43,6 +43,7 @@ HEADLINE = [
     "doc_text_stats",
     "doc_dedup_exact_stats",
     "doc_ngram_jaccard",
+    "doc_dedup_clusters",
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "emb_cosine_topk",

@@ -214,3 +214,18 @@ def test_lsh_persisted_index_search(emb, spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "sig" in plan
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation converges on a multi-hop chain (diameter >
+    1 forces real iteration) plus a disjoint pair and picks min-id
+    representatives."""
+    from v3io_tsdb_spark.functions.dedup import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (20, 21)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert cc == {3: 3, 5: 3, 9: 3, 7: 3, 20: 20, 21: 20}
+    keep = {r["id"]: r["keep"] for r in dedup_clusters(edges).collect()}
+    assert keep == {3: True, 5: False, 9: False, 7: False, 20: True, 21: False}

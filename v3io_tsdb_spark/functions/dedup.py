@@ -473,3 +473,73 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round(F.col("cosine") + 1e-9, 6).alias("cosine"))
     )
+
+
+# -- duplicate clustering ---------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → ``(id,
+    comp)`` where ``comp`` is the minimum reachable vertex id — the
+    canonical duplicate-cluster representative.
+
+    Min-label propagation: each round every vertex takes the min of its
+    own label and its neighbors' labels, iterating to a fixpoint
+    (rounds ≈ graph diameter — near-dup clusters are tiny and dense, so
+    this converges in 2-3 rounds). All per-round work is two
+    shuffle-on-key joins over the edge list — no adjacency matrices, no
+    driver-side graph, and each round's labels are snapshotted with
+    ``localCheckpoint`` so lineage stays flat. The Spark-native
+    replacement for a GraphX/GraphFrames dependency.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    sym = edges.select(a.alias("src"), b.alias("dst")).unionByName(
+        edges.select(b.alias("src"), a.alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nc"))
+        )
+        new = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        labels = new
+        if converged:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Duplicate groups from near-dup pairs: ``(id, comp, keep)`` —
+    ``comp`` the cluster representative (min id), ``keep`` true for the
+    representative. The pipeline step after pair generation: pairs say
+    "these two match", clusters say "keep one of each group"."""
+    cc = connected_components(pairs, a_col, b_col)
+    return cc.withColumn("keep", F.col("id") == F.col("comp"))
