@@ -122,19 +122,24 @@ def main():
         warm_total += wt
         print(f"bench {name}: {dt:.3f}s (warm {wt:.3f}s)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "queries_warm": warm,
-                "warm_total_sec": round(warm_total, 3),
-            }
-        )
-    )
+    # The driver keeps only a bounded tail of stdout and parses the JSON
+    # line out of it, so the line must stay well under 2 kB. Per-query
+    # warm times live in BENCH_DETAIL.json next to this script; the line
+    # itself carries the cold per-query map + both totals.
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "queries_warm": warm,
+        "warm_total_sec": round(warm_total, 3),
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = {k: v for k, v in detail.items() if k != "queries_warm"}
+    line["warm_detail"] = "BENCH_DETAIL.json"
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -317,3 +317,40 @@ def test_names_catalog_refreshed_on_delete(tmp_path, spark):
     assert a.metric_names() == ["cpu"]
     with pytest.raises(Exception):  # zone vanished with mem
         a.querier()._validate_group_by(None, ["zone"])
+
+
+def test_names_catalog_seeded_for_pre_catalog_table(tmp_path, spark):
+    """A table written before the catalog existed must be seeded from
+    ALL its samples on the first post-catalog append — not just from
+    that batch — or previously ingested metrics silently vanish from
+    metric_names()/group-by validation."""
+    import os
+
+    a = _mk(tmp_path, spark)
+    a.append([{"ts": T0, "name": "cpu", "labels": {"os": "linux"}, "value": 1.0}])
+    # simulate a pre-catalog table: drop the sidecar
+    os.remove(os.path.join(a.path, "_names_catalog.json"))
+    a.append([{"ts": T0 + MIN, "name": "mem", "labels": {"zone": "z1"}, "value": 2.0}])
+    assert a.metric_names() == ["cpu", "mem"]  # cpu survived the reseed
+    a.querier()._validate_group_by(None, ["os"])  # cpu's label keys too
+
+
+def test_group_by_validation_scoped_to_requested_metrics(tmp_path, spark):
+    """The catalog check is per requested metric (the reference errors
+    per queried series, pkg/pquerier/select.go:354-367): a label that
+    exists only on an UNqueried metric is an error, not a silent
+    NULL-key aggregation."""
+    a = _mk(tmp_path, spark)
+    a.append(
+        [
+            {"ts": T0, "name": "cpu", "labels": {"os": "linux"}, "value": 1.0},
+            {"ts": T0, "name": "mem", "labels": {"zone": "z1"}, "value": 2.0},
+        ]
+    )
+    q = a.querier()
+    q._validate_group_by(None, ["zone"], ["mem"])  # zone exists on mem
+    with pytest.raises(BadRequest):  # ... but not on cpu
+        q._validate_group_by(None, ["zone"], ["cpu"])
+    with pytest.raises(BadRequest):
+        a.select(SelectParams(name="cpu", functions="sum", step="1d",
+                              group_by="zone", from_time=T0 - HOUR, to_time=T0 + HOUR))

@@ -229,3 +229,21 @@ def test_connected_components_chain_and_clusters(spark):
     assert cc == {3: 3, 5: 3, 9: 3, 7: 3, 20: 20, 21: 20}
     keep = {r["id"]: r["keep"] for r in dedup_clusters(edges).collect()}
     assert keep == {3: True, 5: False, 9: False, 7: False, 20: True, 21: False}
+
+
+def test_connected_components_long_chain_halving(spark):
+    """Path halving converges in O(log n) rounds: a 40-hop chain far
+    exceeds plain propagation's reach at max_iter=10 but the
+    pointer-doubled variant finishes, and non-convergence raises
+    instead of returning split components."""
+    import pytest
+    from v3io_tsdb_spark.functions.dedup import connected_components
+
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["comp"] for r in connected_components(edges, max_iter=10).collect()}
+    assert set(cc.values()) == {0} and len(cc) == n + 1
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

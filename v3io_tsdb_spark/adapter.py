@@ -56,6 +56,10 @@ class TSDBAdapter:
                 return self
             raise SchemaError(f"TSDB already exists at {self.path}")
         self.config.save(self.path)
+        # Fresh table → empty catalog from day one, so the pre-catalog
+        # rebuild path in append() only ever fires for tables created
+        # before the catalog feature existed.
+        NamesCatalog(self.path).save()
         return self
 
     def exists(self) -> bool:
@@ -78,11 +82,24 @@ class TSDBAdapter:
         if validate:
             app.validate_samples(df)
         out = app.prepare_for_write(df, self.config)
+        # Materialize the normalize/dedup pipeline ONCE — the catalog
+        # aggregate and rollup builds below reuse the checkpointed batch
+        # instead of recomputing the whole write plan per consumer.
+        out = out.localCheckpoint(eager=True)
+        # Pre-catalog table? (data written before the catalog existed)
+        # Seed from ALL existing samples, not just this batch, or the
+        # catalog would silently hide previously ingested metrics.
+        needs_seed = not NamesCatalog.load(self.path).exists() and os.path.exists(
+            self.samples_path
+        )
         out.write.mode("append").partitionBy("dt").parquet(self.samples_path)
         # ingest-side names directory (ref: pkg/appender/store.go:190-203)
-        NamesCatalog.load(self.path).merge_batch(out).save()
+        if needs_seed:
+            NamesCatalog.rebuild(self.path, self._samples()).save()
+        else:
+            NamesCatalog.load(self.path).merge_batch(out).save()
         if update_rollup:
-            # read back the deduped batch shape from the in-memory plan
+            # reuse the checkpointed batch (no plan recompute)
             batch = out.drop("dt")
             partial = ru.build_rollup(batch, self.config.granularity_ms)
             partial = partial.withColumn(

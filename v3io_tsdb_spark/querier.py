@@ -364,19 +364,29 @@ class Querier:
         """Label-subset grouping (ref: pkg/pquerier/select.go:354-367)."""
         return [F.element_at(F.col("labels"), g).alias(g) for g in group_by]
 
-    def _validate_group_by(self, base: DataFrame, group_by: list[str]) -> None:
+    def _validate_group_by(
+        self, base: DataFrame, group_by: list[str], names: list | None = None
+    ) -> None:
         """GroupBy on a nonexistent label is an error, as in the
         reference (ref: pkg/pquerier/select.go:354-367).
 
         With a names catalog, existence is a METADATA lookup — zero
-        Spark jobs, the reference's names-directory behavior. Without
-        one, existence is probed with ``limit(1)`` per label: when the
-        label exists (the common case) the scan short-circuits after
-        the first matching chunk instead of aggregating the whole
-        input."""
+        Spark jobs, the reference's names-directory behavior. The check
+        is scoped to the REQUESTED metrics' label-key sets (the
+        reference errors per queried series, not globally) — a label
+        that exists only on an unqueried metric is still an error here.
+        Without a catalog, existence is probed with ``limit(1)`` per
+        label over the filtered query base: when the label exists (the
+        common case) the scan short-circuits after the first matching
+        chunk instead of aggregating the whole input."""
         if self._catalog is not None:
             known: set = set()
-            for ks in self._catalog.values():
+            requested = [n for n in (names or []) if n in self._catalog]
+            for ks in (
+                (self._catalog[n] for n in requested)
+                if requested
+                else self._catalog.values()
+            ):
                 known.update(ks)
             missing = [g for g in group_by if g not in known]
             if missing:
@@ -393,7 +403,7 @@ class Querier:
         if not step_ms:
             step_ms = to_ms - from_ms or 1  # single bucket over the range
         if group_by:
-            self._validate_group_by(base, group_by)
+            self._validate_group_by(base, group_by, self._requested_names(params))
 
         # router order mirrors the reference: a pre-aggregated label-set
         # table matching GroupBy wins over the per-series rollup
@@ -455,7 +465,7 @@ class Querier:
         if not step_ms:
             step_ms = to_ms - from_ms or 1
         if group_by:
-            self._validate_group_by(base, group_by)
+            self._validate_group_by(base, group_by, self._requested_names(params))
         tol = str2duration_ms(params.tolerance) if params.tolerance else None
         aligned = align_to_grid(
             base.where(F.col("value").isNotNull()), from_ms, to_ms, step_ms,
