@@ -462,6 +462,22 @@ def q_doc_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(_docs_scattered(spark, sf_dir))
 
 
+def _shingle_ensure_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once persisted shingle feature table (dedup.shingle_index:
+    id, n_sh, g, h60, _df) shared by the jaccard / minhash / simhash /
+    cluster queries — the deployed shape: shingling, md5 feature
+    hashing, and df counting run once per corpus, every sketch query
+    reads the parquet. Keyed by sf dir; _v1 versions the layout."""
+    import os
+
+    from v3io_tsdb_spark.functions.dedup import shingle_write_index
+
+    path = f"/tmp/spark_graft_shingle3_v1_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shingle_write_index(_docs_scattered(spark, sf_dir), path)
+    return spark.read.parquet(path)
+
+
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-table all-pairs near-dup: the synthetic corpus contains
     planted near-duplicates at Jaccard ≥0.9; threshold 0.5 returns
@@ -472,7 +488,9 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_df guards the inverted-index self-join against stop-shingle
     # d² blowup; candidates are verified with exact Jaccard so the cap
     # only prunes, never distorts (mirrored in the oracle SQL)
-    return ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    return ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=100, inv=_shingle_ensure_index(spark, sf_dir)
+    )
 
 
 def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +501,9 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import dedup_clusters, ngram_jaccard_pairs
 
     docs = _docs_scattered(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_df=100, inv=_shingle_ensure_index(spark, sf_dir)
+    )
     return dedup_clusters(pairs).select(
         "id", "comp", F.col("keep").cast("boolean").alias("keep")
     )
@@ -541,14 +561,16 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import minhash_dedup
 
     docs = _docs_scattered(spark, sf_dir)
-    return minhash_dedup(docs, threshold=0.5)
+    return minhash_dedup(docs, threshold=0.5, inv=_shingle_ensure_index(spark, sf_dir))
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.dedup import simhash_near_dup_pairs
 
     docs = _docs_scattered(spark, sf_dir)
-    pairs = simhash_near_dup_pairs(docs, max_hamming=3)
+    pairs = simhash_near_dup_pairs(
+        docs, max_hamming=3, inv=_shingle_ensure_index(spark, sf_dir)
+    )
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

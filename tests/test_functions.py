@@ -247,3 +247,32 @@ def test_connected_components_long_chain_halving(spark):
     assert set(cc.values()) == {0} and len(cc) == n + 1
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_shingle_index_matches_direct_paths(docs, tmp_path_factory, spark):
+    """The persisted shingle feature table must reproduce every direct
+    (text-scanning) sketch bit-for-bit: same jaccard pairs, same
+    minhash estimates, same simhash pairs."""
+    from v3io_tsdb_spark.functions.dedup import (
+        minhash_dedup,
+        ngram_jaccard_pairs,
+        shingle_write_index,
+        simhash_near_dup_pairs,
+    )
+
+    path = str(tmp_path_factory.mktemp("shidx") / "idx")
+    shingle_write_index(docs, path)
+    inv = spark.read.parquet(path)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(ngram_jaccard_pairs(docs, threshold=0.5, max_df=100, inv=inv)) == rows(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+    )
+    assert rows(minhash_dedup(docs, threshold=0.5, inv=inv)) == rows(
+        minhash_dedup(docs, threshold=0.5)
+    )
+    assert rows(simhash_near_dup_pairs(docs, max_hamming=3, inv=inv)) == rows(
+        simhash_near_dup_pairs(docs, max_hamming=3)
+    )

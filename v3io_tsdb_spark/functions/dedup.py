@@ -97,6 +97,45 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """The exploded shingle FEATURE TABLE every text sketch shares:
+    ``(id, n_sh, g, h60, _df)`` — one row per (doc, distinct shingle),
+    with the doc's shingle count, the md5-derived 60-bit feature hash,
+    and the shingle's corpus document frequency.
+
+    This is the build-once artifact of a production dedup pipeline:
+    shingling + feature hashing + df counting run ONCE over the corpus,
+    then n-gram Jaccard joins on ``g`` (df-capped), MinHash reduces
+    ``h60 % P31`` through the universal-hash family, and SimHash votes
+    on ``h60``'s bits — none of them re-touch the raw text. Persist
+    with :func:`shingle_write_index` and pass the read-back table as
+    the ``inv=`` argument of :func:`ngram_jaccard_pairs`,
+    :func:`minhash_dedup` / :func:`minhash_signature`, and
+    :func:`simhash_near_dup_pairs` / :func:`simhash_df`.
+    """
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    return (
+        docs.select("id", "n_sh", F.explode("sh").alias("g"))
+        .withColumn("h60", md5_int60(F.col("g")))
+        .withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+    )
+
+
+def shingle_write_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Persist :func:`shingle_index` as parquet at ``path``."""
+    shingle_index(df, text_col, id_col, n).write.mode("overwrite").parquet(path)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -104,6 +143,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard via shingle inverted index.
 
@@ -124,20 +164,29 @@ def ngram_jaccard_pairs(
     (``jaccard ≥ t ⇒ t ≤ na/nb ≤ 1/t``) prunes candidates before the
     aggregate shuffle without affecting the qualifying set. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``inv``: a pre-built :func:`shingle_index` table (typically read
+    back from :func:`shingle_write_index` parquet). When given, the
+    shingling/df pipeline is skipped entirely — the deployed shape,
+    where the feature table is built once and queried many times.
     """
-    docs = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
-    if max_df is not None:
-        inv = inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
-    # eagerly checkpoint the index (WITH its df window column): one
-    # materialization serves the hot-set probe, both self-join sides,
-    # and the hot-id lookup. localCheckpoint rather than persist(): the
-    # blocks are plain RDD storage GC'd with the DataFrame, with no
-    # CacheManager entry whose async unpersist can race a re-submitted
-    # identical plan (back-to-back runs of this function).
-    inv = inv.localCheckpoint(eager=True)
+    if inv is None:
+        docs = df.select(
+            F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+        ).withColumn("n_sh", F.size("sh"))
+        inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
+        if max_df is not None:
+            inv = inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+        # eagerly checkpoint the index (WITH its df window column): one
+        # materialization serves the hot-set probe, both self-join
+        # sides, and the hot-id lookup. localCheckpoint rather than
+        # persist(): the blocks are plain RDD storage GC'd with the
+        # DataFrame, with no CacheManager entry whose async unpersist
+        # can race a re-submitted identical plan (back-to-back runs of
+        # this function).
+        inv = inv.localCheckpoint(eager=True)
+    # a parquet-backed inv needs no checkpoint: the scans behind each
+    # consumer are cheap, parallel, and already materialized on disk
     if max_df is not None:
         cand_inv = inv.where(F.col("_df") <= max_df).drop("_df")
         # docs touching ANY high-df shingle: only their pairs can have
@@ -231,6 +280,7 @@ def minhash_signature(
     num_hashes: int = 32,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of h_i(base(shingle)).
 
@@ -252,24 +302,35 @@ def minhash_signature(
     re-evaluates the whole shingle subexpression inside every hash
     lambda — Catalyst's CollapseProject inlines the projection and no
     CSE crosses lambda scopes — turning 1× shingling into 32×
-    (measured 78 s vs <1 s at sf0.1)."""
-    sh = shingles_col(F.col(text_col), shingle_n)
+    (measured 78 s vs <1 s at sf0.1).
+
+    ``inv``: a pre-built :func:`shingle_index` table — its persisted
+    ``h60`` column replaces both the shingling and the per-shingle md5
+    (md5 mode only), leaving just the integer universal-hash mixes."""
     if hash_fn == "md5":
-        base = lambda g: md5_int60(g) % F.lit(P31)  # noqa: E731
         consts = mix_constants(num_hashes)
         mins = [
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P31)).alias(f"_m{i}")
             for i, (a, b) in enumerate(consts)
         ]
     else:
-        base = F.xxhash64
         mins = [
             F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}") for i in range(num_hashes)
         ]
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.transform(sh, lambda g: base(g))).alias("h"),
-    )
+    if inv is not None:
+        if hash_fn != "md5":
+            raise ValueError("shingle_index carries md5 features; use hash_fn='md5'")
+        exploded = inv.select("id", (F.col("h60") % F.lit(P31)).alias("h"))
+    else:
+        sh = shingles_col(F.col(text_col), shingle_n)
+        if hash_fn == "md5":
+            base = lambda g: md5_int60(g) % F.lit(P31)  # noqa: E731
+        else:
+            base = F.xxhash64
+        exploded = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.transform(sh, lambda g: base(g))).alias("h"),
+        )
     return (
         exploded.groupBy("id")
         .agg(*mins)
@@ -317,6 +378,7 @@ def minhash_dedup(
     threshold: float = 0.7,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with signature-estimated Jaccard
     (fraction of matching signature positions) ≥ threshold.
@@ -331,7 +393,7 @@ def minhash_dedup(
     # branches and would be recomputed per branch otherwise (at scale,
     # signatures are a materialized table). localCheckpoint, not
     # persist(): no CacheManager entry to race on back-to-back runs.
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n, hash_fn) \
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n, hash_fn, inv) \
         .localCheckpoint(eager=True)
     cands = minhash_lsh_candidates(sigs, bands, rows)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -360,6 +422,7 @@ def simhash_df(
     bits: int = 48,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sh) SimHash signatures (48-bit, staying clear of signed-64
     overflow under ANSI mode) over word-``shingle_n``-gram features.
@@ -381,13 +444,18 @@ def simhash_df(
     array-lambda formulation spent ~12 s in JIT), then pack signs into
     one BIGINT.
     """
-    feat = md5_int60 if hash_fn == "md5" else F.xxhash64
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(shingles_col(F.col(text_col), shingle_n), lambda g: feat(g))
-        ).alias("h"),
-    )
+    if inv is not None:
+        if hash_fn != "md5":
+            raise ValueError("shingle_index carries md5 features; use hash_fn='md5'")
+        exploded = inv.select("id", F.col("h60").alias("h"))
+    else:
+        feat = md5_int60 if hash_fn == "md5" else F.xxhash64
+        exploded = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(shingles_col(F.col(text_col), shingle_n), lambda g: feat(g))
+            ).alias("h"),
+        )
     h = F.col("h")
     sums = [
         F.sum(
@@ -410,11 +478,12 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hash_fn: str = "md5",
+    inv: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 12-bit
     chunks (pigeonhole: distance ≤3 ⇒ ≥1 of 4 chunks equal), so the
     join is equi-join on chunk value — never a cross join."""
-    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn).localCheckpoint(eager=True)
+    h = simhash_df(df, text_col, id_col, hash_fn=hash_fn, inv=inv).localCheckpoint(eager=True)
     chunks = h.select(
         "id", "sh",
         F.posexplode(
