@@ -554,6 +554,20 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "content_sha")
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-like frame sampling: mapInPandas emits one row per sampled
+    64-byte window of each payload (every 2nd window — corpus docs are
+    ~50-600 bytes, so the stride still yields multi-frame docs). The stub
+    fingerprint hashes the frame's hex encoding so the sampling
+    plumbing has a real cross-engine oracle."""
+    from v3io_tsdb_spark.functions.multimodal import attach_fake_payload, frame_sample
+
+    docs = attach_fake_payload(load_table(spark, sf_dir, "documents"))
+    return frame_sample(docs, every_n=2).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_sha"
+    )
+
+
 # md5-mode sketches: every hash below is exact integer arithmetic DuckDB
 # reproduces bit-for-bit, so all four sketch queries carry real oracles
 
@@ -701,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_batch_topk": q_emb_batch_topk,
         "emb_near_dup": q_emb_near_dup,
         "mm_extract_features": q_mm_extract_features,
+        "mm_frame_sample": q_mm_frame_sample,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -1351,6 +1366,21 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     """
 
+    # frame_sample stub: payload = utf-8 bytes of text; one frame per
+    # 64*2-byte stride; fingerprint = sha256 of the frame's lowercase
+    # hex (engine hashes chunk.hex() — byte-identical semantics)
+    frame = """
+      WITH d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               greatest(octet_length(encode(text)), 1) AS len
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(off / 128 AS BIGINT) AS frame_idx,
+             sha256(lower(substring(hx, 2 * off + 1, 128))) AS frame_sha
+      FROM d, LATERAL (SELECT unnest(generate_series(0, len - 1, 128)) AS off) s
+    """
+
     raw_filter = f"""
       SELECT epoch_ms(ts) AS t, event_type AS name, value, CAST(user_id AS VARCHAR) AS uid
       FROM events
@@ -1390,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_batch_topk": batch_topk,
         "emb_near_dup": near_dup,
         "mm_extract_features": mm,
+        "mm_frame_sample": frame,
         "doc_minhash_pairs": minhash,
         "doc_simhash_pairs": simhash,
         "emb_lsh_topk": lsh_topk,

@@ -276,3 +276,26 @@ def test_shingle_index_matches_direct_paths(docs, tmp_path_factory, spark):
     assert rows(simhash_near_dup_pairs(docs, max_hamming=3, inv=inv)) == rows(
         simhash_near_dup_pairs(docs, max_hamming=3)
     )
+
+
+def test_frame_sample_windows_and_fingerprints(docs, spark):
+    """frame_sample emits one row per 64-byte window at the every_n
+    stride, fingerprinting each window's hex encoding (the documented
+    oracle-parity stub)."""
+    import hashlib
+
+    from v3io_tsdb_spark.functions.multimodal import attach_fake_payload, frame_sample
+
+    some = attach_fake_payload(docs.orderBy("doc_id").limit(5))
+    out = frame_sample(some, every_n=2).collect()
+    texts = {r["doc_id"]: r["text"] for r in some.select("doc_id", "text").collect()}
+    expect = []
+    for doc_id, text in texts.items():
+        payload = text.encode()
+        for idx, off in enumerate(range(0, max(len(payload), 1), 128)):
+            expect.append(
+                (doc_id, idx, hashlib.sha256(payload[off : off + 64].hex().encode()).hexdigest())
+            )
+    assert sorted((r["doc_id"], r["frame_idx"], r["frame_sha"]) for r in out) == sorted(expect)
+    # multi-frame docs exist (docs are 48-600 bytes at stride 128)
+    assert max(r["frame_idx"] for r in out) >= 1

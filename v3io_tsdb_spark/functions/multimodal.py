@@ -100,7 +100,13 @@ def frame_sample(
     fake: bool = True,
 ) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: emits one row
-    per sampled "frame" (stubbed as fixed-size byte windows)."""
+    per sampled "frame" (stubbed as fixed-size byte windows).
+
+    The stub fingerprint hashes the frame's lowercase-hex encoding
+    (not the raw bytes): SQL engines' sha256 takes VARCHAR, so hashing
+    hex keeps the output reproducible as
+    ``sha256(lower(substring(hex(payload), 2*off+1, 128)))`` — a real
+    cross-engine oracle for the sampling plumbing."""
     if not fake:
         raise NotImplementedError("real video demuxing not available in this environment")
     schema = T.StructType(
@@ -122,7 +128,9 @@ def frame_sample(
                 for idx, off in enumerate(range(0, max(len(payload), 1), 64 * every_n)):
                     out["doc_id"].append(int(doc_id))
                     out["frame_idx"].append(idx)
-                    out["frame_sha"].append(hashlib.sha256(payload[off : off + 64]).hexdigest())
+                    out["frame_sha"].append(
+                        hashlib.sha256(payload[off : off + 64].hex().encode()).hexdigest()
+                    )
             yield pd.DataFrame(out)
 
     return df.select(id_col, binary_col).mapInPandas(_frames, schema)
