@@ -554,6 +554,72 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "content_sha")
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 8-gram
+    with the eval slice (doc_id % 10 == 3 stands in for a benchmark
+    set). Broadcast eval shingles — no corpus shuffle before the
+    per-doc aggregate."""
+    from v3io_tsdb_spark.functions.dedup import decontaminate
+
+    docs = _docs_scattered(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    ev = docs.where(F.col("doc_id") % 10 == 3)
+    return decontaminate(corpus, ev, n=8)
+
+
+def q_doc_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train-val-test assignment (md5-bucket on
+    doc_id) + per (split, lang) corpus stats — the reproducible-split
+    primitive of a training pipeline (hash-stable across runs, engines,
+    and repartitioning, unlike seeded DataFrame.sample)."""
+    from v3io_tsdb_spark.functions.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+def q_events_sampled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of the events fact table (md5-bucket
+    on event_id) -> hourly per-type counts/sums. The always-consistent
+    downsample you run exploratory aggregates on at 100 TB."""
+    from v3io_tsdb_spark.functions.sampling import deterministic_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    ts_ms = (
+        F.expr("ts div 1000000") if ts_type in ("bigint", "long") else F.unix_millis("ts")
+    )
+    return (
+        deterministic_sample(ev, 0.1, "event_id")
+        .withColumn("hour", (ts_ms.cast("long") / F.lit(3_600_000)).cast("long"))
+        .groupBy("hour", F.col("event_type").alias("name"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") + EPS6, 6).alias("sum_value"),
+        )
+    )
+
+
+def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 trigram shingles by document frequency
+    (contamination/boilerplate scan) — served straight from the
+    persisted shingle feature index; ties broken lexically."""
+    inv = _shingle_ensure_index(spark, sf_dir)
+    return (
+        inv.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("g"))
+        .limit(25)
+    )
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-like frame sampling: mapInPandas emits one row per sampled
     64-byte window of each payload (every 2nd window — corpus docs are
@@ -711,6 +777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_split_stats": q_doc_split_stats,
+        "events_sampled_hourly": q_events_sampled_hourly,
+        "doc_top_trigrams": q_doc_top_trigrams,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_batch_topk": q_emb_batch_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1366,6 +1436,55 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     """
 
+    # decontamination: 8-gram shingles, same whole-doc fallback for
+    # short docs as shingles_col
+    decontam = """
+      WITH d AS (
+        SELECT doc_id AS id,
+          list_distinct(
+            CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                 ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+            END) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+      ),
+      ev AS (SELECT id AS eval_id, unnest(sh) AS g FROM d WHERE id % 10 = 3),
+      co AS (SELECT id, unnest(sh) AS g FROM d WHERE id % 10 != 3)
+      SELECT co.id AS doc_id,
+             count(DISTINCT co.g) AS n_shared_ngrams,
+             count(DISTINCT ev.eval_id) AS n_eval_docs,
+             min(ev.eval_id) AS first_eval_id
+      FROM co JOIN ev USING (g)
+      GROUP BY co.id
+    """
+
+    # md5-bucket split: bucket = int60(md5('split' || doc_id)) % 10000,
+    # [0,9000) train / [9000,9500) val / [9500,10000) test
+    split_stats = """
+      WITH b AS (
+        SELECT *, ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bk
+        FROM documents
+      )
+      SELECT CASE WHEN bk < 9000 THEN 'train' WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+      FROM b GROUP BY 1, 2
+    """
+
+    sampled_hourly = """
+      SELECT epoch_ms(ts) // 3600000 AS hour, event_type AS name,
+             count(*) AS n, round(sum(value) + 0.000000001, 6) AS sum_value
+      FROM events
+      WHERE ('0x' || substr(md5('sample' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 1000
+      GROUP BY 1, 2
+    """
+
+    top_trigrams = f"""
+      WITH {shingle_d},
+      inv AS (SELECT id, unnest(sh) AS g FROM d)
+      SELECT g, count(*) AS df FROM inv
+      GROUP BY g ORDER BY df DESC, g LIMIT 25
+    """
+
     # frame_sample stub: payload = utf-8 bytes of text; one frame per
     # 64*2-byte stride; fingerprint = sha256 of the frame's lowercase
     # hex (engine hashes chunk.hex() — byte-identical semantics)
@@ -1416,6 +1535,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact_stats": dedup_stats,
         "doc_ngram_jaccard": jaccard,
         "doc_dedup_clusters": clusters,
+        "doc_decontaminate": decontam,
+        "doc_split_stats": split_stats,
+        "events_sampled_hourly": sampled_hourly,
+        "doc_top_trigrams": top_trigrams,
         "emb_cosine_topk": topk,
         "emb_batch_topk": batch_topk,
         "emb_near_dup": near_dup,

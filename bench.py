@@ -52,6 +52,11 @@ HEADLINE = [
     "emb_lsh_topk",
     "emb_ivf_topk",
     "mm_extract_features",
+    "mm_frame_sample",
+    "doc_decontaminate",
+    "doc_split_stats",
+    "events_sampled_hourly",
+    "doc_top_trigrams",
 ]
 
 

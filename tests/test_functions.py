@@ -299,3 +299,40 @@ def test_frame_sample_windows_and_fingerprints(docs, spark):
     assert sorted((r["doc_id"], r["frame_idx"], r["frame_sha"]) for r in out) == sorted(expect)
     # multi-frame docs exist (docs are 48-600 bytes at stride 128)
     assert max(r["frame_idx"] for r in out) >= 1
+
+
+def test_assign_split_deterministic_proportions(docs, spark):
+    from v3io_tsdb_spark.functions.sampling import assign_split
+
+    out = assign_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"} and counts["train"] > 0
+    n = sum(counts.values())
+    assert n == 500
+    assert 0.8 < counts["train"] / n < 0.97  # 90% ±
+    # repartitioning must not move any row between splits
+    again = assign_split(docs.repartition(13), "doc_id")
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_deterministic_sample_stable(docs, spark):
+    from v3io_tsdb_spark.functions.sampling import deterministic_sample
+
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, 0.2, "doc_id").select("doc_id").collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(docs.repartition(7), 0.2, "doc_id").select("doc_id").collect()}
+    assert s1 == s2 and 0.1 < len(s1) / 500 < 0.3
+    # different salt draws a different (decorrelated) set
+    s3 = {r["doc_id"] for r in deterministic_sample(docs, 0.2, "doc_id", salt="other").select("doc_id").collect()}
+    assert s3 != s1
+
+
+def test_decontaminate_flags_eval_members(docs, spark):
+    from v3io_tsdb_spark.functions.dedup import decontaminate
+
+    ev = docs.where(F.col("doc_id") < 3)
+    out = {r["doc_id"]: r for r in decontaminate(docs, ev, n=8).collect()}
+    # eval docs are in the corpus here, so each is contaminated by itself
+    for i in range(3):
+        assert i in out and out[i]["n_eval_docs"] >= 1 and out[i]["first_eval_id"] <= i

@@ -271,6 +271,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the overlap with
+    an eval/benchmark set measured in shared word ``n``-grams (the
+    standard 8-gram contamination test for training corpora).
+
+    Returns one row per CONTAMINATED corpus doc:
+    ``(doc_id, n_shared_ngrams, n_eval_docs, first_eval_id)``.
+
+    100 TB design: the eval side is benchmark-sized (thousands of
+    docs), so its exploded shingle table is broadcast — the corpus side
+    streams map-side through the hash join with no corpus shuffle; the
+    only shuffle is the per-doc aggregate of join hits. Docs shorter
+    than ``n`` tokens contribute their whole text as one shingle
+    (same fallback as :func:`shingles_col`).
+    """
+    cg = corpus.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("g")
+    )
+    eg = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        cg.join(F.broadcast(eg), "g")
+        .groupBy("id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 def minhash_signature(

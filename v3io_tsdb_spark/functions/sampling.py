@@ -1,0 +1,67 @@
+"""Deterministic sampling / train-val-test splitting for training-data
+pipelines.
+
+Everything here is HASH-derived, never random: the same row lands in
+the same split/sample on every run, on every engine, at any
+parallelism — the property a 100 TB pipeline needs so that re-runs,
+backfills, and incremental appends are consistent, and the property
+that makes these operators oracle-checkable in plain SQL. The bucket
+hash reuses the md5-int60 trick from the dedup sketches
+(``('0x' || substr(md5(x), 1, 15))::BIGINT`` in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.functions.dedup import md5_int60
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket_col(key: Column, salt: str = "") -> Column:
+    """Uniform bucket in [0, N_BUCKETS) from md5(salt || key).
+
+    The salt decorrelates independent uses (a sample drawn with one
+    salt is unbiased within a split drawn with another).
+    """
+    return md5_int60(F.concat(F.lit(salt), key.cast("string"))) % F.lit(N_BUCKETS)
+
+
+def split_col(key: Column, weights: dict[str, float], salt: str = "split") -> Column:
+    """Deterministic split label from cumulative weight ranges over the
+    hash bucket: ``{"train": .9, "val": .05, "test": .05}`` maps bucket
+    [0,9000) → train, [9000,9500) → val, [9500,10000) → test."""
+    total = sum(weights.values())
+    bucket = hash_bucket_col(key, salt)
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        hi = int(round(acc / total * N_BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic train/val/test split column."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(out_col, split_col(F.col(key_col), weights, salt))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — stable across
+    runs and engines, unlike ``DataFrame.sample`` (seeded per-partition
+    RNG, changes under repartitioning)."""
+    hi = int(round(fraction * N_BUCKETS))
+    return df.where(hash_bucket_col(F.col(key_col), salt) < F.lit(hi))
