@@ -183,3 +183,59 @@ def test_stream_sessions_helper(tmp_path, spark):
     assert [(r["session_start"], r["n_events"], r["sum_value"]) for r in rows] == [
         (T0, 2, 4.0)
     ]
+
+
+def test_stream_counter_increase_state_across_batches(tmp_path, spark):
+    """applyInPandasWithState counter→increase: deltas seed from the
+    state store ACROSS micro-batches, and a counter drop is a reset
+    (the new value is the whole increase)."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_counter_increase
+
+    in_dir = tmp_path / "ctr_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ctr_ckpt")
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"ts": T0, "name": "req", "value": 5.0},
+                {"ts": T0 + MIN, "name": "req", "value": 9.0},
+                {"ts": T0, "name": "err", "value": 1.0},
+            ]
+        )
+    )
+    raw = spark.readStream.schema("ts long, name string, value double").json(str(in_dir))
+    out = stream_counter_increase(raw)
+    q = (
+        out.writeStream.format("memory").queryName("ctr_out")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: cross-batch delta for req (9→12) and a reset (12→3);
+        # err continues from state 1→4
+        (in_dir / "b2.json").write_text(
+            "\n".join(
+                json.dumps(d)
+                for d in [
+                    {"ts": T0 + 2 * MIN, "name": "req", "value": 12.0},
+                    {"ts": T0 + 3 * MIN, "name": "req", "value": 3.0},
+                    {"ts": T0 + 2 * MIN, "name": "err", "value": 4.0},
+                ]
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["series_key"], r["ts"]): r["increase"]
+        for r in spark.sql("SELECT * FROM ctr_out").collect()
+    }
+    assert rows == {
+        ("req", T0 + MIN): 4.0,      # 5 → 9
+        ("req", T0 + 2 * MIN): 3.0,  # 9 → 12 (cross-batch, from state)
+        ("req", T0 + 3 * MIN): 3.0,  # 12 → 3: reset, increase = 3
+        ("err", T0 + 2 * MIN): 3.0,  # 1 → 4 (cross-batch)
+    }
