@@ -620,6 +620,22 @@ def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-count percentiles (p50/p90/p99) — the
+    length-distribution profile a corpus-quality pass reports. Exact
+    percentile (both engines interpolate identically); at 100 TB swap
+    F.percentile for percentile_approx and widen the oracle tolerance."""
+    from v3io_tsdb_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", token_count_col(F.col("text")).alias("n_tokens"))
+    return toks.groupBy("lang").agg(
+        F.round(F.percentile("n_tokens", 0.5) + EPS6, 6).alias("p50"),
+        F.round(F.percentile("n_tokens", 0.9) + EPS6, 6).alias("p90"),
+        F.round(F.percentile("n_tokens", 0.99) + EPS6, 6).alias("p99"),
+    )
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-like frame sampling: mapInPandas emits one row per sampled
     64-byte window of each payload (every 2nd window — corpus docs are
@@ -781,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_stats": q_doc_split_stats,
         "events_sampled_hourly": q_events_sampled_hourly,
         "doc_top_trigrams": q_doc_top_trigrams,
+        "doc_token_quantiles": q_doc_token_quantiles,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_batch_topk": q_emb_batch_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1478,6 +1495,18 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY 1, 2
     """
 
+    token_quantiles = """
+      WITH t AS (
+        SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+        FROM documents
+      )
+      SELECT lang,
+             round(quantile_cont(n_tokens, 0.5) + 0.000000001, 6) AS p50,
+             round(quantile_cont(n_tokens, 0.9) + 0.000000001, 6) AS p90,
+             round(quantile_cont(n_tokens, 0.99) + 0.000000001, 6) AS p99
+      FROM t GROUP BY lang
+    """
+
     top_trigrams = f"""
       WITH {shingle_d},
       inv AS (SELECT id, unnest(sh) AS g FROM d)
@@ -1539,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_stats": split_stats,
         "events_sampled_hourly": sampled_hourly,
         "doc_top_trigrams": top_trigrams,
+        "doc_token_quantiles": token_quantiles,
         "emb_cosine_topk": topk,
         "emb_batch_topk": batch_topk,
         "emb_near_dup": near_dup,

@@ -57,6 +57,7 @@ HEADLINE = [
     "doc_split_stats",
     "events_sampled_hourly",
     "doc_top_trigrams",
+    "doc_token_quantiles",
 ]
 
 
