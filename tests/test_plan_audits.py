@@ -1,0 +1,71 @@
+"""Physical-plan audits for the training-pipeline operators: the
+properties that make them survive 100x data are asserted on the plan
+itself, not inferred from small-scale timings (SCALE.md)."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval/benchmark side must broadcast: the corpus side streams
+    map-side with no shuffle before the per-doc aggregate."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.dedup import decontaminate
+
+    docs = load_table(spark, SF, "documents")
+    out = decontaminate(docs.where(F.col("doc_id") % 10 != 3),
+                        docs.where(F.col("doc_id") % 10 == 3), n=8)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_indexed_sketches_never_touch_text(spark, tmp_path):
+    """Sketch queries served from the persisted shingle index must not
+    re-read or re-shingle the raw text: no regex split, no md5, and no
+    scan of the documents table in the plan."""
+    from pyspark.sql.functions import broadcast  # noqa: F401
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.dedup import (
+        minhash_dedup,
+        ngram_jaccard_pairs,
+        shingle_write_index,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "shidx")
+    shingle_write_index(docs, path)
+    inv = spark.read.parquet(path)
+
+    for df in (
+        minhash_dedup(docs, threshold=0.5, inv=inv),
+        simhash_near_dup_pairs(docs, max_hamming=3, inv=inv),
+    ):
+        plan = _plan(df)
+        assert "split(" not in plan and "md5(" not in plan
+        assert "documents.parquet" not in plan
+    # jaccard keeps the corpus handle ONLY for the rare hot-pair verify
+    # branch; when no shingle exceeds the cap the executed plan reads
+    # just the index
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, max_df=100, inv=inv)
+    plan = _plan(jac)
+    assert "split(" not in plan and "documents.parquet" not in plan
+
+
+def test_deterministic_sample_is_scan_side_filter(spark):
+    """The hash-sample predicate evaluates inside the scan stage (a
+    Filter over the file scan — no shuffle, no Python), so at 100 TB
+    the sample never materializes the unsampled table."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.sampling import deterministic_sample
+
+    ev = load_table(spark, SF, "events")
+    out = deterministic_sample(ev, 0.1, "event_id")
+    plan = _plan(out)
+    assert "Filter" in plan and "Exchange" not in plan and "BatchEvalPython" not in plan
