@@ -462,20 +462,22 @@ def q_doc_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(_docs_scattered(spark, sf_dir))
 
 
-def _shingle_ensure_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once persisted shingle feature table (dedup.shingle_index:
-    id, n_sh, g, h60, _df) shared by the jaccard / minhash / simhash /
-    cluster queries — the deployed shape: shingling, md5 feature
-    hashing, and df counting run once per corpus, every sketch query
-    reads the parquet. Keyed by sf dir; _v1 versions the layout."""
+def _shingle_ensure_index(spark: SparkSession, sf_dir: str):
+    """Build-once persisted shingle feature index (dedup.shingle_index:
+    append-only postings (id, n_sh, g, h60) + small (g, df) sidecar)
+    shared by the jaccard / minhash / simhash / cluster / top-trigram
+    queries — the deployed shape: shingling, md5 feature hashing, and
+    df counting run once per corpus, every sketch query reads the
+    parquet; ingest appends via shingle_append_index. Keyed by sf dir;
+    _v2 versions the layout."""
     import os
 
-    from v3io_tsdb_spark.functions.dedup import shingle_write_index
+    from v3io_tsdb_spark.functions.dedup import read_shingle_index, shingle_write_index
 
-    path = f"/tmp/spark_graft_shingle3_v1_{os.path.basename(os.path.normpath(sf_dir))}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    path = f"/tmp/spark_graft_shingle3_v2_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(path, "df", "_SUCCESS")):
         shingle_write_index(_docs_scattered(spark, sf_dir), path)
-    return spark.read.parquet(path)
+    return read_shingle_index(spark, path)
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,14 +612,10 @@ def q_events_sampled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 trigram shingles by document frequency
     (contamination/boilerplate scan) — served straight from the
-    persisted shingle feature index; ties broken lexically."""
-    inv = _shingle_ensure_index(spark, sf_dir)
-    return (
-        inv.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.col("df").desc(), F.col("g"))
-        .limit(25)
-    )
+    persisted index's df SIDECAR (no postings scan, no aggregation:
+    a TakeOrdered over the vocabulary table); ties broken lexically."""
+    _postings, dfs = _shingle_ensure_index(spark, sf_dir)
+    return dfs.orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
 def q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -256,13 +256,14 @@ def test_shingle_index_matches_direct_paths(docs, tmp_path_factory, spark):
     from v3io_tsdb_spark.functions.dedup import (
         minhash_dedup,
         ngram_jaccard_pairs,
+        read_shingle_index,
         shingle_write_index,
         simhash_near_dup_pairs,
     )
 
     path = str(tmp_path_factory.mktemp("shidx") / "idx")
     shingle_write_index(docs, path)
-    inv = spark.read.parquet(path)
+    inv = read_shingle_index(spark, path)
 
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
@@ -336,3 +337,29 @@ def test_decontaminate_flags_eval_members(docs, spark):
     # eval docs are in the corpus here, so each is contaminated by itself
     for i in range(3):
         assert i in out and out[i]["n_eval_docs"] >= 1 and out[i]["first_eval_id"] <= i
+
+
+def test_shingle_append_index_incremental(docs, tmp_path_factory, spark):
+    """Appending docs to a persisted index (append-only postings +
+    merged df sidecar) must yield the SAME index state as building from
+    the full corpus — including df counts, which gate the jaccard
+    hot-shingle cap."""
+    from v3io_tsdb_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+        read_shingle_index,
+        shingle_append_index,
+        shingle_write_index,
+    )
+
+    base = tmp_path_factory.mktemp("shidx_app")
+    inc_path, full_path = str(base / "inc"), str(base / "full")
+    shingle_write_index(docs.where(F.col("doc_id") < 400), inc_path)
+    shingle_append_index(docs.where(F.col("doc_id") >= 400), inc_path)
+    shingle_write_index(docs, full_path)
+    inc, full = read_shingle_index(spark, inc_path), read_shingle_index(spark, full_path)
+    assert sorted(map(tuple, inc[0].collect())) == sorted(map(tuple, full[0].collect()))
+    assert sorted(map(tuple, inc[1].collect())) == sorted(map(tuple, full[1].collect()))
+    # and the query result off the appended index matches direct
+    a = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=100, inv=inc).collect())
+    b = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect())
+    assert a == b

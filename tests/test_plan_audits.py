@@ -34,6 +34,7 @@ def test_indexed_sketches_never_touch_text(spark, tmp_path):
     from v3io_tsdb_spark.functions.dedup import (
         minhash_dedup,
         ngram_jaccard_pairs,
+        read_shingle_index,
         shingle_write_index,
         simhash_near_dup_pairs,
     )
@@ -41,7 +42,7 @@ def test_indexed_sketches_never_touch_text(spark, tmp_path):
     docs = load_table(spark, SF, "documents")
     path = str(tmp_path / "shidx")
     shingle_write_index(docs, path)
-    inv = spark.read.parquet(path)
+    inv = read_shingle_index(spark, path)
 
     for df in (
         minhash_dedup(docs, threshold=0.5, inv=inv),

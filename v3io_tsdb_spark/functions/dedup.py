@@ -100,28 +100,27 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 def shingle_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """The exploded shingle FEATURE TABLE every text sketch shares:
-    ``(id, n_sh, g, h60, _df)`` — one row per (doc, distinct shingle),
-    with the doc's shingle count, the md5-derived 60-bit feature hash,
-    and the shingle's corpus document frequency.
+    """The exploded shingle POSTINGS table every text sketch shares:
+    ``(id, n_sh, g, h60)`` — one row per (doc, distinct shingle), with
+    the doc's shingle count and the md5-derived 60-bit feature hash.
 
     This is the build-once artifact of a production dedup pipeline:
-    shingling + feature hashing + df counting run ONCE over the corpus,
-    then n-gram Jaccard joins on ``g`` (df-capped), MinHash reduces
-    ``h60 % P31`` through the universal-hash family, and SimHash votes
-    on ``h60``'s bits — none of them re-touch the raw text. Persist
-    with :func:`shingle_write_index` and pass the read-back table as
-    the ``inv=`` argument of :func:`ngram_jaccard_pairs`,
-    :func:`minhash_dedup` / :func:`minhash_signature`, and
-    :func:`simhash_near_dup_pairs` / :func:`simhash_df`.
+    shingling + feature hashing run ONCE over the corpus, then n-gram
+    Jaccard joins on ``g``, MinHash reduces ``h60 % P31`` through the
+    universal-hash family, and SimHash votes on ``h60``'s bits — none
+    of them re-touch the raw text. Persist with
+    :func:`shingle_write_index` (which also maintains the ``(g, df)``
+    document-frequency sidecar) and pass the
+    :func:`read_shingle_index` result as the ``inv=`` argument of
+    :func:`ngram_jaccard_pairs`, :func:`minhash_dedup` /
+    :func:`minhash_signature`, and :func:`simhash_near_dup_pairs` /
+    :func:`simhash_df`.
     """
     docs = df.select(
         F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    return (
-        docs.select("id", "n_sh", F.explode("sh").alias("g"))
-        .withColumn("h60", md5_int60(F.col("g")))
-        .withColumn("_df", F.count("*").over(Window.partitionBy("g")))
+    return docs.select("id", "n_sh", F.explode("sh").alias("g")).withColumn(
+        "h60", md5_int60(F.col("g"))
     )
 
 
@@ -132,8 +131,68 @@ def shingle_write_index(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> None:
-    """Persist :func:`shingle_index` as parquet at ``path``."""
-    shingle_index(df, text_col, id_col, n).write.mode("overwrite").parquet(path)
+    """Persist the shingle index at ``path``: ``path/postings``
+    (id, n_sh, g, h60 — append-only) and ``path/df`` (g, df — the
+    small document-frequency sidecar).
+
+    The split layout is what makes the index APPEND-MAINTAINABLE at
+    corpus scale (:func:`shingle_append_index`): new docs only append
+    postings and merge the df sidecar; nothing rewrites existing
+    posting rows. (A per-posting df column — the obvious layout — goes
+    stale the moment any new doc shares a shingle, forcing a full
+    index rewrite per batch.)
+    """
+    import os
+
+    postings = shingle_index(df, text_col, id_col, n)
+    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    back = df.sparkSession.read.parquet(os.path.join(path, "postings"))
+    back.groupBy("g").agg(F.count("*").alias("df")).write.mode("overwrite").parquet(
+        os.path.join(path, "df")
+    )
+
+
+def shingle_append_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Incrementally add documents to a persisted shingle index:
+    append the new postings, merge their counts into the df sidecar.
+    Only the (small) sidecar is rewritten — the 100 TB maintenance
+    path, where re-deriving the full index per ingest batch is not an
+    option."""
+    import os
+
+    spark = new_docs.sparkSession
+    # materialize the batch once: the parquet append and the df merge
+    # both consume it (no double shingling)
+    newp = shingle_index(new_docs, text_col, id_col, n).localCheckpoint(eager=True)
+    newp.write.mode("append").parquet(os.path.join(path, "postings"))
+    newd = newp.groupBy("g").agg(F.count("*").alias("df"))
+    # merge into the sidecar; localCheckpoint materializes the merge
+    # BEFORE the overwrite (Spark cannot lazily read a path it is
+    # replacing)
+    old = spark.read.parquet(os.path.join(path, "df"))
+    merged = (
+        old.unionByName(newd)
+        .groupBy("g")
+        .agg(F.sum("df").alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(path, "df"))
+
+
+def read_shingle_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(postings, df_sidecar) handles for a persisted shingle index."""
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "df")),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -165,37 +224,52 @@ def ngram_jaccard_pairs(
     aggregate shuffle without affecting the qualifying set. Returns
     (id_a, id_b, jaccard) with id_a < id_b.
 
-    ``inv``: a pre-built :func:`shingle_index` table (typically read
-    back from :func:`shingle_write_index` parquet). When given, the
-    shingling/df pipeline is skipped entirely — the deployed shape,
-    where the feature table is built once and queried many times.
+    ``inv``: a pre-built shingle index as the ``(postings, df_sidecar)``
+    pair from :func:`read_shingle_index`. When given, the shingling/df
+    pipeline is skipped entirely — the deployed shape, where the
+    feature table is built once (and appended to incrementally) and
+    queried many times.
     """
     if inv is None:
         docs = df.select(
             F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
         ).withColumn("n_sh", F.size("sh"))
-        inv = docs.select("id", "n_sh", F.explode("sh").alias("g"))
-        if max_df is not None:
-            inv = inv.withColumn("_df", F.count("*").over(Window.partitionBy("g")))
-        # eagerly checkpoint the index (WITH its df window column): one
-        # materialization serves the hot-set probe, both self-join
-        # sides, and the hot-id lookup. localCheckpoint rather than
-        # persist(): the blocks are plain RDD storage GC'd with the
-        # DataFrame, with no CacheManager entry whose async unpersist
-        # can race a re-submitted identical plan (back-to-back runs of
-        # this function).
-        inv = inv.localCheckpoint(eager=True)
-    # a parquet-backed inv needs no checkpoint: the scans behind each
-    # consumer are cheap, parallel, and already materialized on disk
-    if max_df is not None:
-        cand_inv = inv.where(F.col("_df") <= max_df).drop("_df")
-        # docs touching ANY high-df shingle: only their pairs can have
-        # shared shingles missing from the capped index, so only they
-        # need the (expensive) exact array verify. Empty on any corpus
-        # where the cap never fires.
-        hot_ids = inv.where(F.col("_df") > max_df).select("id").distinct()
+        # eagerly checkpoint the postings: one materialization serves
+        # the df aggregate, both self-join sides, and the hot-id
+        # lookup. localCheckpoint rather than persist(): the blocks are
+        # plain RDD storage GC'd with the DataFrame, with no
+        # CacheManager entry whose async unpersist can race a
+        # re-submitted identical plan (back-to-back runs).
+        postings = docs.select(
+            "id", "n_sh", F.explode("sh").alias("g")
+        ).localCheckpoint(eager=True)
+        dfs = postings.groupBy("g").agg(F.count("*").alias("df"))
     else:
-        cand_inv = inv
+        # parquet-backed: no checkpoint needed, the scans behind each
+        # consumer are cheap, parallel, and already materialized on disk
+        postings, dfs = inv
+    if max_df is not None:
+        # the above-cap shingle set is stop-shingle-small by
+        # construction → broadcast anti-/semi-joins, never a shuffle of
+        # the postings on df. (A per-posting df column would couple the
+        # postings layout to the whole corpus and break incremental
+        # appends.)
+        hot = dfs.where(F.col("df") > max_df).select("g").localCheckpoint(eager=True)
+        if hot.isEmpty():
+            cand_inv = postings
+            hot_ids = None
+        else:
+            cand_inv = postings.join(F.broadcast(hot), "g", "left_anti")
+            # docs touching ANY high-df shingle: only their pairs can
+            # have shared shingles missing from the capped index, so
+            # only they need the (expensive) exact array verify.
+            hot_ids = (
+                postings.join(F.broadcast(hot), "g", "left_semi")
+                .select("id")
+                .distinct()
+            )
+    else:
+        cand_inv = postings
         hot_ids = None
     # Candidate pairs AND their intersection size in ONE map-side-
     # combinable aggregate: each shared capped shingle contributes one
@@ -221,10 +295,10 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     # The verify branch below would recompute the whole shingling
-    # pipeline for BOTH doc-array sides, so gate it on an actual probe:
-    # on most corpora no shingle exceeds the cap and the probe is one
-    # small aggregate over the cached inverted index.
-    if hot_ids is not None and not hot_ids.isEmpty():
+    # pipeline for BOTH doc-array sides; it only exists when the hot
+    # set probe above found an over-cap shingle (on most corpora it
+    # never fires).
+    if hot_ids is not None:
         # flag pairs touching a hot doc; hot is small by construction
         # (AQE broadcasts it), and the flagged pair table is snapshotted
         # so the clean/dirty split doesn't recompute the self-join
@@ -360,7 +434,8 @@ def minhash_signature(
     if inv is not None:
         if hash_fn != "md5":
             raise ValueError("shingle_index carries md5 features; use hash_fn='md5'")
-        exploded = inv.select("id", (F.col("h60") % F.lit(P31)).alias("h"))
+        postings = inv[0] if isinstance(inv, tuple) else inv
+        exploded = postings.select("id", (F.col("h60") % F.lit(P31)).alias("h"))
     else:
         sh = shingles_col(F.col(text_col), shingle_n)
         if hash_fn == "md5":
@@ -487,7 +562,8 @@ def simhash_df(
     if inv is not None:
         if hash_fn != "md5":
             raise ValueError("shingle_index carries md5 features; use hash_fn='md5'")
-        exploded = inv.select("id", F.col("h60").alias("h"))
+        postings = inv[0] if isinstance(inv, tuple) else inv
+        exploded = postings.select("id", F.col("h60").alias("h"))
     else:
         feat = md5_int60 if hash_fn == "md5" else F.xxhash64
         exploded = df.select(
