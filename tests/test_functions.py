@@ -216,16 +216,24 @@ def test_lsh_persisted_index_search(emb, spark, tmp_path):
     assert "PartitionFilters" in plan and "sig" in plan
 
 
-def test_connected_components_chain_and_clusters(spark):
-    """Min-label propagation converges on a multi-hop chain (diameter >
-    1 forces real iteration) plus a disjoint pair and picks min-id
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("small_cutoff", [1_000_000, 0])
+def test_connected_components_chain_and_clusters(spark, small_cutoff):
+    """Both CC paths (driver union-find / distributed min-label
+    propagation) converge on a multi-hop chain (diameter > 1 forces
+    real iteration) plus a disjoint pair and pick min-id
     representatives."""
     from v3io_tsdb_spark.functions.dedup import connected_components, dedup_clusters
 
     edges = spark.createDataFrame(
         [(5, 3), (3, 9), (9, 7), (20, 21)], "id_a long, id_b long"
     )
-    cc = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    cc = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, small_cutoff=small_cutoff).collect()
+    }
     assert cc == {3: 3, 5: 3, 9: 3, 7: 3, 20: 20, 21: 20}
     keep = {r["id"]: r["keep"] for r in dedup_clusters(edges).collect()}
     assert keep == {3: True, 5: False, 9: False, 7: False, 20: True, 21: False}
@@ -235,7 +243,8 @@ def test_connected_components_long_chain_halving(spark):
     """Path halving converges in O(log n) rounds: a 40-hop chain far
     exceeds plain propagation's reach at max_iter=10 but the
     pointer-doubled variant finishes, and non-convergence raises
-    instead of returning split components."""
+    instead of returning split components. (small_cutoff=0 forces the
+    distributed path; the default would take driver union-find.)"""
     import pytest
     from v3io_tsdb_spark.functions.dedup import connected_components
 
@@ -243,10 +252,33 @@ def test_connected_components_long_chain_halving(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
-    cc = {r["id"]: r["comp"] for r in connected_components(edges, max_iter=10).collect()}
+    cc = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, max_iter=10, small_cutoff=0).collect()
+    }
     assert set(cc.values()) == {0} and len(cc) == n + 1
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, small_cutoff=0)
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and distributed propagation produce identical
+    (id, comp) labelings on a random graph."""
+    import random
+
+    from v3io_tsdb_spark.functions.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(90)],
+        "id_a long, id_b long",
+    )
+    fast = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    dist = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, small_cutoff=0).collect()
+    }
+    assert fast == dist
 
 
 def test_shingle_index_matches_direct_paths(docs, tmp_path_factory, spark):
