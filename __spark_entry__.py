@@ -284,6 +284,57 @@ def q_tsdb_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase matched to the user's latest click
+    at-or-before it (LEFT: purchases with no prior click keep NULLs).
+    Generalizes the reference's seek-based prev-sample lookup
+    (ref: pkg/pquerier/chunkIterator.go:77-171 Seek,
+    pkg/pquerier/interpolate.go:75-88) into a public operator. Runs
+    the bucketed two-level path (1d buckets) — the plan that bounds
+    task size under per-user skew at 100 TB."""
+    from v3io_tsdb_spark.operators.asof import asof_join
+
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    left = _uid(q.select(SelectParams(name="purchase", from_time=F0, to_time=T1))).select(
+        "uid", "t", F.col("value").alias("purchase_value")
+    )
+    right = _uid(q.select(SelectParams(name="click", from_time=F0, to_time=T1))).select(
+        "uid", "t", F.col("value").alias("click_value")
+    )
+    res = asof_join(
+        left, right, on="t", by=["uid"], value_cols=["click_value"], bucket_ms=DAY
+    )
+    return res.select(
+        "uid", "t", "purchase_value",
+        F.col("t_r").alias("click_t"), F.col("click_value_r").alias("click_value"),
+    )
+
+
+def q_tsdb_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: 30m click sessions × purchases falling
+    inside each session's [start, end) — bucketized into a hash
+    equi-join on (uid, 6h bucket), never a nested-loop inequality
+    join. Composes X12 sessionization with the interval operator."""
+    from v3io_tsdb_spark.operators.intervals import range_join
+    from v3io_tsdb_spark.operators.sessions import sessionize
+
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    clicks = _uid(q.select(SelectParams(name="click", from_time=F0, to_time=T1)))
+    intervals = sessionize(clicks, "30m", ts_col="t", group_cols=("uid",)).select(
+        "uid", F.col("session_start").alias("start"), F.col("session_end").alias("end")
+    )
+    purchases = _uid(
+        q.select(SelectParams(name="purchase", from_time=F0, to_time=T1))
+    ).select("uid", "t", "value")
+    j = range_join(
+        intervals, purchases, point_ts="t", by=["uid"], bucket_ms=6 * HOUR
+    )
+    return j.groupBy("uid", "start", "end").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("value") + EPS4, 4).alias("sum_purchase"),
+    )
+
+
 def q_tsdb_variant_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variant (string) metric raw select (M9): events.props as a
     string-valued series (raw-ts rider → pushed range predicate)."""
@@ -779,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
         "tsdb_session_30m": q_tsdb_session_30m,
+        "tsdb_asof_join": q_tsdb_asof_join,
+        "tsdb_range_join": q_tsdb_range_join,
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1019,6 +1072,54 @@ def oracle_sql() -> dict[str, str]:
       SELECT name, uid, min(t) AS session_start, max(t) + 1800000 AS session_end,
              count(*) AS n_events, round(sum(value) + 0.0000001, 4) AS sum_value
       FROM i GROUP BY name, uid, island
+    """
+
+    # LEFT ASOF: DuckDB's native ASOF JOIN is the ground truth for the
+    # operator's backward-inclusive semantics (greatest r.t <= l.t).
+    asof = f"""
+      WITH l AS (
+        SELECT CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts) AS t, value AS purchase_value
+        FROM events WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {F0} AND {T1}
+      ),
+      r AS (
+        SELECT CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts) AS t, value AS click_value
+        FROM events WHERE event_type = 'click' AND epoch_ms(ts) BETWEEN {F0} AND {T1}
+      )
+      SELECT l.uid, l.t, l.purchase_value, r.t AS click_t, r.click_value
+      FROM l ASOF LEFT JOIN r ON l.uid = r.uid AND l.t >= r.t
+    """
+
+    # click sessions (same island logic as session_30m, click-only,
+    # grouped by uid) × purchases in [start, end) via plain inequality
+    # join — DuckDB's optimizer handles the small local case; the
+    # engine side uses the bucketized equi-join.
+    rangejoin = f"""
+      WITH c AS (
+        SELECT CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts) AS t
+        FROM events WHERE event_type = 'click' AND epoch_ms(ts) BETWEEN {F0} AND {T1}
+      ),
+      m AS (
+        SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS brk
+        FROM c WINDOW w AS (PARTITION BY uid ORDER BY t)
+      ),
+      i AS (
+        SELECT *, sum(brk) OVER (PARTITION BY uid ORDER BY t ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+      ),
+      sess AS (
+        SELECT uid, min(t) AS start, max(t) + 1800000 AS "end"
+        FROM i GROUP BY uid, island
+      ),
+      p AS (
+        SELECT CAST(user_id AS VARCHAR) AS uid, epoch_ms(ts) AS t, value
+        FROM events WHERE event_type = 'purchase' AND epoch_ms(ts) BETWEEN {F0} AND {T1}
+      )
+      SELECT sess.uid, sess.start, sess."end",
+             count(*) AS n_purchases,
+             round(sum(p.value) + 0.0000001, 4) AS sum_purchase
+      FROM sess JOIN p ON p.uid = sess.uid AND p.t >= sess.start AND p.t < sess."end"
+      GROUP BY sess.uid, sess.start, sess."end"
     """
 
     variant_raw = f"""
@@ -1550,6 +1651,8 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_overlapping_windows": overlapping,
         "tsdb_sql_frontend": sql_frontend,
         "tsdb_session_30m": session_30m,
+        "tsdb_asof_join": asof,
+        "tsdb_range_join": rangejoin,
         "tsdb_variant_raw": variant_raw,
         "tsdb_variant_mixed_frame": mixed_frame,
         "tpch_q1_pricing": q1,
