@@ -642,13 +642,11 @@ def q_events_sampled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% sample of the events fact table (md5-bucket
     on event_id) -> hourly per-type counts/sums. The always-consistent
     downsample you run exploratory aggregates on at 100 TB."""
+    from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.functions.sampling import deterministic_sample
 
     ev = load_table(spark, sf_dir, "events")
-    ts_type = dict(ev.dtypes)["ts"]
-    ts_ms = (
-        F.expr("ts div 1000000") if ts_type in ("bigint", "long") else F.unix_millis("ts")
-    )
+    ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
     return (
         deterministic_sample(ev, 0.1, "event_id")
         .withColumn("hour", (ts_ms.cast("long") / F.lit(3_600_000)).cast("long"))

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.labels import series_id_col
@@ -28,7 +28,48 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The driver has shipped `ts` as naive timestamp[us] (Spark 4 reads
+        # it as TIMESTAMP_NTZ). The hash-matching semantics is wall-clock-UTC
+        # (DuckDB reads the same naive value as UTC), so pin the session tz:
+        # the ntz→ltz cast below then interprets the wall clock as UTC.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_millis(ts_col: str, ts_type: str) -> Column:
+    """Exact epoch-ms expression for a driver ``ts`` column of any dtype.
+
+    The driver has regenerated testdata with three different on-disk types
+    across rounds; this is the single conversion contract for all of them:
+
+    - ``bigint``/``long`` — int64 ns epochs (``nanosAsLong`` read of
+      parquet timestamp[ns]): exact integer division, never float (ns
+      epochs exceed 2^53).
+    - ``timestamp_ntz`` — Spark 4's read of tz-less parquet timestamp[us]:
+      cast through ``timestamp_ltz`` with the session timezone pinned to
+      UTC (``load_table``), so the naive wall clock is interpreted as UTC
+      — matching DuckDB's reading of the same value.
+    - ``timestamp`` — already an instant; ``unix_millis`` directly.
+
+    Reference stores ms epochs (ref: pkg/appender/appender.go:42-43).
+    """
+    if ts_type in ("bigint", "long"):
+        return F.expr(f"{ts_col} div 1000000")
+    if ts_type == "timestamp_ntz":
+        return F.unix_millis(F.col(ts_col).cast("timestamp_ltz"))
+    return F.unix_millis(F.col(ts_col))
+
+
+def ts_raw_rider(ts_col: str, ts_type: str) -> Column:
+    """The native column aliased for pushdown-capable range clamps.
+
+    ``Querier._scan`` mirrors its derived-ms clamp onto this plain column
+    so the range predicate reaches the Parquet scan (row-group / page
+    pruning) — a predicate on the derived ms expression cannot.
+    """
+    if ts_type in ("bigint", "long"):
+        return F.col(ts_col).alias("_ts_raw_ns")
+    return F.col(ts_col).alias("_ts_raw_ts")
 
 
 def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,12 +83,8 @@ def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
-    if ts_type in ("bigint", "long"):
-        ts_ms = F.expr("ts div 1000000")  # exact integer ns→ms
-        raw = F.col("ts").alias("_ts_raw_ns")
-    else:
-        ts_ms = F.unix_millis(F.col("ts"))
-        raw = F.col("ts").alias("_ts_raw_ts")
+    ts_ms = ts_millis("ts", ts_type)
+    raw = ts_raw_rider("ts", ts_type)
     df = ev.select(
         ts_ms.cast("long").alias("ts"),
         raw,
@@ -77,12 +114,8 @@ def events_as_string_samples(
     """
     ev = load_table(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
-    if ts_type in ("bigint", "long"):
-        ts_ms = F.expr("ts div 1000000")
-        raw = F.col("ts").alias("_ts_raw_ns")
-    else:
-        ts_ms = F.unix_millis(F.col("ts"))
-        raw = F.col("ts").alias("_ts_raw_ts")
+    ts_ms = ts_millis("ts", ts_type)
+    raw = ts_raw_rider("ts", ts_type)
     if event_type is not None:
         ev = ev.where(F.col("event_type") == event_type)
     df = ev.select(
