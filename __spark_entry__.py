@@ -13,6 +13,7 @@ Float-parity conventions (both sides identical):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -667,19 +668,154 @@ def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs.orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
+def _run_available_now(sink_df, tmp_root: str):
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the result as a batch DataFrame."""
+    import uuid
+
+    qn = "stream_q_" + uuid.uuid4().hex[:10]
+    q = (
+        sink_df.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink_df.sparkSession.table(qn)
+
+
+def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of batch sessionize, driven end-to-end: the events
+    feed (per-user series) is replayed through Structured Streaming's
+    ``session_window`` with a 1-hour watermark, append mode — the sink
+    receives exactly the watermark-CLOSED sessions (end <= max event
+    time - 1h; the still-open tail stays in the state store). The
+    oracle replicates gap-sessionization plus that closure predicate in
+    SQL, so ST6 gets a hash-level correctness row, not just pytest.
+    Ref: late-window merge, pkg/appender/store.go:42,246-289."""
+    import tempfile
+
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.streaming.ingest import stream_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    fixture = ev.select(
+        ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long").alias("ts"),
+        F.col("user_id").cast("string").alias("name"),
+        F.col("value").cast("double").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    # one sorted file → one deterministic micro-batch (cross-batch state
+    # and multi-batch watermark advance are pytest-covered)
+    fixture.orderBy("ts").coalesce(1).write.parquet(os.path.join(tmp, "in"))
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(tmp, "in")
+    )
+    sess = stream_sessions(raw, gap="30m", watermark="1 hour")
+    out = _run_available_now(sess, tmp)
+    return out.select(
+        F.col("name").alias("series_key"),
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value") + EPS6, 6).alias("sum_value"),
+    )
+
+
+def q_stream_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING stateful counter→increase (X23) driven end-to-end: the
+    events feed is rolled into a per-event-type hourly cumulative
+    counter (a Prometheus-style monotone series), replayed through
+    ``applyInPandasWithState``, and the emitted per-step increases are
+    hash-compared to a SQL lag() oracle. State is one (last_ts,
+    last_val) row per series — O(series) memory at any scale."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.streaming.stateful import stream_counter_increase
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
+    hourly = (
+        ev.groupBy(
+            (ts_ms.cast("long") / F.lit(3_600_000)).cast("long").alias("hr"),
+            F.col("event_type").alias("name"),
+        )
+        .count()
+    )
+    cum = Window.partitionBy("name").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fixture = hourly.select(
+        (F.col("hr") * F.lit(3_600_000)).alias("ts"),
+        "name",
+        F.sum("count").over(cum).cast("double").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ctr_")
+    fixture.orderBy("ts").coalesce(1).write.parquet(os.path.join(tmp, "in"))
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(tmp, "in")
+    )
+    out = _run_available_now(stream_counter_increase(raw), tmp)
+    return out.select(
+        "series_key",
+        F.col("ts").cast("long").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+        F.col("increase").cast("double").alias("increase"),
+    )
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus preparation chain as ONE declarative
+    plan (quality gate → exact dedup → benchmark decontamination →
+    deterministic split; functions/pipeline.py): each stage is an
+    already-oracled primitive, this row gates their composition. Eval
+    slice = doc_id % 10 == 3, corpus = the rest."""
+    from v3io_tsdb_spark.functions.pipeline import corpus_pipeline
+
+    docs = _docs_scattered(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    ev = docs.where(F.col("doc_id") % 10 == 3)
+    out = corpus_pipeline(corpus, ev)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len",
+        "stopword_ratio_en",
+        "lang_pred",
+        "quality",
+        "fingerprint",
+        "split",
+    )
+
+
 def q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language exact token-count percentiles (p50/p90/p99) — the
-    length-distribution profile a corpus-quality pass reports. Exact
-    percentile (both engines interpolate identically); at 100 TB swap
-    F.percentile for percentile_approx and widen the oracle tolerance."""
+    """Per-language token-count percentiles (p50/p90/p99) — the
+    length-distribution profile a corpus-quality pass reports.
+
+    Scale path: ``percentile_approx`` (Greenwald-Khanna sketch) instead
+    of exact ``F.percentile`` — the sketch is fixed-size and map-side
+    combinable, so per-language groups never buffer their values (the
+    exact version holds every row of a group in one aggregator; at
+    100 TB a billion-row language group OOMs the executor). DISCRETE
+    quantiles (an actual data element) on both engines: with sketch
+    accuracy (1e5) >= group cardinality the sketch is exact, and
+    DuckDB's ``quantile_disc`` picks the identical element, so the
+    hash-exact oracle holds; at 100-TB group sizes the result degrades
+    gracefully to rank-error 1/accuracy instead of failing."""
     from v3io_tsdb_spark.functions.text import token_count_col
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", token_count_col(F.col("text")).alias("n_tokens"))
     return toks.groupBy("lang").agg(
-        F.round(F.percentile("n_tokens", 0.5) + EPS6, 6).alias("p50"),
-        F.round(F.percentile("n_tokens", 0.9) + EPS6, 6).alias("p90"),
-        F.round(F.percentile("n_tokens", 0.99) + EPS6, 6).alias("p99"),
+        F.percentile_approx("n_tokens", 0.5, 100_000).cast("long").alias("p50"),
+        F.percentile_approx("n_tokens", 0.9, 100_000).cast("long").alias("p90"),
+        F.percentile_approx("n_tokens", 0.99, 100_000).cast("long").alias("p99"),
     )
 
 
@@ -858,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         "emb_lsh_recall": q_emb_lsh_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "stream_sessions_30m": q_stream_sessions_30m,
+        "stream_counter_increase": q_stream_counter_increase,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1598,9 +1737,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
       )
       SELECT lang,
-             round(quantile_cont(n_tokens, 0.5) + 0.000000001, 6) AS p50,
-             round(quantile_cont(n_tokens, 0.9) + 0.000000001, 6) AS p90,
-             round(quantile_cont(n_tokens, 0.99) + 0.000000001, 6) AS p99
+             CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50,
+             CAST(quantile_disc(n_tokens, 0.9) AS BIGINT) AS p90,
+             CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
       FROM t GROUP BY lang
     """
 
@@ -1631,6 +1770,94 @@ def oracle_sql() -> dict[str, str]:
       FROM events
       WHERE event_type IN ('click', 'purchase') AND user_id = 7
         AND epoch_ms(ts) BETWEEN {F0} AND {T1}
+    """
+
+    # Streaming-sessions twin: gap-sessionization (break when the delta
+    # EXCEEDS the 30m gap; an event at exactly prev+gap merges) plus the
+    # append-mode closure predicate — only sessions whose end the 1-hour
+    # watermark has passed (end <= max_ts - 1h) are emitted by the sink.
+    stream_sessions = """
+      WITH o AS (
+        SELECT CAST(user_id AS VARCHAR) AS series_key, epoch_ms(ts) AS ts, value
+        FROM events
+      ),
+      m AS (
+        SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        FROM o WINDOW w AS (PARTITION BY series_key ORDER BY ts)
+      ),
+      s AS (
+        SELECT *, sum(brk) OVER (PARTITION BY series_key ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m
+      ),
+      g AS (
+        SELECT series_key,
+               min(ts) AS session_start,
+               max(ts) + 1800000 AS session_end,
+               count(*) AS n_events,
+               round(sum(value) + 0.000000001, 6) AS sum_value
+        FROM s GROUP BY series_key, sid
+      )
+      SELECT * FROM g
+      WHERE session_end <= (SELECT max(epoch_ms(ts)) FROM events) - 3600000
+    """
+
+    # Streaming counter→increase twin: hourly per-type cumulative counter,
+    # per-step delta via lag(); first event of a series emits nothing.
+    stream_counter = """
+      WITH h AS (
+        SELECT epoch_ms(ts) // 3600000 AS hr, event_type AS series_key,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+      ),
+      c AS (
+        SELECT series_key, hr * 3600000 AS ts,
+               CAST(sum(c) OVER (PARTITION BY series_key ORDER BY hr) AS DOUBLE) AS value
+        FROM h
+      ),
+      l AS (
+        SELECT series_key, ts, value,
+               lag(value) OVER (PARTITION BY series_key ORDER BY ts) AS pv
+        FROM c
+      )
+      SELECT series_key, ts, value,
+             CASE WHEN value >= pv THEN value - pv ELSE value END AS increase
+      FROM l WHERE pv IS NOT NULL
+    """
+
+    # corpus_pipeline: the text_stats CTE → quality gate → exact dedup
+    # (min doc_id per fingerprint) → 8-gram decontamination vs the
+    # doc_id%10==3 eval slice → md5-bucket split. Composition of the
+    # individually-oracled stage queries above.
+    pipeline = f"""
+      WITH stats AS ({text_stats}),
+      corpus AS (SELECT * FROM stats WHERE doc_id % 10 != 3),
+      q AS (SELECT * FROM corpus WHERE quality >= 0.6),
+      keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM q GROUP BY 1),
+      kept AS (SELECT q.* FROM q JOIN keep USING (fingerprint, doc_id)),
+      sh AS (
+        SELECT doc_id AS id,
+          list_distinct(
+            CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                 ELSE [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)]
+            END) AS s
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents)
+      ),
+      ev AS (SELECT DISTINCT unnest(s) AS gr FROM sh WHERE id % 10 = 3),
+      bad AS (
+        SELECT DISTINCT co.id FROM (SELECT id, unnest(s) AS gr FROM sh
+                                    WHERE id IN (SELECT doc_id FROM kept)) co
+        JOIN ev USING (gr)
+      ),
+      clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT id FROM bad))
+      SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio_en,
+             lang_pred, quality, fingerprint,
+             CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000 THEN 'train'
+                  WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM clean
     """
 
     return {
@@ -1679,4 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": ivf_topk_sql,
         "emb_lsh_recall": lsh_recall,
         "emb_ivf_recall": ivf_recall,
+        "stream_sessions_30m": stream_sessions,
+        "stream_counter_increase": stream_counter,
+        "corpus_pipeline": pipeline,
     }
