@@ -700,18 +700,22 @@ def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.streaming.ingest import stream_sessions
 
-    ev = load_table(spark, sf_dir, "events")
-    fixture = ev.select(
-        ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long").alias("ts"),
-        F.col("user_id").cast("string").alias("name"),
-        F.col("value").cast("double").alias("value"),
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_sess_")
-    # one sorted file → one deterministic micro-batch (cross-batch state
-    # and multi-batch watermark advance are pytest-covered)
-    fixture.orderBy("ts").coalesce(1).write.parquet(os.path.join(tmp, "in"))
+    # fixture persisted once per sf dir (same pattern as the shingle
+    # index); one sorted file → one deterministic micro-batch (cross-
+    # batch state and multi-batch watermark advance are pytest-covered)
+    fx = f"/tmp/spark_graft_stream_sess_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long").alias("ts"),
+            F.col("user_id").cast("string").alias("name"),
+            F.col("value").cast("double").alias("value"),
+        ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(fx, "in")
+        )
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")  # per-run checkpoint
     raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(tmp, "in")
+        os.path.join(fx, "in")
     )
     sess = stream_sessions(raw, gap="30m", watermark="1 hour")
     out = _run_available_now(sess, tmp)
@@ -738,27 +742,27 @@ def q_stream_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.streaming.stateful import stream_counter_increase
 
-    ev = load_table(spark, sf_dir, "events")
-    ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
-    hourly = (
-        ev.groupBy(
+    fx = f"/tmp/spark_graft_stream_ctr_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
+        hourly = ev.groupBy(
             (ts_ms.cast("long") / F.lit(3_600_000)).cast("long").alias("hr"),
             F.col("event_type").alias("name"),
+        ).count()
+        cum = Window.partitionBy("name").orderBy("hr").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
         )
-        .count()
-    )
-    cum = Window.partitionBy("name").orderBy("hr").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    fixture = hourly.select(
-        (F.col("hr") * F.lit(3_600_000)).alias("ts"),
-        "name",
-        F.sum("count").over(cum).cast("double").alias("value"),
-    )
-    tmp = tempfile.mkdtemp(prefix="stream_ctr_")
-    fixture.orderBy("ts").coalesce(1).write.parquet(os.path.join(tmp, "in"))
+        hourly.select(
+            (F.col("hr") * F.lit(3_600_000)).alias("ts"),
+            "name",
+            F.sum("count").over(cum).cast("double").alias("value"),
+        ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(fx, "in")
+        )
+    tmp = tempfile.mkdtemp(prefix="stream_ctr_")  # per-run checkpoint
     raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(tmp, "in")
+        os.path.join(fx, "in")
     )
     out = _run_available_now(stream_counter_increase(raw), tmp)
     return out.select(

@@ -395,3 +395,19 @@ def test_shingle_append_index_incremental(docs, tmp_path_factory, spark):
     a = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=100, inv=inc).collect())
     b = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect())
     assert a == b
+
+
+def test_corpus_pipeline_checkpoint_equivalence(spark):
+    """materialize_kept only changes execution (one materialized
+    boundary vs recomputed subtree), never the result set."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.pipeline import corpus_pipeline
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 3)
+    ev = docs.where(F.col("doc_id") % 10 == 3)
+    a = corpus_pipeline(corpus, ev, materialize_kept=True)
+    b = corpus_pipeline(corpus, ev, materialize_kept=False)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and len(ra) > 0

@@ -70,3 +70,41 @@ def test_deterministic_sample_is_scan_side_filter(spark):
     out = deterministic_sample(ev, 0.1, "event_id")
     plan = _plan(out)
     assert "Filter" in plan and "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_corpus_pipeline_plan_shape(spark):
+    """The composed pipeline must stay one declarative plan with the
+    documented shuffle budget: eval-shingle decontamination broadcasts
+    (never sort-merge), and the percentile profile aggregates with a
+    bounded sketch (percentile_approx), not an exact value buffer."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.pipeline import corpus_pipeline
+
+    docs = load_table(spark, SF, "documents")
+    out = corpus_pipeline(
+        docs.where(F.col("doc_id") % 10 != 3),
+        docs.where(F.col("doc_id") % 10 == 3),
+        materialize_kept=False,  # audit the full declarative plan
+    )
+    plan = _plan(out)
+    # the huge fan-out join (corpus shingles x eval shingles) must
+    # broadcast the eval side — a shuffle there moves the whole exploded
+    # corpus; the doc_id semi/anti joins SHOULD shuffle (keepers is
+    # corpus-sized, not broadcastable at scale)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exact dedup aggregates map-side before its shuffle
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_token_quantiles_uses_sketch_not_buffer(spark):
+    """doc_token_quantiles must aggregate via the fixed-size
+    percentile_approx sketch — the exact `percentile` aggregator
+    buffers every group value and OOMs a billion-row language group."""
+    import __spark_entry__ as E
+
+    df = E.queries()["doc_token_quantiles"](spark, SF)
+    plan = _plan(df)
+    assert "approx_percentile" in plan or "percentile_approx" in plan
+    assert "percentile(" not in plan

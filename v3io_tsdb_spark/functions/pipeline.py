@@ -3,10 +3,14 @@
 Composes the individual operators (text quality stats → exact dedup →
 benchmark decontamination → deterministic split) into the single chain
 a production data pipeline runs before tokenization. Each stage is the
-already-tested primitive; this module only sequences them, so the
-whole pipeline stays declarative — one Catalyst plan end-to-end, with
-the cheap row-count reducers (quality filter, dedup) ahead of the
-expensive shingle explosion (decontamination).
+already-tested primitive; this module only sequences them, keeping the
+cheap row-count reducers (quality filter, dedup) ahead of the
+expensive shingle explosion (decontamination). The surviving-docs
+boundary is materialized once by default (localCheckpoint) because two
+downstream consumers read it; pass ``materialize_kept=False`` for the
+fully-declarative single plan (the checkpoint halves the work, the
+declarative form is the better shape when the pipeline is itself a
+subquery of a larger plan).
 
 100 TB shape: quality filter is a scan-side predicate; exact dedup is
 one groupBy(fingerprint) keeping min id (map-side combinable);
@@ -33,6 +37,7 @@ def corpus_pipeline(
     ngram_n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize_kept: bool = True,
 ) -> DataFrame:
     """The cleaned, split-assigned corpus: one row per surviving doc
     with its stats columns plus ``split``.
@@ -55,6 +60,14 @@ def corpus_pipeline(
 
     keepers = q.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     kept = q.join(keepers.select(id_col), id_col, "left_semi")
+    if materialize_kept:
+        # `kept` feeds BOTH the decontamination shingle explosion and
+        # the final anti-join; without a materialized boundary Spark
+        # re-runs the whole stats+dedup subtree (and doubles the
+        # generated-code surface) for each consumer. This is the
+        # standard pipeline-stage checkpoint a production runner does
+        # between screening passes.
+        kept = kept.localCheckpoint(eager=True)
 
     bad = decontaminate(kept, eval_df, text_col=text_col, id_col=id_col, n=ngram_n)
     clean = kept.join(bad.select(id_col), id_col, "left_anti")
