@@ -798,6 +798,78 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile (duplicate word/bigram/
+    trigram fractions) — the Gopher-style repetition quality gate
+    inputs. Pure column expressions, per-row map work."""
+    from v3io_tsdb_spark.functions.text import repetition_stats
+
+    docs = _docs_scattered(spark, sf_dir)
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("dup_word_ratio") + EPS6, 6).alias("dup_word_ratio"),
+        F.round(F.col("dup_bigram_ratio") + EPS6, 6).alias("dup_bigram_ratio"),
+        F.round(F.col("dup_trigram_ratio") + EPS6, 6).alias("dup_trigram_ratio"),
+    )
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing into 2048-token context
+    windows, deterministic per (split, lang) group — the layout step
+    between corpus prep and tokenization. Window prefix-sum per group;
+    parallel across groups."""
+    from v3io_tsdb_spark.functions.packing import pack_sequences
+    from v3io_tsdb_spark.functions.sampling import assign_split
+    from v3io_tsdb_spark.functions.text import token_count_col
+
+    docs = assign_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = docs.select(
+        "doc_id", "split", "lang", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2048).select(
+        "doc_id", "split", "lang", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking pass: the corpus is augmented with DETERMINISTIC
+    synthetic PII (the test corpus contains none) — every 3rd doc gets
+    an email, every 5th a phone, every 7th an IPv4 — then scrubbed with
+    typed sentinels. Match counts plus an md5 of the scrubbed text give
+    the oracle byte-level leverage on the replacement semantics."""
+    from v3io_tsdb_spark.functions.text import scrub_pii
+
+    docs = _docs_scattered(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" call +1 555 0"), F.col("doc_id").cast("string"),
+                         F.lit(" now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".7 port")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = scrub_pii(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5(F.col("scrubbed")).alias("scrubbed_md5"),
+    )
+
+
 def q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count percentiles (p50/p90/p99) — the
     length-distribution profile a corpus-quality pass reports.
@@ -1001,6 +1073,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions_30m": q_stream_sessions_30m,
         "stream_counter_increase": q_stream_counter_increase,
         "corpus_pipeline": q_corpus_pipeline,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_pii_scrub": q_doc_pii_scrub,
     }
 
 
@@ -1864,6 +1939,93 @@ def oracle_sql() -> dict[str, str]:
       FROM clean
     """
 
+    # Repetition profile: duplicate n-gram fractions via list ops on the
+    # same whitespace tokenization.
+    repetition = """
+      WITH b AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+        FROM documents
+      ),
+      g AS (
+        SELECT doc_id, toks,
+          CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+               ELSE [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+          END AS g2,
+          CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+               ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          END AS g3
+        FROM b
+      )
+      SELECT doc_id,
+        len(toks)::BIGINT AS n_tokens,
+        round(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks) END
+              + 0.000000001, 6) AS dup_word_ratio,
+        round(CASE WHEN len(g2) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) END
+              + 0.000000001, 6) AS dup_bigram_ratio,
+        round(CASE WHEN len(g3) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) END
+              + 0.000000001, 6) AS dup_trigram_ratio
+      FROM g
+    """
+
+    # Concat-then-chunk packing: same md5 split buckets, same ordered
+    # prefix sum per (split, lang).
+    pack = """
+      WITH d AS (
+        SELECT doc_id, lang,
+          CASE WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9000 THEN 'train'
+               WHEN ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < 9500 THEN 'val'
+               ELSE 'test' END AS split,
+          CASE WHEN length(trim(text)) = 0 THEN 0::BIGINT
+               ELSE len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT END AS n_tokens
+        FROM documents
+      ),
+      c AS (
+        SELECT *, (sum(n_tokens) OVER (PARTITION BY split, lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS start
+        FROM d
+      )
+      SELECT doc_id, split, lang, n_tokens,
+             start // 2048 AS pack_id, start % 2048 AS pack_offset
+      FROM c
+    """
+
+    # PII scrub over deterministically injected synthetic PII; same
+    # replacement order (email → IP → phone), counts on the same
+    # intermediate strings, md5 of the final scrub.
+    pii = r"""
+      WITH aug AS (
+        SELECT doc_id,
+          text
+          || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+                  THEN ' call +1 555 0' || CAST(doc_id AS VARCHAR) || ' now'
+                  ELSE '' END
+          || CASE WHEN doc_id % 7 = 0
+                  THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 port'
+                  ELSE '' END AS text
+        FROM documents
+      ),
+      s AS (
+        SELECT doc_id, text,
+          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        FROM aug
+      ),
+      s2 AS (
+        SELECT *, regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM s
+      )
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+        len(regexp_extract_all(t2, '\+?[0-9][0-9 -]{7,}[0-9]'))::BIGINT AS n_phones,
+        md5(regexp_replace(t2, '\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+      FROM s2
+    """
+
     return {
         "tsdb_raw_filter": raw_filter,
         "tsdb_client_agg_daily": day_agg,
@@ -1913,4 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessions_30m": stream_sessions,
         "stream_counter_increase": stream_counter,
         "corpus_pipeline": pipeline,
+        "doc_repetition_stats": repetition,
+        "doc_pack_sequences": pack,
+        "doc_pii_scrub": pii,
     }

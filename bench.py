@@ -63,6 +63,9 @@ HEADLINE = [
     "stream_sessions_30m",
     "stream_counter_increase",
     "corpus_pipeline",
+    "doc_repetition_stats",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
 ]
 
 

@@ -411,3 +411,61 @@ def test_corpus_pipeline_checkpoint_equivalence(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb and len(ra) > 0
+
+
+def test_repetition_stats_known_values(spark):
+    from v3io_tsdb_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b a b"), (3, "x y z"), (4, "w")],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(df).collect()}
+    assert abs(r[1]["dup_word_ratio"] - 2 / 3) < 1e-9
+    assert abs(r[1]["dup_bigram_ratio"] - 1 / 2) < 1e-9  # [a a, a a]
+    assert abs(r[2]["dup_bigram_ratio"] - 1 / 3) < 1e-9  # [a b, b a, a b]
+    assert r[3]["dup_word_ratio"] == 0.0 and r[3]["dup_trigram_ratio"] == 0.0
+    assert r[4]["dup_bigram_ratio"] == 0.0  # fewer tokens than n
+
+
+def test_pack_sequences_concat_chunk(spark):
+    from v3io_tsdb_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "train", "en", 100), (2, "train", "en", 100), (3, "train", "en", 100),
+         (4, "train", "en", 500),  # longer than the budget: spans packs
+         (5, "train", "de", 100),  # separate group restarts at 0
+         (6, "val", "en", 100)],
+        "doc_id long, split string, lang string, n_tokens long",
+    )
+    r = {x["doc_id"]: (x["pack_id"], x["pack_offset"])
+         for x in pack_sequences(df, budget=256).collect()}
+    assert r[1] == (0, 0)
+    assert r[2] == (0, 100)
+    assert r[3] == (0, 200)       # starts at 200, spills into pack 1
+    assert r[4] == (1, 44)        # starts at 300 = 256 + 44
+    assert r[5] == (0, 0)
+    assert r[6] == (0, 0)
+
+
+def test_scrub_pii_sentinels_and_order(spark):
+    from v3io_tsdb_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.na+x@ex-a.co.uk thanks"),
+            (2, "server 192.168.001.12 is up"),
+            (3, "call +1 555 123 4567 today"),
+            (4, "a@b.io or 10.0.0.1 or 555-123-4567"),
+            (5, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in scrub_pii(df).collect()}
+    assert r[1]["n_emails"] == 1 and r[1]["scrubbed"] == "mail me at <EMAIL> thanks"
+    assert r[2]["n_ips"] == 1 and r[2]["scrubbed"] == "server <IP> is up"
+    assert r[3]["n_phones"] == 1 and r[3]["scrubbed"] == "call <PHONE> today"
+    assert (r[4]["n_emails"], r[4]["n_ips"], r[4]["n_phones"]) == (1, 1, 1)
+    assert r[4]["scrubbed"] == "<EMAIL> or <IP> or <PHONE>"
+    assert r[5]["scrubbed"] == "clean text, no pii at all"
+    assert (r[5]["n_emails"], r[5]["n_ips"], r[5]["n_phones"]) == (0, 0, 0)

@@ -108,3 +108,50 @@ def test_token_quantiles_uses_sketch_not_buffer(spark):
     plan = _plan(df)
     assert "approx_percentile" in plan or "percentile_approx" in plan
     assert "percentile(" not in plan
+
+
+def test_raw_select_pushes_time_and_name_to_scan(spark):
+    """S4/P2/P3 audited plan properties, pinned: the Querier's ms time
+    clamp must be mirrored onto the native ts column and reach the
+    Parquet scan (row-group/page pruning), together with the
+    name-equality fast path and the label filter — in EVERY ts dtype
+    the driver has shipped. ReadSchema must not include unused columns
+    (props, event_id)."""
+    import re
+
+    import __spark_entry__ as E
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = E.queries()["tsdb_raw_filter"](spark, SF)
+        plan = _plan(df)
+        m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
+        assert m, "no PushedFilters section in scan"
+        pushed = m.group(0)
+        assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed, pushed
+        assert "In(event_type" in pushed or "EqualTo(event_type" in pushed, pushed
+        assert "IsNotNull(user_id)" in pushed, pushed
+        schema = re.search(r"ReadSchema: \S+", plan).group(0)
+        assert "props" not in schema and "event_id" not in schema, schema
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_rollup_query_never_scans_samples(spark):
+    """A1/A2 router, pinned: when the rollup table can answer
+    (functions subset, step/gran >= coefficient), the plan reads ONLY
+    the persisted rollup files — the raw events scan must not appear."""
+    import re
+
+    import __spark_entry__ as E
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = E.queries()["tsdb_rollup_daily"](spark, SF)
+        plan = _plan(df)
+        locs = re.findall(r"InMemoryFileIndex\(\d+ paths\)\[[^\]]{0,200}", plan)
+        assert locs, "no file scans found in plan"
+        assert all("rollup" in loc for loc in locs), locs
+        assert not any("events.parquet" in loc for loc in locs), locs
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")

@@ -150,3 +150,93 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         quality.alias("quality"),
         fingerprint_col(F.col("_t")).alias("fingerprint"),
     )
+
+
+# -- repetition / quality signals ------------------------------------------
+
+def ngram_dup_ratio_col(text: Column, n: int) -> Column:
+    """Fraction of within-document duplicate word n-grams:
+    ``1 - distinct(ngrams)/count(ngrams)`` (0 when fewer than n tokens).
+
+    The standard repetition quality signal for corpus filtering (the
+    Gopher-style "duplicate n-gram fraction" family): high values mark
+    looping/boilerplate generations. Pure column expression — builds
+    the n-gram array with ``transform`` over an index sequence, no
+    explode, no shuffle, no Python; per-row map work that scales
+    linearly with no coordination.
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(
+        k <= 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile: duplicate-word ratio plus
+    duplicate bigram/trigram fractions — the inputs to a repetition
+    quality gate."""
+    t = F.col(text_col)
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks))
+        .alias("dup_word_ratio"),
+        ngram_dup_ratio_col(t, 2).alias("dup_bigram_ratio"),
+        ngram_dup_ratio_col(t, 3).alias("dup_trigram_ratio"),
+    )
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+# Patterns restricted to the RE2 ∩ Java-regex common subset so a SQL
+# oracle (RE2) matches the engine (Java) byte-for-byte: character
+# classes, greedy counted quantifiers, \b word boundaries — no
+# lookaround, no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+?[0-9][0-9 -]{7,}[0-9]"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails / IPv4 addresses / phone-shaped digit runs with
+    typed sentinels and report per-doc match counts — the compliance
+    pass a training pipeline runs before tokenization.
+
+    Replacement order matters and is part of the contract: emails
+    first (their local parts contain digits), then IPs (dotted quads
+    would otherwise be half-eaten by the phone run), then phones.
+    All three are single regexp_replace column expressions — scan-side
+    map work, no shuffle.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                                 PII_IP_RE, "<IP>"),
+                F.lit(PII_PHONE_RE), F.lit(0),
+            )
+        ).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
