@@ -154,6 +154,39 @@ def main():
         df = None
         gc.collect()
 
+    # -- ingest throughput --------------------------------------------------
+    # Parity metric: the reference's only benchmark harness is
+    # BenchmarkIngest (samples through the full append pipeline). Here:
+    # the events feed appended into a fresh TSDB — normalize, validate,
+    # dedup, partitioned write, catalog merge, AND rollup maintenance.
+    import shutil
+    import tempfile
+
+    from v3io_tsdb_spark.adapter import TSDBAdapter
+    from v3io_tsdb_spark.datasets import events_as_samples
+
+    ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
+    ingest_sec = -1.0
+    ingest_rate = -1.0
+    try:
+        feed = events_as_samples(spark, sf_dir)
+        n_samples = feed.count()  # untimed: materializes file listing too
+        ad = TSDBAdapter(spark, ingest_root).create()
+        t0 = time.perf_counter()
+        ad.append(feed)
+        ingest_sec = round(time.perf_counter() - t0, 3)
+        ingest_rate = round(n_samples / ingest_sec, 1)
+        print(
+            f"bench ingest_events: {ingest_sec:.3f}s "
+            f"({n_samples} samples, {ingest_rate:.0f}/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"bench ingest_events FAILED: {type(exc).__name__}: {str(exc)[:160]}",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(ingest_root, ignore_errors=True)
+
     # The driver keeps only a bounded tail of stdout and parses the JSON
     # line out of it, so the line must stay well under 2 kB. Per-query
     # warm times live in BENCH_DETAIL.json next to this script; the line
@@ -166,6 +199,8 @@ def main():
         "sf": sf,
         "queries_warm": warm,
         "warm_total_sec": round(warm_total, 3),
+        "ingest_sec": ingest_sec,
+        "ingest_samples_per_sec": ingest_rate,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -155,3 +155,55 @@ def test_rollup_query_never_scans_samples(spark):
         assert not any("events.parquet" in loc for loc in locs), locs
     finally:
         spark.conf.unset("spark.sql.maxMetadataStringLength")
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """Skew posture: with AQE on, a sort-merge join whose left side is
+    dominated by one hot key is re-planned at runtime into skew-split
+    tasks (`isSkew=true` on the join) instead of one straggler task —
+    the mechanism SCALE.md relies on for label-skewed series joins at
+    100 TB. Thresholds are lowered so the 200k-row fixture trips the
+    same code path production data would."""
+    import pyspark.sql.functions as SF_  # noqa: N812
+
+    left_path = str(tmp_path / "skew_left")
+    right_path = str(tmp_path / "skew_right")
+    # 95% of left rows share key 0; right side uniform so the join
+    # cannot broadcast (forced by threshold below).
+    spark.range(0, 200_000).select(
+        SF_.when(SF_.col("id") % 20 != 0, SF_.lit(0)).otherwise(SF_.col("id") % 100)
+        .alias("k"),
+        SF_.col("id").alias("payload"),
+    ).write.mode("overwrite").parquet(left_path)
+    spark.range(0, 100).select(
+        SF_.col("id").alias("k"), SF_.lit("dim").alias("tag")
+    ).write.mode("overwrite").parquet(right_path)
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # splitting the skewed side breaks the join's output partitioning;
+        # allow AQE to take that trade (the default refuses whenever a
+        # downstream stage could have reused it)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = spark.read.parquet(left_path).join(
+            spark.read.parquet(right_path), "k"
+        )
+        joined.collect()  # AQE final plan exists only after execution
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
