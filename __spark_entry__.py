@@ -141,6 +141,18 @@ _ROLLUP_GRAN = "6h"  # ~1 sample/(series,hour) at sf0.1 — 1h buckets
 # step/gran = 4 ≥ the CanAggregate coefficient 3 and day-nesting exact
 
 
+def _src_tag(sf_dir: str, table: str) -> str:
+    """Cache-key fragment for /tmp-persisted indexes and fixtures:
+    sf-dir basename + (size, mtime) fingerprint of the source parquet.
+    If the driver regenerates testdata IN PLACE, every derived artifact
+    keys to a fresh path instead of silently serving stale data (the
+    round-4 failure mode, where regeneration changed the data under a
+    fixed path)."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"{base}_{st.st_size}_{int(st.st_mtime)}"
+
+
 def _rollup_ensure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once persisted rollup (exactly like the IVF index): the
     bench's rollup query then measures the routed SERVER-AGGREGATES
@@ -149,7 +161,7 @@ def _rollup_ensure(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref: pkg/appender/store.go:374-397)."""
     import os
 
-    path = f"/tmp/spark_graft_rollup{_ROLLUP_GRAN}_v1_{os.path.basename(os.path.normpath(sf_dir))}"
+    path = f"/tmp/spark_graft_rollup{_ROLLUP_GRAN}_v1_{_src_tag(sf_dir, 'events')}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         samples = events_as_samples(spark, sf_dir)
         # compact to a few files: the rollup is ~5% of the raw table,
@@ -526,7 +538,7 @@ def _shingle_ensure_index(spark: SparkSession, sf_dir: str):
 
     from v3io_tsdb_spark.functions.dedup import read_shingle_index, shingle_write_index
 
-    path = f"/tmp/spark_graft_shingle3_v2_{os.path.basename(os.path.normpath(sf_dir))}"
+    path = f"/tmp/spark_graft_shingle3_v2_{_src_tag(sf_dir, 'documents')}"
     if not os.path.exists(os.path.join(path, "df", "_SUCCESS")):
         shingle_write_index(_docs_scattered(spark, sf_dir), path)
     return read_shingle_index(spark, path)
@@ -703,7 +715,7 @@ def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture persisted once per sf dir (same pattern as the shingle
     # index); one sorted file → one deterministic micro-batch (cross-
     # batch state and multi-batch watermark advance are pytest-covered)
-    fx = f"/tmp/spark_graft_stream_sess_{os.path.basename(os.path.normpath(sf_dir))}"
+    fx = f"/tmp/spark_graft_stream_sess_{_src_tag(sf_dir, 'events')}"
     if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         ev.select(
@@ -742,7 +754,7 @@ def q_stream_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.streaming.stateful import stream_counter_increase
 
-    fx = f"/tmp/spark_graft_stream_ctr_{os.path.basename(os.path.normpath(sf_dir))}"
+    fx = f"/tmp/spark_graft_stream_ctr_{_src_tag(sf_dir, 'events')}"
     if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
@@ -932,7 +944,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index_path(sf_dir: str) -> str:
     import os
 
-    return f"/tmp/spark_graft_ivf_v2_{os.path.basename(os.path.normpath(sf_dir))}"
+    return f"/tmp/spark_graft_ivf_v2_{_src_tag(sf_dir, 'embeddings')}"
 
 
 def _ivf_ensure_index(spark: SparkSession, sf_dir: str) -> str:
@@ -970,7 +982,7 @@ def _lsh_ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     from v3io_tsdb_spark.functions.similarity import lsh_write_index
 
-    path = f"/tmp/spark_graft_lsh_v1_{os.path.basename(os.path.normpath(sf_dir))}"
+    path = f"/tmp/spark_graft_lsh_v1_{_src_tag(sf_dir, 'embeddings')}"
     if not os.path.exists(os.path.join(path, "_lsh_meta.json")):
         emb = load_table(spark, sf_dir, "embeddings")
         lsh_write_index(emb, path, n_planes=6, dim=64)
