@@ -359,6 +359,16 @@ def q_tsdb_variant_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uid(res).select("t", "name", "value_str", "uid")
 
 
+def q_tsdb_label_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-set discovery (GetLabelSets; ref: pkg/pquerier/
+    querier.go:320-378): distinct (metric, canonical labels) pairs with
+    a filter — the series-browser query. Distinct over two pruned
+    columns, map-side combinable."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    sets = q.get_label_sets(filter="uid < '3'")
+    return sets.select("name", "labels_str")
+
+
 def q_tsdb_variant_mixed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed float + variant (string) metrics in ONE wide frame — each
     column keeps its own dtype (M9; ref: pkg/pquerier/frames.go:528-543).
@@ -1056,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_range_join": q_tsdb_range_join,
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
+        "tsdb_label_sets": q_tsdb_label_sets,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_join_segment_month": q_tpch_join_segment_month,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
@@ -1951,6 +1962,13 @@ def oracle_sql() -> dict[str, str]:
       FROM clean
     """
 
+    label_sets = """
+      SELECT DISTINCT event_type AS name,
+             'uid=' || CAST(user_id AS VARCHAR) AS labels_str
+      FROM events
+      WHERE CAST(user_id AS VARCHAR) < '3'
+    """
+
     # Repetition profile: duplicate n-gram fractions via list ops on the
     # same whitespace tokenization.
     repetition = """
@@ -2058,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "tsdb_range_join": rangejoin,
         "tsdb_variant_raw": variant_raw,
         "tsdb_variant_mixed_frame": mixed_frame,
+        "tsdb_label_sets": label_sets,
         "tpch_q1_pricing": q1,
         "tpch_join_segment_month": seg_month,
         "tpch_q3_top_orders": q3,

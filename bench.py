@@ -33,6 +33,7 @@ HEADLINE = [
     "tsdb_session_30m",
     "tsdb_variant_raw",
     "tsdb_variant_mixed_frame",
+    "tsdb_label_sets",
     "tsdb_groupby_total",
     "tpch_q1_pricing",
     "tpch_join_segment_month",

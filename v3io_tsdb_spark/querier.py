@@ -148,6 +148,54 @@ class Querier:
 
     # -- public API --------------------------------------------------------
 
+    def label_values(self, label_key: str, filter: str | None = None) -> DataFrame:
+        """Distinct values of one label key, one ``value`` column
+        (ref: pkg/pquerier/querier.go:279-317 LabelValues).
+
+        A column-pruned distinct: the scan reads only the labels column
+        (plus filter columns), and the distinct is a map-side-combinable
+        aggregate — the reference's per-item label-string parse loop
+        becomes one hash aggregate."""
+        df = self.samples_df()
+        if filter:
+            df = df.where(F.expr(translate_filter(filter)))
+        return (
+            df.select(F.col("labels")[label_key].alias("value"))
+            .where(F.col("value").isNotNull())
+            .distinct()
+        )
+
+    def get_label_sets(self, metric: str | None = None, filter: str | None = None) -> DataFrame:
+        """All distinct label sets, with the metric name carried as the
+        ``__name__`` label (ref: pkg/pquerier/querier.go:320-378
+        GetLabelSets; name-into-labels per the reference's expected
+        output in pqueriertest/get_labelsets_integration_test.go:97-99).
+
+        Returns ``(name, labels_str, labels)`` — distinct computed on
+        the canonical sorted string (Spark cannot hash a map), map
+        reconstructed after. The reference scans only the LAST TWO
+        partitions as a performance concession; here the distinct is a
+        partial-aggregate over two pruned columns, so the exact full
+        range costs less than the concession saved."""
+        from v3io_tsdb_spark.labels import labels_map_col, labels_string_col
+
+        df = self.samples_df()
+        if metric:
+            names = [m.strip() for m in metric.split(",") if m.strip()]
+            df = df.where(F.col("name").isin(names))
+        if filter:
+            df = df.where(F.expr(translate_filter(filter)))
+        sets = df.select(
+            "name", labels_string_col(F.col("labels")).alias("labels_str")
+        ).distinct()
+        return sets.withColumn(
+            "labels",
+            F.map_concat(
+                labels_map_col(F.col("labels_str")),
+                F.create_map(F.lit("__name__"), F.col("name")),
+            ),
+        )
+
     def select(self, params: SelectParams | None = None, **kwargs) -> DataFrame:
         """Build the lazy DataFrame for a select query."""
         if params is None:
