@@ -72,3 +72,29 @@ def test_label_values(spark, make_samples):
     assert vals == ["europe"]
     # absent key → empty, not an error (parity: reference returns empty)
     assert q.label_values("datacenter").count() == 0
+
+
+def test_label_values_name_dispatch_and_label_names(spark, make_samples):
+    """LabelValues('__name__') returns metric names (reference special
+    case, querier.go:217-219); label_names lists distinct keys — real
+    here where the reference stubs it to nil (querier.go:227-229)."""
+    q = Querier(spark, _fixture(make_samples, extra_metric=True))
+    assert sorted(r["value"] for r in q.label_values("__name__").collect()) == [
+        "cpu", "diskio"
+    ]
+    assert sorted(r["name"] for r in q.label_names().collect()) == ["os", "region"]
+
+
+def test_adapter_start_time(spark, tmp_path):
+    """start_time is the true earliest sample ms (reference hardcodes
+    now-1000d, v3iotsdb.go:250-253); empty table → None."""
+    from v3io_tsdb_spark.adapter import TSDBAdapter
+
+    ad = TSDBAdapter(spark, str(tmp_path / "tsdb")).create()
+    assert ad.start_time() is None
+    ad.append([
+        {"ts": T0 + 5_000, "name": "cpu", "labels": {"h": "a"}, "value": 1.0},
+        {"ts": T0, "name": "cpu", "labels": {"h": "a"}, "value": 2.0},
+        {"ts": T0 + 86_400_000 * 3, "name": "cpu", "labels": {"h": "a"}, "value": 3.0},
+    ])
+    assert ad.start_time() == T0

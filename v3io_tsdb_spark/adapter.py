@@ -116,6 +116,25 @@ class TSDBAdapter:
     def _label_rollup_path(self, subset) -> str:
         return os.path.join(self.path, "rollup_by_" + "_".join(subset))
 
+    def start_time(self) -> int | None:
+        """Earliest queryable sample time in ms, or None for an empty
+        table. The reference hardcodes now-1000d with a TODO
+        (ref: pkg/tsdb/v3iotsdb.go:250-253); here it is the true
+        minimum — partition pruning makes it cheap: only the earliest
+        ``dt=`` directory is scanned."""
+        if not os.path.exists(self.samples_path):
+            return None
+        parts = sorted(
+            d for d in os.listdir(self.samples_path) if d.startswith("dt=")
+        )
+        if not parts:
+            return None
+        df = self.spark.read.parquet(self.samples_path).where(
+            F.col("dt") == parts[0].split("=", 1)[1]
+        )
+        row = df.agg(F.min("ts").alias("m")).collect()[0]
+        return None if row["m"] is None else int(row["m"])
+
     def compact_rollup(self) -> None:
         """Merge partial rollup rows (optional maintenance)."""
         if not os.path.exists(self.rollup_path):

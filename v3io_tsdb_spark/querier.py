@@ -150,18 +150,37 @@ class Querier:
 
     def label_values(self, label_key: str, filter: str | None = None) -> DataFrame:
         """Distinct values of one label key, one ``value`` column
-        (ref: pkg/pquerier/querier.go:279-317 LabelValues).
+        (ref: pkg/pquerier/querier.go:215-317 LabelValues).
 
-        A column-pruned distinct: the scan reads only the labels column
-        (plus filter columns), and the distinct is a map-side-combinable
-        aggregate — the reference's per-item label-string parse loop
-        becomes one hash aggregate."""
+        ``__name__`` dispatches to metric names, mirroring the
+        reference's special case (querier.go:217-219, where it reads
+        the names directory). Otherwise a column-pruned distinct: the
+        scan reads only the labels column (plus filter columns), and
+        the distinct is a map-side-combinable aggregate — the
+        reference's per-item label-string parse loop becomes one hash
+        aggregate."""
+        df = self.samples_df()
+        if filter:
+            df = df.where(F.expr(translate_filter(filter)))
+        if label_key == "__name__":
+            return df.select(F.col("name").alias("value")).distinct()
+        return (
+            df.select(F.col("labels")[label_key].alias("value"))
+            .where(F.col("value").isNotNull())
+            .distinct()
+        )
+
+    def label_names(self, filter: str | None = None) -> DataFrame:
+        """Distinct label KEYS across all series, one ``name`` column.
+
+        The reference declares this API but stubs it to nil
+        (ref: pkg/pquerier/querier.go:227-229); here it is real —
+        explode the pruned labels-keys array, distinct, done."""
         df = self.samples_df()
         if filter:
             df = df.where(F.expr(translate_filter(filter)))
         return (
-            df.select(F.col("labels")[label_key].alias("value"))
-            .where(F.col("value").isNotNull())
+            df.select(F.explode(F.map_keys(F.col("labels"))).alias("name"))
             .distinct()
         )
 
