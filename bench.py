@@ -110,6 +110,43 @@ def main():
 
     for t in ("events", "lineitem", "documents", "embeddings", "orders", "customer"):
         load_table(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
+    # Ingest runs FIRST: measured at the end of a 150-execution
+    # session it absorbs the accumulated JVM/GC tax (measured 6.8s
+    # fresh vs 47s last) and stops representing the append pipeline.
+    # -- ingest throughput --------------------------------------------------
+    # Parity metric: the reference's only benchmark harness is
+    # BenchmarkIngest (samples through the full append pipeline). Here:
+    # the events feed appended into a fresh TSDB — normalize, validate,
+    # dedup, partitioned write, catalog merge, AND rollup maintenance.
+    import shutil
+    import tempfile
+
+    from v3io_tsdb_spark.adapter import TSDBAdapter
+    from v3io_tsdb_spark.datasets import events_as_samples
+
+    ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
+    ingest_sec = -1.0
+    ingest_rate = -1.0
+    try:
+        feed = events_as_samples(spark, sf_dir)
+        n_samples = feed.count()  # untimed: materializes file listing too
+        ad = TSDBAdapter(spark, ingest_root).create()
+        t0 = time.perf_counter()
+        ad.append(feed)
+        ingest_sec = round(time.perf_counter() - t0, 3)
+        ingest_rate = round(n_samples / ingest_sec, 1)
+        print(
+            f"bench ingest_events: {ingest_sec:.3f}s "
+            f"({n_samples} samples, {ingest_rate:.0f}/s)",
+            file=sys.stderr,
+        )
+    except Exception as exc:
+        print(f"bench ingest_events FAILED: {type(exc).__name__}: {str(exc)[:160]}",
+              file=sys.stderr)
+    finally:
+        shutil.rmtree(ingest_root, ignore_errors=True)
+
+
     times = {}
     warm = {}
     total = 0.0
@@ -154,39 +191,6 @@ def main():
 
         df = None
         gc.collect()
-
-    # -- ingest throughput --------------------------------------------------
-    # Parity metric: the reference's only benchmark harness is
-    # BenchmarkIngest (samples through the full append pipeline). Here:
-    # the events feed appended into a fresh TSDB — normalize, validate,
-    # dedup, partitioned write, catalog merge, AND rollup maintenance.
-    import shutil
-    import tempfile
-
-    from v3io_tsdb_spark.adapter import TSDBAdapter
-    from v3io_tsdb_spark.datasets import events_as_samples
-
-    ingest_root = tempfile.mkdtemp(prefix="bench_ingest_")
-    ingest_sec = -1.0
-    ingest_rate = -1.0
-    try:
-        feed = events_as_samples(spark, sf_dir)
-        n_samples = feed.count()  # untimed: materializes file listing too
-        ad = TSDBAdapter(spark, ingest_root).create()
-        t0 = time.perf_counter()
-        ad.append(feed)
-        ingest_sec = round(time.perf_counter() - t0, 3)
-        ingest_rate = round(n_samples / ingest_sec, 1)
-        print(
-            f"bench ingest_events: {ingest_sec:.3f}s "
-            f"({n_samples} samples, {ingest_rate:.0f}/s)",
-            file=sys.stderr,
-        )
-    except Exception as exc:
-        print(f"bench ingest_events FAILED: {type(exc).__name__}: {str(exc)[:160]}",
-              file=sys.stderr)
-    finally:
-        shutil.rmtree(ingest_root, ignore_errors=True)
 
     # The driver keeps only a bounded tail of stdout and parses the JSON
     # line out of it, so the line must stay well under 2 kB. Per-query
