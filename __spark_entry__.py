@@ -690,22 +690,35 @@ def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs.orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
-def _run_available_now(sink_df, tmp_root: str):
+def _run_available_now(sink_df, tmp_root: str, partitions: int = 8):
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink and return the result as a batch DataFrame."""
+    memory sink and return the result as a batch DataFrame.
+
+    Shuffle partitions are pinned low for the run: a streaming
+    aggregation creates one state store (and, for Pandas-stateful ops,
+    one Python worker) PER shuffle partition, fixed at checkpoint
+    creation — 32 of each for a few thousand fixture rows is pure
+    startup cost (measured: the counter stream swung 2-12s warm on
+    worker spin-up). Production sizes this to state volume."""
     import uuid
 
+    spark = sink_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     qn = "stream_q_" + uuid.uuid4().hex[:10]
-    q = (
-        sink_df.writeStream.format("memory")
-        .queryName(qn)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sink_df.sparkSession.table(qn)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+        q = (
+            sink_df.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(qn)
 
 
 def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
