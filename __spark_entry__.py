@@ -905,6 +905,50 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRAT_RATES = {"view": 0.05, "click": 0.5, "purchase": 1.0, "signup": 0.2}
+
+
+def q_events_stratified_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of the events fact table
+    (per-event-type rates — the data-mixing primitive: keep all
+    purchases, 5% of views) -> hourly per-type counts. The predicate is
+    a pure (stratum, key-hash) expression evaluated scan-side."""
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.functions.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
+    return (
+        stratified_sample(ev, STRAT_RATES, "event_type", "event_id",
+                          default_rate=1.0)
+        .withColumn("hour", (ts_ms.cast("long") / F.lit(3_600_000)).cast("long"))
+        .groupBy("hour", F.col("event_type").alias("name"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") + EPS6, 6).alias("sum_value"),
+        )
+    )
+
+
+def q_doc_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per language, take docs in
+    (quality DESC, doc_id) order while the running token total stays
+    within 3000 tokens — the "best N tokens per language" data-mixing
+    step. One window prefix-sum per language group."""
+    from v3io_tsdb_spark.functions.sampling import select_within_token_budget
+    from v3io_tsdb_spark.functions.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "n_tokens", "quality")
+    enriched = docs.select("doc_id", "lang").join(stats, "doc_id")
+    out = select_within_token_budget(enriched, budget=3000)
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality", "cum_tokens",
+    )
+
+
 def q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count percentiles (p50/p90/p99) — the
     length-distribution profile a corpus-quality pass reports.
@@ -1112,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_pii_scrub": q_doc_pii_scrub,
+        "events_stratified_hourly": q_events_stratified_hourly,
+        "doc_budget_selection": q_doc_budget_selection,
     }
 
 
@@ -1846,6 +1892,33 @@ def oracle_sql() -> dict[str, str]:
       GROUP BY 1, 2
     """
 
+    stratified_hourly = """
+      SELECT epoch_ms(ts) // 3600000 AS hour, event_type AS name,
+             count(*) AS n, round(sum(value) + 0.000000001, 6) AS sum_value
+      FROM events
+      WHERE ('0x' || substr(md5('strat' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+            < CASE event_type WHEN 'view' THEN 500 WHEN 'click' THEN 5000
+                              WHEN 'purchase' THEN 10000 WHEN 'signup' THEN 2000
+                              ELSE 10000 END
+      GROUP BY 1, 2
+    """
+
+    budget_selection = f"""
+      WITH stats AS ({text_stats}),
+      j AS (
+        SELECT d.doc_id, d.lang, s.n_tokens, s.quality
+        FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+      ),
+      c AS (
+        SELECT *, (sum(n_tokens) OVER (PARTITION BY lang
+                     ORDER BY quality DESC, doc_id ASC
+                     ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+        FROM j
+      )
+      SELECT doc_id, lang, n_tokens, quality, cum_tokens
+      FROM c WHERE cum_tokens <= 3000
+    """
+
     token_quantiles = """
       WITH t AS (
         SELECT lang, len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
@@ -2122,4 +2195,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": repetition,
         "doc_pack_sequences": pack,
         "doc_pii_scrub": pii,
+        "events_stratified_hourly": stratified_hourly,
+        "doc_budget_selection": budget_selection,
     }

@@ -67,6 +67,8 @@ HEADLINE = [
     "doc_repetition_stats",
     "doc_pack_sequences",
     "doc_pii_scrub",
+    "events_stratified_hourly",
+    "doc_budget_selection",
 ]
 
 

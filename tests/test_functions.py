@@ -469,3 +469,41 @@ def test_scrub_pii_sentinels_and_order(spark):
     assert r[4]["scrubbed"] == "<EMAIL> or <IP> or <PHONE>"
     assert r[5]["scrubbed"] == "clean text, no pii at all"
     assert (r[5]["n_emails"], r[5]["n_ips"], r[5]["n_phones"]) == (0, 0, 0)
+
+
+def test_stratified_sample_properties(spark):
+    from v3io_tsdb_spark.functions.sampling import stratified_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    # rate 1.0 keeps the whole stratum; rate 0.0 (default) drops it
+    kept = stratified_sample(df, {"a": 1.0}, "s", "k").collect()
+    assert len(kept) == 1000 and all(r["s"] == "a" for r in kept)
+    # nested thresholds: the 20% sample is a subset of the 50% sample
+    s20 = {r["k"] for r in stratified_sample(df, {"a": 0.2}, "s", "k").collect()}
+    s50 = {r["k"] for r in stratified_sample(df, {"a": 0.5}, "s", "k").collect()}
+    assert s20 <= s50 and 0 < len(s20) < len(s50) < 1000
+    # deterministic across invocations
+    assert s20 == {r["k"] for r in stratified_sample(df, {"a": 0.2}, "s", "k").collect()}
+
+
+def test_select_within_token_budget_prefix(spark):
+    from v3io_tsdb_spark.functions.sampling import select_within_token_budget
+
+    df = spark.createDataFrame(
+        [  # (doc_id, lang, n_tokens, quality)
+            (1, "en", 100, 1.0),
+            (2, "en", 100, 0.9),
+            (3, "en", 100, 0.9),   # quality tie -> id order
+            (4, "en", 100, 0.5),   # crosses the 300 budget: excluded
+            (5, "de", 250, 0.2),   # separate group, own budget
+        ],
+        "doc_id long, lang string, n_tokens long, quality double",
+    )
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in select_within_token_budget(df, budget=300).collect()
+    )
+    assert got == [(1, 100), (2, 200), (3, 300), (5, 250)]

@@ -65,3 +65,63 @@ def deterministic_sample(
     RNG, changes under repartitioning)."""
     hi = int(round(fraction * N_BUCKETS))
     return df.where(hash_bucket_col(F.col(key_col), salt) < F.lit(hi))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its key hash
+    falls under its stratum's rate — the data-mixing primitive
+    ("upsample purchases, downsample views") with the same
+    rerun/engine/partitioning stability as :func:`deterministic_sample`.
+
+    Scan-side: the predicate is a pure expression over (stratum, key),
+    so Catalyst evaluates it in the scan stage and the dropped rows
+    never materialize. Strata absent from ``rates`` get
+    ``default_rate``."""
+    bucket = hash_bucket_col(F.col(key_col), salt)
+    thresh = None
+    for value, rate in rates.items():
+        hi = F.lit(int(round(rate * N_BUCKETS)))
+        cond = F.col(stratum_col) == value
+        thresh = F.when(cond, hi) if thresh is None else thresh.when(cond, hi)
+    thresh = (
+        thresh.otherwise(F.lit(int(round(default_rate * N_BUCKETS))))
+        if thresh is not None
+        else F.lit(int(round(default_rate * N_BUCKETS)))
+    )
+    return df.where(bucket < thresh)
+
+
+def select_within_token_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    group_cols: tuple = ("lang",),
+) -> DataFrame:
+    """Greedy corpus selection under a token budget: within each group,
+    take documents in (quality DESC, id ASC) order while the running
+    token total stays within ``budget`` — the standard data-mixing step
+    "best N tokens per language". A doc that would cross the budget is
+    excluded (its successors too: the order is the contract, not a
+    knapsack fit).
+
+    One window prefix-sum per group (parallel across groups, like
+    :func:`packing.pack_sequences`); deterministic because the sort key
+    (quality, id) is total."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
+    return out.where(F.col("cum_tokens") <= F.lit(budget))
