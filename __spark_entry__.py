@@ -585,6 +585,22 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding duplicate-cluster formation: hyperplane-blocked
+    near-dup pairs → connected components → one keeper per group — the
+    same pair→cluster step as text dedup, over the vector modality."""
+    from v3io_tsdb_spark.functions.dedup import (
+        dedup_clusters,
+        embedding_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.4, n_planes=6, dim=64)
+    return dedup_clusters(pairs.select("id_a", "id_b")).select(
+        "id", "comp", F.col("keep").cast("boolean").alias("keep")
+    )
+
+
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.similarity import cosine_topk
 
@@ -1158,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": q_doc_pii_scrub,
         "events_stratified_hourly": q_events_stratified_hourly,
         "doc_budget_selection": q_doc_budget_selection,
+        "emb_dup_clusters": q_emb_dup_clusters,
     }
 
 
@@ -1726,9 +1743,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # embedding near-dup: same 6-plane signature blocks, exact cosine
-    # verify inside blocks (mirrors dedup.embedding_near_dup_pairs)
-    near_dup = f"""
-      WITH e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    # verify inside blocks (mirrors dedup.embedding_near_dup_pairs);
+    # shared CTE chain reused by the cluster-formation oracle below
+    emb_pair_ctes = f"""e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
       pl(p, pv) AS (VALUES {plane_vals}),
       dots AS (SELECT e.id, pl.p,
                  list_sum(list_transform(list_zip(e.v, pl.pv), z -> z[1] * z[2])) AS dt
@@ -1740,8 +1757,25 @@ def oracle_sql() -> dict[str, str]:
              FROM sigs s JOIN e ON s.id = e.id),
       pc AS (SELECT a.id AS id_a, b.id AS id_b,
                list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) / (a.nrm * b.nrm) AS cos
-             FROM sv a JOIN sv b ON a.sig = b.sig AND a.id < b.id)
+             FROM sv a JOIN sv b ON a.sig = b.sig AND a.id < b.id)"""
+    near_dup = f"""
+      WITH {emb_pair_ctes}
       SELECT id_a, id_b, round(cos + 0.000000001, 6) AS cosine FROM pc WHERE cos >= 0.4
+    """
+
+    emb_clusters = f"""
+      WITH RECURSIVE {emb_pair_ctes},
+      pr AS (SELECT id_a, id_b FROM pc WHERE cos >= 0.4),
+      sym AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION SELECT id_b, id_a FROM pr
+      ),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM sym
+        UNION
+        SELECT s.src, reach.r FROM sym s JOIN reach ON s.dst = reach.id
+      )
+      SELECT id, min(r) AS comp, (id = min(r)) AS keep FROM reach GROUP BY id
     """
     cos_expr = (
         "round(list_sum(list_transform(list_zip(c.v, q.qv), z -> z[1] * z[2])) /"
@@ -2197,4 +2231,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": pii,
         "events_stratified_hourly": stratified_hourly,
         "doc_budget_selection": budget_selection,
+        "emb_dup_clusters": emb_clusters,
     }

@@ -69,6 +69,7 @@ HEADLINE = [
     "doc_pii_scrub",
     "events_stratified_hourly",
     "doc_budget_selection",
+    "emb_dup_clusters",
 ]
 
 
