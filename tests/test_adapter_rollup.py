@@ -354,3 +354,35 @@ def test_group_by_validation_scoped_to_requested_metrics(tmp_path, spark):
     with pytest.raises(BadRequest):
         a.select(SelectParams(name="cpu", functions="sum", step="1d",
                               group_by="zone", from_time=T0 - HOUR, to_time=T0 + HOUR))
+
+
+def test_compact_samples(tmp_path, spark):
+    """Small-file compaction: N appends leave N file sets per dt
+    partition; compaction merges to one file per date dir and changes
+    neither the row set nor the rollup."""
+    import glob
+    import os
+
+    a = _mk(tmp_path, spark)
+    for batch in range(3):
+        a.append(
+            [{"ts": T0H + batch * MIN + i * 10, "name": "m", "labels": {}, "value": float(i)}
+             for i in range(5)]
+        )
+    part_dirs = glob.glob(os.path.join(a.samples_path, "dt=*"))
+    assert part_dirs
+    pre_files = glob.glob(os.path.join(part_dirs[0], "*.parquet"))
+    assert len(pre_files) >= 3
+    pre_rows = sorted(
+        (r["ts"], r["value"]) for r in spark.read.parquet(a.samples_path).collect()
+    )
+    a.compact_samples()
+    post_files = glob.glob(os.path.join(part_dirs[0], "*.parquet"))
+    assert len(post_files) == 1
+    post_rows = sorted(
+        (r["ts"], r["value"]) for r in spark.read.parquet(a.samples_path).collect()
+    )
+    assert post_rows == pre_rows
+    # queries still route and agree after the swap
+    res = a.select(name="m", from_time=T0H, to_time=T0H + 3 * MIN)
+    assert res.count() == 15

@@ -135,6 +135,24 @@ class TSDBAdapter:
         row = df.agg(F.min("ts").alias("m")).collect()[0]
         return None if row["m"] is None else int(row["m"])
 
+    def compact_samples(self) -> None:
+        """Merge small append files inside each ``dt=`` partition (the
+        maintenance twin of :meth:`compact_rollup`): every ``append``
+        adds one file set per partition, and at ingest frequency × days
+        the scan becomes listing/footer-bound. One shuffle keyed on the
+        partition column → one output file per date dir locally (a
+        deployment sizes output files via shuffle partitions instead);
+        atomic swap like the rollup compactor. Analog of the
+        reference's chunk consolidation on UpdateItem
+        (ref: pkg/appender/store.go:374-397)."""
+        if not os.path.exists(self.samples_path):
+            return
+        df = self.spark.read.parquet(self.samples_path)
+        tmp = self.samples_path + "_compacting"
+        df.repartition(F.col("dt")).write.mode("overwrite").partitionBy("dt").parquet(tmp)
+        shutil.rmtree(self.samples_path)
+        os.rename(tmp, self.samples_path)
+
     def compact_rollup(self) -> None:
         """Merge partial rollup rows (optional maintenance)."""
         if not os.path.exists(self.rollup_path):
