@@ -150,3 +150,65 @@ def test_sessionize_gap_semantics(spark):
     s2 = out[("cpu", 121_000)]
     assert s2["session_end"] == 181_000 and s2["n_events"] == 1
     assert out[("mem", 0)]["session_end"] == 60_000
+
+
+def test_cross_series_interpolation_over_tolerance(spark, make_samples):
+    # ref: cross_series_aggregation_integration_test.go:471-537 — a
+    # series whose previous point is older than the interpolation
+    # tolerance drops out of the cross-series aggregate at that step
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 20), (10 * MIN, 30)]),
+            ("cpu", {"os": "mac"}, [(0, 20), (5 * MIN, 30), (10 * MIN, 40)]),
+        ]
+    )
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(
+            name="cpu", functions="sum_all,min_all,max_all", step="5m",
+            interpolator="prev_val", tolerance=MIN,
+            from_time=T0, to_time=T0 + 10 * MIN,
+        )
+    )
+    got = rows_to_dict(res, ["t"], ["sum", "min", "max"])
+    # at T0+5m linux's prev point (T0+1m) is 4m old > 1m tolerance →
+    # only mac contributes
+    assert got == {
+        T0: (30.0, 10.0, 20.0),
+        T0 + 5 * MIN: (30.0, 30.0, 30.0),
+        T0 + 10 * MIN: (70.0, 30.0, 40.0),
+    }
+
+
+def test_cross_series_same_label_multiple_metrics(spark, make_samples):
+    # ref: cross_series_aggregation_integration_test.go:654-722 —
+    # cross-series aggregates stay per-metric when several metrics are
+    # requested together
+    d1 = [(0, 10), (1 * MIN, 1), (2 * MIN, 20), (3 * MIN, 1), (4 * MIN, 30)]
+    d2 = [(0, 20), (1 * MIN, 1), (2 * MIN, 30), (3 * MIN, 1), (4 * MIN, 40)]
+    df = make_samples(
+        [("cpu", {"os": "linux"}, d1), ("disk", {"os": "linux"}, d2)]
+    )
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu,disk", functions="sum_all", step="2m",
+                     from_time=T0, to_time=T0 + 5 * MIN)
+    )
+    got = rows_to_dict(res, ["name", "t"], ["sum"])
+    assert got == {
+        ("cpu", T0): 10.0, ("cpu", T0 + 2 * MIN): 20.0, ("cpu", T0 + 4 * MIN): 30.0,
+        ("disk", T0): 20.0, ("disk", T0 + 2 * MIN): 30.0, ("disk", T0 + 4 * MIN): 40.0,
+    }
+
+
+def test_windowed_aggregation_window_equal_to_step(spark, make_samples):
+    # ref: windowed_aggregation_integration_test.go:173-236 — window ==
+    # step degenerates to tumbling buckets over (b-w, b]
+    df = make_samples([("cpu", {"os": "linux"}, [(i * MIN, 10 * i) for i in range(10)])])
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu", functions="sum", step="5m", aggregation_window="5m",
+                     from_time=T0, to_time=T0 + 10 * MIN)
+    )
+    got = rows_to_dict(res, ["t"], ["sum"])
+    assert got == {T0: 0.0, T0 + 5 * MIN: 150.0, T0 + 10 * MIN: 300.0}
