@@ -3,6 +3,7 @@
 import math
 
 from conftest import MIN, T0
+from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.operators.frames import to_wide_frame
 from v3io_tsdb_spark.querier import Querier, SelectParams
@@ -98,3 +99,53 @@ def test_mixed_frame_through_raw_ts_source(spark):
     types = dict(wide.dtypes)
     assert types.get("props_log") == "string"
     assert any(t == "double" for c, t in wide.dtypes if c not in ("t", "props_log"))
+
+
+def test_multiple_metrics_with_multiple_label_sets(spark, make_samples):
+    # ref: raw_query_integration_test.go:457-525 — a catch-all filter
+    # over several metrics x label sets returns every series intact
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10)]),
+            ("diskio", {"os": "linux"}, [(0, 20)]),
+            ("diskio", {"os": "mac"}, [(0, 30), (MIN, 40)]),
+        ]
+    )
+    q = Querier(spark, df)
+    res = q.select(SelectParams(filter="1==1", from_time=T0, to_time=T0 + 5 * MIN))
+    rows = res.select("name", "labels", "t", "value").collect()
+    got = sorted((r["name"], r["labels"]["os"], r["t"] - T0, r["value"]) for r in rows)
+    assert got == [
+        ("cpu", "linux", 0, 10.0),
+        ("diskio", "linux", 0, 20.0),
+        ("diskio", "mac", 0, 30.0),
+        ("diskio", "mac", MIN, 40.0),
+    ]
+    series = res.select("name", F.col("labels")["os"].alias("os")).distinct()
+    assert series.count() == 3  # series count
+
+
+def test_query_metric_without_data_in_range(spark, make_samples):
+    # ref: raw_query_integration_test.go:628-700 — a requested metric
+    # whose only data falls outside the range contributes nothing (and
+    # the wide frame keeps its all-null column shape for it)
+    DAY = 86_400_000
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10), (MIN, 20), (2 * MIN, 30), (3 * MIN, 40)]),
+            ("diskio", {"os": "linux"}, [(-7 * DAY, 10)]),
+        ]
+    )
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu,diskio", from_time=T0 + MIN, to_time=T0 + 4 * MIN)
+    )
+    assert sorted(r["value"] for r in res.collect()) == [20.0, 30.0, 40.0]
+    assert res.where(F.col("name") == "diskio").count() == 0
+    # wide frame: diskio column exists but is entirely null
+    from v3io_tsdb_spark.operators.frames import to_wide_frame
+
+    wide = to_wide_frame(res, nan_fill=False, values=["cpu", "diskio"])
+    assert wide.columns == ["t", "cpu", "diskio"]
+    assert wide.where(F.col("diskio").isNotNull()).count() == 0
+    assert wide.count() == 3
