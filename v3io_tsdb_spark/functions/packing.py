@@ -6,18 +6,21 @@ packs; each document is assigned the pack its FIRST token falls in,
 plus its offset inside that pack. Downstream loaders can then shuffle
 packs, not documents, and every rerun produces byte-identical batches.
 
-Spark shape: one window cumulative sum per group — packing is
-embarrassingly parallel ACROSS groups (split × lang here; at 100 TB add
-a shard key derived from the doc id to bound group size), and the
-within-group ordered prefix sum is the price of determinism: the same
-doc must land in the same pack no matter how the cluster partitions the
-scan. No Python, no explode; one shuffle (the window partitioning).
+Spark shape: a TWO-PASS distributed prefix sum per group
+(:mod:`prefixsum`) — packing is embarrassingly parallel ACROSS groups,
+and within a group no single task ever sorts the whole group: rows are
+quantile-sharded on doc_id, per-shard token subtotals are broadcast
+back as offsets, and the running sum finishes shard-locally.
+Deterministic (same doc → same pack at any parallelism), no Python,
+no explode.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.functions.prefixsum import ordered_prefix_sum
 
 
 def pack_sequences(
@@ -33,14 +36,14 @@ def pack_sequences(
     cumulative token count of all earlier docs in the group (ordered by
     ``order_col``); ``pack_offset = start % budget``. Documents longer
     than ``budget`` simply span packs, exactly like the concat-chunk
-    loader they model.
+    loader they model. ``order_col`` must be unique within a group.
     """
-    w = (
-        Window.partitionBy(*group_cols)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = ordered_prefix_sum(
+        df, tokens_col, [(order_col, False)], group_cols, "_pack_cum"
     )
-    start = (F.sum(tokens_col).over(w) - F.col(tokens_col)).cast("long")
-    return df.withColumn("pack_id", F.floor(start / F.lit(budget))).withColumn(
-        "pack_offset", start % F.lit(budget)
+    start = (F.col("_pack_cum") - F.col(tokens_col)).cast("long")
+    return (
+        out.withColumn("pack_id", F.floor(start / F.lit(budget)))
+        .withColumn("pack_offset", start % F.lit(budget))
+        .drop("_pack_cum")
     )

@@ -113,15 +113,17 @@ def select_within_token_budget(
     excluded (its successors too: the order is the contract, not a
     knapsack fit).
 
-    One window prefix-sum per group (parallel across groups, like
-    :func:`packing.pack_sequences`); deterministic because the sort key
+    Two-pass distributed prefix sum per group (parallel across groups
+    AND across shards within a group — see :mod:`prefixsum`; no single
+    task ever sorts a whole group); deterministic because the sort key
     (quality, id) is total."""
-    from pyspark.sql import Window
+    from v3io_tsdb_spark.functions.prefixsum import ordered_prefix_sum
 
-    w = (
-        Window.partitionBy(*group_cols)
-        .orderBy(F.col(quality_col).desc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = ordered_prefix_sum(
+        df,
+        tokens_col,
+        [(quality_col, True), (id_col, False)],
+        group_cols,
+        "cum_tokens",
     )
-    out = df.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
     return out.where(F.col("cum_tokens") <= F.lit(budget))
