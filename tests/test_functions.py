@@ -471,6 +471,29 @@ def test_scrub_pii_sentinels_and_order(spark):
     assert (r[5]["n_emails"], r[5]["n_ips"], r[5]["n_phones"]) == (0, 0, 0)
 
 
+def test_scrub_pii_counts_match_replacements(spark):
+    """Counts are defined on the stage each regex actually runs on: a
+    dotted quad inside an email DOMAIN is consumed by the email pass,
+    so it must not count as an IP (n_ips == number of <IP> sentinels
+    in the output, always)."""
+    from v3io_tsdb_spark.functions.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "from a@1.2.3.4.com with love"),        # quad inside email domain
+            (2, "a@1.2.3.4.com plus real 10.0.0.1"),    # one masked, one real
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in scrub_pii(df).collect()}
+    assert r[1]["n_emails"] == 1 and r[1]["n_ips"] == 0
+    assert r[1]["scrubbed"] == "from <EMAIL> with love"
+    assert r[2]["n_emails"] == 1 and r[2]["n_ips"] == 1
+    assert r[2]["scrubbed"] == "<EMAIL> plus real <IP>"
+    for row in r.values():
+        assert row["scrubbed"].count("<IP>") == row["n_ips"]
+
+
 def test_stratified_sample_properties(spark):
     from v3io_tsdb_spark.functions.sampling import stratified_sample
 

@@ -222,21 +222,20 @@ def scrub_pii(
     map work, no shuffle.
     """
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
-    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
-    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    t1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    scrubbed = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    # each count runs on the PREVIOUS stage's output (n_ips on t1, not
+    # the raw text): a dotted quad inside an email domain is masked by
+    # the email pass and must not count as an IP — counting on the raw
+    # text would report more <IP> replacements than actually happen
     return df.select(
         F.col(id_col),
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
         .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), F.lit(0)))
+        F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), F.lit(0)))
         .cast("long").alias("n_ips"),
-        F.size(
-            F.regexp_extract_all(
-                F.regexp_replace(F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
-                                 PII_IP_RE, "<IP>"),
-                F.lit(PII_PHONE_RE), F.lit(0),
-            )
-        ).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long").alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )
