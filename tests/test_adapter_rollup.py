@@ -386,3 +386,25 @@ def test_compact_samples(tmp_path, spark):
     # queries still route and agree after the swap
     res = a.select(name="m", from_time=T0H, to_time=T0H + 3 * MIN)
     assert res.count() == 15
+
+
+def test_swap_dirs_crash_safety(tmp_path):
+    """The compactor swap must never leave the live path absent: the
+    live dir is renamed ASIDE before promotion (a crash leaves old or
+    new data, not neither), and a stale _old leftover from a previous
+    crash is swept, not fatal."""
+    import os
+
+    from v3io_tsdb_spark.adapter import _swap_dirs
+
+    live, staged = str(tmp_path / "samples"), str(tmp_path / "samples_compacting")
+    os.makedirs(live)
+    open(os.path.join(live, "old.parquet"), "w").write("old")
+    os.makedirs(staged)
+    open(os.path.join(staged, "new.parquet"), "w").write("new")
+    # leftover from a hypothetical earlier crash after promotion
+    os.makedirs(str(tmp_path / "samples_old"))
+    _swap_dirs(live, staged)
+    assert os.listdir(live) == ["new.parquet"]
+    assert not os.path.exists(staged)
+    assert not os.path.exists(str(tmp_path / "samples_old"))

@@ -36,6 +36,22 @@ def _date_shift(day: str, days: int) -> str:
     return (datetime.strptime(day, "%Y-%m-%d") + timedelta(days=days)).strftime("%Y-%m-%d")
 
 
+def _swap_dirs(live: str, staged: str) -> None:
+    """Crash-safe table-directory swap for the compactors: rename the
+    live dir ASIDE first, promote the staged one, then delete the old
+    copy. A crash at any point leaves either the old or the new data
+    under the live path — never neither (the delete-first version left
+    the table with NO data and a rerun silently no-oping on the
+    missing-path guard). Renames within one filesystem are atomic;
+    stale ``_old`` leftovers from a crash after promotion are swept on
+    the next swap."""
+    old = live + "_old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old)
+
+
 class TSDBAdapter:
     def __init__(self, spark: SparkSession, path: str, config: TSDBConfig | None = None):
         self.spark = spark
@@ -150,8 +166,7 @@ class TSDBAdapter:
         df = self.spark.read.parquet(self.samples_path)
         tmp = self.samples_path + "_compacting"
         df.repartition(F.col("dt")).write.mode("overwrite").partitionBy("dt").parquet(tmp)
-        shutil.rmtree(self.samples_path)
-        os.rename(tmp, self.samples_path)
+        _swap_dirs(self.samples_path, tmp)
 
     def compact_rollup(self) -> None:
         """Merge partial rollup rows (optional maintenance)."""
@@ -163,8 +178,7 @@ class TSDBAdapter:
         )
         tmp = self.rollup_path + "_compacting"
         merged.write.mode("overwrite").partitionBy("rdt").parquet(tmp)
-        shutil.rmtree(self.rollup_path)
-        os.rename(tmp, self.rollup_path)
+        _swap_dirs(self.rollup_path, tmp)
 
     # -- query -------------------------------------------------------------
 
