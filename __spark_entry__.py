@@ -153,6 +153,24 @@ def _src_tag(sf_dir: str, table: str) -> str:
     return f"{base}_{st.st_size}_{int(st.st_mtime)}"
 
 
+def _persist_path(prefix: str, sf_dir: str, table: str) -> str:
+    """/tmp artifact path keyed by the source fingerprint, with stale-
+    sibling pruning: when testdata is regenerated in place the
+    fingerprint changes, so every OLDER artifact of the same prefix AND
+    same sf-dir basename is an orphan that would otherwise accumulate
+    forever — sweep them before handing out the fresh path. Artifacts
+    for other sf dirs (different basename) are left alone."""
+    import glob
+    import shutil
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/{prefix}_{_src_tag(sf_dir, table)}"
+    for stale in glob.glob(f"/tmp/{prefix}_{base}_*"):
+        if stale != path:
+            shutil.rmtree(stale, ignore_errors=True)
+    return path
+
+
 def _rollup_ensure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-once persisted rollup (exactly like the IVF index): the
     bench's rollup query then measures the routed SERVER-AGGREGATES
@@ -161,7 +179,7 @@ def _rollup_ensure(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ref: pkg/appender/store.go:374-397)."""
     import os
 
-    path = f"/tmp/spark_graft_rollup{_ROLLUP_GRAN}_v1_{_src_tag(sf_dir, 'events')}"
+    path = _persist_path(f"spark_graft_rollup{_ROLLUP_GRAN}_v1", sf_dir, "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         samples = events_as_samples(spark, sf_dir)
         # compact to a few files: the rollup is ~5% of the raw table,
@@ -203,7 +221,7 @@ def _label_rollup_ensure(spark: SparkSession, sf_dir: str, gran_ms: int) -> Data
     than cold in round 5."""
     from v3io_tsdb_spark.rollup import build_label_rollup
 
-    path = f"/tmp/spark_graft_lrollup_uid_v1_{_src_tag(sf_dir, 'events')}"
+    path = _persist_path("spark_graft_lrollup_uid_v1", sf_dir, "events")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         samples = events_as_samples(spark, sf_dir)
         build_label_rollup(samples, gran_ms, ("uid",)) \
@@ -566,7 +584,7 @@ def _shingle_ensure_index(spark: SparkSession, sf_dir: str):
 
     from v3io_tsdb_spark.functions.dedup import read_shingle_index, shingle_write_index
 
-    path = f"/tmp/spark_graft_shingle3_v2_{_src_tag(sf_dir, 'documents')}"
+    path = _persist_path("spark_graft_shingle3_v2", sf_dir, "documents")
     if not os.path.exists(os.path.join(path, "df", "_SUCCESS")):
         shingle_write_index(_docs_scattered(spark, sf_dir), path)
     return read_shingle_index(spark, path)
@@ -724,7 +742,7 @@ def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs.orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
-def _run_available_now(sink_df, tmp_root: str, partitions: int = 8):
+def _run_available_now(sink_df, partitions: int = 8):
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink and return the result as a batch DataFrame.
 
@@ -733,26 +751,43 @@ def _run_available_now(sink_df, tmp_root: str, partitions: int = 8):
     one Python worker) PER shuffle partition, fixed at checkpoint
     creation — 32 of each for a few thousand fixture rows is pure
     startup cost (measured: the counter stream swung 2-12s warm on
-    worker spin-up). Production sizes this to state volume."""
+    worker spin-up). Production sizes this to state volume.
+
+    Cleanup is part of the contract: the per-run checkpoint dir and the
+    memory-sink temp view used to leak per invocation (driver memory +
+    /tmp growth across a bench session); the sink rows are copied into
+    a fresh local DataFrame so both can be released before returning.
+    Streaming results here are small by construction (watermark-closed
+    sessions / per-step deltas), so the copy is bounded."""
+    import shutil
+    import tempfile
     import uuid
 
     spark = sink_df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     qn = "stream_q_" + uuid.uuid4().hex[:10]
+    ckpt_root = tempfile.mkdtemp(prefix="stream_run_")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
         q = (
             sink_df.writeStream.format("memory")
             .queryName(qn)
             .outputMode("append")
-            .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+            .option("checkpointLocation", os.path.join(ckpt_root, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        sink = spark.table(qn)
+        rows, schema = sink.collect(), sink.schema
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(qn)
+        try:
+            spark.catalog.dropTempView(qn)
+        except Exception:
+            pass
+        shutil.rmtree(ckpt_root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,15 +799,13 @@ def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replicates gap-sessionization plus that closure predicate in
     SQL, so ST6 gets a hash-level correctness row, not just pytest.
     Ref: late-window merge, pkg/appender/store.go:42,246-289."""
-    import tempfile
-
     from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.streaming.ingest import stream_sessions
 
     # fixture persisted once per sf dir (same pattern as the shingle
     # index); one sorted file → one deterministic micro-batch (cross-
     # batch state and multi-batch watermark advance are pytest-covered)
-    fx = f"/tmp/spark_graft_stream_sess_{_src_tag(sf_dir, 'events')}"
+    fx = _persist_path("spark_graft_stream_sess", sf_dir, "events")
     if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         ev.select(
@@ -782,12 +815,11 @@ def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
             os.path.join(fx, "in")
         )
-    tmp = tempfile.mkdtemp(prefix="stream_sess_")  # per-run checkpoint
     raw = spark.readStream.schema("ts long, name string, value double").parquet(
         os.path.join(fx, "in")
     )
     sess = stream_sessions(raw, gap="30m", watermark="1 hour")
-    out = _run_available_now(sess, tmp)
+    out = _run_available_now(sess)
     return out.select(
         F.col("name").alias("series_key"),
         F.col("session_start").cast("long").alias("session_start"),
@@ -804,14 +836,12 @@ def q_stream_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState``, and the emitted per-step increases are
     hash-compared to a SQL lag() oracle. State is one (last_ts,
     last_val) row per series — O(series) memory at any scale."""
-    import tempfile
-
     from pyspark.sql import Window
 
     from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.streaming.stateful import stream_counter_increase
 
-    fx = f"/tmp/spark_graft_stream_ctr_{_src_tag(sf_dir, 'events')}"
+    fx = _persist_path("spark_graft_stream_ctr", sf_dir, "events")
     if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
@@ -829,11 +859,10 @@ def q_stream_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
             os.path.join(fx, "in")
         )
-    tmp = tempfile.mkdtemp(prefix="stream_ctr_")  # per-run checkpoint
     raw = spark.readStream.schema("ts long, name string, value double").parquet(
         os.path.join(fx, "in")
     )
-    out = _run_available_now(stream_counter_increase(raw), tmp)
+    out = _run_available_now(stream_counter_increase(raw))
     return out.select(
         "series_key",
         F.col("ts").cast("long").alias("ts"),
@@ -1045,7 +1074,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index_path(sf_dir: str) -> str:
     import os
 
-    return f"/tmp/spark_graft_ivf_v2_{_src_tag(sf_dir, 'embeddings')}"
+    return _persist_path("spark_graft_ivf_v2", sf_dir, "embeddings")
 
 
 def _ivf_ensure_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1083,7 +1112,7 @@ def _lsh_ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
     from v3io_tsdb_spark.functions.similarity import lsh_write_index
 
-    path = f"/tmp/spark_graft_lsh_v1_{_src_tag(sf_dir, 'embeddings')}"
+    path = _persist_path("spark_graft_lsh_v1", sf_dir, "embeddings")
     if not os.path.exists(os.path.join(path, "_lsh_meta.json")):
         emb = load_table(spark, sf_dir, "embeddings")
         lsh_write_index(emb, path, n_planes=6, dim=64)

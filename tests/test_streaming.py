@@ -239,3 +239,41 @@ def test_stream_counter_increase_state_across_batches(tmp_path, spark):
         ("req", T0 + 3 * MIN): 3.0,  # 12 → 3: reset, increase = 3
         ("err", T0 + 2 * MIN): 3.0,  # 1 → 4 (cross-batch)
     }
+
+
+def test_session_watermark_exact_tie_is_emitted(tmp_path, spark):
+    """Pins the append-mode eviction boundary the oracle's closure
+    predicate (`session_end <= max_ts - watermark`) relies on,
+    MEASURED not assumed: a session whose end lands EXACTLY on the
+    final watermark IS emitted; one ending 1 ms past it is held in
+    state. If a Spark upgrade flips this to strictly-greater, this
+    test fails before the driver hash-compare does."""
+    from v3io_tsdb_spark.streaming.ingest import stream_sessions
+
+    t0 = 1_700_000_000_000
+    gap_ms, wm_ms = 1_800_000, 3_600_000
+
+    def run(rows, name):
+        d = tmp_path / name
+        spark.createDataFrame(rows, "ts long, name string, value double") \
+            .orderBy("ts").coalesce(1).write.parquet(str(d / "in"))
+        raw = spark.readStream.schema("ts long, name string, value double") \
+            .parquet(str(d / "in"))
+        q = (
+            stream_sessions(raw, gap="30m", watermark="1 hour")
+            .writeStream.format("memory").queryName(f"tie_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        out = spark.sql(f"SELECT * FROM tie_{name}").collect()
+        spark.catalog.dropTempView(f"tie_{name}")
+        return out
+
+    # exact tie: A.end = t0 + gap == max_ts - watermark → emitted
+    tie = run([(t0, "u", 1.0), (t0 + gap_ms + wm_ms, "u", 2.0)], "exact")
+    assert any(r["session_start"] == t0 for r in tie)
+    # 1 ms short of the tie: A.end = watermark + 1 → still open, held
+    held = run([(t0, "u", 1.0), (t0 + gap_ms + wm_ms - 1, "u", 2.0)], "held")
+    assert not any(r["session_start"] == t0 for r in held)
