@@ -646,16 +646,19 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch ANN: top-10 per query for a broadcast query set — the
-    many-queries pattern (broadcast join + per-query window rank, no
-    per-query scans)."""
-    from v3io_tsdb_spark.functions.similarity import cosine_topk_per_query
+    """Batch ANN through the AUTO ROUTER: brute force (broadcast join +
+    per-query window rank) while Q x N pair evaluations fit the
+    documented budget, the persisted IVF index above it. At every test
+    sf this routes brute (3 queries x <=50k vectors << 50M pairs), so
+    the oracle stays the exact computation; the routing rule itself is
+    pytest-pinned both ways (test_batch_topk_routing_and_ivf_batch)."""
+    from v3io_tsdb_spark.functions.similarity import batch_topk_auto
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    res = cosine_topk_per_query(emb, queries, k=10)
+    res = batch_topk_auto(emb, queries, k=10, index_path=_ivf_ensure_index(spark, sf_dir))
     return res.select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
 
 

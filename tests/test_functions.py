@@ -530,3 +530,48 @@ def test_select_within_token_budget_prefix(spark):
         for r in select_within_token_budget(df, budget=300).collect()
     )
     assert got == [(1, 100), (2, 200), (3, 300), (5, 250)]
+
+
+def test_batch_topk_routing_and_ivf_batch(emb, spark, tmp_path):
+    """Batch top-k auto-routing (X6/X7 scale path): the routing rule
+    flips exactly at the pair budget, and the in-plan batch IVF search
+    (query->probe mapping computed in Spark, no per-query driver loop)
+    agrees with brute force exactly when every cluster is probed."""
+    from v3io_tsdb_spark.functions.similarity import (
+        batch_topk_auto,
+        choose_batch_route,
+        cosine_topk_per_query,
+        ivf_batch_search,
+        ivf_write_index,
+    )
+
+    # routing rule, both ways (and the no-index fallback)
+    assert choose_batch_route(3, 500, None) == "brute"
+    assert choose_batch_route(3, 500, "/idx", max_pairs=10_000) == "brute"
+    assert choose_batch_route(100, 500, "/idx", max_pairs=10_000) == "ivf"
+    assert choose_batch_route(100, 500, None, max_pairs=10_000) == "brute"
+
+    path = str(tmp_path / "ivf_batch")
+    ivf_write_index(emb, path, n_clusters=8, iters=2)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk_per_query(emb, queries, k=5).collect()
+    full_probe = ivf_batch_search(spark, path, queries, k=5, n_probe=8).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, sorted(full_probe, key=key))) == sorted(
+        map(tuple, sorted(brute, key=key))
+    )
+
+    # auto: below budget -> brute plan (nested-loop over broadcast
+    # queries, no index scan); above -> index scan in the plan
+    low = batch_topk_auto(emb, queries, k=5, index_path=path, max_pairs=10**9)
+    high = batch_topk_auto(emb, queries, k=5, index_path=path, max_pairs=10, n_probe=8)
+    lp = low._jdf.queryExecution().executedPlan().toString()
+    hp = high._jdf.queryExecution().executedPlan().toString()
+    # brute = nested-loop over the broadcast query set, no cluster column;
+    # ivf = probe-join against the cluster-partitioned index (its only
+    # nested loop is the tiny queries x centroid-matrix probe ranking)
+    assert "BroadcastNestedLoopJoin" in lp and "cluster" not in lp
+    assert "cluster" in hp
+    assert sorted(map(tuple, high.collect())) == sorted(map(tuple, brute))

@@ -420,3 +420,105 @@ def lsh_search(
         .limit(k)
         .select(F.col("id").alias("vec_id"), "cosine")
     )
+
+
+# -- batch routing ----------------------------------------------------------
+
+# Pair-evaluation budget above which brute-force batch top-k stops being
+# the right plan: Q queries x N corpus vectors = Q*N cosine evaluations
+# (the BroadcastNestedLoopJoin in the brute plan). 50M pairs is ~a few
+# seconds of vectorized JVM compute on one executor core-second budget;
+# beyond it the persisted IVF index answers from the probed inverted
+# lists only (I/O and compute ~ n_probe/n_clusters of the corpus).
+BRUTE_FORCE_MAX_PAIRS = 50_000_000
+
+
+def ivf_batch_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch search over a persisted IVF index with NO per-query driver
+    loop: the query->probe mapping is computed in-plan (queries x
+    broadcast centroid matrix, rank, keep ``n_probe``), joined to the
+    index on ``cluster``, exact cosine + per-query window top-k inside
+    the probed lists. Scales in BOTH directions: arbitrary query count
+    (a driver loop of ivf_search would serialize Q jobs) and arbitrary
+    corpus (only probed clusters are read — the probe join key is the
+    index's partition column).
+
+    Output schema matches :func:`cosine_topk_per_query`:
+    (query_id, vec_id, cosine, rank)."""
+    centroids = ivf_read_centroids(path)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, cv array<double>",
+    )
+    qs = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("_qv")
+    )
+    w_probe = Window.partitionBy(q_id_col).orderBy(F.col("_d"), F.col("cluster"))
+    probes = (
+        qs.crossJoin(F.broadcast(cdf))
+        .withColumn("_d", sq_dist_col(F.col("_qv"), F.col("cv")))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= n_probe)
+        .select(q_id_col, "_qv", "cluster")
+    )
+    idx = spark.read.parquet(path)
+    w_rank = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col("id"))
+    return (
+        idx.join(F.broadcast(probes), "cluster")
+        .withColumn("cosine", F.round(cosine_sim_col(F.col("v"), F.col("_qv")) + 1e-9, 6))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, F.col("id").alias("vec_id"), "cosine", "rank")
+    )
+
+
+def choose_batch_route(
+    n_queries: int,
+    n_corpus: int,
+    index_path: str | None,
+    max_pairs: int = BRUTE_FORCE_MAX_PAIRS,
+) -> str:
+    """Routing rule for batch top-k, split out so it is unit-testable:
+    brute force while the Q*N pair budget is affordable OR no index
+    exists; otherwise the persisted IVF index."""
+    if index_path is None or n_queries * n_corpus <= max_pairs:
+        return "brute"
+    return "ivf"
+
+
+def batch_topk_auto(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    index_path: str | None = None,
+    n_probe: int = 4,
+    max_pairs: int = BRUTE_FORCE_MAX_PAIRS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch top-k with automatic plan choice: exact brute force below
+    the :data:`BRUTE_FORCE_MAX_PAIRS` pair budget (or when no index is
+    available), the persisted IVF index above it. The two counts are
+    metadata-cheap (parquet footers / broadcast-side count); the
+    decision itself is :func:`choose_batch_route` and recall of the
+    index path is gated the same way as the single-query ANN twins."""
+    route = choose_batch_route(queries.count(), df.count(), index_path, max_pairs)
+    if route == "brute":
+        return cosine_topk_per_query(
+            df, queries, k, vec_col=vec_col, id_col=id_col,
+            q_vec_col=q_vec_col, q_id_col=q_id_col,
+        )
+    return ivf_batch_search(
+        df.sparkSession, index_path, queries, k, n_probe,
+        q_vec_col=q_vec_col, q_id_col=q_id_col,
+    )
