@@ -408,3 +408,46 @@ def test_swap_dirs_crash_safety(tmp_path):
     assert os.listdir(live) == ["new.parquet"]
     assert not os.path.exists(staged)
     assert not os.path.exists(str(tmp_path / "samples_old"))
+
+
+def test_typed_variant_values_roundtrip(tmp_path, spark):
+    """Typed variant kinds beyond the reference's implemented
+    string-only surface (its enum reserves bool/int/blob,
+    ref: pkg/chunkenc/vartype.go:32-50): bool / int64 / blob series
+    ingest, persist, and come back typed through raw select; exactly
+    one value column is non-null per row; mixing kinds in one series
+    is rejected like float-vs-string."""
+    import pytest as _pt
+
+    from v3io_tsdb_spark.errors import BadRequest
+
+    a = _mk(tmp_path, spark)
+    a.append(
+        [
+            {"ts": T0, "name": "up", "labels": {"h": "a"}, "value_bool": True},
+            {"ts": T0 + MIN, "name": "up", "labels": {"h": "a"}, "value_bool": False},
+            {"ts": T0, "name": "restarts", "labels": {"h": "a"}, "value_int": 3},
+            {"ts": T0, "name": "payload", "labels": {"h": "a"}, "value_blob": b"\x00\x01"},
+            {"ts": T0, "name": "cpu", "labels": {"h": "a"}, "value": 0.5},
+        ]
+    )
+    res = a.select(from_time=T0 - MIN, to_time=T0 + 2 * MIN)
+    dt = dict(res.dtypes)
+    assert dt["value_bool"] == "boolean" and dt["value_int"] == "bigint"
+    assert dt["value_blob"] == "binary"
+    rows = {(r["name"], r["t"]): r for r in res.collect()}
+    assert rows[("up", T0)]["value_bool"] is True
+    assert rows[("up", T0 + MIN)]["value_bool"] is False
+    assert rows[("restarts", T0)]["value_int"] == 3
+    assert bytes(rows[("payload", T0)]["value_blob"]) == b"\x00\x01"
+    vcols = ("value", "value_str", "value_bool", "value_int", "value_blob")
+    for r in rows.values():  # exactly one kind per row
+        assert sum(r[c] is not None for c in vcols) == 1
+    # a series cannot mix kinds (bool then int)
+    with _pt.raises(BadRequest):
+        a.append(
+            [
+                {"ts": T0, "name": "m", "labels": {}, "value_bool": True},
+                {"ts": T0 + 1, "name": "m", "labels": {}, "value_int": 1},
+            ]
+        )

@@ -110,7 +110,10 @@ def test_formatters(spark, make_samples):
     txt = format_df(res, "text")
     assert "cpu" in txt
     csv = format_df(res.drop("labels"), "csv")
-    assert csv.splitlines()[0] == "name,series_id,t,value,value_str"
+    # raw select is schema-stable: every variant kind column rides along
+    assert csv.splitlines()[0] == (
+        "name,series_id,t,value,value_str,value_bool,value_int,value_blob"
+    )
     js = json.loads(format_df(res, "json"))
     assert js[0]["target"] == "cpu{os=linux}"
     assert [v for v, _ in js[0]["datapoints"]] == [10.0, 20.0]

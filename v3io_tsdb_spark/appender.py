@@ -21,6 +21,17 @@ from v3io_tsdb_spark.errors import BadRequest
 from v3io_tsdb_spark.labels import series_id_col
 from v3io_tsdb_spark.timeutils import MAX_TIME_MS, MIN_TIME_MS
 
+# typed variant columns, one per reserved on-disk kind
+# (ref: pkg/chunkenc/vartype.go:32-50; string is the only kind the
+# reference appender implements, vartype.go:119-132 — the rest are
+# implemented here as real typed columns)
+VARIANT_COLS = (
+    ("value_str", "string"),
+    ("value_bool", "boolean"),
+    ("value_int", "long"),
+    ("value_blob", "binary"),
+)
+
 _INPUT_SCHEMA = T.StructType(
     [
         T.StructField("ts", T.LongType()),
@@ -28,6 +39,9 @@ _INPUT_SCHEMA = T.StructType(
         T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
         T.StructField("value", T.DoubleType()),
         T.StructField("value_str", T.StringType()),
+        T.StructField("value_bool", T.BooleanType()),
+        T.StructField("value_int", T.LongType()),
+        T.StructField("value_blob", T.BinaryType()),
     ]
 )
 
@@ -48,6 +62,9 @@ def normalize_samples(spark: SparkSession, data) -> DataFrame:
                     dict(r.get("labels") or {}),
                     None if r.get("value") is None else float(r["value"]),
                     r.get("value_str"),
+                    r.get("value_bool"),
+                    None if r.get("value_int") is None else int(r["value_int"]),
+                    r.get("value_blob"),
                 )
             )
         df = spark.createDataFrame(rows, _INPUT_SCHEMA)
@@ -62,10 +79,13 @@ def normalize_samples(spark: SparkSession, data) -> DataFrame:
         df = df.withColumn("value", F.lit(None).cast("double"))
     else:
         df = df.withColumn("value", F.col("value").cast("double"))
-    if "value_str" not in df.columns:
-        df = df.withColumn("value_str", F.lit(None).cast("string"))
+    for vc, vt in VARIANT_COLS:
+        if vc not in df.columns:
+            df = df.withColumn(vc, F.lit(None).cast(vt))
     df = df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
-    return df.select("ts", "name", "labels", "series_id", "value", "value_str")
+    return df.select(
+        "ts", "name", "labels", "series_id", "value", *[c for c, _ in VARIANT_COLS]
+    )
 
 
 def validate_samples(df: DataFrame) -> None:
@@ -74,8 +94,9 @@ def validate_samples(df: DataFrame) -> None:
     - timestamps must be within [1970, 2400]
       (ref: pkg/appender/appender.go:289-294)
     - metric names must be valid (ref: pkg/appender/appender.go:213-215)
-    - a series is exclusively float or exclusively string
-      (ref: pkg/appender/appender.go:244-254)
+    - a series is exclusively ONE value kind — float or a single
+      variant type (ref: pkg/appender/appender.go:244-254 float-vs-
+      variant; kinds per pkg/chunkenc/vartype.go:32-50)
     """
     bad = df.select(
         F.sum((~F.col("ts").between(MIN_TIME_MS, MAX_TIME_MS)).cast("int")).alias("bad_ts"),
@@ -85,18 +106,19 @@ def validate_samples(df: DataFrame) -> None:
         raise BadRequest(f"{bad['bad_ts']} samples outside valid time range (1970..2400)")
     if bad and bad["bad_name"]:
         raise BadRequest(f"{bad['bad_name']} samples with invalid metric name")
+    kind_cols = ["value"] + [c for c, _ in VARIANT_COLS if c in df.columns]
+    kinds = [
+        F.max(F.col(c).isNotNull().cast("int")).alias(f"has_{c}") for c in kind_cols
+    ]
     mixed = (
         df.groupBy("series_id")
-        .agg(
-            F.max(F.col("value").isNotNull().cast("int")).alias("has_f"),
-            F.max(F.col("value_str").isNotNull().cast("int")).alias("has_s"),
-        )
-        .where((F.col("has_f") == 1) & (F.col("has_s") == 1))
+        .agg(*kinds)
+        .where(sum(F.col(f"has_{c}") for c in kind_cols) > 1)
         .limit(1)
         .count()
     )
     if mixed:
-        raise BadRequest("series cannot mix float and string values")
+        raise BadRequest("series cannot mix value kinds (float/str/bool/int/blob)")
 
 
 def prepare_for_write(df: DataFrame, config: TSDBConfig, num_buckets: int | None = None) -> DataFrame:

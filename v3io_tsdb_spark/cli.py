@@ -195,7 +195,11 @@ def cmd_check(args):
             )
     if args.preview:
         for r in df.orderBy("ts").limit(args.preview).collect():
-            v = r["value"] if r["value"] is not None else r["value_str"]
+            v = next(
+                (r[c] for c in ("value", "value_str", "value_bool", "value_int", "value_blob")
+                 if c in df.columns and r[c] is not None),
+                None,
+            )
             print(f"  sample ts={r['ts']} value={v!r}")
 
 

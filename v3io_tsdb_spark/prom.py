@@ -93,9 +93,10 @@ def select_series(
         # raw / downsample results (including DisableClientAggr's
         # force-raw fallback, where requested functions go unanswered)
         melted = res
+    _value_cols = ("value", "value_str", "value_bool", "value_int", "value_blob")
     label_cols = [
         c for c in melted.columns
-        if c not in ("name", "t", "value", "value_str", "aggregate", "series_id", "labels")
+        if c not in _value_cols + ("name", "t", "aggregate", "series_id", "labels")
     ]
     if "labels" in melted.columns:
         melted = melted.withColumn("_lkeys", F.map_keys("labels")).withColumn(
@@ -118,9 +119,11 @@ def select_series(
         if show_aggregate_label and "aggregate" in melted.columns:
             labels[AGGREGATE_LABEL] = r["aggregate"]
         key = tuple(sorted(labels.items()))
-        val = r["value"] if "value" in melted.columns else None
-        if val is None and "value_str" in melted.columns:
-            val = r["value_str"]  # variant series: float XOR string
+        val = None
+        for vc in _value_cols:  # exactly one kind non-null per row
+            if vc in melted.columns and r[vc] is not None:
+                val = r[vc]
+                break
         series.setdefault(key, []).append((r["t"], val))
     return [
         PromSeries(labels=dict(k), points=pts)

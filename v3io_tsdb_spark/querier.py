@@ -409,12 +409,14 @@ class Querier:
     # -- paths -------------------------------------------------------------
 
     def _raw(self, base: DataFrame) -> DataFrame:
-        """Raw samples; variant (string) metrics ride along in
-        ``value_str`` (ref: pkg/chunkenc/vartype.go — a series is float
-        XOR string, so exactly one of the two is non-null per row)."""
+        """Raw samples; variant metrics ride along in their typed
+        columns (ref: pkg/chunkenc/vartype.go — a series is float XOR
+        one variant kind, so exactly one value column is non-null per
+        row; unrequested kinds prune out of the Parquet scan)."""
+        from v3io_tsdb_spark.appender import VARIANT_COLS
+
         cols = ["name", "labels", "series_id", F.col("ts").alias("t"), "value"]
-        if "value_str" in base.columns:
-            cols.append("value_str")
+        cols += [c for c, _ in VARIANT_COLS if c in base.columns]
         return base.select(*cols)
 
     def _downsample(self, base, params, from_ms, to_ms, step_ms) -> DataFrame:

@@ -21,7 +21,19 @@ SAMPLES_SCHEMA = T.StructType(
         T.StructField("labels", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("series_id", T.LongType(), True),
         T.StructField("value", T.DoubleType(), True),
-        T.StructField("value_str", T.StringType(), True),  # variant metrics
+        # Variant metrics: one typed column per on-disk variant kind the
+        # reference's enum reserves (ref: pkg/chunkenc/vartype.go:32-50
+        # varTypeString/Bool/Int*/Blob — its appender implements only
+        # string+nil, vartype.go:119-132; here each reserved kind is a
+        # real typed column). Sparse columns are near-free in Parquet
+        # (null runs compress away; unread kinds never leave the
+        # footer), and exactly ONE of the value columns is non-null per
+        # row — a series is float XOR one variant kind (appender
+        # validation).
+        T.StructField("value_str", T.StringType(), True),
+        T.StructField("value_bool", T.BooleanType(), True),
+        T.StructField("value_int", T.LongType(), True),
+        T.StructField("value_blob", T.BinaryType(), True),
     ]
 )
 
