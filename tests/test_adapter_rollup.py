@@ -388,6 +388,41 @@ def test_compact_samples(tmp_path, spark):
     assert res.count() == 15
 
 
+def test_compact_samples_size_targeted(tmp_path, spark):
+    """target_file_mb fans compaction out over multiple files instead
+    of one-per-date, preserving the row set (the deployment knob for
+    ~target-sized files)."""
+    import glob
+    import os
+
+    a = _mk(tmp_path, spark)
+    for batch in range(3):
+        a.append(
+            [{"ts": T0H + batch * MIN + i * 10, "name": "m", "labels": {"i": str(i)},
+              "value": float(i)} for i in range(50)]
+        )
+    pre_rows = sorted(
+        (r["ts"], r["value"]) for r in spark.read.parquet(a.samples_path).collect()
+    )
+    a.compact_samples(target_file_mb=1)
+    part_dirs = glob.glob(os.path.join(a.samples_path, "dt=*"))
+    files = [f for d in part_dirs for f in glob.glob(os.path.join(d, "*.parquet"))]
+    assert len(files) >= 1
+    post_rows = sorted(
+        (r["ts"], r["value"]) for r in spark.read.parquet(a.samples_path).collect()
+    )
+    assert post_rows == pre_rows
+    # the fan-out arithmetic itself (test data is under 1 MB, so the
+    # write above exercises the buckets=1 floor)
+    from v3io_tsdb_spark.adapter import _compact_buckets
+
+    mb = 1024 * 1024
+    assert _compact_buckets(0, 128) == 1
+    assert _compact_buckets(128 * mb, 128) == 1
+    assert _compact_buckets(128 * mb + 1, 128) == 2
+    assert _compact_buckets(10_000 * mb, 128) == 79  # ceil(10000/128)
+
+
 def test_swap_dirs_crash_safety(tmp_path):
     """The compactor swap must never leave the live path absent: the
     live dir is renamed ASIDE before promotion (a crash leaves old or

@@ -36,6 +36,12 @@ def _date_shift(day: str, days: int) -> str:
     return (datetime.strptime(day, "%Y-%m-%d") + timedelta(days=days)).strftime("%Y-%m-%d")
 
 
+def _compact_buckets(total_bytes: int, target_mb: int) -> int:
+    """ceil(total / target), min 1 — the shuffle fan-out that yields
+    ~target-sized compacted files."""
+    return max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+
+
 def _swap_dirs(live: str, staged: str) -> None:
     """Crash-safe table-directory swap for the compactors: rename the
     live dir ASIDE first, promote the staged one, then delete the old
@@ -151,21 +157,39 @@ class TSDBAdapter:
         row = df.agg(F.min("ts").alias("m")).collect()[0]
         return None if row["m"] is None else int(row["m"])
 
-    def compact_samples(self) -> None:
+    def compact_samples(self, target_file_mb: int | None = None) -> None:
         """Merge small append files inside each ``dt=`` partition (the
         maintenance twin of :meth:`compact_rollup`): every ``append``
         adds one file set per partition, and at ingest frequency × days
-        the scan becomes listing/footer-bound. One shuffle keyed on the
-        partition column → one output file per date dir locally (a
-        deployment sizes output files via shuffle partitions instead);
-        atomic swap like the rollup compactor. Analog of the
-        reference's chunk consolidation on UpdateItem
-        (ref: pkg/appender/store.go:374-397)."""
+        the scan becomes listing/footer-bound. Crash-safe swap like the
+        rollup compactor. Analog of the reference's chunk consolidation
+        on UpdateItem (ref: pkg/appender/store.go:374-397).
+
+        Without ``target_file_mb``: one shuffle keyed on the partition
+        column → one output file per date dir (right locally / for
+        small tables). With it: output fans out over
+        ``ceil(on_disk_bytes / target)`` shuffle buckets spread WITHIN
+        each date (salt on series_id), so a deployment gets
+        ~target-sized files per partition instead of one giant file —
+        the size knob a 100 TB table needs (one file per day would be
+        a multi-GB single write task)."""
         if not os.path.exists(self.samples_path):
             return
         df = self.spark.read.parquet(self.samples_path)
+        if target_file_mb:
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(self.samples_path)
+                for f in fs if f.endswith(".parquet")
+            )
+            buckets = _compact_buckets(total, target_file_mb)
+            part = df.repartition(
+                int(buckets), F.col("dt"), F.pmod(F.col("series_id"), F.lit(int(buckets)))
+            )
+        else:
+            part = df.repartition(F.col("dt"))
         tmp = self.samples_path + "_compacting"
-        df.repartition(F.col("dt")).write.mode("overwrite").partitionBy("dt").parquet(tmp)
+        part.write.mode("overwrite").partitionBy("dt").parquet(tmp)
         _swap_dirs(self.samples_path, tmp)
 
     def compact_rollup(self) -> None:
