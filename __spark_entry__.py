@@ -793,21 +793,13 @@ def _run_available_now(sink_df, partitions: int = 8):
     return spark.createDataFrame(rows, schema)
 
 
-def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of batch sessionize, driven end-to-end: the events
-    feed (per-user series) is replayed through Structured Streaming's
-    ``session_window`` with a 1-hour watermark, append mode — the sink
-    receives exactly the watermark-CLOSED sessions (end <= max event
-    time - 1h; the still-open tail stays in the state store). The
-    oracle replicates gap-sessionization plus that closure predicate in
-    SQL, so ST6 gets a hash-level correctness row, not just pytest.
-    Ref: late-window merge, pkg/appender/store.go:42,246-289."""
+def _stream_sess_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Stream-input fixture persisted once per sf dir (same pattern as
+    the shingle index); one sorted file → one deterministic micro-batch
+    (cross-batch state and multi-batch watermark advance are
+    pytest-covered)."""
     from v3io_tsdb_spark.datasets import ts_millis
-    from v3io_tsdb_spark.streaming.ingest import stream_sessions
 
-    # fixture persisted once per sf dir (same pattern as the shingle
-    # index); one sorted file → one deterministic micro-batch (cross-
-    # batch state and multi-batch watermark advance are pytest-covered)
     fx = _persist_path("spark_graft_stream_sess", sf_dir, "events")
     if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
@@ -818,6 +810,48 @@ def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
             os.path.join(fx, "in")
         )
+    return fx
+
+
+def _stream_ctr_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hourly cumulative-counter stream fixture, persisted once."""
+    from pyspark.sql import Window
+
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    fx = _persist_path("spark_graft_stream_ctr", sf_dir, "events")
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
+        hourly = ev.groupBy(
+            (ts_ms.cast("long") / F.lit(3_600_000)).cast("long").alias("hr"),
+            F.col("event_type").alias("name"),
+        ).count()
+        cum = Window.partitionBy("name").orderBy("hr").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        hourly.select(
+            (F.col("hr") * F.lit(3_600_000)).alias("ts"),
+            "name",
+            F.sum("count").over(cum).cast("double").alias("value"),
+        ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(fx, "in")
+        )
+    return fx
+
+
+def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of batch sessionize, driven end-to-end: the events
+    feed (per-user series) is replayed through Structured Streaming's
+    ``session_window`` with a 1-hour watermark, append mode — the sink
+    receives exactly the watermark-CLOSED sessions (end <= max event
+    time - 1h; the still-open tail stays in the state store). The
+    oracle replicates gap-sessionization plus that closure predicate in
+    SQL, so ST6 gets a hash-level correctness row, not just pytest.
+    Ref: late-window merge, pkg/appender/store.go:42,246-289."""
+    from v3io_tsdb_spark.streaming.ingest import stream_sessions
+
+    fx = _stream_sess_fixture(spark, sf_dir)
     raw = spark.readStream.schema("ts long, name string, value double").parquet(
         os.path.join(fx, "in")
     )
@@ -839,29 +873,9 @@ def q_stream_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandasWithState``, and the emitted per-step increases are
     hash-compared to a SQL lag() oracle. State is one (last_ts,
     last_val) row per series — O(series) memory at any scale."""
-    from pyspark.sql import Window
-
-    from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.streaming.stateful import stream_counter_increase
 
-    fx = _persist_path("spark_graft_stream_ctr", sf_dir, "events")
-    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
-        ev = load_table(spark, sf_dir, "events")
-        ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"])
-        hourly = ev.groupBy(
-            (ts_ms.cast("long") / F.lit(3_600_000)).cast("long").alias("hr"),
-            F.col("event_type").alias("name"),
-        ).count()
-        cum = Window.partitionBy("name").orderBy("hr").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        hourly.select(
-            (F.col("hr") * F.lit(3_600_000)).alias("ts"),
-            "name",
-            F.sum("count").over(cum).cast("double").alias("value"),
-        ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(fx, "in")
-        )
+    fx = _stream_ctr_fixture(spark, sf_dir)
     raw = spark.readStream.schema("ts long, name string, value double").parquet(
         os.path.join(fx, "in")
     )
@@ -1166,6 +1180,24 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: daily per-user client aggregation."""
     return q_tsdb_client_agg_daily(spark, SF001)
+
+
+def ensure_ingest_artifacts(spark: SparkSession, sf_dir: str) -> None:
+    """Build every INGEST-TIME persisted artifact for ``sf_dir`` (6h
+    rollup, cross-label pre-aggregate, shingle feature index, IVF and
+    LSH ANN indexes, stream-input fixtures). In a deployment these are
+    maintained by the append pipeline, not by queries — the bench calls
+    this in its UNTIMED warmup so cold numbers measure the query plan
+    deterministically instead of depending on whether a previous run
+    left the artifact in /tmp (the round-5/6 cold numbers for
+    rollup-backed queries differed by exactly this accident)."""
+    _rollup_ensure(spark, sf_dir)
+    _label_rollup_ensure(spark, sf_dir, TSDBConfig(aggregation_granularity="1h").granularity_ms)
+    _shingle_ensure_index(spark, sf_dir)
+    _ivf_ensure_index(spark, sf_dir)
+    _lsh_ensure_index(spark, sf_dir)
+    _stream_sess_fixture(spark, sf_dir)
+    _stream_ctr_fixture(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
