@@ -98,26 +98,25 @@ def validate_samples(df: DataFrame) -> None:
       variant type (ref: pkg/appender/appender.go:244-254 float-vs-
       variant; kinds per pkg/chunkenc/vartype.go:32-50)
     """
-    bad = df.select(
+    kind_cols = ["value"] + [c for c, _ in VARIANT_COLS if c in df.columns]
+    # ONE job for all three checks: per-series partial aggregates
+    # (map-side combinable) then a tiny roll-up over series — the
+    # two-job version scanned the un-materialized batch twice
+    per_series = df.groupBy("series_id").agg(
         F.sum((~F.col("ts").between(MIN_TIME_MS, MAX_TIME_MS)).cast("int")).alias("bad_ts"),
         F.sum((~F.col("name").rlike("^[a-zA-Z_:][a-zA-Z0-9_:]*$")).cast("int")).alias("bad_name"),
+        *[F.max(F.col(c).isNotNull().cast("int")).alias(f"has_{c}") for c in kind_cols],
+    )
+    bad = per_series.select(
+        F.sum("bad_ts").alias("bad_ts"),
+        F.sum("bad_name").alias("bad_name"),
+        F.sum((sum(F.col(f"has_{c}") for c in kind_cols) > 1).cast("int")).alias("mixed"),
     ).first()
     if bad and bad["bad_ts"]:
         raise BadRequest(f"{bad['bad_ts']} samples outside valid time range (1970..2400)")
     if bad and bad["bad_name"]:
         raise BadRequest(f"{bad['bad_name']} samples with invalid metric name")
-    kind_cols = ["value"] + [c for c, _ in VARIANT_COLS if c in df.columns]
-    kinds = [
-        F.max(F.col(c).isNotNull().cast("int")).alias(f"has_{c}") for c in kind_cols
-    ]
-    mixed = (
-        df.groupBy("series_id")
-        .agg(*kinds)
-        .where(sum(F.col(f"has_{c}") for c in kind_cols) > 1)
-        .limit(1)
-        .count()
-    )
-    if mixed:
+    if bad and bad["mixed"]:
         raise BadRequest("series cannot mix value kinds (float/str/bool/int/blob)")
 
 
