@@ -112,3 +112,55 @@ def test_star_expands_to_all_aggregates(spark, make_samples):
                      from_time=T0 - 1, to_time=T0 + 3_600_000)
     )
     assert set(ALL_AGGREGATES) <= set(res.columns)
+
+
+def test_negative_values_golden(spark, make_samples):
+    """Mirror of the reference's negative-values server-aggregates
+    golden (ref: pqueriertest/server_aggregates_integration_test.go:
+    104-163): four negative samples, sum/max/min with a 4h step →
+    ONE bucket with sum=-100, min=-40, max=-10. (The reference anchors
+    the bucket at its storage-partition start; this engine anchors at
+    from_time — value facts are identical.)"""
+    HOUR = 3_600_000
+    data = [("cpu", {"os": "linux"},
+             [(0, -10), (1 * MIN, -20), (2 * MIN, -30), (3 * MIN, -40)])]
+    q = Querier(spark, make_samples(data))
+    res = q.select(
+        SelectParams(name="cpu", functions="sum,max,min", step="4h",
+                     from_time=T0 - 4 * HOUR, to_time=T0 + 10 * MIN)
+    )
+    rows = res.collect()
+    assert len(rows) == 1
+    assert (rows[0]["sum"], rows[0]["min"], rows[0]["max"]) == (-100.0, -40.0, -10.0)
+
+
+def test_mixed_aggregate_and_raw_columns_golden(spark, make_samples):
+    """Mirror of TestSelectServerAggregatesAndRawByRequestedColumns
+    (ref: pqueriertest/server_aggregates_integration_test.go:292-347):
+    one select with a sum column AND a function-less raw column with
+    next_val interpolation — the aggregate answers sum=100 in its
+    bucket while the raw column yields the interpolated value 10 on
+    the same step grid (the reference emits 2 series; the wide-frame
+    analog is two value columns)."""
+    from v3io_tsdb_spark.querier import RequestedColumn
+
+    HOUR = 3_600_000
+    data = [("cpu", {"os": "linux"},
+             [(0, 10), (1 * MIN, 20), (2 * MIN, 30), (3 * MIN, 40)])]
+    q = Querier(spark, make_samples(data))
+    res = q.select(
+        SelectParams(
+            columns=[
+                RequestedColumn(metric="cpu", function="sum"),
+                RequestedColumn(metric="cpu", interpolator="next_val",
+                                tolerance=5 * HOUR),
+            ],
+            step="4h", from_time=T0 - 4 * HOUR, to_time=T0 + 5 * MIN,
+        )
+    )
+    got = {r["t"]: (r["sum"], r["value"]) for r in res.collect()}
+    # grid cell T0-4h: no samples yet, next_val within 5h tolerance → 10
+    assert got[T0 - 4 * HOUR] == (None, 10.0)
+    # bucket/cell T0: sum of all four samples; raw value at T0 is 10
+    assert got[T0] == (100.0, 10.0)
+    assert len(got) == 2

@@ -78,16 +78,28 @@ def required_raw(funcs: list[str]) -> list[str]:
     return [r for r in RAW_AGGREGATES if r in need]
 
 
-def raw_agg_exprs(raws: list[str], value_col: str = "value", ts_col: str = "ts") -> list[Column]:
+def raw_agg_exprs(
+    raws: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    count_presence: Column | None = None,
+) -> list[Column]:
     """Spark aggregate expressions for the raw aggregate set.
 
     ``last`` = value at max ts within the group (ref:
     pkg/aggregate/functions.go:107-128 LastAggregate keeps the
-    latest-time value).
+    latest-time value). ``count_presence``: optional boolean column
+    counted instead of non-null ``value`` — lets ``count`` cover
+    variant (non-float) samples, which the reference's count
+    aggregation includes (ref: pqueriertest/variant_type_query_
+    integration_test.go:177-245 TestCountAggregationForVariantType);
+    the numeric aggregates still skip nulls, so variant rows are
+    transparent to them.
     """
     v, t = F.col(value_col), F.col(ts_col)
+    cnt = F.count(F.when(count_presence, True)) if count_presence is not None else F.count(v)
     exprs = {
-        "count": F.count(v),
+        "count": cnt,
         "sum": F.sum(v),
         "sqr": F.sum(v * v),
         "min": F.min(v),

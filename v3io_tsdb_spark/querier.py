@@ -258,6 +258,19 @@ class Querier:
             return self._raw(base)
         if funcs and cross_series:
             return self._cross_series(base, params, funcs, from_ms, to_ms, step_ms, group_by)
+        # column specs may MIX aggregate and raw columns: a
+        # function-less RequestedColumn next to function'd ones (with no
+        # bare ``functions`` param) asks for its metric's interpolated
+        # downsample alongside the aggregates — one series per requested
+        # column in the reference (ref: pkg/pquerier/select.go:177-181;
+        # golden: pqueriertest/server_aggregates_integration_test.go:
+        # 292-347 sum + next_val raw column in one select)
+        raw_cols = [c for c in (params.columns or []) if not c.function]
+        if (
+            funcs and raw_cols and step_ms and not params.functions
+            and not group_by and not window_ms
+        ):
+            return self._mixed_agg_raw(base, params, funcs, from_ms, to_ms, step_ms)
         if funcs:
             res = self._aggregate(base, params, funcs, from_ms, to_ms, step_ms, window_ms, group_by)
             return self._mask_unrequested(res, params, funcs)
@@ -419,6 +432,45 @@ class Querier:
         cols += [c for c, _ in VARIANT_COLS if c in base.columns]
         return base.select(*cols)
 
+    def _mixed_agg_raw(self, base, params, funcs, from_ms, to_ms, step_ms) -> DataFrame:
+        """Aggregate columns + function-less raw columns in ONE select:
+        aggregates answer their functions, each function-less column
+        contributes its metric's downsample (per-column interpolator/
+        tolerance) on the same step grid, full-outer joined into one
+        frame — the DataFrame analog of the reference emitting one
+        series per requested column."""
+        from v3io_tsdb_spark.operators.interpolate import align_to_grid
+
+        agg_res = self._aggregate(base, params, funcs, from_ms, to_ms, step_ms, 0, [])
+        agg_res = self._mask_unrequested(agg_res, params, funcs)
+        parts = []
+        for c in params.columns:
+            if c.function:
+                continue
+            tol_src = c.tolerance if c.tolerance is not None else params.tolerance
+            tol = str2duration_ms(tol_src) if tol_src else None
+            src = base.where(
+                (F.col("name") == c.metric) & F.col("value").isNotNull()
+            )
+            parts.append(
+                align_to_grid(
+                    src, from_ms, to_ms, step_ms,
+                    interp=c.interpolator or params.interpolator or "next_val",
+                    tolerance_ms=tol,
+                )
+            )
+        raw = parts[0]
+        for p in parts[1:]:
+            raw = raw.unionByName(p)
+        keys = ["name", "series_id", "t"]
+        left = agg_res.withColumnRenamed("labels", "_al")
+        right = raw.withColumnRenamed("labels", "_rl")
+        return (
+            left.join(right, on=keys, how="full_outer")
+            .withColumn("labels", F.coalesce(F.col("_al"), F.col("_rl")))
+            .select("name", "labels", "series_id", "t", *funcs, "value")
+        )
+
     def _downsample(self, base, params, from_ms, to_ms, step_ms) -> DataFrame:
         """Step without functions → per-cell seek+interpolate value
         (ref: pkg/pquerier/collector.go:236-281 downsampleRawData)."""
@@ -488,7 +540,17 @@ class Querier:
                 params, funcs, from_ms, to_ms, step_ms, window_ms, group_by
             )
 
-        base = base.where(F.col("value").isNotNull())  # aggregates are float-only
+        # numeric aggregates are float-only, but count covers EVERY
+        # sample kind — a variant (string) series answers count like
+        # the reference (ref: pqueriertest/variant_type_query_
+        # integration_test.go:177-245); numeric aggs skip the nulls
+        from v3io_tsdb_spark.appender import VARIANT_COLS
+
+        presence = F.col("value").isNotNull()
+        for vc, _ in VARIANT_COLS:
+            if vc in base.columns:
+                presence = presence | F.col(vc).isNotNull()
+        base = base.where(presence)
         if window_ms:
             b = base.withColumn(
                 "_buckets", sliding_bucket_ids(F.col("ts"), from_ms, to_ms, step_ms, window_ms)
@@ -499,13 +561,14 @@ class Querier:
             )
 
         raws = agg.required_raw(funcs)
+        agg_exprs = agg.raw_agg_exprs(raws, count_presence=F.lit(True))
         if group_by:
             keys = [F.col("name")] + self._group_keys(group_by) + [F.col("t")]
-            grouped = b.groupBy(*keys).agg(*agg.raw_agg_exprs(raws))
+            grouped = b.groupBy(*keys).agg(*agg_exprs)
             part_keys = ["name"] + group_by
         else:
             grouped = _group_keeping_labels(
-                b, ["name", "series_id", "t"], agg.raw_agg_exprs(raws)
+                b, ["name", "series_id", "t"], agg_exprs
             )
             part_keys = ["name", "series_id"]
         return self._finish_aggregate(grouped, funcs, raws, step_ms, part_keys, group_by)

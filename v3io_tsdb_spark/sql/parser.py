@@ -162,9 +162,10 @@ def run_sql(querier, sql: str, **overrides) -> DataFrame:
     res = querier.select(params)
 
     if not funcs:  # raw / downsample → pivot values by metric
+        from v3io_tsdb_spark.appender import VARIANT_COLS
         from v3io_tsdb_spark.operators.frames import to_wide_frame
 
-        return to_wide_frame(res.drop("value_str"), time_col="t")
+        return to_wide_frame(res.drop(*[c for c, _ in VARIANT_COLS]), time_col="t")
 
     melted = to_series(res, funcs)
     group_cols = [g.strip() for g in (parsed.group_by or "").split(",") if g.strip()]
