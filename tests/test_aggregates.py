@@ -164,3 +164,26 @@ def test_mixed_aggregate_and_raw_columns_golden(spark, make_samples):
     # bucket/cell T0: sum of all four samples; raw value at T0 is 10
     assert got[T0] == (100.0, 10.0)
     assert len(got) == 2
+
+
+def test_aggregation_big_gaps_golden(spark, make_samples):
+    """Mirror of TestSelectDataframeAggregationsMetricsHaveBigGaps (ref:
+    pqueriertest/dataframe_query_integration_test.go:440-516): sparse
+    counts at 1m step — three union index rows, each metric counting
+    only its own bucket, absent cells empty."""
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    DAY = 86_400_000
+    df = make_samples(
+        [("cpu1", {"os": "linux"}, [(-7 * DAY, 10), (-4 * DAY, 20)]),
+         ("cpu2", {"os": "linux"}, [(-1 * DAY, 30)])]
+    )
+    q = Querier(spark, df)
+    wide = run_sql(q, "select count(cpu1), count(cpu2) from tsdb",
+                   step="1m", from_time=T0 - 7 * DAY, to_time=T0)
+    rows = {r["time"]: (r["count(cpu1)"], r["count(cpu2)"]) for r in wide.collect()}
+    assert rows == {
+        T0 - 7 * DAY: (1.0, None),
+        T0 - 4 * DAY: (1.0, None),
+        T0 - 1 * DAY: (None, 1.0),
+    }

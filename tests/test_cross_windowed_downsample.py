@@ -212,3 +212,58 @@ def test_windowed_aggregation_window_equal_to_step(spark, make_samples):
     )
     got = rows_to_dict(res, ["t"], ["sum"])
     assert got == {T0: 0.0, T0 + 5 * MIN: 150.0, T0 + 10 * MIN: 300.0}
+
+
+def test_downsample_big_gaps_golden(spark, make_samples):
+    """Mirror of TestSelectDataframeDaownsampleMetricsHaveBigGaps (ref:
+    pqueriertest/dataframe_query_integration_test.go:517-598): two
+    sparse metrics downsampled at 1m — the wide frame's time index is
+    the union of each metric's non-empty cells (next_val inside the
+    default tolerance), absent cells NaN. Times and values match the
+    reference's expected table verbatim."""
+    import math
+
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    DAY = 86_400_000
+    df = make_samples(
+        [("cpu1", {"os": "linux"}, [(-7 * DAY, 10), (-4 * DAY, 20)]),
+         ("cpu2", {"os": "linux"}, [(-1 * DAY, 30)])]
+    )
+    q = Querier(spark, df)
+    wide = run_sql(q, "select cpu1, cpu2 from tsdb",
+                   step="1m", from_time=T0 - 7 * DAY, to_time=T0)
+    rows = {r["t"]: (r["cpu1"], r["cpu2"]) for r in wide.collect()}
+    nan = float("nan")
+    expected = {
+        T0 - 7 * DAY: (10.0, nan),
+        T0 - 4 * DAY - 2 * MIN: (20.0, nan),
+        T0 - 4 * DAY - 1 * MIN: (20.0, nan),
+        T0 - 4 * DAY: (20.0, nan),
+        T0 - 1 * DAY - 2 * MIN: (nan, 30.0),
+        T0 - 1 * DAY - 1 * MIN: (nan, 30.0),
+        T0 - 1 * DAY: (nan, 30.0),
+    }
+    assert set(rows) == set(expected)
+    for t, (c1, c2) in expected.items():
+        for got, want in zip(rows[t], (c1, c2)):
+            assert (math.isnan(got) and math.isnan(want)) or got == want, (t, rows[t])
+
+
+def test_only_virtual_cross_series_with_interpolation_golden(spark, make_samples):
+    """Mirror of TestOnlyVirtualCrossSeriesAggregateWithInterpolation
+    (ref: pqueriertest/cross_series_aggregation_integration_test.go:
+    595-653): `select avg_all(prev_val(cpu))` step 2m over two series —
+    the virtual avg is computed from the hidden sum/count of the
+    prev_val-interpolated grid: 15, 1, 10.5."""
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    df = make_samples(
+        [("cpu", {"os": "linux"}, [(0, 10), (1 * MIN, 1), (3 * MIN, 20), (5 * MIN, 20)]),
+         ("cpu", {"os": "mac"}, [(0, 20), (2 * MIN, 1), (5 * MIN, 20)])]
+    )
+    q = Querier(spark, df)
+    res = run_sql(q, "select avg_all(prev_val(cpu)) from tsdb",
+                  step="2m", from_time=T0, to_time=T0 + 5 * MIN)
+    got = {r["time"]: r["avg(cpu)"] for r in res.collect()}
+    assert got == {T0: 15.0, T0 + 2 * MIN: 1.0, T0 + 4 * MIN: 10.5}
