@@ -1029,6 +1029,23 @@ def q_doc_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe per-group top-N: best 10 docs per language by
+    quality. The quantile-ladder prefilter + broadcast threshold keeps
+    the exact window rank off whole groups (functions/sampling.py
+    top_n_per_group); result is exactly the true top N."""
+    from v3io_tsdb_spark.functions.sampling import top_n_per_group
+    from v3io_tsdb_spark.functions.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs).select("doc_id", "quality")
+    enriched = docs.select("doc_id", "lang").join(stats, "doc_id")
+    out = top_n_per_group(enriched, 10)
+    return out.select(
+        "doc_id", "lang", "quality", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_doc_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count percentiles (p50/p90/p99) — the
     length-distribution profile a corpus-quality pass reports.
@@ -1265,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "doc_top_quality": q_doc_top_quality,
     }
 
 
@@ -2321,5 +2339,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": pii,
         "events_stratified_hourly": stratified_hourly,
         "doc_budget_selection": budget_selection,
+        "doc_top_quality": f"""
+          WITH stats AS ({text_stats}),
+          j AS (
+            SELECT d.doc_id, d.lang, s.quality
+            FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+          ),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY quality DESC, doc_id ASC) AS rank
+            FROM j
+          )
+          SELECT doc_id, lang, quality, rank FROM r WHERE rank <= 10
+        """,
         "emb_dup_clusters": emb_clusters,
     }

@@ -70,6 +70,7 @@ HEADLINE = [
     "events_stratified_hourly",
     "doc_budget_selection",
     "emb_dup_clusters",
+    "doc_top_quality",
 ]
 
 

@@ -575,3 +575,63 @@ def test_batch_topk_routing_and_ivf_batch(emb, spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in lp and "cluster" not in lp
     assert "cluster" in hp
     assert sorted(map(tuple, high.collect())) == sorted(map(tuple, brute))
+
+
+def test_top_n_per_group_exact_and_pruned(spark):
+    """top_n_per_group returns EXACTLY the naive window's top N (the
+    quantile ladder only discards provably-losing rows), and for a
+    large group the survivor set entering the exact rank is a small
+    fraction of the group."""
+    from pyspark.sql import Window
+
+    from v3io_tsdb_spark.functions.sampling import top_n_per_group
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 18_000, "en").otherwise("fr").alias("lang"),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 1000.0).alias("quality"),
+    )
+    got = top_n_per_group(df, 10).select("lang", "doc_id", "quality", "rank")
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("lang", "doc_id", "quality", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # tiny groups (< safety*n rows) must be exact too (no filtering)
+    small = df.where(F.col("doc_id") < 25)  # 25 rows, all lang='en'
+    got_s = top_n_per_group(small, 10).collect()
+    want_s = (
+        small.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+    ).collect()
+    assert sorted((r["doc_id"], r["rank"]) for r in got_s) == sorted(
+        (r["doc_id"], r["rank"]) for r in want_s
+    )
+    # pruning property: the broadcast-threshold filter keeps far fewer
+    # rows than the group for the 18k-row group
+    from v3io_tsdb_spark.functions.sampling import top_n_per_group as tn
+    import re
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "percentile_approx" in plan  # ladder aggregate present
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_append_index_incremental(emb, spark, tmp_path):
+    """Index lifecycle: build on half the corpus, append the other
+    half with frozen centroids — all-probe search over the appended
+    index equals exact brute force over the FULL corpus (assignment
+    quality affects pruning, never all-probe correctness)."""
+    from v3io_tsdb_spark.functions.similarity import (
+        cosine_topk, ivf_append_index, ivf_search, ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivf_inc")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    ivf_write_index(first, path, n_clusters=8, iters=2)
+    ivf_append_index(second, path)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    got = ivf_search(spark, path, qvec, k=10, n_probe=8).collect()
+    exact = cosine_topk(emb, qvec, k=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]

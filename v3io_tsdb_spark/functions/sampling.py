@@ -127,3 +127,58 @@ def select_within_token_budget(
         "cum_tokens",
     )
     return out.where(F.col("cum_tokens") <= F.lit(budget))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    n: int,
+    order_col: str = "quality",
+    id_col: str = "doc_id",
+    group_cols: tuple = ("lang",),
+    safety: float = 4.0,
+) -> DataFrame:
+    """Scale-safe "best N rows per group" (the data-curation staple
+    "top N docs per language by quality"), without ever sorting a
+    whole group on one task.
+
+    A plain ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    ships each group to a single task — the same 100 TB failure mode
+    the prefix sums had. Instead: (1) one map-side-combinable
+    aggregate computes each group's row count and its ``order_col``
+    quantiles at a fixed fraction ladder; (2) the broadcast-joined
+    threshold keeps only rows at/above the HIGHEST ladder quantile
+    that still provably retains >= ``safety*n`` rows — provable via
+    the Greenwald-Khanna bound (rank error <= rows/accuracy), so the
+    filter can never cut into the true top N; (3) the exact window
+    rank runs on the small survivor set. The result is therefore
+    EXACTLY the true top N (ties broken by ``id_col``); the quantile
+    prefilter only discards rows that cannot be in it. Groups too
+    small for any ladder rung keep all rows (threshold -inf).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    fracs = [0.0, 0.5, 0.75, 0.9, 0.99, 0.999, 0.9999]
+    acc = 10_000  # GK sketch accuracy: rank error <= count/acc
+    q = df.groupBy(*gcols).agg(
+        F.count("*").alias("_tg_cnt"),
+        F.percentile_approx(F.col(order_col).cast("double"), fracs, acc).alias("_tg_qs"),
+    )
+    pick = F.lit(float("-inf"))
+    for i, p in enumerate(fracs):
+        # rows kept by quantile p: >= cnt*(1-p) - cnt/acc (GK bound);
+        # usable iff that lower bound still covers safety*n rows
+        kept_lb = F.col("_tg_cnt") * F.lit(1.0 - p) - F.col("_tg_cnt") / F.lit(acc)
+        pick = F.when(kept_lb >= F.lit(float(safety) * n), F.element_at("_tg_qs", i + 1)).otherwise(pick)
+    thr = q.select(*gcols, pick.alias("_tg_thr"))
+    survivors = df.join(F.broadcast(thr), gcols).where(
+        F.col(order_col).cast("double") >= F.col("_tg_thr")
+    )
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .drop("_tg_thr")
+    )

@@ -522,3 +522,37 @@ def batch_topk_auto(
         df.sparkSession, index_path, queries, k, n_probe,
         q_vec_col=q_vec_col, q_id_col=q_id_col,
     )
+
+
+def ivf_append_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    existing quantizer's nearest centroids (broadcast centroid matrix,
+    same argmin/tie-break as ivf_build) and append them to the
+    cluster-partitioned inverted lists. The centroids are frozen — the
+    standard IVF ingest path (re-training is an offline rebuild);
+    search code is unchanged and sees appended vectors immediately.
+    Mirrors shingle_append_index's append-only posture for the text
+    index."""
+    spark = df.sparkSession
+    centroids = ivf_read_centroids(path)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, cv array<double>",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cdf))
+        .withColumn("_d", sq_dist_col(F.col("v"), F.col("cv")))
+        .groupBy("id")
+        .agg(F.min(F.struct(F.col("_d"), F.col("cluster"))).alias("_dc"))
+        .select("id", F.col("_dc.cluster").alias("cluster"))
+        .join(base, "id")
+    )
+    assigned.write.mode("append").partitionBy("cluster").parquet(path)
