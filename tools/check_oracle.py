@@ -5,6 +5,7 @@ against the DuckDB oracle_sql() twin: row count, column names, and
 order-insensitive cell equality. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] --json OUT.json   # full sweep + artifact
 """
 
 import math
@@ -18,8 +19,14 @@ from pyspark.sql import SparkSession
 
 from v3io_tsdb_spark.datasets import TABLES
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2:]
+SF = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -50,6 +57,14 @@ def main():
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = 0
+    results = {}
+
+    def record(name, **kw):
+        row = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        row.update(kw)
+        results[name] = row
+
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -57,24 +72,30 @@ def main():
             sdf = fn(spark, SF).toPandas()
         except Exception as exc:
             print(f"FAIL {name}: spark error {type(exc).__name__}: {str(exc)[:200]}")
+            record(name, err=f"spark {type(exc).__name__}: {str(exc)[:160]}")
             failures += 1
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows-only ({len(sdf)} rows, cols={sorted(sdf.columns)})")
+            record(name, spark_rows=len(sdf))
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL {name}: duckdb error {type(exc).__name__}: {str(exc)[:200]}")
+            record(name, err=f"duckdb {type(exc).__name__}: {str(exc)[:160]}")
             failures += 1
             continue
         s, o = norm(sdf), norm(odf)
         if list(s.columns) != list(o.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            record(name, schema_match=False, spark_rows=len(s), oracle_rows=len(o))
             failures += 1
             continue
         if len(s) != len(o):
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
+            record(name, schema_match=True, rows_match=False,
+                   spark_rows=len(s), oracle_rows=len(o))
             failures += 1
             continue
         diff_cells = []
@@ -93,10 +114,21 @@ def main():
                 diff_cells.append((c, int(bad.sum()), a[i], b[i]))
         if diff_cells:
             print(f"FAIL {name}: {diff_cells[:3]}")
+            record(name, schema_match=True, rows_match=True, hash_match=False,
+                   spark_rows=len(s), oracle_rows=len(o),
+                   err=f"cells {diff_cells[:2]}")
             failures += 1
         else:
             print(f"PASS {name}: {len(s)} rows")
+            record(name, schema_match=True, rows_match=True, hash_match=True,
+                   spark_rows=len(s), oracle_rows=len(o))
     print("FAILURES:", failures)
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {JSON_OUT} ({len(results)} queries)")
     return failures
 
 
