@@ -247,6 +247,19 @@ class TSDBAdapter:
         return [r["name"] for r in self._samples().select("name").distinct().orderBy("name").collect()]
 
     def _samples(self) -> DataFrame:
+        """All stored samples; a table whose every partition has been
+        deleted reads as an EMPTY typed frame, not an
+        UNABLE_TO_INFER_SCHEMA error — a full-range delete must leave a
+        queryable (empty) table, like the reference's delete-all
+        (ref: pkg/tsdb/delete_integration_test.go:97-127)."""
+        import glob
+
+        if not glob.glob(os.path.join(self.samples_path, "dt=*")):
+            from v3io_tsdb_spark.schema import SAMPLES_SCHEMA
+
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA).withColumn(
+                "dt", F.lit(None).cast("string")
+            )
         return self.spark.read.parquet(self.samples_path)
 
     # -- delete ------------------------------------------------------------
