@@ -486,3 +486,73 @@ def test_typed_variant_values_roundtrip(tmp_path, spark):
                 {"ts": T0 + 1, "name": "m", "labels": {}, "value_int": 1},
             ]
         )
+
+
+def test_cross_append_kind_conflict_goldens(tmp_path, spark):
+    """Mirror of TestIngestDataFloatThenString / StringThenFloat (ref:
+    pkg/tsdb/v3iotsdb_integration_test.go:1057-1122): a series ingested
+    as one value kind rejects samples of another kind in a LATER
+    append (the reference errors "Cannot append ... type metric to ...
+    type metric"); same-kind re-appends stay fine, and deleting the
+    series' history frees it for re-typing."""
+    a = _mk(tmp_path, spark)
+    a.append([{"ts": T0, "name": "cpu", "labels": {}, "value": 1.0}])
+    with pytest.raises(BadRequest, match="type metric"):
+        a.append([{"ts": T0 + MIN, "name": "cpu", "labels": {}, "value_str": "x"}])
+    a.append([{"ts": T0 + MIN, "name": "cpu", "labels": {}, "value": 2.0}])
+
+    b = _mk(tmp_path / "b", spark)
+    b.append([{"ts": T0, "name": "log", "labels": {}, "value_str": "hello"}])
+    with pytest.raises(BadRequest, match="type metric"):
+        b.append([{"ts": T0 + MIN, "name": "log", "labels": {}, "value": 1.0}])
+    # different LABELS = different series: a float twin of the name is
+    # allowed (the reference keys its state by the full label-set hash)
+    b.append([{"ts": T0, "name": "log", "labels": {"k": "v"}, "value": 3.0}])
+    # deleting the string series' history frees the name+labels
+    b.delete(from_time=0, to_time=9_999_999_999_999, filter="not exists(k)")
+    b.append([{"ts": T0 + 2 * MIN, "name": "log", "labels": {}, "value": 4.0}])
+
+
+def test_dash_in_metric_name_rejected(tmp_path, spark):
+    """Mirror of TestWriteMetricWithDashInName (ref:
+    pkg/tsdb/v3iotsdb_integration_test.go:379-408): Add must fail."""
+    a = _mk(tmp_path, spark)
+    with pytest.raises(BadRequest):
+        a.append([{"ts": T0, "name": "cpu-1", "labels": {}, "value": 314.3}])
+
+
+def test_time_delta_beyond_32bit(tmp_path, spark):
+    """Mirror of TestIngestWithTimeDeltaBiggerThen32Bit (ref:
+    pkg/tsdb/v3iotsdb_integration_test.go:261-322): two samples more
+    than 2^32 ms apart in ONE batch ingest and read back exactly (the
+    reference works around its chunk delta encoding; columnar storage
+    has no delta limit — the behavior contract is the golden)."""
+    big = 1 << 33  # ~99 days in ms
+    a = _mk(tmp_path, spark)
+    a.append([
+        {"ts": T0, "name": "cpu", "labels": {}, "value": 1.0},
+        {"ts": T0 + big, "name": "cpu", "labels": {}, "value": 2.0},
+    ])
+    res = a.select(SelectParams(name="cpu", from_time=0, to_time=T0 + 2 * big))
+    assert sorted((r["t"], r["value"]) for r in res.collect()) == [
+        (T0, 1.0), (T0 + big, 2.0),
+    ]
+
+
+def test_avg_seek_golden(tmp_path, spark):
+    """Mirror of TestIgnoreNaNWhenSeekingAggSeries' expected values
+    (ref: pkg/tsdb/v3iotsdb_integration_test.go:893-980): avg at 2m
+    step over the four-point fixture -> 300.3, 100.4, 200.0."""
+    base = 1532940510000
+    a = _mk(tmp_path, spark)
+    a.append([
+        {"ts": base, "name": "cpu", "labels": {"os": "linux"}, "value": 300.3},
+        {"ts": base + MIN, "name": "cpu", "labels": {"os": "linux"}, "value": 300.3},
+        {"ts": base + 2 * MIN, "name": "cpu", "labels": {"os": "linux"}, "value": 100.4},
+        {"ts": base + 5 * MIN, "name": "cpu", "labels": {"os": "linux"}, "value": 200.0},
+    ])
+    res = a.select(SelectParams(name="cpu", functions="avg", step="2m",
+                                from_time=base - 60 * MIN, to_time=base + 6 * MIN))
+    got = {r["t"]: r["avg"] for r in res.collect()}
+    assert got == {base: pytest.approx(300.3), base + 2 * MIN: pytest.approx(100.4),
+                   base + 4 * MIN: pytest.approx(200.0)}

@@ -64,6 +64,7 @@ class TSDBAdapter:
         self.path = path
         self.samples_path = os.path.join(path, "samples")
         self.rollup_path = os.path.join(path, "rollup")
+        self.kinds_path = os.path.join(path, "series_kinds")
         if config is None and os.path.exists(os.path.join(path, SCHEMA_FILE)):
             config = TSDBConfig.load(path)
         self.config = config or TSDBConfig()
@@ -114,6 +115,8 @@ class TSDBAdapter:
         needs_seed = not NamesCatalog.load(self.path).exists() and os.path.exists(
             self.samples_path
         )
+        if validate:
+            self._check_series_kinds(out)
         out.write.mode("append").partitionBy("dt").parquet(self.samples_path)
         # ingest-side names directory (ref: pkg/appender/store.go:190-203)
         if needs_seed:
@@ -339,13 +342,58 @@ class TSDBAdapter:
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
+    def _check_series_kinds(self, batch) -> None:
+        """Cross-APPEND type-conflict guard: a series that was ever
+        ingested as one value kind rejects samples of another kind in
+        every later batch — the durable analog of the reference's
+        in-memory MetricState check (ref: pkg/appender/appender.go:
+        244-254, "Cannot append %v type metric to %v type metric";
+        goldens: pkg/tsdb/v3iotsdb_integration_test.go:1057-1122
+        TestIngestDataFloatThenString / StringThenFloat). The state is
+        a (series_id, kind) parquet sidecar — one row per series ever
+        seen, joined (broadcast-sized vs any batch) before the write;
+        new series append to it. Rebuilt from surviving samples after
+        deletes, so deleting a series' history frees its name+labels
+        for re-typing."""
+        batch_kinds = app.series_kinds(batch)
+        if os.path.exists(self.kinds_path):
+            known = self.spark.read.parquet(self.kinds_path)
+            conflict = (
+                batch_kinds.alias("b")
+                .join(known.alias("k"), "series_id")
+                .where(F.col("b.kind") != F.col("k.kind"))
+                .select(F.col("b.kind").alias("new"), F.col("k.kind").alias("old"))
+                .limit(1)
+                .collect()
+            )
+            if conflict:
+                raise BadRequest(
+                    f"Cannot append {conflict[0]['new']} type metric to "
+                    f"{conflict[0]['old']} type metric."
+                )
+            new = batch_kinds.join(known, "series_id", "left_anti")
+        else:
+            new = batch_kinds
+        new.coalesce(1).write.mode("append").parquet(self.kinds_path)
+
     def _refresh_catalog(self) -> None:
         """Names may vanish when their last samples go — recompute the
-        catalog from the surviving data."""
+        catalog (and the series-kind sidecar) from the surviving data."""
         try:
             NamesCatalog.rebuild(self.path, self._samples()).save()
         except Exception:  # all partitions gone → empty catalog
             NamesCatalog(self.path).save()
+        try:
+            tmp = self.kinds_path + "_rebuilding"
+            app.series_kinds(self._samples()).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            if os.path.exists(self.kinds_path):
+                _swap_dirs(self.kinds_path, tmp)
+            else:
+                os.rename(tmp, self.kinds_path)
+        except Exception:
+            shutil.rmtree(self.kinds_path, ignore_errors=True)
 
     def _rollup_rebuild_scope(self, affected_dts: list, doomed_rdts: list) -> tuple:
         """(rdt partitions to rewrite, dt dates whose samples feed them).

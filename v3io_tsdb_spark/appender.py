@@ -120,6 +120,24 @@ def validate_samples(df: DataFrame) -> None:
         raise BadRequest("series cannot mix value kinds (float/str/bool/int/blob)")
 
 
+def series_kind_col():
+    """Per-row value kind (exactly one value column is non-null)."""
+    expr = F.when(F.col("value").isNotNull(), F.lit("float"))
+    for vc, _ in VARIANT_COLS:
+        expr = expr.when(F.col(vc).isNotNull(), F.lit(vc.removeprefix("value_")))
+    return expr
+
+
+def series_kinds(df: DataFrame) -> DataFrame:
+    """Distinct (series_id, kind) pairs of a batch — tiny (one row per
+    series), the input to the cross-append type-conflict check."""
+    return (
+        df.select("series_id", series_kind_col().alias("kind"))
+        .where(F.col("kind").isNotNull())
+        .distinct()
+    )
+
+
 def prepare_for_write(df: DataFrame, config: TSDBConfig, num_buckets: int | None = None) -> DataFrame:
     """Dedup + layout for the storage table.
 
