@@ -277,3 +277,45 @@ def test_session_watermark_exact_tie_is_emitted(tmp_path, spark):
     # 1 ms short of the tie: A.end = watermark + 1 → still open, held
     held = run([(t0, "u", 1.0), (t0 + gap_ms + wm_ms - 1, "u", 2.0)], "held")
     assert not any(r["session_start"] == t0 for r in held)
+
+
+def test_rollup_stream_matches_batch_and_tie_emitted(tmp_path, spark):
+    """stream_rollup: closed tumbling buckets carry the same partials
+    the batch rollup persists, and the append-mode eviction boundary
+    (bucket end <= max_ts - watermark, tie EMITTED) matches the
+    session-window semantics the oracle predicate assumes."""
+    from v3io_tsdb_spark.streaming.ingest import stream_rollup
+
+    hr = 3_600_000
+    t0 = 1_700_000_000_000 - (1_700_000_000_000 % hr)  # hour-aligned
+
+    def run(rows, name):
+        d = tmp_path / name
+        spark.createDataFrame(rows, "ts long, name string, value double") \
+            .orderBy("ts").coalesce(1).write.parquet(str(d / "in"))
+        raw = spark.readStream.schema("ts long, name string, value double") \
+            .parquet(str(d / "in"))
+        q = (
+            stream_rollup(raw, step="1h", watermark="1 hour")
+            .writeStream.format("memory").queryName(f"rtie_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(d / "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        out = spark.sql(f"SELECT * FROM rtie_{name}").collect()
+        spark.catalog.dropTempView(f"rtie_{name}")
+        return out
+
+    # bucket [t0, t0+1h): three samples; late event at t0+2h pushes the
+    # watermark to exactly t0+1h -> the bucket end TIES the watermark
+    rows = [(t0, "a", 3.0), (t0 + 10, "a", 1.0), (t0 + hr - 1, "a", 2.0),
+            (t0 + 2 * hr, "a", 9.0)]
+    out = run(rows, "exact")
+    closed = [r for r in out if r["t"] == t0]
+    assert len(closed) == 1
+    r = closed[0]
+    assert r["count"] == 3 and r["sum"] == 6.0 and r["min"] == 1.0 and r["max"] == 3.0
+    # 1 ms earlier: watermark = t0 + 1h - 1 < bucket end -> held in state
+    held = run(rows[:3] + [(t0 + 2 * hr - 1, "a", 9.0)], "held")
+    assert not any(r["t"] == t0 for r in held)

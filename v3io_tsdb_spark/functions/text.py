@@ -197,6 +197,76 @@ def repetition_stats(
     )
 
 
+# -- Quality-rule suite -----------------------------------------------------
+
+
+def quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style per-rule quality filter: one boolean column per
+    rule plus the composite ``keep`` verdict, so a pipeline can both
+    FILTER on ``keep`` and AUDIT which rule rejected each document.
+
+    Rules (all pure column expressions, tokenized once):
+      r_len       — token count within [15, 100000]
+      r_avg_len   — mean token length within [2, 8]
+      r_word_len  — longest token <= 15 chars (no undecoded blobs)
+      r_stop      — >= 2 distinct stopwords present (natural-language
+                    signal; the C4 "contains English function words")
+      r_top       — most frequent token <= 12.5% of the document (the
+                    Gopher repetition gate at the unigram level)
+
+    The top-token fraction is computed as ``max over distinct tokens of
+    count(token)/n`` via nested array transforms — O(distinct × n) per
+    row, no explode/shuffle, and expressible verbatim in DuckDB list
+    functions for the oracle.
+    """
+    t = F.col(text_col)
+    out = df.select(
+        F.col(id_col), tokens_col(F.lower(F.trim(t))).alias("_lt")
+    ).withColumn("_n", F.size("_lt"))
+    lt, n = F.col("_lt"), F.col("_n")
+    avg_len = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(lt, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("double")
+        / n,
+    ).otherwise(F.lit(0.0))
+    max_len = F.coalesce(
+        F.array_max(F.transform(lt, lambda x: F.length(x))), F.lit(0)
+    )
+    n_stop = F.size(F.array_intersect(lt, F.array(*[F.lit(s) for s in STOPWORDS["en"]])))
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(lt),
+                lambda x: F.size(F.filter(lt, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    top_ratio = F.when(n > 0, top_cnt.cast("double") / n).otherwise(F.lit(0.0))
+    out = out.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        max_len.cast("long").alias("max_token_len"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(top_ratio, 6).alias("top_token_ratio"),
+        ((n >= 15) & (n <= 100000)).cast("int").alias("r_len"),
+        ((avg_len >= 2.0) & (avg_len <= 8.0)).cast("int").alias("r_avg_len"),
+        (max_len <= 15).cast("int").alias("r_word_len"),
+        (n_stop >= 2).cast("int").alias("r_stop"),
+        (top_ratio <= 0.125).cast("int").alias("r_top"),
+    )
+    keep = (
+        (F.col("r_len") + F.col("r_avg_len") + F.col("r_word_len")
+         + F.col("r_stop") + F.col("r_top")) == 5
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
 # -- PII scrubbing ----------------------------------------------------------
 
 # Patterns restricted to the RE2 ∩ Java-regex common subset so a SQL

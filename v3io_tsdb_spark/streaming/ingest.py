@@ -172,3 +172,56 @@ def stream_sessions(
             "sum_value",
         )
     )
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    step: str | int = "1h",
+    watermark: str | None = None,
+    group_cols: tuple = ("name",),
+) -> DataFrame:
+    """Streaming twin of the ingest-time rollup (ref: aggregates
+    maintained per bucket at append time, pkg/appender/appender.go:
+    220-231): a tumbling event-time window per series computing the
+    same count/sum/min/max partial aggregates the batch rollup table
+    persists. With append output mode the sink receives exactly the
+    watermark-CLOSED buckets (bucket end <= max event time -
+    watermark, same eviction tie semantics as session windows —
+    pytest-pinned), so a downstream writer can append finalized rollup
+    rows without ever rewriting a bucket.
+
+    State is one aggregate row per (open bucket, series) — O(series)
+    at any scale, bounded by the watermark horizon.
+
+    Returns a streaming DataFrame (group_cols..., t, count, sum, min,
+    max) with ``t`` = bucket start in epoch ms.
+    """
+    from v3io_tsdb_spark.timeutils import str2duration_ms
+
+    step_ms = str2duration_ms(step)
+    df = stream_df
+    if not dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        df = df.withColumn("_event_time", F.timestamp_millis(F.col("ts").cast("long")))
+    else:
+        df = df.withColumn("_event_time", F.col("ts"))
+    df = df.withWatermark("_event_time", watermark or "59 minutes")
+    return (
+        df.groupBy(
+            F.window("_event_time", f"{step_ms} milliseconds").alias("_w"),
+            *[F.col(c) for c in group_cols],
+        )
+        .agg(
+            F.count("value").alias("count"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .select(
+            *group_cols,
+            F.unix_millis(F.col("_w.start")).alias("t"),
+            "count",
+            "sum",
+            "min",
+            "max",
+        )
+    )
