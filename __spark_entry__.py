@@ -1221,6 +1221,31 @@ def q_doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_chunks(load_table(spark, sf_dir, "documents"), chunk=64, stride=48)
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured wrangling: the events ``props`` JSON column is
+    parsed schema-on-read (``from_json`` with an explicit struct — one
+    typed parse, not per-field ``get_json_object`` re-parses) and the
+    extracted numeric feeds a two-level aggregation. At 100 TB the
+    parse is scan-side codegen'd map work; the shuffle is the same
+    small (type × bucket) grid as any rollup."""
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select(
+            F.col("event_type").alias("name"),
+            F.floor(k / 10).cast("long").alias("k_bucket"),
+            F.col("value"),
+        )
+        .groupBy("name", "k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value") + EPS6, 6).alias("avg_value"),
+        )
+    )
+
+
 def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the ingest-time rollup (A1 as a stream): the
     per-user sample feed replayed through a tumbling 1h event-time
@@ -1299,7 +1324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tsdb_label_sets": q_tsdb_label_sets,
-        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_decontaminate": q_doc_decontaminate,
@@ -1329,7 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": q_doc_dup_spans,
         "doc_token_chunks": q_doc_token_chunks,
         "stream_rollup_1h": q_stream_rollup_1h,
+        "events_json_props": q_events_json_props,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
         "doc_text_stats": q_doc_text_stats,
         "doc_split_stats": q_doc_split_stats,
         "events_sampled_hourly": q_events_sampled_hourly,
@@ -2535,4 +2561,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": dup_spans_sql,
         "doc_token_chunks": token_chunks_sql,
         "stream_rollup_1h": stream_rollup_sql,
+        "events_json_props": f"""
+          SELECT event_type AS name,
+                 CAST(props->>'k' AS BIGINT) // 10 AS k_bucket,
+                 count(*) AS n,
+                 round(avg(value) + {EPS6}, 6) AS avg_value
+          FROM events GROUP BY 1, 2
+        """,
     }
