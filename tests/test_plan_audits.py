@@ -207,3 +207,57 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_token_chunks_has_no_shuffle(spark):
+    """Chunking is scan-side row expansion: zero Exchange in the plan,
+    and the whole expansion stays inside whole-stage codegen."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.chunking import token_chunks
+
+    out = token_chunks(load_table(spark, SF, "documents"), chunk=64, stride=48)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "*(" in plan  # whole-stage-codegen stage markers
+
+
+def test_quality_rules_has_no_shuffle(spark):
+    """The rule suite (including the top-unigram fraction) is pure
+    per-row column work: no Exchange, no explode-induced join."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import quality_rules
+
+    plan = _plan(quality_rules(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_dup_span_stats_shuffles_only_on_span_hash(spark):
+    """Span dedup is one aggregate + one equi-join on the md5 span key
+    plus the per-doc reduce and outer join back to ids: hash-partition
+    exchanges only — no broadcast-nested-loop, no cartesian, and no
+    whole-table sort."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.chunking import dup_span_stats
+
+    plan = _plan(dup_span_stats(load_table(spark, SF, "documents"), n=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every shuffle is hash partitioning (no rangepartitioning = no
+    # global sort of the span table); broadcasts are fine (small sides)
+    for line in plan.splitlines():
+        if ("Exchange" in line and "Reused" not in line
+                and "BroadcastExchange" not in line):
+            assert "hashpartitioning" in line or "SinglePartition" in line, line
+
+
+def test_events_json_props_single_typed_parse(spark):
+    """from_json appears ONCE (schema-on-read typed parse), and the
+    aggregate shuffles only the small (name, bucket) grid."""
+    from __spark_entry__ import q_events_json_props
+
+    out = q_events_json_props(spark, SF)
+    plan = _plan(out)
+    assert plan.count("from_json") <= 2  # partial+final agg reprint, same expr
+    assert "get_json_object" not in plan
+    assert "hashpartitioning(name" in plan

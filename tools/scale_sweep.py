@@ -1,0 +1,172 @@
+"""Scale-sweep: measure headline operators at 1x / 4x / 16x data scale.
+
+The sf0.1 fixtures verify correctness; this tool produces the scaling
+EVIDENCE — that the plans behave linearly (or explains why not) as the
+data grows, which is the property that matters at 100 TB. It builds
+scaled corpora in /tmp (deterministic word-perturbation per replica so
+dup rates stay comparable instead of exploding, plus a 5% exact-copy
+band so dedup ops keep real signal; events replicas get disjoint user
+ids so series count scales with data, as it does in production), then
+times each operator as package-level calls at every scale after a 1x
+codegen warmup.
+
+    python tools/scale_sweep.py            # full sweep, writes SCALE_SWEEP.json
+    python tools/scale_sweep.py 1 4        # subset of multipliers
+
+Interpretation: wall-clock ratio vs data ratio. A 16x input finishing
+in <= ~16x the 1x time on fixed cores is linear scaling; sublinear
+ratios mean fixed overhead still dominates at these sizes.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = "/tmp/spark_graft_scale"
+MULTS = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+
+
+def build_scaled(mult: int) -> str:
+    import duckdb
+
+    out = os.path.join(ROOT, f"m{mult}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    docs = os.path.join(BASE, "documents.parquet")
+    ev = os.path.join(BASE, "events.parquet")
+    # replica 0 verbatim; replicas > 0 perturb ~30% of words (hash-
+    # deterministic) except a 5% exact-copy band that keeps cross-
+    # replica duplicate signal for the dedup operators
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + r.i * 100000000 AS doc_id,
+                 CASE WHEN r.i = 0 OR d.doc_id % 20 = 0 THEN d.text
+                      ELSE array_to_string(list_transform(
+                             regexp_split_to_array(d.text, ' '),
+                             w -> CASE WHEN (hash(w) + r.i) % 10 < 3
+                                       THEN w || '_r' || r.i ELSE w END), ' ')
+                 END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{docs}') d,
+               (SELECT unnest(range({mult})) AS i) r
+        ) TO '{os.path.join(out, "documents.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + r.i * 100000000 AS event_id, e.ts,
+                 e.user_id + r.i * 1000000 AS user_id,
+                 e.event_type, e.value, e.props
+          FROM read_parquet('{ev}') e,
+               (SELECT unnest(range({mult})) AS i) r
+        ) TO '{os.path.join(out, "events.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    open(marker, "w").close()
+    return out
+
+
+def ops(spark):
+    from pyspark.sql import functions as F
+
+    from v3io_tsdb_spark.datasets import events_as_samples, load_table
+    from v3io_tsdb_spark.functions.chunking import dup_span_stats
+    from v3io_tsdb_spark.functions.dedup import minhash_dedup
+    from v3io_tsdb_spark.functions.packing import pack_sequences
+    from v3io_tsdb_spark.functions.sampling import assign_split
+    from v3io_tsdb_spark.functions.text import quality_rules, token_count_col
+    from v3io_tsdb_spark.querier import Querier, SelectParams
+
+    def docs(d):
+        n = spark.sparkContext.defaultParallelism
+        return load_table(spark, d, "documents").repartition(n)
+
+    def op_quality(d):
+        return quality_rules(docs(d)).agg(F.sum("keep")).collect()
+
+    def op_dup_spans(d):
+        return dup_span_stats(docs(d), n=8).agg(F.sum("n_dup_spans")).collect()
+
+    def op_pack(d):
+        prepped = assign_split(docs(d), "doc_id").withColumn(
+            "n_tokens", token_count_col(F.col("text"))
+        )
+        return pack_sequences(prepped, budget=2048).agg(F.max("pack_id")).collect()
+
+    def op_minhash(d):
+        return minhash_dedup(docs(d), hash_fn="xxhash").count()
+
+    def op_client_agg(d):
+        q = Querier(spark, events_as_samples(spark, d))
+        res = q.select(
+            SelectParams(functions="sum,avg", step="1d",
+                         from_time=1704067200000, to_time=1706745600000)
+        )
+        return res.count()
+
+    return {
+        "quality_rules": op_quality,
+        "dup_span_stats": op_dup_spans,
+        "pack_sequences": op_pack,
+        "minhash_pairs": op_minhash,
+        "tsdb_client_agg": op_client_agg,
+    }
+
+
+def main():
+    dirs = {m: build_scaled(m) for m in MULTS}
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("scale-sweep")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    table = ops(spark)
+    results = {}
+    for name, fn in table.items():
+        fn(dirs[MULTS[0]])  # codegen warmup, untimed
+        results[name] = {}
+        for m in MULTS:
+            # min of two runs: single-shot numbers at these sizes are
+            # dominated by one-off JVM/GC/AQE events, not the plan
+            best = None
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(dirs[m])
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            results[name][str(m)] = round(best, 3)
+            print(f"{name:18s} {m:3d}x  {best:7.2f}s", flush=True)
+        base = results[name][str(MULTS[0])]
+        for m in MULTS[1:]:
+            r = results[name][str(m)] / max(base, 1e-9)
+            print(f"{name:18s} {m:3d}x/1x time ratio = {r:5.1f} (data ratio {m})",
+                  flush=True)
+
+    with open(os.path.join(REPO, "SCALE_SWEEP.json"), "w") as f:
+        json.dump({"base_dir": BASE, "mults": MULTS, "seconds": results}, f, indent=1)
+    print("wrote SCALE_SWEEP.json")
+
+
+if __name__ == "__main__":
+    main()
