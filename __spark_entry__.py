@@ -1246,6 +1246,21 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha=0.5): the largest source
+    keeps 25% of its docs, smaller sources proportionally more —
+    the standard multi-source rebalancing step. Membership is the
+    md5-bucket predicate against per-source integer thresholds derived
+    from exact counts, so the selected SET is engine-reproducible and
+    hash-checked row-by-row (not just summarized)."""
+    from v3io_tsdb_spark.functions.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, alpha=0.5, top_rate=0.25).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the ingest-time rollup (A1 as a stream): the
     per-user sample feed replayed through a tumbling 1h event-time
@@ -1324,7 +1339,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tsdb_label_sets": q_tsdb_label_sets,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_top_trigrams": q_doc_top_trigrams,
@@ -1354,7 +1368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_chunks": q_doc_token_chunks,
         "stream_rollup_1h": q_stream_rollup_1h,
         "events_json_props": q_events_json_props,
+        "doc_mixture_sample": q_doc_mixture_sample,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
         "doc_text_stats": q_doc_text_stats,
         "doc_split_stats": q_doc_split_stats,
@@ -2561,6 +2577,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": dup_spans_sql,
         "doc_token_chunks": token_chunks_sql,
         "stream_rollup_1h": stream_rollup_sql,
+        "doc_mixture_sample": """
+          WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+          m AS (SELECT max(n) AS nmax FROM c),
+          r AS (
+            SELECT c.source,
+                   CAST(floor(least(1.0, 0.25 * pow(CAST(m.nmax AS DOUBLE) / c.n, 0.5))
+                              * 10000 + 0.000001) AS BIGINT) AS thr
+            FROM c, m
+          )
+          SELECT d.doc_id, d.source, d.lang
+          FROM documents d JOIN r ON d.source = r.source
+          WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 10000 < r.thr
+        """,
         "events_json_props": f"""
           SELECT event_type AS name,
                  CAST(props->>'k' AS BIGINT) // 10 AS k_bucket,

@@ -71,6 +71,11 @@ HEADLINE = [
     "doc_budget_selection",
     "emb_dup_clusters",
     "doc_top_quality",
+    "doc_quality_rules",
+    "doc_dup_spans",
+    "doc_token_chunks",
+    "stream_rollup_1h",
+    "events_json_props",
 ]
 
 

@@ -92,3 +92,46 @@ class TestQualityRules:
         assert out["max_token_len"] == 3
         assert out["n_stopwords"] == 2
         assert abs(out["top_token_ratio"] - 0.4) < 1e-9
+
+
+class TestMixtureSample:
+    def test_rates_follow_temperature(self, spark):
+        """Largest source kept at ~top_rate; a 4x-smaller source at
+        ~2x that rate under alpha=0.5; alpha=1 preserves proportions."""
+        from v3io_tsdb_spark.functions.sampling import mixture_sample
+
+        rows = [(i, "big") for i in range(4000)] + [
+            (10_000 + i, "small") for i in range(1000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        sel = mixture_sample(df, alpha=0.5, top_rate=0.25)
+        by_src = {
+            r["source"]: r["count"] for r in sel.groupBy("source").count().collect()
+        }
+        # big: ~25% of 4000 = ~1000; small: 25% * sqrt(4) = 50% of 1000 = ~500
+        assert 850 <= by_src["big"] <= 1150
+        assert 420 <= by_src["small"] <= 580
+        # alpha=1: both sources at top_rate
+        sel1 = mixture_sample(df, alpha=1.0, top_rate=0.25)
+        b1 = {r["source"]: r["count"] for r in sel1.groupBy("source").count().collect()}
+        assert 850 <= b1["big"] <= 1150
+        assert 200 <= b1["small"] <= 300
+
+    def test_rate_capped_at_one(self, spark):
+        """A tiny source whose boosted rate exceeds 1.0 is kept whole."""
+        from v3io_tsdb_spark.functions.sampling import mixture_sample
+
+        rows = [(i, "big") for i in range(10000)] + [(20_000 + i, "tiny") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        sel = mixture_sample(df, alpha=0.0, top_rate=0.9)
+        b = {r["source"]: r["count"] for r in sel.groupBy("source").count().collect()}
+        assert b["tiny"] == 10  # rate min(1, 0.9 * 1000) = 1.0
+
+    def test_membership_is_deterministic(self, spark):
+        from v3io_tsdb_spark.functions.sampling import mixture_sample
+
+        rows = [(i, "s%d" % (i % 3)) for i in range(999)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        a = {r["doc_id"] for r in mixture_sample(df).collect()}
+        b = {r["doc_id"] for r in mixture_sample(df.repartition(7)).collect()}
+        assert a == b

@@ -182,3 +182,51 @@ def top_n_per_group(
         .where(F.col("rank") <= n)
         .drop("_tg_thr")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    top_rate: float = 0.25,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled source mixing: the data-mixing step that
+    rebalances a multi-source corpus before training. The LARGEST
+    source is kept at ``top_rate``; every other source s is kept at
+    ``min(1, top_rate * (n_max / n_s)^(1-alpha))`` — alpha=1 preserves
+    natural proportions, alpha=0 equalizes sources (up to the rate cap),
+    alpha=0.5 is the standard square-root temperature.
+
+    Engine-determinism is part of the contract, so the math avoids
+    floating-point summation entirely: each source's rate depends only
+    on the exact integers (n_s, n_max) through one ``pow`` — identical
+    IEEE doubles on any engine — and membership is the same md5-bucket
+    predicate as :func:`deterministic_sample` against the per-source
+    integer threshold.
+
+    Scale shape: one tiny count aggregate (map-side combinable), its
+    max, and a broadcast join of the per-source thresholds back onto
+    the scan — the data itself is never shuffled.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    nmax = counts.agg(F.max("_n").alias("_nmax"))
+    rates = counts.crossJoin(F.broadcast(nmax)).select(
+        source_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(top_rate)
+                * F.pow(F.col("_nmax") / F.col("_n"), F.lit(1.0 - alpha)),
+            )
+            * F.lit(N_BUCKETS)
+            + F.lit(1e-6)
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
+    out = df.join(F.broadcast(rates), source_col).where(
+        hash_bucket_col(F.col(key_col), salt) < F.col("_thr")
+    )
+    return out.select(*df.columns)
