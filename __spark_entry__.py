@@ -1261,6 +1261,48 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact dedup: among identical texts keep the copy
+    from the lexically-smallest source (the "prefer curated source"
+    policy), doc_id as tiebreaker. Row-level keep/dup_of assignments
+    are hash-checked against a SQL window oracle."""
+    from v3io_tsdb_spark.functions.dedup import priority_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = priority_dedup(docs, [("source", False), ("doc_id", False)])
+    return out.select(
+        "doc_id", "content_hash", F.col("keep").cast("int").alias("keep"), "dup_of"
+    )
+
+
+def q_tsdb_groupby_two_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-label GroupBy (A7 generalized): a samples feed carrying
+    TWO labels (tier = uid%3, parity = uid%2) grouped by both — the
+    combined key is determined by neither label alone, so this
+    exercises the querier's label-subset grouping path with a genuine
+    composite key (ref: pkg/pquerier/select.go:354-367)."""
+    from v3io_tsdb_spark.datasets import events_as_samples
+    from v3io_tsdb_spark.labels import series_id_col
+
+    base = events_as_samples(spark, sf_dir)
+    uid = F.element_at(F.col("labels"), "uid").cast("long")
+    samples = base.withColumn(
+        "labels",
+        F.create_map(
+            F.lit("uid"), F.element_at(F.col("labels"), "uid"),
+            F.lit("tier"), (uid % 3).cast("string"),
+            F.lit("parity"), (uid % 2).cast("string"),
+        ),
+    ).withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    q = Querier(spark, samples)
+    res = q.select(SelectParams(functions="sum,count", step="1d",
+                                group_by="tier,parity", from_time=F0, to_time=T1))
+    return res.select(
+        "name", "tier", "parity", "t", _r("sum"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
 def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the ingest-time rollup (A1 as a stream): the
     per-user sample feed replayed through a tumbling 1h event-time
@@ -1340,8 +1382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tsdb_label_sets": q_tsdb_label_sets,
         "doc_dedup_clusters": q_doc_dedup_clusters,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_top_trigrams": q_doc_top_trigrams,
         "doc_token_quantiles": q_doc_token_quantiles,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_batch_topk": q_emb_batch_topk,
@@ -1369,7 +1409,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1h": q_stream_rollup_1h,
         "events_json_props": q_events_json_props,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_priority_dedup": q_doc_priority_dedup,
+        "tsdb_groupby_two_labels": q_tsdb_groupby_two_labels,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_top_trigrams": q_doc_top_trigrams,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
         "doc_text_stats": q_doc_text_stats,
@@ -2577,6 +2621,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": dup_spans_sql,
         "doc_token_chunks": token_chunks_sql,
         "stream_rollup_1h": stream_rollup_sql,
+        "doc_priority_dedup": """
+          WITH h AS (
+            SELECT doc_id, source,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+            FROM documents
+          ),
+          r AS (
+            SELECT *, first_value(doc_id) OVER (
+                     PARTITION BY content_hash ORDER BY source ASC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep
+            FROM h
+          )
+          SELECT doc_id, content_hash,
+                 CAST(doc_id = rep AS INT) AS keep,
+                 CASE WHEN doc_id <> rep THEN rep END AS dup_of
+          FROM r
+        """,
+        "tsdb_groupby_two_labels": f"""
+          SELECT event_type AS name,
+                 CAST(user_id % 3 AS VARCHAR) AS tier,
+                 CAST(user_id % 2 AS VARCHAR) AS parity,
+                 {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
+                 round(sum(value) + {EPS4}, 4) AS sum,
+                 count(value) AS count
+          FROM events
+          WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1, 2, 3, 4
+        """,
         "doc_mixture_sample": """
           WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
           m AS (SELECT max(n) AS nmax FROM c),

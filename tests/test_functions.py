@@ -635,3 +635,23 @@ def test_ivf_append_index_incremental(emb, spark, tmp_path):
     got = ivf_search(spark, path, qvec, k=10, n_probe=8).collect()
     exact = cosine_topk(emb, qvec, k=10).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
+def test_priority_dedup_prefers_source(spark):
+    """Identical texts across sources: the lexically-smallest source
+    wins; within a source the lowest doc_id wins; uniques keep."""
+    from v3io_tsdb_spark.functions.dedup import priority_dedup
+
+    rows = [
+        (1, "same text", "srcB"),
+        (2, "same text", "srcA"),   # winner: srcA < srcB
+        (3, "same text", "srcA"),   # loser to doc 2 (id tiebreak)
+        (4, "unique", "srcZ"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           priority_dedup(df, [("source", False), ("doc_id", False)]).collect()}
+    assert out[2]["keep"] and out[2]["dup_of"] is None
+    assert not out[1]["keep"] and out[1]["dup_of"] == 2
+    assert not out[3]["keep"] and out[3]["dup_of"] == 2
+    assert out[4]["keep"]

@@ -63,6 +63,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return out
 
 
+def priority_dedup(
+    df: DataFrame,
+    order_keys: list[tuple[str, bool]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup that keeps the HIGHEST-PRIORITY copy per identical
+    normalized text — the cross-source variant of :func:`exact_dedup`
+    ("prefer the curated source over the crawl dump"). ``order_keys``
+    is a list of (column, descending) whose order must be total per
+    duplicate cluster (include ``id_col`` as the tiebreaker).
+
+    Same single hash-groupBy shuffle as exact_dedup; the per-cluster
+    window is bounded by the copies of ONE text, so no skew risk
+    beyond a pathological boilerplate document (which the span/sketch
+    dedup paths remove first in a real pipeline).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    sort_exprs = [F.col(c).desc() if d else F.col(c).asc() for c, d in order_keys]
+    w = Window.partitionBy("content_hash").orderBy(*sort_exprs)
+    return (
+        df.withColumn("content_hash", F.md5(norm))
+        .withColumn("_rep", F.first(id_col).over(w))
+        .withColumn("keep", F.col(id_col) == F.col("_rep"))
+        .withColumn("dup_of", F.when(~F.col("keep"), F.col("_rep")))
+        .drop("_rep")
+    )
+
+
 def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(n_docs, n_unique, n_dup_docs) one-row summary."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
