@@ -76,6 +76,9 @@ HEADLINE = [
     "doc_token_chunks",
     "stream_rollup_1h",
     "events_json_props",
+    "doc_mixture_sample",
+    "doc_priority_dedup",
+    "tsdb_groupby_two_labels",
 ]
 
 
