@@ -1303,6 +1303,15 @@ def q_tsdb_groupby_two_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF —
+    keyword extraction over the corpus, scores engine-exact because
+    every floating-point input is an exact integer count."""
+    from v3io_tsdb_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs_scattered(spark, sf_dir), k=3)
+
+
 def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the ingest-time rollup (A1 as a stream): the
     per-user sample feed replayed through a tumbling 1h event-time
@@ -1382,7 +1391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tsdb_label_sets": q_tsdb_label_sets,
         "doc_dedup_clusters": q_doc_dedup_clusters,
-        "doc_token_quantiles": q_doc_token_quantiles,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_batch_topk": q_emb_batch_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1411,7 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_priority_dedup": q_doc_priority_dedup,
         "tsdb_groupby_two_labels": q_tsdb_groupby_two_labels,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "doc_token_quantiles": q_doc_token_quantiles,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_top_trigrams": q_doc_top_trigrams,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -2621,6 +2631,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": dup_spans_sql,
         "doc_token_chunks": token_chunks_sql,
         "stream_rollup_1h": stream_rollup_sql,
+        "doc_tfidf_terms": """
+          WITH tk AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+            FROM documents
+          ),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+          dfq AS (SELECT term, count(DISTINCT doc_id) AS dfv FROM tf GROUP BY 1),
+          nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+          s AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   tf.tf * (ln((nn.n + 1.0) / (dfq.dfv + 1.0)) + 1.0) AS score
+            FROM tf JOIN dfq USING (term), nn
+          ),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS rank
+            FROM s
+          )
+          SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+                 CAST(tf AS BIGINT) AS tf,
+                 round(score + 0.000000001, 6) AS score
+          FROM r WHERE rank <= 3
+        """,
         "doc_priority_dedup": """
           WITH h AS (
             SELECT doc_id, source,

@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_mixture_sample",
     "doc_priority_dedup",
     "tsdb_groupby_two_labels",
+    "doc_tfidf_terms",
 ]
 
 

@@ -655,3 +655,26 @@ def test_priority_dedup_prefers_source(spark):
     assert not out[1]["keep"] and out[1]["dup_of"] == 2
     assert not out[3]["keep"] and out[3]["dup_of"] == 2
     assert out[4]["keep"]
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    """A term unique to one doc outscores corpus-wide terms; rank
+    ordering is (score desc, term asc); k bounds output per doc."""
+    from v3io_tsdb_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (1, "common common zebra"),
+        (2, "common common common"),
+        (3, "common apple apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    # doc1: zebra (df=1) beats common (df=3) despite tf 1 vs 2?
+    # zebra: 1 * (ln(4/2)+1) = 1.693; common: 2 * (ln(4/4)+1) = 2.0 -> common first
+    assert sorted(by_doc[1]) == [(1, "common"), (2, "zebra")]
+    # doc3: apple tf=2 df=1 -> 2*1.693=3.386 beats common 1*1.0
+    assert sorted(by_doc[3]) == [(1, "apple"), (2, "common")]
+    assert all(len(v) <= 2 for v in by_doc.values())

@@ -267,6 +267,56 @@ def quality_rules(
     return out.withColumn("keep", keep.cast("int"))
 
 
+# -- TF-IDF -----------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1), ties broken lexically — the classic
+    keyword/topic signal a corpus-exploration pass computes.
+
+    All inputs to the floating-point math are exact integers (term
+    frequency, document frequency, corpus size), so scores reproduce
+    engine-exactly. Plan shape: two hash aggregations (doc-term counts,
+    term document-frequency), an equi-join on term, a broadcast of the
+    one-row corpus size, and a per-document ranking window bounded by
+    one document's distinct terms — every shuffle on a well-distributed
+    key, nothing global.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("_df"))
+    n = df.agg(F.count_distinct(F.col(id_col)).alias("_N"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("_N") + 1) / (F.col("_df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(F.col("score") + 1e-9, 6).alias("score"),
+        )
+    )
+
+
 # -- PII scrubbing ----------------------------------------------------------
 
 # Patterns restricted to the RE2 ∩ Java-regex common subset so a SQL
