@@ -1312,6 +1312,22 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_docs_scattered(spark, sf_dir), k=3)
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel per user (greedy: each step
+    is the earliest event strictly after the previous step). One
+    shuffle of events by user (chained same-key windows reuse the
+    exchange), then a per-user aggregate."""
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.operators.funnel import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    out = funnel_steps(ev, ["view", "click", "purchase"], ts_col="ts_ms")
+    return out.select(
+        "user_id", "t_view", "t_click", "t_purchase", "steps_completed"
+    )
+
+
 def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the ingest-time rollup (A1 as a stream): the
     per-user sample feed replayed through a tumbling 1h event-time
@@ -1395,7 +1411,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_batch_topk": q_emb_batch_topk,
         "emb_near_dup": q_emb_near_dup,
         "mm_extract_features": q_mm_extract_features,
-        "mm_frame_sample": q_mm_frame_sample,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -1420,7 +1435,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_priority_dedup": q_doc_priority_dedup,
         "tsdb_groupby_two_labels": q_tsdb_groupby_two_labels,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "events_funnel": q_events_funnel,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "mm_frame_sample": q_mm_frame_sample,
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_top_trigrams": q_doc_top_trigrams,
@@ -2631,6 +2648,31 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": dup_spans_sql,
         "doc_token_chunks": token_chunks_sql,
         "stream_rollup_1h": stream_rollup_sql,
+        "events_funnel": """
+          WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),
+          s1 AS (
+            SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+            FROM e GROUP BY user_id
+          ),
+          s2 AS (
+            SELECT e.user_id,
+                   min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                            THEN e.ts END) AS t_click
+            FROM e JOIN s1 USING (user_id) GROUP BY e.user_id
+          ),
+          s3 AS (
+            SELECT e.user_id,
+                   min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                            THEN e.ts END) AS t_purchase
+            FROM e JOIN s2 USING (user_id) GROUP BY e.user_id
+          )
+          SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+                 (CAST(s1.t_view IS NOT NULL AS INT)
+                  + CAST(s2.t_click IS NOT NULL AS INT)
+                  + CAST(s3.t_purchase IS NOT NULL AS INT))::BIGINT AS steps_completed
+          FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+          WHERE s1.t_view IS NOT NULL
+        """,
         "doc_tfidf_terms": """
           WITH tk AS (
             SELECT doc_id,

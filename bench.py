@@ -80,6 +80,7 @@ HEADLINE = [
     "doc_priority_dedup",
     "tsdb_groupby_two_labels",
     "doc_tfidf_terms",
+    "events_funnel",
 ]
 
 

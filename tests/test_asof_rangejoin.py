@@ -145,3 +145,32 @@ def test_range_join_is_equi_join(spark, range_data):
     )
     assert "NestedLoop" not in plan
     assert "SortMergeJoin" in plan or "HashJoin" in plan
+
+
+def test_funnel_ordered_greedy_semantics(spark):
+    """Funnel: steps must occur in order; greedy earliest-first; chain
+    break leaves later steps null; users without step 1 are excluded."""
+    from v3io_tsdb_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1: clean v(10) -> c(20) -> p(30)
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: purchase BEFORE click -> chain stops at click
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # u3: click before view -> that click cannot count; later click does
+        (3, "click", 5), (3, "view", 10), (3, "click", 12),
+        # u4: no view at all -> excluded
+        (4, "click", 10), (4, "purchase", 20),
+        # u5: greedy: earliest view 10 (not 40); click must follow 10
+        (5, "view", 40), (5, "view", 10), (5, "click", 25), (5, "purchase", 26),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {r["user_id"]: r for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert out[1]["t_purchase"] == 30 and out[1]["steps_completed"] == 3
+    assert out[2]["t_click"] == 20 and out[2]["t_purchase"] is None
+    assert out[2]["steps_completed"] == 2
+    assert out[3]["t_click"] == 12
+    assert 4 not in out
+    assert out[5]["t_view"] == 10 and out[5]["t_click"] == 25
+    assert out[5]["steps_completed"] == 3
