@@ -1352,6 +1352,80 @@ def q_stream_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_resets_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style counter inspection the reference's aggregate set
+    stops short of (it has bucket rate, ref: pkg/aggregate/
+    iterator.go:327-334): per series per day, how often the value
+    DROPPED (resets) and how often it changed at all (changes)."""
+    from v3io_tsdb_spark.operators.counters import counter_resets_changes
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(
+        F.col("ts").between(F0, T1)
+    )
+    out = counter_resets_changes(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY, from_ms=F0
+    )
+    return out.select("name", "uid", "t", "resets", "changes", "count")
+
+
+def q_tsdb_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series completeness report on the 6h wall grid: expected vs
+    present buckets over the series' own envelope, plus the largest
+    inter-sample gap — the measuring counterpart of interpolation
+    (which fills holes; ref tolerance semantics: pkg/pquerier/
+    select.go interpolation defaults)."""
+    from v3io_tsdb_spark.operators.gaps import gap_report
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(
+        F.col("ts").between(F0, T1)
+    )
+    out = gap_report(s, series_cols=("name", "uid"), ts_col="ts",
+                     step_ms=6 * HOUR)
+    return out.select(
+        "name", "uid", "max_gap_ms", "present", "expected", "missing"
+    )
+
+
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users cohorted by first-event
+    week; each (cohort_week, week_offset) cell counts distinct cohort
+    users active that week."""
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.operators.cohorts import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    out = retention_cohorts(ev.where(F.col("ts_ms").between(F0, T1)))
+    return out.select("cohort_week", "week_offset", "n_users")
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: fixed 500-char-wide histogram of document
+    sizes per language — one partial-aggregable shuffle whose output
+    cardinality is langs x occupied buckets, not rows."""
+    from v3io_tsdb_spark.functions.histogram import fixed_width_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fixed_width_histogram(docs, "n_chars", 500, group_cols=("lang",))
+    return out.select("lang", "bucket_lo", "n", "total")
+
+
+def q_events_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags over hourly event-type volumes:
+    each hour scored against the mean/stddev of its previous 24
+    observed hours (never itself); < 12 hours of history or zero
+    variance -> no verdict (null z)."""
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.operators.anomaly import bucket_zscores
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    out = bucket_zscores(ev.where(F.col("ts_ms").between(F0, T1)))
+    return out.select(
+        "event_type", "t", "n", _r("mean"), _r("std"), _rz("z")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1406,11 +1480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
         "tsdb_label_sets": q_tsdb_label_sets,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_batch_topk": q_emb_batch_topk,
-        "emb_near_dup": q_emb_near_dup,
-        "mm_extract_features": q_mm_extract_features,
+        "tsdb_resets_daily": q_tsdb_resets_daily,
+        "tsdb_gap_report": q_tsdb_gap_report,
+        "events_retention_cohorts": q_events_retention_cohorts,
+        "doc_length_histogram": q_doc_length_histogram,
+        "events_anomaly_hourly": q_events_anomaly_hourly,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
@@ -1437,6 +1511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_funnel": q_events_funnel,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_batch_topk": q_emb_batch_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "mm_extract_features": q_mm_extract_features,
         "mm_frame_sample": q_mm_frame_sample,
         "doc_token_quantiles": q_doc_token_quantiles,
         "doc_decontaminate": q_doc_decontaminate,
@@ -2746,5 +2825,88 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n,
                  round(avg(value) + {EPS6}, 6) AS avg_value
           FROM events GROUP BY 1, 2
+        """,
+        "tsdb_resets_daily": f"""
+          WITH l AS (
+            SELECT name, uid, t, value,
+                   lag(value) OVER (PARTITION BY name, uid
+                                    ORDER BY t, value) AS pv
+            FROM ({_PTS})
+          )
+          SELECT name, uid,
+                 {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                 count(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 END) AS resets,
+                 count(CASE WHEN pv IS NOT NULL AND value <> pv THEN 1 END) AS changes,
+                 count(value) AS count
+          FROM l GROUP BY 1, 2, 3
+        """,
+        "tsdb_gap_report": f"""
+          WITH p AS ({_PTS}),
+          g AS (
+            SELECT name, uid,
+                   t - lag(t) OVER (PARTITION BY name, uid ORDER BY t) AS gap,
+                   t
+            FROM p
+          ),
+          a AS (
+            SELECT name, uid, max(gap) AS max_gap_ms,
+                   min(t) // {6 * HOUR} AS fb, max(t) // {6 * HOUR} AS lb
+            FROM g GROUP BY 1, 2
+          ),
+          pr AS (
+            SELECT name, uid, count(DISTINCT t // {6 * HOUR}) AS present
+            FROM p GROUP BY 1, 2
+          )
+          SELECT a.name, a.uid, a.max_gap_ms, pr.present,
+                 a.lb - a.fb + 1 AS expected,
+                 a.lb - a.fb + 1 - pr.present AS missing
+          FROM a JOIN pr ON a.name = pr.name AND a.uid = pr.uid
+        """,
+        "events_retention_cohorts": f"""
+          WITH p AS (
+            SELECT user_id, epoch_ms(ts) AS t FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          c AS (
+            SELECT user_id, (min(t) // {7 * DAY}) * {7 * DAY} AS cohort_week
+            FROM p GROUP BY 1
+          ),
+          a AS (
+            SELECT DISTINCT user_id, (t // {7 * DAY}) * {7 * DAY} AS week
+            FROM p
+          )
+          SELECT c.cohort_week,
+                 (a.week - c.cohort_week) // {7 * DAY} AS week_offset,
+                 count(DISTINCT a.user_id) AS n_users
+          FROM a JOIN c ON a.user_id = c.user_id
+          GROUP BY 1, 2
+        """,
+        "doc_length_histogram": """
+          SELECT lang, (n_chars // 500) * 500 AS bucket_lo,
+                 count(n_chars) AS n, CAST(sum(n_chars) AS BIGINT) AS total
+          FROM documents GROUP BY 1, 2
+        """,
+        "events_anomaly_hourly": f"""
+          WITH c AS (
+            SELECT event_type, (epoch_ms(ts) // {HOUR}) * {HOUR} AS t,
+                   count(*) AS n
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          w AS (
+            SELECT event_type, t, n,
+                   avg(n) OVER win AS mean,
+                   stddev_samp(n) OVER win AS std,
+                   count(n) OVER win AS hist
+            FROM c
+            WINDOW win AS (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+          )
+          SELECT event_type, t, n,
+                 round(mean + {EPS4}, 4) AS mean,
+                 CASE WHEN hist >= 2 THEN round(std + {EPS4}, 4) END AS std,
+                 CASE WHEN hist >= 12 AND std > 0
+                      THEN round((n - mean) / std + {EPS4}, 4) + 0.0 END AS z
+          FROM w
         """,
     }

@@ -1,0 +1,119 @@
+"""Unit tests for the round-6 analytic operators: counter resets/
+changes, gap report, retention cohorts, fixed-width histogram, and
+trailing z-score anomaly flags."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+H = 3_600_000
+D = 24 * H
+W = 7 * D
+
+
+def test_counter_resets_changes(spark):
+    from v3io_tsdb_spark.operators.counters import counter_resets_changes
+
+    rows = [
+        # series a: 1 2 2 1(drop) 3 on day 0; 0(drop) 5 on day 1
+        ("cpu", "a", 0, 1.0), ("cpu", "a", 1, 2.0), ("cpu", "a", 2, 2.0),
+        ("cpu", "a", 3, 1.0), ("cpu", "a", 4, 3.0),
+        ("cpu", "a", D, 0.0), ("cpu", "a", D + 1, 5.0),
+        # series b: single sample -> no predecessor, nothing counted
+        ("cpu", "b", 0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, value double")
+    out = {
+        (r["name"], r["uid"], r["t"]): r
+        for r in counter_resets_changes(
+            df, ts_col="t", step_ms=D, from_ms=0
+        ).collect()
+    }
+    a0 = out[("cpu", "a", 0)]
+    # drops: 2->1; changes: 1->2, 2->1, 1->3 (2->2 is not a change)
+    assert a0["resets"] == 1 and a0["changes"] == 3 and a0["count"] == 5
+    a1 = out[("cpu", "a", D)]
+    # day-boundary crossing counts: 3->0 is day 1's reset
+    assert a1["resets"] == 1 and a1["changes"] == 2 and a1["count"] == 2
+    b0 = out[("cpu", "b", 0)]
+    assert b0["resets"] == 0 and b0["changes"] == 0 and b0["count"] == 1
+
+
+def test_gap_report(spark):
+    from v3io_tsdb_spark.operators.gaps import gap_report
+
+    rows = [
+        # series a: buckets 0,1,3 present of envelope 0..3 -> 1 missing
+        ("m", "a", 0), ("m", "a", H), ("m", "a", H + 1), ("m", "a", 3 * H),
+        # series b: one sample -> 1 expected, 0 missing, null max gap
+        ("m", "b", 5 * H),
+    ]
+    df = spark.createDataFrame(rows, "name string, uid string, t long")
+    out = {(r["name"], r["uid"]): r
+           for r in gap_report(df, ts_col="t", step_ms=H).collect()}
+    a = out[("m", "a")]
+    assert (a["expected"], a["present"], a["missing"]) == (4, 3, 1)
+    assert a["max_gap_ms"] == 2 * H - 1
+    b = out[("m", "b")]
+    assert (b["expected"], b["present"], b["missing"]) == (1, 1, 0)
+    assert b["max_gap_ms"] is None
+
+
+def test_retention_cohorts(spark):
+    from v3io_tsdb_spark.operators.cohorts import retention_cohorts
+
+    rows = [
+        # u1 cohort week 0, active weeks 0 and 2
+        (1, 0), (1, 10), (1, 2 * W),
+        # u2 cohort week 0, active week 0 only
+        (2, W - 1),
+        # u3 cohort week 1, active weeks 1 and 2
+        (3, W), (3, 2 * W + 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(df).collect()}
+    assert out[(0, 0)] == 2          # cohort size week 0
+    assert out[(0, 2)] == 1          # u1 returned in week 2
+    assert (0, 1) not in out         # nobody from cohort 0 active week 1
+    assert out[(W, 0)] == 1 and out[(W, 1)] == 1
+
+
+def test_fixed_width_histogram(spark):
+    from v3io_tsdb_spark.functions.histogram import fixed_width_histogram
+
+    rows = [("en", 10), ("en", 499), ("en", 500), ("de", 1200)]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    out = {(r["lang"], r["bucket_lo"]): (r["n"], r["total"])
+           for r in fixed_width_histogram(df, "n_chars", 500, ("lang",)).collect()}
+    assert out[("en", 0)] == (2, 509)
+    assert out[("en", 500)] == (1, 500)
+    assert out[("de", 1000)] == (1, 1200)
+    assert len(out) == 3  # empty buckets absent
+
+
+def test_bucket_zscores_trailing_window(spark):
+    from v3io_tsdb_spark.operators.anomaly import bucket_zscores
+
+    # one event per (hour, i) for i < count -> hourly counts 5,5,5,5,50
+    counts = [5, 5, 5, 5, 50]
+    rows = [("click", h * H + i) for h, c in enumerate(counts) for i in range(c)]
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long")
+    out = {r["t"]: r for r in
+           bucket_zscores(df, step_ms=H, lookback=3, min_history=3).collect()}
+    assert out[0]["mean"] is None and out[0]["std"] is None  # no history
+    assert out[H]["std"] is None        # 1-row history: null, not NaN
+    # hour 4: trailing 3 hours all 5 -> zero variance -> no verdict
+    assert out[4 * H]["mean"] == 5.0 and out[4 * H]["z"] is None
+    # hour 3 has 3 identical trailing values: std 0 -> null z as well
+    assert out[3 * H]["z"] is None
+    # non-degenerate check: counts 5,5,5,50 trailing for a 6th hour
+    rows2 = rows + [("click", 5 * H + i) for i in range(5)]
+    df2 = spark.createDataFrame(rows2, "event_type string, ts_ms long")
+    r5 = {r["t"]: r for r in
+          bucket_zscores(df2, step_ms=H, lookback=3, min_history=3).collect()}[5 * H]
+    exp_mean = (5 + 5 + 50) / 3
+    exp_std = math.sqrt(((5 - exp_mean) ** 2 * 2 + (50 - exp_mean) ** 2) / 2)
+    assert r5["mean"] == pytest.approx(exp_mean)
+    assert r5["z"] == pytest.approx((5 - exp_mean) / exp_std)

@@ -1,0 +1,35 @@
+"""Fixed-width histograms as a pure groupBy.
+
+``bucket = floor(x / width)`` is a scan-side expression, so the
+histogram is one partial-aggregable shuffle on (group, bucket) — the
+cardinality of the OUTPUT (groups × occupied buckets), not the input,
+bounds every post-shuffle structure. Empty buckets are simply absent
+(same suppression rule as the TSDB aggregation path, ref:
+pkg/aggregate/iterator.go:361-364); consumers that need dense axes
+densify from the bounded output, never from the raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    width: int,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Per (group, bucket): row count and value sum.
+
+    ``bucket_lo`` is the bucket's inclusive lower edge in value units.
+    """
+    lo = (F.floor(F.col(value_col) / F.lit(width)) * F.lit(width)).cast("long")
+    return (
+        df.groupBy(*group_cols, lo.alias("bucket_lo"))
+        .agg(
+            F.count(value_col).alias("n"),
+            F.sum(value_col).cast("long").alias("total"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""Per-series gap / completeness report.
+
+Answers "which series have holes, and how big?" — the monitoring
+counterpart of interpolation (which FILLS holes; this one measures
+them, the check a scrape pipeline runs before trusting a rollup).
+
+Per series over its own [first, last] sample envelope on a fixed grid:
+
+- ``expected``: wall-aligned grid buckets the envelope spans,
+- ``present``: distinct buckets that actually hold a sample,
+- ``missing``: expected − present,
+- ``max_gap_ms``: largest timestamp delta between consecutive samples.
+
+Plan shape: the bucket presence side is a two-level partial aggregate
+(distinct (series, bucket) then per-series counts) — no window needed;
+the max-gap side is one ``lag`` window over the same series
+partitioning, so the whole report costs a single hash-partition of
+samples by series. Nothing materializes the grid itself: ``expected``
+is arithmetic on first/last, so a series with a year-long hole costs
+the same as a dense one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from v3io_tsdb_spark.operators.bucketing import wall_bucket
+
+
+def gap_report(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    step_ms: int = 21_600_000,
+) -> DataFrame:
+    """One row per series: expected/present/missing bucket counts and
+    the largest inter-sample gap (ms)."""
+    b = wall_bucket(F.col(ts_col), step_ms)
+    w = Window.partitionBy(*series_cols).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    gaps = df.withColumn("_gap", gap).groupBy(*series_cols).agg(
+        F.max("_gap").alias("max_gap_ms"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    present = (
+        df.select(*series_cols, b.alias("_b"))
+        .distinct()
+        .groupBy(*series_cols)
+        .agg(F.count("_b").alias("present"))
+    )
+    expected = (
+        F.floor(F.col("_last") / step_ms) - F.floor(F.col("_first") / step_ms) + 1
+    ).cast("long")
+    return (
+        gaps.join(present, list(series_cols))
+        .withColumn("expected", expected)
+        .withColumn("missing", (F.col("expected") - F.col("present")).cast("long"))
+        .drop("_first", "_last")
+    )
