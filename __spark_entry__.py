@@ -1426,6 +1426,71 @@ def q_events_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_avg_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bucket averages per (name, uid) series — the bucketed grid
+    the trend operators run on (x = sum/count, matching the oracle's
+    division exactly)."""
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    t = (F.lit(F0) + F.floor((F.col("ts") - F0) / DAY) * DAY).cast("long")
+    return s.groupBy("name", "uid", t.alias("t")).agg(
+        (F.sum("value") / F.count("value")).alias("x")
+    )
+
+
+def q_tsdb_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily series (alpha=0.3): the monitoring smoother
+    the reference's aggregate set lacks, as a single closed-form window
+    expression over the already-bucketed grid (operators/trend.py)."""
+    from v3io_tsdb_spark.operators.trend import ewma_over_buckets
+
+    out = ewma_over_buckets(_daily_avg_series(spark, sf_dir))
+    return out.select(
+        "name", "uid", "t",
+        (F.round(F.col("x") + EPS4, 4) + F.lit(0.0)).alias("avg"),
+        (F.round(F.col("ewma") + EPS4, 4) + F.lit(0.0)).alias("ewma"),
+    )
+
+
+def q_tsdb_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each series' daily averages — the
+    momentum-vs-noise screen; one lag window over the bucketed grid
+    then a plain corr aggregate."""
+    from v3io_tsdb_spark.operators.trend import autocorr_lag1
+
+    out = autocorr_lag1(_daily_avg_series(spark, sf_dir))
+    return out.select(
+        "name", "uid", F.col("n_buckets").cast("long").alias("n_buckets"),
+        (F.round(F.col("autocorr") + EPS4, 4) + F.lit(0.0)).alias("autocorr"),
+    )
+
+
+def q_events_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users, sketch-gated: HLL++ estimate checked
+    against the exact count in the same pass (functions/sketches.py) —
+    same trust pattern as the ANN recall gates; at scale only the
+    mergeable sketch survives."""
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.functions.sketches import distinct_count_gate
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    ev = ev.where(F.col("ts_ms").between(F0, T1)).withColumn(
+        "t", (F.lit(F0) + F.floor((F.col("ts_ms") - F0) / DAY) * DAY).cast("long")
+    )
+    return distinct_count_gate(ev, "user_id", group_cols=("t",)).select(
+        "t", "n_exact", "ok"
+    )
+
+
+def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-diversity quality signal: per-doc Shannon entropy of
+    the token distribution plus distinct/total token counts."""
+    from v3io_tsdb_spark.functions.text import word_entropy
+
+    out = word_entropy(_docs_scattered(spark, sf_dir))
+    return out.select("doc_id", "n_distinct", "n_tokens", _r("entropy", 6))
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1462,17 +1527,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
-        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
         "tsdb_rate_daily": q_tsdb_rate_daily,
-        "tsdb_downsample_6h": q_tsdb_downsample_6h,
         "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
+        "tsdb_ewma_daily": q_tsdb_ewma_daily,
+        "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
+        "events_hll_daily": q_events_hll_daily,
+        "doc_word_entropy": q_doc_word_entropy,
         "tsdb_rollup_daily": q_tsdb_rollup_daily,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
         "tsdb_interp_linear": q_tsdb_interp_linear,
         "tsdb_groupby_total": q_tsdb_groupby_total,
         "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
-        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
         "tsdb_session_30m": q_tsdb_session_30m,
         "tsdb_asof_join": q_tsdb_asof_join,
@@ -1511,6 +1577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_funnel": q_events_funnel,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
+        "tsdb_downsample_6h": q_tsdb_downsample_6h,
+        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_batch_topk": q_emb_batch_topk,
@@ -2908,5 +2977,64 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN hist >= 12 AND std > 0
                       THEN round((n - mean) / std + {EPS4}, 4) + 0.0 END AS z
           FROM w
+        """,
+        "tsdb_ewma_daily": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   sum(value) / count(value) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          r AS (
+            SELECT name, uid, t, x,
+                   row_number() OVER (PARTITION BY name, uid ORDER BY t) - 1 AS i,
+                   first_value(x) OVER (PARTITION BY name, uid ORDER BY t) AS x0
+            FROM b
+          ),
+          w AS (
+            SELECT name, uid, t, x, i, x0,
+                   coalesce(sum(CASE WHEN i >= 1 THEN x * pow(0.7, -i) END)
+                     OVER (PARTITION BY name, uid ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     0.0) AS csum
+            FROM r
+          )
+          SELECT name, uid, t,
+                 round(x + {EPS4}, 4) + 0.0 AS avg,
+                 round(pow(0.7, i) * (x0 + 0.3 * csum) + {EPS4}, 4) + 0.0 AS ewma
+          FROM w
+        """,
+        "tsdb_autocorr_daily": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   sum(value) / count(value) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          l AS (
+            SELECT name, uid, x,
+                   lag(x) OVER (PARTITION BY name, uid ORDER BY t) AS p
+            FROM b
+          )
+          SELECT name, uid, count(x) AS n_buckets,
+                 round(corr(x, p) + {EPS4}, 4) + 0.0 AS autocorr
+          FROM l GROUP BY 1, 2
+        """,
+        "events_hll_daily": f"""
+          SELECT {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
+                 count(DISTINCT user_id) AS n_exact, TRUE AS ok
+          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1
+        """,
+        "doc_word_entropy": f"""
+          WITH tk AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+            FROM documents
+          ),
+          tf AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2)
+          SELECT doc_id, CAST(count(term) AS BIGINT) AS n_distinct,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + {EPS6}, 6) AS entropy
+          FROM tf GROUP BY 1
         """,
     }

@@ -117,3 +117,65 @@ def test_bucket_zscores_trailing_window(spark):
     exp_std = math.sqrt(((5 - exp_mean) ** 2 * 2 + (50 - exp_mean) ** 2) / 2)
     assert r5["mean"] == pytest.approx(exp_mean)
     assert r5["z"] == pytest.approx((5 - exp_mean) / exp_std)
+
+
+def test_ewma_closed_form_matches_recurrence(spark):
+    from v3io_tsdb_spark.operators.trend import ewma_over_buckets
+
+    xs = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.3]
+    alpha = 0.3
+    df = spark.createDataFrame(
+        [("m", "a", i, x) for i, x in enumerate(xs)],
+        "name string, uid string, t long, x double",
+    )
+    out = {r["t"]: r["ewma"]
+           for r in ewma_over_buckets(df, alpha=alpha).collect()}
+    s = xs[0]
+    for i, x in enumerate(xs):
+        if i > 0:
+            s = alpha * x + (1 - alpha) * s
+        assert out[i] == pytest.approx(s, abs=1e-9)
+
+
+def test_autocorr_lag1(spark):
+    from v3io_tsdb_spark.operators.trend import autocorr_lag1
+
+    # strictly increasing series -> lag-1 correlation exactly 1
+    rows = [("m", "up", i, float(i)) for i in range(10)]
+    # alternating series -> strong negative lag-1 correlation
+    rows += [("m", "alt", i, float(1 if i % 2 else -1)) for i in range(10)]
+    # two buckets -> a single pair: correlation undefined -> null
+    rows += [("m", "tiny", 0, 1.0), ("m", "tiny", 1, 2.0)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    out = {r["uid"]: r for r in autocorr_lag1(df).collect()}
+    assert out["up"]["autocorr"] == pytest.approx(1.0)
+    assert out["alt"]["autocorr"] == pytest.approx(-1.0)
+    assert out["tiny"]["autocorr"] is None
+    assert out["up"]["n_buckets"] == 10
+
+
+def test_distinct_count_gate(spark):
+    from v3io_tsdb_spark.functions.sketches import distinct_count_gate
+
+    rows = [(d, u) for d in range(2) for u in range(200) for _ in range(2)]
+    df = spark.createDataFrame(rows, "day long, user long")
+    out = {r["day"]: r for r in
+           distinct_count_gate(df, "user", group_cols=("day",)).collect()}
+    assert out[0]["n_exact"] == 200 and out[0]["ok"]
+    assert out[1]["n_exact"] == 200 and out[1]["ok"]
+
+
+def test_word_entropy(spark):
+    from v3io_tsdb_spark.functions.text import word_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "A  b\ta b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in word_entropy(df).collect()}
+    assert out[1]["entropy"] == pytest.approx(0.0)          # no diversity
+    assert out[1]["n_distinct"] == 1 and out[1]["n_tokens"] == 4
+    assert out[2]["entropy"] == pytest.approx(math.log(4))  # uniform over 4
+    # lowercased + whitespace-run tokenization: {a:2, b:2}
+    assert out[3]["n_distinct"] == 2 and out[3]["n_tokens"] == 4
+    assert out[3]["entropy"] == pytest.approx(math.log(2))

@@ -359,3 +359,30 @@ def scrub_pii(
         .cast("long").alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def word_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Shannon entropy (nats) of the token distribution, plus
+    distinct/total token counts — the vocabulary-diversity quality
+    signal (boilerplate and keyword-stuffed pages score low; repetition
+    stats catch phrase-level copies, this catches distributional ones).
+
+    Uses ``H = ln(n) − Σ c·ln(c) / n`` so the float path is two exact
+    integer-input terms, not per-term divisions. Plan shape: explode →
+    (doc, term) hash aggregate → per-doc hash aggregate; both shuffles
+    key on doc_id (well distributed), nothing global, no window.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    clnc = F.sum(F.col("c") * F.log(F.col("c")))
+    return tf.groupBy(id_col).agg(
+        F.count("term").cast("long").alias("n_distinct"),
+        n.cast("long").alias("n_tokens"),
+        (F.log(n) - clnc / n).alias("entropy"),
+    )

@@ -1,0 +1,61 @@
+"""Per-series trend statistics over bucketed values: EWMA smoothing
+and lag-1 autocorrelation.
+
+Both run on the ALREADY-BUCKETED grid (series × buckets — output-sized,
+tiny next to the raw stream), never on raw samples: the expensive input
+is reduced by a partial-aggregable groupBy before any ordered pass, so
+the window state per task is bounded by a series' bucket count.
+
+EWMA is the recurrence ``s_i = α·x_i + (1−α)·s_{i−1}`` (``s_0 = x_0``),
+computed as a CLOSED FORM over an ordered running sum so it stays a
+single window expression instead of a sequential loop:
+
+    s_i = (1−α)^i · x_0  +  α · (1−α)^i · Σ_{j=1..i} x_j·(1−α)^(−j)
+
+``(1−α)^(−j)`` grows exponentially, so this form is only sound when a
+series' bucket count is modest (for α=0.3, overflow headroom is ~800
+buckets in float64 — far above any dashboard grid; re-anchor per
+window segment if you need more). A pytest checks the closed form
+against the literal recurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ewma_over_buckets(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Add ``ewma`` to a bucketed frame (one row per series-bucket)."""
+    beta = 1.0 - alpha
+    wo = Window.partitionBy(*series_cols).orderBy(t_col)
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = F.row_number().over(wo) - F.lit(1)
+    x0 = F.first(x_col).over(wr)
+    k = F.when(i >= 1, F.col(x_col) * F.pow(F.lit(beta), -i))
+    csum = F.coalesce(F.sum(k).over(wr), F.lit(0.0))
+    ewma = F.pow(F.lit(beta), i) * (x0 + F.lit(alpha) * csum)
+    return df.withColumn("ewma", ewma)
+
+
+def autocorr_lag1(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """Per series: Pearson correlation of consecutive bucket values —
+    the 'is this metric momentum or noise?' screen. One window lag then
+    a plain aggregate; null with fewer than 3 buckets (2 pairs)."""
+    w = Window.partitionBy(*series_cols).orderBy(t_col)
+    lagged = df.withColumn("_prev", F.lag(x_col).over(w))
+    return lagged.groupBy(*series_cols).agg(
+        F.count(x_col).alias("n_buckets"),
+        F.corr(x_col, "_prev").alias("autocorr"),
+    )
