@@ -4,18 +4,17 @@ The standard retention triangle: users are cohorted by the week of
 their FIRST event; for each (cohort_week, week_offset) cell, count the
 distinct cohort users active in that week.
 
-Plan shape: per-user first-event time is a partial-aggregable
-``groupBy(user).agg(min(ts))`` (map-side combine, no window); activity
-is a distinct over (user, week) — both shuffles hash on ``user`` so
-AQE can reuse/co-locate the exchange, and the join of activity to the
-(much smaller, one-row-per-user) cohort table is a same-key
-hash join. Nothing is per-row Python; the triangle output is
-O(weeks²) rows regardless of event volume.
+Plan shape: ONE scan of the events. The stream is first reduced to
+distinct (user, week) — a partial-aggregable shuffle whose output is
+user-count-sized — and the cohort week is a ``min`` window over that
+already-small frame partitioned by user (no self-join, no second scan
+of the fact table). The final triangle aggregate is O(weeks²) rows
+regardless of event volume. Nothing is per-row Python.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.operators.bucketing import wall_bucket
@@ -31,15 +30,12 @@ def retention_cohorts(
 ) -> DataFrame:
     """Rows: (cohort_week, week_offset, n_users) — ``week_offset`` 0 is
     the cohort's own week, so its n_users is the cohort size."""
-    cohorts = df.groupBy(user_col).agg(F.min(ts_col).alias("_first"))
-    cohorts = cohorts.select(
-        user_col, wall_bucket(F.col("_first"), week_ms).alias("cohort_week")
-    )
     active = df.select(
         user_col, wall_bucket(F.col(ts_col), week_ms).alias("_week")
     ).distinct()
+    w = Window.partitionBy(user_col)
     return (
-        active.join(cohorts, user_col)
+        active.withColumn("cohort_week", F.min("_week").over(w))
         .withColumn(
             "week_offset",
             ((F.col("_week") - F.col("cohort_week")) / week_ms).cast("long"),

@@ -11,13 +11,12 @@ Per series over its own [first, last] sample envelope on a fixed grid:
 - ``missing``: expected − present,
 - ``max_gap_ms``: largest timestamp delta between consecutive samples.
 
-Plan shape: the bucket presence side is a two-level partial aggregate
-(distinct (series, bucket) then per-series counts) — no window needed;
-the max-gap side is one ``lag`` window over the same series
-partitioning, so the whole report costs a single hash-partition of
-samples by series. Nothing materializes the grid itself: ``expected``
-is arithmetic on first/last, so a series with a year-long hole costs
-the same as a dense one.
+Plan shape: ONE scan of the samples, one hash-partition by series for
+the ``lag`` window, then a single per-series aggregate (max gap,
+min/max ts, count-distinct bucket) that arrives already partitioned by
+its key — no second scan, no join. Nothing materializes the grid
+itself: ``expected`` is arithmetic on first/last, so a series with a
+year-long hole costs the same as a dense one.
 """
 
 from __future__ import annotations
@@ -36,26 +35,23 @@ def gap_report(
 ) -> DataFrame:
     """One row per series: expected/present/missing bucket counts and
     the largest inter-sample gap (ms)."""
-    b = wall_bucket(F.col(ts_col), step_ms)
     w = Window.partitionBy(*series_cols).orderBy(ts_col)
     gap = F.col(ts_col) - F.lag(ts_col).over(w)
-    gaps = df.withColumn("_gap", gap).groupBy(*series_cols).agg(
-        F.max("_gap").alias("max_gap_ms"),
-        F.min(ts_col).alias("_first"),
-        F.max(ts_col).alias("_last"),
-    )
-    present = (
-        df.select(*series_cols, b.alias("_b"))
-        .distinct()
+    agg = (
+        df.withColumn("_gap", gap)
         .groupBy(*series_cols)
-        .agg(F.count("_b").alias("present"))
+        .agg(
+            F.max("_gap").alias("max_gap_ms"),
+            F.min(ts_col).alias("_first"),
+            F.max(ts_col).alias("_last"),
+            F.count_distinct(wall_bucket(F.col(ts_col), step_ms)).alias("present"),
+        )
     )
     expected = (
         F.floor(F.col("_last") / step_ms) - F.floor(F.col("_first") / step_ms) + 1
     ).cast("long")
     return (
-        gaps.join(present, list(series_cols))
-        .withColumn("expected", expected)
+        agg.withColumn("expected", expected)
         .withColumn("missing", (F.col("expected") - F.col("present")).cast("long"))
         .drop("_first", "_last")
     )
