@@ -117,6 +117,18 @@ def q_tsdb_downsample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _uid(res).select("name", "uid", "t", "value")
 
 
+def q_tsdb_downsample_prev_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample with prev_val (staircase) interpolation + tolerance —
+    the second of the reference's interpolation kinds to get a driver
+    hash row (next_val and linear already have theirs); same-time
+    samples are excluded from 'prev', matching Seek/PeakBack (ref:
+    pkg/pquerier/interpolate.go:75-97 GetPrevInterpolatedValue)."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(SelectParams(step="6h", interpolator="prev_val", tolerance="12h",
+                                from_time=F0, to_time=T1))
+    return _uid(res).select("name", "uid", "t", "value")
+
+
 def q_tsdb_cross_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series *_all aggregation over interpolated step grid (A6)."""
     q = Querier(spark, events_as_samples(spark, sf_dir))
@@ -840,6 +852,48 @@ def _stream_ctr_fixture(spark: SparkSession, sf_dir: str) -> str:
     return fx
 
 
+def _stream_evt_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Per-event-type raw event stream fixture (ts, name), persisted
+    once per sf dir; clamped to the [F0, T1] envelope like _PTS."""
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    fx = _persist_path("spark_graft_stream_evt", sf_dir, "events")
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        ev.select(
+            ts_ms.alias("ts"),
+            F.col("event_type").alias("name"),
+            F.col("value").cast("double").alias("value"),
+        ).where(F.col("ts").between(F0, T1)).orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(fx, "in"))
+    return fx
+
+
+def q_stream_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the trailing z-score monitor (X52), driven
+    end-to-end: raw events replayed through a stateful per-series
+    bucketizer (``applyInPandasWithState``) that scores and emits each
+    hourly bucket the moment the next one opens — the close-on-advance
+    analog of watermark eviction. The oracle is the batch z-score SQL
+    minus each series' still-open last bucket, so the stream/batch
+    agreement is hash-gated, not asserted."""
+    from v3io_tsdb_spark.streaming.stateful import stream_bucket_zscores
+
+    fx = _stream_evt_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    out = _run_available_now(stream_bucket_zscores(raw))
+    return out.select(
+        "series_key",
+        F.col("t").cast("long").alias("t"),
+        F.col("n").cast("long").alias("n"),
+        _r("mean"), _r("std"), _rz("z"),
+    )
+
+
 def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of batch sessionize, driven end-to-end: the events
     feed (per-user series) is replayed through Structured Streaming's
@@ -1534,11 +1588,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
         "events_hll_daily": q_events_hll_daily,
         "doc_word_entropy": q_doc_word_entropy,
+        "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
+        "stream_anomaly_hourly": q_stream_anomaly_hourly,
         "tsdb_rollup_daily": q_tsdb_rollup_daily,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
         "tsdb_interp_linear": q_tsdb_interp_linear,
-        "tsdb_groupby_total": q_tsdb_groupby_total,
-        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
         "tsdb_session_30m": q_tsdb_session_30m,
         "tsdb_asof_join": q_tsdb_asof_join,
@@ -1577,6 +1631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_funnel": q_events_funnel,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
+        "tsdb_groupby_total": q_tsdb_groupby_total,
         "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
         "tsdb_downsample_6h": q_tsdb_downsample_6h,
         "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
@@ -3036,5 +3092,59 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(c) AS BIGINT) AS n_tokens,
                  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + {EPS6}, 6) AS entropy
           FROM tf GROUP BY 1
+        """,
+        "tsdb_downsample_prev_6h": f"""
+          WITH
+          pts AS (SELECT name, uid, t, value, 1 AS is_pt FROM ({_PTS})),
+          grid AS (
+            SELECT s.name, s.uid, g.g AS t, CAST(NULL AS DOUBLE) AS value, 0 AS is_pt
+            FROM (SELECT DISTINCT name, uid FROM pts) s
+            CROSS JOIN generate_series({F0}, {T1}, {6 * HOUR}) g(g)
+          ),
+          u AS (SELECT * FROM pts UNION ALL SELECT * FROM grid),
+          -- reference semantics (collector.go:236-281): the cell is only
+          -- filled if Seek(cellTime) succeeds (some sample >= t exists);
+          -- an exact-time sample wins outright, else PeakBack + tolerance
+          w AS (
+            SELECT name, uid, t, is_pt,
+              last_value(CASE WHEN is_pt=1 THEN t END IGNORE NULLS) OVER prv AS pt,
+              last_value(CASE WHEN is_pt=1 THEN value END IGNORE NULLS) OVER prv AS pv,
+              first_value(CASE WHEN is_pt=1 THEN t END IGNORE NULLS) OVER nxt AS nt,
+              first_value(CASE WHEN is_pt=1 THEN value END IGNORE NULLS) OVER nxt AS nv
+            FROM u
+            WINDOW prv AS (PARTITION BY name, uid ORDER BY t, is_pt
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   nxt AS (PARTITION BY name, uid ORDER BY t, is_pt
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          )
+          SELECT name, uid, t,
+                 CASE WHEN nt = t THEN nv ELSE pv END AS value
+          FROM w
+          WHERE is_pt = 0 AND nt IS NOT NULL
+            AND (nt = t OR (pt IS NOT NULL AND t - pt <= {12 * HOUR}))
+        """,
+        "stream_anomaly_hourly": f"""
+          WITH c AS (
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {HOUR}) * {HOUR} AS t, count(*) AS n
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          w AS (
+            SELECT series_key, t, n,
+                   avg(n) OVER win AS mean,
+                   stddev_samp(n) OVER win AS std,
+                   count(n) OVER win AS hist,
+                   max(t) OVER (PARTITION BY series_key) AS last_t
+            FROM c
+            WINDOW win AS (PARTITION BY series_key ORDER BY t
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+          )
+          SELECT series_key, t, n,
+                 round(mean + {EPS4}, 4) AS mean,
+                 CASE WHEN hist >= 2 THEN round(std + {EPS4}, 4) END AS std,
+                 CASE WHEN hist >= 12 AND std > 0
+                      THEN round((n - mean) / std + {EPS4}, 4) + 0.0 END AS z
+          FROM w WHERE t < last_t
         """,
     }

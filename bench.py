@@ -81,6 +81,15 @@ HEADLINE = [
     "tsdb_groupby_two_labels",
     "doc_tfidf_terms",
     "events_funnel",
+    "tsdb_resets_daily",
+    "tsdb_gap_report",
+    "tsdb_ewma_daily",
+    "tsdb_autocorr_daily",
+    "events_retention_cohorts",
+    "events_anomaly_hourly",
+    "events_hll_daily",
+    "doc_length_histogram",
+    "doc_word_entropy",
 ]
 
 

@@ -319,3 +319,55 @@ def test_rollup_stream_matches_batch_and_tie_emitted(tmp_path, spark):
     # 1 ms earlier: watermark = t0 + 1h - 1 < bucket end -> held in state
     held = run(rows[:3] + [(t0 + 2 * hr - 1, "a", 9.0)], "held")
     assert not any(r["t"] == t0 for r in held)
+
+
+def test_stream_bucket_zscores_cross_batch(tmp_path, spark):
+    """Streaming trailing z-scores: a bucket is emitted when the NEXT
+    bucket opens (close-on-advance), state (the trailing ring + open
+    bucket) carries across micro-batches, and late events for closed
+    buckets are dropped."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_bucket_zscores
+
+    H = 3_600_000
+    in_dir = tmp_path / "z_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "z_ckpt")
+
+    def write(fname, events):
+        (in_dir / fname).write_text(
+            "\n".join(json.dumps({"ts": t, "name": n, "value": 0.0})
+                      for n, t in events)
+        )
+
+    # batch 1: hour 0 has 2 events, hour 1 has 3 (opens, stays open)
+    write("b1.json", [("a", 10), ("a", 20), ("a", H), ("a", H + 1), ("a", H + 2)])
+    raw = spark.readStream.schema("ts long, name string, value double").json(str(in_dir))
+    out = stream_bucket_zscores(raw, step_ms=H, lookback=3, min_history=2)
+    q = (
+        out.writeStream.format("memory").queryName("z_out")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {r["t"]: r for r in spark.sql("SELECT * FROM z_out").collect()}
+        assert set(mid) == {0}            # only hour 0 closed so far
+        assert mid[0]["n"] == 2 and mid[0]["mean"] is None
+        # batch 2: one more hour-1 event ARRIVES IN TIME (bucket still
+        # open -> counted), a late hour-0 event (dropped), then hour 2
+        # opens (closes hour 1) and hour 3 opens (closes hour 2)
+        write("b2.json", [("a", H + 3), ("a", 30), ("a", 2 * H), ("a", 3 * H)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["t"]: r for r in spark.sql("SELECT * FROM z_out").collect()}
+    assert rows[0]["n"] == 2              # late event did NOT bump it
+    assert rows[H]["n"] == 4              # 3 from batch 1 + 1 in-time
+    assert rows[H]["mean"] == 2.0 and rows[H]["std"] is None
+    r2 = rows[2 * H]
+    assert r2["n"] == 1 and r2["mean"] == 3.0
+    exp_std = ((2 - 3.0) ** 2 + (4 - 3.0) ** 2) ** 0.5  # /(2-1) = 2
+    assert abs(r2["std"] - (2.0) ** 0.5) < 1e-9
+    assert abs(r2["z"] - (1 - 3.0) / (2.0) ** 0.5) < 1e-9
+    assert set(rows) == {0, H, 2 * H}     # hour 3 still open

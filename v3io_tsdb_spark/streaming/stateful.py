@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -100,6 +101,110 @@ def stream_counter_increase(
             _increase_fn,
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_Z_OUT_SCHEMA = StructType(
+    [
+        StructField("series_key", StringType()),
+        StructField("t", LongType()),
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("std", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+# bounded ring of closed-bucket counts + the one open bucket
+_Z_STATE_SCHEMA = StructType(
+    [
+        StructField("hist", ArrayType(LongType())),
+        StructField("cur_t", LongType()),
+        StructField("cur_n", LongType()),
+    ]
+)
+
+
+def _make_zscore_fn(step_ms: int, lookback: int, min_history: int):
+    def _fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-series streaming bucket z-scores: a bucket is scored (and
+        emitted) the moment a later bucket opens — the same close-on-
+        advance rule the watermark enforces for windowed aggregation.
+        State: up to ``lookback`` closed-bucket counts + the open
+        bucket. Events for already-closed buckets are late and dropped
+        (they were scored without them, exactly like a watermark)."""
+        if state.exists:
+            hist, cur_t, cur_n = state.get
+            hist = list(hist)
+        else:
+            hist, cur_t, cur_n = [], None, 0
+        out = {"series_key": [], "t": [], "n": [], "mean": [], "std": [], "z": []}
+
+        def close(t, n):
+            mean = std = z = None
+            if len(hist) >= 1:
+                mean = sum(hist) / len(hist)
+            if len(hist) >= 2:
+                var = sum((x - mean) ** 2 for x in hist) / (len(hist) - 1)
+                std = var ** 0.5
+            if len(hist) >= min_history and std is not None and std > 0:
+                z = (n - mean) / std
+            out["series_key"].append(key[0])
+            out["t"].append(t)
+            out["n"].append(n)
+            out["mean"].append(mean)
+            out["std"].append(std)
+            out["z"].append(z)
+            hist.append(n)
+            del hist[:-lookback]
+
+        for pdf in pdfs:
+            for ts in pdf.sort_values("ts")["ts"].values:
+                b = (int(ts) // step_ms) * step_ms
+                if cur_t is None:
+                    cur_t, cur_n = b, 1
+                elif b == cur_t:
+                    cur_n += 1
+                elif b > cur_t:
+                    close(cur_t, cur_n)
+                    cur_t, cur_n = b, 1
+                # b < cur_t: late for a closed bucket -> dropped
+        if cur_t is not None:
+            state.update((hist, cur_t, cur_n))
+        yield pd.DataFrame(out)
+
+    return _fn
+
+
+def stream_bucket_zscores(
+    stream_df: DataFrame,
+    key_col: str = "name",
+    step_ms: int = 3_600_000,
+    lookback: int = 24,
+    min_history: int = 12,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.anomaly.bucket_zscores`: each
+    closed bucket of a series is scored against the trailing ``lookback``
+    closed buckets, emitted in append mode as soon as the next bucket
+    opens. State per series is one bounded ring (≤ lookback counts) in
+    the state store — O(series x lookback) memory at any scale, and the
+    scoring math is identical to the batch operator's, so the two agree
+    bucket-for-bucket on every closed bucket.
+    """
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("series_key"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            _make_zscore_fn(step_ms, lookback, min_history),
+            outputStructType=_Z_OUT_SCHEMA,
+            stateStructType=_Z_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
