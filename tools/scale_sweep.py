@@ -114,12 +114,42 @@ def ops(spark):
         )
         return res.count()
 
+    def op_resets(d):
+        from pyspark.sql import functions as F2
+
+        from v3io_tsdb_spark.operators.counters import counter_resets_changes
+
+        s = events_as_samples(spark, d).withColumn(
+            "uid", F2.element_at(F2.col("labels"), "uid")
+        )
+        return counter_resets_changes(
+            s, ts_col="ts", step_ms=86_400_000, from_ms=1704067200000
+        ).agg(F2.sum("resets")).collect()
+
+    def op_retention(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.cohorts import retention_cohorts
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return retention_cohorts(ev).agg(F.sum("n_users")).collect()
+
+    def op_entropy(d):
+        from v3io_tsdb_spark.functions.text import word_entropy
+
+        return word_entropy(docs(d)).agg(F.sum("entropy")).collect()
+
     return {
         "quality_rules": op_quality,
         "dup_span_stats": op_dup_spans,
         "pack_sequences": op_pack,
         "minhash_pairs": op_minhash,
         "tsdb_client_agg": op_client_agg,
+        "counter_resets": op_resets,
+        "retention_cohorts": op_retention,
+        "word_entropy": op_entropy,
     }
 
 
