@@ -149,3 +149,44 @@ def test_query_metric_without_data_in_range(spark, make_samples):
     assert wide.columns == ["t", "cpu", "diskio"]
     assert wide.where(F.col("diskio").isNotNull()).count() == 0
     assert wide.count() == 3
+
+
+def test_zero_step_aggregates_golden(spark, make_samples):
+    """Mirror of TestAggregatesWithZeroStepSelectDataframe (ref:
+    pqueriertest/dataframe_query_integration_test.go:50-126): step 0
+    aggregates the whole range into ONE cell indexed at `from`."""
+    df = make_samples(
+        [("cpu", {"os": "linux"}, [(i * MIN, 10.0 * (i + 1)) for i in range(4)])]
+    )
+    q = Querier(spark, df)
+    res = q.select(
+        SelectParams(name="cpu", functions="max,sum,count,min", step=0,
+                     from_time=T0, to_time=T0 + 10 * MIN)
+    ).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["t"] == T0
+    assert (r["max"], r["sum"], r["count"], r["min"]) == (40.0, 100.0, 4, 10.0)
+
+
+def test_two_series_one_empty_in_range_golden(spark, make_samples):
+    """Mirror of Test2Series1EmptySelectDataframe (ref:
+    pqueriertest/dataframe_query_integration_test.go:176-266): a metric
+    whose only sample falls outside [from, to) contributes an all-NaN
+    column at the other metric's index points — the frame keeps the
+    column, the cells are missing."""
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(i * MIN, 10.0 * (i + 1)) for i in range(4)]),
+            ("diskio", {"os": "linux"}, [(10 * MIN, 10.0)]),
+        ]
+    )
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    q = Querier(spark, df)
+    wide = run_sql(
+        q, "select cpu,diskio", from_time=T0, to_time=T0 + 4 * MIN
+    ).collect()
+    assert [r["t"] - T0 for r in wide] == [0, MIN, 2 * MIN, 3 * MIN]
+    assert [r["cpu"] for r in wide] == [10.0, 20.0, 30.0, 40.0]
+    assert all(math.isnan(r["diskio"]) for r in wide)

@@ -33,8 +33,11 @@ from v3io_tsdb_spark.operators.interpolate import INTERPOLATORS
 from v3io_tsdb_spark.querier import RequestedColumn, SelectParams
 
 _INTERP_NAMES = {"none", "nan", "prev_val", "prev", "next_val", "next", "linear", "lin"}
+# FROM is optional: the reference's vitess-based ParseQuery accepts a
+# bare ``select cpu,diskio`` (FROM defaults to dual), and its golden
+# suites use that form (dataframe_query_integration_test.go:213)
 _SELECT_RE = re.compile(
-    r"^\s*select\s+(?P<cols>.+?)\s+from\s+(?P<table>[\w.\"']+)"
+    r"^\s*select\s+(?P<cols>.+?)(?:\s+from\s+(?P<table>[\w.\"']+))?"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+group\s+by\s+(?P<groupby>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -117,7 +120,7 @@ def parse_query(sql: str) -> ParsedQuery:
             raise BadRequest(f"alias shadows metric name {c.metric!r}")
     where = m.group("where")
     return ParsedQuery(
-        table=m.group("table").strip("\"'"),
+        table=(m.group("table") or "tsdb").strip("\"'"),
         columns=columns,
         filter=where.strip() if where else None,
         group_by=(m.group("groupby") or "").strip() or None,
@@ -165,7 +168,19 @@ def run_sql(querier, sql: str, **overrides) -> DataFrame:
         from v3io_tsdb_spark.appender import VARIANT_COLS
         from v3io_tsdb_spark.operators.frames import to_wide_frame
 
-        return to_wide_frame(res.drop(*[c for c, _ in VARIANT_COLS]), time_col="t")
+        # a REQUESTED metric with no in-range data still gets its (all-
+        # NaN) column — the request defines the frame, not the surviving
+        # rows (ref: pqueriertest/dataframe_query_integration_test.go:
+        # 176-266 Test2Series1EmptySelectDataframe); passing the explicit
+        # pivot keys also skips pivot's distinct-values pre-pass
+        vals = (
+            [m.strip() for m in params.name.split(",") if m.strip()]
+            if (params.name and not parsed.wildcard)
+            else None
+        )
+        return to_wide_frame(
+            res.drop(*[c for c, _ in VARIANT_COLS]), time_col="t", values=vals
+        )
 
     melted = to_series(res, funcs)
     group_cols = [g.strip() for g in (parsed.group_by or "").split(",") if g.strip()]
