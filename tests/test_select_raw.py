@@ -190,3 +190,29 @@ def test_two_series_one_empty_in_range_golden(spark, make_samples):
     assert [r["t"] - T0 for r in wide] == [0, MIN, 2 * MIN, 3 * MIN]
     assert [r["cpu"] for r in wide] == [10.0, 20.0, 30.0, 40.0]
     assert all(math.isnan(r["diskio"]) for r in wide)
+
+
+def test_column_order_follows_request_golden(spark, make_samples):
+    """Mirror of TestColumnOrder (ref: pqueriertest/dataframe_query_
+    integration_test.go:697-795): wide-frame columns come back in
+    REQUEST order ('diskio,cpu'), with NaN cells where a metric has no
+    sample at an index point."""
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(0, 10.0), (2 * MIN, 15.0), (3 * MIN, 18.0)]),
+            ("diskio", {"os": "linux"},
+             [(MIN, 20.0), (4 * MIN, 22.0), (5 * MIN, 26.0)]),
+        ]
+    )
+    q = Querier(spark, df)
+    wide = run_sql(q, "select diskio,cpu", from_time=T0, to_time=T0 + 5 * MIN)
+    assert wide.columns == ["t", "diskio", "cpu"]
+    rows = wide.collect()
+    assert [r["t"] - T0 for r in rows] == [i * MIN for i in range(6)]
+    exp_cpu = [10.0, None, 15.0, 18.0, None, None]
+    exp_dio = [None, 20.0, None, None, 22.0, 26.0]
+    for r, ec, ed in zip(rows, exp_cpu, exp_dio):
+        assert (math.isnan(r["cpu"]) if ec is None else r["cpu"] == ec)
+        assert (math.isnan(r["diskio"]) if ed is None else r["diskio"] == ed)
