@@ -216,3 +216,31 @@ def test_column_order_follows_request_golden(spark, make_samples):
     for r, ec, ed in zip(rows, exp_cpu, exp_dio):
         assert (math.isnan(r["cpu"]) if ec is None else r["cpu"] == ec)
         assert (math.isnan(r["diskio"]) if ed is None else r["diskio"] == ed)
+
+
+def test_sparse_string_and_numeric_columns_golden(spark, make_samples):
+    """Mirror of TestSparseStringAndNumericColumnsDataframe (ref:
+    pqueriertest/dataframe_query_integration_test.go:880-982): a float
+    metric and a variant (string) metric with interleaved gaps share
+    one time index; expected cpu = [10,20,30,NaN,50], log =
+    [a,<missing>,c,d,e]. The reference represents a missing string cell
+    as "" plus a null-values-map entry — the DataFrame NULL here IS
+    that null-map entry (a real "" value would be indistinguishable
+    otherwise)."""
+    from v3io_tsdb_spark.operators.frames import to_wide_frame_mixed
+
+    df = make_samples(
+        [
+            ("cpu", {"os": "linux"},
+             [(0, 10.0), (MIN, 20.0), (2 * MIN, 30.0), (4 * MIN, 50.0)]),
+            ("log", {"os": "linux"},
+             [(0, "a"), (2 * MIN, "c"), (3 * MIN, "d"), (4 * MIN, "e")]),
+        ]
+    )
+    q = Querier(spark, df)
+    raw = q.select(SelectParams(name="cpu,log", from_time=T0, to_time=T0 + 5 * MIN))
+    wide = to_wide_frame_mixed(raw).collect()
+    assert [r["t"] - T0 for r in wide] == [i * MIN for i in range(5)]
+    cpu = [r["cpu"] for r in wide]
+    assert cpu[:3] == [10.0, 20.0, 30.0] and math.isnan(cpu[3]) and cpu[4] == 50.0
+    assert [r["log"] for r in wide] == ["a", None, "c", "d", "e"]
