@@ -90,6 +90,8 @@ HEADLINE = [
     "events_hll_daily",
     "doc_length_histogram",
     "doc_word_entropy",
+    "tsdb_downsample_prev_6h",
+    "stream_anomaly_hourly",
 ]
 
 

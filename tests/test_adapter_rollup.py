@@ -556,3 +556,28 @@ def test_avg_seek_golden(tmp_path, spark):
     got = {r["t"]: r["avg"] for r in res.collect()}
     assert got == {base: pytest.approx(300.3), base + 2 * MIN: pytest.approx(100.4),
                    base + 4 * MIN: pytest.approx(200.0)}
+
+
+def test_compact_samples_sorted_for_data_skipping(tmp_path, spark):
+    """Compacted files are sorted by (name, ts) within each file so
+    Parquet row-group min/max stats stay selective on both — the data-
+    skipping property a name- or range-filtered scan relies on."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    a = _mk(tmp_path, spark)
+    # two interleaved appends across two metrics -> unsorted on disk
+    a.append([{"ts": T0H + i * 10, "name": "zz", "labels": {}, "value": 1.0}
+              for i in range(50)])
+    a.append([{"ts": T0H + 5 + i * 10, "name": "aa", "labels": {}, "value": 2.0}
+              for i in range(50)])
+    a.compact_samples()
+    f = glob.glob(os.path.join(a.samples_path, "dt=*", "*.parquet"))[0]
+    t = pq.read_table(f, columns=["name", "ts"])
+    names, ts = t["name"].to_pylist(), t["ts"].to_pylist()
+    assert names == sorted(names)
+    for i in range(1, len(ts)):
+        if names[i] == names[i - 1]:
+            assert ts[i] >= ts[i - 1]

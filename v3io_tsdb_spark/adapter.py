@@ -181,7 +181,14 @@ class TSDBAdapter:
         each date (salt on series_id), so a deployment gets
         ~target-sized files per partition instead of one giant file —
         the size knob a 100 TB table needs (one file per day would be
-        a multi-GB single write task)."""
+        a multi-GB single write task).
+
+        Output is sorted WITHIN each write task by (name, ts) — a free
+        task-local sort, no extra shuffle — so Parquet row-group min/max
+        stats become selective on both columns and a name- or
+        range-filtered scan skips row groups instead of decoding them
+        (the analog of the reference's per-metric KV layout making
+        name-equality a seek, pkg/pquerier/querier.go:195-206)."""
         if not os.path.exists(self.samples_path):
             return
         df = self.spark.read.parquet(self.samples_path)
@@ -197,6 +204,7 @@ class TSDBAdapter:
             )
         else:
             part = df.repartition(F.col("dt"))
+        part = part.sortWithinPartitions("dt", "name", "ts")
         tmp = self.samples_path + "_compacting"
         part.write.mode("overwrite").partitionBy("dt").parquet(tmp)
         _swap_dirs(self.samples_path, tmp)
