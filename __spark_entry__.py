@@ -1545,6 +1545,57 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_distinct", "n_tokens", _r("entropy", 6))
 
 
+def q_tsdb_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) value percentiles (p50/p95) — the latency-
+    band profile the reference's fixed aggregate set lacks. Same scale
+    contract as doc_token_quantiles: percentile_approx's GK sketch is
+    fixed-size and map-side combinable (exact here because sketch
+    accuracy >= group cardinality; rank-error 1/accuracy at 100 TB
+    group sizes), DISCRETE so DuckDB's quantile_disc picks the
+    identical element."""
+    s = events_as_samples(spark, sf_dir).where(F.col("ts").between(F0, T1))
+    t = (F.lit(F0) + F.floor((F.col("ts") - F0) / DAY) * DAY).cast("long")
+    return (
+        s.groupBy("name", t.alias("t"))
+        .agg(
+            F.percentile_approx("value", 0.5, 100_000).alias("p50"),
+            F.percentile_approx("value", 0.95, 100_000).alias("p95"),
+            F.count("value").alias("n"),
+        )
+        .select("name", "t", "p50", "p95", "n")
+    )
+
+
+def q_doc_emb_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality enrichment join: documents joined to their
+    embedding rows (doc_id = vec_id) — per (lang, label): docs joined,
+    mean embedding L2 norm, mean doc length. The equi-join is the
+    everyday corpus-enrichment shape; at scale both sides bucket on the
+    id (tests/test_bucketed_join.py proves the zero-Exchange layout),
+    here AQE picks a broadcast of the smaller side."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # square in float64 on both engines: float32 accumulation would
+    # diverge between Spark's fold and the oracle's list_sum
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    j = docs.join(emb.withColumn("norm", norm), docs.doc_id == emb.vec_id)
+    return (
+        j.groupBy("lang", "label")
+        .agg(
+            F.count("doc_id").alias("n_docs"),
+            F.round(F.avg("norm") + EPS6, 6).alias("avg_norm"),
+            F.round(F.avg("n_chars") + EPS6, 6).alias("avg_chars"),
+        )
+        .select("lang", F.col("label").cast("long").alias("label"),
+                "n_docs", "avg_norm", "avg_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1581,7 +1632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
-        "tsdb_rate_daily": q_tsdb_rate_daily,
         "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
         "tsdb_ewma_daily": q_tsdb_ewma_daily,
@@ -1590,7 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_entropy": q_doc_word_entropy,
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
         "stream_anomaly_hourly": q_stream_anomaly_hourly,
-        "tsdb_rollup_daily": q_tsdb_rollup_daily,
+        "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
+        "doc_emb_join_stats": q_doc_emb_join_stats,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
         "tsdb_interp_linear": q_tsdb_interp_linear,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
@@ -1631,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_funnel": q_events_funnel,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "tsdb_rate_daily": q_tsdb_rate_daily,
+        "tsdb_rollup_daily": q_tsdb_rollup_daily,
         "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
         "tsdb_groupby_total": q_tsdb_groupby_total,
         "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
@@ -3146,5 +3199,27 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN hist >= 12 AND std > 0
                       THEN round((n - mean) / std + {EPS4}, 4) + 0.0 END AS z
           FROM w WHERE t < last_t
+        """,
+        "tsdb_percentiles_daily": f"""
+          SELECT event_type AS name,
+                 {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
+                 quantile_disc(value, 0.5) AS p50,
+                 quantile_disc(value, 0.95) AS p95,
+                 count(value) AS n
+          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1, 2
+        """,
+        "doc_emb_join_stats": f"""
+          WITH e AS (
+            SELECT vec_id, label,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+            FROM embeddings
+          )
+          SELECT d.lang, CAST(e.label AS BIGINT) AS label,
+                 count(d.doc_id) AS n_docs,
+                 round(avg(e.norm) + {EPS6}, 6) AS avg_norm,
+                 round(avg(d.n_chars) + {EPS6}, 6) AS avg_chars
+          FROM documents d JOIN e ON d.doc_id = e.vec_id
+          GROUP BY 1, 2
         """,
     }

@@ -92,6 +92,8 @@ HEADLINE = [
     "doc_word_entropy",
     "tsdb_downsample_prev_6h",
     "stream_anomaly_hourly",
+    "tsdb_percentiles_daily",
+    "doc_emb_join_stats",
 ]
 
 
