@@ -1596,6 +1596,65 @@ def q_doc_emb_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_dup_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """At-least-once delivery fixture: every event of the evt stream
+    written TWICE (plus the source's own same-(type,ts) collisions) —
+    the input a streaming dedup must collapse."""
+    src = _stream_evt_fixture(spark, sf_dir)
+    fx = _persist_path("spark_graft_stream_dup", sf_dir, "events")
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        one = spark.read.parquet(os.path.join(src, "in"))
+        one.unionAll(one).orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(fx, "in"))
+    return fx
+
+
+def q_stream_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest dedup (ST3 hash-gated): the event feed replayed
+    with every record delivered twice through
+    ``dropDuplicatesWithinWatermark`` on (name, ts) — O(keys-per-
+    watermark-horizon) state — then bucketed hourly. The oracle is the
+    distinct-(name, ts) count per hour on the ORIGINAL feed, so the
+    gate proves the at-least-once stream collapses to exactly-once."""
+    from v3io_tsdb_spark.streaming.ingest import stream_dedup
+
+    fx = _stream_dup_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    out = _run_available_now(stream_dedup(raw, watermark="2 hours"))
+    t = ((F.col("ts") / HOUR).cast("long") * HOUR).cast("long")
+    return (
+        out.groupBy(F.col("name").alias("series_key"), t.alias("t"))
+        .agg(F.count("ts").alias("n"))
+    )
+
+
+def q_events_top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe per-group top-N on the event stream (X36 on a second
+    shape): the 5 most active users per day, via the quantile-ladder
+    prefilter — the exact rank never sees a whole day's users on one
+    task."""
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.functions.sampling import top_n_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    t = (F.lit(F0) + F.floor((F.col("ts_ms") - F0) / DAY) * DAY).cast("long")
+    counts = (
+        ev.where(F.col("ts_ms").between(F0, T1))
+        .groupBy(t.alias("t"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = top_n_per_group(counts, 5, order_col="n", id_col="user_id",
+                          group_cols=("t",))
+    return out.select(
+        "t", "user_id", F.col("n").cast("long").alias("n"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1632,7 +1691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
-        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
         "tsdb_ewma_daily": q_tsdb_ewma_daily,
         "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
@@ -1642,8 +1700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly_hourly": q_stream_anomaly_hourly,
         "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
         "doc_emb_join_stats": q_doc_emb_join_stats,
+        "stream_dedup_hourly": q_stream_dedup_hourly,
+        "events_top_users_daily": q_events_top_users_daily,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
-        "tsdb_interp_linear": q_tsdb_interp_linear,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
         "tsdb_session_30m": q_tsdb_session_30m,
         "tsdb_asof_join": q_tsdb_asof_join,
@@ -1682,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_funnel": q_events_funnel,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
+        "tsdb_interp_linear": q_tsdb_interp_linear,
         "tsdb_rate_daily": q_tsdb_rate_daily,
         "tsdb_rollup_daily": q_tsdb_rollup_daily,
         "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
@@ -3221,5 +3282,28 @@ def oracle_sql() -> dict[str, str]:
                  round(avg(d.n_chars) + {EPS6}, 6) AS avg_chars
           FROM documents d JOIN e ON d.doc_id = e.vec_id
           GROUP BY 1, 2
+        """,
+        "stream_dedup_hourly": f"""
+          SELECT event_type AS series_key,
+                 (epoch_ms(ts) // {HOUR}) * {HOUR} AS t,
+                 count(DISTINCT epoch_ms(ts)) AS n
+          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1, 2
+        """,
+        "events_top_users_daily": f"""
+          WITH c AS (
+            SELECT {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
+                   user_id, count(*) AS n
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          r AS (
+            SELECT t, user_id, n,
+                   row_number() OVER (PARTITION BY t
+                                      ORDER BY n DESC, user_id ASC) AS rank
+            FROM c
+          )
+          SELECT t, user_id, n, CAST(rank AS BIGINT) AS rank
+          FROM r WHERE rank <= 5
         """,
     }

@@ -94,6 +94,8 @@ HEADLINE = [
     "stream_anomaly_hourly",
     "tsdb_percentiles_daily",
     "doc_emb_join_stats",
+    "stream_dedup_hourly",
+    "events_top_users_daily",
 ]
 
 

@@ -371,3 +371,41 @@ def test_stream_bucket_zscores_cross_batch(tmp_path, spark):
     assert abs(r2["std"] - (2.0) ** 0.5) < 1e-9
     assert abs(r2["z"] - (1 - 3.0) / (2.0) ** 0.5) < 1e-9
     assert set(rows) == {0, H, 2 * H}     # hour 3 still open
+
+
+def test_stream_dedup_within_watermark(tmp_path, spark):
+    """dropDuplicatesWithinWatermark-based ingest dedup: re-delivery of
+    the same (name, ts) key — in the SAME batch or a LATER batch within
+    the watermark horizon — is dropped; distinct keys all survive."""
+    import json
+
+    from v3io_tsdb_spark.streaming.ingest import stream_dedup
+
+    in_dir = tmp_path / "dd_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "dd_ckpt")
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps(d) for d in [
+            {"ts": T0, "name": "a", "value": 1.0},
+            {"ts": T0, "name": "a", "value": 1.0},        # same-batch dup
+            {"ts": T0 + MIN, "name": "a", "value": 2.0},
+            {"ts": T0, "name": "b", "value": 3.0},
+        ])
+    )
+    raw = spark.readStream.schema("ts long, name string, value double").json(str(in_dir))
+    out = stream_dedup(raw, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dd_out")
+         .outputMode("append").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        (in_dir / "b2.json").write_text(
+            "\n".join(json.dumps(d) for d in [
+                {"ts": T0, "name": "a", "value": 1.0},    # cross-batch dup
+                {"ts": T0 + 2 * MIN, "name": "a", "value": 4.0},
+            ])
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    keys = sorted((r["name"], r["ts"]) for r in spark.sql("SELECT * FROM dd_out").collect())
+    assert keys == [("a", T0), ("a", T0 + MIN), ("a", T0 + 2 * MIN), ("b", T0)]

@@ -225,3 +225,29 @@ def stream_rollup(
             "max",
         )
     )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: tuple = ("name", "ts"),
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup on ingest: drop re-deliveries of the same
+    ``key_cols`` tuple within the watermark horizon — the streaming twin
+    of the batch appender's (series, ts) dedup (ST3; ref: the reference
+    tolerates at-least-once upstream delivery and overwrites same-ts
+    samples, pkg/appender/store.go:246-289).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key only
+    until the watermark passes it — O(keys-per-horizon) state, not
+    O(stream) — which is exactly the bound an at-least-once source
+    needs (a duplicate older than the watermark is late data, handled
+    by the same policy as any late event).
+    """
+    with_et = stream_df.withColumn("_et", F.timestamp_millis(F.col(ts_col)))
+    return (
+        with_et.withWatermark("_et", watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+        .drop("_et")
+    )
