@@ -581,3 +581,40 @@ def test_compact_samples_sorted_for_data_skipping(tmp_path, spark):
     for i in range(1, len(ts)):
         if names[i] == names[i - 1]:
             assert ts[i] >= ts[i - 1]
+
+
+def test_different_label_sets_in_different_partitions_golden(tmp_path, spark):
+    """Mirror of TestDifferentLabelSetsInDifferentPartitions (ref:
+    pqueriertest/raw_query_integration_test.go:527-575): a series with
+    one point in an old dt partition 1h BEFORE `from` and one at
+    `basicQueryTime` — the old-partition point must not leak into the
+    range result; the series still returns its in-range point."""
+    DAY = 86_400_000
+    HOUR = 3_600_000
+    a = _mk(tmp_path, spark)
+    a.append([
+        {"ts": T0H - 9 * DAY - HOUR, "name": "cpu", "labels": {"os": "mac"},
+         "value": 40.0},
+        {"ts": T0H, "name": "cpu", "labels": {"os": "mac"}, "value": 40.0},
+    ])
+    res = a.select(from_time=T0H - 9 * DAY, to_time=T0H + DAY).collect()
+    assert [(r["t"], r["value"]) for r in res] == [(T0H, 40.0)]
+
+
+def test_different_metrics_in_different_partitions_golden(tmp_path, spark):
+    """Mirror of TestDifferentMetricsInDifferentPartitions (ref:
+    pqueriertest/raw_query_integration_test.go:576-627): cpu lives only
+    in an old partition (out of range), diskio spans both — only
+    diskio's in-range point comes back, one series total."""
+    DAY = 86_400_000
+    HOUR = 3_600_000
+    a = _mk(tmp_path, spark)
+    a.append([
+        {"ts": T0H - 9 * DAY - HOUR, "name": "cpu", "labels": {"os": "linux"},
+         "value": 10.0},
+        {"ts": T0H - 9 * DAY - HOUR, "name": "diskio", "labels": {"os": "linux"},
+         "value": 10.0},
+        {"ts": T0H, "name": "diskio", "labels": {"os": "linux"}, "value": 40.0},
+    ])
+    res = a.select(from_time=T0H - 9 * DAY, to_time=T0H + DAY).collect()
+    assert [(r["name"], r["t"], r["value"]) for r in res] == [("diskio", T0H, 40.0)]
