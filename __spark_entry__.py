@@ -1655,6 +1655,32 @@ def q_events_top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: per (event_type, day-of-week, hour-
+    of-day) — event count and mean value. Pure epoch arithmetic on the
+    UTC grid (dow 0 = Thursday, epoch day 0 convention on both
+    engines), one partial-aggregable shuffle with a 7x24-bounded
+    output per type."""
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    ev = ev.where(F.col("ts_ms").between(F0, T1))
+    dow = F.floor(F.col("ts_ms") / DAY) % 7
+    hod = F.floor(F.col("ts_ms") / HOUR) % 24
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("name"),
+            dow.cast("long").alias("dow"),
+            hod.cast("long").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value") + EPS6, 6).alias("avg_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1700,9 +1726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_emb_join_stats": q_doc_emb_join_stats,
         "stream_dedup_hourly": q_stream_dedup_hourly,
         "events_top_users_daily": q_events_top_users_daily,
+        "events_seasonality": q_events_seasonality,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
-        "tsdb_session_30m": q_tsdb_session_30m,
         "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_range_join": q_tsdb_range_join,
         "tsdb_variant_raw": q_tsdb_variant_raw,
@@ -1740,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "doc_top_quality": q_doc_top_quality,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "tsdb_session_30m": q_tsdb_session_30m,
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
         "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
@@ -3305,5 +3332,14 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT t, user_id, n, CAST(rank AS BIGINT) AS rank
           FROM r WHERE rank <= 5
+        """,
+        "events_seasonality": f"""
+          SELECT event_type AS name,
+                 (epoch_ms(ts) // {DAY}) % 7 AS dow,
+                 (epoch_ms(ts) // {HOUR}) % 24 AS hod,
+                 count(*) AS n,
+                 round(avg(value) + {EPS6}, 6) AS avg_value
+          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1, 2, 3
         """,
     }

@@ -96,6 +96,7 @@ HEADLINE = [
     "doc_emb_join_stats",
     "stream_dedup_hourly",
     "events_top_users_daily",
+    "events_seasonality",
 ]
 
 

@@ -1,0 +1,63 @@
+"""Hypothesis property tests for the trend/counter operators: the
+distributed window formulations must agree with a straight-line pandas
+reference on arbitrary series."""
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),          # bucket index
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda p: p[0],
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=series_strategy, alpha=st.floats(min_value=0.05, max_value=0.95))
+def test_ewma_matches_pandas_recurrence(spark, pts, alpha):
+    from v3io_tsdb_spark.operators.trend import ewma_over_buckets
+
+    df = spark.createDataFrame(
+        [("m", "u", t, float(x)) for t, x in pts],
+        "name string, uid string, t long, x double",
+    )
+    got = {r["t"]: r["ewma"] for r in ewma_over_buckets(df, alpha=alpha).collect()}
+    ordered = sorted(pts)
+    s = None
+    for t, x in ordered:
+        s = float(x) if s is None else alpha * float(x) + (1 - alpha) * s
+        assert got[t] == pytest.approx(s, rel=1e-9, abs=1e-9), (t, alpha)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=series_strategy)
+def test_counter_resets_matches_pandas(spark, pts):
+    from v3io_tsdb_spark.operators.counters import counter_resets_changes
+
+    STEP = 10
+    df = spark.createDataFrame(
+        [("c", "u", t, float(x)) for t, x in pts],
+        "name string, uid string, t long, value double",
+    )
+    out = {r["t"]: (r["resets"], r["changes"], r["count"])
+           for r in counter_resets_changes(df, ts_col="t", step_ms=STEP).collect()}
+    pdf = pd.DataFrame(sorted(pts), columns=["t", "v"])
+    pdf["prev"] = pdf["v"].shift(1)
+    agg = {}
+    for _, r in pdf.iterrows():
+        b = (int(r["t"]) // STEP) * STEP
+        res, chg, cnt = agg.get(b, (0, 0, 0))
+        if not math.isnan(r["prev"]):
+            res += int(r["v"] < r["prev"])
+            chg += int(r["v"] != r["prev"])
+        agg[b] = (res, chg, cnt + 1)
+    assert out == agg
