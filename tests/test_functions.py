@@ -678,3 +678,24 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     # doc3: apple tf=2 df=1 -> 2*1.693=3.386 beats common 1*1.0
     assert sorted(by_doc[3]) == [(1, "apple"), (2, "common")]
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_lsh_append_index_incremental(emb, spark, tmp_path):
+    """LSH index lifecycle (mirror of the IVF one): build on half the
+    corpus, append the other half signed with the PERSISTED plane
+    parameters — all-bucket search over the appended index equals exact
+    brute force over the FULL corpus."""
+    from v3io_tsdb_spark.functions.similarity import (
+        cosine_topk, lsh_append_index, lsh_search, lsh_write_index,
+    )
+
+    path = str(tmp_path / "lsh_inc")
+    dim = len(emb.select("embedding").first()["embedding"])
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    lsh_write_index(first, path, n_planes=4, dim=dim)
+    lsh_append_index(second, path)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    got = lsh_search(spark, path, qvec, k=10, probe_hamming=4).collect()
+    exact = cosine_topk(emb, qvec, k=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]

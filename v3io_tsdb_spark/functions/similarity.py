@@ -556,3 +556,24 @@ def ivf_append_index(
         .join(base, "id")
     )
     assigned.write.mode("append").partitionBy("cluster").parquet(path)
+
+
+def lsh_append_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental LSH index maintenance, the hash-family mirror of
+    :func:`ivf_append_index`: sign NEW vectors with the index's
+    PERSISTED plane parameters (from ``_lsh_meta.json`` — never
+    re-derive, a different plane set would shard the corpus
+    inconsistently) and append them to the signature-partitioned
+    buckets. Search code is unchanged and sees appended vectors
+    immediately; hash buckets need no re-training, ever."""
+    meta = lsh_read_meta(path)
+    v = F.col(vec_col).cast("array<double>")
+    tagged = df.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
+        "sig", hyperplane_sig_col(F.col("v"), meta["n_planes"], meta["dim"])
+    )
+    tagged.write.mode("append").partitionBy("sig").parquet(path)
