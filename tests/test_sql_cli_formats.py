@@ -211,3 +211,41 @@ def test_sql_aggregate_alias_golden(spark, make_samples):
     assert "iguaz" in out.columns and "max(cpu)" not in out.columns
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["iguaz"] == 40.0
+
+
+def _star_fixture(spark, make_samples):
+    return make_samples(
+        [
+            ("cpu", {"os": "linux"}, [(i * MIN, 10.0 * (i + 1)) for i in range(4)]),
+            ("diskio", {"os": "linux"}, [(i * MIN, 10.0 * (i + 1)) for i in range(4)]),
+        ]
+    )
+
+
+def test_sql_function_over_wildcard_golden(spark, make_samples):
+    """Mirror of TestAggregateSeriesWildcardOnPartOfTheColumns (ref:
+    pqueriertest/query_sql_integration_test.go:293-347): ``max(*)`` is
+    a column template applying to EVERY metric in the response, while
+    ``min(cpu)`` stays scoped — expected {max(cpu):40, max(diskio):40,
+    min(cpu):10} and no min(diskio) column."""
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    q = Querier(spark, _star_fixture(spark, make_samples))
+    out = run_sql(q, "select max(*), min(cpu)", from_time=T0, to_time=T0 + 4 * MIN)
+    assert sorted(out.columns) == ["max(cpu)", "max(diskio)", "min(cpu)", "time"]
+    r = out.collect()[0]
+    assert (r["max(cpu)"], r["max(diskio)"], r["min(cpu)"]) == (40.0, 40.0, 10.0)
+
+
+def test_sql_virtual_function_over_wildcard_golden(spark, make_samples):
+    """Mirror of ...WildcardOnPartOfTheColumnsWithVirtualColumn (ref:
+    query_sql_integration_test.go:348-420): a DERIVED aggregate over the
+    wildcard (avg = sum/count) — expected {avg(cpu):25, avg(diskio):25,
+    min(cpu):10}."""
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    q = Querier(spark, _star_fixture(spark, make_samples))
+    out = run_sql(q, "select avg(*), min(cpu)", from_time=T0, to_time=T0 + 4 * MIN)
+    assert sorted(out.columns) == ["avg(cpu)", "avg(diskio)", "min(cpu)", "time"]
+    r = out.collect()[0]
+    assert (r["avg(cpu)"], r["avg(diskio)"], r["min(cpu)"]) == (25.0, 25.0, 10.0)

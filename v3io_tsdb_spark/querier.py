@@ -308,12 +308,24 @@ class Querier:
             return res
         bare = agg.parse_functions(params.functions)[0]
         per: dict = {}
+        wild: set = set()
         for c in params.columns:
+            fs_req = agg.parse_functions(c.function)[0] if c.function else bare
+            if c.metric == "*":
+                # function-over-wildcard is a column TEMPLATE applying to
+                # every metric in the response (ref: pkg/pquerier/
+                # sql_parser.go:77-80, frames.go:160-165 columnsTemplates;
+                # golden: query_sql_integration_test.go:293-347
+                # "select max(*), min(cpu)")
+                wild.update(fs_req)
+                continue
             fs = per.setdefault(c.metric, [])
-            for f in agg.parse_functions(c.function)[0] if c.function else bare:
+            for f in fs_req:
                 if f not in fs:
                     fs.append(f)
         for f in funcs:
+            if f in wild:
+                continue
             allowed = [m for m, fs in per.items() if f in fs]
             res = res.withColumn(f, F.when(F.col("name").isin(allowed), F.col(f)))
         return res
@@ -411,10 +423,16 @@ class Querier:
         return df
 
     def _requested_names(self, params: SelectParams) -> list[str]:
+        """Empty list = unbounded (all metrics). A ``*`` column — raw
+        wildcard or a function-over-wildcard template (ref:
+        pkg/pquerier/sql_parser.go:77-80) — widens the response to
+        every metric, so no name filter may apply."""
         names = []
         if params.name:
             names += [n.strip() for n in str(params.name).split(",") if n.strip()]
         for c in params.columns or []:
+            if c.metric == "*":
+                return []
             if c.metric and c.metric not in names:
                 names.append(c.metric)
         return names

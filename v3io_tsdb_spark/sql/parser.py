@@ -140,8 +140,11 @@ def to_select_params(parsed: ParsedQuery, **overrides) -> SelectParams:
             interp = c.interpolator
         if c.tolerance and tol is None:
             tol = c.tolerance
+    # a '*' metric (raw wildcard or a func(*) column template) widens the
+    # scan to every metric — concrete metrics no longer bound the response
+    has_star = parsed.wildcard or any(c.metric == "*" for c in parsed.columns)
     params = SelectParams(
-        name=",".join(metrics) if (metrics and not parsed.wildcard) else None,
+        name=",".join(metrics) if (metrics and not has_star) else None,
         functions=",".join(funcs) if funcs else None,
         filter=parsed.filter,
         group_by=parsed.group_by,
@@ -188,9 +191,15 @@ def run_sql(querier, sql: str, **overrides) -> DataFrame:
         # keep only requested (metric, function) pairs; name columns by alias
         pairs = []
         names = {}
+        star_fns = set()
         for c in parsed.columns:
             fn = c.function[:-4] if c.function.endswith("_all") else c.function
             if not fn and funcs:
+                continue
+            if c.metric == "*" and fn:
+                # column template: one output column per metric in the
+                # response (ref: pkg/pquerier/frames.go:160-165)
+                star_fns.add(fn)
                 continue
             pairs.append((c.metric, fn))
             names[(c.metric, fn)] = c.alias or (f"{fn}({c.metric})" if fn else c.metric)
@@ -198,15 +207,25 @@ def run_sql(querier, sql: str, **overrides) -> DataFrame:
         for metric, fn in pairs:
             p = (F.col("name") == metric) & (F.col("aggregate") == fn)
             cond = p if cond is None else (cond | p)
+        for fn in sorted(star_fns):
+            p = F.col("aggregate") == fn
+            cond = p if cond is None else (cond | p)
         if cond is not None:
             melted = melted.where(cond)
         mapping = F.create_map(
             *[x for (metric, fn), alias in names.items()
               for x in (F.lit(f"{metric}\x00{fn}"), F.lit(alias))]
-        )
-        melted = melted.withColumn(
-            "_ckey", mapping[F.concat_ws("\x00", F.col("name"), F.col("aggregate"))]
-        )
+        ) if names else None
+        ckey = mapping[F.concat_ws("\x00", F.col("name"), F.col("aggregate"))] if names is not None and names else F.lit(None).cast("string")
+        if star_fns:
+            ckey = F.coalesce(
+                ckey,
+                F.when(
+                    F.col("aggregate").isin(list(star_fns)),
+                    F.concat(F.col("aggregate"), F.lit("("), F.col("name"), F.lit(")")),
+                ),
+            )
+        melted = melted.withColumn("_ckey", ckey)
     else:
         melted = melted.withColumn(
             "_ckey", F.concat(F.col("aggregate"), F.lit("("), F.col("name"), F.lit(")"))
