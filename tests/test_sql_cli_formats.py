@@ -249,3 +249,48 @@ def test_sql_virtual_function_over_wildcard_golden(spark, make_samples):
     assert sorted(out.columns) == ["avg(cpu)", "avg(diskio)", "min(cpu)", "time"]
     r = out.collect()[0]
     assert (r["avg(cpu)"], r["avg(diskio)"], r["min(cpu)"]) == (25.0, 25.0, 10.0)
+
+
+def test_cli_str_to_tv_goldens():
+    """Mirror of pkg/tsdbctl/add_test.go:37-73 strToTV scenarios."""
+    import math
+
+    from v3io_tsdb_spark.cli import _str_to_tv
+    from v3io_tsdb_spark.errors import TSDBError
+
+    ts, vs = _str_to_tv("1533814796000,1533894796000", "10.1,202")
+    assert ts == [1533814796000, 1533894796000] and vs == [10.1, 202.0]
+    ts, vs = _str_to_tv("1533814796000,1533894796000,1533899796000", "NaN,Inf,-Inf")
+    assert math.isnan(vs[0]) and vs[1] == math.inf and vs[2] == -math.inf
+    with pytest.raises(TSDBError):  # invalid value
+        _str_to_tv("1,2,3", "1.2,5,z")
+    with pytest.raises(TSDBError):  # invalid time
+        _str_to_tv("1533814796000,1533894796000,abc", "1.2,5,5.1")
+    with pytest.raises(TSDBError):  # count mismatch
+        _str_to_tv("1,2", "1.0")
+
+
+def test_cli_multi_sample_add_and_delete_all_conflicts(tmp_path, spark, capsys):
+    """Multi-value add lands every sample; delete --all conflicts with
+    --begin/--filter with the reference's exact error messages (ref:
+    pkg/tsdbctl/delete_test.go:32-49)."""
+    from v3io_tsdb_spark import cli
+
+    path = str(tmp_path / "clidb2")
+    assert cli.main(["create", "-p", path, "--granularity", "1h"]) == 0
+    assert cli.main([
+        "add", "-p", path, "cpu", "os=linux",
+        "-d", "10.1,202", "-t", f"{T0},{T0 + MIN}",
+    ]) == 0
+    assert cli.main([
+        "query", "-p", path, "-m", "cpu",
+        "-a", str(T0), "-e", str(T0 + 10 * MIN), "-o", "json",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "10.1" in out and "202" in out
+    assert cli.main(["delete", "-p", path, "--all", "-a", "123", "--force"]) != 0
+    err = capsys.readouterr()
+    assert "cannot be used in conjunction with --begin" in err.out + err.err
+    assert cli.main(["delete", "-p", path, "--all", "-f", "x==1", "--force"]) != 0
+    err = capsys.readouterr()
+    assert "cannot be used in conjunction with --filter" in err.out + err.err

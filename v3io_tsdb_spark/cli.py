@@ -108,6 +108,19 @@ def cmd_add(args):
     if not args.metric or args.value is None:
         raise TSDBError("either -f FILE or metric + -d VALUE is required")
     labels = labels_from_string(args.metric_labels) if args.metric_labels else {}
+    if "," in str(args.value) or "," in str(args.time or ""):
+        # multi-sample form: -t t1,t2,... -d v1,v2,... (ref:
+        # pkg/tsdbctl/add.go strToTV; golden: add_test.go:37-73 —
+        # NaN/Inf/-Inf are valid float values, count mismatch or an
+        # unparsable entry is an error, never a silent partial append)
+        ts, vs = _str_to_tv(args.time or "", str(args.value))
+        rows = [
+            {"ts": t, "name": args.metric, "labels": labels, "value": v}
+            for t, v in zip(ts, vs)
+        ]
+        a.append(rows)
+        print(f"appended {len(rows)} samples")
+        return
     row = {"ts": str2unix_ms(args.time or "now"), "name": args.metric, "labels": labels}
     try:
         row["value"] = float(args.value)
@@ -115,6 +128,28 @@ def cmd_add(args):
         row["value_str"] = args.value
     a.append([row])
     print("appended 1 sample")
+
+
+def _str_to_tv(times: str, values: str):
+    """Parse comma-separated time and value lists (ref:
+    pkg/tsdbctl/add.go strToTV, golden add_test.go:37-73)."""
+    tparts = [t.strip() for t in times.split(",")] if times else []
+    vparts = [v.strip() for v in values.split(",")]
+    if len(tparts) != len(vparts):
+        raise TSDBError(
+            f"number of times ({len(tparts)}) and values ({len(vparts)}) differ"
+        )
+    ts, vs = [], []
+    for t, v in zip(tparts, vparts):
+        try:
+            ts.append(str2unix_ms(t))
+        except Exception as exc:
+            raise TSDBError(f"invalid time {t!r}") from exc
+        try:
+            vs.append(float(v))  # accepts NaN / Inf / -Inf
+        except ValueError as exc:
+            raise TSDBError(f"invalid value {v!r}") from exc
+    return ts, vs
 
 
 def cmd_query(args):
@@ -206,6 +241,12 @@ def cmd_check(args):
 def cmd_delete(args):
     a = _adapter(args)
     if args.delete_all:
+        # ref golden: pkg/tsdbctl/delete_test.go:32-49 — --all conflicts
+        # with a time range or a filter, with these exact messages
+        if args.begin:
+            raise TSDBError("delete --all cannot be used in conjunction with --begin")
+        if args.filter:
+            raise TSDBError("delete --all cannot be used in conjunction with --filter")
         if not args.force:
             raise TSDBError("refusing --all without --force")
         a.delete(delete_all=True)
