@@ -187,3 +187,66 @@ def test_aggregation_big_gaps_golden(spark, make_samples):
         T0 - 4 * DAY: (1.0, None),
         T0 - 1 * DAY: (None, 1.0),
     }
+
+
+DAY = 86_400_000
+HOUR = 3_600_000
+
+
+def test_aggregate_name_wildcard_golden(spark, make_samples):
+    """Mirror of TestQueryAggregateWithNameWildcard (ref:
+    pqueriertest/client_aggregates_integration_test.go:47-108): no Name
+    param -> every metric aggregates, identical cells per metric."""
+    pts = [(-7 * DAY, 10.0), (1 * MIN, 20.0), (2 * MIN, 30.0), (3 * MIN, 40.0)]
+    df = make_samples([("cpu", {"os": "linux"}, pts),
+                       ("diskio", {"os": "linux"}, pts)])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(functions="max,min,sum", step="2m",
+                                from_time=T0 - 7 * DAY, to_time=T0 + 10 * MIN))
+    got = {(r["name"], r["t"]): (r["max"], r["min"], r["sum"])
+           for r in res.collect()}
+    exp_cells = {
+        T0 - 7 * DAY: (10.0, 10.0, 10.0),
+        T0: (20.0, 20.0, 20.0),
+        T0 + 2 * MIN: (40.0, 30.0, 70.0),
+    }
+    assert got == {(m, t): v for m in ("cpu", "diskio")
+                   for t, v in exp_cells.items()}
+
+
+def test_server_aggregates_negative_values_golden(spark, make_samples):
+    """Mirror of TestRawAggregatesSinglePartitionNegativeValues (ref:
+    pqueriertest/server_aggregates_integration_test.go:104-163):
+    all-negative samples through the ROLLUP-routed path — min/max/sum
+    must come from real data, not zero-initialized accumulators."""
+    from v3io_tsdb_spark.config import TSDBConfig
+    from v3io_tsdb_spark.rollup import build_rollup
+
+    df = make_samples(
+        [("cpu", {"os": "linux"},
+          [(i * MIN, -10.0 * (i + 1)) for i in range(4)])]
+    )
+    cfg = TSDBConfig(aggregation_granularity="1h")
+    q = Querier(spark, df, rollup=build_rollup(df, cfg.granularity_ms), config=cfg)
+    # step/granularity = 4 > coefficient(3) -> routed to the rollup with
+    # the step INTACT (the DisableClientAggr step clamp does not apply)
+    p = SelectParams(functions="sum,min,max", step="4h",
+                     from_time=T0 - 4 * HOUR, to_time=T0 + 10 * MIN)
+    assert q._can_use_rollup(["sum", "min", "max"], 4 * HOUR, 0, p)
+    rows = q.select(p).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["t"] == T0 - 4 * HOUR
+    assert (r["sum"], r["min"], r["max"]) == (-100.0, -40.0, -10.0)
+
+
+def test_get_empty_response_golden(spark, make_samples):
+    """Mirror of TestGetEmptyResponse (ref: client_aggregates_
+    integration_test.go:400-443): a range with no data returns an
+    empty result, not an error."""
+    df = make_samples([("cpu", {"os": "linux"}, [(-7 * DAY, 10.0)])])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu", functions="sum,max,min,sqr",
+                                step="3h",
+                                from_time=T0 - 10 * DAY, to_time=T0 - 8 * DAY))
+    assert res.count() == 0
