@@ -35,11 +35,40 @@ def run_oracle() -> bool:
     return r.returncode == 0
 
 
+def run_registry() -> bool:
+    """Mechanical registry invariants: queries() and oracle_sql() carry
+    identical key sets, and every query WITHOUT a prior driver
+    correctness row sits inside the first 50 entries (the driver's
+    observed sweep cap — see the queries() docstring)."""
+    print("== gate: registry invariants ==", flush=True)
+    import glob
+    import json
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    qs = list(E.queries())
+    os_ = set(E.oracle_sql())
+    ok = True
+    if set(qs) != os_:
+        print(f"KEY DRIFT: {set(qs) ^ os_}")
+        ok = False
+    gated = set()
+    for f in glob.glob(f"{REPO}/CORRECTNESS_r*.json"):
+        gated |= set(json.load(open(f)))
+    stranded = [q for q in qs[50:] if q not in gated]
+    if stranded:
+        print(f"NEVER-DRIVER-GATED queries outside head-50: {stranded}")
+        ok = False
+    print("registry:", "ok" if ok else "RED", f"({len(qs)} queries)")
+    return ok
+
+
 def main() -> int:
     args = set(sys.argv[1:])
     do_pytest = not args or "--pytest" in args
     do_oracle = not args or "--oracle" in args
-    ok = True
+    ok = run_registry()
     if do_pytest:
         ok = run_pytest() and ok
     if do_oracle:
