@@ -261,3 +261,40 @@ def test_events_json_props_single_typed_parse(spark):
     assert plan.count("from_json") <= 2  # partial+final agg reprint, same expr
     assert "get_json_object" not in plan
     assert "hashpartitioning(name" in plan
+
+
+def test_adapter_scan_prunes_dt_partitions(spark, tmp_path):
+    """A time-ranged select over the adapter's date-partitioned samples
+    table must prune at the PARTITION level (dt bounds in the scan's
+    PartitionFilters), not post-filter a full scan — the analog of the
+    reference's PartsForRange partition walk (pkg/partmgr/partmgr.go)."""
+    from v3io_tsdb_spark.adapter import TSDBAdapter
+    from v3io_tsdb_spark.config import TSDBConfig
+
+    T0 = 1704067200000
+    DAY = 86_400_000
+    a = TSDBAdapter(spark, str(tmp_path / "prune_db"), TSDBConfig())
+    a.create()
+    a.append([{"ts": T0 + d * DAY + i * 60_000, "name": "m", "labels": {},
+               "value": 1.0} for d in range(3) for i in range(5)])
+    import re
+
+    res = a.select(from_time=T0 + DAY, to_time=T0 + DAY + 3_600_000)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "dt" in m.group(0), plan[:800]
+    assert res.count() == 5  # only day 1's in-range rows
+
+
+def test_gap_report_single_scan_no_join(spark):
+    """gap_report must stay one scan + one series shuffle (max-gap,
+    envelope, and bucket presence from a single aggregate) — no
+    self-join of the fact table."""
+    from v3io_tsdb_spark.operators.gaps import gap_report
+
+    df = spark.createDataFrame(
+        [("m", "a", i * 1000) for i in range(10)],
+        "name string, uid string, t long",
+    )
+    plan = gap_report(df, ts_col="t", step_ms=3_600_000)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:600]
