@@ -179,3 +179,14 @@ def test_word_entropy(spark):
     # lowercased + whitespace-run tokenization: {a:2, b:2}
     assert out[3]["n_distinct"] == 2 and out[3]["n_tokens"] == 4
     assert out[3]["entropy"] == pytest.approx(math.log(2))
+
+
+def test_autocorr_constant_series_is_null(spark):
+    """Zero-variance series: Spark's corr is NaN where SQL engines give
+    NULL — the operator must normalize to null (no verdict)."""
+    from v3io_tsdb_spark.operators.trend import autocorr_lag1
+
+    rows = [("m", "const", i, 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    r = autocorr_lag1(df).collect()[0]
+    assert r["autocorr"] is None and r["n_buckets"] == 10

@@ -55,7 +55,18 @@ def autocorr_lag1(
     a plain aggregate; null with fewer than 3 buckets (2 pairs)."""
     w = Window.partitionBy(*series_cols).orderBy(t_col)
     lagged = df.withColumn("_prev", F.lag(x_col).over(w))
+    # Pearson corr as covar/(sd*sd) with try_divide: a zero-variance
+    # (constant) series yields NULL ("no verdict") like SQL engines'
+    # corr — the built-in F.corr THROWS DIVIDE_BY_ZERO under Spark 4's
+    # default ANSI mode on that input. Both stddevs run over the PAIRED
+    # rows only (the first bucket has no predecessor), matching corr's
+    # pairwise-deletion semantics.
+    xp = F.when(F.col("_prev").isNotNull(), F.col(x_col))
+    corr = F.try_divide(
+        F.covar_samp(x_col, "_prev"),
+        F.stddev_samp(xp) * F.stddev_samp("_prev"),
+    )
     return lagged.groupBy(*series_cols).agg(
         F.count(x_col).alias("n_buckets"),
-        F.corr(x_col, "_prev").alias("autocorr"),
+        corr.alias("autocorr"),
     )
