@@ -267,3 +267,42 @@ def test_only_virtual_cross_series_with_interpolation_golden(spark, make_samples
                   step="2m", from_time=T0, to_time=T0 + 5 * MIN)
     got = {r["time"]: r["avg(cpu)"] for r in res.collect()}
     assert got == {T0: 15.0, T0 + 2 * MIN: 1.0, T0 + 4 * MIN: 10.5}
+
+
+def test_cross_series_off_step_samples_golden(spark, make_samples):
+    """Mirror of TestCrossSeriesAggregates (ref: cross_series_
+    aggregation_integration_test.go:111-180): two series of one metric,
+    samples at every minute but step 2m — grid points take the exact-
+    time sample of each series (off-step samples don't leak in), then
+    sum/min/avg across series."""
+    d1 = [(0, 10.0), (MIN, 1.0), (2 * MIN, 20.0), (3 * MIN, 1.0), (4 * MIN, 30.0)]
+    d2 = [(0, 20.0), (MIN, 1.0), (2 * MIN, 30.0), (3 * MIN, 1.0), (4 * MIN, 40.0)]
+    df = make_samples([("cpu", {"os": "linux"}, d1), ("cpu", {"os": "mac"}, d2)])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu", functions="sum_all,min_all,avg_all",
+                                step="2m", from_time=T0, to_time=T0 + 5 * MIN))
+    got = rows_to_dict(res, ["t"], ["sum", "min", "avg"])
+    assert got == {
+        T0: (30.0, 10.0, 15.0),
+        T0 + 2 * MIN: (50.0, 20.0, 25.0),
+        T0 + 4 * MIN: (70.0, 30.0, 35.0),
+    }
+
+
+def test_cross_series_different_labels_multiple_metrics_golden(spark, make_samples):
+    """Mirror of TestCrossSeriesAggregatesDifferentLabelMultipleMetrics
+    (ref: cross_series_aggregation_integration_test.go:723-800): two
+    metrics each spanning two label sets — each metric sums across ITS
+    OWN series only, one result series per metric."""
+    d1 = [(0, 10.0), (MIN, 1.0), (2 * MIN, 20.0), (3 * MIN, 1.0), (4 * MIN, 30.0)]
+    d2 = [(0, 20.0), (MIN, 1.0), (2 * MIN, 30.0), (3 * MIN, 1.0), (4 * MIN, 40.0)]
+    df = make_samples([
+        ("cpu", {"os": "linux"}, d1), ("cpu", {"os": "mac"}, d2),
+        ("disk", {"os": "linux"}, d1), ("disk", {"os": "mac"}, d2),
+    ])
+    q = Querier(spark, df)
+    res = q.select(SelectParams(name="cpu, disk", functions="sum_all",
+                                step="2m", from_time=T0, to_time=T0 + 5 * MIN))
+    got = {(r["name"], r["t"]): r["sum"] for r in res.collect()}
+    exp = {T0: 30.0, T0 + 2 * MIN: 50.0, T0 + 4 * MIN: 70.0}
+    assert got == {(m, t): v for m in ("cpu", "disk") for t, v in exp.items()}
