@@ -306,3 +306,69 @@ def test_cross_series_different_labels_multiple_metrics_golden(spark, make_sampl
     got = {(r["name"], r["t"]): r["sum"] for r in res.collect()}
     exp = {T0: 30.0, T0 + 2 * MIN: 50.0, T0 + 4 * MIN: 70.0}
     assert got == {(m, t): v for m in ("cpu", "disk") for t, v in exp.items()}
+
+
+def test_cross_series_interpolation_sql_golden(spark, make_samples):
+    """Mirror of TestCrossSeriesAggregatesWithInterpolation (ref:
+    cross_series_aggregation_integration_test.go:247-312): the SQL form
+    ``select sum_all(prev_val(cpu)), min_all(prev_val(cpu)),
+    max_all(prev_val(cpu))`` — per-series prev_val staircase at each
+    grid point, then cross-series sum/min/max."""
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    d1 = [(0, 10.0), (MIN, 20.0), (3 * MIN, 30.0), (5 * MIN, 40.0)]
+    d2 = [(0, 20.0), (2 * MIN, 30.0), (4 * MIN, 40.0)]
+    df = make_samples([("cpu", {"os": "linux"}, d1), ("cpu", {"os": "mac"}, d2)])
+    q = Querier(spark, df)
+    wide = run_sql(
+        q,
+        "select sum_all(prev_val(cpu)), min_all(prev_val(cpu)), max_all(prev_val(cpu))",
+        from_time=T0, to_time=T0 + 5 * MIN, step=2 * MIN,
+    )
+    rows = {r[wide.columns[0]]: r for r in wide.collect()}
+    scol = next(c for c in wide.columns if c.startswith("sum"))
+    mincol = next(c for c in wide.columns if c.startswith("min"))
+    maxcol = next(c for c in wide.columns if c.startswith("max"))
+    exp = {T0: (30.0, 10.0, 20.0),
+           T0 + 2 * MIN: (50.0, 20.0, 30.0),
+           T0 + 4 * MIN: (70.0, 30.0, 40.0)}
+    assert set(rows) == set(exp)
+    for t, (s, lo, hi) in exp.items():
+        r = rows[t]
+        assert (r[scol], r[mincol], r[maxcol]) == (s, lo, hi), (t, r)
+
+
+def test_cross_series_multi_partition_golden(tmp_path, spark):
+    """Mirror of TestCrossSeriesAggregatesMultiPartition (ref:
+    cross_series_aggregation_integration_test.go:181-246), run through
+    the ADAPTER so the series genuinely spans two dt partitions: cells
+    near the later cluster fill from next samples within the default
+    2-step tolerance (bqt-4m/bqt-2m -> 30), the 7-day hole stays
+    empty, and the partition boundary leaks nothing."""
+    from v3io_tsdb_spark.adapter import TSDBAdapter
+    from v3io_tsdb_spark.config import TSDBConfig
+
+    DAY = 86_400_000
+    a = TSDBAdapter(spark, str(tmp_path / "xs_mp"), TSDBConfig())
+    a.create()
+    rows = []
+    for os_, (v0, vb, vlast) in (("linux", (10.0, 20.0, 60.0)),
+                                 ("mac", (20.0, 30.0, 40.0))):
+        rows += [
+            {"ts": T0 - 7 * DAY, "name": "cpu", "labels": {"os": os_}, "value": v0},
+            {"ts": T0 - 7 * DAY + MIN, "name": "cpu", "labels": {"os": os_}, "value": 1.0},
+            {"ts": T0, "name": "cpu", "labels": {"os": os_}, "value": vb},
+            {"ts": T0 + MIN, "name": "cpu", "labels": {"os": os_}, "value": 1.0},
+            {"ts": T0 + 2 * MIN, "name": "cpu", "labels": {"os": os_}, "value": vlast},
+        ]
+    a.append(rows)
+    res = a.select(name="cpu", functions="max_all", step="2m",
+                   from_time=T0 - 7 * DAY, to_time=T0 + 3 * MIN)
+    got = {r["t"]: r["max"] for r in res.collect()}
+    assert got == {
+        T0 - 7 * DAY: 20.0,
+        T0 - 4 * MIN: 30.0,
+        T0 - 2 * MIN: 30.0,
+        T0: 30.0,
+        T0 + 2 * MIN: 60.0,
+    }
