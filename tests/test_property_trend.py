@@ -61,3 +61,48 @@ def test_counter_resets_matches_pandas(spark, pts):
             chg += int(r["v"] != r["prev"])
         agg[b] = (res, chg, cnt + 1)
     assert out == agg
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=series_strategy)
+def test_gap_report_matches_pandas(spark, pts):
+    from v3io_tsdb_spark.operators.gaps import gap_report
+
+    STEP = 7
+    df = spark.createDataFrame(
+        [("m", "u", t) for t, _ in pts], "name string, uid string, t long"
+    )
+    r = gap_report(df, ts_col="t", step_ms=STEP).collect()[0]
+    ts = sorted(t for t, _ in pts)
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    assert r["max_gap_ms"] == (max(gaps) if gaps else None)
+    assert r["present"] == len({t // STEP for t in ts})
+    assert r["expected"] == ts[-1] // STEP - ts[0] // STEP + 1
+    assert r["missing"] == r["expected"] - r["present"]
+
+
+events_strategy = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=6),      # user
+              st.integers(min_value=0, max_value=40)),    # time
+    min_size=1, max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=events_strategy)
+def test_retention_cohorts_matches_pandas(spark, evs):
+    from v3io_tsdb_spark.operators.cohorts import retention_cohorts
+
+    W = 10
+    df = spark.createDataFrame(evs, "user_id long, ts_ms long")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(df, week_ms=W).collect()}
+    first = {}
+    for u, t in evs:
+        first[u] = min(first.get(u, t), t)
+    exp = {}
+    for u, t in set(evs):
+        cw = (first[u] // W) * W
+        off = (t // W) * W - cw
+        exp.setdefault((cw, off // W), set()).add(u)
+    assert got == {k: len(v) for k, v in exp.items()}
