@@ -1681,6 +1681,33 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_sql_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL function-over-wildcard templates driver-gated: ``select
+    max(*), min(view)`` over a three-metric feed — ``max(*)`` expands
+    to one column per response metric while ``min`` stays scoped to
+    ``view`` (ref golden: pqueriertest/query_sql_integration_test.go:
+    293-347; engine: sql/parser.py star_fns + querier template
+    masking)."""
+    from v3io_tsdb_spark.labels import series_id_col
+    from v3io_tsdb_spark.sql.parser import run_sql
+
+    s = events_as_samples(spark, sf_dir).where(
+        F.col("name").isin("view", "click", "purchase")
+    )
+    # collapse the per-uid label so each metric is ONE series (the
+    # golden's shape); the wide frame pivots one cell per metric-func
+    s = s.withColumn(
+        "labels", F.create_map().cast("map<string,string>")
+    ).withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    q = Querier(spark, s)
+    wide = run_sql(q, "select max(*), min(view)",
+                   from_time=F0, to_time=T1, step="1d")
+    return wide.select(
+        F.col("time").cast("long").alias("time"),
+        "max(click)", "max(purchase)", "max(view)", "min(view)",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1727,9 +1754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_hourly": q_stream_dedup_hourly,
         "events_top_users_daily": q_events_top_users_daily,
         "events_seasonality": q_events_seasonality,
+        "tsdb_sql_star": q_tsdb_sql_star,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
-        "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_range_join": q_tsdb_range_join,
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
@@ -1766,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "doc_top_quality": q_doc_top_quality,
         # --- overflow tail (positions 50+): longest-green-history ---
+        "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_session_30m": q_tsdb_session_30m,
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
@@ -3341,5 +3369,16 @@ def oracle_sql() -> dict[str, str]:
                  round(avg(value) + {EPS6}, 6) AS avg_value
           FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
           GROUP BY 1, 2, 3
+        """,
+        "tsdb_sql_star": f"""
+          SELECT {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS time,
+                 max(CASE WHEN event_type = 'click' THEN value END) AS "max(click)",
+                 max(CASE WHEN event_type = 'purchase' THEN value END) AS "max(purchase)",
+                 max(CASE WHEN event_type = 'view' THEN value END) AS "max(view)",
+                 min(CASE WHEN event_type = 'view' THEN value END) AS "min(view)"
+          FROM events
+          WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            AND event_type IN ('view', 'click', 'purchase')
+          GROUP BY 1
         """,
     }

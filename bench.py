@@ -97,6 +97,7 @@ HEADLINE = [
     "stream_dedup_hourly",
     "events_top_users_daily",
     "events_seasonality",
+    "tsdb_sql_star",
 ]
 
 
