@@ -190,3 +190,50 @@ def test_autocorr_constant_series_is_null(spark):
     df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
     r = autocorr_lag1(df).collect()[0]
     assert r["autocorr"] is None and r["n_buckets"] == 10
+
+
+def test_distinct_count_gate_all_null_group(spark):
+    """ADVICE r6: a group whose key is entirely null has n_exact=0 —
+    under ANSI mode a plain `/` threw DIVIDE_BY_ZERO; try_divide +
+    the both-zero rule must yield (0, ok=True) instead."""
+    from v3io_tsdb_spark.functions.sketches import distinct_count_gate
+
+    rows = [(0, None), (0, None), (1, 7), (1, 8)]
+    df = spark.createDataFrame(rows, "day long, user long")
+    out = {r["day"]: r for r in
+           distinct_count_gate(df, "user", group_cols=("day",)).collect()}
+    assert out[0]["n_exact"] == 0 and out[0]["ok"] is True
+    assert out[1]["n_exact"] == 2 and out[1]["ok"] is True
+
+
+def test_bucket_zscores_min_history_one_no_nan(spark):
+    """ADVICE r6: min_history<=1 with a single trailing bucket gave
+    z=NaN (stddev over 1 row is NaN and NaN > 0 in Spark ordering);
+    the guard must emit null instead."""
+    from v3io_tsdb_spark.operators.anomaly import bucket_zscores
+
+    rows = [("click", 0), ("click", H), ("click", H + 1)]
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long")
+    out = {r["t"]: r for r in
+           bucket_zscores(df, step_ms=H, lookback=3, min_history=1).collect()}
+    # bucket H has exactly 1 trailing bucket: std undefined -> null z
+    assert out[H]["z"] is None
+    assert not any(r is not None and isinstance(r, float) and math.isnan(r)
+                   for r in (out[0]["z"], out[H]["z"]))
+
+
+def test_fixed_width_histogram_float_totals_not_truncated(spark):
+    """ADVICE r6: sum over a fractional value column must come back as
+    an exact double, not a silently-truncated long."""
+    from v3io_tsdb_spark.functions.histogram import fixed_width_histogram
+
+    rows = [("en", 10.25), ("en", 20.5), ("de", 999.75)]
+    df = spark.createDataFrame(rows, "lang string, score double")
+    out = {(r["lang"], r["bucket_lo"]): r["total"]
+           for r in fixed_width_histogram(df, "score", 500, ("lang",)).collect()}
+    assert out[("en", 0)] == pytest.approx(30.75)
+    assert out[("de", 500)] == pytest.approx(999.75)
+    # and the integral-column contract is unchanged (long, exact)
+    dfi = spark.createDataFrame([("en", 7), ("en", 8)], "lang string, n long")
+    ri = fixed_width_histogram(dfi, "n", 500, ("lang",)).collect()[0]
+    assert ri["total"] == 15 and isinstance(ri["total"], int)

@@ -101,11 +101,13 @@ def _heavy_windows_are_shard_local(plan: str, order_token: str) -> bool:
 
 
 def test_pack_sequences_plan_has_no_whole_group_sort(spark):
-    """pack_sequences' plan: the window ordering by doc_id partitions
-    by the shard id — a Window partitioned by (split, lang) alone
-    sorting doc_id would be the one-task-per-group shape."""
+    """pack_sequences' plan at forced fan-out: the window ordering by
+    doc_id partitions by the shard id — a Window partitioned by
+    (split, lang) alone sorting doc_id would be the one-task-per-group
+    shape. (The auto path size-gates; forcing num_shards pins the
+    at-scale plan on the small fixture.)"""
     docs = _fixture(spark).withColumn("split", F.lit("train"))
-    out = pack_sequences(docs, budget=2048)
+    out = pack_sequences(docs, budget=2048, num_shards=8)
     plan = _plan(out)
     assert _heavy_windows_are_shard_local(plan, "doc_id"), plan[:3000]
 
@@ -113,9 +115,49 @@ def test_pack_sequences_plan_has_no_whole_group_sort(spark):
 def test_budget_selection_plan_has_no_whole_group_sort(spark):
     """select_within_token_budget: same property for the quality-DESC
     running sum (the order with no natural shard key)."""
-    out = select_within_token_budget(_fixture(spark), budget=3000)
+    out = select_within_token_budget(_fixture(spark), budget=3000, num_shards=8)
     plan = _plan(out)
     assert _heavy_windows_are_shard_local(plan, "quality"), plan[:3000]
+
+
+def test_auto_gate_bypasses_sharding_for_small_groups(spark):
+    """Size gate (VERDICT r6 #1): with no forced num_shards and every
+    group far below target_rows_per_shard, the plan must be the plain
+    single-window form — no shard column, no broadcast join, no extra
+    quantile pass — and still exact."""
+    df = _fixture(spark)
+    got = ordered_prefix_sum(df, "n_tokens", [("doc_id", False)], ("lang",), "cum")
+    plan = _plan(got)
+    assert "_ps_pid" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_auto_gate_shards_when_groups_exceed_target(spark):
+    """And the converse: drop the target below the group size and the
+    auto path must fan out (shard column present) while staying exact."""
+    df = _fixture(spark, rows=3000, groups=1)
+    got = ordered_prefix_sum(
+        df, "n_tokens", [("doc_id", False)], ("lang",), "cum",
+        target_rows_per_shard=500,
+    )
+    plan = _plan(got)
+    assert "_ps_pid" in plan, plan[:3000]
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
 
 
 def test_stable_across_evaluations(spark):

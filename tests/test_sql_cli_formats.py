@@ -294,3 +294,22 @@ def test_cli_multi_sample_add_and_delete_all_conflicts(tmp_path, spark, capsys):
     assert cli.main(["delete", "-p", path, "--all", "-f", "x==1", "--force"]) != 0
     err = capsys.readouterr()
     assert "cannot be used in conjunction with --filter" in err.out + err.err
+
+
+def test_cli_single_string_variant_with_comma(tmp_path, spark, capsys):
+    """ADVICE r6: a single STRING variant value containing a comma
+    (-d "a,b") must take the value_str path, not die in the
+    multi-sample float parser."""
+    from v3io_tsdb_spark import cli
+
+    path = str(tmp_path / "clidb3")
+    assert cli.main(["create", "-p", path, "--granularity", "1h"]) == 0
+    assert cli.main([
+        "add", "-p", path, "tag", "os=linux", "-d", "a,b", "-t", str(T0),
+    ]) == 0
+    assert cli.main([
+        "query", "-p", path, "-m", "tag",
+        "-a", str(T0 - MIN), "-e", str(T0 + MIN), "-o", "json",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "a,b" in out

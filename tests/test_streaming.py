@@ -409,3 +409,66 @@ def test_stream_dedup_within_watermark(tmp_path, spark):
         q.stop()
     keys = sorted((r["name"], r["ts"]) for r in spark.sql("SELECT * FROM dd_out").collect())
     assert keys == [("a", T0), ("a", T0 + MIN), ("a", T0 + 2 * MIN), ("b", T0)]
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState: exists/get/update only."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_increase_fn_handles_interleaved_arrow_chunks():
+    """ADVICE r6 (medium): applyInPandasWithState gives NO ordering
+    across the chunk iterator — per-chunk sorting dropped in-order
+    events as 'late' when a series' batch spanned chunks. The fn must
+    materialize the whole group first."""
+    import pandas as pd
+
+    from v3io_tsdb_spark.streaming.stateful import _increase_fn
+
+    # chunk 1 holds ts {100, 300}; chunk 2 holds ts {200}: the old
+    # per-chunk code advanced last_ts to 300 and dropped 200.
+    chunks = iter([
+        pd.DataFrame({"ts": [300, 100], "value": [30.0, 10.0]}),
+        pd.DataFrame({"ts": [200], "value": [20.0]}),
+    ])
+    state = _FakeGroupState()
+    out = pd.concat(list(_increase_fn(("cpu",), chunks, state)))
+    assert list(out["ts"]) == [200, 300]
+    assert list(out["increase"]) == [10.0, 10.0]
+    assert state.get == (300, 30.0)
+
+
+def test_zscore_fn_handles_interleaved_arrow_chunks():
+    """Same chunk-interleave property for the z-score fn: events of an
+    earlier bucket arriving in a later chunk must not be mis-dropped
+    as late, and buckets must not close early."""
+    import pandas as pd
+
+    from v3io_tsdb_spark.streaming.stateful import _make_zscore_fn
+
+    fn = _make_zscore_fn(step_ms=100, lookback=4, min_history=1)
+    # bucket 0: ts 0,10 ; bucket 100: ts 150 — but the ts-10 event
+    # arrives in a second chunk AFTER the bucket-100 event.
+    chunks = iter([
+        pd.DataFrame({"ts": [0, 150]}),
+        pd.DataFrame({"ts": [10]}),
+    ])
+    state = _FakeGroupState()
+    out = pd.concat(list(fn(("cpu",), chunks, state)))
+    # bucket 0 closes with BOTH its events counted
+    assert list(out["t"]) == [0] and list(out["n"]) == [2]
+    hist, cur_t, cur_n = state.get
+    assert list(hist) == [2] and cur_t == 100 and cur_n == 1

@@ -108,7 +108,21 @@ def cmd_add(args):
     if not args.metric or args.value is None:
         raise TSDBError("either -f FILE or metric + -d VALUE is required")
     labels = labels_from_string(args.metric_labels) if args.metric_labels else {}
-    if "," in str(args.value) or "," in str(args.time or ""):
+    def _all_float(s: str) -> bool:
+        try:
+            for part in s.split(","):
+                float(part.strip())  # accepts NaN / Inf / -Inf
+        except ValueError:
+            return False
+        return True
+
+    # Multi-sample only when the TIME string has a comma, or every
+    # comma-separated value part parses as a float — a single STRING
+    # variant value containing a comma (-d "a,b") must fall through to
+    # the value_str path below, not die in the float parser.
+    if "," in str(args.time or "") or (
+        "," in str(args.value) and _all_float(str(args.value))
+    ):
         # multi-sample form: -t t1,t2,... -d v1,v2,... (ref:
         # pkg/tsdbctl/add.go strToTV; golden: add_test.go:37-73 —
         # NaN/Inf/-Inf are valid float values, count mismatch or an

@@ -57,7 +57,14 @@ def _grafana_json(rows, cols) -> str:
         for r in rows:
             labels = r["labels"] if "labels" in cols and r["labels"] else {}
             target = r["name"] + ("{" + labels_to_string(labels) + "}" if labels else "")
-            series.setdefault(target, []).append([r["value"], r[t_col]])
+            # variant (string-valued) series carry their sample in
+            # value_str; the reference's formatter emits the variant
+            # string as the datapoint value (pkg/formatter uses the
+            # iterator's typed value either way)
+            v = r["value"]
+            if v is None and "value_str" in cols:
+                v = r["value_str"]
+            series.setdefault(target, []).append([v, r[t_col]])
         return json.dumps(
             [{"target": k, "datapoints": v} for k, v in sorted(series.items())], indent=2
         )

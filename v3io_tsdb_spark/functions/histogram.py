@@ -24,12 +24,20 @@ def fixed_width_histogram(
     """Per (group, bucket): row count and value sum.
 
     ``bucket_lo`` is the bucket's inclusive lower edge in value units.
+    ``total`` is long for integral value columns (exact, matches SQL
+    SUM-of-int) and double for fractional ones — never a silent
+    truncation of fractional totals.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     lo = (F.floor(F.col(value_col) / F.lit(width)) * F.lit(width)).cast("long")
+    integral = isinstance(
+        df.schema[value_col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+    total = F.sum(value_col)
+    if integral:
+        total = total.cast("long")
     return (
         df.groupBy(*group_cols, lo.alias("bucket_lo"))
-        .agg(
-            F.count(value_col).alias("n"),
-            F.sum(value_col).cast("long").alias("total"),
-        )
+        .agg(F.count(value_col).alias("n"), total.alias("total"))
     )

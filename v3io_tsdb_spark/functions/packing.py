@@ -29,6 +29,7 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     order_col: str = "doc_id",
     group_cols: tuple = ("split", "lang"),
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Add ``pack_id`` / ``pack_offset`` columns.
 
@@ -37,9 +38,12 @@ def pack_sequences(
     ``order_col``); ``pack_offset = start % budget``. Documents longer
     than ``budget`` simply span packs, exactly like the concat-chunk
     loader they model. ``order_col`` must be unique within a group.
+    ``num_shards`` forwards to :func:`ordered_prefix_sum` (default:
+    size-gated auto).
     """
     out = ordered_prefix_sum(
-        df, tokens_col, [(order_col, False)], group_cols, "_pack_cum"
+        df, tokens_col, [(order_col, False)], group_cols, "_pack_cum",
+        num_shards=num_shards,
     )
     start = (F.col("_pack_cum") - F.col(tokens_col)).cast("long")
     return (

@@ -37,6 +37,17 @@ group whose leading key is one massive tie (every row the same
 quality) degrades to one shard = one task for that group — the naive
 window's behavior, no worse. Callers with high-tie leading keys should
 pass a higher-cardinality leading column or pre-round less.
+
+Size gate: the two-pass machinery (quantile pre-pass, broadcast join,
+subtotal window) costs 3 extra jobs — pure overhead when every group
+already fits one task. When ``num_shards`` is not forced, a cheap
+``groupBy().count()`` pre-pass measures the LARGEST group and sizes the
+fan-out as ``ceil(max_group_rows / target_rows_per_shard)`` capped at
+``spark.sql.shuffle.partitions``; groups under the target bypass to the
+plain single-window form. Same measured-size gate as
+``connected_components``' 1M-edge union-find cutoff
+(functions/dedup.py). The count pre-pass is one column-pruned scan —
+at 100 TB it reads only the group columns and combines map-side.
 """
 
 from __future__ import annotations
@@ -50,6 +61,11 @@ _SUB = "_ps_sub"
 _OFF = "_ps_off"
 _BNDS = "_ps_bnds"
 
+# rows of ONE group a single task is allowed to sort before the
+# two-pass sharding pays for itself; ~2M rows of (key, long) sort in
+# well under a second per task, while the sharded form adds 3 jobs
+DEFAULT_TARGET_ROWS_PER_SHARD = 2_000_000
+
 
 def ordered_prefix_sum(
     df: DataFrame,
@@ -58,6 +74,7 @@ def ordered_prefix_sum(
     group_cols: tuple,
     out_col: str,
     num_shards: int | None = None,
+    target_rows_per_shard: int = DEFAULT_TARGET_ROWS_PER_SHARD,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive running sum of ``value_col`` in
     ``order_keys`` order within each ``group_cols`` group, computed
@@ -67,31 +84,55 @@ def ordered_prefix_sum(
     they must totally order each group (include a unique tiebreaker),
     and the leading column must be numeric (it feeds the quantile
     sharder). ``group_cols`` must be non-empty.
+
+    ``num_shards=None`` (default) measures the largest group and sizes
+    the fan-out to ``ceil(max_rows / target_rows_per_shard)``; when
+    that is 1 (all groups fit a task) the whole two-pass machinery is
+    bypassed for a plain per-group window. Pass ``num_shards``
+    explicitly to force either shape.
     """
     spark = df.sparkSession
-    n = num_shards or int(spark.conf.get("spark.sql.shuffle.partitions"))
     sort_exprs = [F.col(c).desc() if d else F.col(c).asc() for c, d in order_keys]
+    if num_shards is None:
+        row = (
+            df.groupBy(*group_cols)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()
+        )
+        max_rows = int(row["m"] or 0)
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n = max(1, min(cap, -(-max_rows // target_rows_per_shard)))
+    else:
+        n = num_shards
+
+    if n <= 1:
+        # every group fits one task: the naive window IS the right plan
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(*sort_exprs)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out_col, F.sum(value_col).over(w).cast("long"))
+
     lead, lead_desc = order_keys[0]
 
-    if n > 1:
-        qs = [i / n for i in range(1, n)]
-        bounds = df.groupBy(*group_cols).agg(
-            F.percentile_approx(F.col(lead).cast("double"), qs, 1000).alias(_BNDS)
-        )
-        key = F.col(lead).cast("double")
-        if lead_desc:  # shard grows as the key falls; NULLS LAST
-            shard = F.size(F.filter(F.col(_BNDS), lambda b: b > key))
-            null_shard = F.lit(n)
-        else:  # ascending; NULLS FIRST sorts before every boundary
-            shard = F.size(F.filter(F.col(_BNDS), lambda b: b < key))
-            null_shard = F.lit(-1)
-        sharded = (
-            df.join(F.broadcast(bounds), list(group_cols))
-            .withColumn(_PID, F.when(key.isNull(), null_shard).otherwise(shard))
-            .drop(_BNDS)
-        )
-    else:
-        sharded = df.withColumn(_PID, F.lit(0))
+    qs = [i / n for i in range(1, n)]
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile_approx(F.col(lead).cast("double"), qs, 1000).alias(_BNDS)
+    )
+    key = F.col(lead).cast("double")
+    if lead_desc:  # shard grows as the key falls; NULLS LAST
+        shard = F.size(F.filter(F.col(_BNDS), lambda b: b > key))
+        null_shard = F.lit(n)
+    else:  # ascending; NULLS FIRST sorts before every boundary
+        shard = F.size(F.filter(F.col(_BNDS), lambda b: b < key))
+        null_shard = F.lit(-1)
+    sharded = (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(_PID, F.when(key.isNull(), null_shard).otherwise(shard))
+        .drop(_BNDS)
+    )
 
     sub = sharded.groupBy(_PID, *group_cols).agg(F.sum(value_col).alias(_SUB))
     w_off = (

@@ -105,6 +105,7 @@ def select_within_token_budget(
     quality_col: str = "quality",
     id_col: str = "doc_id",
     group_cols: tuple = ("lang",),
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Greedy corpus selection under a token budget: within each group,
     take documents in (quality DESC, id ASC) order while the running
@@ -125,6 +126,7 @@ def select_within_token_budget(
         [(quality_col, True), (id_col, False)],
         group_cols,
         "cum_tokens",
+        num_shards=num_shards,
     )
     return out.where(F.col("cum_tokens") <= F.lit(budget))
 

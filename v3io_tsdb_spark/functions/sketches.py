@@ -31,7 +31,14 @@ def distinct_count_gate(
         F.count_distinct(F.col(key_col)).alias("n_exact"),
         F.approx_count_distinct(key_col, rsd).alias("_n_approx"),
     )
-    err = F.abs(F.col("_n_approx") - F.col("n_exact")) / F.col("n_exact")
-    return agg.select(
-        *group_cols, "n_exact", (err <= tol).alias("ok")
+    # try_divide, not `/`: an all-null group has n_exact=0 and ANSI
+    # mode (Spark 4 default) would throw DIVIDE_BY_ZERO. Both counts 0
+    # -> the estimate is trivially right (ok=true); null err otherwise
+    # impossible here but falls to ok=false via coalesce.
+    err = F.try_divide(
+        F.abs(F.col("_n_approx") - F.col("n_exact")), F.col("n_exact")
     )
+    ok = F.when(
+        (F.col("n_exact") == 0) & (F.col("_n_approx") == 0), F.lit(True)
+    ).otherwise(F.coalesce(err <= tol, F.lit(False)))
+    return agg.select(*group_cols, "n_exact", ok.alias("ok"))

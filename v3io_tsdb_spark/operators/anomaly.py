@@ -49,8 +49,13 @@ def bucket_zscores(
     mean = F.avg("n").over(w)
     std = F.stddev_samp("n").over(w)
     hist = F.count("n").over(w)
+    # hist >= 2 is required even when min_history <= 1: stddev_samp
+    # over a 1-row frame is NaN, and Spark sorts NaN ABOVE every
+    # number, so `std > 0` alone would pass and make z NaN instead of
+    # the documented null "no verdict".
     z = F.when(
-        (hist >= min_history) & (std > 0), (F.col("n") - mean) / std
+        (hist >= min_history) & (hist >= 2) & (std > 0),
+        (F.col("n") - mean) / std,
     )
     # stddev_samp over a 1-row frame is NaN in Spark but NULL in SQL
     # engines; normalize to null (no estimate), matching the oracle.

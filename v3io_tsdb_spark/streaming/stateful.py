@@ -55,9 +55,14 @@ def _increase_fn(
     else:
         last_ts, last_val = None, None
     rows = {"series_key": [], "ts": [], "value": [], "increase": []}
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for ts, val in zip(pdf["ts"].values, pdf["value"].values):
+    # whole-group materialize: the Arrow chunk iterator has NO ordering
+    # guarantee, so per-chunk sorting would drop in-order events as
+    # duplicates when a series' batch spans chunks (same fix as
+    # _make_zscore_fn). One series' micro-batch is trigger-bounded.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for ts, val in zip(batch["ts"].values, batch["value"].values):
             ts = int(ts)
             val = float(val)
             if last_ts is not None and ts <= last_ts:
@@ -162,17 +167,27 @@ def _make_zscore_fn(step_ms: int, lookback: int, min_history: int):
             hist.append(n)
             del hist[:-lookback]
 
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts")["ts"].values:
-                b = (int(ts) // step_ms) * step_ms
-                if cur_t is None:
-                    cur_t, cur_n = b, 1
-                elif b == cur_t:
-                    cur_n += 1
-                elif b > cur_t:
-                    close(cur_t, cur_n)
-                    cur_t, cur_n = b, 1
-                # b < cur_t: late for a closed bucket -> dropped
+        # Materialize the whole group's micro-batch before the bucket
+        # loop: applyInPandasWithState guarantees NO ordering across the
+        # Arrow chunk iterator (or across the shuffled input
+        # partitions), so sorting each chunk independently would close
+        # buckets early and mis-drop in-order events as "late" whenever
+        # a series' batch spans chunks. One micro-batch of one series is
+        # bounded by the trigger interval — safe to hold in memory.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame({"ts": []})
+        )
+        for ts in batch.sort_values("ts")["ts"].values:
+            b = (int(ts) // step_ms) * step_ms
+            if cur_t is None:
+                cur_t, cur_n = b, 1
+            elif b == cur_t:
+                cur_n += 1
+            elif b > cur_t:
+                close(cur_t, cur_n)
+                cur_t, cur_n = b, 1
+            # b < cur_t: late for a closed bucket -> dropped
         if cur_t is not None:
             state.update((hist, cur_t, cur_n))
         yield pd.DataFrame(out)
