@@ -191,6 +191,7 @@ def main():
 
     times = {}
     warm = {}
+    stream_split = {}
     total = 0.0
     warm_total = 0.0
     for name in HEADLINE:
@@ -207,6 +208,14 @@ def main():
             continue
         times[name] = round(dt, 3)
         total += dt
+        # stream_* queries run a real micro-batch stream inside fn();
+        # the entry module records how much of that was checkpoint/
+        # stream-start harness vs actual micro-batch execution, so
+        # operator drift isn't masked by ~2s of fixed setup.
+        if name.startswith("stream_"):
+            split = dict(getattr(entry_mod, "LAST_STREAM_SPLIT", {}))
+            if split:
+                stream_split[name] = {"cold": split}
         # second run: steady-state (codegen/JIT cached). Cold-vs-warm gap
         # is one-time compilation, which amortizes to ~0 on real volumes.
         # A warm pass can randomly eat a full-GC pause or shared-host
@@ -222,6 +231,10 @@ def main():
             wt = min(wt, time.perf_counter() - t2)
         warm[name] = round(wt, 3)
         warm_total += wt
+        if name.startswith("stream_") and name in stream_split:
+            split = dict(getattr(entry_mod, "LAST_STREAM_SPLIT", {}))
+            if split:
+                stream_split[name]["warm"] = split
         print(f"bench {name}: {dt:.3f}s (warm {wt:.3f}s)", file=sys.stderr)
         # Untimed inter-query cleanup: drop the Python-side plan refs so
         # the ContextCleaner can release localCheckpoint RDD blocks
@@ -248,6 +261,9 @@ def main():
         "warm_total_sec": round(warm_total, 3),
         "ingest_sec": ingest_sec,
         "ingest_samples_per_sec": ingest_rate,
+        # per stream query: harness (checkpoint + stream start) vs
+        # micro-batch execution seconds, cold and warm
+        "stream_setup_run_split": stream_split,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)

@@ -618,3 +618,37 @@ def test_different_metrics_in_different_partitions_golden(tmp_path, spark):
     ])
     res = a.select(from_time=T0H - 9 * DAY, to_time=T0H + DAY).collect()
     assert [(r["name"], r["t"], r["value"]) for r in res] == [("diskio", T0H, 40.0)]
+
+
+def test_schema_hot_reload_on_external_edit(tmp_path, spark):
+    """An already-open adapter must see an external _tsdb_schema.json
+    edit (granularity change) at the next query planning, without
+    reopen — mtime-gated like the reference's ReadAndUpdateSchema
+    (ref: pkg/partmgr/partmgr.go:228-264)."""
+    import json
+    import os
+
+    from v3io_tsdb_spark.config import SCHEMA_FILE
+
+    a = _mk(tmp_path, spark, aggregation_granularity="1h")
+    a.append([{"ts": T0, "name": "cpu", "labels": {}, "value": 1.0}])
+    assert a.config.granularity_ms == HOUR
+
+    # external writer edits the schema object
+    schema_file = os.path.join(str(tmp_path / "tsdb"), SCHEMA_FILE)
+    with open(schema_file) as f:
+        d = json.load(f)
+    d["aggregation_granularity"] = "10m"
+    with open(schema_file, "w") as f:
+        json.dump(d, f)
+    # force a strictly-newer mtime even on coarse-mtime filesystems
+    st = os.stat(schema_file)
+    os.utime(schema_file, (st.st_atime, st.st_mtime + 2))
+
+    a.querier()  # query planning triggers the mtime check
+    assert a.config.granularity_ms == 10 * MIN
+
+    # unchanged file -> no reload churn (mtime recorded)
+    before = a.config
+    a.querier()
+    assert a.config is before

@@ -699,3 +699,46 @@ def test_lsh_append_index_incremental(emb, spark, tmp_path):
     got = lsh_search(spark, path, qvec, k=10, probe_hamming=4).collect()
     exact = cosine_topk(emb, qvec, k=10).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in exact]
+
+
+def test_extract_features_real_codec_without_pil():
+    """Without Pillow the real path must raise (never silently fall
+    back to the stub). Skipped where Pillow IS installed — the twin
+    test below covers that environment."""
+    import pytest as _pytest
+
+    from v3io_tsdb_spark.functions.multimodal import extract_features, have_pil
+
+    if have_pil():
+        _pytest.skip("Pillow installed; real-codec raise path not reachable")
+    with _pytest.raises(NotImplementedError):
+        extract_features(None, fake=False)
+
+
+def test_extract_features_real_codec_with_pil(spark):
+    """Real PIL decode path (VERDICT r6 #7): build tiny PNGs in-process,
+    run extract_features(fake=False), and check the features are the
+    decoded pixel rows — deterministic and in [-1, 1]. Skips cleanly
+    where Pillow is absent."""
+    import io
+
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+
+    from v3io_tsdb_spark.functions.multimodal import extract_features
+
+    def png_bytes(shade):
+        img = PIL_Image.new("L", (4, 4), color=shade)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(0, bytearray(png_bytes(0))), (1, bytearray(png_bytes(255)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in
+           extract_features(df, fake=False, dim=4).collect()}
+    # uniform black image -> all -1; uniform white -> all +1
+    assert out[0]["feature"] == [-1.0] * 4
+    assert out[1]["feature"] == [1.0] * 4
+    assert out[0]["n_bytes"] > 0 and len(out[0]["content_sha"]) == 64

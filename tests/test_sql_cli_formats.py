@@ -313,3 +313,33 @@ def test_cli_single_string_variant_with_comma(tmp_path, spark, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "a,b" in out
+
+
+def test_sql_dialect_extensions_order_by_limit(spark, make_samples):
+    """VERDICT r6 #8: extensions=True accepts trailing ORDER BY/LIMIT
+    over the output frame; the default stays reference-faithful and
+    rejects them (sql_parser.go rejects both)."""
+    from v3io_tsdb_spark.errors import BadRequest
+    from v3io_tsdb_spark.sql.parser import parse_query, run_sql
+
+    df = make_samples(
+        [("cpu", {"os": "linux"},
+          [(0, 10), (1 * MIN, 20), (10 * MIN, 30), (11 * MIN, 40)])]
+    )
+    q = Querier(spark, df)
+    sql = "select avg(cpu) from tsdb order by time desc limit 2"
+    # default: rejected, with a hint
+    with pytest.raises(BadRequest, match="ORDER BY is not supported"):
+        run_sql(q, sql, from_time=T0, to_time=T0 + 30 * MIN, step="2m")
+    # extensions: parsed and applied
+    p = parse_query(sql, extensions=True)
+    assert p.order_by == [("time", True)] and p.limit == 2
+    out = run_sql(q, sql, extensions=True,
+                  from_time=T0, to_time=T0 + 30 * MIN, step="2m").collect()
+    assert len(out) == 2
+    ts = [r["time"] for r in out]
+    assert ts == sorted(ts, reverse=True) and ts[0] == T0 + 10 * MIN
+    # unknown ORDER BY column is a clear error, not a Spark stack trace
+    with pytest.raises(BadRequest, match="not in result"):
+        run_sql(q, "select avg(cpu) from tsdb order by nope",
+                extensions=True, from_time=T0, to_time=T0 + 30 * MIN, step="2m")

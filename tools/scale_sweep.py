@@ -12,6 +12,10 @@ codegen warmup.
 
     python tools/scale_sweep.py            # full sweep, writes SCALE_SWEEP.json
     python tools/scale_sweep.py 1 4        # subset of multipliers
+    python tools/scale_sweep.py --ops dup_span_stats 1 64
+                                           # one op at extra scales;
+                                           # results MERGE into the
+                                           # existing SCALE_SWEEP.json
 
 Interpretation: wall-clock ratio vs data ratio. A 16x input finishing
 in <= ~16x the 1x time on fixed cores is linear scaling; sublinear
@@ -28,7 +32,13 @@ sys.path.insert(0, REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = "/tmp/spark_graft_scale"
-MULTS = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+_args = sys.argv[1:]
+OPS_FILTER = None
+if "--ops" in _args:
+    i = _args.index("--ops")
+    OPS_FILTER = set(_args[i + 1].split(","))
+    _args = _args[:i] + _args[i + 2:]
+MULTS = [int(a) for a in _args] or [1, 4, 16]
 
 
 def build_scaled(mult: int) -> str:
@@ -172,6 +182,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     table = ops(spark)
+    if OPS_FILTER:
+        table = {k: v for k, v in table.items() if k in OPS_FILTER}
     results = {}
     for name, fn in table.items():
         fn(dirs[MULTS[0]])  # codegen warmup, untimed
@@ -193,8 +205,19 @@ def main():
             print(f"{name:18s} {m:3d}x/1x time ratio = {r:5.1f} (data ratio {m})",
                   flush=True)
 
-    with open(os.path.join(REPO, "SCALE_SWEEP.json"), "w") as f:
-        json.dump({"base_dir": BASE, "mults": MULTS, "seconds": results}, f, indent=1)
+    # merge into the existing artifact so partial runs (op filter /
+    # extra multipliers) extend rather than clobber prior evidence
+    path = os.path.join(REPO, "SCALE_SWEEP.json")
+    doc = {"base_dir": BASE, "mults": [], "seconds": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+    doc["base_dir"] = BASE
+    doc["mults"] = sorted(set(doc.get("mults", [])) | set(MULTS))
+    for name, pts in results.items():
+        doc["seconds"].setdefault(name, {}).update(pts)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
     print("wrote SCALE_SWEEP.json")
 
 

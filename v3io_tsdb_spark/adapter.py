@@ -65,9 +65,31 @@ class TSDBAdapter:
         self.samples_path = os.path.join(path, "samples")
         self.rollup_path = os.path.join(path, "rollup")
         self.kinds_path = os.path.join(path, "series_kinds")
-        if config is None and os.path.exists(os.path.join(path, SCHEMA_FILE)):
-            config = TSDBConfig.load(path)
+        self._schema_mtime: float | None = None
+        schema_file = os.path.join(path, SCHEMA_FILE)
+        if os.path.exists(schema_file):
+            if config is None:
+                config = TSDBConfig.load(path)
+            # explicit config wins NOW; only edits made after this
+            # point trigger a reload
+            self._schema_mtime = os.path.getmtime(schema_file)
         self.config = config or TSDBConfig()
+
+    def _maybe_reload_schema(self) -> None:
+        """Hot-reload the on-disk schema before query planning: a
+        long-lived session picks up an external config change (e.g. a
+        granularity edit by another writer) without reopening the
+        adapter. Mtime-gated exactly like the reference's
+        ReadAndUpdateSchema (ref: pkg/partmgr/partmgr.go:228-264) — the
+        stat is the only cost on the unchanged path."""
+        schema_file = os.path.join(self.path, SCHEMA_FILE)
+        try:
+            mtime = os.path.getmtime(schema_file)
+        except OSError:
+            return  # no schema object yet (pre-create adapter)
+        if self._schema_mtime is None or mtime > self._schema_mtime:
+            self.config = TSDBConfig.load(self.path)
+            self._schema_mtime = mtime
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -79,6 +101,7 @@ class TSDBAdapter:
                 return self
             raise SchemaError(f"TSDB already exists at {self.path}")
         self.config.save(self.path)
+        self._schema_mtime = os.path.getmtime(schema_file)
         # Fresh table → empty catalog from day one, so the pre-catalog
         # rebuild path in append() only ever fires for tables created
         # before the catalog feature existed.
@@ -224,6 +247,7 @@ class TSDBAdapter:
     # -- query -------------------------------------------------------------
 
     def querier(self) -> Querier:
+        self._maybe_reload_schema()
         rollup = self.rollup_path if os.path.exists(self.rollup_path) else None
         label_rollups = {
             tuple(subset): self._label_rollup_path(subset)

@@ -173,7 +173,8 @@ def cmd_query(args):
     if args.sql:
         from v3io_tsdb_spark.sql.parser import run_sql
 
-        df = run_sql(q, args.sql, from_time=from_ms, to_time=to_ms,
+        df = run_sql(q, args.sql, extensions=args.sql_ext,
+                     from_time=from_ms, to_time=to_ms,
                      step=args.aggregation_interval or 0)
     else:
         df = q.select(
@@ -306,6 +307,9 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="query the TSDB")
     common(q)
     q.add_argument("sql", nargs="?", help="TSDB SQL (select ... from tsdb ...)")
+    q.add_argument("--sql-ext", action="store_true",
+                   help="enable dialect extensions (ORDER BY / LIMIT); "
+                        "off by default for reference fidelity")
     q.add_argument("-m", "--metric", help="metric name(s), comma-separated")
     q.add_argument("-a", "--begin", help="start time")
     q.add_argument("-e", "--end", help="end time")

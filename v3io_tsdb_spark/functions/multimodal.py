@@ -6,11 +6,14 @@ Arrow-batched pandas functions over ``mapInPandas`` so each task
 processes whole record batches (the only sane shape for 100 TB of
 blobs — bytes never pass row-at-a-time through Python).
 
-The actual codec step is STUBBED (image/audio libraries are not in
-this container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded by
-content hash) produces stable synthetic features so the full pipeline
-— schema, batching, partitioning — is real and testable.
+The actual codec step is env-gated: with ``fake=True`` (default) a
+deterministic fake decoder (seeded by content hash) produces stable
+synthetic features so the full pipeline — schema, batching,
+partitioning — is real and testable anywhere. With ``fake=False`` the
+real PIL-backed image decoder runs when Pillow is importable
+(grayscale thumbnail features), else ``NotImplementedError`` — this
+container ships no codec libraries, so tests gate the real path with
+``importorskip``.
 """
 
 from __future__ import annotations
@@ -48,6 +51,26 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list:
     return [((h[i] / 255.0) * 2.0 - 1.0) for i in range(dim)]
 
 
+def have_pil() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _pil_decode(payload: bytes, dim: int) -> list:
+    """Real image decode (Pillow): grayscale ``dim``-pixel thumbnail,
+    scaled to [-1, 1] — a genuine decoded-pixel feature, deterministic
+    for a given image. Import stays inside the function so executors
+    without Pillow only pay when the real path is requested."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        row = img.convert("L").resize((dim, 1))
+        return [p / 127.5 - 1.0 for p in row.getdata()]
+
+
 def extract_features(
     df: DataFrame,
     binary_col: str = "payload",
@@ -55,14 +78,20 @@ def extract_features(
     fake: bool = True,
     dim: int = 8,
 ) -> DataFrame:
-    """Batch feature extraction over a binary column via mapInPandas."""
-    if not fake:
+    """Batch feature extraction over a binary column via mapInPandas.
+
+    ``fake=False`` decodes real image bytes with Pillow when it is
+    importable (``importorskip``-gated in tests); without Pillow the
+    real path raises rather than silently degrading to the stub.
+    """
+    if not fake and not have_pil():
         raise NotImplementedError(
-            "real image/audio decoding requires codec libraries not present "
+            "real image decoding requires Pillow, which is not importable "
             "in this environment; run with fake=True for the deterministic stub"
         )
 
     bcol, icol = binary_col, id_col
+    decode = _fake_decode if fake else _pil_decode
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,7 +103,7 @@ def extract_features(
                     "content_sha": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda b: _fake_decode(b or b"", dim)),
+                    "feature": payloads.map(lambda b: decode(b or b"", dim)),
                 }
             )
 

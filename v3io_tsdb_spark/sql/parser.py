@@ -12,6 +12,13 @@ exactly like the reference (full Spark SQL remains available by
 registering the samples table as a view; this dialect is the
 compatibility surface).
 
+Dialect extension (``extensions=True``): Spark gives ORDER BY / LIMIT
+for free, so ``parse_query``/``run_sql`` optionally accept trailing
+``ORDER BY col [ASC|DESC], ...`` and ``LIMIT n`` clauses over the
+OUTPUT frame columns. Off by default — the reference's parser rejects
+both (pkg/pquerier/sql_parser.go), and fidelity is the default
+contract; opt in per call (CLI: ``--sql-ext``).
+
 ``run_sql`` executes the parsed query through the Querier and pivots
 to the reference's wide-frame shape: ``time`` index + one column per
 requested (metric × function), heterogeneous per-metric function sets
@@ -50,6 +57,14 @@ _COL_RE = re.compile(
 )
 
 
+_ORDER_LIMIT_RE = re.compile(
+    r"(?:\s+order\s+by\s+(?P<order>\w+(?:\s+(?:asc|desc))?"
+    r"(?:\s*,\s*\w+(?:\s+(?:asc|desc))?)*))?"
+    r"(?:\s+limit\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 @dataclass
 class ParsedQuery:
     table: str
@@ -57,6 +72,9 @@ class ParsedQuery:
     filter: str | None
     group_by: str | None
     wildcard: bool = False
+    # dialect extensions (extensions=True only)
+    order_by: list | None = None  # list[(col, descending)]
+    limit: int | None = None
 
 
 def _split_cols(cols: str) -> list[str]:
@@ -76,13 +94,26 @@ def _split_cols(cols: str) -> list[str]:
     return [c for c in out if c]
 
 
-def parse_query(sql: str) -> ParsedQuery:
+def parse_query(sql: str, extensions: bool = False) -> ParsedQuery:
+    order_by, limit = None, None
+    if extensions:
+        tail = _ORDER_LIMIT_RE.search(sql)
+        if tail and (tail.group("order") or tail.group("limit")):
+            if tail.group("order"):
+                order_by = []
+                for part in tail.group("order").split(","):
+                    toks = part.split()
+                    order_by.append((toks[0], len(toks) > 1 and toks[1].lower() == "desc"))
+            if tail.group("limit"):
+                limit = int(tail.group("limit"))
+            sql = sql[: tail.start()]
     m = _SELECT_RE.match(sql)
     if not m:
         raise BadRequest(f"unsupported SQL (expected SELECT ... FROM ...): {sql!r}")
     for kw in ("join", "having", "order by", "limit"):
         if re.search(rf"\b{kw}\b", sql, re.IGNORECASE):
-            raise BadRequest(f"{kw.upper()} is not supported by the TSDB dialect")
+            hint = "" if extensions else " (pass extensions=True / --sql-ext for ORDER BY/LIMIT)"
+            raise BadRequest(f"{kw.upper()} is not supported by the TSDB dialect{hint}")
     cols_raw = _split_cols(m.group("cols"))
     columns, seen, wildcard = [], set(), False
     for raw in cols_raw:
@@ -125,6 +156,8 @@ def parse_query(sql: str) -> ParsedQuery:
         filter=where.strip() if where else None,
         group_by=(m.group("groupby") or "").strip() or None,
         wildcard=wildcard,
+        order_by=order_by,
+        limit=limit,
     )
 
 
@@ -157,10 +190,28 @@ def to_select_params(parsed: ParsedQuery, **overrides) -> SelectParams:
     return params
 
 
-def run_sql(querier, sql: str, **overrides) -> DataFrame:
+def _apply_extensions(df: DataFrame, parsed: ParsedQuery) -> DataFrame:
+    """ORDER BY / LIMIT over the output frame — native Spark operators
+    (a TakeOrdered / CollectLimit the optimizer pushes as far as the
+    plan allows), only reachable with ``extensions=True``."""
+    if parsed.order_by:
+        missing = [c for c, _ in parsed.order_by if c not in df.columns]
+        if missing:
+            raise BadRequest(f"ORDER BY column(s) not in result: {missing}")
+        df = df.orderBy(
+            *[F.col(c).desc() if d else F.col(c).asc() for c, d in parsed.order_by]
+        )
+    if parsed.limit is not None:
+        df = df.limit(parsed.limit)
+    return df
+
+
+def run_sql(querier, sql: str, extensions: bool = False, **overrides) -> DataFrame:
     """Parse + execute; returns the wide frame (time + one column per
-    requested metric×function, named ``alias`` or ``func(metric)``)."""
-    parsed = parse_query(sql)
+    requested metric×function, named ``alias`` or ``func(metric)``).
+    ``extensions=True`` additionally accepts trailing ORDER BY / LIMIT
+    (see module docstring)."""
+    parsed = parse_query(sql, extensions=extensions)
     params = to_select_params(parsed, **overrides)
     from v3io_tsdb_spark.operators.aggregates import parse_functions
 
@@ -181,8 +232,11 @@ def run_sql(querier, sql: str, **overrides) -> DataFrame:
             if (params.name and not parsed.wildcard)
             else None
         )
-        return to_wide_frame(
-            res.drop(*[c for c, _ in VARIANT_COLS]), time_col="t", values=vals
+        return _apply_extensions(
+            to_wide_frame(
+                res.drop(*[c for c, _ in VARIANT_COLS]), time_col="t", values=vals
+            ),
+            parsed,
         )
 
     melted = to_series(res, funcs)
@@ -236,4 +290,4 @@ def run_sql(querier, sql: str, **overrides) -> DataFrame:
         .agg(F.first("value", ignorenulls=True))
         .orderBy("time", *group_cols)
     )
-    return wide
+    return _apply_extensions(wide, parsed)
