@@ -1567,6 +1567,29 @@ def q_doc_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_distinct", "n_tokens", _r("entropy", 6))
 
 
+def q_doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup (X66): md5 over the canonical
+    text form (casefold, punctuation→space, whitespace collapsed), per
+    doc the cluster size and the keep-lowest-id canonical verdict —
+    catches the case/punct/spacing re-render dups plain exact dedup
+    misses."""
+    from v3io_tsdb_spark.functions.text import normalized_dedup_stats
+
+    return normalized_dedup_stats(_docs_scattered(spark, sf_dir)).select(
+        "doc_id", "norm_fp", "n_dups", "is_canonical"
+    )
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style quality filter (X65, CCNet shape): per-doc mean unigram
+    log-probability under the corpus's own add-0.5-smoothed unigram
+    distribution; unusual-vocabulary docs score low."""
+    from v3io_tsdb_spark.functions.text import unigram_logprob
+
+    out = unigram_logprob(_docs_scattered(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", _r("mean_logprob", 6))
+
+
 def q_tsdb_percentiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (event_type, day) value percentiles (p50/p95) — the latency-
     band profile the reference's fixed aggregate set lacks. Same scale
@@ -1760,12 +1783,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2): no
     query's newest driver row should age past ~2 rounds, so each round
-    the tail rotates back into the head. Round-7 head-50 = the 33
-    queries whose newest driver rows are from r5 (the r6 tail) + the
-    17 entries touched or first-gated this round (the five stream
-    queries, the two prefix-sum consumers, the ADVICE-fixed operators,
-    and the r6-new rows). The r7 tail-33 all carry green r6 driver
-    rows, so the r6+r7 union re-covers all 83 with every row ≤2 rounds
+    the tail rotates back into the head. Round-7 head = the 33 queries
+    whose newest driver rows are from r5 (the r6 tail) + 14 entries
+    touched this round (the five stream queries, the two prefix-sum
+    consumers, the ADVICE-fixed operators) + the 2 brand-new X65/X66
+    rows (49 total). The r7 tail (36) all carry green r6 driver rows,
+    so the r6+r7 union re-covers all 85 with every row ≤2 rounds
     old."""
     return {
         # --- head: r5-evidenced queries rotating back under the gate ---
@@ -1817,10 +1840,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
         "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
         "doc_emb_join_stats": q_doc_emb_join_stats,
+        # --- head: NEW this round (first driver gating) ---
+        "doc_normalized_dedup": q_doc_normalized_dedup,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        # --- overflow tail (positions 50+): green r6 driver rows ---
         "events_top_users_daily": q_events_top_users_daily,
         "events_seasonality": q_events_seasonality,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
-        # --- overflow tail (positions 50+): green r6 driver rows ---
         "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
         "tsdb_ewma_daily": q_tsdb_ewma_daily,
         "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
@@ -3289,6 +3315,35 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(c) AS BIGINT) AS n_tokens,
                  round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + {EPS6}, 6) AS entropy
           FROM tf GROUP BY 1
+        """,
+        "doc_normalized_dedup": """
+          WITH norm AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^\\p{L}\\p{Nd}\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_fp
+            FROM documents
+          )
+          SELECT doc_id, norm_fp,
+                 CAST(count(*) OVER (PARTITION BY norm_fp) AS BIGINT) AS n_dups,
+                 doc_id = min(doc_id) OVER (PARTITION BY norm_fp) AS is_canonical
+          FROM norm
+        """,
+        "doc_unigram_logprob": f"""
+          WITH tk AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+            FROM documents
+          ),
+          tf AS (SELECT doc_id, term, count(*) AS c_doc FROM tk GROUP BY 1, 2),
+          corpus AS (SELECT term, sum(c_doc) AS c_corpus FROM tf GROUP BY 1),
+          tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus)
+          SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_tokens,
+                 round(sum(tf.c_doc * ln((c.c_corpus + 0.5)
+                          / (t.n_total + 0.5 * t.v_size))) / sum(tf.c_doc)
+                       + {EPS6}, 6) AS mean_logprob
+          FROM tf JOIN corpus c USING (term) CROSS JOIN tot t
+          GROUP BY 1
         """,
         "tsdb_downsample_prev_6h": f"""
           WITH

@@ -98,6 +98,8 @@ HEADLINE = [
     "events_top_users_daily",
     "events_seasonality",
     "tsdb_sql_star",
+    "doc_normalized_dedup",
+    "doc_unigram_logprob",
 ]
 
 

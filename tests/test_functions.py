@@ -742,3 +742,51 @@ def test_extract_features_real_codec_with_pil(spark):
     assert out[0]["feature"] == [-1.0] * 4
     assert out[1]["feature"] == [1.0] * 4
     assert out[0]["n_bytes"] > 0 and len(out[0]["content_sha"]) == 64
+
+
+def test_normalized_dedup_stats(spark):
+    """X66: case/punct/spacing variants collapse to one cluster; the
+    lowest id is canonical; distinct texts stay singletons."""
+    from v3io_tsdb_spark.functions.text import normalized_dedup_stats
+
+    rows = [
+        (1, "Hello, World!"),
+        (2, "hello   world"),
+        (3, "HELLO WORLD."),
+        (4, "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalized_dedup_stats(df).collect()}
+    assert out[1]["n_dups"] == 3 and out[1]["is_canonical"]
+    assert out[2]["n_dups"] == 3 and not out[2]["is_canonical"]
+    assert out[3]["norm_fp"] == out[1]["norm_fp"]
+    assert out[4]["n_dups"] == 1 and out[4]["is_canonical"]
+    assert out[4]["norm_fp"] != out[1]["norm_fp"]
+
+
+def test_unigram_logprob(spark):
+    """X65: mean log-prob matches the hand-computed add-alpha model,
+    and a common-vocabulary doc outscores an unusual-vocabulary one."""
+    import math
+
+    from v3io_tsdb_spark.functions.text import unigram_logprob
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the cat ran"),
+        (3, "zyx qwv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df, alpha=0.5).collect()}
+    # corpus: the:2 cat:2 sat:1 ran:1 zyx:1 qwv:1 -> N=8, V=6
+    N, V, a = 8, 6, 0.5
+
+    def p(c):
+        return (c + a) / (N + a * V)
+
+    exp1 = (math.log(p(2)) + math.log(p(2)) + math.log(p(1))) / 3
+    exp3 = (math.log(p(1)) + math.log(p(1))) / 2
+    assert out[1]["mean_logprob"] == pytest.approx(exp1, abs=1e-9)
+    assert out[3]["mean_logprob"] == pytest.approx(exp3, abs=1e-9)
+    assert out[1]["mean_logprob"] > out[3]["mean_logprob"]
+    assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 2

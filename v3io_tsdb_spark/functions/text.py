@@ -386,3 +386,92 @@ def word_entropy(
         n.cast("long").alias("n_tokens"),
         (F.log(n) - clnc / n).alias("entropy"),
     )
+
+
+def normalized_text_col(text: Column) -> Column:
+    """Aggressive canonical form for normalization-robust dedup:
+    casefold, punctuation → space, whitespace collapsed, trimmed.
+    Pure column expression (regexp_replace chain, JVM-side) and exactly
+    reproducible in ANSI SQL, so normalized fingerprints can be
+    oracle-checked. Catches the near-dups exact dedup misses when only
+    case/punctuation/spacing differ (the most common CommonCrawl
+    re-render delta)."""
+    stripped = F.regexp_replace(F.lower(text), r"[^\p{L}\p{Nd}\s]+", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def normalized_dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over the NORMALIZED form: per doc, the md5 of its
+    canonical text, the cluster size, and whether this doc is the
+    cluster's canonical representative (lowest id — the same
+    keep-lowest rule as functions/dedup.exact_dedup).
+
+    Plan shape: groupBy(fingerprint) cluster stats (map-side
+    combinable — a boilerplate fingerprint shared by millions of docs
+    partial-aggregates on every executor, one reduce row) joined back
+    1:1 on the fingerprint. Deliberately NOT a window over the
+    fingerprint: that would sort the degenerate all-dups cluster on a
+    single task. Normalization itself is scan-side."""
+    fp = F.md5(normalized_text_col(F.col(text_col))).alias("norm_fp")
+    docs = df.select(F.col(id_col), fp)
+    clusters = docs.groupBy("norm_fp").agg(
+        F.count("*").cast("long").alias("n_dups"),
+        F.min(id_col).alias("_canon_id"),
+    )
+    return (
+        docs.join(clusters, "norm_fp")
+        .select(
+            id_col,
+            "norm_fp",
+            "n_dups",
+            (F.col(id_col) == F.col("_canon_id")).alias("is_canonical"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under the corpus's own
+    add-``alpha``-smoothed unigram distribution — the cheap LM-style
+    quality filter (CCNet-shape): documents whose vocabulary is
+    unusual for the corpus score low, boilerplate scores high.
+
+    Plan shape (100 TB posture): one explode, then
+      1. per-(doc, term) counts — doc-keyed hash aggregate,
+      2. corpus term counts — term-keyed hash aggregate over (1),
+         output bounded by vocabulary size, map-side combinable,
+      3. a 1-row corpus-totals aggregate broadcast back,
+      4. tf ⋈ corpus on term (1:1 per row, no fan-out; shuffle join —
+         vocabulary is NOT assumed broadcastable), then a doc-keyed
+         aggregate of ``c_doc · ln p_term``.
+    No window, no all-pairs; every shuffle keys on doc_id or term.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("c_doc"))
+    corpus = tf.groupBy("term").agg(F.sum("c_doc").alias("c_corpus"))
+    totals = corpus.agg(
+        F.sum("c_corpus").alias("n_total"), F.count("*").alias("v_size")
+    )
+    logp = F.log(
+        (F.col("c_corpus") + F.lit(alpha))
+        / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+    )
+    scored = (
+        tf.join(corpus, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_tokens"),
+            (F.sum(F.col("c_doc") * logp) / F.sum("c_doc")).alias("mean_logprob"),
+        )
+    )
+    return scored
