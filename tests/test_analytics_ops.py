@@ -237,3 +237,45 @@ def test_fixed_width_histogram_float_totals_not_truncated(spark):
     dfi = spark.createDataFrame([("en", 7), ("en", 8)], "lang string, n long")
     ri = fixed_width_histogram(dfi, "n", 500, ("lang",)).collect()[0]
     assert ri["total"] == 15 and isinstance(ri["total"], int)
+
+
+def test_irate_idelta(spark):
+    from v3io_tsdb_spark.operators.counters import irate_idelta
+
+    rows = [
+        # series a, bucket 0: samples at 0s,10s,30s -> last pair (10,30): dv=5, dt=20s
+        ("cpu", "a", 0, 10.0), ("cpu", "a", 10_000, 15.0), ("cpu", "a", 30_000, 20.0),
+        # series a, bucket 1 (day 1): single sample -> null irate/idelta
+        ("cpu", "a", D + 1000, 99.0),
+        # series b, bucket 0: counter reset in last pair -> negative idelta kept raw
+        ("cpu", "b", 0, 100.0), ("cpu", "b", 60_000, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, value double")
+    out = {(r["uid"], r["t"]): r
+           for r in irate_idelta(df, step_ms=D).collect()}
+    a0 = out[("a", 0)]
+    assert a0["count"] == 3 and a0["idelta"] == 5.0
+    assert a0["irate"] == pytest.approx(5.0 / 20.0)
+    a1 = out[("a", D)]
+    assert a1["count"] == 1 and a1["idelta"] is None and a1["irate"] is None
+    b0 = out[("b", 0)]
+    assert b0["idelta"] == -98.0 and b0["irate"] == pytest.approx(-98.0 / 60.0)
+
+
+def test_script_profile(spark):
+    from v3io_tsdb_spark.functions.text import script_profile
+
+    rows = [
+        (1, "hello world"),        # latin
+        (2, "你好世界 hello"),       # han-dominant (4 han vs 5 latin -> latin wins!)
+        (3, "Привет мир"),          # cyrillic
+        (4, "1234 !!"),             # no profiled script
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["n_latin"] == 10
+    assert out[2]["n_han"] == 4 and out[2]["n_latin"] == 5
+    assert out[2]["dominant_script"] == "latin"
+    assert out[3]["dominant_script"] == "cyrillic" and out[3]["n_latin"] == 0
+    assert out[4]["dominant_script"] == "other" and out[4]["n_chars"] == 7
+    assert out[3]["r_cyrillic"] == pytest.approx(9 / 10)

@@ -56,3 +56,51 @@ def counter_resets_changes(
             F.count(value_col).alias("count"),
         )
     )
+
+
+def irate_idelta(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+) -> DataFrame:
+    """Prometheus-style instant rate per (series, bucket): ``irate`` =
+    (v_last − v_prev) / (t_last − t_prev) over the LAST TWO samples of
+    the bucket (seconds in the denominator), ``idelta`` = the raw last
+    delta. Buckets with fewer than two samples, or a zero time gap
+    between the last two, get null — no verdict, not 0 (the same rule
+    Prometheus applies to a range with <2 points).
+
+    Window semantics: strictly within-bucket (the Prometheus analog of
+    evaluating ``irate(m[step])`` at each bucket end). Plan shape: ONE
+    shuffle on (series, bucket) — the ``lag`` window partitions by the
+    same composite key the final groupBy uses, so the window's sort is
+    bucket-bounded (samples-per-bucket rows, never a whole series) and
+    the aggregate reuses the partitioning. Ties in ``ts_col`` are
+    broken by value for a deterministic lag order.
+    """
+    t = tumbling_bucket(F.col(ts_col), from_ms, step_ms)
+    b = df.withColumn("_b", t)
+    w = Window.partitionBy(*series_cols, "_b").orderBy(ts_col, value_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    scored = b.withColumn("_dv", F.col(value_col) - prev_v).withColumn(
+        "_dt", (F.col(ts_col) - prev_t).cast("double") / 1000.0
+    )
+    last = F.max_by(F.struct("_dv", "_dt"), F.struct(F.col(ts_col), F.col(value_col)))
+    return (
+        scored.groupBy(*series_cols, F.col("_b").alias("t"))
+        .agg(
+            F.count(value_col).cast("long").alias("count"),
+            last.alias("_last"),
+        )
+        .select(
+            *series_cols,
+            "t",
+            "count",
+            F.col("_last._dv").alias("idelta"),
+            F.try_divide(F.col("_last._dv"), F.col("_last._dt")).alias("irate"),
+        )
+    )
