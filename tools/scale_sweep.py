@@ -151,6 +151,33 @@ def ops(spark):
 
         return word_entropy(docs(d)).agg(F.sum("entropy")).collect()
 
+    def op_script(d):
+        from v3io_tsdb_spark.functions.text import script_profile
+
+        return script_profile(docs(d)).agg(F.sum("n_latin")).collect()
+
+    def op_unigram(d):
+        from v3io_tsdb_spark.functions.text import unigram_logprob
+
+        return unigram_logprob(docs(d)).agg(F.sum("mean_logprob")).collect()
+
+    def op_norm_dedup(d):
+        from v3io_tsdb_spark.functions.text import normalized_dedup_stats
+
+        return normalized_dedup_stats(docs(d)).agg(F.sum("n_dups")).collect()
+
+    def op_irate(d):
+        from pyspark.sql import functions as F2
+
+        from v3io_tsdb_spark.operators.counters import irate_idelta
+
+        s = events_as_samples(spark, d).withColumn(
+            "uid", F2.element_at(F2.col("labels"), "uid")
+        )
+        return irate_idelta(
+            s, ts_col="ts", step_ms=86_400_000, from_ms=1704067200000
+        ).agg(F2.sum("irate")).collect()
+
     return {
         "quality_rules": op_quality,
         "dup_span_stats": op_dup_spans,
@@ -160,6 +187,10 @@ def ops(spark):
         "counter_resets": op_resets,
         "retention_cohorts": op_retention,
         "word_entropy": op_entropy,
+        "script_profile": op_script,
+        "unigram_logprob": op_unigram,
+        "normalized_dedup": op_norm_dedup,
+        "irate_idelta": op_irate,
     }
 
 
