@@ -180,3 +180,38 @@ def test_ngram_jaccard_matches_python_reference(spark, docs, max_df):
             if jac >= 0.3:
                 want[(i, j)] = round(jac + 1e-9, 6)
     assert got == want
+
+
+def test_reference_interpolate_golden_table(spark):
+    """Mirror of pkg/pquerier/interpolate_test.go:36-83 through the
+    aligner + the collector's cell rule (collector.go:262-273): samples
+    prev=(t0+10, 100) next=(t0+110, 200), one grid cell at t0+60,
+    unlimited tolerance. Expected cell values per interpolator:
+    none → 200 (the collector writes interpolatedV even though the fn
+    reports the sample's own time), nan → NaN, prev_val → 100,
+    next_val → 200, linear → 150 (and NaN next ⇒ NaN)."""
+    df = _mk_samples(spark, [[(10, 100), (110, 200)]])
+    golden = {
+        "none": 200.0,
+        "nan": float("nan"),
+        "prev_val": 100.0,
+        "next_val": 200.0,
+        "linear": 150.0,
+    }
+    for interp, want in golden.items():
+        out = I.align_to_grid(
+            df, T0 + 60, T0 + 60, 60_000, interp=interp,
+            tolerance_ms=10**15,
+        ).collect()
+        assert len(out) == 1, (interp, out)
+        got = out[0]["value"]
+        if math.isnan(want):
+            assert math.isnan(got), interp
+        else:
+            assert got == want, (interp, got)
+    # lin with NaN next value propagates NaN (interpolate_test.go:79-82)
+    df2 = _mk_samples(spark, [[(10, 100), (110, float("nan"))]])
+    out = I.align_to_grid(
+        df2, T0 + 60, T0 + 60, 60_000, interp="linear", tolerance_ms=10**15
+    ).collect()
+    assert len(out) == 1 and math.isnan(out[0]["value"])

@@ -343,3 +343,36 @@ def test_sql_dialect_extensions_order_by_limit(spark, make_samples):
     with pytest.raises(BadRequest, match="not in result"):
         run_sql(q, "select avg(cpu) from tsdb order by nope",
                 extensions=True, from_time=T0, to_time=T0 + 30 * MIN, step="2m")
+
+
+def test_parse_query_reference_goldens():
+    """Mirror of pkg/pquerier/sql_parser_test.go TestParseQuery /
+    TestNegativeParseQuery cases not covered elsewhere."""
+    # FROM-less multi-column
+    p = parse_query("select columnA, columnB")
+    assert [c.metric for c in p.columns] == ["columnA", "columnB"]
+    # interp-only column with tolerance
+    p = parse_query("select linear(columnA, '10m')")
+    assert p.columns[0].interpolator == "linear"
+    assert p.columns[0].tolerance == "10m" and p.columns[0].function == ""
+    # quoted slash table path (TestParseQuery `from 'my/table'`)
+    p = parse_query("select * from 'my/table'")
+    assert p.table == "my/table" and p.wildcard
+    # bare table name
+    assert parse_query("select min(columnA) from my_table").table == "my_table"
+    # multi group-by with trailing space
+    p = parse_query(
+        "select min(columnA) as bambi, max(linear(columnB)) as bimba "
+        "where columnB >= 123 group by columnB,columnC "
+    )
+    assert p.group_by == "columnB,columnC"
+    assert p.columns[1].alias == "bimba" and p.columns[1].interpolator == "linear"
+    # negatives (TestNegativeParseQuery)
+    with pytest.raises(BadRequest, match="duplicate alias"):
+        parse_query("select columnA as something, columnB as something")
+    with pytest.raises(BadRequest, match="duplicate alias"):
+        parse_query("select avg(columnA) as something, columnB as something")
+    with pytest.raises(BadRequest, match="alias a '\\*'"):
+        parse_query("select avg(*) as something")
+    with pytest.raises(BadRequest, match="shadows"):
+        parse_query("select avg(cpu), max(cpu) as cpu")

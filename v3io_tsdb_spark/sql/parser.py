@@ -44,7 +44,9 @@ _INTERP_NAMES = {"none", "nan", "prev_val", "prev", "next_val", "next", "linear"
 # bare ``select cpu,diskio`` (FROM defaults to dual), and its golden
 # suites use that form (dataframe_query_integration_test.go:213)
 _SELECT_RE = re.compile(
-    r"^\s*select\s+(?P<cols>.+?)(?:\s+from\s+(?P<table>[\w.\"']+))?"
+    # table: bare identifier, or quoted path — the reference accepts
+    # `from 'my/table'` (slash paths, sql_parser_test.go TestParseQuery)
+    r"^\s*select\s+(?P<cols>.+?)(?:\s+from\s+(?P<table>'[^']*'|\"[^\"]*\"|[\w./-]+))?"
     r"(?:\s+where\s+(?P<where>.+?))?"
     r"(?:\s+group\s+by\s+(?P<groupby>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -144,7 +146,19 @@ def parse_query(sql: str, extensions: bool = False) -> ParsedQuery:
             raise BadRequest(f"duplicate column {raw!r}")
         seen.add(key)
         columns.append(col)
-    # alias shadowing a metric name is an error (ref: sql_parser.go:178-198)
+    # alias rules (ref: pkg/pquerier/sql_parser.go:178-198 +
+    # TestNegativeParseQuery): duplicate aliases are an error, an alias
+    # on a '*' column template is an error, and an alias shadowing a
+    # metric name is an error
+    seen_alias: set = set()
+    for c in columns:
+        if not c.alias:
+            continue
+        if c.metric == "*":
+            raise BadRequest("cannot alias a '*' column")
+        if c.alias in seen_alias:
+            raise BadRequest(f"duplicate alias {c.alias!r}")
+        seen_alias.add(c.alias)
     aliases = {c.alias for c in columns if c.alias}
     for c in columns:
         if c.metric in aliases:
