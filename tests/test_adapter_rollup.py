@@ -255,7 +255,13 @@ def test_delete_rebuilds_midnight_spanning_rdt(tmp_path, spark):
             break
         M += DAY
     B = M - p  # bucket [B, B+5h) straddles the midnight at M
-    a = _mk(tmp_path, spark, aggregation_granularity="5h")
+    # validate_schema=False: the reference REJECTS non-day-dividing
+    # granularities at create (schema_test.go:58-83, mirrored in
+    # TSDBConfig.validate); this test exercises the engine's
+    # wider-than-reference capability on purpose.
+    a = TSDBAdapter(
+        spark, str(tmp_path / "tsdb"), TSDBConfig(aggregation_granularity="5h")
+    ).create(validate_schema=False)
     a.append(
         [
             {"ts": M - 30 * MIN, "name": "cpu", "labels": {}, "value": 1.0},  # day R

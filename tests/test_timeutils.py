@@ -38,3 +38,43 @@ def test_time_range():
     assert (f, t) == (now - 3_600_000, now)
     with pytest.raises(BadRequest):
         get_time_range(now, now - 1, now_ms=now)
+
+
+def test_rate_to_hours_reference_goldens():
+    """Mirror of pkg/tsdb/schema/schema_test.go:30-56 TestRateToHour."""
+    import pytest
+
+    from v3io_tsdb_spark.errors import BadRequest
+    from v3io_tsdb_spark.timeutils import rate_to_hours
+
+    assert rate_to_hours("1/s") == 3600
+    assert rate_to_hours("12/m") == 12 * 60
+    assert rate_to_hours("2/h") == 2
+    for bad in ("1m", "1/t", "-431/t", "-1", ""):
+        with pytest.raises(BadRequest):
+            rate_to_hours(bad)
+
+
+def test_granularity_validation_reference_goldens():
+    """Mirror of schema_test.go:58-83 granularity divisor/dividend-of-a-
+    day rule (the array-size branch is v3io-object-capacity-specific
+    and n/a for Parquet storage)."""
+    import pytest
+
+    from v3io_tsdb_spark.config import TSDBConfig
+    from v3io_tsdb_spark.errors import SchemaError
+
+    TSDBConfig(aggregation_granularity="1h").validate()
+    TSDBConfig(aggregation_granularity="15m").validate()
+    TSDBConfig(aggregation_granularity="30m").validate()
+    TSDBConfig(aggregation_granularity="48h").validate()  # dividend of a day
+    with pytest.raises(SchemaError):
+        TSDBConfig(aggregation_granularity="7h").validate()
+    with pytest.raises(SchemaError):
+        TSDBConfig(aggregation_granularity="25h").validate()
+    # rate validation is wired through validate() as well
+    TSDBConfig(ingestion_rate="12/m").validate()
+    from v3io_tsdb_spark.errors import BadRequest
+
+    with pytest.raises(BadRequest):
+        TSDBConfig(ingestion_rate="1m").validate()

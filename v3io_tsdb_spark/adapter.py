@@ -93,13 +93,22 @@ class TSDBAdapter:
 
     # -- lifecycle ---------------------------------------------------------
 
-    def create(self, if_not_exists: bool = False) -> "TSDBAdapter":
-        """ref: pkg/tsdb/v3iotsdb.go:80-120 (CreateTSDB)"""
+    def create(
+        self, if_not_exists: bool = False, validate_schema: bool = True
+    ) -> "TSDBAdapter":
+        """ref: pkg/tsdb/v3iotsdb.go:80-120 (CreateTSDB). Validation
+        mirrors the reference's create-time rules (granularity divides/
+        divided-by a day, rate format — schema.go:54,69);
+        ``validate_schema=False`` opts out for the engine's own
+        wider-than-reference capabilities (midnight-spanning rollup
+        buckets work here, see test_delete_rebuilds_midnight_spanning_rdt)."""
         schema_file = os.path.join(self.path, SCHEMA_FILE)
         if os.path.exists(schema_file):
             if if_not_exists:
                 return self
             raise SchemaError(f"TSDB already exists at {self.path}")
+        if validate_schema:
+            self.config.validate()
         self.config.save(self.path)
         self._schema_mtime = os.path.getmtime(schema_file)
         # Fresh table → empty catalog from day one, so the pre-catalog

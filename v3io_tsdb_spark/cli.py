@@ -47,6 +47,7 @@ def cmd_create(args):
     cfg = TSDBConfig(
         aggregation_granularity=args.granularity,
         retention_hours=args.retention_hours,
+        ingestion_rate=args.rate or "",
     )
     TSDBAdapter(_spark(), args.path, cfg).create(if_not_exists=args.if_not_exists)
     print(f"created TSDB at {args.path} (granularity {args.granularity})")
@@ -282,6 +283,9 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("create", help="create a new TSDB")
     common(c)
     c.add_argument("--granularity", default="1h")
+    c.add_argument("-r", "--rate", default="",
+                   help='declared ingestion rate "[0-9]+/[smh]" (e.g. 12/m); '
+                        "validated and stored as metadata (ref: tsdbctl create -r)")
     c.add_argument("--retention-hours", type=int, default=0,
                    help="drop partitions older than this (0 = keep forever)")
     c.add_argument("--if-not-exists", action="store_true")

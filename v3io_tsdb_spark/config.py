@@ -63,6 +63,32 @@ class TSDBConfig:
     # (ref: pkg/config/config.go:196-200 SampleRetention /
     # LayerRetentionTime, pkg/partmgr/partmgr.go:330,357 retentionDays).
     retention_hours: int = 0
+    # Declared ingestion rate "[0-9]+/[smh]" (ref: tsdbctl create -r).
+    # The reference derives chunk/partition intervals from it
+    # (pkg/tsdb/schema/schema.go:137-164); here it is validated and
+    # stored as metadata only — Parquet row groups need no rate-based
+    # sizing. Empty = unset.
+    ingestion_rate: str = ""
+
+    def validate(self) -> "TSDBConfig":
+        """Create-time schema validation (ref: pkg/tsdb/schema/
+        schema.go:54,69 + schema_test.go goldens): the ingestion rate
+        must parse when set, and the aggregation granularity must be a
+        divisor or dividend of one day."""
+        from v3io_tsdb_spark.errors import SchemaError
+
+        if self.ingestion_rate:
+            from v3io_tsdb_spark.timeutils import rate_to_hours
+
+            rate_to_hours(self.ingestion_rate)
+        day_ms = 24 * 3_600_000
+        gran = self.granularity_ms
+        if day_ms % gran != 0 and gran % day_ms != 0:
+            raise SchemaError(
+                "the aggregation granularity should be a divisor or a "
+                'dividend of 1 day. Examples: "10m"; "30m"; "2h"'
+            )
+        return self
 
     @property
     def granularity_ms(self) -> int:

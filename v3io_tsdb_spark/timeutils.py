@@ -101,3 +101,36 @@ def get_time_range(
     if to_ms < from_ms:
         raise BadRequest(f"from ({from_ms}) must be <= to ({to_ms})")
     return from_ms, to_ms
+
+
+def rate_to_hours(samples_ingestion_rate: str) -> int:
+    """Parse an ingestion-rate string ``"[0-9]+/[smh]"`` to samples per
+    hour (ref: pkg/tsdb/schema/schema.go:166-196 rateToHours; goldens
+    pkg/tsdb/schema/schema_test.go:30-56 — "1/s"→3600, "12/m"→720,
+    "2/h"→2; "1m"/"1/t"/negatives/empty are errors). The reference
+    sizes chunk/partition intervals from this; the Spark engine keeps
+    it as validated metadata (Parquet needs no rate-based sizing)."""
+    err = BadRequest(
+        'invalid samples ingestion rate. The rate must be of the format '
+        '"[0-9]+/[smh]". For example, "12/m"'
+    )
+    s = samples_ingestion_rate or ""
+    if len(s) < 3 or s[-2] != "/":
+        raise err
+    unit = s[-1]
+    try:
+        n = int(s[:-2])
+    except ValueError:
+        raise err from None
+    if n <= 0:
+        raise BadRequest(
+            f"invalid samples ingestion rate ({s[:-2]}). "
+            "The rate cannot have a negative number of samples"
+        )
+    if unit == "s":
+        return n * 3600
+    if unit == "m":
+        return n * 60
+    if unit == "h":
+        return n
+    raise err
