@@ -250,3 +250,74 @@ def test_get_empty_response_golden(spark, make_samples):
                                 step="3h",
                                 from_time=T0 - 10 * DAY, to_time=T0 - 8 * DAY))
     assert res.count() == 0
+
+
+def test_column_spec_negative_duplicates(spark, make_samples):
+    """Mirror of selectQueryContext_test.go TestNegativeCreateColumnSpecs:
+    duplicate functions / duplicate (metric, function) column specs are
+    errors, including whitespace variants."""
+    from v3io_tsdb_spark.errors import BadRequest
+    from v3io_tsdb_spark.querier import RequestedColumn
+
+    df = make_samples([("cpu", {"os": "linux"}, [(0, 10), (MIN, 20)])])
+    q = Querier(spark, df)
+    with pytest.raises(BadRequest):
+        q.select(SelectParams(name="cpu", functions="count, count",
+                              from_time=T0, to_time=T0 + 2 * MIN, step="1m"))
+    with pytest.raises(BadRequest):
+        q.select(SelectParams(name="cpu", functions="count, max,count",
+                              from_time=T0, to_time=T0 + 2 * MIN, step="1m"))
+    for dup_fn in ("count", "  count "):
+        with pytest.raises(BadRequest):
+            q.select(SelectParams(
+                columns=[
+                    RequestedColumn(metric="cpu", function="count"),
+                    RequestedColumn(metric="diskio", function="count"),
+                    RequestedColumn(metric="cpu", function=dup_fn),
+                ],
+                from_time=T0, to_time=T0 + 2 * MIN, step="1m",
+            ))
+    # but the SAME function on DIFFERENT metrics stays legal
+    q.select(SelectParams(
+        columns=[RequestedColumn(metric="cpu", function="count"),
+                 RequestedColumn(metric="diskio", function="count")],
+        from_time=T0, to_time=T0 + 2 * MIN, step="1m",
+    )).collect()
+
+
+def test_column_spec_interpolator_inheritance(spark, make_samples):
+    """Mirror of TestCreateColumnSpecs sibling-inheritance: a
+    function-less column of a metric whose sibling declared an
+    interpolator inherits it (prev_val here — observable because
+    prev_val fills from BEFORE the cell, next_val from after)."""
+    from v3io_tsdb_spark.querier import RequestedColumn
+
+    # a sample before the grid cells and one far after: Seek succeeds
+    # (reference rule — no fill without a next sample), and within the
+    # tolerance prev_val fills 42 from behind while next_val would fill
+    # 99 from ahead — a clean discriminator for which interp ran
+    df = make_samples([("cpu", {"os": "linux"}, [(0, 42.0), (10 * MIN, 99.0)])])
+    q = Querier(spark, df)
+
+    def run(cols):
+        out = q.select(SelectParams(
+            columns=cols, from_time=T0, to_time=T0 + 10 * MIN, step="1m",
+            tolerance="10m",
+        )).collect()
+        return {r["t"]: r["value"] for r in out}
+
+    # explicit prev_val: the T0+1m cell fills 42 from behind (next_val
+    # would fill 99 from the sample at T0+10m, inside the tolerance)
+    explicit = run([RequestedColumn(metric="cpu", interpolator="prev_val")])
+    assert explicit[T0 + MIN] == 42.0
+    nexts = run([RequestedColumn(metric="cpu", interpolator="next_val")])
+    assert nexts[T0 + MIN] == 99.0  # discriminator sanity
+    # two function-less columns... not allowed (duplicate); instead pair
+    # a declared-interp sibling WITH a function and a bare raw column:
+    inherited = run([
+        RequestedColumn(metric="cpu", function="count", interpolator="prev_val"),
+        RequestedColumn(metric="cpu"),
+    ])
+    # the raw column inherited prev_val: T0+1m fills 42 from behind,
+    # not 99 from ahead
+    assert inherited[T0 + MIN] == 42.0

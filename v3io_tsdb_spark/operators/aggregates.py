@@ -64,6 +64,12 @@ def parse_functions(functions: str | list | None) -> tuple[list[str], bool]:
         raise BadRequest("cannot mix per-series and cross-series (_all) aggregates")
     cross_series = all(cross) and bool(funcs)
     funcs = [f[:-4] if f.endswith("_all") else f for f in funcs]
+    # explicit duplicates are an error, as in the reference's column
+    # specs (ref: pkg/pquerier/selectQueryContext_test.go
+    # TestNegativeCreateColumnSpecs "count, count")
+    if len(set(funcs)) != len(funcs):
+        dup = next(f for f in funcs if funcs.count(f) > 1)
+        raise BadRequest(f"aggregate {dup!r} requested more than once")
     for f in funcs:
         if f not in ALL_AGGREGATES:
             raise BadRequest(f"unsupported aggregate {f!r}; supported: {ALL_AGGREGATES}")

@@ -219,6 +219,18 @@ class Querier:
         """Build the lazy DataFrame for a select query."""
         if params is None:
             params = SelectParams(**kwargs)
+        # duplicate (metric, function) column specs are an error, as in
+        # the reference's createColumnSpecs (ref: pkg/pquerier/
+        # selectQueryContext_test.go TestNegativeCreateColumnSpecs —
+        # including whitespace variants like "count" vs "  count ")
+        seen_cols: set = set()
+        for c in params.columns or []:
+            key = (c.metric, (c.function or "").strip().lower())
+            if key in seen_cols:
+                raise BadRequest(
+                    f"column {key[1] or 'raw'}({key[0]}) requested more than once"
+                )
+            seen_cols.add(key)
         from_ms, to_ms = get_time_range(params.from_time, params.to_time)
         step_ms = str2duration_ms(params.step or 0)
         window_ms = str2duration_ms(params.aggregation_window or 0)
@@ -230,9 +242,13 @@ class Querier:
         # the same functions; unrequested (metric, function) cells are
         # masked after aggregation so each metric only answers its own
         # requested columns.
-        col_funcs = ",".join(
-            c.function for c in (params.columns or []) if c.function
-        )
+        # ordered-unique: the same function on DIFFERENT metrics is legal
+        # (cpu count + disk count); parse_functions rejects literal dups
+        col_funcs = ",".join(dict.fromkeys(
+            f.strip().lower()
+            for c in (params.columns or []) if c.function
+            for f in c.function.split(",") if f.strip()
+        ))
         if col_funcs:
             merged, col_cross = agg.parse_functions(col_funcs)
             funcs += [f for f in merged if f not in funcs]
@@ -282,6 +298,20 @@ class Querier:
         if params.disable_client_aggr is not None:
             return params.disable_client_aggr
         return self.config.disable_client_aggr
+
+    @staticmethod
+    def _metric_interp(params: SelectParams) -> dict:
+        """Per-metric interpolator inheritance: a column WITHOUT an
+        explicit interpolator inherits the one any sibling column of
+        the SAME metric declared (ref: pkg/pquerier/
+        selectQueryContext_test.go TestCreateColumnSpecs — "cpu sum
+        linear + cpu count" ⇒ count is linear too; first declared
+        wins)."""
+        per: dict = {}
+        for c in params.columns or []:
+            if c.interpolator and c.metric not in per:
+                per[c.metric] = c.interpolator
+        return per
 
     def _per_metric_funcs(self, params: SelectParams, funcs: list) -> dict:
         """Requested functions per metric: column specs may request
@@ -461,6 +491,7 @@ class Querier:
 
         agg_res = self._aggregate(base, params, funcs, from_ms, to_ms, step_ms, 0, [])
         agg_res = self._mask_unrequested(agg_res, params, funcs)
+        metric_interp = self._metric_interp(params)
         parts = []
         for c in params.columns:
             if c.function:
@@ -473,7 +504,8 @@ class Querier:
             parts.append(
                 align_to_grid(
                     src, from_ms, to_ms, step_ms,
-                    interp=c.interpolator or params.interpolator or "next_val",
+                    interp=c.interpolator or metric_interp.get(c.metric)
+                    or params.interpolator or "next_val",
                     tolerance_ms=tol,
                 )
             )
@@ -491,10 +523,33 @@ class Querier:
 
     def _downsample(self, base, params, from_ms, to_ms, step_ms) -> DataFrame:
         """Step without functions → per-cell seek+interpolate value
-        (ref: pkg/pquerier/collector.go:236-281 downsampleRawData)."""
+        (ref: pkg/pquerier/collector.go:236-281 downsampleRawData).
+        With column specs, each column aligns with its own interpolator
+        (sibling-inherited per metric, see _metric_interp); a bare
+        query aligns everything with the query-level interpolator."""
+        src = base.where(F.col("value").isNotNull())
+        if params.columns:
+            metric_interp = self._metric_interp(params)
+            parts = []
+            for c in params.columns:
+                tol_src = c.tolerance if c.tolerance is not None else params.tolerance
+                tol = str2duration_ms(tol_src) if tol_src else None
+                parts.append(
+                    align_to_grid(
+                        src.where(F.col("name") == c.metric),
+                        from_ms, to_ms, step_ms,
+                        interp=c.interpolator or metric_interp.get(c.metric)
+                        or params.interpolator or "next_val",
+                        tolerance_ms=tol,
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         tol = str2duration_ms(params.tolerance) if params.tolerance else None
         return align_to_grid(
-            base.where(F.col("value").isNotNull()), from_ms, to_ms, step_ms,
+            src, from_ms, to_ms, step_ms,
             interp=params.interpolator or "next_val",
             tolerance_ms=tol,
         )
