@@ -106,3 +106,84 @@ def test_retention_cohorts_matches_pandas(spark, evs):
         off = (t // W) * W - cw
         exp.setdefault((cw, off // W), set()).add(u)
     assert got == {k: len(v) for k, v in exp.items()}
+
+
+# -- round-7 operators ------------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3 * 86_400_000 - 1),  # ts ms
+        st.floats(min_value=-50, max_value=50,
+                  allow_nan=False, allow_infinity=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda p: p[0],
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=events_strategy)
+def test_irate_idelta_matches_python_reference(spark, pts):
+    """irate/idelta must equal the straight-line per-bucket simulation:
+    sort the bucket's samples, take the last delta; <2 samples → null."""
+    from v3io_tsdb_spark.operators.counters import irate_idelta
+
+    DAY = 86_400_000
+    df = spark.createDataFrame(
+        [("m", "u", t, float(v)) for t, v in pts],
+        "name string, uid string, t long, value double",
+    )
+    got = {r["t"]: r for r in irate_idelta(df, step_ms=DAY, from_ms=0).collect()}
+
+    by_bucket: dict = {}
+    for t, v in pts:
+        by_bucket.setdefault((t // DAY) * DAY, []).append((t, float(v)))
+    for bt, samples in by_bucket.items():
+        samples.sort()
+        r = got[bt]
+        assert r["count"] == len(samples)
+        if len(samples) < 2:
+            assert r["idelta"] is None and r["irate"] is None
+        else:
+            (t1, v1), (t2, v2) = samples[-2], samples[-1]
+            assert r["idelta"] == pytest.approx(v2 - v1, abs=1e-9)
+            assert r["irate"] == pytest.approx((v2 - v1) / ((t2 - t1) / 1000.0),
+                                               abs=1e-9)
+    assert set(got) == set(by_bucket)
+
+
+corpus_strategy = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=corpus_strategy)
+def test_unigram_logprob_matches_python_reference(spark, texts):
+    """Mean unigram log-prob must match the pure-python add-alpha model
+    over the same whitespace tokenization."""
+    from v3io_tsdb_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df, alpha=0.5).collect()}
+
+    def toks(s):
+        s = s.strip().lower()
+        return s.split() if s else []
+
+    corpus: dict = {}
+    for s in texts:
+        for w in toks(s):
+            corpus[w] = corpus.get(w, 0) + 1
+    N, V = sum(corpus.values()), len(corpus)
+    for i, s in enumerate(texts):
+        ws = toks(s)
+        if not ws:
+            assert i not in got  # empty docs contribute no (doc, term) rows
+            continue
+        want = sum(math.log((corpus[w] + 0.5) / (N + 0.5 * V)) for w in ws) / len(ws)
+        assert got[i]["n_tokens"] == len(ws)
+        assert got[i]["mean_logprob"] == pytest.approx(want, abs=1e-9)
