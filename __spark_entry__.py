@@ -1459,6 +1459,41 @@ def q_tsdb_irate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (X69): deterministic old/new snapshots of
+    the documents table (old drops doc_id%10==0; new drops doc_id%7==0
+    and rewrites doc_id%5==0 with a ' v2' suffix) diffed by content
+    fingerprint → per-doc added/removed/changed/unchanged."""
+    from v3io_tsdb_spark.functions.dedup import corpus_diff
+
+    docs = _docs_scattered(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+def q_tsdb_label_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-cardinality report (X70): per label key the distinct-value
+    count, tagged-sample count, and modal value — the cardinality-
+    explosion profile (uid is the high-cardinality key, etype the low
+    one)."""
+    from v3io_tsdb_spark.catalog import label_cardinality
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        F.create_map(
+            F.lit("uid"), F.col("user_id").cast("string"),
+            F.lit("etype"), F.col("event_type"),
+        ).alias("labels")
+    )
+    return label_cardinality(df)
+
+
 def q_doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script-mix profile (X67): per-doc char counts + ratios
     for Latin/Han/Cyrillic/Arabic and the dominant script — the
@@ -1808,11 +1843,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2): no
     query's newest driver row should age past ~2 rounds, so each round
     the tail rotates back into the head. Round-7 head-50 = the 33
-    queries whose newest driver rows are from r5 (the r6 tail) + 13
+    queries whose newest driver rows are from r5 (the r6 tail) + 11
     entries touched this round (the five stream queries, the two
-    prefix-sum consumers, the ADVICE-fixed operators) + the 4
-    brand-new X65-X68 rows. The r7 tail (37) all carry green r6 driver
-    rows, so the r6+r7 union re-covers all 87 with every row ≤2 rounds
+    prefix-sum consumers, the ADVICE-fixed operators) + the 6
+    brand-new X65-X70 rows. The r7 tail (39) all carry green r6 driver
+    rows, so the r6+r7 union re-covers all 89 with every row ≤2 rounds
     old."""
     return {
         # --- head: r5-evidenced queries rotating back under the gate ---
@@ -1861,14 +1896,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_hourly": q_events_anomaly_hourly,
         "doc_length_histogram": q_doc_length_histogram,
         "tsdb_sql_star": q_tsdb_sql_star,
-        "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
-        "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
         # --- head: NEW this round (first driver gating) ---
         "doc_normalized_dedup": q_doc_normalized_dedup,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_script_profile": q_doc_script_profile,
         "tsdb_irate_daily": q_tsdb_irate_daily,
+        "doc_corpus_diff": q_doc_corpus_diff,
+        "tsdb_label_cardinality": q_tsdb_label_cardinality,
         # --- overflow tail (positions 50+): green r6 driver rows ---
+        "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
+        "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
         "doc_emb_join_stats": q_doc_emb_join_stats,
         "events_top_users_daily": q_events_top_users_daily,
         "events_seasonality": q_events_seasonality,
@@ -3234,6 +3271,36 @@ def oracle_sql() -> dict[str, str]:
                  round(dv + {EPS6}, 6) + 0.0 AS idelta,
                  round(CASE WHEN dt > 0 THEN dv / dt END + {EPS6}, 6) + 0.0 AS irate
           FROM l WHERE rn = 1
+        """,
+        "doc_corpus_diff": """
+          WITH old_ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),
+          new_ids AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0)
+          -- status is fully determined by membership + the %5 rewrite:
+          -- a doc in both snapshots differs iff the driver appended ' v2'
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN COALESCE(o.doc_id, n.doc_id) % 5 = 0 THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old_ids o FULL OUTER JOIN new_ids n ON o.doc_id = n.doc_id
+        """,
+        "tsdb_label_cardinality": """
+          WITH kv AS (
+            SELECT 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events
+            UNION ALL
+            SELECT 'etype' AS k, event_type AS v FROM events
+          ),
+          per AS (SELECT k, v, count(*) AS n FROM kv GROUP BY 1, 2),
+          ranked AS (
+            SELECT k, v, n,
+                   row_number() OVER (PARTITION BY k ORDER BY n DESC, v DESC) AS rn
+            FROM per
+          )
+          SELECT k, CAST(count(*) AS BIGINT) AS n_values,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 max(CASE WHEN rn = 1 THEN v END) AS top_value,
+                 CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_count
+          FROM ranked GROUP BY 1
         """,
         "doc_script_profile": """
           WITH c AS (

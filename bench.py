@@ -102,6 +102,8 @@ HEADLINE = [
     "doc_unigram_logprob",
     "doc_script_profile",
     "tsdb_irate_daily",
+    "doc_corpus_diff",
+    "tsdb_label_cardinality",
 ]
 
 

@@ -790,3 +790,44 @@ def test_unigram_logprob(spark):
     assert out[3]["mean_logprob"] == pytest.approx(exp3, abs=1e-9)
     assert out[1]["mean_logprob"] > out[3]["mean_logprob"]
     assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 2
+
+
+def test_corpus_diff(spark):
+    """X69: membership + fingerprint comparison across two snapshots."""
+    from v3io_tsdb_spark.functions.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "bravo"), (3, "charlie EDITED"), (4, "delta")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # fingerprint (not raw equality): whitespace/case-only deltas are
+    # NOT changes, matching exact-dedup's canonicalization
+    new2 = spark.createDataFrame([(1, "  ALPHA ")], "doc_id long, text string")
+    out2 = {r["doc_id"]: r["status"]
+            for r in corpus_diff(old.where("doc_id = 1"), new2).collect()}
+    assert out2 == {1: "unchanged"}
+
+
+def test_label_cardinality(spark):
+    """X70: per-key distinct/total/modal stats with deterministic
+    (count, value) tie-break."""
+    from pyspark.sql import functions as F
+
+    from v3io_tsdb_spark.catalog import label_cardinality
+
+    rows = [({"uid": "1", "os": "linux"},), ({"uid": "2", "os": "linux"},),
+            ({"uid": "3", "os": "mac"},), ({"uid": "3"},)]
+    df = spark.createDataFrame(rows, "labels map<string,string>")
+    out = {r["k"]: r for r in label_cardinality(df).collect()}
+    assert out["uid"]["n_values"] == 3 and out["uid"]["n_rows"] == 4
+    assert out["uid"]["top_value"] == "3" and out["uid"]["top_count"] == 2
+    assert out["os"]["n_values"] == 2 and out["os"]["n_rows"] == 3
+    assert out["os"]["top_value"] == "linux" and out["os"]["top_count"] == 2
+    # tie on count -> lexicographically larger value wins
+    tie = spark.createDataFrame([({"k1": "a"},), ({"k1": "b"},)],
+                                "labels map<string,string>")
+    t = label_cardinality(tie).collect()[0]
+    assert t["top_value"] == "b" and t["top_count"] == 1

@@ -93,3 +93,32 @@ class NamesCatalog:
 
     def has_label(self, key: str) -> bool:
         return any(key in ks for ks in self.names.values())
+
+
+def label_cardinality(df: DataFrame, labels_col: str = "labels") -> DataFrame:
+    """Per label key: distinct-value count, total tagged samples, and
+    the most frequent value with its count — the cardinality-explosion
+    debugging report every TSDB operation eventually needs (the
+    reference surfaces label keys via the names directory,
+    pkg/appender/store.go:190-203; this adds the value-level profile
+    Prometheus ecosystems get from `tsdb analyze`).
+
+    Plan shape: explode the labels map once, then two map-side-
+    combinable hash aggregates — (key, value) counts (output bounded by
+    the cardinality being measured, which is the point of the report)
+    and the per-key summary whose argmax resolves via ``max_by`` inside
+    the aggregate (deliberately NOT a per-key window: a uid-style key
+    would put millions of distinct values in one sorted partition). Tie
+    break: larger count, then lexicographically larger value.
+    """
+    kv = df.select(F.explode(F.col(labels_col)).alias("k", "v"))
+    per_kv = kv.groupBy("k", "v").agg(F.count("*").alias("n"))
+    return (
+        per_kv.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_values"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max_by("v", F.struct(F.col("n"), F.col("v"))).alias("top_value"),
+            F.max("n").cast("long").alias("top_count"),
+        )
+    )

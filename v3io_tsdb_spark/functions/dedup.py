@@ -833,3 +833,35 @@ def dedup_clusters(
     "these two match", clusters say "keep one of each group"."""
     cc = connected_components(pairs, a_col, b_col)
     return cc.withColumn("keep", F.col("id") == F.col("comp"))
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per doc id, whether
+    it was ``added``, ``removed``, ``changed`` (same id, different
+    content fingerprint) or ``unchanged`` — the audit step between
+    dataset releases (what actually moved, before re-running the
+    expensive downstream dedup/quality passes on everything).
+
+    Plan shape: fingerprint both sides scan-side (md5 over normalized
+    text, functions/text.fingerprint_col), ONE full-outer shuffle join
+    on the id — no content join, no all-pairs. At 100 TB both sides
+    shuffle once on a well-distributed key; bucketed tables co-locate
+    it away entirely (see tests/test_bucketed_join.py).
+    """
+    from v3io_tsdb_spark.functions.text import fingerprint_col
+
+    of = old.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("_fp_old"))
+    nf = new.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("_fp_new"))
+    j = of.join(nf, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(id_col, status.alias("status"))
