@@ -74,3 +74,81 @@ def test_server_and_client_paths_agree(tmp_path_factory, spark, samples, step_mu
     for k in skey:
         # abs tolerance covers stddev's sqr-partial cancellation noise
         assert skey[k] == pytest.approx(ckey[k], rel=1e-9, abs=1e-6)
+
+
+# -- SQL parser round-trip fuzz (round 7) -----------------------------------
+
+_RESERVED = {
+    "select", "from", "where", "group", "by", "as", "and", "or", "not",
+    "order", "limit", "join", "having",
+}
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,9}", fullmatch=True).filter(
+    lambda s: s not in _RESERVED
+)
+_func = st.sampled_from(["avg", "sum", "min", "max", "count", "stddev", "last"])
+_interp = st.sampled_from(["prev_val", "next_val", "linear", "none"])
+
+
+@st.composite
+def _sql_query(draw):
+    cols, specs, used = [], [], set()
+    for _ in range(draw(st.integers(min_value=1, max_value=4))):
+        metric = draw(_ident)
+        func = draw(st.none() | _func)
+        if (metric, func or "") in used:
+            continue
+        used.add((metric, func or ""))
+        interp = draw(st.none() | _interp)
+        tol = draw(st.none() | st.sampled_from(["10m", "1h"])) if interp else None
+        inner = metric
+        if interp:
+            inner = f"{interp}({metric}, '{tol}')" if tol else f"{interp}({metric})"
+        text = f"{func}({inner})" if func else inner
+        alias = draw(st.none() | _ident)
+        if alias and alias not in {m for m, _ in used} and alias not in used:
+            text += f" as {alias}_x"  # suffix avoids metric shadowing
+            alias = f"{alias}_x"
+        else:
+            alias = None
+        cols.append(text)
+        specs.append((metric, func or "", interp or "", tol, alias or ""))
+    table = draw(st.none() | _ident)
+    sql = "select " + ", ".join(cols)
+    if table:
+        sql += f" from {table}"
+    group = draw(st.none() | _ident)
+    if group:
+        sql += f" group by {group}"
+    return sql, specs, table, group
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(q=_sql_query())
+def test_sql_parser_roundtrip_fuzz(q):
+    """Any well-formed dialect query must parse back to exactly the
+    column specs it was built from (metric, function, interpolator,
+    tolerance, alias), plus table and group-by."""
+    from v3io_tsdb_spark.errors import BadRequest
+    from v3io_tsdb_spark.sql.parser import parse_query
+
+    sql, specs, table, group = q
+    # duplicate-alias collisions between independently-drawn columns
+    # are legal generator output but a rejected query — skip those
+    aliases = [a for *_, a in specs if a]
+    try:
+        parsed = parse_query(sql)
+    except BadRequest:
+        assert len(set(aliases)) != len(aliases)
+        return
+    assert parsed.table == (table or "tsdb")
+    assert (parsed.group_by or None) == group
+    got = [
+        (c.metric, c.function, c.interpolator, c.tolerance, c.alias)
+        for c in parsed.columns
+    ]
+    want = [
+        (m, f, {"none": "none", "prev_val": "prev_val", "next_val": "next_val",
+                "linear": "linear"}.get(i, i), t, a)
+        for m, f, i, t, a in specs
+    ]
+    assert got == want, sql
