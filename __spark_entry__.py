@@ -37,6 +37,38 @@ def _uid(df: DataFrame) -> DataFrame:
     return df.withColumn("uid", F.element_at(F.col("labels"), "uid"))
 
 
+def _events_ms_clamped(spark: SparkSession, sf_dir: str,
+                       lo: int = F0, hi: int = T1) -> DataFrame:
+    """events with a derived epoch-ms ``ts_ms`` column, time-clamped to
+    ``[lo, hi]`` ms INCLUSIVE via an exactly-equivalent predicate on the
+    NATIVE ``ts`` column — so the clamp reaches the Parquet scan as a
+    pushed filter (row-group/page pruning) for every ts encoding the
+    driver has shipped (VERDICT r7 #7; same mirror rule as
+    ``Querier._scan``, querier.py:432-441). A predicate on the derived
+    ms expression cannot push."""
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):  # int64 ns epochs
+        pred = (F.col("ts") >= lo * 1_000_000) & (
+            F.col("ts") < (hi + 1) * 1_000_000
+        )
+    else:  # timestamp / timestamp_ntz: ms-floor in [lo, hi] <=> raw in [lo, hi+1)
+        lo_lit = F.timestamp_millis(F.lit(lo))
+        hi_lit = F.timestamp_millis(F.lit(hi + 1))
+        if ts_type == "timestamp_ntz":
+            # foldable ntz literals (session tz pinned UTC by load_table):
+            # an ltz literal would force a cast on the COLUMN side and
+            # block pushdown
+            lo_lit = lo_lit.cast("timestamp_ntz")
+            hi_lit = hi_lit.cast("timestamp_ntz")
+        pred = (F.col("ts") >= lo_lit) & (F.col("ts") < hi_lit)
+    return ev.where(pred).withColumn(
+        "ts_ms", ts_millis("ts", ts_type).cast("long")
+    )
+
+
 def _docs_scattered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, pre-scattered across cores.
 
@@ -1525,12 +1557,9 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle: users cohorted by first-event
     week; each (cohort_week, week_offset) cell counts distinct cohort
     users active that week."""
-    from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.operators.cohorts import retention_cohorts
 
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
-    out = retention_cohorts(ev.where(F.col("ts_ms").between(F0, T1)))
+    out = retention_cohorts(_events_ms_clamped(spark, sf_dir))
     return out.select("cohort_week", "week_offset", "n_users")
 
 
@@ -1550,12 +1579,9 @@ def q_events_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     each hour scored against the mean/stddev of its previous 24
     observed hours (never itself); < 12 hours of history or zero
     variance -> no verdict (null z)."""
-    from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.operators.anomaly import bucket_zscores
 
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
-    out = bucket_zscores(ev.where(F.col("ts_ms").between(F0, T1)))
+    out = bucket_zscores(_events_ms_clamped(spark, sf_dir))
     return out.select(
         "event_type", "t", "n", _r("mean"), _r("std"), _rz("z")
     )
@@ -1604,12 +1630,9 @@ def q_events_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact count in the same pass (functions/sketches.py) —
     same trust pattern as the ANN recall gates; at scale only the
     mergeable sketch survives."""
-    from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.functions.sketches import distinct_count_gate
 
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
-    ev = ev.where(F.col("ts_ms").between(F0, T1)).withColumn(
+    ev = _events_ms_clamped(spark, sf_dir).withColumn(
         "t", (F.lit(F0) + F.floor((F.col("ts_ms") - F0) / DAY) * DAY).cast("long")
     )
     return distinct_count_gate(ev, "user_id", group_cols=("t",)).select(
@@ -1740,17 +1763,11 @@ def q_events_top_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): the 5 most active users per day, via the quantile-ladder
     prefilter — the exact rank never sees a whole day's users on one
     task."""
-    from v3io_tsdb_spark.datasets import ts_millis
     from v3io_tsdb_spark.functions.sampling import top_n_per_group
 
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    ev = _events_ms_clamped(spark, sf_dir)
     t = (F.lit(F0) + F.floor((F.col("ts_ms") - F0) / DAY) * DAY).cast("long")
-    counts = (
-        ev.where(F.col("ts_ms").between(F0, T1))
-        .groupBy(t.alias("t"), "user_id")
-        .agg(F.count("*").alias("n"))
-    )
+    counts = ev.groupBy(t.alias("t"), "user_id").agg(F.count("*").alias("n"))
     out = top_n_per_group(counts, 5, order_col="n", id_col="user_id",
                           group_cols=("t",))
     return out.select(
@@ -1765,11 +1782,7 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTC grid (dow 0 = Thursday, epoch day 0 convention on both
     engines), one partial-aggregable shuffle with a 7x24-bounded
     output per type."""
-    from v3io_tsdb_spark.datasets import ts_millis
-
-    ev = load_table(spark, sf_dir, "events")
-    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
-    ev = ev.where(F.col("ts_ms").between(F0, T1))
+    ev = _events_ms_clamped(spark, sf_dir)
     dow = F.floor(F.col("ts_ms") / DAY) % 7
     hod = F.floor(F.col("ts_ms") / HOUR) % 24
     return (

@@ -107,6 +107,26 @@ HEADLINE = [
 ]
 
 
+def _jvm_gc_ms(spark) -> tuple[int, int]:
+    """Cumulative (collection_ms, collection_count) across all JVM GC
+    beans — the delta around a query separates GC pauses from plan
+    cost when a 'warm' run is slower than cold (VERDICT r7 #1)."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        ms = 0
+        n = 0
+        for i in range(beans.size()):
+            b = beans.get(i)
+            ms += max(0, b.getCollectionTime())
+            n += max(0, b.getCollectionCount())
+        return ms, n
+    except Exception:
+        return -1, -1
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -197,11 +217,13 @@ def main():
 
     times = {}
     warm = {}
+    gc_ms = {}
     stream_split = {}
     total = 0.0
     warm_total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        g0 = _jvm_gc_ms(spark)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -212,6 +234,7 @@ def main():
             print(f"bench {name} FAILED: {type(exc).__name__}: {str(exc)[:160]}", file=sys.stderr)
             times[name] = -1.0
             continue
+        g1 = _jvm_gc_ms(spark)
         times[name] = round(dt, 3)
         total += dt
         # stream_* queries run a real micro-batch stream inside fn();
@@ -237,6 +260,13 @@ def main():
             wt = min(wt, time.perf_counter() - t2)
         warm[name] = round(wt, 3)
         warm_total += wt
+        g2 = _jvm_gc_ms(spark)
+        if g0[0] >= 0:
+            gc_ms[name] = {
+                "cold_gc_ms": g1[0] - g0[0],
+                "warm_gc_ms": g2[0] - g1[0],
+                "warm_gc_count": g2[1] - g1[1],
+            }
         if name.startswith("stream_") and name in stream_split:
             split = dict(getattr(entry_mod, "LAST_STREAM_SPLIT", {}))
             if split:
@@ -270,10 +300,14 @@ def main():
         # per stream query: harness (checkpoint + stream start) vs
         # micro-batch execution seconds, cold and warm
         "stream_setup_run_split": stream_split,
+        # JVM GC time attributed to each query's cold/warm runs — the
+        # session-pathology probe (a warm run slower than cold with a
+        # large warm_gc_ms is a GC pause, not a plan regression)
+        "queries_gc_ms": gc_ms,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    line = {k: v for k, v in detail.items() if k != "queries_warm"}
+    line = {k: v for k, v in detail.items() if k not in ("queries_warm", "queries_gc_ms")}
     line["warm_detail"] = "BENCH_DETAIL.json"
     print(json.dumps(line, separators=(",", ":")))
 

@@ -251,6 +251,44 @@ def test_dup_span_stats_shuffles_only_on_span_hash(spark):
             assert "hashpartitioning" in line or "SinglePartition" in line, line
 
 
+def test_dup_span_join_build_side_unique(spark):
+    """The join back on span_hash (`chunking.py:71`) is the one
+    skew-sensitive step in dup_span_stats (SCALE.md §5a): AQE skew-split
+    is safe there ONLY because the build side carries exactly one row
+    per join key. Pin that invariant: the plan's join on `_h` consumes
+    the `HashAggregate(keys=[_h...])` output directly (so build-side
+    uniqueness holds by construction at any scale), and the data agrees
+    at fixture scale."""
+    import re
+
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.chunking import dup_span_stats
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(dup_span_stats(docs, n=8))
+    # the aggregate keyed on the span hash exists and is the only
+    # producer of the join's build side
+    assert re.search(r"HashAggregate\(keys=\[_h", plan), plan[:1500]
+    # a join on _h is present (AQE may pick SMJ or SHJ at scale)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[_h", plan), (
+        plan[:1500]
+    )
+    # data-level: one row per key on the build side by construction
+    from pyspark.sql import functions as SF_  # noqa: N812
+
+    from v3io_tsdb_spark.functions.chunking import _span_hashes
+    from v3io_tsdb_spark.functions.text import tokens_col
+
+    toks = docs.select(
+        SF_.col("doc_id"), tokens_col(SF_.lower(SF_.col("text"))).alias("_toks")
+    )
+    spans = toks.select(SF_.col("doc_id"), SF_.explode(_span_hashes(8)).alias("_h"))
+    span_docs = spans.groupBy("_h").agg(SF_.count_distinct("doc_id").alias("_ndocs"))
+    n_rows = span_docs.count()
+    n_keys = span_docs.select("_h").distinct().count()
+    assert n_rows == n_keys and n_rows > 0
+
+
 def test_events_json_props_single_typed_parse(spark):
     """from_json appears ONCE (schema-on-read typed parse), and the
     aggregate shuffles only the small (name, bucket) grid."""
@@ -261,6 +299,32 @@ def test_events_json_props_single_typed_parse(spark):
     assert plan.count("from_json") <= 2  # partial+final agg reprint, same expr
     assert "get_json_object" not in plan
     assert "hashpartitioning(name" in plan
+
+
+def test_events_family_ms_clamp_pushed_to_scan(spark):
+    """VERDICT r7 #7: the events-family analytics queries clamp time on
+    the NATIVE ts column (mirror rule, `_events_ms_clamped`) so the
+    ms-range predicate appears in PushedFilters for the CURRENT driver
+    events encoding — a derived-ms clamp would silently full-scan after
+    a fixture dtype churn."""
+    import re
+
+    import __spark_entry__ as E
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        for name in ("events_anomaly_hourly", "events_retention_cohorts",
+                     "events_hll_daily", "events_seasonality",
+                     "events_top_users_daily"):
+            plan = _plan(E.queries()[name](spark, SF))
+            m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
+            assert m, f"{name}: no PushedFilters section"
+            pushed = m.group(0)
+            assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed, (
+                f"{name}: ts clamp not pushed: {pushed}"
+            )
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
 
 
 def test_adapter_scan_prunes_dt_partitions(spark, tmp_path):

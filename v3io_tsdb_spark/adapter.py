@@ -12,6 +12,7 @@ Mirrors the reference's V3ioAdapter surface
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -65,6 +66,7 @@ class TSDBAdapter:
         self.samples_path = os.path.join(path, "samples")
         self.rollup_path = os.path.join(path, "rollup")
         self.kinds_path = os.path.join(path, "series_kinds")
+        self.maxts_path = os.path.join(path, "series_maxts")
         self._schema_mtime: float | None = None
         schema_file = os.path.join(path, SCHEMA_FILE)
         if os.path.exists(schema_file):
@@ -136,6 +138,8 @@ class TSDBAdapter:
         df = app.normalize_samples(self.spark, data)
         if validate:
             app.validate_samples(df)
+        if not self.config.override_old:
+            df = self._monotonic_filter(df)
         out = app.prepare_for_write(df, self.config)
         # Materialize the normalize/dedup pipeline ONCE — the catalog
         # aggregate and rollup builds below reuse the checkpointed batch
@@ -150,6 +154,8 @@ class TSDBAdapter:
         if validate:
             self._check_series_kinds(out)
         out.write.mode("append").partitionBy("dt").parquet(self.samples_path)
+        if not self.config.override_old:
+            self._update_maxts(out)
         # ingest-side names directory (ref: pkg/appender/store.go:190-203)
         if needs_seed:
             NamesCatalog.rebuild(self.path, self._samples()).save()
@@ -383,6 +389,61 @@ class TSDBAdapter:
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
+    def _monotonic_filter(self, df):
+        """``override_old=False`` ingest mode: drop samples at-or-before
+        each series' last committed timestamp — the reference's
+        OverrideOld-disabled discard (ref: pkg/appender/store.go:336-352
+        "got older sample ... - dropping", pkg/config/config.go:146-147).
+        The per-series high-water mark lives in a (series_id, max_ts)
+        parquet sidecar — O(series) rows, same class as the kinds
+        sidecar — joined against the batch (broadcast-sized vs any
+        realistic batch; AQE picks the strategy). A table that predates
+        the flag flip seeds the sidecar once from existing samples.
+        Within a batch, equal-timestamp rows still collapse via
+        ``prepare_for_write``'s dedup (a DataFrame has no arrival order
+        to make "first sample wins" meaningful; SURVEY §7.4(6))."""
+        if not os.path.exists(self.maxts_path):
+            if glob.glob(os.path.join(self.samples_path, "dt=*")):
+                self._rebuild_maxts(self._samples())
+            else:
+                return df
+        wm = self.spark.read.parquet(self.maxts_path).withColumnRenamed(
+            "max_ts", "_wm"
+        )
+        return (
+            df.join(wm, "series_id", "left")
+            .where(F.col("_wm").isNull() | (F.col("ts") > F.col("_wm")))
+            .drop("_wm")
+        )
+
+    def _update_maxts(self, batch) -> None:
+        """Fold a written batch into the high-water-mark sidecar
+        (crash-safe staged swap, like the kinds rebuild)."""
+        new = batch.groupBy("series_id").agg(F.max("ts").alias("max_ts"))
+        if os.path.exists(self.maxts_path):
+            old = self.spark.read.parquet(self.maxts_path)
+            new = (
+                old.unionByName(new)
+                .groupBy("series_id")
+                .agg(F.max("max_ts").alias("max_ts"))
+            )
+        tmp = self.maxts_path + "_staging"
+        new.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.maxts_path):
+            _swap_dirs(self.maxts_path, tmp)
+        else:
+            os.rename(tmp, self.maxts_path)
+
+    def _rebuild_maxts(self, samples) -> None:
+        tmp = self.maxts_path + "_staging"
+        samples.groupBy("series_id").agg(
+            F.max("ts").alias("max_ts")
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.maxts_path):
+            _swap_dirs(self.maxts_path, tmp)
+        else:
+            os.rename(tmp, self.maxts_path)
+
     def _check_series_kinds(self, batch) -> None:
         """Cross-APPEND type-conflict guard: a series that was ever
         ingested as one value kind rejects samples of another kind in
@@ -435,6 +496,13 @@ class TSDBAdapter:
                 os.rename(tmp, self.kinds_path)
         except Exception:
             shutil.rmtree(self.kinds_path, ignore_errors=True)
+        # deletes can LOWER a series' high-water mark; a stale sidecar
+        # would wrongly discard re-ingested history in no-override mode
+        if os.path.exists(self.maxts_path):
+            try:
+                self._rebuild_maxts(self._samples())
+            except Exception:
+                shutil.rmtree(self.maxts_path, ignore_errors=True)
 
     def _rollup_rebuild_scope(self, affected_dts: list, doomed_rdts: list) -> tuple:
         """(rdt partitions to rewrite, dt dates whose samples feed them).
