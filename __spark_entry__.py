@@ -1850,73 +1850,95 @@ def ensure_ingest_artifacts(spark: SparkSession, sf_dir: str) -> None:
     _stream_ctr_fixture(spark, sf_dir)
 
 
+
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (X71): k=5-token shingle hashes, window
+    w=4 minima, deduped — the localized plagiarism/near-dup index
+    (guaranteed hit for any shared run of >= 8 tokens) that MinHash's
+    whole-doc sketch can't give. Scan-side array algebra, no shuffle."""
+    from v3io_tsdb_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _docs_scattered(spark, sf_dir), k=5, w=4
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "fp")
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 (X72) for the fixed query {hash, join,
+    vector}: the relevance miner for topical training slices. Exact
+    integer tf/df/len inputs -> engine-reproducible scores."""
+    from v3io_tsdb_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        _docs_scattered(spark, sf_dir), ("hash", "join", "vector"), k=20
+    )
+
+
+def q_doc_slice_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus blend (X75) —
+    the mixture-drift score. Exact counts; term-keyed shuffles only."""
+    from v3io_tsdb_spark.functions.text import slice_kl_divergence
+
+    return slice_kl_divergence(_docs_scattered(spark, sf_dir), "source")
+
+
+def q_emb_group_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form mean pairwise cosine per label group (X73):
+    (||sum u||^2 - n) / (n(n-1)) over unit vectors — redundancy
+    scoring with NO pairwise join at any scale."""
+    from v3io_tsdb_spark.functions.similarity import group_diversity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return group_diversity(emb, "label").select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        (F.col("mean_pairwise_cosine") + F.lit(0.0)).alias(
+            "mean_pairwise_cosine"
+        ),
+    )
+
+
+def q_tsdb_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-split binary-segmentation changepoint per daily series
+    (X74): max two-sample CUSUM statistic over the bucket grid — the
+    regime-change screen next to the pointwise z-score."""
+    from v3io_tsdb_spark.operators.trend import changepoint_binary_seg
+
+    out = changepoint_binary_seg(_daily_avg_series(spark, sf_dir))
+    return out.select(
+        "name", "uid", "change_t",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        (F.col("pre_mean") + F.lit(0.0)).alias("pre_mean"),
+        (F.col("post_mean") + F.lit(0.0)).alias("post_mean"),
+    )
+
+
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-to-convert stats (X76): each purchase paired as-of
+    with the user's most recent prior view; exact-integer latencies,
+    one user-keyed shuffle."""
+    from v3io_tsdb_spark.operators.funnel import conversion_latency
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    return conversion_latency(
+        ev, "view", "purchase", bucket_ms=DAY, anchor_ms=F0, ts_col="ts_ms"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2): no
-    query's newest driver row should age past ~2 rounds, so each round
-    the tail rotates back into the head. Round-7 head-50 = the 33
-    queries whose newest driver rows are from r5 (the r6 tail) + 11
-    entries touched this round (the five stream queries, the two
-    prefix-sum consumers, the ADVICE-fixed operators) + the 6
-    brand-new X65-X70 rows. The r7 tail (39) all carry green r6 driver
-    rows, so the r6+r7 union re-covers all 89 with every row ≤2 rounds
-    old."""
+    query's newest driver row should age past ~2 rounds. Round-8
+    head-50 = the 39 queries whose newest driver rows are from r6 (the
+    r7 tail) + the 6 NEW X71-X76 rows + the 2 events-family queries
+    rewired this round (native-ts clamp) + 3 refreshers touched this
+    round (pack_sequences' prefix-sum consumer, the streaming rollup,
+    the SQL-star frontend). The r8 tail (45) all carry green r7 driver
+    rows, so the r7+r8 union re-covers all 95 with every row <= 2
+    rounds old."""
     return {
-        # --- head: r5-evidenced queries rotating back under the gate ---
-        "tsdb_asof_join": q_tsdb_asof_join,
-        "tsdb_session_30m": q_tsdb_session_30m,
-        "tsdb_raw_filter": q_tsdb_raw_filter,
-        "tsdb_windowed_2d": q_tsdb_windowed_2d,
-        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
-        "tsdb_interp_linear": q_tsdb_interp_linear,
-        "tsdb_rate_daily": q_tsdb_rate_daily,
-        "tsdb_rollup_daily": q_tsdb_rollup_daily,
-        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
-        "tsdb_groupby_total": q_tsdb_groupby_total,
-        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
-        "tsdb_downsample_6h": q_tsdb_downsample_6h,
-        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_batch_topk": q_emb_batch_topk,
-        "emb_near_dup": q_emb_near_dup,
-        "mm_extract_features": q_mm_extract_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "doc_token_quantiles": q_doc_token_quantiles,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_top_trigrams": q_doc_top_trigrams,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
-        "doc_text_stats": q_doc_text_stats,
-        "doc_split_stats": q_doc_split_stats,
-        "events_sampled_hourly": q_events_sampled_hourly,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_join_segment_month": q_tpch_join_segment_month,
-        "tpch_q3_top_orders": q_tpch_q3_top_orders,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        # --- head: touched this round / newest driver evidence ---
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "doc_budget_selection": q_doc_budget_selection,
-        "stream_anomaly_hourly": q_stream_anomaly_hourly,
-        "stream_dedup_hourly": q_stream_dedup_hourly,
-        "stream_sessions_30m": q_stream_sessions_30m,
-        "stream_counter_increase": q_stream_counter_increase,
-        "stream_rollup_1h": q_stream_rollup_1h,
-        "events_hll_daily": q_events_hll_daily,
-        "events_anomaly_hourly": q_events_anomaly_hourly,
-        "doc_length_histogram": q_doc_length_histogram,
-        "tsdb_sql_star": q_tsdb_sql_star,
-        # --- head: NEW this round (first driver gating) ---
-        "doc_normalized_dedup": q_doc_normalized_dedup,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_script_profile": q_doc_script_profile,
-        "tsdb_irate_daily": q_tsdb_irate_daily,
-        "doc_corpus_diff": q_doc_corpus_diff,
-        "tsdb_label_cardinality": q_tsdb_label_cardinality,
-        # --- overflow tail (positions 50+): green r6 driver rows ---
+        # --- head: r6-evidenced queries rotating back under the gate ---
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
         "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
         "doc_emb_join_stats": q_doc_emb_join_stats,
@@ -1956,6 +1978,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_funnel": q_events_funnel,
         "doc_top_quality": q_doc_top_quality,
+        # --- head: NEW this round (first driver gating) ---
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_slice_kl": q_doc_slice_kl,
+        "emb_group_diversity": q_emb_group_diversity,
+        "tsdb_changepoint_daily": q_tsdb_changepoint_daily,
+        "events_conversion_latency": q_events_conversion_latency,
+        # --- head: touched this round (clamp rewire / refreshers) ---
+        "events_anomaly_hourly": q_events_anomaly_hourly,
+        "events_hll_daily": q_events_hll_daily,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "stream_rollup_1h": q_stream_rollup_1h,
+        "tsdb_sql_star": q_tsdb_sql_star,
+        # --- overflow tail (positions 50+): green r7 driver rows ---
+        "tsdb_asof_join": q_tsdb_asof_join,
+        "tsdb_session_30m": q_tsdb_session_30m,
+        "tsdb_raw_filter": q_tsdb_raw_filter,
+        "tsdb_windowed_2d": q_tsdb_windowed_2d,
+        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
+        "tsdb_interp_linear": q_tsdb_interp_linear,
+        "tsdb_rate_daily": q_tsdb_rate_daily,
+        "tsdb_rollup_daily": q_tsdb_rollup_daily,
+        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
+        "tsdb_groupby_total": q_tsdb_groupby_total,
+        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
+        "tsdb_downsample_6h": q_tsdb_downsample_6h,
+        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_batch_topk": q_emb_batch_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "mm_extract_features": q_mm_extract_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "doc_token_quantiles": q_doc_token_quantiles,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_top_trigrams": q_doc_top_trigrams,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_split_stats": q_doc_split_stats,
+        "events_sampled_hourly": q_events_sampled_hourly,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_join_segment_month": q_tpch_join_segment_month,
+        "tpch_q3_top_orders": q_tpch_q3_top_orders,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "doc_budget_selection": q_doc_budget_selection,
+        "stream_anomaly_hourly": q_stream_anomaly_hourly,
+        "stream_dedup_hourly": q_stream_dedup_hourly,
+        "stream_sessions_30m": q_stream_sessions_30m,
+        "stream_counter_increase": q_stream_counter_increase,
+        "doc_length_histogram": q_doc_length_histogram,
+        "doc_normalized_dedup": q_doc_normalized_dedup,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_script_profile": q_doc_script_profile,
+        "tsdb_irate_daily": q_tsdb_irate_daily,
+        "doc_corpus_diff": q_doc_corpus_diff,
+        "tsdb_label_cardinality": q_tsdb_label_cardinality,
     }
 
 
@@ -3619,5 +3700,178 @@ def oracle_sql() -> dict[str, str]:
           WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
             AND event_type IN ('view', 'click', 'purchase')
           GROUP BY 1
+        """,
+        "doc_winnow_fingerprints": r"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+            FROM documents
+          ),
+          kh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5 THEN
+                     list_transform(range(len(toks) - 4),
+                       i -> ('0x' || substr(md5(array_to_string(
+                              list_slice(toks, i + 1, i + 5), ' ')), 1, 15))::BIGINT)
+                   ELSE CAST([] AS BIGINT[]) END AS kh
+            FROM d
+          ),
+          sel AS (
+            SELECT doc_id,
+              CASE WHEN len(kh) >= 4 THEN
+                list_transform(range(len(kh) - 3),
+                  j -> {'pos': j + list_position(list_slice(kh, j + 1, j + 4),
+                                 list_min(list_slice(kh, j + 1, j + 4))) - 1,
+                        'fp': list_min(list_slice(kh, j + 1, j + 4))})
+              WHEN len(kh) > 0 THEN
+                [{'pos': list_position(kh, list_min(kh)) - 1, 'fp': list_min(kh)}]
+              ELSE [] END AS sels
+            FROM kh
+          )
+          SELECT DISTINCT doc_id, CAST(s['pos'] AS BIGINT) AS pos,
+                 CAST(s['fp'] AS BIGINT) AS fp
+          FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
+        """,
+        "doc_bm25_topk": r"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+            FROM documents
+          ),
+          base AS (SELECT doc_id, len(toks) AS dl FROM d),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avglen FROM base),
+          tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            WHERE term IN ('hash', 'join', 'vector')
+            GROUP BY 1, 2
+          ),
+          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+          sc AS (
+            SELECT tf.doc_id,
+                   sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / s.avglen))
+                      ) AS score,
+                   count(*) AS n_hit_terms
+            FROM tf JOIN dfreq f USING (term) JOIN base b USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1
+          )
+          SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+                 round(score + 0.000000001, 6) AS score,
+                 CAST(n_hit_terms AS BIGINT) AS n_hit_terms
+          FROM (
+            SELECT *, row_number() OVER (
+                     ORDER BY round(score + 0.000000001, 6) DESC, doc_id) AS rank
+            FROM sc
+          ) WHERE rank <= 20
+        """,
+        "doc_slice_kl": r"""
+          WITH tk AS (
+            SELECT source AS sl,
+                   unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
+            FROM documents
+          ),
+          ps AS (SELECT sl, term, count(*) AS c FROM tk GROUP BY 1, 2),
+          pt AS (SELECT term, sum(c) AS ct FROM ps GROUP BY 1),
+          tot AS (SELECT sl, sum(c) AS n FROM ps GROUP BY 1),
+          g AS (SELECT sum(ct) AS nt FROM pt)
+          SELECT ps.sl AS source,
+                 round(sum((ps.c / tot.n) * ln((ps.c / tot.n) / (pt.ct / g.nt)))
+                       + 0.000000001, 6) AS kl,
+                 CAST(count(*) AS BIGINT) AS n_terms
+          FROM ps JOIN pt USING (term) JOIN tot USING (sl) CROSS JOIN g
+          GROUP BY 1
+        """,
+        "emb_group_diversity": """
+          WITH e AS (
+            SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+          ),
+          u AS (
+            SELECT label,
+                   generate_subscripts(v, 1) - 1 AS dim,
+                   unnest(v) / sqrt(list_sum(list_transform(v, y -> y * y))) AS uval
+            FROM e
+          ),
+          ds AS (
+            SELECT label, dim, sum(uval) AS s, count(*) AS n_vec
+            FROM u GROUP BY 1, 2
+          ),
+          pg AS (
+            SELECT label, sum(s * s) AS ssq, max(n_vec) AS n
+            FROM ds GROUP BY 1
+          )
+          SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+                 round(CASE WHEN n >= 2 THEN (ssq - n) / (n * (n - 1)) END
+                       + 0.000000001, 6) + 0.0 AS mean_pairwise_cosine
+          FROM pg
+        """,
+        "tsdb_changepoint_daily": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   sum(value) / count(value) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          w AS (
+            SELECT name, uid, t, x,
+                   row_number() OVER win AS i,
+                   count(*) OVER (PARTITION BY name, uid) AS m,
+                   sum(x) OVER (PARTITION BY name, uid ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pre_sum,
+                   sum(x) OVER (PARTITION BY name, uid) AS tot_sum,
+                   lead(t) OVER win AS next_t
+            FROM b
+            WINDOW win AS (PARTITION BY name, uid ORDER BY t)
+          ),
+          sc AS (
+            SELECT name, uid, t, next_t,
+                   CASE WHEN i < m THEN
+                     abs(pre_sum / i - (tot_sum - pre_sum) / (m - i))
+                     * sqrt((CAST(i AS DOUBLE) * (m - i)) / m) END AS score,
+                   CASE WHEN i < m
+                        THEN round(pre_sum / i + {EPS6}, 6) END AS pre,
+                   CASE WHEN i < m THEN
+                     round((tot_sum - pre_sum) / (m - i) + {EPS6}, 6)
+                   END AS post
+            FROM w
+          )
+          SELECT name, uid, next_t AS change_t,
+                 round(score + {EPS6}, 6) + 0.0 AS score,
+                 pre + 0.0 AS pre_mean, post + 0.0 AS post_mean
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY name, uid
+                     ORDER BY round(score + {EPS6}, 6) DESC NULLS LAST, t) AS rn
+            FROM sc
+          ) WHERE rn = 1
+        """,
+        "events_conversion_latency": f"""
+          WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS t
+            FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+              AND event_type IN ('view', 'purchase')
+          ),
+          w AS (
+            SELECT user_id, event_type, t,
+                   max(CASE WHEN event_type = 'view' THEN t END) OVER (
+                     PARTITION BY user_id ORDER BY t, event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+            FROM e
+          ),
+          c AS (SELECT t, t - prior AS lat FROM w WHERE event_type = 'purchase')
+          SELECT {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(lat) AS BIGINT) AS n_converted,
+                 round(avg(lat) + {EPS6}, 4) AS avg_latency_ms,
+                 CAST(min(lat) AS BIGINT) AS min_latency_ms,
+                 CAST(max(lat) AS BIGINT) AS max_latency_ms
+          FROM c GROUP BY 1
         """,
     }

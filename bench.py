@@ -104,6 +104,12 @@ HEADLINE = [
     "tsdb_irate_daily",
     "doc_corpus_diff",
     "tsdb_label_cardinality",
+    "doc_winnow_fingerprints",
+    "doc_bm25_topk",
+    "doc_slice_kl",
+    "emb_group_diversity",
+    "tsdb_changepoint_daily",
+    "events_conversion_latency",
 ]
 
 
@@ -152,8 +158,20 @@ def main():
         # sketch pipelines, ~8 s a compile) in the middle of a "warm"
         # run. One knob, measured: spikes gone.
         .config("spark.sql.codegen.cache.maxEntries", "4000")
+        # Session-longevity guards (VERDICT r7 #1: late-session queries
+        # recorded warm times up to 10x their fresh-JVM cost):
+        # - 32g heap: ~90 queries x (broadcasts + localCheckpoint
+        #   blocks + AQE stats) accumulate; at 16g the old gen fills
+        #   late in the run and mixed-GC pauses land mid-"warm"-run.
+        # - periodic GC at 90s: ContextCleaner frees checkpoint/
+        #   broadcast blocks only after a JVM GC notices the dropped
+        #   references; the 30min default never fires inside a bench
+        #   session, so block memory only ever grows. (Explicit
+        #   per-query System.gc() measured worse — the pause itself
+        #   lands in the timings; 90s amortizes it between queries.)
+        .config("spark.cleaner.periodicGC.interval", "90s")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -218,6 +236,7 @@ def main():
     times = {}
     warm = {}
     gc_ms = {}
+    pipeline_stage_split = {}
     stream_split = {}
     total = 0.0
     warm_total = 0.0
@@ -254,7 +273,11 @@ def main():
         t1 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wt = time.perf_counter() - t1
-        if wt > dt or wt > 3.0:
+        # up to two retries while the number is still implausible
+        # (slower than cold, or >3s): min-of-runs is the steady state
+        for _ in range(2):
+            if wt <= dt and wt <= 3.0:
+                break
             t2 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wt = min(wt, time.perf_counter() - t2)
@@ -282,6 +305,35 @@ def main():
 
         df = None
         gc.collect()
+        # Untimed stage-split diagnostic for the composite pipeline
+        # (VERDICT r7 #3): times each cumulative stage prefix so a
+        # future regression points at a stage, not the whole chain.
+        if name == "corpus_pipeline":
+            try:
+                from v3io_tsdb_spark.functions.pipeline import (
+                    corpus_pipeline_stages,
+                )
+
+                docs = load_table(spark, sf_dir, "documents").repartition(
+                    spark.sparkContext.defaultParallelism
+                )
+                from pyspark.sql import functions as _F
+
+                prefixes = corpus_pipeline_stages(
+                    docs.where(_F.col("doc_id") % 10 != 3),
+                    docs.where(_F.col("doc_id") % 10 == 3),
+                )
+                split_times = {}
+                for stage, pdf in prefixes.items():
+                    ts = time.perf_counter()
+                    pdf.write.format("noop").mode("overwrite").save()
+                    split_times[stage] = round(time.perf_counter() - ts, 3)
+                pipeline_stage_split.update(split_times)
+                print(f"bench corpus_pipeline stage prefixes: {split_times}",
+                      file=sys.stderr)
+            except Exception as exc:
+                print(f"bench corpus_pipeline stage split FAILED: {exc}",
+                      file=sys.stderr)
 
     # The driver keeps only a bounded tail of stdout and parses the JSON
     # line out of it, so the line must stay well under 2 kB. Per-query
@@ -304,10 +356,18 @@ def main():
         # session-pathology probe (a warm run slower than cold with a
         # large warm_gc_ms is a GC pause, not a plan regression)
         "queries_gc_ms": gc_ms,
+        # cumulative stage-prefix seconds of the corpus pipeline
+        # (stats -> dedup -> decontaminate -> split); untimed diagnostic
+        "corpus_pipeline_stage_prefix_sec": pipeline_stage_split,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
-    line = {k: v for k, v in detail.items() if k not in ("queries_warm", "queries_gc_ms")}
+    line = {
+        k: v
+        for k, v in detail.items()
+        if k not in ("queries_warm", "queries_gc_ms",
+                     "corpus_pipeline_stage_prefix_sec")
+    }
     line["warm_detail"] = "BENCH_DETAIL.json"
     print(json.dumps(line, separators=(",", ":")))
 

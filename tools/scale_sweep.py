@@ -178,8 +178,42 @@ def ops(spark):
             s, ts_col="ts", step_ms=86_400_000, from_ms=1704067200000
         ).agg(F2.sum("irate")).collect()
 
+    def op_corpus_pipeline(d):
+        from v3io_tsdb_spark.functions.pipeline import corpus_pipeline
+
+        dd = docs(d)
+        return corpus_pipeline(
+            dd.where(F.col("doc_id") % 10 != 3),
+            dd.where(F.col("doc_id") % 10 == 3),
+        ).count()
+
+    def op_json_props(d):
+        ev = load_table(spark, d, "events")
+        k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+        return (
+            ev.select(F.col("event_type").alias("name"),
+                      F.floor(k / 10).cast("long").alias("k_bucket"),
+                      F.col("value"))
+            .groupBy("name", "k_bucket")
+            .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+            .agg(F.sum("n"))
+            .collect()
+        )
+
+    def op_dedup_clusters(d):
+        from v3io_tsdb_spark.functions.dedup import (
+            dedup_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        pairs = ngram_jaccard_pairs(docs(d), threshold=0.5, max_df=100)
+        return dedup_clusters(pairs).agg(F.sum("comp")).collect()
+
     return {
         "quality_rules": op_quality,
+        "corpus_pipeline": op_corpus_pipeline,
+        "events_json_props": op_json_props,
+        "dedup_clusters": op_dedup_clusters,
         "dup_span_stats": op_dup_spans,
         "pack_sequences": op_pack,
         "minhash_pairs": op_minhash,

@@ -577,3 +577,47 @@ def lsh_append_index(
         "sig", hyperplane_sig_col(F.col("v"), meta["n_planes"], meta["dim"])
     )
     tagged.write.mode("append").partitionBy("sig").parquet(path)
+
+
+# -- group diversity (closed form) ------------------------------------------
+
+
+def group_diversity(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean pairwise cosine similarity WITHIN each group, in closed
+    form: for unit vectors u_i, sum_{i!=j} cos(u_i,u_j) =
+    ||sum u_i||^2 - n, so the mean is (||sum u||^2 - n) / (n(n-1)) —
+    the redundancy/diversity score a data-mixture pass computes per
+    source or cluster (high mean cosine = the group is near-duplicate
+    mass; singleton groups report null).
+
+    The identity removes the O(n^2) pairwise join entirely: the plan is
+    one per-(group, dim) partial sum (map-side combinable — at 100 TB
+    each executor emits at most groups x dims partial rows), one
+    per-group reduce of dim sums, and arithmetic. No all-pairs
+    anywhere; embeddings leave the scan only as per-dim partials.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    unit = F.transform(v, lambda x: x / norm_col(v))
+    exploded = df.select(
+        F.col(group_col), F.posexplode(unit).alias("dim", "u")
+    )
+    dim_sums = exploded.groupBy(group_col, "dim").agg(
+        F.sum("u").alias("s"), F.count("*").alias("n_vec")
+    )
+    per_group = dim_sums.groupBy(group_col).agg(
+        F.sum(F.col("s") * F.col("s")).alias("_ssq"),
+        F.max("n_vec").alias("n"),  # identical across dims of a group
+    )
+    n = F.col("n")
+    mean_cos = (F.col("_ssq") - n) / (n * (n - 1))
+    return per_group.select(
+        group_col,
+        n.cast("long").alias("n"),
+        F.round(
+            F.when(n >= 2, mean_cos).otherwise(F.lit(None)) + 1e-9, 6
+        ).alias("mean_pairwise_cosine"),
+    )

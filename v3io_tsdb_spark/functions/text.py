@@ -545,3 +545,212 @@ def script_profile(
         )
     out_cols.append(best.alias("dominant_script"))
     return df.select(*out_cols)
+
+
+# -- document fingerprinting (winnowing) ------------------------------------
+
+
+def _hash60(s: Column) -> Column:
+    """Engine-portable 60-bit content hash: the first 15 hex digits of
+    md5 as a positive BIGINT — the same construction the SQL oracles
+    use (``('0x' || substr(md5(x),1,15))::BIGINT``), so fingerprints
+    hash-match across engines (Spark's xxhash64 has no DuckDB twin)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-token shingle, slide a window of ``w``
+    consecutive shingle hashes, keep the window minimum (leftmost on
+    ties — documented variant of the paper's rightmost rule), dedupe
+    repeated picks. Guarantees every match of length >= w+k-1 tokens
+    shares a fingerprint while storing ~1/w of the shingles — the
+    localized near-dup/plagiarism index the full MinHash sketch (X3)
+    can't give (MinHash says HOW similar, winnowing says WHERE).
+
+    Docs with fewer than ``w`` shingles (but at least one) contribute
+    their single global minimum; shorter-than-k docs contribute
+    nothing. Returns (id_col, pos, fp) — pos is the 0-based shingle
+    position of the selected fingerprint.
+
+    100 TB posture: pure scan-side array expressions (no shuffle, no
+    Python); output is ~n_tokens/w rows per doc, and a downstream
+    groupBy(fp) — the match index — shuffles only the winnowed
+    fraction, never the raw shingle stream.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    kh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: _hash60(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = df.select(F.col(id_col), kh.alias("_kh"))
+    n = F.size(F.col("_kh"))
+
+    def _pick(j):
+        sl = F.slice(F.col("_kh"), j + 1, w)
+        m = F.array_min(sl)
+        return F.struct(
+            (j + F.array_position(sl, m) - 1).cast("long").alias("pos"),
+            m.alias("fp"),
+        )
+
+    windows = F.transform(F.sequence(F.lit(0), n - w), _pick)
+    single = F.array(
+        F.struct(
+            (F.array_position(F.col("_kh"), F.array_min(F.col("_kh"))) - 1)
+            .cast("long")
+            .alias("pos"),
+            F.array_min(F.col("_kh")).alias("fp"),
+        )
+    )
+    empty = F.array().cast("array<struct<pos:bigint,fp:bigint>>")
+    sels = F.when(n >= w, windows).otherwise(
+        F.when(n > 0, single).otherwise(empty)
+    )
+    picked = d.select(
+        F.col(id_col), F.explode(F.array_distinct(sels)).alias("_s")
+    )
+    return picked.select(
+        id_col, F.col("_s.pos").alias("pos"), F.col("_s.fp").alias("fp")
+    )
+
+
+# -- BM25 ranked retrieval --------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed term set: the standard
+    relevance score a corpus-curation pass uses to mine topical
+    training slices (idf = ln(1 + (N-df+0.5)/(df+0.5)); tf saturation
+    k1, length normalization b against the corpus mean token count).
+
+    Exact-integer inputs (tf, df, doclen, N) feed the float math, so
+    scores reproduce engine-exactly under round(6). Returns the top-k
+    (rank, id, score, n_hit_terms), score-desc with id tiebreak.
+
+    100 TB posture: the token stream is filtered to the query terms AT
+    THE SCAN (array_intersect before explode), so the per-term
+    aggregate shuffles only matching occurrences; df/N/avglen are
+    broadcast one-row/`len(terms)`-row sides; the final top-k is one
+    rank window over docs that matched at least one term.
+    """
+    from pyspark.sql import Window
+
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_len"),
+        F.array_intersect(toks, terms).alias("_hit"),
+        F.filter(toks, lambda t: F.array_contains(terms, t)).alias("_occ"),
+    )
+    stats = base.agg(
+        F.count("*").alias("_N"), F.avg("_len").alias("_avglen")
+    )
+    tf = (
+        base.where(F.size(F.col("_hit")) > 0)
+        .select(F.col(id_col), F.col("_len"), F.explode("_occ").alias("term"))
+        .groupBy(id_col, "_len", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("_len") / F.col("_avglen")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_s", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_s").alias("score"),
+            F.count("*").alias("n_hit_terms"),
+        )
+    )
+    # rank on the ROUNDED score: sub-ulp float-sum-order differences
+    # between engines must not flip rank order (hash determinism)
+    win = Window.orderBy(
+        F.round(F.col("score") + 1e-9, 6).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            id_col,
+            F.round(F.col("score") + 1e-9, 6).alias("score"),
+            F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
+        )
+    )
+
+
+# -- corpus-slice divergence ------------------------------------------------
+
+
+def slice_kl_divergence(
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """KL divergence of each corpus slice's unigram distribution from
+    the whole corpus: KL(p_slice || p_corpus) = sum p_t log(p_t/q_t) —
+    the drift score a mixture-tuning pass uses to find sources whose
+    language diverges from the blend. The corpus distribution is a
+    superset of every slice's support, so the ratio is always defined
+    (no smoothing needed), and every probability comes from exact
+    integer counts — engine-reproducible under round(6).
+
+    Plan: one explode + (slice, term) count, a term-keyed re-aggregate
+    for corpus counts (map-side combinable; NO broadcast assumption on
+    the vocabulary), an equi-join on term, and a tiny final per-slice
+    sum. Two shuffles on well-distributed keys.
+    """
+    toks = df.select(
+        F.col(slice_col).alias("_sl"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    )
+    per_slice = toks.groupBy("_sl", "term").agg(F.count("*").alias("_c"))
+    per_term = per_slice.groupBy("term").agg(F.sum("_c").alias("_ct"))
+    totals = per_slice.groupBy("_sl").agg(F.sum("_c").alias("_n"))
+    grand = per_term.agg(F.sum("_ct").alias("_nt"))
+    p = F.col("_c") / F.col("_n")
+    q = F.col("_ct") / F.col("_nt")
+    return (
+        per_slice.join(per_term, "term")
+        .join(F.broadcast(totals), "_sl")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("_sl")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)) + 1e-9, 6).alias("kl"),
+            F.count("*").alias("n_terms"),
+        )
+        .select(
+            F.col("_sl").alias(slice_col),
+            "kl",
+            F.col("n_terms").cast("long").alias("n_terms"),
+        )
+    )

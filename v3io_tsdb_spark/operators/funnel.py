@@ -53,3 +53,60 @@ def funnel_steps(
     return agg.where(F.col(tcols[0]).isNotNull()).withColumn(
         "steps_completed", completed.cast("long")
     )
+
+
+def conversion_latency(
+    df: DataFrame,
+    from_step: str = "view",
+    to_step: str = "purchase",
+    bucket_ms: int = 86_400_000,
+    anchor_ms: int = 0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert distribution: for every ``to_step`` event, the
+    latency since the same user's MOST RECENT prior ``from_step`` event
+    (the as-of pairing), aggregated per time bucket of the conversion —
+    count, converted count, mean/min/max latency ms. Conversions with
+    no prior ``from_step`` count in ``n`` but not in the latency stats.
+
+    One shuffle: the last-prior-event lookup is a running ``max`` over
+    the per-user ordered window (the same exchange any per-user pass
+    pays), and the bucket aggregate is map-side combinable. Exact
+    integer latencies — no percentile sketch — so the stats are
+    engine-reproducible.
+    """
+    ev = df.where(F.col(type_col).isin(from_step, to_step))
+    # total order (ts, type): a from_step event sharing a conversion's
+    # exact timestamp sorts deterministically, so "prior" is identical
+    # across engines/runs instead of depending on tie order
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, type_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.max(
+        F.when(F.col(type_col) == from_step, F.col(ts_col))
+    ).over(w)
+    conv = (
+        ev.withColumn("_prior", prior)
+        .where(F.col(type_col) == to_step)
+        .withColumn("_lat", F.col(ts_col) - F.col("_prior"))
+    )
+    bucket = (
+        F.lit(anchor_ms)
+        + F.floor((F.col(ts_col) - anchor_ms) / bucket_ms) * bucket_ms
+    ).cast("long")
+    return (
+        conv.groupBy(bucket.alias("t"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("_lat").alias("n_converted"),
+            F.round(F.avg("_lat") + 1e-9, 4).alias("avg_latency_ms"),
+            F.min("_lat").cast("long").alias("min_latency_ms"),
+            F.max("_lat").cast("long").alias("max_latency_ms"),
+        )
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_converted", F.col("n_converted").cast("long"))
+    )

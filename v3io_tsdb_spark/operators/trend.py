@@ -70,3 +70,64 @@ def autocorr_lag1(
         F.count(x_col).alias("n_buckets"),
         corr.alias("autocorr"),
     )
+
+
+def changepoint_binary_seg(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+) -> DataFrame:
+    """First-split binary-segmentation changepoint per series: for
+    every split position i (1 <= i < m over the m ordered buckets)
+    score the mean shift |mean(x[:i]) - mean(x[i:])| * sqrt(i*(m-i)/m)
+    (the two-sample CUSUM statistic, constant sigma), and report the
+    best split — the level-shift detector that complements the
+    point-wise z-score screen (operators/anomaly.py): z flags single
+    outlier buckets, this flags regime changes.
+
+    The classic CUSUM recurrence is sequential; this equivalent
+    maximum-of-prefix-statistics form is pure window algebra: one
+    cumulative sum/count over the bucket grid, one per-series total,
+    one argmax. Series with < 2 buckets report a null changepoint.
+    Ties break to the EARLIEST split time.
+
+    100 TB posture: runs on the already-bucketed grid (output-sized),
+    so the ordered window state per task is one series' buckets; the
+    raw stream was reduced by a partial-aggregable groupBy upstream.
+    """
+    wo = Window.partitionBy(*series_cols).orderBy(t_col)
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*series_cols)
+    i = F.row_number().over(wo)
+    m = F.count("*").over(wall)
+    pre_sum = F.sum(x_col).over(wr)
+    tot_sum = F.sum(x_col).over(wall)
+    pre_mean = pre_sum / i
+    post_mean = (tot_sum - pre_sum) / (m - i)
+    score = F.abs(pre_mean - post_mean) * F.sqrt(
+        (i.cast("double") * (m - i)) / m
+    )
+    scored = df.select(
+        *series_cols,
+        F.col(t_col),
+        F.lead(t_col).over(wo).alias("_next_t"),
+        F.when(i < m, score).alias("_score"),
+        F.when(i < m, F.round(pre_mean + 1e-9, 6)).alias("_pre"),
+        F.when(i < m, F.round(post_mean + 1e-9, 6)).alias("_post"),
+    )
+    # rank on the ROUNDED score: sub-ulp float differences between
+    # engines must not flip the argmax (hash-match determinism)
+    pick = Window.partitionBy(*series_cols).orderBy(
+        F.round(F.col("_score") + 1e-9, 6).desc_nulls_last(), F.col(t_col)
+    )
+    best = scored.withColumn("_rn", F.row_number().over(pick)).where(
+        F.col("_rn") == 1
+    )
+    return best.select(
+        *series_cols,
+        F.col("_next_t").alias("change_t"),
+        F.round(F.col("_score") + 1e-9, 6).alias("score"),
+        F.col("_pre").alias("pre_mean"),
+        F.col("_post").alias("post_mean"),
+    )
