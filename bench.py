@@ -110,6 +110,7 @@ HEADLINE = [
     "emb_group_diversity",
     "tsdb_changepoint_daily",
     "events_conversion_latency",
+    "doc_winnow_matches",
 ]
 
 

@@ -273,3 +273,23 @@ def test_conversion_latency_same_ts_view_not_used(spark):
     )
     r = conversion_latency(df, bucket_ms=1000, anchor_ms=0).collect()[0]
     assert r["n"] == 1 and r["n_converted"] == 0
+
+
+def test_winnow_matches_pairs_and_cap(spark):
+    from v3io_tsdb_spark.functions.text import winnow_matches
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one here now"),
+            (2, shared + " other ending entirely different words"),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_matches(df, k=5, w=4, min_shared=2).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out}
+    assert (1, 2) in got and got[(1, 2)] >= 2
+    assert all(3 not in pair for pair in got)
+    # df-cap: with max_df=1 every fingerprint bucket is dropped
+    assert winnow_matches(df, k=5, w=4, min_shared=1, max_df=1).count() == 0

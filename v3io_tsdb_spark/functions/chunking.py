@@ -29,14 +29,21 @@ from v3io_tsdb_spark.functions.text import tokens_col
 
 
 def _span_hashes(n: int):
-    """Array of md5 fingerprints, one per n-token span of ``_toks``."""
+    """Array of xxhash64 keys, one per n-token span of ``_toks``.
+
+    The span key is INTERNAL — every consumer reduces it to per-doc
+    counts (distinctness is all that matters), so the cheap JVM
+    xxhash64 replaces md5 (the md5 of every span position dominated
+    dup_span_stats' scan stage). Exposed content hashes (token_chunks'
+    chunk_hash) stay md5 for oracle parity.
+    """
     toks = F.col("_toks")
     starts = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         starts,
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
     )
 
 

@@ -754,3 +754,46 @@ def slice_kl_divergence(
             F.col("n_terms").cast("long").alias("n_terms"),
         )
     )
+
+
+def winnow_matches(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    (distinct fingerprints, not positions) — the pair-level consumer of
+    :func:`winnow_fingerprints`: a shared fingerprint localizes a
+    shared token run, so ``n_shared`` approximates how much literal
+    overlap two documents carry (the MOSS-style match report).
+
+    Same scale discipline as the n-gram Jaccard index: fingerprints in
+    more than ``max_df`` documents are dropped before pairing
+    (boilerplate gate — a fingerprint's bucket yields C(df,2) pairs, so
+    the cap bounds any one bucket's fan-out), and the join is
+    bucket-local equi-join on the fingerprint — never all-pairs over
+    the corpus.
+    """
+    fps = (
+        winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col), F.col("fp"))
+        .distinct()
+    )
+    keep = fps.groupBy("fp").agg(F.count("*").alias("_df")).where(
+        F.col("_df") <= max_df
+    )
+    fps = fps.join(keep.select("fp"), "fp")
+    a = fps.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = fps.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
+    )
