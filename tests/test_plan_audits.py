@@ -362,3 +362,87 @@ def test_gap_report_single_scan_no_join(spark):
     )
     plan = gap_report(df, ts_col="t", step_ms=3_600_000)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:600]
+
+
+def test_winnow_fingerprints_has_no_shuffle(spark):
+    """Winnowing is scan-side array algebra: zero Exchange, no Python,
+    whole-stage codegen throughout — the property that makes it free
+    to co-locate with any other per-doc pass at 100 TB."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import winnow_fingerprints
+
+    plan = _plan(winnow_fingerprints(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "*(" in plan
+
+
+def test_group_diversity_never_joins_pairwise(spark):
+    """The closed-form identity must keep the plan join-free: per-dim
+    partial aggregates only — an O(n^2) pairwise join here would be
+    the exact failure mode the operator exists to avoid."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.similarity import group_diversity
+
+    plan = _plan(group_diversity(load_table(spark, SF, "embeddings"), "label"))
+    assert "Join" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    # two hash aggregates: (label, dim) partials then per-label reduce
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """BM25's df table (|terms| rows) and corpus stats (1 row) must
+    broadcast; a shuffle join against either would move the whole
+    tf table for a constant-size dimension."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import bm25_topk
+
+    plan = _plan(
+        bm25_topk(load_table(spark, SF, "documents"), ("hash", "join", "vector"))
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_slice_kl_term_join_is_not_broadcast_dependent(spark):
+    """The vocabulary join must not DEPEND on broadcasting: the term
+    table is vocabulary-sized (unbounded at 100 TB). At fixture scale
+    the planner may choose to broadcast it on size estimates — that's
+    fine — but with auto-broadcast off the plan must degrade to a
+    keyed shuffle join (never a nested loop), while the EXPLICIT
+    broadcasts (per-slice totals, one-row grand total) survive because
+    they are hinted, bounded sides."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import slice_kl_divergence
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(slice_kl_divergence(load_table(spark, SF, "documents")))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1200]
+        # (the one-row grand-total crossJoin legitimately compiles to a
+        # hinted BroadcastNestedLoopJoin — bounded side, same pattern
+        # as tfidf's corpus-size join)
+        assert "CartesianProduct" not in plan
+        # the hinted bounded sides still broadcast
+        assert "BroadcastExchange" in plan
+    finally:
+        (spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+         if old is not None
+         else spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_conversion_latency_single_user_shuffle(spark):
+    """One hash-partition on user for the as-of window, then a
+    map-side-combinable bucket aggregate: no self-join of events."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.operators.funnel import conversion_latency
+
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["events_conversion_latency"](spark, SF))
+    assert "Join" not in plan, plan[:800]
