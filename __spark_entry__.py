@@ -789,6 +789,24 @@ def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs.orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
+def _stream_conv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """view/purchase event stream fixture (clamped, ts-sorted),
+    persisted once per sf dir."""
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    fx = _persist_path("spark_graft_stream_conv", sf_dir, "events")
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        ev = _events_ms_clamped(spark, sf_dir)
+        ev.where(F.col("event_type").isin("view", "purchase")).select(
+            F.col("ts_ms").alias("ts"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("user_id").cast("string").alias("user_id"),
+        ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(fx, "in")
+        )
+    return fx
+
+
 # harness-vs-plan timing of the most recent _run_available_now call;
 # consumed by bench.py to report (setup_sec, run_sec) per stream query
 LAST_STREAM_SPLIT: dict = {}
@@ -1848,6 +1866,7 @@ def ensure_ingest_artifacts(spark: SparkSession, sf_dir: str) -> None:
     _lsh_ensure_index(spark, sf_dir)
     _stream_sess_fixture(spark, sf_dir)
     _stream_ctr_fixture(spark, sf_dir)
+    _stream_conv_fixture(spark, sf_dir)
 
 
 
@@ -1937,6 +1956,52 @@ def q_doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_des_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double-exponential-smoothing forecast (X78): level,
+    trend, and one-step-ahead forecast per daily series — two chained
+    closed-form EWMA windows over one series-keyed exchange."""
+    from v3io_tsdb_spark.operators.trend import des_forecast
+
+    out = des_forecast(_daily_avg_series(spark, sf_dir))
+    return out.select(
+        "name", "uid", "t",
+        (F.round(F.col("x") + EPS4, 4) + F.lit(0.0)).alias("avg"),
+        (F.round(F.col("level") + EPS4, 4) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("trend") + EPS4, 4) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("forecast_next") + EPS4, 4) + F.lit(0.0)).alias(
+            "forecast_next"
+        ),
+    )
+
+
+def q_stream_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of conversion pairing (X79) driven end-to-end: the
+    view/purchase feed replays through ``applyInPandasWithState``
+    (state = one long per user), emitted per-conversion latencies are
+    bucket-aggregated and hash-compared to the batch window oracle —
+    the same closed-result twin pattern as stream_rollup_1h."""
+    from v3io_tsdb_spark.streaming.stateful import stream_conversion_latency
+
+    fx = _stream_conv_fixture(spark, sf_dir)
+    raw = spark.readStream.schema(
+        "ts long, event_type string, user_id string"
+    ).parquet(os.path.join(fx, "in"))
+    out = _run_available_now(stream_conversion_latency(raw))
+    bucket = (F.lit(F0) + F.floor((F.col("t") - F0) / DAY) * DAY).cast("long")
+    return (
+        out.groupBy(bucket.alias("t"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count("lat").alias("n_converted"),
+            F.round(F.avg("lat") + EPS6, 4).alias("avg_latency_ms"),
+            F.min("lat").cast("long").alias("min_latency_ms"),
+            F.max("lat").cast("long").alias("max_latency_ms"),
+        )
+        .withColumn("n", F.col("n").cast("long"))
+        .withColumn("n_converted", F.col("n_converted").cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -1998,12 +2063,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_changepoint_daily": q_tsdb_changepoint_daily,
         "events_conversion_latency": q_events_conversion_latency,
         "doc_winnow_matches": q_doc_winnow_matches,
+        "tsdb_des_forecast_daily": q_tsdb_des_forecast_daily,
+        "stream_conversion_latency": q_stream_conversion_latency,
         # --- head: touched this round (clamp rewire / refreshers) ---
         "events_anomaly_hourly": q_events_anomaly_hourly,
         "events_hll_daily": q_events_hll_daily,
+        # --- overflow tail (positions 50+): green r7 driver rows ---
         "doc_pack_sequences": q_doc_pack_sequences,
         "stream_rollup_1h": q_stream_rollup_1h,
-        # --- overflow tail (positions 50+): green r7 driver rows ---
         "tsdb_sql_star": q_tsdb_sql_star,
         "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_session_30m": q_tsdb_session_30m,
@@ -3897,6 +3964,78 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY round(score + {EPS6}, 6) DESC NULLS LAST, t) AS rn
             FROM sc
           ) WHERE rn = 1
+        """,
+        "stream_conversion_latency": f"""
+          WITH e AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS t
+            FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+              AND event_type IN ('view', 'purchase')
+          ),
+          w AS (
+            SELECT user_id, event_type, t,
+                   max(CASE WHEN event_type = 'view' THEN t END) OVER (
+                     PARTITION BY user_id ORDER BY t, event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+            FROM e
+          ),
+          c AS (SELECT t, t - prior AS lat FROM w WHERE event_type = 'purchase')
+          SELECT {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(lat) AS BIGINT) AS n_converted,
+                 round(avg(lat) + {EPS6}, 4) AS avg_latency_ms,
+                 CAST(min(lat) AS BIGINT) AS min_latency_ms,
+                 CAST(max(lat) AS BIGINT) AS max_latency_ms
+          FROM c GROUP BY 1
+        """,
+        "tsdb_des_forecast_daily": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   sum(value) / count(value) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          r AS (
+            SELECT name, uid, t, x,
+                   row_number() OVER win - 1 AS i,
+                   first_value(x) OVER win AS x0
+            FROM b WINDOW win AS (PARTITION BY name, uid ORDER BY t)
+          ),
+          w AS (
+            SELECT *, coalesce(sum(CASE WHEN i >= 1 THEN x * pow(0.7, -i) END)
+                     OVER (PARTITION BY name, uid ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     0.0) AS csum
+            FROM r
+          ),
+          s1t AS (
+            SELECT name, uid, t, x, i,
+                   round(pow(0.7, i) * (x0 + 0.3 * csum) + {EPS6}, 6) AS s1
+            FROM w
+          ),
+          r2 AS (
+            SELECT *, first_value(s1) OVER (PARTITION BY name, uid
+                                            ORDER BY t) AS s10
+            FROM s1t
+          ),
+          w2 AS (
+            SELECT *, coalesce(sum(CASE WHEN i >= 1 THEN s1 * pow(0.7, -i) END)
+                     OVER (PARTITION BY name, uid ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     0.0) AS csum2
+            FROM r2
+          ),
+          f AS (
+            SELECT name, uid, t, x, s1,
+                   round(pow(0.7, i) * (s10 + 0.3 * csum2) + {EPS6}, 6) AS s2
+            FROM w2
+          )
+          SELECT name, uid, t,
+                 round(x + {EPS4}, 4) + 0.0 AS avg,
+                 round(2.0 * s1 - s2 + {EPS4}, 4) + 0.0 AS level,
+                 round((0.3 / 0.7) * (s1 - s2) + {EPS4}, 4) + 0.0 AS trend,
+                 round(2.0 * s1 - s2 + (0.3 / 0.7) * (s1 - s2) + {EPS4}, 4)
+                   + 0.0 AS forecast_next
+          FROM f
         """,
         "events_conversion_latency": f"""
           WITH e AS (

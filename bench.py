@@ -111,6 +111,8 @@ HEADLINE = [
     "tsdb_changepoint_daily",
     "events_conversion_latency",
     "doc_winnow_matches",
+    "tsdb_des_forecast_daily",
+    "stream_conversion_latency",
 ]
 
 

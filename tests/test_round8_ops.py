@@ -293,3 +293,104 @@ def test_winnow_matches_pairs_and_cap(spark):
     assert all(3 not in pair for pair in got)
     # df-cap: with max_df=1 every fingerprint bucket is dropped
     assert winnow_matches(df, k=5, w=4, min_shared=1, max_df=1).count() == 0
+
+
+# -- DES forecast ------------------------------------------------------------
+
+
+def test_des_forecast_matches_literal_recurrence(spark):
+    """Closed-form double smoothing == the literal Brown recurrence
+    (with the documented 6dp intermediate pinning)."""
+    import random
+
+    from v3io_tsdb_spark.operators.trend import des_forecast
+
+    rng = random.Random(11)
+    xs = [rng.uniform(0, 50) for _ in range(20)]
+    rows = [("m", "u", 100 * i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    alpha = 0.3
+    s1 = s2 = None
+    exp = []
+    for x in xs:
+        s1 = x if s1 is None else alpha * x + (1 - alpha) * s1
+        s1r = round(s1 + 1e-9, 6)
+        s2 = s1r if s2 is None else alpha * s1r + (1 - alpha) * s2
+        s2r = round(s2 + 1e-9, 6)
+        level = 2 * s1r - s2r
+        trend = alpha / (1 - alpha) * (s1r - s2r)
+        exp.append((level, trend, level + trend))
+    got = sorted(des_forecast(df).collect(), key=lambda r: r["t"])
+    for r, (lv, tr, fc) in zip(got, exp):
+        assert r["level"] == pytest.approx(lv, abs=1e-4)
+        assert r["trend"] == pytest.approx(tr, abs=1e-4)
+        assert r["forecast_next"] == pytest.approx(fc, abs=1e-4)
+
+
+def test_des_forecast_tracks_linear_trend(spark):
+    """On a perfectly linear series the one-step-ahead forecast
+    converges to the true next value (Brown's removes EWMA's lag)."""
+    from v3io_tsdb_spark.operators.trend import des_forecast
+
+    xs = [10.0 + 3.0 * i for i in range(40)]
+    rows = [("m", "u", 100 * i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    last = sorted(des_forecast(df).collect(), key=lambda r: r["t"])[-1]
+    true_next = 10.0 + 3.0 * 40
+    assert abs(last["forecast_next"] - true_next) < 0.5
+
+
+# -- streaming conversion latency -------------------------------------------
+
+
+def test_stream_conversion_latency_cross_batch_state(spark, tmp_path):
+    """The prior view arriving in an EARLIER micro-batch must still
+    pair with a later batch's purchase (state carry), and the emitted
+    rows must equal the batch operator on the concatenated feed."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_conversion_latency
+
+    b1 = [(100, "view", "u1"), (150, "purchase", "u1"), (200, "view", "u2")]
+    b2 = [(300, "purchase", "u2"), (400, "purchase", "u3"),
+          (500, "view", "u1"), (600, "purchase", "u1")]
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "ts long, event_type string, user_id string"
+
+    def feed(rows, name):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"ts": t, "event_type": e, "user_id": u})
+                for t, e, u in rows
+            )
+        )
+
+    feed(b1, "b1.json")
+    raw = spark.readStream.schema(schema).json(str(src))
+    sink = "conv_sink_test"
+    q = (
+        stream_conversion_latency(raw)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        feed(b2, "b2.json")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["t"]): r["lat"]
+        for r in spark.table(sink).collect()
+    }
+    spark.catalog.dropTempView(sink)
+    assert got == {
+        ("u1", 150): 50,     # same-batch pairing
+        ("u2", 300): 100,    # CROSS-batch pairing via state
+        ("u3", 400): None,   # no prior view -> null latency
+        ("u1", 600): 100,    # state updated by the later view
+    }

@@ -131,3 +131,49 @@ def changepoint_binary_seg(
         F.col("_pre").alias("pre_mean"),
         F.col("_post").alias("post_mean"),
     )
+
+
+def des_forecast(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Brown's double exponential smoothing + one-step-ahead forecast
+    per series: s1 = EWMA(x), s2 = EWMA(s1), level a = 2*s1 - s2,
+    trend b = alpha/(1-alpha) * (s1 - s2), forecast(t+1) = a + b —
+    the trend-aware forecaster the plain EWMA smoother can't provide
+    (EWMA lags a trending series; Brown's removes the first-order lag).
+
+    Both smoothing passes use the same closed-form running-sum window
+    as :func:`ewma_over_buckets` (identical overflow envelope: ~800
+    buckets at alpha=0.3), so the whole operator is two chained window
+    projections over ONE series-keyed exchange — no recurrence loop,
+    no Python, grid-sized input (the raw stream was bucket-reduced
+    upstream).
+    """
+    s1 = ewma_over_buckets(
+        df, series_cols, t_col, x_col, alpha
+    ).withColumnRenamed("ewma", "_s1")
+    # round each smoothing pass at 6dp: the closed-form running sums
+    # accumulate sub-ulp engine divergence, and COMPOUNDING two passes
+    # pushes it across output rounding boundaries — pinning the
+    # intermediates makes level/trend identical-input arithmetic on
+    # every engine (same determinism boundary as changepoint's
+    # pre/post means)
+    s1 = s1.withColumn("_s1", F.round(F.col("_s1") + 1e-9, 6))
+    s2 = ewma_over_buckets(
+        s1, series_cols, t_col, "_s1", alpha
+    ).withColumnRenamed("ewma", "_s2")
+    s2 = s2.withColumn("_s2", F.round(F.col("_s2") + 1e-9, 6))
+    level = 2.0 * F.col("_s1") - F.col("_s2")
+    trend = (alpha / (1.0 - alpha)) * (F.col("_s1") - F.col("_s2"))
+    return s2.select(
+        *series_cols,
+        F.col(t_col),
+        F.col(x_col),
+        level.alias("level"),
+        trend.alias("trend"),
+        (level + trend).alias("forecast_next"),
+    )

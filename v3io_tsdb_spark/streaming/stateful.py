@@ -224,3 +224,86 @@ def stream_bucket_zscores(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_CONV_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("t", LongType()),
+        StructField("lat", LongType()),
+    ]
+)
+_CONV_STATE_SCHEMA = StructType([StructField("last_from_ts", LongType())])
+
+
+def _make_conversion_fn(from_step: str, to_step: str):
+    """Per-user as-of pairing: each ``to_step`` event emits the latency
+    since the most recent prior ``from_step`` event (null if none).
+    Batch rows process in (ts, event_type) order — the same total order
+    as the batch operator's window (operators/funnel.py
+    conversion_latency), so a ``from_step`` sharing a conversion's
+    exact timestamp is NOT its prior in either engine. State is ONE
+    long per user (the last from-event timestamp)."""
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_from = state.get[0] if state.exists else None
+        rows = {"user_id": [], "t": [], "lat": []}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_type"]
+            )
+            for et, ts in zip(
+                batch["event_type"].values, batch["ts"].values
+            ):
+                ts = int(ts)
+                if et == to_step:
+                    rows["user_id"].append(key[0])
+                    rows["t"].append(ts)
+                    rows["lat"].append(
+                        ts - last_from if last_from is not None else None
+                    )
+                elif et == from_step:
+                    if last_from is None or ts > last_from:
+                        last_from = ts
+        if last_from is not None:
+            state.update((last_from,))
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
+def stream_conversion_latency(
+    stream_df: DataFrame,
+    from_step: str = "view",
+    to_step: str = "purchase",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming as-of conversion pairing — the stateful twin of the
+    batch ``conversion_latency`` operator: one row per ``to_step``
+    event with its latency since the user's most recent prior
+    ``from_step`` event, correct ACROSS micro-batch boundaries (the
+    prior view may have arrived in an earlier batch).
+
+    Spark-first shape: ``groupBy(user).applyInPandasWithState`` with
+    O(users) state (one long each) — not a stream-stream interval join,
+    which would buffer the whole from-side within the join window and
+    re-scan it per conversion.
+    """
+    return (
+        stream_df.select(
+            F.col(user_col).cast("string").alias("user_id"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_conversion_fn(from_step, to_step),
+            outputStructType=_CONV_OUT_SCHEMA,
+            stateStructType=_CONV_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
