@@ -43,6 +43,56 @@ def _compact_buckets(total_bytes: int, target_mb: int) -> int:
     return max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
 
 
+def _gen_resolve(root: str) -> str:
+    """Live data dir for ``root``: ``root/<gen>`` when an online-
+    compaction pointer exists, else ``root`` itself (flat layout)."""
+    cur = os.path.join(root, "_CURRENT")
+    try:
+        with open(cur) as f:
+            return os.path.join(root, f.read().strip())
+    except OSError:
+        return root
+
+
+def _gen_publish(root: str, new_gen: str, source: str) -> None:
+    """Atomically point ``root/_CURRENT`` at ``new_gen``, then purge
+    every generation except the new one and its source (the source is
+    retained one full cycle so queries planned against it keep reading
+    files that still exist — the concurrent-reader guarantee offline
+    ``_swap_dirs`` cannot give). When the source was the flat layout,
+    its ``dt=``/``rdt=`` dirs are the retained 'previous generation'
+    and are purged on the NEXT online compaction."""
+    tmp = os.path.join(root, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(new_gen)
+    os.replace(tmp, os.path.join(root, "_CURRENT"))
+    keep = {new_gen, os.path.basename(source)}
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if d.startswith("gen-") and d not in keep:
+            shutil.rmtree(full, ignore_errors=True)
+        # flat-layout leftovers: purge once the source is a generation
+        # (i.e. the flat data already survived one full cycle)
+        elif (
+            os.path.basename(source).startswith("gen-")
+            and os.path.isdir(full)
+            and "=" in d
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _gen_next(root: str) -> str:
+    n = 0
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("gen-"):
+                try:
+                    n = max(n, int(d.split("-", 1)[1]))
+                except ValueError:
+                    pass
+    return f"gen-{n + 1:06d}"
+
+
 def _swap_dirs(live: str, staged: str) -> None:
     """Crash-safe table-directory swap for the compactors: rename the
     live dir ASIDE first, promote the staged one, then delete the old
@@ -63,8 +113,8 @@ class TSDBAdapter:
     def __init__(self, spark: SparkSession, path: str, config: TSDBConfig | None = None):
         self.spark = spark
         self.path = path
-        self.samples_path = os.path.join(path, "samples")
-        self.rollup_path = os.path.join(path, "rollup")
+        self._samples_root = os.path.join(path, "samples")
+        self._rollup_root = os.path.join(path, "rollup")
         self.kinds_path = os.path.join(path, "series_kinds")
         self.maxts_path = os.path.join(path, "series_maxts")
         self._schema_mtime: float | None = None
@@ -76,6 +126,20 @@ class TSDBAdapter:
             # point trigger a reload
             self._schema_mtime = os.path.getmtime(schema_file)
         self.config = config or TSDBConfig()
+
+    @property
+    def samples_path(self) -> str:
+        """Current samples data directory, resolved through the
+        generation pointer when online compaction has created one
+        (``samples/_CURRENT`` names the live ``gen-N`` dir); the flat
+        pre-compaction layout otherwise. Every reader and writer in
+        the adapter goes through this property, so a pointer swap is
+        the single publication point."""
+        return _gen_resolve(self._samples_root)
+
+    @property
+    def rollup_path(self) -> str:
+        return _gen_resolve(self._rollup_root)
 
     def _maybe_reload_schema(self) -> None:
         """Hot-reload the on-disk schema before query planning: a
@@ -204,7 +268,9 @@ class TSDBAdapter:
         row = df.agg(F.min("ts").alias("m")).collect()[0]
         return None if row["m"] is None else int(row["m"])
 
-    def compact_samples(self, target_file_mb: int | None = None) -> None:
+    def compact_samples(
+        self, target_file_mb: int | None = None, online: bool = False
+    ) -> None:
         """Merge small append files inside each ``dt=`` partition (the
         maintenance twin of :meth:`compact_rollup`): every ``append``
         adds one file set per partition, and at ingest frequency × days
@@ -226,14 +292,25 @@ class TSDBAdapter:
         stats become selective on both columns and a name- or
         range-filtered scan skips row groups instead of decoding them
         (the analog of the reference's per-metric KV layout making
-        name-equality a seek, pkg/pquerier/querier.go:195-206)."""
-        if not os.path.exists(self.samples_path):
+        name-equality a seek, pkg/pquerier/querier.go:195-206).
+
+        ``online=True`` makes the rewrite safe under CONCURRENT
+        READERS (the default swap assumes a maintenance window,
+        SCALE.md): the compacted copy lands in a fresh ``gen-N`` dir,
+        an atomic ``_CURRENT`` pointer swap publishes it, and the
+        source generation is retained one full cycle so queries
+        planned before the swap keep reading existing files — the
+        same manifest-pointer discipline Delta/Iceberg use, minus the
+        transaction log (single-writer compaction assumed either
+        way)."""
+        if not glob.glob(os.path.join(self.samples_path, "dt=*")):
             return
-        df = self.spark.read.parquet(self.samples_path)
+        src = self.samples_path
+        df = self.spark.read.parquet(src)
         if target_file_mb:
             total = sum(
                 os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(self.samples_path)
+                for r, _, fs in os.walk(src)
                 for f in fs if f.endswith(".parquet")
             )
             buckets = _compact_buckets(total, target_file_mb)
@@ -243,21 +320,38 @@ class TSDBAdapter:
         else:
             part = df.repartition(F.col("dt"))
         part = part.sortWithinPartitions("dt", "name", "ts")
-        tmp = self.samples_path + "_compacting"
-        part.write.mode("overwrite").partitionBy("dt").parquet(tmp)
-        _swap_dirs(self.samples_path, tmp)
+        if online:
+            gen = _gen_next(self._samples_root)
+            part.write.mode("overwrite").partitionBy("dt").parquet(
+                os.path.join(self._samples_root, gen)
+            )
+            _gen_publish(self._samples_root, gen, src)
+        else:
+            tmp = src + "_compacting"
+            part.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+            _swap_dirs(src, tmp)
 
-    def compact_rollup(self) -> None:
-        """Merge partial rollup rows (optional maintenance)."""
-        if not os.path.exists(self.rollup_path):
+    def compact_rollup(self, online: bool = False) -> None:
+        """Merge partial rollup rows (optional maintenance).
+        ``online=True`` publishes via the generation pointer exactly
+        like :meth:`compact_samples` — safe under concurrent readers."""
+        if not glob.glob(os.path.join(self.rollup_path, "rdt=*")):
             return
-        merged = ru.merge_partials(self.spark.read.parquet(self.rollup_path).drop("rdt"))
+        src = self.rollup_path
+        merged = ru.merge_partials(self.spark.read.parquet(src).drop("rdt"))
         merged = merged.withColumn(
             "rdt", F.date_format(F.timestamp_millis(F.col("bucket")), "yyyy-MM-dd")
         )
-        tmp = self.rollup_path + "_compacting"
-        merged.write.mode("overwrite").partitionBy("rdt").parquet(tmp)
-        _swap_dirs(self.rollup_path, tmp)
+        if online:
+            gen = _gen_next(self._rollup_root)
+            merged.write.mode("overwrite").partitionBy("rdt").parquet(
+                os.path.join(self._rollup_root, gen)
+            )
+            _gen_publish(self._rollup_root, gen, src)
+        else:
+            tmp = src + "_compacting"
+            merged.write.mode("overwrite").partitionBy("rdt").parquet(tmp)
+            _swap_dirs(src, tmp)
 
     # -- query -------------------------------------------------------------
 
