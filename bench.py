@@ -372,6 +372,22 @@ def main():
                      "corpus_pipeline_stage_prefix_sec")
     }
     line["warm_detail"] = "BENCH_DETAIL.json"
+    # The driver parses this line out of a BOUNDED stdout tail (~2 kB);
+    # BENCH_r07 recorded parsed=null because 86 queries pushed the line
+    # to ~2.6 kB and its head was clipped. Keep the line small: 2dp
+    # values, and if still oversized keep only the slowest queries
+    # inline (the full map lives in the committed BENCH_DETAIL.json).
+    line["queries"] = {k: round(v, 2) for k, v in line["queries"].items()}
+    if len(json.dumps(line, separators=(",", ":"))) > 1800:
+        ranked = sorted(
+            line["queries"].items(), key=lambda kv: -kv[1]
+        )
+        keep = dict(ranked[:25])
+        keep["_omitted_queries"] = len(ranked) - 25
+        keep["_omitted_total_sec"] = round(
+            sum(v for _, v in ranked[25:]), 2
+        )
+        line["queries"] = keep
     print(json.dumps(line, separators=(",", ":")))
 
 
