@@ -107,3 +107,17 @@ def test_offline_compaction_still_works_flat(spark, tmp_path):
     root = os.path.join(ad.path, "samples")
     assert not os.path.exists(os.path.join(root, "_CURRENT"))
     assert _vals(ad.select(name="m", from_time=T0, to_time=T0 + 3 * DAY)) == before
+
+
+def test_delete_after_online_compaction(spark, tmp_path):
+    """delete() operates inside the current generation: range delete +
+    rollup recompute work identically after a pointer swap."""
+    ad = _mk(spark, tmp_path / "db")
+    ad.compact_samples(online=True)
+    ad.compact_rollup(online=True)
+    ad.delete(from_time=T0 + DAY, to_time=T0 + 2 * DAY)
+    got = _vals(ad.select(name="m", from_time=T0, to_time=T0 + 3 * DAY))
+    assert len(got) == 5 and all(t < T0 + DAY for t, _ in got)
+    agg = ad.select(name="m", functions="count", step="1d",
+                    from_time=T0, to_time=T0 + 3 * DAY)
+    assert sorted((int(r["t"]), r["count"]) for r in agg.collect()) == [(T0, 5)]

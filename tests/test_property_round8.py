@@ -114,3 +114,56 @@ def test_changepoint_matches_bruteforce_property(spark, xs):
     r = changepoint_binary_seg(df).collect()[0]
     assert r["change_t"] == 100 * best[1]
     assert abs(r["score"] - round(best[2] + 1e-9, 6)) <= 1e-4
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),                      # user
+            st.sampled_from(["view", "purchase", "click"]),
+            st.integers(0, 50),                     # ts (collisions likely)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_conversion_latency_matches_simulation(spark, events):
+    """Batch as-of pairing == a direct simulation over the (ts, type)
+    total order, including same-timestamp ties and absent priors."""
+    from v3io_tsdb_spark.operators.funnel import conversion_latency
+
+    df = spark.createDataFrame(
+        events, "user_id long, event_type string, ts long"
+    )
+    got = {
+        r["t"]: (r["n"], r["n_converted"], r["min_latency_ms"],
+                 r["max_latency_ms"])
+        for r in conversion_latency(df, bucket_ms=10, anchor_ms=0).collect()
+    }
+    # simulation: per user, process in (ts, type) order
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, e, t in events:
+        if e in ("view", "purchase"):
+            per_user[u].append((t, e))
+    lats = []  # (bucket, lat-or-None)
+    for u, evs in per_user.items():
+        last_view = None
+        for t, e in sorted(evs):
+            if e == "purchase":
+                lats.append((t // 10 * 10,
+                             t - last_view if last_view is not None else None))
+            else:
+                last_view = t if last_view is None else max(last_view, t)
+    want = {}
+    for b, lat in lats:
+        n, conv, mn, mx = want.get(b, (0, 0, None, None))
+        n += 1
+        if lat is not None:
+            conv += 1
+            mn = lat if mn is None else min(mn, lat)
+            mx = lat if mx is None else max(mx, lat)
+        want[b] = (n, conv, mn, mx)
+    assert got == want
