@@ -46,7 +46,10 @@ def build_scaled(mult: int) -> str:
 
     out = os.path.join(ROOT, f"m{mult}")
     marker = os.path.join(out, "_DONE")
+    emb_out = os.path.join(out, "embeddings.parquet")
     if os.path.exists(marker):
+        if not os.path.exists(emb_out):  # added r8: embeddings replicas
+            _build_embeddings(mult, out)
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -82,8 +85,31 @@ def build_scaled(mult: int) -> str:
         ) TO '{os.path.join(out, "events.parquet")}' (FORMAT PARQUET)
         """
     )
+    _build_embeddings(mult, out)
     open(marker, "w").close()
     return out
+
+
+def _build_embeddings(mult: int, out: str) -> None:
+    """Replicated embeddings: each replica perturbs one dimension per
+    vector (hash-deterministic) so groups grow in population without
+    collapsing to exact copies."""
+    import duckdb
+
+    emb = os.path.join(BASE, "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + r.i * 100000000 AS vec_id,
+                 list_transform(e.embedding,
+                   x -> CAST(x + 0.001 * r.i AS FLOAT)) AS embedding,
+                 e.label
+          FROM read_parquet('{emb}') e,
+               (SELECT unnest(range({mult})) AS i) r
+        ) TO '{os.path.join(out, "embeddings.parquet")}' (FORMAT PARQUET)
+        """
+    )
 
 
 def ops(spark):
@@ -209,11 +235,45 @@ def ops(spark):
         pairs = ngram_jaccard_pairs(docs(d), threshold=0.5, max_df=100)
         return dedup_clusters(pairs).agg(F.sum("comp")).collect()
 
+    def op_winnow(d):
+        from v3io_tsdb_spark.functions.text import winnow_fingerprints
+
+        return winnow_fingerprints(docs(d)).agg(F.count("*")).collect()
+
+    def op_slice_kl(d):
+        from v3io_tsdb_spark.functions.text import slice_kl_divergence
+
+        return slice_kl_divergence(docs(d)).agg(F.sum("kl")).collect()
+
+    def op_group_diversity(d):
+        from v3io_tsdb_spark.functions.similarity import group_diversity
+
+        emb = load_table(spark, d, "embeddings")
+        return group_diversity(emb, "label").agg(
+            F.sum("mean_pairwise_cosine")
+        ).collect()
+
+    def op_conversion_latency(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.funnel import conversion_latency
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return conversion_latency(ev, ts_col="ts_ms").agg(
+            F.sum("n")
+        ).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
         "events_json_props": op_json_props,
         "dedup_clusters": op_dedup_clusters,
+        "winnow_fingerprints": op_winnow,
+        "slice_kl": op_slice_kl,
+        "group_diversity": op_group_diversity,
+        "conversion_latency": op_conversion_latency,
         "dup_span_stats": op_dup_spans,
         "pack_sequences": op_pack,
         "minhash_pairs": op_minhash,
