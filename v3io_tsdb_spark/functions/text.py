@@ -764,6 +764,7 @@ def winnow_matches(
     max_df: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     (distinct fingerprints, not positions) — the pair-level consumer of
@@ -778,11 +779,11 @@ def winnow_matches(
     bucket-local equi-join on the fingerprint — never all-pairs over
     the corpus.
     """
-    fps = (
-        winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
-        .select(F.col(id_col), F.col("fp"))
-        .distinct()
-    )
+    if fps is None:  # else: a persisted winnow index (read_winnow_index)
+        fps = winnow_fingerprints(
+            df, k=k, w=w, text_col=text_col, id_col=id_col
+        )
+    fps = fps.select(F.col(id_col), F.col("fp")).distinct()
     keep = fps.groupBy("fp").agg(F.count("*").alias("_df")).where(
         F.col("_df") <= max_df
     )
@@ -797,3 +798,25 @@ def winnow_matches(
         .where(F.col("n_shared") >= min_shared)
         .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
     )
+
+
+def winnow_write_index(
+    df: DataFrame,
+    path: str,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the winnow fingerprint table at ``path`` — the deployed
+    shape (same discipline as the shingle index, dedup.py): tokenize,
+    k-gram-hash and window-select ONCE per corpus at ingest; every
+    match/report query reads the parquet. New docs append (their
+    fingerprints are independent of every other doc's)."""
+    winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    ).write.mode("overwrite").parquet(path)
+
+
+def read_winnow_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
