@@ -394,3 +394,28 @@ def test_stream_conversion_latency_cross_batch_state(spark, tmp_path):
         ("u3", 400): None,   # no prior view -> null latency
         ("u1", 600): 100,    # state updated by the later view
     }
+
+
+def test_winnow_index_append_equals_full_build(spark, tmp_path):
+    from v3io_tsdb_spark.functions.text import (
+        read_winnow_index,
+        winnow_append_index,
+        winnow_write_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc{i} zeta eta theta")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    winnow_write_index(docs, full)
+    winnow_write_index(docs.where("doc_id < 5"), inc)
+    winnow_append_index(docs.where("doc_id >= 5"), inc)
+    key = lambda df: {  # noqa: E731
+        (r["doc_id"], r["pos"], r["fp"]) for r in df.collect()
+    }
+    assert key(read_winnow_index(spark, inc)) == key(
+        read_winnow_index(spark, full)
+    )
