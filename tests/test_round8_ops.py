@@ -419,3 +419,63 @@ def test_winnow_index_append_equals_full_build(spark, tmp_path):
     assert key(read_winnow_index(spark, inc)) == key(
         read_winnow_index(spark, full)
     )
+
+
+# -- edge cases --------------------------------------------------------------
+
+
+def test_bm25_empty_and_no_hit_corpus(spark):
+    from v3io_tsdb_spark.functions.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "merge sort filter"), (2, "")], "doc_id long, text string"
+    )
+    assert bm25_topk(df, ("hash", "join"), k=5).count() == 0
+
+
+def test_slice_kl_single_slice_is_zero(spark):
+    """One slice == the whole corpus: KL must be exactly 0."""
+    from v3io_tsdb_spark.functions.text import slice_kl_divergence
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z w"), (2, "a", "x x q")],
+        "doc_id long, source string, text string",
+    )
+    rows = slice_kl_divergence(df).collect()
+    assert len(rows) == 1 and rows[0]["kl"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_group_diversity_orthonormal_is_zero_mean(spark):
+    """d orthonormal vectors: every pairwise cosine is 0."""
+    from v3io_tsdb_spark.functions.similarity import group_diversity
+
+    rows = [(i, 1, [1.0 if j == i else 0.0 for j in range(4)])
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    r = group_diversity(df, "label").collect()[0]
+    assert r["n"] == 4
+    assert r["mean_pairwise_cosine"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_conversion_latency_empty_input(spark):
+    from v3io_tsdb_spark.operators.funnel import conversion_latency
+
+    df = spark.createDataFrame(
+        [], "user_id long, event_type string, ts long"
+    )
+    assert conversion_latency(df).count() == 0
+
+
+def test_des_forecast_constant_series_is_flat(spark):
+    """Constant series: level == the constant, trend == 0, forecast ==
+    the constant (no spurious drift from the double smoothing)."""
+    from v3io_tsdb_spark.operators.trend import des_forecast
+
+    rows = [("m", "u", 100 * i, 7.5) for i in range(12)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    for r in des_forecast(df).collect():
+        assert r["level"] == pytest.approx(7.5, abs=1e-6)
+        assert r["trend"] == pytest.approx(0.0, abs=1e-6)
+        assert r["forecast_next"] == pytest.approx(7.5, abs=1e-6)
