@@ -2028,12 +2028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2): no
     query's newest driver row should age past ~2 rounds. Round-8
     head-50 = the 39 queries whose newest driver rows are from r6 (the
-    r7 tail) + the 6 NEW X71-X76 rows + the 2 events-family queries
-    rewired this round (native-ts clamp) + 3 refreshers touched this
-    round (pack_sequences' prefix-sum consumer, the streaming rollup,
-    the SQL-star frontend). The r8 tail (45) all carry green r7 driver
-    rows, so the r7+r8 union re-covers all 95 with every row <= 2
-    rounds old."""
+    r7 tail) + the 9 NEW X71-X79 rows + the 2 events-family queries
+    rewired this round (native-ts clamp). The r8 tail (48) all carry
+    green r7 driver rows, so the r7+r8 union re-covers all 98 with
+    every row <= 2 rounds old."""
     return {
         # --- head: r6-evidenced queries rotating back under the gate ---
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
