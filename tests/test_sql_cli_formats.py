@@ -376,3 +376,28 @@ def test_parse_query_reference_goldens():
         parse_query("select avg(*) as something")
     with pytest.raises(BadRequest, match="shadows"):
         parse_query("select avg(cpu), max(cpu) as cpu")
+
+
+def test_cli_compact_online_and_offline(tmp_path, spark, capsys):
+    import os
+
+    from v3io_tsdb_spark import cli
+
+    path = str(tmp_path / "cli_compact_db")
+    assert cli.main(["create", "-p", path, "--granularity", "1h"]) == 0
+    csv_file = tmp_path / "cc.csv"
+    csv_file.write_text(
+        "cpu,host=a,1.5,1704067200000\ncpu,host=a,2.5,1704067260000\n"
+    )
+    assert cli.main(["add", "-p", path, "-f", str(csv_file)]) == 0
+    assert cli.main(["compact", "-p", path]) == 0
+    assert "offline" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(path, "samples", "_CURRENT"))
+    assert cli.main(["compact", "-p", path, "--online"]) == 0
+    assert "online" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(path, "samples", "_CURRENT"))
+    # data survives both modes
+    rc = cli.main(["query", "-p", path, "-m", "cpu",
+                   "-a", "1704067200000", "-e", "1704070800000", "-o", "csv"])
+    assert rc == 0
+    assert "2.5" in capsys.readouterr().out

@@ -84,6 +84,21 @@ def cmd_sweep(args):
               + (f" ({', '.join(parts)})" if parts else ""))
 
 
+def cmd_compact(args):
+    """Compaction maintenance (extension: the reference consolidates
+    chunks inline on UpdateItem, pkg/appender/store.go:374-397; here
+    it is an explicit command). ``--online`` publishes through the
+    generation pointer so concurrent readers keep working; default
+    assumes a maintenance window."""
+    ad = _adapter(args)
+    ad.compact_samples(
+        target_file_mb=args.target_file_mb or None, online=args.online
+    )
+    ad.compact_rollup(online=args.online)
+    mode = "online (generation pointer)" if args.online else "offline (swap)"
+    print(f"compacted samples + rollup [{mode}]")
+
+
 def cmd_add(args):
     a = _adapter(args)
     if args.file:
@@ -298,6 +313,14 @@ def build_parser() -> argparse.ArgumentParser:
     w = sub.add_parser("sweep", help="apply the retention policy (drop expired partitions)")
     common(w)
     w.set_defaults(fn=cmd_sweep)
+
+    cp = sub.add_parser("compact", help="compact samples + rollup files")
+    common(cp)
+    cp.add_argument("--online", action="store_true",
+                    help="concurrent-reader-safe generation-pointer publish")
+    cp.add_argument("--target-file-mb", type=int, default=0,
+                    help="approximate output file size per partition")
+    cp.set_defaults(fn=cmd_compact)
 
     a = sub.add_parser("add", help="append samples")
     common(a)
