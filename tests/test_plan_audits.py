@@ -472,3 +472,45 @@ def test_indexed_winnow_matches_never_touches_text(spark, tmp_path):
               for r in winnow_matches(docs, k=5, w=4).collect()}
     indexed = {(r["id_a"], r["id_b"], r["n_shared"]) for r in out.collect()}
     assert indexed == direct
+
+
+def test_bm25_global_topk_is_take_ordered(spark):
+    """The global top-k must compile to TakeOrderedAndProject
+    (per-partition k-row heaps): with a common query term the matched
+    set is corpus-sized, so an unpartitioned row_number window here
+    would funnel every matched doc through one task (VERDICT r8 #3).
+    The rank window is allowed only ABOVE the k-row limit, where its
+    input is bounded at k rows by construction."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import bm25_topk
+
+    plan = _plan(
+        bm25_topk(load_table(spark, SF, "documents"), ("hash", "join", "vector"))
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    # parents precede children in the plan string: the Window (rank
+    # derivation) must sit above the TakeOrdered, never below it on
+    # the unbounded scored set
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:1200]
+    assert plan.count("Window") == 1
+
+
+def test_group_diversity_norm_hoisted_out_of_lambda(spark):
+    """The unit-normalize divide must reference a HOISTED norm column:
+    Catalyst does not CSE inside higher-order-function lambdas, so an
+    aggregate() embedded in the transform lambda re-runs the O(dim)
+    norm once per element — O(dim^2)/row (VERDICT r8 #1). Assert no
+    aggregate call is nested inside any lambdafunction in the plan."""
+    import re
+
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.similarity import group_diversity
+
+    plan = _plan(group_diversity(load_table(spark, SF, "embeddings"), "label"))
+    for m in re.finditer(r"lambdafunction\(", plan):
+        # scan the balanced-paren extent of each lambda body
+        depth, i = 1, m.end()
+        while depth and i < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        assert "aggregate(" not in plan[m.end():i], plan[m.end():i][:400]

@@ -599,10 +599,25 @@ def group_diversity(
     each executor emits at most groups x dims partial rows), one
     per-group reduce of dim sums, and arithmetic. No all-pairs
     anywhere; embeddings leave the scan only as per-dim partials.
+
+    The norm is hoisted into a column BEFORE the per-element divide:
+    Catalyst does not hoist subexpressions out of higher-order-function
+    lambdas, so embedding ``norm_col(v)`` inside the ``transform``
+    lambda re-evaluates the O(dim) aggregate once per element
+    (O(dim^2) per row). One norm per row here. Zero-norm vectors have
+    no direction, so no defined cosine with anything: they are filtered
+    out entirely (not counted in n either — counting a unitless vector
+    would silently deflate the group mean, and non-ANSI Spark x/0.0
+    -> NULL vs DuckDB inf would diverge engines).
     """
     v = F.col(vec_col).cast("array<double>")
-    unit = F.transform(v, lambda x: x / norm_col(v))
-    exploded = df.select(
+    base = (
+        df.select(F.col(group_col), v.alias("_v"))
+        .withColumn("_nrm", norm_col(F.col("_v")))
+        .where(F.col("_nrm") > 0)
+    )
+    unit = F.transform(F.col("_v"), lambda x: x / F.col("_nrm"))
+    exploded = base.select(
         F.col(group_col), F.posexplode(unit).alias("dim", "u")
     )
     dim_sums = exploded.groupBy(group_col, "dim").agg(

@@ -648,8 +648,13 @@ def bm25_topk(
     100 TB posture: the token stream is filtered to the query terms AT
     THE SCAN (array_intersect before explode), so the per-term
     aggregate shuffles only matching occurrences; df/N/avglen are
-    broadcast one-row/`len(terms)`-row sides; the final top-k is one
-    rank window over docs that matched at least one term.
+    broadcast one-row/`len(terms)`-row sides; the final top-k is
+    TakeOrdered (``orderBy().limit(k)`` — per-partition k-row heaps,
+    the same pattern as ``cosine_topk``), NOT a global rank window:
+    with a common query term the matched set is unbounded at 100 TB
+    and an unpartitioned ``row_number`` window would funnel every
+    matched doc through one task. ``rank`` is derived by a window
+    over the already-reduced k-row result (bounded, trivially safe).
     """
     from pyspark.sql import Window
 
@@ -692,19 +697,20 @@ def bm25_topk(
     )
     # rank on the ROUNDED score: sub-ulp float-sum-order differences
     # between engines must not flip rank order (hash determinism)
-    win = Window.orderBy(
-        F.round(F.col("score") + 1e-9, 6).desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(win))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("rank").cast("long").alias("rank"),
-            id_col,
-            F.round(F.col("score") + 1e-9, 6).alias("score"),
+    rscore = F.round(F.col("score") + 1e-9, 6)
+    topk = (
+        scored.select(
+            F.col(id_col),
+            rscore.alias("score"),
             F.col("n_hit_terms").cast("long").alias("n_hit_terms"),
         )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
     )
+    win = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return topk.withColumn(
+        "rank", F.row_number().over(win).cast("long")
+    ).select("rank", id_col, "score", "n_hit_terms")
 
 
 # -- corpus-slice divergence ------------------------------------------------
