@@ -116,6 +116,41 @@ HEADLINE = [
 ]
 
 
+def _task_ms(spark) -> tuple[float, float]:
+    """Cumulative (executorRunTime_ms, executorCpuTime_ms) summed over
+    every stage in the AppStatusStore. Deltas around a query give its
+    TASK time — the self-normalizing cost signal wall-clock can't be
+    (driver vs builder environments ran identical code 15%-6x apart in
+    r8; task time moves with the plan, not the machine's contention).
+    Spark 4's `stageList` takes the full 5-arg signature from py4j
+    (scala default args aren't reachable); retainedStages is raised in
+    the session config so the store never evicts mid-session (eviction
+    between two snapshots would corrupt the delta)."""
+    try:
+        sc = spark.sparkContext
+        try:
+            # the status store is fed asynchronously off the listener
+            # bus; drain it so the snapshot includes the run just timed
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            pass
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        run = 0.0
+        cpu = 0.0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            run += s.executorRunTime()
+            cpu += s.executorCpuTime() / 1e6  # ns -> ms
+        return run, cpu
+    except Exception:
+        return -1.0, -1.0
+
+
 def _jvm_gc_ms(spark) -> tuple[int, int]:
     """Cumulative (collection_ms, collection_count) across all JVM GC
     beans — the delta around a query separates GC pauses from plan
@@ -173,6 +208,11 @@ def main():
         #   per-query System.gc() measured worse — the pause itself
         #   lands in the timings; 90s amortizes it between queries.)
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # keep every stage's metrics for the whole session: _task_ms
+        # sums executorRunTime/CpuTime over the status store, and an
+        # eviction between two snapshots would corrupt the delta
+        .config("spark.ui.retainedStages", "20000")
+        .config("spark.ui.retainedJobs", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .getOrCreate()
@@ -239,6 +279,7 @@ def main():
     times = {}
     warm = {}
     gc_ms = {}
+    task_ms = {}
     pipeline_stage_split = {}
     stream_split = {}
     total = 0.0
@@ -246,6 +287,7 @@ def main():
     for name in HEADLINE:
         fn = qs[name]
         g0 = _jvm_gc_ms(spark)
+        tk0 = _task_ms(spark)
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -257,6 +299,7 @@ def main():
             times[name] = -1.0
             continue
         g1 = _jvm_gc_ms(spark)
+        tk1 = _task_ms(spark)
         times[name] = round(dt, 3)
         total += dt
         # stream_* queries run a real micro-batch stream inside fn();
@@ -276,6 +319,8 @@ def main():
         t1 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         wt = time.perf_counter() - t1
+        tk2 = _task_ms(spark)
+        warm_task = (tk2[0] - tk1[0], tk2[1] - tk1[1])
         # up to two retries while the number is still implausible
         # (slower than cold, or >3s): min-of-runs is the steady state
         for _ in range(2):
@@ -283,7 +328,12 @@ def main():
                 break
             t2 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wt = min(wt, time.perf_counter() - t2)
+            rt = time.perf_counter() - t2
+            tk3 = _task_ms(spark)
+            if rt < wt:  # keep the task delta of the min-wall run
+                wt = rt
+                warm_task = (tk3[0] - tk2[0], tk3[1] - tk2[1])
+            tk2 = tk3
         warm[name] = round(wt, 3)
         warm_total += wt
         g2 = _jvm_gc_ms(spark)
@@ -292,6 +342,13 @@ def main():
                 "cold_gc_ms": g1[0] - g0[0],
                 "warm_gc_ms": g2[0] - g1[0],
                 "warm_gc_count": g2[1] - g1[1],
+            }
+        if tk0[0] >= 0:
+            task_ms[name] = {
+                "cold_run_ms": round(max(0.0, tk1[0] - tk0[0]), 1),
+                "cold_cpu_ms": round(max(0.0, tk1[1] - tk0[1]), 1),
+                "warm_run_ms": round(max(0.0, warm_task[0]), 1),
+                "warm_cpu_ms": round(max(0.0, warm_task[1]), 1),
             }
         if name.startswith("stream_") and name in stream_split:
             split = dict(getattr(entry_mod, "LAST_STREAM_SPLIT", {}))
@@ -359,6 +416,12 @@ def main():
         # session-pathology probe (a warm run slower than cold with a
         # large warm_gc_ms is a GC pause, not a plan regression)
         "queries_gc_ms": gc_ms,
+        # executor task run/cpu time per query (VERDICT r8 #7): the
+        # machine-contention-independent cost signal. Wall-clock on
+        # identical code differed 15%-6x between driver and builder
+        # environments in r8; task time tracks the PLAN. warm_* is the
+        # delta of the min-wall warm run.
+        "queries_task_ms": task_ms,
         # cumulative stage-prefix seconds of the corpus pipeline
         # (stats -> dedup -> decontaminate -> split); untimed diagnostic
         "corpus_pipeline_stage_prefix_sec": pipeline_stage_split,
@@ -368,10 +431,18 @@ def main():
     line = {
         k: v
         for k, v in detail.items()
-        if k not in ("queries_warm", "queries_gc_ms",
+        if k not in ("queries_warm", "queries_gc_ms", "queries_task_ms",
                      "corpus_pipeline_stage_prefix_sec")
     }
     line["warm_detail"] = "BENCH_DETAIL.json"
+    # session-total task time inline (per-query map is in the detail
+    # file — it cannot fit the driver's ~2 kB stdout-tail budget)
+    if task_ms:
+        line["task_ms_totals"] = {
+            "cold_run": round(sum(v["cold_run_ms"] for v in task_ms.values())),
+            "warm_run": round(sum(v["warm_run_ms"] for v in task_ms.values())),
+            "warm_cpu": round(sum(v["warm_cpu_ms"] for v in task_ms.values())),
+        }
     # The driver parses this line out of a BOUNDED stdout tail (~2 kB);
     # BENCH_r07 recorded parsed=null because 86 queries pushed the line
     # to ~2.6 kB and its head was clipped. Keep the line small: 2dp

@@ -240,6 +240,22 @@ def ops(spark):
 
         return winnow_fingerprints(docs(d)).agg(F.count("*")).collect()
 
+    def op_winnow_indexed(d):
+        # the deployed read path since r9: fingerprints are computed
+        # once at ingest (winnow_write_index, untimed here) and every
+        # query scans the parquet index — this row measures the SERVING
+        # cost; the `winnow_fingerprints` row above keeps measuring the
+        # ingest-side compute shape
+        from v3io_tsdb_spark.functions.text import (
+            read_winnow_index,
+            winnow_write_index,
+        )
+
+        path = os.path.join(d, "_winnow_idx")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            winnow_write_index(docs(d), path)
+        return read_winnow_index(spark, path).agg(F.count("*")).collect()
+
     def op_slice_kl(d):
         from v3io_tsdb_spark.functions.text import slice_kl_divergence
 
@@ -271,6 +287,7 @@ def ops(spark):
         "events_json_props": op_json_props,
         "dedup_clusters": op_dedup_clusters,
         "winnow_fingerprints": op_winnow,
+        "winnow_fingerprints_indexed": op_winnow_indexed,
         "slice_kl": op_slice_kl,
         "group_diversity": op_group_diversity,
         "conversion_latency": op_conversion_latency,
@@ -330,6 +347,40 @@ def main():
             print(f"{name:18s} {m:3d}x/1x time ratio = {r:5.1f} (data ratio {m})",
                   flush=True)
 
+    # Directed split for dedup_clusters (VERDICT r8 #5): its sweep time
+    # is dominated by OUTPUT growth (the contractual pair list grows
+    # ~r^2/2 on a replica corpus), so record MEASURED pair counts and
+    # per-stage seconds — pair generation vs clustering — instead of
+    # extrapolating. Runs whenever dedup_clusters is in the op set.
+    cluster_split = {}
+    if "dedup_clusters" in table:
+        from v3io_tsdb_spark.datasets import load_table
+        from v3io_tsdb_spark.functions.dedup import (
+            dedup_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        for m in MULTS:
+            d = dirs[m]
+            docs_df = load_table(spark, d, "documents")
+            t0 = time.monotonic()
+            pairs = ngram_jaccard_pairs(docs_df, threshold=0.5, max_df=100)
+            pairs = pairs.persist()
+            n_pairs = pairs.count()  # forces pair generation, bounds it
+            pairgen = time.monotonic() - t0
+            t1 = time.monotonic()
+            dedup_clusters(pairs).agg(F.sum("comp")).collect()
+            cluster = time.monotonic() - t1
+            pairs.unpersist()
+            cluster_split[str(m)] = {
+                "pairs": int(n_pairs),
+                "pairgen_sec": round(pairgen, 3),
+                "cluster_sec": round(cluster, 3),
+            }
+            print(f"dedup_clusters split {m:3d}x: pairs={n_pairs} "
+                  f"pairgen={pairgen:.2f}s cluster={cluster:.2f}s",
+                  flush=True)
+
     # merge into the existing artifact so partial runs (op filter /
     # extra multipliers) extend rather than clobber prior evidence
     path = os.path.join(REPO, "SCALE_SWEEP.json")
@@ -341,6 +392,8 @@ def main():
     doc["mults"] = sorted(set(doc.get("mults", [])) | set(MULTS))
     for name, pts in results.items():
         doc["seconds"].setdefault(name, {}).update(pts)
+    if cluster_split:
+        doc.setdefault("dedup_clusters_split", {}).update(cluster_split)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print("wrote SCALE_SWEEP.json")

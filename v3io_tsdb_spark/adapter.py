@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,6 +44,21 @@ def _compact_buckets(total_bytes: int, target_mb: int) -> int:
     return max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
 
 
+def _write_token(path: str, token: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(token)
+    os.replace(tmp, path)
+
+
+def _read_token(path: str) -> str | None:
+    try:
+        with open(path) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
 def _gen_resolve(root: str) -> str:
     """Live data dir for ``root``: ``root/<gen>`` when an online-
     compaction pointer exists, else ``root`` itself (flat layout)."""
@@ -56,10 +72,17 @@ def _gen_resolve(root: str) -> str:
 
 def _gen_publish(root: str, new_gen: str, source: str) -> None:
     """Atomically point ``root/_CURRENT`` at ``new_gen``, then purge
-    every generation except the new one and its source (the source is
-    retained one full cycle so queries planned against it keep reading
-    files that still exist — the concurrent-reader guarantee offline
-    ``_swap_dirs`` cannot give). When the source was the flat layout,
+    every generation except the new one and its source. The source is
+    retained exactly ONE compaction cycle, so the concurrent-reader
+    guarantee is BOUNDED: a query whose file index was resolved against
+    the source keeps reading existing files only until the NEXT online
+    compaction publishes (a reader still running across two publishes
+    can hit deleted files). That bound fits the stated maintenance
+    cadence (compaction is an occasional offline-hours CLI command, not
+    a continuous background process); a cadence where readers routinely
+    outlive two compactions needs the snapshot-isolated table format
+    (Delta/Iceberg) documented in SCALE.md §6 — offline ``_swap_dirs``
+    gives no concurrent-reader window at all. When the source was the flat layout,
     its ``dt=``/``rdt=`` dirs are the retained 'previous generation'
     and are purged on the NEXT online compaction."""
     tmp = os.path.join(root, "_CURRENT.tmp")
@@ -117,6 +140,15 @@ class TSDBAdapter:
         self._rollup_root = os.path.join(path, "rollup")
         self.kinds_path = os.path.join(path, "series_kinds")
         self.maxts_path = os.path.join(path, "series_maxts")
+        # write-ahead sync tokens for the maxts sidecar: `pending` is
+        # stamped BEFORE a no-override samples write, `synced` after
+        # the watermark fold commits; inequality on the next append
+        # means a crash landed between the two (samples durable,
+        # watermark stale-low) and the sidecar must be reseeded before
+        # the monotonic filter trusts it — otherwise a retry of the
+        # crashed batch would pass the filter and duplicate rows
+        self._maxts_pending = os.path.join(path, "series_maxts.pending")
+        self._maxts_synced = os.path.join(path, "series_maxts.synced")
         self._schema_mtime: float | None = None
         schema_file = os.path.join(path, SCHEMA_FILE)
         if os.path.exists(schema_file):
@@ -217,9 +249,16 @@ class TSDBAdapter:
         )
         if validate:
             self._check_series_kinds(out)
+        if not self.config.override_old:
+            # stamp the write-ahead token BEFORE samples become durable:
+            # if we crash after the write but before the watermark fold,
+            # the next append sees pending != synced and reseeds
+            token = uuid.uuid4().hex
+            _write_token(self._maxts_pending, token)
         out.write.mode("append").partitionBy("dt").parquet(self.samples_path)
         if not self.config.override_old:
             self._update_maxts(out)
+            _write_token(self._maxts_synced, token)
         # ingest-side names directory (ref: pkg/appender/store.go:190-203)
         if needs_seed:
             NamesCatalog.rebuild(self.path, self._samples()).save()
@@ -495,7 +534,22 @@ class TSDBAdapter:
         the flag flip seeds the sidecar once from existing samples.
         Within a batch, equal-timestamp rows still collapse via
         ``prepare_for_write``'s dedup (a DataFrame has no arrival order
-        to make "first sample wins" meaningful; SURVEY §7.4(6))."""
+        to make "first sample wins" meaningful; SURVEY §7.4(6)).
+
+        Crash safety: samples must become durable BEFORE the watermark
+        fold (the reverse order could drop data: watermark high, rows
+        missing), so a crash between the two leaves the sidecar
+        stale-LOW and a naive retry of the same batch would re-pass the
+        filter and duplicate committed rows. The write-ahead token pair
+        stamped around the append detects exactly that window here and
+        reseeds the sidecar from committed samples before filtering."""
+        pending = _read_token(self._maxts_pending)
+        if (
+            pending is not None
+            and pending != _read_token(self._maxts_synced)
+            and glob.glob(os.path.join(self.samples_path, "dt=*"))
+        ):
+            self._rebuild_maxts(self._samples())
         if not os.path.exists(self.maxts_path):
             if glob.glob(os.path.join(self.samples_path, "dt=*")):
                 self._rebuild_maxts(self._samples())
@@ -537,6 +591,11 @@ class TSDBAdapter:
             _swap_dirs(self.maxts_path, tmp)
         else:
             os.rename(tmp, self.maxts_path)
+        # a full rebuild reflects every committed sample, so whatever
+        # append the pending token came from is now folded in
+        pending = _read_token(self._maxts_pending)
+        if pending is not None:
+            _write_token(self._maxts_synced, pending)
 
     def _check_series_kinds(self, batch) -> None:
         """Cross-APPEND type-conflict guard: a series that was ever

@@ -241,9 +241,12 @@ def _make_conversion_fn(from_step: str, to_step: str):
     since the most recent prior ``from_step`` event (null if none).
     Batch rows process in (ts, event_type) order — the same total order
     as the batch operator's window (operators/funnel.py
-    conversion_latency), so a ``from_step`` sharing a conversion's
-    exact timestamp is NOT its prior in either engine. State is ONE
-    long per user (the last from-event timestamp)."""
+    conversion_latency) — so an equal-timestamp tie resolves
+    DETERMINISTICALLY and identically in both engines: whether the
+    tied ``from_step`` counts as the conversion's prior depends only
+    on the lexical order of the step names (a from-step sorting before
+    the to-step IS seen first and counts; one sorting after is not).
+    State is ONE long per user (the last from-event timestamp)."""
 
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
