@@ -2023,6 +2023,65 @@ def q_stream_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-mixture recipe for doc_mixture_weights (X80): normalized in
+# Python ONCE at module level; the SAME normalized doubles are injected
+# as literals into the Spark expression and the DuckDB oracle, so every
+# output float is (python-literal x exact-int / exact-int) on both
+# engines. Sources absent from the recipe get weight 0 (excluded).
+_MIX_TARGET = {
+    "src0": 0.30,
+    "src1": 0.20,
+    "src2": 0.15,
+    "src3": 0.15,
+    "src4": 0.10,
+    "src5": 0.10,
+}
+_MIX_TOT = sum(_MIX_TARGET.values())
+# full-precision reprs so DuckDB parses the *identical* doubles the
+# Spark literals carry (mixture_weights normalizes with the same sum)
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN {v / _MIX_TOT!r}"
+        for s, v in sorted(_MIX_TARGET.items())
+    )
+    + " ELSE 0.0 END"
+)
+
+
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting (X80): per-source sampling/loss weights that
+    turn the corpus's natural token distribution into the declared
+    target recipe — weight = target_share / actual_token_share. One
+    map-side-combinable aggregate; the corpus is never shuffled."""
+    from v3io_tsdb_spark.functions.sampling import mixture_weights
+
+    return mixture_weights(
+        load_table(spark, sf_dir, "documents"), _MIX_TARGET
+    ).withColumn("weight", F.col("weight") + F.lit(0.0))
+
+
+def q_doc_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow-fingerprint decontamination (X81): training docs sharing
+    >= 2 distinct winnowing fingerprints with the eval slice
+    (doc_id % 10 == 3) — catches a single verbatim eval passage inside
+    an otherwise-novel doc, which whole-doc n-gram overlap (X19)
+    dilutes. BOTH sides are served from the persisted winnow index:
+    the text is never re-read, the eval fingerprint set broadcasts."""
+    from v3io_tsdb_spark.functions.text import winnow_decontaminate
+
+    idx = _winnow_ensure_index(spark, sf_dir)
+    docs = _docs_scattered(spark, sf_dir)
+    out = winnow_decontaminate(
+        docs.where(F.col("doc_id") % 10 != 3),
+        docs.where(F.col("doc_id") % 10 == 3),
+        min_shared=2,
+        fps=idx.where(F.col("doc_id") % 10 != 3),
+        eval_fps=idx.where(F.col("doc_id") % 10 == 3),
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -2153,6 +2212,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conversion_latency": q_stream_conversion_latency,
         "events_anomaly_hourly": q_events_anomaly_hourly,
         "events_hll_daily": q_events_hll_daily,
+        # --- NEW r9 (positions 98-99): r9 evidence = local hash sweep;
+        # --- first driver gate r10 per the saturated-gate rotation plan
+        "doc_mixture_weights": q_doc_mixture_weights,
+        "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
     }
 
 
@@ -4096,5 +4159,58 @@ def oracle_sql() -> dict[str, str]:
                  CAST(min(lat) AS BIGINT) AS min_latency_ms,
                  CAST(max(lat) AS BIGINT) AS max_latency_ms
           FROM c GROUP BY 1
+        """,
+        "doc_mixture_weights": f"""
+          WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END) AS n_tokens
+            FROM documents GROUP BY 1
+          ),
+          tot AS (SELECT sum(n_tokens) AS t FROM per)
+          SELECT source,
+                 CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)
+                       + {EPS6}, 6) AS actual_share,
+                 round({_MIX_CASE} + {EPS6}, 6) AS target_share,
+                 round(({_MIX_CASE}) * CAST(t AS DOUBLE)
+                       / CAST(n_tokens AS DOUBLE) + {EPS6}, 6) + 0.0 AS weight
+          FROM per CROSS JOIN tot
+        """,
+        "doc_winnow_decontaminate": r"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+            FROM documents
+          ),
+          kh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5 THEN
+                     list_transform(range(len(toks) - 4),
+                       i -> ('0x' || substr(md5(array_to_string(
+                              list_slice(toks, i + 1, i + 5), ' ')), 1, 15))::BIGINT)
+                   ELSE CAST([] AS BIGINT[]) END AS kh
+            FROM d
+          ),
+          sel AS (
+            SELECT doc_id,
+              CASE WHEN len(kh) >= 4 THEN
+                list_transform(range(len(kh) - 3),
+                  j -> list_min(list_slice(kh, j + 1, j + 4)))
+              WHEN len(kh) > 0 THEN [list_min(kh)]
+              ELSE [] END AS sels
+            FROM kh
+          ),
+          wfp AS (
+            SELECT DISTINCT doc_id, unnest(sels) AS fp FROM sel
+          ),
+          ev AS (SELECT DISTINCT fp FROM wfp WHERE doc_id % 10 = 3)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+          FROM (SELECT * FROM wfp WHERE doc_id % 10 != 3) tr
+          JOIN ev USING (fp)
+          GROUP BY 1 HAVING count(*) >= 2
         """,
     }

@@ -113,6 +113,8 @@ HEADLINE = [
     "doc_winnow_matches",
     "tsdb_des_forecast_daily",
     "stream_conversion_latency",
+    "doc_mixture_weights",
+    "doc_winnow_decontaminate",
 ]
 
 

@@ -232,3 +232,66 @@ def mixture_sample(
         hash_bucket_col(F.col(key_col), salt) < F.col("_thr")
     )
     return out.select(*df.columns)
+
+
+def mixture_weights(
+    df: DataFrame,
+    target: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling/loss weights that reweight the corpus's
+    NATURAL token distribution to a declared target mixture — the
+    data-mixture planning step that precedes every large training run
+    (the sibling of :func:`mixture_sample`, which rebalances by
+    temperature instead of toward an explicit recipe): for source s,
+
+        weight_s = target_share_s / actual_token_share_s
+
+    so sampling (or loss-scaling) each source's examples by weight_s
+    makes the expected token mix equal the target. weight > 1 means
+    the source must be oversampled (epochs > 1 over that slice),
+    weight < 1 undersampled, 0 excluded (absent from the target).
+
+    Determinism contract: token counts are exact integers; the target
+    shares are normalized IN PYTHON and injected as literals, so every
+    output float is (python-literal x exact-int / exact-int) — the
+    same IEEE doubles on any engine. Rounded at 6dp for hashing.
+
+    100 TB posture: ONE map-side-combinable aggregate over
+    (source -> count, token-sum); the per-source weight arithmetic is
+    a literal CASE expression on the aggregate's ~|sources| rows plus
+    a broadcast of the one-row grand total. The corpus itself is never
+    shuffled and never joined.
+    """
+    from v3io_tsdb_spark.functions.text import token_count_col
+
+    tot_target = sum(target.values())
+    norm = {s: v / tot_target for s, v in target.items()}
+    per_src = df.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col))).alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").alias("_total"))
+    tshare = F.coalesce(
+        *[
+            F.when(F.col(source_col) == s, F.lit(v))
+            for s, v in sorted(norm.items())
+        ],
+        F.lit(0.0),
+    ) if norm else F.lit(0.0)
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("n_tokens") / F.col("_total") + 1e-9, 6).alias(
+                "actual_share"
+            ),
+            F.round(tshare + 1e-9, 6).alias("target_share"),
+            F.round(
+                tshare * F.col("_total") / F.col("n_tokens") + 1e-9, 6
+            ).alias("weight"),
+        )
+    )

@@ -843,3 +843,53 @@ def winnow_append_index(
     winnow_fingerprints(
         new_docs, k=k, w=w, text_col=text_col, id_col=id_col
     ).write.mode("append").parquet(path)
+
+
+def winnow_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fps: DataFrame | None = None,
+    eval_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Fingerprint-level decontamination: flag every training document
+    sharing at least ``min_shared`` distinct winnowing fingerprints
+    with the evaluation corpus — the localized-overlap upgrade of the
+    n-gram screen (dedup.py ``decontaminate``): winnowing guarantees a
+    fingerprint hit for ANY shared run of >= w+k-1 tokens, wherever it
+    sits in the doc, while storing ~1/w of the shingles, so a
+    paraphrased doc that embeds one verbatim eval passage is caught
+    even when whole-doc n-gram overlap is diluted below threshold.
+
+    Returns the flagged docs only — (id, n_shared_fp) with n_shared_fp
+    counting DISTINCT fingerprints that occur anywhere in the eval
+    corpus (corpus-level screen, not per-eval-doc pairing): a bounded
+    report the pipeline anti-joins against the corpus.
+
+    100 TB posture: the eval side is benchmark-sized by nature, so its
+    distinct fingerprint set is broadcast and the screen is a
+    map-side semi-join against the (optionally PERSISTED, build-once)
+    training fingerprint index — the training corpus text is never
+    re-read when ``fps`` is supplied, and nothing all-pairs.
+    """
+    if fps is None:  # else: a persisted winnow index (read_winnow_index)
+        fps = winnow_fingerprints(
+            df, k=k, w=w, text_col=text_col, id_col=id_col
+        )
+    if eval_fps is None:  # else: the eval slice of the same index
+        eval_fps = winnow_fingerprints(
+            eval_df, k=k, w=w, text_col=text_col, id_col=id_col
+        )
+    train_fp = fps.select(F.col(id_col), F.col("fp")).distinct()
+    eval_fp = eval_fps.select("fp").distinct()
+    return (
+        train_fp.join(F.broadcast(eval_fp), "fp")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= min_shared)
+        .select(id_col, F.col("n_shared_fp").cast("long").alias("n_shared_fp"))
+    )
