@@ -353,7 +353,11 @@ def main():
     # per-stage seconds — pair generation vs clustering — instead of
     # extrapolating. Runs whenever dedup_clusters is in the op set.
     cluster_split = {}
-    if "dedup_clusters" in table:
+    if "dedup_clusters" in table or (
+        OPS_FILTER and "dedup_clusters_split" in OPS_FILTER
+    ):
+        from pyspark.sql import functions as F
+
         from v3io_tsdb_spark.datasets import load_table
         from v3io_tsdb_spark.functions.dedup import (
             dedup_clusters,
