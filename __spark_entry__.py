@@ -1340,10 +1340,14 @@ def q_doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style per-rule quality filter: per-document boolean
     rule columns (length band, mean/max token length, stopword
     presence, top-unigram repetition) + the composite ``keep`` verdict
-    — filterable AND auditable, all pure column expressions."""
+    — filterable AND auditable, all pure column expressions. The
+    OPERATOR is zero-shuffle (plan-asserted); the query pre-scatters
+    the single-row-group fixture like every other compute-heavy doc
+    pass (task-time evidence: 1.36s of rule CPU ran as ONE task when
+    fed the raw single-file scan — `queries_task_ms`, r9)."""
     from v3io_tsdb_spark.functions.text import quality_rules
 
-    return quality_rules(load_table(spark, sf_dir, "documents"))
+    return quality_rules(_docs_scattered(spark, sf_dir))
 
 
 def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
