@@ -1886,6 +1886,7 @@ def ensure_ingest_artifacts(spark: SparkSession, sf_dir: str) -> None:
     _shingle_ensure_index(spark, sf_dir)
     _ivf_ensure_index(spark, sf_dir)
     _lsh_ensure_index(spark, sf_dir)
+    _pq_ensure_index(spark, sf_dir)
     _stream_sess_fixture(spark, sf_dir)
     _stream_ctr_fixture(spark, sf_dir)
     _stream_conv_fixture(spark, sf_dir)
@@ -2027,6 +2028,57 @@ def q_stream_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared oracle CTE chain for the PQ queries (X90): regenerates the
+# deterministic codebooks (16 lowest-id vectors' subvectors), encodes
+# every vector by rounded-argmin, builds the per-query lookup table,
+# and sums the ADC distance in subspace order (list(... ORDER BY s) →
+# sequential adds, mirroring the engine's left-to-right chain).
+_PQ_CTES = """e AS (
+            SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+          ),
+          anch AS (
+            SELECT v, row_number() OVER (ORDER BY id) - 1 AS code
+            FROM (SELECT id, v FROM e ORDER BY id LIMIT 16)
+          ),
+          sp AS (SELECT unnest(range(8)) AS s),
+          cb AS (
+            SELECT sp.s, anch.code,
+                   list_slice(anch.v, sp.s * 8 + 1, sp.s * 8 + 8) AS cv
+            FROM sp, anch
+          ),
+          q AS (SELECT v AS qv FROM e WHERE id = 0),
+          lut AS (
+            SELECT cb.s, cb.code,
+                   round(list_sum(list_transform(
+                     list_zip(list_slice(q.qv, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))) + 1e-12, 9) AS ld
+            FROM cb, q
+          ),
+          dists AS (
+            SELECT e.id, cb.s, cb.code,
+                   round(list_sum(list_transform(
+                     list_zip(list_slice(e.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))) + 1e-12, 9) AS d
+            FROM e, cb
+          ),
+          enc AS (
+            SELECT id, s, code FROM (
+              SELECT id, s, code,
+                     row_number() OVER (PARTITION BY id, s
+                                        ORDER BY d, code) AS rn
+              FROM dists
+            ) WHERE rn = 1
+          ),
+          ad AS (
+            SELECT enc.id,
+                   round(list_sum(list(lut.ld ORDER BY enc.s)) + 0.000000001, 6)
+                     AS approx_dist
+            FROM enc JOIN lut ON enc.s = lut.s AND enc.code = lut.code
+            GROUP BY enc.id
+          )"""
+
+
 # Data-mixture recipe for doc_mixture_weights (X80): normalized in
 # Python ONCE at module level; the SAME normalized doubles are injected
 # as literals into the Spark expression and the DuckDB oracle, so every
@@ -2086,6 +2138,176 @@ def q_doc_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_tsdb_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust anomaly flags (X82) over each series' daily
+    averages: |x − med| > 3·1.4826·MAD. The mean/stddev z-screen
+    (events_anomaly_hourly) lets one extreme bucket inflate its own
+    yardstick; median/MAD has a 50% breakdown point. Exact medians,
+    broadcast per-series stats, grid shuffled once."""
+    from v3io_tsdb_spark.operators.anomaly import robust_mad_flags
+
+    out = robust_mad_flags(_daily_avg_series(spark, sf_dir))
+    return out.select(
+        "name", "uid", "t", F.col("x").alias("avg"),
+        "med", "mad", "robust_z", "is_anomaly",
+    )
+
+
+def q_events_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time × value 2D histogram (X83): per (event_type, day,
+    value-bucket of width 20) event counts — the Grafana heatmap
+    panel's data contract, as ONE partial-aggregable shuffle with both
+    bucket edges computed scan-side."""
+    from v3io_tsdb_spark.functions.histogram import value_heatmap
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = value_heatmap(
+        ev, "value", 20.0, ts_col="ts_ms", step_ms=DAY, origin_ms=F0,
+        group_cols=("event_type",),
+    )
+    return out.select("event_type", "t", "bucket_lo", "n")
+
+
+def q_tsdb_integral_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) trapezoidal area under the value curve in
+    value·seconds (X84) — exact for irregular samples, where the
+    sum×interval shortcut only holds on regular grids. Points are
+    deduplicated per (series, ms) first (deterministic lag order);
+    pairs never span a day boundary."""
+    from v3io_tsdb_spark.operators.trend import trapezoid_integral
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    pts = ev.groupBy(
+        F.col("event_type").alias("name"), F.col("ts_ms").alias("t")
+    ).agg((F.sum("value") / F.count("value")).alias("x"))
+    out = trapezoid_integral(
+        pts, series_cols=("name",), bucket_ms=DAY, origin_ms=F0
+    )
+    return out.select("name", "t", "n_seg", "auc")
+
+
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (X85): regression of ln(count) on ln(rank) over
+    the top-1000 vocabulary — corpus-health screen. The vocabulary is
+    never globally sorted (TakeOrdered cut); only the top-N survivor
+    frame meets the window and the 1-row regression."""
+    from v3io_tsdb_spark.functions.text import zipf_fit
+
+    return zipf_fit(_docs_scattered(spark, sf_dir), top_n=1000)
+
+
+def q_doc_logprob_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluency-bin × source mixture profile (X86): docs bucketed by
+    mean unigram log-probability into width-0.5 bins; per cell the doc
+    count, token count, and corpus token share — the histogram read
+    before setting perplexity-filter thresholds (CCNet head/middle/
+    tail generalized). Fixed bins: no quantile pass, scan-side
+    binning, comparable across corpus versions."""
+    from v3io_tsdb_spark.functions.text import logprob_profile
+
+    return logprob_profile(_docs_scattered(spark, sf_dir))
+
+
+def q_doc_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI over co-occurring trigram shingles (X87): phrase pairs
+    appearing together in documents far above chance — the template-
+    structure detector. df-capped inverted index (4 <= df <= 100)
+    bounds the per-doc pair blowup; pairs with c_ab >= 3 reported."""
+    from v3io_tsdb_spark.functions.text import cooccur_pmi
+
+    return cooccur_pmi(_docs_scattered(spark, sf_dir))
+
+
+def q_events_hampel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing Hampel filter (X89) over hourly event-type volumes:
+    each hour vs the MEDIAN/MAD of its previous 24 observed hours —
+    the robust twin of events_anomaly_hourly (whose trailing mean/std
+    one extreme hour can inflate enough to hide itself). Exact array
+    algebra over the bounded collect_list frame; counts are integers
+    so every stat is an exact rational — no float boundary at all."""
+    from v3io_tsdb_spark.operators.anomaly import trailing_hampel
+
+    out = trailing_hampel(_events_ms_clamped(spark, sf_dir))
+    return out.select("event_type", "t", "n", "med", "mad", "z", "is_anomaly")
+
+
+def _pq_ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted PQ index (mirror of _ivf_ensure_index):
+    codes parquet + codebook sidecar; queries serve from the ~32x-
+    compressed codes and never re-touch the raw embeddings."""
+    import os
+
+    from v3io_tsdb_spark.functions.similarity import pq_write_index
+
+    path = _persist_path("spark_graft_pq_v1", sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(path, "_pq_meta.json")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        pq_write_index(emb, path, m=8, ks=16)
+    return path
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (X90), the deployed shortlist+rerank
+    form: asymmetric-distance top-200 over the persisted 8-byte-per-
+    vector codes (TakeOrdered on the ~32x-compressed table — the
+    memory-compression scale path next to IVF's partition pruning and
+    LSH's bucketing), then exact L2 on just those 200 raw vectors for
+    the final top-20. Codebooks are the 16 lowest-id vectors'
+    subvectors (deterministic, oracle-regenerable); encode is
+    zero-shuffle scan-side argmin."""
+    from v3io_tsdb_spark.functions.similarity import pq_topk, read_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    codes, codebooks = read_pq_index(spark, _pq_ensure_index(spark, sf_dir))
+    return pq_topk(emb, qvec, k=20, codebooks=codebooks, codes=codes, rerank=200)
+
+
+def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the PQ path: |reranked top-20 ∩ exact-L2
+    top-20| / 20 as one falsifiable row (the IVF/LSH trust pattern).
+    Measures what the coarse 16-cell codebook actually costs after the
+    exact rerank: a true neighbor is lost only when the ADC shortlist
+    of 200 misses it entirely."""
+    from v3io_tsdb_spark.functions.similarity import (
+        pq_topk,
+        read_pq_index,
+        sq_dist_col,
+        query_vec_lit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    codes, codebooks = read_pq_index(spark, _pq_ensure_index(spark, sf_dir))
+    ann = pq_topk(
+        emb, qvec, k=20, codebooks=codebooks, codes=codes, rerank=200
+    ).select("vec_id")
+    v = F.col("embedding").cast("array<double>")
+    exact = (
+        emb.select(
+            "vec_id",
+            F.round(sq_dist_col(v, query_vec_lit(qvec)) + 1e-9, 6).alias("_d"),
+        )
+        .orderBy(F.asc("_d"), F.col("vec_id"))
+        .limit(20)
+        .select("vec_id")
+    )
+    return ann.intersect(exact).agg(
+        (F.count("*") / F.lit(20.0)).alias("recall_at_20")
+    )
+
+
+def q_emb_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment profile (X88): every vector assigned
+    to its max-cosine anchor (the 8 lowest-id nonzero vectors), per
+    anchor the member count and mean/min cosine — the deterministic
+    Lloyd assignment step as a broadcast nested-loop; the embedding
+    table is never shuffled until the centroid-keyed 8-row reduce."""
+    from v3io_tsdb_spark.functions.similarity import centroid_profile
+
+    return centroid_profile(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -2103,17 +2325,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 100 registered queries the 50-slot gate is SATURATED: the
-    registry now alternates two disjoint halves, each gated every
-    other round — this is the steady state; net-new queries must
-    displace or pair into existing slots. The 2 queries NEW this round
-    sit at the very end (positions 98-99): their r9 evidence is the
-    local 100/100 hash sweep; their first driver gate is r10, when the
-    current tail (incl. them) rotates into the head. Stream rows
-    (VERDICT r8 #8): 5 of the 6 stream_* rows are in the r9 head;
-    `stream_conversion_latency` (r8-gated) alternates back in r10 —
-    the two-half alternation puts every stream row under the gate
-    every other round by construction."""
+    At 110 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(110/50)) — each round the
+    50 queries whose newest driver rows are OLDEST move into the head,
+    so no row's evidence ages past 2 rounds (the stated policy bound).
+    The 12 queries NEW this round (X80-X90) sit at the very end
+    (positions 98-109): their r9 evidence is the local 110/110 hash
+    sweep; their first driver gate is r10 — the r10 head should be
+    positions 50-99 of this layout (the r8-evidenced tail plus the
+    oldest net-new), r11 takes the remainder plus the then-oldest.
+    Stream rows (VERDICT r8 #8): 5 of the 6 stream_* rows are in the
+    r9 head; `stream_conversion_latency` (r8-gated) must rotate into
+    the r10 head with its window."""
     return {
         # --- head: r7-evidenced queries rotating back under the gate ---
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -2216,10 +2439,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conversion_latency": q_stream_conversion_latency,
         "events_anomaly_hourly": q_events_anomaly_hourly,
         "events_hll_daily": q_events_hll_daily,
-        # --- NEW r9 (positions 98-99): r9 evidence = local hash sweep;
+        # --- NEW r9 (positions 98+): r9 evidence = local hash sweep;
         # --- first driver gate r10 per the saturated-gate rotation plan
         "doc_mixture_weights": q_doc_mixture_weights,
         "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
+        "tsdb_mad_daily": q_tsdb_mad_daily,
+        "events_value_heatmap": q_events_value_heatmap,
+        "tsdb_integral_daily": q_tsdb_integral_daily,
+        "doc_zipf_fit": q_doc_zipf_fit,
+        "doc_logprob_profile": q_doc_logprob_profile,
+        "doc_cooccur_pmi": q_doc_cooccur_pmi,
+        "emb_centroid_profile": q_emb_centroid_profile,
+        "events_hampel_hourly": q_events_hampel_hourly,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_pq_recall": q_emb_pq_recall,
     }
 
 
@@ -4216,5 +4449,241 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT * FROM wfp WHERE doc_id % 10 != 3) tr
           JOIN ev USING (fp)
           GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "events_hampel_hourly": f"""
+          WITH c AS (
+            SELECT event_type, (epoch_ms(ts) // {HOUR}) * {HOUR} AS t,
+                   count(*) AS n
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          w AS (
+            SELECT event_type, t, n,
+                   list_sort(list(CAST(n AS DOUBLE)) OVER win) AS arr
+            FROM c
+            WINDOW win AS (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+          ),
+          st AS (
+            SELECT event_type, t, n, arr, len(arr) AS m,
+                   CASE WHEN len(arr) > 0 THEN
+                     (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+                   END AS med
+            FROM w
+          ),
+          st2 AS (
+            SELECT event_type, t, n, m, med,
+                   CASE WHEN m > 0 THEN
+                     (list_sort(list_transform(arr, v -> abs(v - med)))
+                        [(m + 1) // 2]
+                      + list_sort(list_transform(arr, v -> abs(v - med)))
+                        [m // 2 + 1]) / 2.0
+                   END AS mad,
+                   abs(n - med) AS dev
+            FROM st
+          )
+          SELECT event_type, t, n,
+                 CASE WHEN m >= 12 THEN med END AS med,
+                 CASE WHEN m >= 12 THEN mad END AS mad,
+                 round(CASE WHEN m >= 12 AND mad > 0
+                       THEN dev / (1.4826 * mad) END + {EPS6}, 4) + 0.0 AS z,
+                 CASE WHEN m >= 12
+                      THEN CAST(dev > 3.0 * (1.4826 * mad) AS INT) END
+                   AS is_anomaly
+          FROM st2
+        """,
+        "emb_pq_topk": f"""
+          WITH {_PQ_CTES},
+          cand AS (SELECT id FROM ad ORDER BY approx_dist, id LIMIT 200)
+          SELECT e.id AS vec_id,
+                 round(list_sum(list_transform(list_zip(e.v, q.qv),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) + {EPS6}, 6) AS dist
+          FROM e JOIN cand USING (id), q
+          ORDER BY dist, e.id LIMIT 20
+        """,
+        "emb_pq_recall": f"""
+          WITH {_PQ_CTES},
+          cand AS (SELECT id FROM ad ORDER BY approx_dist, id LIMIT 200),
+          pq AS (
+            SELECT e.id,
+                   round(list_sum(list_transform(list_zip(e.v, q.qv),
+                         z -> (z[1] - z[2]) * (z[1] - z[2]))) + {EPS6}, 6) AS d
+            FROM e JOIN cand USING (id), q
+            ORDER BY d, e.id LIMIT 20
+          ),
+          ex AS (
+            SELECT e.id,
+                   round(list_sum(list_transform(list_zip(e.v, q.qv),
+                         z -> (z[1] - z[2]) * (z[1] - z[2]))) + {EPS6}, 6) AS d
+            FROM e, q ORDER BY d, e.id LIMIT 20
+          )
+          SELECT count(*) / 20.0 AS recall_at_20
+          FROM (SELECT id FROM pq INTERSECT SELECT id FROM ex) t
+        """,
+        "tsdb_mad_daily": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(sum(value) / count(value) + {EPS6}, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          med AS (
+            SELECT name, uid, round(median(x) + {EPS6}, 6) AS med
+            FROM b GROUP BY 1, 2
+          ),
+          devf AS (
+            SELECT b.name, b.uid, b.t, b.x, med.med,
+                   round(abs(b.x - med.med) + {EPS6}, 6) AS dev
+            FROM b JOIN med USING (name, uid)
+          ),
+          mad AS (
+            SELECT name, uid, round(median(dev) + {EPS6}, 6) AS mad
+            FROM devf GROUP BY 1, 2
+          )
+          SELECT devf.name, devf.uid, devf.t, devf.x AS avg,
+                 devf.med, mad.mad,
+                 round(CASE WHEN mad.mad = 0 THEN NULL
+                       ELSE dev / (1.4826 * mad.mad) END + {EPS6}, 4) + 0.0
+                   AS robust_z,
+                 dev > 3.0 * (1.4826 * mad.mad) AS is_anomaly
+          FROM devf JOIN mad USING (name, uid)
+        """,
+        "events_value_heatmap": f"""
+          SELECT event_type, {_DAY_BUCKET} AS t,
+                 CAST(floor(value / 20.0) * 20.0 AS DOUBLE) AS bucket_lo,
+                 CAST(count(value) AS BIGINT) AS n
+          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1, 2, 3
+        """,
+        "tsdb_integral_daily": f"""
+          WITH p AS (
+            SELECT event_type AS name, epoch_ms(ts) AS t, value
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT name, t, round(sum(value) / count(value) + {EPS6}, 6) AS x
+            FROM p GROUP BY 1, 2
+          ),
+          w AS (
+            SELECT name, t, x,
+                   lag(t) OVER (PARTITION BY name ORDER BY t) AS pt,
+                   lag(x) OVER (PARTITION BY name ORDER BY t) AS px
+            FROM g
+          ),
+          s AS (
+            SELECT name, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS day,
+                   ((t - pt) / 1000.0) * ((x + px) / 2.0) AS area
+            FROM w
+            WHERE pt IS NOT NULL
+              AND {F0} + ((t - {F0}) // {DAY}) * {DAY}
+                  = {F0} + ((pt - {F0}) // {DAY}) * {DAY}
+          )
+          SELECT name, day AS t, CAST(count(*) AS BIGINT) AS n_seg,
+                 round(sum(area) + {EPS6}, 4) + 0.0 AS auc
+          FROM s GROUP BY 1, 2
+        """,
+        "doc_zipf_fit": f"""
+          WITH tk AS (
+            SELECT unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+            FROM documents
+          ),
+          cnt AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
+          top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 1000),
+          r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
+                FROM top)
+          SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                 round(regr_slope(ln(c), ln(rank)) + {EPS6}, 6) + 0.0 AS slope,
+                 round(regr_intercept(ln(c), ln(rank)) + {EPS6}, 6) + 0.0
+                   AS intercept,
+                 round(regr_r2(ln(c), ln(rank)) + {EPS6}, 6) + 0.0 AS r2
+          FROM r
+        """,
+        "doc_logprob_profile": f"""
+          WITH tk AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END)
+                     AS term
+            FROM documents
+          ),
+          tf AS (SELECT doc_id, term, count(*) AS c_doc FROM tk GROUP BY 1, 2),
+          corpus AS (SELECT term, sum(c_doc) AS c_corpus FROM tf GROUP BY 1),
+          tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus),
+          doc AS (
+            SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_tokens,
+                   round(sum(c_doc * ln((c_corpus + 0.5)
+                         / (n_total + 0.5 * v_size))) / sum(c_doc)
+                         + {EPS6}, 6) AS lp
+            FROM tf JOIN corpus USING (term) CROSS JOIN tot GROUP BY 1
+          ),
+          binned AS (
+            SELECT floor(doc.lp / 0.5) * 0.5 AS bin_lo, documents.source,
+                   doc.n_tokens
+            FROM doc JOIN documents USING (doc_id)
+          ),
+          cells AS (
+            SELECT bin_lo, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM binned GROUP BY 1, 2
+          ),
+          ctot AS (SELECT sum(n_tokens) AS t FROM cells)
+          SELECT bin_lo, source, n_docs, n_tokens,
+                 round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) + {EPS6}, 6)
+                   AS token_share
+          FROM cells CROSS JOIN ctot
+        """,
+        "doc_cooccur_pmi": f"""
+          WITH {shingle_d},
+          inv AS (SELECT id, unnest(sh) AS g FROM d),
+          freq AS (SELECT g, count(*) AS c FROM inv GROUP BY 1),
+          kept AS (
+            SELECT id, g, c FROM inv JOIN freq USING (g)
+            WHERE c BETWEEN 4 AND 100
+          ),
+          pr AS (
+            SELECT a.g AS term_a, b.g AS term_b, a.c AS c_a, b.c AS c_b,
+                   count(*) AS c_ab
+            FROM kept a JOIN kept b ON a.id = b.id AND a.g < b.g
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) >= 3
+          ),
+          nd AS (SELECT count(*) AS n FROM documents)
+          SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
+                 CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+                 round(ln(n * c_ab / (c_a * c_b)) + {EPS6}, 6) AS pmi
+          FROM pr CROSS JOIN nd
+        """,
+        "emb_centroid_profile": f"""
+          WITH e AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+          ),
+          nv AS (
+            SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM e
+          ),
+          nz AS (SELECT * FROM nv WHERE nrm > 0),
+          c AS (
+            SELECT id AS centroid_id, v AS cv, nrm AS cnrm
+            FROM nz ORDER BY id LIMIT 8
+          ),
+          sc AS (
+            SELECT nz.id, c.centroid_id,
+                   round(list_sum(list_transform(list_zip(nz.v, c.cv),
+                         z -> z[1] * z[2])) / (nz.nrm * c.cnrm) + {EPS6}, 6)
+                     AS cos
+            FROM nz, c
+          ),
+          best AS (
+            SELECT id, centroid_id, cos,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY cos DESC, centroid_id) AS rn
+            FROM sc
+          )
+          SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+                 round(avg(cos) + {EPS6}, 6) AS mean_cos,
+                 round(min(cos) + {EPS6}, 6) AS min_cos
+          FROM best WHERE rn = 1 GROUP BY 1
         """,
     }

@@ -115,6 +115,16 @@ HEADLINE = [
     "stream_conversion_latency",
     "doc_mixture_weights",
     "doc_winnow_decontaminate",
+    "tsdb_mad_daily",
+    "events_value_heatmap",
+    "tsdb_integral_daily",
+    "doc_zipf_fit",
+    "doc_logprob_profile",
+    "doc_cooccur_pmi",
+    "emb_centroid_profile",
+    "events_hampel_hourly",
+    "emb_pq_topk",
+    "emb_pq_recall",
 ]
 
 

@@ -514,3 +514,150 @@ def test_group_diversity_norm_hoisted_out_of_lambda(spark):
             depth += {"(": 1, ")": -1}.get(plan[i], 0)
             i += 1
         assert "aggregate(" not in plan[m.end():i], plan[m.end():i][:400]
+
+
+def test_zipf_vocabulary_is_never_globally_sorted(spark):
+    """The top-N vocabulary cut must compile to TakeOrderedAndProject
+    (per-partition heaps): at 100 TB the vocabulary is billions of
+    terms, and a global Sort or an unpartitioned rank window over it
+    is a single-task funnel. The ranking Window is allowed only ABOVE
+    the TakeOrdered, where its input is top_n rows by construction."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import zipf_fit
+
+    plan = _plan(zipf_fit(load_table(spark, SF, "documents")))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan[:1200]
+    assert plan.count("Window") == 1
+
+
+def test_centroid_profile_never_shuffles_embeddings(spark):
+    """Assignment is a broadcast nested-loop against the n_centroids-
+    row anchor frame; the embedding table must reach the scored stage
+    without a data-sized exchange. The anchor cut itself is TakeOrdered
+    (never a global sort of the corpus), and the argmax window is
+    partitioned per vector (n_centroids rows of state), never global."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.similarity import centroid_profile
+
+    plan = _plan(centroid_profile(load_table(spark, SF, "embeddings")))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "PartitionBy: [_id" in plan.replace("partitionBy", "PartitionBy").replace(
+        "windowspecdefinition(_id", "PartitionBy: [_id"
+    ), plan[:1500]
+
+
+def test_mad_flags_stats_joins_are_broadcast(spark):
+    """Both per-series stats frames (median, MAD) are series-count
+    sized; they must come back as broadcast hash joins so the grid is
+    never re-shuffled for the lookups — the only data-sized exchanges
+    are the two per-series aggregations of the grid itself."""
+    from v3io_tsdb_spark.operators.anomaly import robust_mad_flags
+    from v3io_tsdb_spark.datasets import load_table
+
+    ev = load_table(spark, SF, "events")
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    grid = ev.groupBy(
+        F.col("event_type").alias("name"),
+        ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long").alias("t"),
+    ).agg(F.avg("value").alias("x"))
+    plan = _plan(robust_mad_flags(grid, series_cols=("name",)))
+    # 3 BHJ: the med lookup appears twice because the deviation frame
+    # feeds both the MAD aggregate and the final projection (Spark
+    # inlines the re-referenced subtree; ReuseExchange dedupes the
+    # underlying grid exchange at runtime), plus the mad lookup
+    assert plan.count("BroadcastHashJoin") == 3, plan[:1500]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_value_heatmap_is_single_partial_aggregable_shuffle(spark):
+    """Both bucket edges are scan-side expressions: the whole heatmap
+    must be one map-side-combinable aggregate — exactly one Exchange,
+    with a partial HashAggregate below it."""
+    from v3io_tsdb_spark.datasets import load_table, ts_millis
+    from v3io_tsdb_spark.functions.histogram import value_heatmap
+
+    ev = load_table(spark, SF, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    plan = _plan(value_heatmap(ev, "value", 20.0, group_cols=("event_type",)))
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "HashAggregate" in plan
+
+
+def test_cooccur_pmi_doc_count_is_broadcast_and_pairs_key_on_doc(spark):
+    """The 1-row corpus-size frame must broadcast (never a shuffle for
+    a scalar), and the pair-generation self-join must key on the doc id
+    — the df-capped inverted index contract: no pair generation outside
+    a document's own kept terms."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import cooccur_pmi
+
+    plan = _plan(cooccur_pmi(load_table(spark, SF, "documents")))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    # the only equality join condition on data-sized frames is id = id
+    assert "id#" in plan
+
+
+def test_pq_encode_is_zero_shuffle(spark):
+    """PQ encode must be pure scan-side expression work: the naive
+    formulation (explode ks*m candidate rows per vector + window
+    argmin) would shuffle a 128x blow-up of the corpus; the literal-
+    array argmin keeps the embedding table in its scan — no Exchange
+    anywhere in the encode plan."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, SF, "embeddings")
+    cb = pq_train(emb, m=8, ks=16)
+    plan = _plan(pq_encode(emb, cb))
+    assert "Exchange" not in plan, plan[:1200]
+    assert "Join" not in plan
+
+
+def test_pq_topk_is_take_ordered(spark):
+    """The ADC top-k must compile to TakeOrderedAndProject over the
+    codes scan — per-partition heaps, never a global sort of the
+    corpus-sized distance column (the X36 rule every top-k follows)."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    plan = _plan(pq_topk(emb, q, k=20))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "Window" not in plan
+
+
+def test_trailing_hampel_windows_only_the_bucketed_grid(spark):
+    """Same contract as the z-score screen: the raw stream meets ONE
+    partial-aggregable groupBy; the ordered window (and its bounded
+    collect_list state) runs over the already-small series x buckets
+    grid — exactly one window, exactly two exchanges (bucket agg +
+    series re-key), never over raw events."""
+    from v3io_tsdb_spark.datasets import load_table, ts_millis
+    from v3io_tsdb_spark.operators.anomaly import trailing_hampel
+
+    ev = load_table(spark, SF, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    plan = _plan(trailing_hampel(ev))
+    assert plan.count("Window") == 1, plan[:1500]
+    assert plan.count("Exchange") <= 2, plan[:1500]
+    assert "partial_count" in plan  # map-side combine before any window
+
+
+def test_pq_rerank_broadcasts_the_shortlist(spark):
+    """The rerank pass must touch the raw table ONLY through a
+    broadcast of the R-row ADC shortlist (two TakeOrdered cuts, no
+    shuffle of the corpus, no sort-merge join)."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    plan = _plan(pq_topk(emb, q, k=20, rerank=200))
+    assert plan.count("TakeOrderedAndProject") == 2, plan[:1500]
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

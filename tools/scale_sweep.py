@@ -281,6 +281,99 @@ def ops(spark):
             F.sum("n")
         ).collect()
 
+    def _daily_grid(d):
+        from pyspark.sql import functions as F2
+
+        from v3io_tsdb_spark.datasets import ts_millis
+
+        ev = load_table(spark, d, "events")
+        t = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        day = (F2.floor(t / 86_400_000) * 86_400_000).cast("long")
+        return ev.groupBy(
+            F2.col("event_type").alias("name"),
+            F2.col("user_id").cast("string").alias("uid"),
+            day.alias("t"),
+        ).agg((F2.sum("value") / F2.count("value")).alias("x"))
+
+    def op_mad_flags(d):
+        from v3io_tsdb_spark.operators.anomaly import robust_mad_flags
+
+        return robust_mad_flags(_daily_grid(d)).agg(F.sum("robust_z")).collect()
+
+    def op_value_heatmap(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.functions.histogram import value_heatmap
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return value_heatmap(
+            ev, "value", 20.0, group_cols=("event_type",)
+        ).agg(F.sum("n")).collect()
+
+    def op_trapezoid(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.trend import trapezoid_integral
+
+        ev = load_table(spark, d, "events")
+        t = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        pts = ev.groupBy(
+            F.col("event_type").alias("name"), t.alias("t")
+        ).agg((F.sum("value") / F.count("value")).alias("x"))
+        return trapezoid_integral(pts, series_cols=("name",)).agg(
+            F.sum("auc")
+        ).collect()
+
+    def op_zipf(d):
+        from v3io_tsdb_spark.functions.text import zipf_fit
+
+        return zipf_fit(docs(d)).collect()
+
+    def op_logprob_profile(d):
+        from v3io_tsdb_spark.functions.text import logprob_profile
+
+        return logprob_profile(docs(d)).agg(F.sum("token_share")).collect()
+
+    def op_cooccur_pmi(d):
+        from v3io_tsdb_spark.functions.text import cooccur_pmi
+
+        return cooccur_pmi(docs(d)).agg(F.sum("pmi"), F.count("*")).collect()
+
+    def op_centroid_profile(d):
+        from v3io_tsdb_spark.functions.similarity import centroid_profile
+
+        emb = load_table(spark, d, "embeddings")
+        return centroid_profile(emb).agg(F.sum("n")).collect()
+
+    def op_hampel(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.anomaly import trailing_hampel
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return trailing_hampel(ev).agg(F.sum("n")).collect()
+
+    def op_pq_topk(d):
+        # serving cost from the persisted codes (build untimed, the
+        # IVF/winnow-index convention); encode-side shape is asserted
+        # zero-shuffle by plan audit, the sweep measures the read path
+        from v3io_tsdb_spark.functions.similarity import (
+            pq_topk,
+            pq_write_index,
+            read_pq_index,
+        )
+
+        path = os.path.join(d, "_pq_idx")
+        if not os.path.exists(os.path.join(path, "_pq_meta.json")):
+            pq_write_index(load_table(spark, d, "embeddings"), path)
+        codes, cb = read_pq_index(spark, path)
+        emb = load_table(spark, d, "embeddings")
+        q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return pq_topk(emb, q, k=20, codebooks=cb, codes=codes).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -302,6 +395,15 @@ def ops(spark):
         "unigram_logprob": op_unigram,
         "normalized_dedup": op_norm_dedup,
         "irate_idelta": op_irate,
+        "mad_flags": op_mad_flags,
+        "value_heatmap": op_value_heatmap,
+        "trapezoid_integral": op_trapezoid,
+        "zipf_fit": op_zipf,
+        "logprob_profile": op_logprob_profile,
+        "cooccur_pmi": op_cooccur_pmi,
+        "centroid_profile": op_centroid_profile,
+        "trailing_hampel": op_hampel,
+        "pq_topk_indexed": op_pq_topk,
     }
 
 

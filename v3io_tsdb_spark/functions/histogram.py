@@ -41,3 +41,34 @@ def fixed_width_histogram(
         df.groupBy(*group_cols, lo.alias("bucket_lo"))
         .agg(F.count(value_col).alias("n"), total.alias("total"))
     )
+
+
+def value_heatmap(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    ts_col: str = "ts_ms",
+    step_ms: int = 86_400_000,
+    origin_ms: int = 0,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Time × value 2D histogram — the Grafana heatmap panel's data
+    contract (per time bucket, a value-bucket distribution), which the
+    reference serves by re-aggregating raw samples client-side per
+    panel query (pkg/formatter renders series, never distributions).
+
+    Both bucket edges are scan-side expressions, so the whole operator
+    is ONE partial-aggregable shuffle keyed on (group, t, bucket_lo);
+    output cardinality = groups × time buckets × occupied value
+    buckets, which is panel-sized however large the input. Empty cells
+    are absent (same suppression rule as :func:`fixed_width_histogram`);
+    the renderer densifies from the bounded output.
+    """
+    t = (
+        F.lit(origin_ms)
+        + F.floor((F.col(ts_col) - F.lit(origin_ms)) / F.lit(step_ms)) * F.lit(step_ms)
+    ).cast("long")
+    lo = (F.floor(F.col(value_col) / F.lit(width)) * F.lit(width)).cast("double")
+    return df.groupBy(
+        *group_cols, t.alias("t"), lo.alias("bucket_lo")
+    ).agg(F.count(value_col).alias("n"))

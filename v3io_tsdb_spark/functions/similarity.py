@@ -636,3 +636,267 @@ def group_diversity(
             F.when(n >= 2, mean_cos).otherwise(F.lit(None)) + 1e-9, 6
         ).alias("mean_pairwise_cosine"),
     )
+
+
+def centroid_profile(
+    df: DataFrame,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment profile: assign every vector to its
+    max-cosine centroid and report, per centroid, the member count and
+    mean cosine — the one-pass clustering readout a mixture/curation
+    pass uses to see how embedding mass distributes across anchors
+    (and the assignment step of Lloyd's k-means, run once against
+    FIXED anchors so the result is deterministic and oracle-checkable;
+    the IVF index (ivf_build) uses the same step with trained
+    centroids).
+
+    Anchors are the ``n_centroids`` lowest-id nonzero vectors —
+    data-derived but order-deterministic, so both engines pick the
+    identical set. Zero-norm vectors have no direction (same rule as
+    group_diversity) and are excluded from both the anchor set and the
+    assignment.
+
+    100 TB posture: the anchor frame is ``orderBy().limit()``
+    (TakeOrdered — never a global sort) and centroid-count sized, so
+    it broadcasts; assignment is a broadcast nested-loop over
+    ``n_centroids`` rows per vector with the argmax taken by a window
+    over exactly ``n_centroids`` rows per vector — no shuffle of the
+    embedding table at all beyond the final centroid-keyed aggregate
+    of (cid, cos) pairs, which is partial-aggregable and
+    centroid-count sized. Cosines are rounded at 6 dp BEFORE the
+    argmax so sub-ulp engine deltas cannot flip an assignment
+    (ties break to the lowest centroid id).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = (
+        df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+        .withColumn("_nrm", norm_col(F.col("_v")))
+        .where(F.col("_nrm") > 0)
+    )
+    cents = (
+        base.orderBy("_id")
+        .limit(n_centroids)
+        .select(
+            F.col("_id").alias("centroid_id"),
+            F.col("_v").alias("_cv"),
+            F.col("_nrm").alias("_cnrm"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "_id",
+        "centroid_id",
+        F.round(
+            dot_col(F.col("_v"), F.col("_cv"))
+            / (F.col("_nrm") * F.col("_cnrm"))
+            + 1e-9,
+            6,
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.col("centroid_id"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return best.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("_cos") + 1e-9, 6).alias("mean_cos"),
+        F.round(F.min("_cos") + 1e-9, 6).alias("min_cos"),
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Product-quantization codebooks (Jégou et al., TPAMI'11):
+    ``codebooks[s][c]`` is the ``c``-th anchor subvector of subspace
+    ``s`` (the vector split into ``m`` contiguous slices). Anchors are
+    the ``ks`` lowest-id vectors — data-derived but order-
+    deterministic, so a SQL oracle regenerates the identical codebooks
+    (k-means-refined codebooks would quantize tighter but are
+    iteration-order-dependent; the IVF index already demonstrates the
+    trained-centroid path, incremental maintenance included).
+
+    Driver-side payload is the codebook ONLY: m·ks·(dim/m) = ks·dim
+    doubles (the IVF centroids-only rule) — for dim=64, ks=16 that is
+    1024 floats, whatever the corpus size.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy("_id")
+        .limit(ks)
+        .collect()
+    )
+    dim = len(rows[0]["_v"])
+    d = dim // m
+    assert d * m == dim, f"dim {dim} not divisible by m={m}"
+    return [
+        [list(r["_v"][s * d : (s + 1) * d]) for r in rows] for s in range(m)
+    ]
+
+
+def _sq_dist_lit(v: Column, lit_vec) -> Column:
+    """Squared distance of an array column slice to a LITERAL vector —
+    sequential left-to-right accumulation (oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.array(*[F.lit(float(x)) for x in lit_vec]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ codes as a pure scan-side expression: per subspace, the
+    argmin-distance codebook entry over ``ks`` literal-array squared
+    distances — ``array_position(dists, array_min(dists))`` with the
+    distances ROUNDED at 9 dp first so sub-ulp engine deltas cannot
+    flip an argmin (first-occurrence semantics = lowest code wins
+    ties on every engine).
+
+    100 TB posture: NO shuffle and no join anywhere in the encode —
+    the naïve formulation (explode ks·m candidate rows per vector,
+    window-argmin per (vector, subspace)) would shuffle a 128×
+    blow-up of the corpus; here the embedding table never leaves its
+    scan. Output is (id, codes array<int>): m bytes-ish per vector —
+    the ~32× memory compression that lets a 100 TB embedding corpus
+    sit in a scan-friendly footprint.
+    """
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        dists = F.array(
+            *[F.round(_sq_dist_lit(sub, codebooks[s][c]) + 1e-12, 9) for c in range(ks)]
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 20,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list | None = None,
+    codes: DataFrame | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: approximate squared distance =
+    Σ_s lut[s][code_s], with the per-query lookup table
+    lut[s][c] = ‖q_s − codebook[s][c]‖² computed ONCE (m·ks floats)
+    and the per-vector distance a chain of ``element_at`` lookups into
+    literal arrays — scan-side arithmetic on the CODES table, the raw
+    embeddings untouched at query time. Top-k via ``orderBy().limit``
+    (TakeOrdered, per-partition heaps — the X36 rule).
+
+    The lut entries are rounded at 9 dp and summed in subspace order
+    on both engines (sequential adds), so the approximate distance is
+    identical-input arithmetic; ranking uses the 6-dp-rounded distance
+    with an id tiebreak.
+
+    Pass ``codes`` (a persisted ``pq_encode`` output) to serve from
+    the build-once index — the winnow/shingle-index pattern; without
+    it the encode runs inline (still zero-shuffle).
+
+    With ``rerank=R > k`` the ADC pass becomes a CANDIDATE generator
+    (the deployed PQ pattern): the approximate top-R shortlist — still
+    TakeOrdered over the compressed codes — is broadcast back against
+    the raw table for exact distances, and the final top-k ranks on
+    those (output column ``dist``). A 16-cell-per-subspace anchor
+    codebook is a coarse quantizer (the committed recall gate measures
+    it honestly); reranking restores exactness for everything the
+    shortlist catches while still touching raw vectors for only R
+    rows of the corpus.
+    """
+    if codebooks is None:
+        codebooks = pq_train(df, m=m, ks=ks, vec_col=vec_col, id_col=id_col)
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    lut = [
+        [
+            round(
+                sum(
+                    (q[s * d + i] - codebooks[s][c][i]) ** 2 for i in range(d)
+                )
+                + 1e-12,
+                9,
+            )
+            for c in range(ks)
+        ]
+        for s in range(m)
+    ]
+    if codes is None:
+        codes = pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col)
+    approx = F.lit(0.0)
+    for s in range(m):
+        approx = approx + F.element_at(
+            F.array(*[F.lit(x) for x in lut[s]]),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+    scored = codes.select(
+        F.col(id_col), F.round(approx + 1e-9, 6).alias("approx_dist")
+    )
+    if not rerank or rerank <= k:
+        return scored.orderBy(F.asc("approx_dist"), F.col(id_col)).limit(k)
+    cand = scored.orderBy(F.asc("approx_dist"), F.col(id_col)).limit(rerank)
+    v = F.col(vec_col).cast("array<double>")
+    exact = df.join(F.broadcast(cand.select(id_col)), id_col).select(
+        F.col(id_col),
+        F.round(_sq_dist_lit(v, q) + 1e-9, 6).alias("dist"),
+    )
+    return exact.orderBy(F.asc("dist"), F.col(id_col)).limit(k)
+
+
+def pq_write_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Persist the build-once PQ index: the codes parquet plus the
+    codebooks in a JSON sidecar (the shingle/winnow-index pattern —
+    quantize ONCE at ingest, serve every query from the compressed
+    codes; full-precision re-ranking reads the raw table for the
+    k survivors only). Returns the codebooks."""
+    import json
+    import os
+
+    codebooks = pq_train(df, m=m, ks=ks, vec_col=vec_col, id_col=id_col)
+    pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "_pq_meta.json"), "w") as f:
+        json.dump({"m": m, "ks": ks, "codebooks": codebooks}, f)
+    return codebooks
+
+
+def read_pq_index(spark, path: str) -> tuple:
+    """(codes DataFrame, codebooks) from :func:`pq_write_index`."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(path, "codes")), meta["codebooks"]

@@ -893,3 +893,164 @@ def winnow_decontaminate(
         .where(F.col("n_shared_fp") >= min_shared)
         .select(id_col, F.col("n_shared_fp").cast("long").alias("n_shared_fp"))
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope /
+    intercept / R² of ``ln(count)`` against ``ln(rank)`` for the top
+    ``top_n`` terms — the corpus-health screen (natural language sits
+    near slope −1; machine-generated or templated corpora fall off the
+    line; a corrupted merge shows up as a broken tail).
+
+    Plan shape (100 TB posture): term counts are one map-side-
+    combinable aggregate (output = vocabulary), then the top-``top_n``
+    cut uses ``orderBy().limit()`` — Spark's TakeOrdered, per-partition
+    heaps, so the vocabulary is never globally sorted (the X36 rule).
+    Only the ``top_n``-row survivor frame meets the ranking window and
+    the single-row regression aggregate, both bounded by ``top_n``
+    regardless of corpus size. Rank ties break on the term string, so
+    both engines rank identically; counts and ranks are exact
+    integers, making ``ln`` identical-input arithmetic on every
+    engine (6-dp output rounding covers the last-ulp libm delta).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    top = counts.orderBy(F.desc("c"), F.col("term")).limit(top_n)
+    w = Window.orderBy(F.desc("c"), F.col("term"))
+    ranked = top.select(
+        "term", "c", F.row_number().over(w).alias("rank")
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    eps = 1e-9
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        (F.round(F.regr_slope(ly, lx) + eps, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept(ly, lx) + eps, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.regr_r2(ly, lx) + eps, 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def logprob_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    slice_col: str = "source",
+    bin_width: float = 0.5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus fluency profile: bucket documents by their mean unigram
+    log-probability (:func:`unigram_logprob`) into fixed-width bins and
+    report, per (bin × slice), the doc count, token count, and token
+    share of the whole corpus — the histogram a mixture designer reads
+    before setting perplexity-filter thresholds (the CCNet "head /
+    middle / tail" cut generalized to arbitrary bins and slices).
+
+    A fixed-width bin is deliberately used instead of corpus quantiles:
+    bin edges are data-independent constants, so the profile is
+    comparable across corpus versions and needs NO global sort or
+    quantile pass — binning stays a scan-side expression over the
+    doc-level frame (X51's histogram rule applied to a model score).
+
+    Plan: unigram_logprob's term-keyed passes, a doc-keyed 1:1 join to
+    recover the slice column, then one partial-aggregable (bin, slice)
+    aggregate plus a broadcast 1-row totals join for the share. The
+    mean logprob is rounded at 6 dp BEFORE binning so both engines
+    floor bit-identical doubles (determinism boundary; a rounded value
+    landing exactly on a bin edge floors identically everywhere).
+    """
+    eps = 1e-9
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col, alpha=alpha)
+    slices = df.select(F.col(id_col), F.col(slice_col))
+    lp = F.round(F.col("mean_logprob") + eps, 6)
+    binned = scored.join(slices, id_col).select(
+        (F.floor(lp / F.lit(bin_width)) * F.lit(bin_width)).alias("bin_lo"),
+        F.col(slice_col),
+        F.col("n_tokens"),
+    )
+    cells = binned.groupBy("bin_lo", slice_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    totals = cells.agg(F.sum("n_tokens").alias("_total"))
+    return cells.crossJoin(F.broadcast(totals)).select(
+        "bin_lo",
+        slice_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_total") + eps, 6).alias("token_share"),
+    )
+
+
+def cooccur_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 4,
+    max_df: int = 100,
+    min_pair: int = 3,
+) -> DataFrame:
+    """Pointwise mutual information over co-occurring n-gram shingles:
+    which phrase pairs appear in the same documents far more often
+    than chance — the template/boilerplate-structure detector (two
+    rare phrases with high PMI are one template), and the association
+    signal behind phrase-table and topic seeding.
+
+    ``pmi = ln(N · c_ab / (c_a · c_b))`` over document frequencies,
+    reported for pairs with ``c_ab >= min_pair``. All counts are exact
+    integers, so the ``ln`` is identical-input arithmetic on every
+    engine (6-dp rounding covers libm's last ulp).
+
+    100 TB posture — the df-capped inverted index (the X2 Jaccard
+    rule): per-doc DISTINCT shingles explode once, document
+    frequencies are one term-keyed partial-aggregable pass, and ONLY
+    terms with ``min_df <= df <= max_df`` enter the doc-keyed
+    self-join — ``max_df`` removes boilerplate (the blowup source:
+    pair volume per doc is quadratic in its kept terms, so the cap is
+    the scale control, and everything it drops is chance-co-occurrence
+    noise by definition: PMI of ubiquitous terms ~ 0), ``min_df``
+    removes the unrepeatable tail. N (total docs) is a broadcast
+    1-row aggregate; the final df lookups are term-keyed 1:1 joins.
+    """
+    from v3io_tsdb_spark.functions.dedup import shingles_col
+
+    eps = 1e-9
+    inv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(F.col(text_col), n)).alias("g"),
+    )
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("c"))
+    kept = dfreq.where((F.col("c") >= min_df) & (F.col("c") <= max_df))
+    capped = inv.join(kept, "g").select("id", "g", "c")
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.id") == F.col("b.id")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(
+            F.col("a.g").alias("term_a"),
+            F.col("b.g").alias("term_b"),
+            F.col("a.c").alias("c_a"),
+            F.col("b.c").alias("c_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= min_pair)
+    )
+    ndocs = df.agg(F.count("*").alias("_n"))
+    return pairs.crossJoin(F.broadcast(ndocs)).select(
+        "term_a",
+        "term_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(
+            F.log(F.col("_n") * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))) + eps, 6
+        ).alias("pmi"),
+    )

@@ -16,7 +16,7 @@ samples.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.operators.bucketing import wall_bucket
@@ -66,4 +66,142 @@ def bucket_zscores(
         mean.alias("mean"),
         F.when(hist >= 2, std).alias("std"),
         z.alias("z"),
+    )
+
+
+def robust_mad_flags(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust anomaly flags per series over a bucketed grid:
+    flag buckets where ``|x − median| > k · 1.4826 · MAD`` (1.4826
+    scales MAD to σ under normality). The z-score screen
+    (:func:`bucket_zscores`) uses mean/stddev, which a single extreme
+    bucket inflates enough to hide itself — the 50% breakdown point of
+    median/MAD is the standard fix (ref has no robust path at all;
+    complements, not replaces, the trailing-z operator).
+
+    Two exact-median passes (Spark's ``median`` is the exact
+    percentile-0.5, matching SQL engines): per-series median of ``x``,
+    then per-series median of ``|x − med|``. Both aggregate the
+    ALREADY-BUCKETED grid (series × buckets — output-sized), and the
+    two per-series stats frames are broadcast back — series-count
+    rows, never data-sized, so the grid itself is shuffled exactly
+    once on the series key and reused by both passes.
+
+    Determinism boundary (hash-match contract): ``x``, the medians,
+    and the deviations are each rounded at 6 dp before any comparison
+    or division, so both engines branch on bit-identical doubles.
+
+    Zero MAD (≥50% of buckets identical): ``robust_z`` is null — the
+    ratio is unbounded, so there is no magnitude verdict — but the
+    FLAG keeps the strict Hampel inequality ``dev > 0``: when most of
+    the series sits exactly at the median, any departure is anomalous
+    (the standard Hampel-filter degenerate case).
+    """
+    eps = 1e-9
+    xr = F.round(F.col(x_col) + eps, 6)
+    grid = df.select(*series_cols, F.col(t_col), xr.alias("_x"))
+    med = grid.groupBy(*series_cols).agg(
+        F.round(F.median("_x") + eps, 6).alias("_med")
+    )
+    dev_frame = grid.join(F.broadcast(med), list(series_cols)).withColumn(
+        "_dev", F.round(F.abs(F.col("_x") - F.col("_med")) + eps, 6)
+    )
+    mad = dev_frame.groupBy(*series_cols).agg(
+        F.round(F.median("_dev") + eps, 6).alias("_mad")
+    )
+    scored = dev_frame.join(F.broadcast(mad), list(series_cols))
+    scale = F.lit(1.4826) * F.col("_mad")
+    return scored.select(
+        *series_cols,
+        F.col(t_col),
+        F.col("_x").alias(x_col),
+        F.col("_med").alias("med"),
+        F.col("_mad").alias("mad"),
+        (F.round(F.try_divide(F.col("_dev"), scale) + eps, 4) + F.lit(0.0)).alias(
+            "robust_z"
+        ),
+        (F.col("_dev") > F.lit(k) * scale).alias("is_anomaly"),
+    )
+
+
+def trailing_hampel(
+    df: DataFrame,
+    series_cols: tuple = ("event_type",),
+    ts_col: str = "ts_ms",
+    step_ms: int = 3_600_000,
+    lookback: int = 24,
+    min_history: int = 12,
+    k: float = 3.0,
+) -> DataFrame:
+    """Trailing-window Hampel filter over bucketed series: each bucket
+    scored against the MEDIAN/MAD of its previous ``lookback`` buckets
+    (never itself) — the robust twin of :func:`bucket_zscores`, and
+    the form of :func:`robust_mad_flags` that works on an endless
+    stream (trailing window = finite state; the global-median variant
+    needs the whole series).
+
+    Spark cannot run ``median`` over a framed window
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the trailing frame
+    is materialized as a ``collect_list`` array — bounded at
+    ``lookback`` elements by the frame itself — and the median / MAD
+    are exact array algebra over its sort: mid-pair averaging on the
+    sorted values, then the same on |v − med|. Per-row state is
+    ``lookback`` values, the identical bound the z-score window
+    carries; everything stays JVM-side expressions.
+
+    Determinism: bucket counts are exact integers, so med / dev / MAD
+    are exact rationals (denominator ≤ 4) — the flag comparison and
+    the z division are identical-input arithmetic on every engine
+    with NO rounding boundary at all until the 4-dp output rounding.
+
+    Verdict rules: fewer than ``min_history`` trailing buckets → null
+    z and null flag (no verdict); MAD = 0 with enough history → null z
+    (unbounded ratio) but the strict Hampel flag ``dev > 0`` stands
+    (same degenerate-case rule as :func:`robust_mad_flags`).
+
+    ``is_anomaly`` is a NULLABLE int (1/0/null) rather than a nullable
+    boolean: a three-state boolean round-trips through Arrow/pandas as
+    an object column on one engine and a masked BooleanDtype on the
+    other, which string-normalizes differently ('None' vs '<NA>') and
+    breaks hash-level oracle comparison; nullable ints coerce to
+    float64+NaN identically everywhere.
+    """
+    b = wall_bucket(F.col(ts_col), step_ms)
+    counts = df.groupBy(*series_cols, b.alias("t")).agg(
+        F.count(ts_col).alias("n")
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("t")
+        .rowsBetween(-lookback, -1)
+    )
+    arr = F.array_sort(F.collect_list(F.col("n").cast("double")).over(w))
+    scored = counts.withColumn("_arr", arr)
+    m = F.size(F.col("_arr"))
+
+    def _mid(a: Column, mm: Column) -> Column:
+        lo = F.element_at(a, ((mm + 1) / 2).cast("int"))
+        hi = F.element_at(a, (mm / 2).cast("int") + 1)
+        return (lo + hi) / 2.0
+
+    med = _mid(F.col("_arr"), m)
+    devs = F.array_sort(F.transform(F.col("_arr"), lambda v: F.abs(v - med)))
+    mad = _mid(devs, m)
+    dev = F.abs(F.col("n") - med)
+    have = m >= F.greatest(F.lit(min_history), F.lit(1))
+    z = F.when(have & (mad > 0), dev / (F.lit(1.4826) * mad))
+    flag = F.when(have, (dev > F.lit(k) * (F.lit(1.4826) * mad)).cast("int"))
+    return scored.select(
+        *series_cols,
+        "t",
+        "n",
+        F.when(have, med).alias("med"),
+        F.when(have, mad).alias("mad"),
+        (F.round(z + 1e-9, 4) + F.lit(0.0)).alias("z"),
+        flag.alias("is_anomaly"),
     )

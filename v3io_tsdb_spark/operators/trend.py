@@ -133,6 +133,67 @@ def changepoint_binary_seg(
     )
 
 
+def trapezoid_integral(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+    bucket_ms: int = 86_400_000,
+    origin_ms: int = 0,
+) -> DataFrame:
+    """Per (series, time bucket) trapezoidal area under the curve, in
+    value·seconds — the "total energy / total transferred" integral
+    Prometheus spells ``sum_over_time × interval`` only for regular
+    grids; the trapezoid form is exact for irregular samples. The
+    reference's aggregate set (sum/count/min/max/avg/rate, ref:
+    pkg/aggregate/aggregate.go) has no integral.
+
+    Input contract: ONE row per (series, t) — feed a deduped/bucketed
+    frame (the ``_PTS``-style grid pre-aggregates duplicate
+    timestamps), which also makes the ``lag`` ordering deterministic.
+    Each consecutive-sample pair contributes
+    ``(t − prev_t)/1000 · (x + prev_x)/2`` to the bucket of its LATER
+    sample, and only when both endpoints fall in the same bucket — so
+    a bucket's integral never reads outside its own wall-clock span
+    and single-sample buckets report no area (n_seg = 0 rows are
+    absent, same suppression rule as the aggregation paths).
+
+    Plan: one series-keyed window (lag) over the grid, then one
+    partial-aggregable groupBy on (series, bucket). ``x`` is rounded
+    at 6 dp BEFORE pairing so both engines' trapezoid arithmetic runs
+    on bit-identical doubles (hash-match determinism boundary).
+    """
+    eps = 1e-9
+    xr = F.round(F.col(x_col) + eps, 6)
+    grid = df.select(*series_cols, F.col(t_col).alias("_t"), xr.alias("_x"))
+    w = Window.partitionBy(*series_cols).orderBy("_t")
+    paired = grid.select(
+        *series_cols,
+        "_t",
+        "_x",
+        F.lag("_t").over(w).alias("_pt"),
+        F.lag("_x").over(w).alias("_px"),
+    )
+    bucket = (
+        F.lit(origin_ms)
+        + F.floor((F.col("_t") - F.lit(origin_ms)) / F.lit(bucket_ms)) * F.lit(bucket_ms)
+    ).cast("long")
+    prev_bucket = (
+        F.lit(origin_ms)
+        + F.floor((F.col("_pt") - F.lit(origin_ms)) / F.lit(bucket_ms)) * F.lit(bucket_ms)
+    ).cast("long")
+    area = ((F.col("_t") - F.col("_pt")) / F.lit(1000.0)) * (
+        (F.col("_x") + F.col("_px")) / F.lit(2.0)
+    )
+    segs = paired.where(
+        F.col("_pt").isNotNull() & (bucket == prev_bucket)
+    ).select(*series_cols, bucket.alias(t_col), area.alias("_area"))
+    return segs.groupBy(*series_cols, t_col).agg(
+        F.count("*").cast("long").alias("n_seg"),
+        (F.round(F.sum("_area") + eps, 4) + F.lit(0.0)).alias("auc"),
+    )
+
+
 def des_forecast(
     df: DataFrame,
     series_cols: tuple = ("name", "uid"),
