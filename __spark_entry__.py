@@ -984,6 +984,32 @@ def q_stream_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hampel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the trailing Hampel filter (X91): the robust
+    counterpart of stream_anomaly_hourly, driven end-to-end through
+    ``applyInPandasWithState`` with the same close-on-advance rule and
+    ring state. Every statistic is an exact rational of integer
+    counts, so the stream matches the batch SQL oracle bit-for-bit on
+    every closed bucket (the still-open last bucket per series is
+    excluded on the oracle side, as with the z-score twin)."""
+    from v3io_tsdb_spark.streaming.stateful import stream_trailing_hampel
+
+    fx = _stream_evt_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    out = _run_available_now(stream_trailing_hampel(raw))
+    return out.select(
+        "series_key",
+        F.col("t").cast("long").alias("t"),
+        F.col("n").cast("long").alias("n"),
+        "med",
+        "mad",
+        _rz("z"),
+        F.col("is_anomaly").cast("long").alias("is_anomaly"),
+    )
+
+
 def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of batch sessionize, driven end-to-end: the events
     feed (per-user series) is replayed through Structured Streaming's
@@ -2297,6 +2323,19 @@ def q_emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters with the sketch trust gate (X92): the
+    exact top-10 users by event count next to their CMS estimates
+    (d=4 x w=1024 md5-derived cells), ok = the one-sided guarantee
+    est >= exact plus the 4N/w collision bound. The 4 KB sketch is the
+    mergeable scale path; the exact side is the gate that earns it
+    trust — the HLL/ANN pattern applied to frequency."""
+    from v3io_tsdb_spark.functions.sketches import heavy_hitters_gate
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    return heavy_hitters_gate(ev, "user_id", k=10)
+
+
 def q_emb_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid assignment profile (X88): every vector assigned
     to its max-cosine anchor (the 8 lowest-id nonzero vectors), per
@@ -2325,12 +2364,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 110 registered queries the 50-slot gate is SATURATED: the
+    At 112 registered queries the 50-slot gate is SATURATED: the
     rotation is now a 3-window cycle (ceil(110/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 12 queries NEW this round (X80-X90) sit at the very end
-    (positions 98-109): their r9 evidence is the local 110/110 hash
+    The 14 queries NEW this round (X80-X92) sit at the very end
+    (positions 98-111): their r9 evidence is the local 112/112 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -2453,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hampel_hourly": q_events_hampel_hourly,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_pq_recall": q_emb_pq_recall,
+        "stream_hampel_hourly": q_stream_hampel_hourly,
+        "events_heavy_hitters": q_events_heavy_hitters,
     }
 
 
@@ -4052,6 +4093,49 @@ def oracle_sql() -> dict[str, str]:
                       THEN round((n - mean) / std + {EPS4}, 4) + 0.0 END AS z
           FROM w WHERE t < last_t
         """,
+        "stream_hampel_hourly": f"""
+          WITH c AS (
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {HOUR}) * {HOUR} AS t, count(*) AS n
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          w AS (
+            SELECT series_key, t, n,
+                   list_sort(list(CAST(n AS DOUBLE)) OVER win) AS arr,
+                   max(t) OVER (PARTITION BY series_key) AS last_t
+            FROM c
+            WINDOW win AS (PARTITION BY series_key ORDER BY t
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+          ),
+          st AS (
+            SELECT series_key, t, n, arr, last_t, len(arr) AS m,
+                   CASE WHEN len(arr) > 0 THEN
+                     (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
+                   END AS med
+            FROM w
+          ),
+          st2 AS (
+            SELECT series_key, t, n, m, med, last_t,
+                   CASE WHEN m > 0 THEN
+                     (list_sort(list_transform(arr, v -> abs(v - med)))
+                        [(m + 1) // 2]
+                      + list_sort(list_transform(arr, v -> abs(v - med)))
+                        [m // 2 + 1]) / 2.0
+                   END AS mad,
+                   abs(n - med) AS dev
+            FROM st
+          )
+          SELECT series_key, t, n,
+                 CASE WHEN m >= 12 THEN med END AS med,
+                 CASE WHEN m >= 12 THEN mad END AS mad,
+                 round(CASE WHEN m >= 12 AND mad > 0
+                       THEN dev / (1.4826 * mad) END + {EPS4}, 4) + 0.0 AS z,
+                 CASE WHEN m >= 12
+                      THEN CAST(dev > 3.0 * (1.4826 * mad) AS BIGINT) END
+                   AS is_anomaly
+          FROM st2 WHERE t < last_t
+        """,
         "tsdb_percentiles_daily": f"""
           SELECT event_type AS name,
                  {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
@@ -4519,6 +4603,39 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT count(*) / 20.0 AS recall_at_20
           FROM (SELECT id FROM pq INTERSECT SELECT id FROM ex) t
+        """,
+        "events_heavy_hitters": f"""
+          WITH keys AS (
+            SELECT CAST(user_id AS VARCHAR) AS key FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          ex AS (
+            SELECT key, count(*) AS exact FROM keys
+            GROUP BY 1 ORDER BY exact DESC, key LIMIT 10
+          ),
+          rr AS (SELECT unnest(range(4)) AS r),
+          cells AS (
+            SELECT rr.r,
+                   ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '_' || key),
+                    1, 15))::BIGINT % 1024 AS b,
+                   count(*) AS cnt
+            FROM keys, rr GROUP BY 1, 2
+          ),
+          probes AS (
+            SELECT ex.key, ex.exact, rr.r,
+                   ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '_' || ex.key),
+                    1, 15))::BIGINT % 1024 AS b
+            FROM ex, rr
+          ),
+          est AS (
+            SELECT key, exact, min(cnt) AS est
+            FROM probes JOIN cells USING (r, b) GROUP BY 1, 2
+          ),
+          n AS (SELECT count(*) AS nn FROM keys)
+          SELECT key, CAST(exact AS BIGINT) AS exact,
+                 CAST(est AS BIGINT) AS est,
+                 est >= exact AND est <= exact + 4 * nn / 1024 AS ok
+          FROM est CROSS JOIN n
         """,
         "tsdb_mad_daily": f"""
           WITH b AS (

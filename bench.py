@@ -125,6 +125,8 @@ HEADLINE = [
     "events_hampel_hourly",
     "emb_pq_topk",
     "emb_pq_recall",
+    "stream_hampel_hourly",
+    "events_heavy_hitters",
 ]
 
 

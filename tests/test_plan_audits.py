@@ -661,3 +661,29 @@ def test_pq_rerank_broadcasts_the_shortlist(spark):
     plan = _plan(pq_topk(emb, q, k=20, rerank=200))
     assert plan.count("TakeOrderedAndProject") == 2, plan[:1500]
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_is_one_partial_aggregable_shuffle(spark):
+    """The d bucket ids are scan-side expressions and the sketch is ONE
+    map-side-combinable aggregate: at 100 TB each executor emits at
+    most d*w partial cells. Exactly one Exchange; no join, no window."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.sketches import cms_sketch
+
+    plan = _plan(cms_sketch(load_table(spark, SF, "events"), "user_id"))
+    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "Join" not in plan and "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_heavy_hitters_exact_side_is_take_ordered(spark):
+    """The exact top-k must compile to TakeOrderedAndProject (never a
+    global sort of the per-key counts), and the sketch + totals come
+    back as broadcasts — no sort-merge join anywhere."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.sketches import heavy_hitters_gate
+
+    plan = _plan(heavy_hitters_gate(load_table(spark, SF, "events"), "user_id"))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan

@@ -495,3 +495,146 @@ def test_pq_rerank_restores_exact_order_within_shortlist(spark):
     assert [(r["vec_id"], r["dist"]) for r in got] == [
         (r["vec_id"], r["d"]) for r in exact
     ]
+
+
+# ----------------------------------------------------- stream Hampel
+
+
+def test_stream_trailing_hampel_cross_batch(tmp_path, spark):
+    """Streaming Hampel: close-on-advance emission, ring state across
+    micro-batches, and bit-exact agreement of med/MAD with the batch
+    array algebra (integer counts -> exact rationals)."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_trailing_hampel
+
+    H = 3_600_000
+    in_dir = tmp_path / "h_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "h_ckpt")
+
+    def write(fname, events):
+        (in_dir / fname).write_text(
+            "\n".join(json.dumps({"ts": t, "name": n, "value": 0.0})
+                      for n, t in events)
+        )
+
+    # hours 0..3 with counts [2, 4, 2, 9]; lookback 3, min_history 2
+    ev = []
+    for h, n in enumerate([2, 4, 2, 9]):
+        ev += [("a", h * H + i) for i in range(n)]
+    write("b1.json", ev[:5])
+    raw = spark.readStream.schema("ts long, name string, value double").json(str(in_dir))
+    out = stream_trailing_hampel(raw, step_ms=H, lookback=3, min_history=2)
+    q = (
+        out.writeStream.format("memory").queryName("h_out")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        write("b2.json", ev[5:] + [("a", 4 * H)])  # hour 4 opens -> hour 3 closes
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["t"]: r for r in spark.sql("SELECT * FROM h_out").collect()}
+    assert set(rows) == {0, H, 2 * H, 3 * H}
+    assert rows[0]["med"] is None and rows[0]["is_anomaly"] is None
+    assert rows[H]["med"] is None          # 1 trailing bucket < min_history
+    r2 = rows[2 * H]                       # trailing [2,4] -> med 3, mad 1
+    assert r2["med"] == 3.0 and r2["mad"] == 1.0
+    assert r2["is_anomaly"] == 0
+    r3 = rows[3 * H]                       # trailing [2,4,2] -> med 2, mad 0
+    assert r3["med"] == 2.0 and r3["mad"] == 0.0
+    assert r3["z"] is None and r3["is_anomaly"] == 1  # dev 7 > 0, strict flag
+
+
+def test_stream_hampel_matches_batch_operator(tmp_path, spark):
+    """The stream twin and the batch operator agree on every CLOSED
+    bucket of a replayed fixture (the hash-gate property, asserted
+    directly)."""
+    import json
+    import random
+
+    from v3io_tsdb_spark.operators.anomaly import trailing_hampel
+    from v3io_tsdb_spark.streaming.stateful import stream_trailing_hampel
+
+    rng = random.Random(11)
+    H = 3_600_000
+    ev = []
+    for h in range(30):
+        for i in range(rng.randint(1, 6)):
+            ev.append(("a" if h % 2 else "b", h * H + i * 7))
+    in_dir = tmp_path / "hm_in"
+    in_dir.mkdir()
+    half = len(ev) // 2
+    ev.sort(key=lambda e: e[1])
+    for fname, chunk in (("b1.json", ev[:half]), ("b2.json", ev[half:])):
+        (in_dir / fname).write_text(
+            "\n".join(json.dumps({"ts": t, "name": n, "value": 0.0})
+                      for n, t in chunk)
+        )
+    raw = spark.readStream.schema("ts long, name string, value double").json(str(in_dir))
+    out = stream_trailing_hampel(raw, step_ms=H, lookback=5, min_history=3)
+    q = (
+        out.writeStream.format("memory").queryName("hm_out")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "hm_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["series_key"], r["t"]): (r["n"], r["med"], r["mad"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM hm_out").collect()
+    }
+    df = spark.createDataFrame(ev, "event_type string, ts_ms long")
+    batch = trailing_hampel(df, step_ms=H, lookback=5, min_history=3)
+    last_t = {r["event_type"]: r["mt"] for r in
+              df.groupBy("event_type").agg(
+                  (F.max(F.floor(F.col("ts_ms") / H) * H).cast("long")).alias("mt")
+              ).collect()}
+    want = {}
+    for r in batch.collect():
+        if r["t"] < last_t[r["event_type"]]:  # open buckets never emit
+            want[(r["event_type"], r["t"])] = (
+                r["n"], r["med"], r["mad"], r["is_anomaly"]
+            )
+    assert got == want
+
+
+# ------------------------------------------------------ CMS heavy hitters
+
+
+def test_cms_never_underestimates_and_gate_holds(spark):
+    """The one-sided CMS guarantee: every estimate >= its exact count;
+    the gate's collision bound holds on a skewed key set."""
+    from v3io_tsdb_spark.functions.sketches import heavy_hitters_gate
+
+    rows = [(f"u{i % 7}",) for i in range(400)] + [("whale",)] * 300
+    df = spark.createDataFrame(rows, "user_id string")
+    out = heavy_hitters_gate(df, "user_id", k=5).collect()
+    assert len(out) == 5
+    top = max(out, key=lambda r: r["exact"])
+    assert top["key"] == "whale" and top["exact"] == 300
+    for r in out:
+        assert r["est"] >= r["exact"]
+        assert r["ok"]
+
+
+def test_cms_sketch_is_mergeable(spark):
+    """sketch(A) + sketch(B) cell-wise == sketch(A union B) — the
+    property that lets per-partition/day sketches combine without
+    touching raw data again."""
+    from v3io_tsdb_spark.functions.sketches import cms_sketch
+
+    a = spark.createDataFrame([(f"k{i % 5}",) for i in range(50)], "user_id string")
+    b = spark.createDataFrame([(f"k{i % 3}",) for i in range(30)], "user_id string")
+    u = a.union(b)
+    sa = {(r["r"], r["b"]): r["cnt"] for r in cms_sketch(a, "user_id").collect()}
+    sb = {(r["r"], r["b"]): r["cnt"] for r in cms_sketch(b, "user_id").collect()}
+    su = {(r["r"], r["b"]): r["cnt"] for r in cms_sketch(u, "user_id").collect()}
+    merged = dict(sa)
+    for cell, c in sb.items():
+        merged[cell] = merged.get(cell, 0) + c
+    assert merged == su

@@ -374,6 +374,12 @@ def ops(spark):
         q = emb.where(F.col("vec_id") == 0).first()["embedding"]
         return pq_topk(emb, q, k=20, codebooks=cb, codes=codes).collect()
 
+    def op_heavy_hitters(d):
+        from v3io_tsdb_spark.functions.sketches import heavy_hitters_gate
+
+        ev = load_table(spark, d, "events")
+        return heavy_hitters_gate(ev, "user_id", k=10).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -404,6 +410,7 @@ def ops(spark):
         "centroid_profile": op_centroid_profile,
         "trailing_hampel": op_hampel,
         "pq_topk_indexed": op_pq_topk,
+        "heavy_hitters": op_heavy_hitters,
     }
 
 

@@ -42,3 +42,112 @@ def distinct_count_gate(
         (F.col("n_exact") == 0) & (F.col("_n_approx") == 0), F.lit(True)
     ).otherwise(F.coalesce(err <= tol, F.lit(False)))
     return agg.select(*group_cols, "n_exact", ok.alias("ok"))
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) of a key column:
+    ``d`` hash rows × ``w`` buckets of event counts — the mergeable,
+    fixed-size (d·w cells, here 4 KB of longs) frequency summary that
+    answers "how often did key X occur?" with one-sided error
+    (NEVER an underestimate; overestimate bounded by collisions,
+    E[err] <= N/w per row, min over rows in practice far tighter).
+
+    Plan: the d bucket ids are md5-derived scan-side expressions
+    (bit-identical in SQL: ``('0x'||substr(md5(r||'_'||key),1,15))::
+    BIGINT % w``), exploded d rows per event, then ONE partial-
+    aggregable groupBy — at 100 TB every executor emits at most d·w
+    partial cells, and sketches of different partitions/days MERGE by
+    cell-wise addition (the property HLL shares and exact top-k
+    lacks).
+    """
+    key = F.col(key_col).cast("string")
+    from v3io_tsdb_spark.functions.dedup import md5_int60
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(
+                    md5_int60(F.concat(F.lit(str(r)), F.lit("_"), key)), F.lit(w)
+                ).alias("b"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def heavy_hitters_gate(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Heavy-hitters with a falsifiable sketch gate (the HLL/ANN trust
+    pattern): the exact top-``k`` keys by count (TakeOrdered — never a
+    global sort) next to their count-min estimates, with ``ok``
+    asserting the CMS one-sided guarantee ``est >= exact`` AND the
+    practical bound ``est <= exact + 4·N/w`` (Markov on the per-row
+    collision mass, min over d rows). The exact side is what stops
+    scaling — its shuffle carries every distinct key; production keeps
+    the 4 KB sketch and point-queries it, once the gate has earned
+    trust at sample scale.
+
+    All arithmetic is exact integers, so the oracle comparison is
+    hash-level with no rounding boundary anywhere.
+    """
+    key = F.col(key_col).cast("string")
+    from v3io_tsdb_spark.functions.dedup import md5_int60
+
+    sketch = cms_sketch(df, key_col, d=d, w=w)
+    exact = (
+        df.groupBy(key.alias("key"))
+        .agg(F.count("*").cast("long").alias("exact"))
+        .orderBy(F.desc("exact"), F.col("key"))
+        .limit(k)
+    )
+    probes = exact.select(
+        "key",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            md5_int60(
+                                F.concat(F.lit(str(r)), F.lit("_"), F.col("key"))
+                            ),
+                            F.lit(w),
+                        ).alias("b"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select("key", "exact", F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("key", "exact")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+    total = df.agg(F.count("*").alias("_n"))
+    return est.crossJoin(F.broadcast(total)).select(
+        "key",
+        "exact",
+        "est",
+        (
+            (F.col("est") >= F.col("exact"))
+            & (F.col("est") <= F.col("exact") + 4 * F.col("_n") / F.lit(w))
+        ).alias("ok"),
+    )

@@ -310,3 +310,122 @@ def stream_conversion_latency(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_H_OUT_SCHEMA = StructType(
+    [
+        StructField("series_key", StringType()),
+        StructField("t", LongType()),
+        StructField("n", LongType()),
+        StructField("med", DoubleType()),
+        StructField("mad", DoubleType()),
+        StructField("z", DoubleType()),
+        StructField("is_anomaly", LongType()),
+    ]
+)
+_H_STATE_SCHEMA = StructType(
+    [
+        StructField("hist", ArrayType(LongType())),
+        StructField("cur_t", LongType()),
+        StructField("cur_n", LongType()),
+    ]
+)
+
+
+def _make_hampel_fn(step_ms: int, lookback: int, min_history: int, k: float):
+    def _mid(vals):
+        m = len(vals)
+        return (vals[(m + 1) // 2 - 1] + vals[m // 2]) / 2.0
+
+    def _fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-series streaming trailing Hampel filter: the robust twin
+        of :func:`_make_zscore_fn`, identical close-on-advance rule and
+        ring state. The median/MAD arithmetic mirrors the batch
+        operator's array algebra EXACTLY (sorted mid-pair averages over
+        integer counts — exact rationals, so python doubles equal JVM
+        doubles bit-for-bit and the stream/batch agreement is
+        hash-gateable). ``z`` is emitted RAW; the query layer applies
+        the same rounding expression to both engines."""
+        if state.exists:
+            hist, cur_t, cur_n = state.get
+            hist = list(hist)
+        else:
+            hist, cur_t, cur_n = [], None, 0
+        out = {
+            "series_key": [], "t": [], "n": [],
+            "med": [], "mad": [], "z": [], "is_anomaly": [],
+        }
+
+        def close(t, n):
+            med = mad = z = flag = None
+            if len(hist) >= max(min_history, 1):
+                srt = sorted(float(x) for x in hist)
+                med = _mid(srt)
+                mad = _mid(sorted(abs(v - med) for v in srt))
+                dev = abs(n - med)
+                if mad > 0:
+                    z = dev / (1.4826 * mad)
+                flag = int(dev > k * (1.4826 * mad))
+            out["series_key"].append(key[0])
+            out["t"].append(t)
+            out["n"].append(n)
+            out["med"].append(med)
+            out["mad"].append(mad)
+            out["z"].append(z)
+            out["is_anomaly"].append(flag)
+            hist.append(n)
+            del hist[:-lookback]
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame({"ts": []})
+        )
+        for ts in batch.sort_values("ts")["ts"].values:
+            b = (int(ts) // step_ms) * step_ms
+            if cur_t is None:
+                cur_t, cur_n = b, 1
+            elif b == cur_t:
+                cur_n += 1
+            elif b > cur_t:
+                close(cur_t, cur_n)
+                cur_t, cur_n = b, 1
+            # b < cur_t: late for a closed bucket -> dropped
+        if cur_t is not None:
+            state.update((hist, cur_t, cur_n))
+        yield pd.DataFrame(out)
+
+    return _fn
+
+
+def stream_trailing_hampel(
+    stream_df: DataFrame,
+    key_col: str = "name",
+    step_ms: int = 3_600_000,
+    lookback: int = 24,
+    min_history: int = 12,
+    k: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.anomaly.trailing_hampel`:
+    each closed bucket scored against the MEDIAN/MAD of its trailing
+    ``lookback`` closed buckets, emitted the moment the next bucket
+    opens. State per series is the same bounded count ring the z-score
+    twin carries — O(series x lookback) — and because every statistic
+    is an exact rational of integer counts, the stream agrees with the
+    batch operator bit-for-bit on every closed bucket (hash-gated via
+    the shared SQL oracle, not just asserted)."""
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("series_key"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            _make_hampel_fn(step_ms, lookback, min_history, k),
+            outputStructType=_H_OUT_SCHEMA,
+            stateStructType=_H_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
