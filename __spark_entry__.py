@@ -2347,6 +2347,82 @@ def q_emb_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_profile(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_tsdb_theilsen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per daily series (X93): the exact median
+    of all pairwise slopes over the bounded grid plus the median
+    intercept at F0 — breakdown point ~29% where OLS is 0. All-pairs
+    algebra runs scan-side on the collected grid array (<=465 pairs
+    for a month of dailies), never as a self-join."""
+    from v3io_tsdb_spark.operators.trend import theilsen_trend
+
+    out = theilsen_trend(_daily_avg_series(spark, sf_dir), origin_ms=F0)
+    return out.select(
+        "name", "uid", "n_buckets", "n_pairs", _rz("slope"), _rz("intercept")
+    )
+
+
+def q_tsdb_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation per daily series (X94): MAE
+    of the value-a-week-ago forecast, scaled by the one-step naive MAE
+    into MASE — the honesty baseline every model-shaped forecaster
+    (DES, X78) has to beat. Two exact-match RANGE frames over one
+    series-keyed exchange."""
+    from v3io_tsdb_spark.operators.trend import seasonal_naive_eval
+
+    out = seasonal_naive_eval(_daily_avg_series(spark, sf_dir))
+    return out.select(
+        "name", "uid", "n_buckets", "n_eval",
+        _rz("mae_seasonal"), _rz("mae_naive"), _rz("mase"),
+    )
+
+
+def q_events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (X95) over (user, hour) baskets
+    of event types: support / confidence / lift per ordered pair.
+    Baskets are built by ONE basket-keyed aggregate; pairs are
+    generated scan-side from each basket's sorted distinct item array
+    (bounded by the item vocabulary), never by self-joining events."""
+    from v3io_tsdb_spark.operators.assoc import basket_assoc_rules
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    hr = (F.floor(F.col("ts_ms") / HOUR) * HOUR).cast("long")
+    b = ev.select(F.col("user_id"), hr.alias("hr"), F.col("event_type"))
+    out = basket_assoc_rules(b, ("user_id", "hr"), "event_type")
+    return out.select(
+        "ante", "cons", "c_pair", "c_ante", "c_cons", "n_baskets",
+        _rz("support"), _rz("confidence"), _rz("lift"),
+    )
+
+
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per doc (X96): mean log p(w2|w1) under
+    the corpus's own add-0.5-smoothed bigram model — the
+    order-sensitive upgrade of the unigram filter (X65): word-salad
+    shares clean text's unigram histogram but not its transitions."""
+    from v3io_tsdb_spark.functions.text import bigram_logprob
+
+    out = bigram_logprob(_docs_scattered(spark, sf_dir))
+    return out.select("doc_id", "n_bigrams", _r("mean_logprob", 6))
+
+
+def q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear classifier inference (X97, fastText
+    shape): hashed bigram features -> broadcast (bucket, weight) model
+    -> mean margin -> sigmoid. The serving path of classifier-based
+    corpus quality filtering; the deterministic stand-in weight table
+    keeps the full plan oracle-checkable and a trained model drops
+    into the same contract."""
+    from v3io_tsdb_spark.functions.classifier import classifier_score
+
+    out = classifier_score(_docs_scattered(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_features",
+        (F.col("margin") + F.lit(0.0)).alias("margin"),
+        _r("score", 6),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -2364,12 +2440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 112 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(110/50)) — each round the
+    At 117 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(117/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 14 queries NEW this round (X80-X92) sit at the very end
-    (positions 98-111): their r9 evidence is the local 112/112 hash
+    The 19 queries NEW this round (X80-X97) sit at the very end
+    (positions 98-116): their r9 evidence is the local 117/117 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -2494,6 +2570,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_recall": q_emb_pq_recall,
         "stream_hampel_hourly": q_stream_hampel_hourly,
         "events_heavy_hitters": q_events_heavy_hitters,
+        "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
+        "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
+        "events_assoc_rules": q_events_assoc_rules,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "doc_classifier_score": q_doc_classifier_score,
     }
 
 
@@ -4636,6 +4717,180 @@ def oracle_sql() -> dict[str, str]:
                  CAST(est AS BIGINT) AS est,
                  est >= exact AND est <= exact + 4 * nn / 1024 AS ok
           FROM est CROSS JOIN n
+        """,
+        "tsdb_theilsen_daily": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(sum(value) / count(value) + 1e-9, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          p AS (
+            SELECT a.name, a.uid,
+                   round((b2.x - a.x) / ((b2.t - a.t) / 86400000.0)
+                         + 1e-9, 6) AS slope
+            FROM b a JOIN b b2
+              ON a.name = b2.name AND a.uid = b2.uid AND b2.t > a.t
+          ),
+          s AS (
+            SELECT name, uid, list_sort(list(slope)) AS arr,
+                   count(*) AS m
+            FROM p GROUP BY 1, 2
+          ),
+          sl AS (
+            SELECT name, uid, m,
+                   round((arr[(m + 1) // 2] + arr[m // 2 + 1]) / 2.0
+                         + 1e-9, 6) AS slope
+            FROM s
+          ),
+          ic AS (
+            SELECT g.name, g.uid,
+                   round(g.x - sl.slope * ((g.t - {F0}) / 86400000.0)
+                         + 1e-9, 6) AS v
+            FROM b g JOIN sl ON g.name = sl.name AND g.uid = sl.uid
+          ),
+          icm AS (
+            SELECT name, uid, list_sort(list(v)) AS arr, count(*) AS m
+            FROM ic GROUP BY 1, 2
+          ),
+          nb AS (SELECT name, uid, count(*) AS n_buckets FROM b GROUP BY 1, 2)
+          SELECT nb.name, nb.uid,
+                 CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+                 CAST(coalesce(sl.m, 0) AS BIGINT) AS n_pairs,
+                 round(sl.slope + {EPS4}, 4) + 0.0 AS slope,
+                 round(round((icm.arr[(icm.m + 1) // 2]
+                              + icm.arr[icm.m // 2 + 1]) / 2.0 + 1e-9, 6)
+                       + {EPS4}, 4) + 0.0 AS intercept
+          FROM nb
+          LEFT JOIN sl ON nb.name = sl.name AND nb.uid = sl.uid
+          LEFT JOIN icm ON nb.name = icm.name AND nb.uid = icm.uid
+        """,
+        "tsdb_seasonal_naive": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(sum(value) / count(value) + 1e-9, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          w AS (
+            SELECT name, uid, t, x,
+                   last_value(x) OVER (PARTITION BY name, uid ORDER BY t
+                     RANGE BETWEEN {7 * DAY} PRECEDING
+                           AND {7 * DAY} PRECEDING) AS xs,
+                   last_value(x) OVER (PARTITION BY name, uid ORDER BY t
+                     RANGE BETWEEN {DAY} PRECEDING
+                           AND {DAY} PRECEDING) AS x1
+            FROM b
+          ),
+          a AS (
+            SELECT name, uid, count(*) AS n_buckets, count(xs) AS n_eval,
+                   round(avg(round(abs(x - xs) + 1e-9, 6)) + 1e-9, 6) AS ms,
+                   round(avg(round(abs(x - x1) + 1e-9, 6)) + 1e-9, 6) AS mn
+            FROM w GROUP BY 1, 2
+          )
+          SELECT name, uid, CAST(n_buckets AS BIGINT) AS n_buckets,
+                 CAST(n_eval AS BIGINT) AS n_eval,
+                 round(ms + {EPS4}, 4) + 0.0 AS mae_seasonal,
+                 round(mn + {EPS4}, 4) + 0.0 AS mae_naive,
+                 round(CASE WHEN mn > 0 THEN ms / mn END + {EPS4}, 4) + 0.0
+                   AS mase
+          FROM a
+        """,
+        "events_assoc_rules": f"""
+          WITH ev AS (
+            SELECT user_id, (epoch_ms(ts) // {HOUR}) * {HOUR} AS hr,
+                   event_type
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          b AS (SELECT DISTINCT user_id, hr, event_type FROM ev),
+          nb AS (
+            SELECT count(*) AS n_baskets
+            FROM (SELECT DISTINCT user_id, hr FROM b)
+          ),
+          it AS (SELECT event_type AS item, count(*) AS c_item
+                 FROM b GROUP BY 1),
+          p AS (
+            SELECT a.event_type AS ante, c.event_type AS cons,
+                   count(*) AS c_pair
+            FROM b a JOIN b c
+              ON a.user_id = c.user_id AND a.hr = c.hr
+             AND a.event_type <> c.event_type
+            GROUP BY 1, 2
+          )
+          SELECT ante, cons, CAST(c_pair AS BIGINT) AS c_pair,
+                 CAST(ia.c_item AS BIGINT) AS c_ante,
+                 CAST(ic.c_item AS BIGINT) AS c_cons,
+                 CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+                 round(c_pair / nb.n_baskets + {EPS4}, 4) + 0.0 AS support,
+                 round(c_pair / ia.c_item + {EPS4}, 4) + 0.0 AS confidence,
+                 round((c_pair / ia.c_item)
+                       / (ic.c_item / nb.n_baskets) + {EPS4}, 4) + 0.0 AS lift
+          FROM p
+          JOIN it ia ON p.ante = ia.item
+          JOIN it ic ON p.cons = ic.item
+          CROSS JOIN nb
+        """,
+        "doc_bigram_logprob": f"""
+          WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                   END AS arr
+            FROM documents
+          ),
+          v AS (
+            SELECT count(DISTINCT term) AS v_size
+            FROM (SELECT unnest(arr) AS term FROM tk)
+          ),
+          bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr)),
+                          i -> {{'w1': arr[i], 'w2': arr[i + 1]}})) AS p
+            FROM tk
+          ),
+          b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+          tf AS (SELECT doc_id, w1, w2, count(*) AS c_doc
+                 FROM b2 GROUP BY 1, 2, 3),
+          corpus AS (SELECT w1, w2, sum(c_doc) AS c_bg
+                     FROM tf GROUP BY 1, 2),
+          ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM corpus GROUP BY 1)
+          SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
+                 round(sum(tf.c_doc * ln((c.c_bg + 0.5)
+                           / (x.c_ctx + 0.5 * v.v_size)))
+                       / sum(tf.c_doc) + {EPS6}, 6) AS mean_logprob
+          FROM tf
+          JOIN corpus c USING (w1, w2)
+          JOIN ctx x USING (w1)
+          CROSS JOIN v
+          GROUP BY 1
+        """,
+        "doc_classifier_score": f"""
+          WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                   END AS arr
+            FROM documents
+          ),
+          f AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr)),
+                     i -> ('0x' || substr(md5(arr[i] || ' ' || arr[i + 1]),
+                           1, 15))::BIGINT % 4096)) AS bucket
+            FROM tk
+          ),
+          w AS (
+            SELECT r AS bucket,
+                   ((r * 2654435761) % 1999) / 999.5 - 1.0 AS weight
+            FROM (SELECT unnest(range(4096)) AS r)
+          ),
+          a AS (
+            SELECT doc_id, count(*) AS n_features,
+                   round(avg(weight) + 1e-9, 6) AS margin
+            FROM f JOIN w USING (bucket) GROUP BY 1
+          )
+          SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+                 margin + 0.0 AS margin,
+                 round(1.0 / (1.0 + exp(-margin)) + {EPS6}, 6) AS score
+          FROM a
         """,
         "tsdb_mad_daily": f"""
           WITH b AS (

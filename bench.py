@@ -127,6 +127,11 @@ HEADLINE = [
     "emb_pq_recall",
     "stream_hampel_hourly",
     "events_heavy_hitters",
+    "tsdb_theilsen_daily",
+    "tsdb_seasonal_naive",
+    "events_assoc_rules",
+    "doc_bigram_logprob",
+    "doc_classifier_score",
 ]
 
 

@@ -687,3 +687,71 @@ def test_heavy_hitters_exact_side_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan[:1200]
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_theilsen_all_pairs_never_reach_a_shuffle(spark):
+    """The O(m²) pair set is scan-side array algebra over the collected
+    grid: no join, no window, no explode-then-shuffle — the only
+    exchanges are the grid build and the series-keyed collect."""
+    from v3io_tsdb_spark.operators.trend import theilsen_trend
+
+    rows = [("m", "u%d" % (i % 4), i * 86_400_000, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    plan = _plan(theilsen_trend(df))
+    assert "Join" not in plan and "Window" not in plan, plan[:1200]
+    assert plan.count("Exchange") <= 1  # series-keyed collect only
+
+
+def test_seasonal_naive_single_sort_two_frames(spark):
+    """Both lookups (t−season, t−step) ride ONE series-keyed window
+    sort — no self-join, no grid densification — and the per-series
+    aggregate reuses the window's partitioning (no extra exchange)."""
+    from v3io_tsdb_spark.operators.trend import seasonal_naive_eval
+
+    rows = [("m", "u", i * 86_400_000, float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    plan = _plan(seasonal_naive_eval(df))
+    assert "Join" not in plan, plan[:1200]
+    assert plan.count("Window") == 1
+    assert plan.count("Sort") == 1
+
+
+def test_assoc_rules_no_event_self_join(spark):
+    """Pair generation must be scan-side from each basket's array: the
+    raw table is aggregated once and never self-joined; item supports
+    and the basket total come back only as broadcasts."""
+    from v3io_tsdb_spark.operators.assoc import basket_assoc_rules
+
+    rows = [("b%d" % (i % 50), "i%d" % (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "bid string, item string")
+    plan = _plan(basket_assoc_rules(df, ("bid",), "item"))
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_logprob_vocab_joins_stay_keyed(spark):
+    """Same contract as unigram_logprob: neither the bigram vocabulary
+    nor the context table is assumed broadcastable (they scale with
+    the corpus) — the model joins are key-partitioned, never nested
+    loops, and only the 1-row V total broadcasts."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.text import bigram_logprob
+
+    plan = _plan(bigram_logprob(load_table(spark, SF, "documents")))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row V total only
+
+
+def test_classifier_model_is_broadcast_and_one_shuffle(spark):
+    """Inference plumbing: features hash scan-side, the (bucket,
+    weight) model joins as a broadcast hash join, and the only shuffle
+    is the doc-keyed mean — the plan a trained model inherits."""
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.classifier import classifier_score
+
+    plan = _plan(classifier_score(load_table(spark, SF, "documents")))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1

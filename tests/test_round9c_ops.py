@@ -1,0 +1,307 @@
+"""Round-9 third wave: Theil-Sen robust trend, seasonal-naive forecast
+evaluation (MASE), market-basket association rules, bigram-LM fluency
+scoring, and feature-hashed linear classifier inference — goldens plus
+the semantic property each operator exists to guarantee."""
+
+import math
+
+from pyspark.sql import functions as F
+
+DAY = 86_400_000
+
+
+# ------------------------------------------------------------ Theil-Sen
+
+
+def _grid(spark, xs, name="m", uid="u", t0=0, step=DAY):
+    rows = [(name, uid, t0 + i * step, float(x)) for i, x in enumerate(xs)]
+    return spark.createDataFrame(
+        rows, "name string, uid string, t long, x double"
+    )
+
+
+def test_theilsen_golden_outlier_resistant(spark):
+    """xs = [1,2,3,4,100] on a daily grid: the 10 pairwise slopes sort
+    to [1×6, 24.75, 32.67, 48, 96] → median slope 1.0 (OLS would fit
+    ≈ +17.8/day). Intercept = median of x_i − 1·day_i = median of
+    [1,1,1,1,96] = 1.0. The breakdown-point claim, verified by hand."""
+    from v3io_tsdb_spark.operators.trend import theilsen_trend
+
+    out = theilsen_trend(_grid(spark, [1, 2, 3, 4, 100])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_buckets"] == 5 and r["n_pairs"] == 10
+    assert r["slope"] == 1.0
+    assert r["intercept"] == 1.0
+
+
+def test_theilsen_exact_line_recovered(spark):
+    """A clean line x = 3.5·day − 2 is recovered exactly: every
+    pairwise slope is 3.5, every residual intercept is −2."""
+    from v3io_tsdb_spark.operators.trend import theilsen_trend
+
+    xs = [3.5 * i - 2 for i in range(8)]
+    r = theilsen_trend(_grid(spark, xs)).collect()[0]
+    assert r["slope"] == 3.5 and r["intercept"] == -2.0
+    assert r["n_pairs"] == 28
+
+
+def test_theilsen_single_bucket_null_verdict(spark):
+    """One bucket → zero pairs → no trend verdict (NULL slope and
+    intercept), but the series row itself is kept."""
+    from v3io_tsdb_spark.operators.trend import theilsen_trend
+
+    r = theilsen_trend(_grid(spark, [7.0])).collect()[0]
+    assert r["n_buckets"] == 1 and r["n_pairs"] == 0
+    assert r["slope"] is None and r["intercept"] is None
+
+
+def test_theilsen_shift_invariance(spark):
+    """Adding a constant to every x leaves the slope untouched and
+    shifts the intercept by exactly that constant — the affine
+    property any trend fit must satisfy."""
+    from v3io_tsdb_spark.operators.trend import theilsen_trend
+
+    xs = [2, 9, 4, 7, 1, 8, 5]
+    a = theilsen_trend(_grid(spark, xs)).collect()[0]
+    b = theilsen_trend(_grid(spark, [x + 100 for x in xs])).collect()[0]
+    assert b["slope"] == a["slope"]
+    assert abs(b["intercept"] - (a["intercept"] + 100)) < 1e-6
+
+
+# ------------------------------------------------------- seasonal naive
+
+
+def test_seasonal_naive_perfect_week_scores_zero(spark):
+    """A series that repeats its weekly pattern exactly: the seasonal
+    forecast is perfect (MAE 0, MASE 0) while the one-step naive MAE
+    is positive — the 'beats the baseline' reading MASE exists for."""
+    from v3io_tsdb_spark.operators.trend import seasonal_naive_eval
+
+    xs = [1, 2, 3, 4, 5, 6, 7] * 2
+    r = seasonal_naive_eval(_grid(spark, xs)).collect()[0]
+    assert r["n_buckets"] == 14 and r["n_eval"] == 7
+    assert r["mae_seasonal"] == 0.0
+    assert r["mae_naive"] > 0
+    assert r["mase"] == 0.0
+
+
+def test_seasonal_naive_gap_safe_exact_match_frames(spark):
+    """Missing buckets must NOT slip the lookup: with days
+    [0, 7, 10, 14] present, day 7 and 14 find their week-ago value but
+    day 10 finds neither a week-ago nor a day-ago bucket. A row-number
+    lag(7) would have paired day 14 with the wrong bucket."""
+    from v3io_tsdb_spark.operators.trend import seasonal_naive_eval
+
+    rows = [("m", "u", d * DAY, float(v))
+            for d, v in [(0, 10), (7, 12), (10, 99), (14, 12)]]
+    df = spark.createDataFrame(
+        rows, "name string, uid string, t long, x double"
+    )
+    r = seasonal_naive_eval(df).collect()[0]
+    assert r["n_buckets"] == 4
+    assert r["n_eval"] == 2          # only days 7 and 14 have t-7d
+    assert r["mae_seasonal"] == 1.0  # (|12-10| + |12-12|) / 2
+    assert r["mae_naive"] is None    # no bucket has a t-1d neighbour
+    assert r["mase"] is None
+
+
+def test_seasonal_naive_constant_series_has_no_scale(spark):
+    """A constant series: seasonal MAE is 0 but the naive MAE is 0 too
+    — MASE must be NULL (no scale), never a division blow-up."""
+    from v3io_tsdb_spark.operators.trend import seasonal_naive_eval
+
+    r = seasonal_naive_eval(_grid(spark, [5.0] * 10)).collect()[0]
+    assert r["mae_seasonal"] == 0.0 and r["mae_naive"] == 0.0
+    assert r["mase"] is None
+
+
+# ----------------------------------------------------- association rules
+
+
+def _baskets(spark, baskets):
+    rows = [
+        ("b%d" % i, item) for i, items in enumerate(baskets) for item in items
+    ]
+    return spark.createDataFrame(rows, "bid string, item string")
+
+
+def test_assoc_rules_golden(spark):
+    """Baskets {A,B},{A,B},{A,C},{B}: n=4, c_A=3, c_B=3, c_C=1.
+    A→B: pair 2, support 1/2, confidence 2/3, lift (2/3)/(3/4)=8/9;
+    A→C: pair 1, confidence 1/3, lift (1/3)/(1/4)=4/3 — all verified
+    by hand."""
+    from v3io_tsdb_spark.operators.assoc import basket_assoc_rules
+
+    out = basket_assoc_rules(
+        _baskets(spark, [["A", "B"], ["A", "B"], ["A", "C"], ["B"]]),
+        ("bid",),
+        "item",
+    ).collect()
+    rules = {(r["ante"], r["cons"]): r for r in out}
+    assert set(rules) == {("A", "B"), ("B", "A"), ("A", "C"), ("C", "A")}
+    ab = rules[("A", "B")]
+    assert ab["c_pair"] == 2 and ab["n_baskets"] == 4
+    assert ab["support"] == 0.5
+    assert abs(ab["confidence"] - 2 / 3) < 1e-12
+    assert abs(ab["lift"] - 8 / 9) < 1e-12
+    ac = rules[("A", "C")]
+    assert abs(ac["confidence"] - 1 / 3) < 1e-12
+    assert abs(ac["lift"] - 4 / 3) < 1e-12
+    # symmetric stats: pair count and lift match across direction
+    assert rules[("B", "A")]["c_pair"] == 2
+    assert abs(rules[("B", "A")]["lift"] - ab["lift"]) < 1e-12
+
+
+def test_assoc_rules_duplicates_in_basket_count_once(spark):
+    """The market-basket contract: an item repeated within one basket
+    contributes one membership, so supports reflect baskets, not
+    event volume."""
+    from v3io_tsdb_spark.operators.assoc import basket_assoc_rules
+
+    out = basket_assoc_rules(
+        _baskets(spark, [["A", "A", "A", "B"], ["A", "B", "B"]]),
+        ("bid",),
+        "item",
+    ).collect()
+    rules = {(r["ante"], r["cons"]): r for r in out}
+    assert rules[("A", "B")]["c_pair"] == 2
+    assert rules[("A", "B")]["c_ante"] == 2
+    assert rules[("A", "B")]["support"] == 1.0
+    assert rules[("A", "B")]["confidence"] == 1.0
+
+
+def test_assoc_rules_independence_has_lift_one(spark):
+    """Items that co-occur exactly as independence predicts get
+    lift = 1: A in every basket, B in half → P(B|A) = P(B)."""
+    from v3io_tsdb_spark.operators.assoc import basket_assoc_rules
+
+    out = basket_assoc_rules(
+        _baskets(spark, [["A", "B"], ["A", "B"], ["A"], ["A"]]),
+        ("bid",),
+        "item",
+    ).collect()
+    rules = {(r["ante"], r["cons"]): r for r in out}
+    assert abs(rules[("A", "B")]["lift"] - 1.0) < 1e-12
+    assert abs(rules[("B", "A")]["lift"] - 1.0) < 1e-12
+    assert rules[("B", "A")]["confidence"] == 1.0
+
+
+# -------------------------------------------------------- bigram logprob
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """The property the operator exists for: two docs with IDENTICAL
+    unigram histograms but different word order score differently —
+    the doc whose transitions match the corpus's dominant bigram
+    scores higher. (unigram_logprob provably cannot separate them.)"""
+    from v3io_tsdb_spark.functions.text import bigram_logprob, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # transitions dominated by 'a b'
+            (2, "b a b a b a"),   # same unigrams, reversed transitions
+            (3, "a b a b a b a b"),  # corpus weight behind 'a b'
+            (4, "a b c a b"),
+        ],
+        "doc_id long, text string",
+    )
+    bg = {r["doc_id"]: r["mean_logprob"]
+          for r in bigram_logprob(docs).collect()}
+    assert bg[1] > bg[2]
+    ug = {r["doc_id"]: r["mean_logprob"]
+          for r in unigram_logprob(docs).collect()}
+    assert abs(ug[1] - ug[2]) < 1e-12
+
+
+def test_bigram_logprob_golden_tiny_corpus(spark):
+    """Two-doc corpus, hand computation: bigrams 'x y'×2 and 'y x'×1,
+    contexts c(x·)=2, c(y·)=1, V=2, α=0.5.
+    doc 1 = 'x y': ln((2+.5)/(2+1)) = ln(5/6).
+    doc 2 = 'x y x': mean of ln(5/6) and ln((1+.5)/(1+1)) = ln(3/4)."""
+    from v3io_tsdb_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["mean_logprob"] - math.log(2.5 / 3)) < 1e-9
+    want2 = (math.log(2.5 / 3) + math.log(1.5 / 2)) / 2
+    assert got[2]["n_bigrams"] == 2
+    assert abs(got[2]["mean_logprob"] - want2) < 1e-9
+
+
+def test_bigram_logprob_short_docs_drop(spark):
+    """Docs with fewer than 2 tokens have no transitions and drop out
+    — same contract as unigram_logprob's empty-doc rule."""
+    from v3io_tsdb_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in bigram_logprob(docs).collect()}
+    assert got == {3}
+
+
+# ------------------------------------------------------ classifier score
+
+
+def test_classifier_default_weights_deterministic(spark):
+    """The stand-in model regenerates bit-for-bit: w(0) = −1 exactly,
+    every weight in [−1, 1), and the table matches its own formula."""
+    from v3io_tsdb_spark.functions.classifier import default_weight_table
+
+    w = {r["bucket"]: r["weight"]
+         for r in default_weight_table(spark, 256).collect()}
+    assert len(w) == 256
+    assert w[0] == -1.0
+    for b, wt in w.items():
+        assert wt == ((b * 2654435761) % 1999) / 999.5 - 1.0
+        assert -1.0 <= wt < 1.0
+
+
+def test_classifier_score_is_sigmoid_of_mean_weight(spark):
+    """Score must equal σ(mean feature weight) under a KNOWN model: a
+    custom weight table of all +2 gives margin 2 and score σ(2) for
+    any doc with ≥1 feature."""
+    from v3io_tsdb_spark.functions.classifier import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "q r")], "doc_id long, text string"
+    )
+    w = spark.range(4096).select(
+        F.col("id").alias("bucket"), F.lit(2.0).alias("weight")
+    )
+    got = {r["doc_id"]: r for r in classifier_score(docs, weights=w).collect()}
+    assert got[1]["n_features"] == 3 and got[2]["n_features"] == 1
+    for r in got.values():
+        assert r["margin"] == 2.0
+        assert abs(r["score"] - 1 / (1 + math.exp(-2.0))) < 1e-9
+
+
+def test_classifier_short_docs_have_no_features(spark):
+    from v3io_tsdb_spark.functions.classifier import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in classifier_score(docs).collect()}
+    assert got == {3}
+
+
+def test_classifier_feature_hash_stable_across_calls(spark):
+    """Hashing is content-addressed: the same text scores identically
+    in two independent runs (no RNG anywhere in the path)."""
+    from v3io_tsdb_spark.functions.classifier import classifier_score
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps %d" % (i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted((r["doc_id"], r["score"])
+               for r in classifier_score(docs).collect())
+    b = sorted((r["doc_id"], r["score"])
+               for r in classifier_score(docs).collect())
+    assert a == b

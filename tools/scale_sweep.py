@@ -380,6 +380,39 @@ def ops(spark):
         ev = load_table(spark, d, "events")
         return heavy_hitters_gate(ev, "user_id", k=10).collect()
 
+    def op_theilsen(d):
+        from v3io_tsdb_spark.operators.trend import theilsen_trend
+
+        return theilsen_trend(_daily_grid(d)).agg(
+            F.sum("slope"), F.count("*")
+        ).collect()
+
+    def op_assoc_rules(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.assoc import basket_assoc_rules
+
+        ev = load_table(spark, d, "events")
+        t = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        hr = (F.floor(t / 3_600_000) * 3_600_000).cast("long")
+        b = ev.select("user_id", hr.alias("hr"), "event_type")
+        return basket_assoc_rules(b, ("user_id", "hr"), "event_type").agg(
+            F.sum("lift"), F.count("*")
+        ).collect()
+
+    def op_bigram_logprob(d):
+        from v3io_tsdb_spark.functions.text import bigram_logprob
+
+        return bigram_logprob(docs(d)).agg(
+            F.sum("mean_logprob"), F.count("*")
+        ).collect()
+
+    def op_classifier_score(d):
+        from v3io_tsdb_spark.functions.classifier import classifier_score
+
+        return classifier_score(docs(d)).agg(
+            F.sum("score"), F.count("*")
+        ).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -411,6 +444,10 @@ def ops(spark):
         "trailing_hampel": op_hampel,
         "pq_topk_indexed": op_pq_topk,
         "heavy_hitters": op_heavy_hitters,
+        "theilsen": op_theilsen,
+        "assoc_rules": op_assoc_rules,
+        "bigram_logprob": op_bigram_logprob,
+        "classifier_score": op_classifier_score,
     }
 
 

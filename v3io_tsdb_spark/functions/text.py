@@ -1054,3 +1054,75 @@ def cooccur_pmi(
             F.log(F.col("_n") * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))) + eps, 6
         ).alias("pmi"),
     )
+
+
+def _bigram_structs(toks: Column) -> Column:
+    """Adjacent token pairs of a token array as (w1, w2) structs;
+    arrays shorter than 2 yield an empty pair list (slice with a
+    negative length is an ANSI error, hence the guard)."""
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc mean bigram log-probability under the corpus's own
+    add-``alpha``-smoothed bigram model: p(w2|w1) = (c(w1,w2) + α) /
+    (c(w1·) + α·V), V = unigram vocabulary size. The order-sensitive
+    upgrade of :func:`unigram_logprob` (CCNet-shape LM filtering):
+    unigram scoring can't tell fluent prose from the same words
+    shuffled — word-salad and keyword-stuffed docs share the unigram
+    histogram of clean text but score low on transition probability.
+
+    Plan shape (100 TB posture), mirroring unigram_logprob:
+      1. bigrams built scan-side (``zip_with`` over the token array —
+         no posexplode/self-join),
+      2. per-(doc, w1, w2) counts — doc-keyed hash aggregate,
+      3. corpus bigram counts — bigram-keyed, output bounded by the
+         bigram vocabulary, map-side combinable,
+      4. context counts c(w1·) re-aggregated FROM (3) — never a second
+         pass over the data,
+      5. tf ⋈ corpus on (w1,w2), ⋈ context on w1 (1:1 per row, no
+         fan-out; shuffle joins — neither vocabulary is assumed
+         broadcastable), the 1-row V broadcast, then a doc-keyed
+         aggregate of ``c_doc · ln p``.
+    Docs with fewer than 2 tokens have no bigrams and drop out, the
+    same contract as unigram_logprob's empty-doc rule.
+    """
+    toks = tokens_col(F.lower(F.trim(F.col(text_col))))
+    base = df.select(F.col(id_col), toks.alias("_tk"))
+    vocab = base.select(F.explode("_tk").alias("term")).agg(
+        F.count_distinct("term").alias("v_size")
+    )
+    bg = base.select(
+        F.col(id_col), F.explode(_bigram_structs(F.col("_tk"))).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c_doc"))
+    corpus = tf.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg"))
+    ctx = corpus.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    logp = F.log(
+        (F.col("c_bg") + F.lit(alpha))
+        / (F.col("c_ctx") + F.lit(alpha) * F.col("v_size"))
+    )
+    return (
+        tf.join(corpus, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_bigrams"),
+            (F.sum(F.col("c_doc") * logp) / F.sum("c_doc")).alias(
+                "mean_logprob"
+            ),
+        )
+    )

@@ -238,3 +238,150 @@ def des_forecast(
         trend.alias("trend"),
         (level + trend).alias("forecast_next"),
     )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+    unit_ms: int = 86_400_000,
+    origin_ms: int = 0,
+) -> DataFrame:
+    """Theil-Sen robust trend per series: the exact median of all
+    pairwise slopes over the bucketed grid (Sen '68), plus the matching
+    median intercept at ``origin_ms`` (slope in value-per-``unit_ms``).
+    OLS has breakdown point 0 — one corrupted bucket moves the fitted
+    line arbitrarily; Theil-Sen tolerates ~29% corruption, the
+    robust-regression member of the median/MAD family
+    (:func:`..anomaly.robust_mad_flags`). The reference's aggregate set
+    (ref: pkg/aggregate/aggregate.go:34-66) has no trend fit at all.
+
+    Input contract: ONE row per (series, bucket). The grid is bounded
+    by the query's time range, so the O(m²) pair set is bounded too
+    (m ≤ 31 for a month of dailies → ≤ 465 pairs) — which is what makes
+    exact all-pairs algebra affordable HERE and never on raw samples.
+
+    Plan (100 TB posture): one series-keyed aggregate
+    (``sort_array(collect_list)`` over the bounded grid), then pure
+    scan-side array algebra — pair slopes via a nested ``transform``
+    over index suffixes, exact mid-pair median of the sorted doubles,
+    and a second ``transform`` for the per-point intercepts under the
+    median slope. No self-join, no window, no explode: the pair set
+    never reaches a shuffle, and the operator's only exchange is the
+    series-keyed aggregate itself.
+
+    Determinism boundary (hash-match contract): ``x`` is rounded at
+    6 dp before pairing and every slope/intercept at 6 dp before its
+    median sort, so both engines sort and average bit-identical
+    doubles (same rule as the Hampel/MAD operators).
+    """
+    eps = 1e-9
+    xr = F.round(F.col(x_col) + eps, 6)
+    g = df.groupBy(*series_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(t_col).alias("t"), xr.alias("x")))
+        ).alias("_arr")
+    )
+    arr = F.col("_arr")
+    unit = F.lit(float(unit_ms))
+
+    def _med(a):
+        m = F.size(a)
+        lo = F.element_at(a, F.floor((m + F.lit(1)) / 2).cast("int"))
+        hi = F.element_at(a, (F.floor(m / 2) + F.lit(1)).cast("int"))
+        return F.when(m >= 1, F.round((lo + hi) / 2.0 + F.lit(eps), 6))
+
+    slopes = F.sort_array(
+        F.transform(
+            F.flatten(
+                F.transform(
+                    arr,
+                    lambda a, i: F.transform(
+                        F.slice(arr, i + F.lit(2), F.size(arr)),
+                        lambda b: (b["x"] - a["x"])
+                        / ((b["t"] - a["t"]) / unit),
+                    ),
+                )
+            ),
+            lambda s: F.round(s + F.lit(eps), 6),
+        )
+    )
+    g = g.withColumn("_slopes", slopes).withColumn("_slope", _med(F.col("_slopes")))
+    intercepts = F.sort_array(
+        F.transform(
+            arr,
+            lambda a: F.round(
+                a["x"]
+                - F.col("_slope") * ((a["t"] - F.lit(origin_ms)) / unit)
+                + F.lit(eps),
+                6,
+            ),
+        )
+    )
+    g = g.withColumn(
+        "_intercept", F.when(F.col("_slope").isNotNull(), _med(intercepts))
+    )
+    return g.select(
+        *series_cols,
+        F.size(arr).cast("long").alias("n_buckets"),
+        F.size("_slopes").cast("long").alias("n_pairs"),
+        F.col("_slope").alias("slope"),
+        F.col("_intercept").alias("intercept"),
+    )
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    t_col: str = "t",
+    x_col: str = "x",
+    season_ms: int = 7 * 86_400_000,
+    step_ms: int = 86_400_000,
+) -> DataFrame:
+    """Seasonal-naive forecast evaluation per series: the forecast for
+    bucket ``t`` is the value at ``t − season``; per-series errors are
+    summarized as MAE and MASE (Hyndman & Koehler '06 — MAE scaled by
+    the one-step naive forecast's MAE, so series of different
+    magnitudes compare on one axis, and MASE < 1 reads "beats the
+    naive baseline"). This is the honesty check for the model-shaped
+    forecasters (:func:`des_forecast`): a DES fit that can't beat
+    seasonal-naive isn't earning its parameters.
+
+    Plan (100 TB posture): both lookups are EXACT-MATCH ``RANGE``
+    window frames (the value at exactly ``t − season`` / ``t − step``)
+    — gap-safe where a row-number lag would slip on missing buckets —
+    so the whole operator is one series-keyed exchange carrying two
+    frames over the same sort, then a partial-aggregable per-series
+    aggregate. No self-join, no grid densification.
+
+    Determinism boundary: ``x`` at 6 dp before differencing, each
+    absolute error at 6 dp before averaging (same rule as the trend
+    family); the MASE ratio only divides when the naive MAE is
+    strictly positive (a constant series has no scale — NULL verdict,
+    matching the try_divide convention of the anomaly screens).
+    """
+    eps = 1e-9
+    xr = F.round(F.col(x_col) + eps, 6)
+    g = df.select(*series_cols, F.col(t_col).alias("_t"), xr.alias("_x"))
+    base = Window.partitionBy(*series_cols).orderBy("_t")
+    xs = F.last("_x").over(base.rangeBetween(-season_ms, -season_ms))
+    x1 = F.last("_x").over(base.rangeBetween(-step_ms, -step_ms))
+    scored = g.select(
+        *series_cols, "_t", "_x", xs.alias("_xs"), x1.alias("_x1")
+    )
+    err_s = F.round(F.abs(F.col("_x") - F.col("_xs")) + F.lit(eps), 6)
+    err_1 = F.round(F.abs(F.col("_x") - F.col("_x1")) + F.lit(eps), 6)
+    agg = scored.groupBy(*series_cols).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.count("_xs").cast("long").alias("n_eval"),
+        F.round(F.avg(err_s) + F.lit(eps), 6).alias("mae_seasonal"),
+        F.round(F.avg(err_1) + F.lit(eps), 6).alias("mae_naive"),
+    )
+    mase = F.when(
+        F.col("mae_naive") > 0, F.col("mae_seasonal") / F.col("mae_naive")
+    )
+    return agg.select(
+        *series_cols, "n_buckets", "n_eval",
+        "mae_seasonal", "mae_naive", mase.alias("mase"),
+    )
