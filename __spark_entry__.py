@@ -2423,6 +2423,91 @@ def q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS line fit per daily series (X98): slope/intercept/R² from
+    five moments in ONE series-keyed aggregate — the least-squares
+    contrast row to Theil-Sen (X93): a large gap between the two
+    slopes IS the outlier alarm."""
+    from v3io_tsdb_spark.operators.trend import ols_trend
+
+    out = ols_trend(_daily_avg_series(spark, sf_dir), origin_ms=F0)
+    return out.select(
+        "name", "uid", "n_buckets", _rz("slope"), _rz("intercept"), _rz("r2")
+    )
+
+
+def q_tsdb_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (X99): corr(view_t, purchase_{t+lag})
+    for lag in [-3, 3] days over the cross-user daily grid — the
+    'does A lead B?' screen the reference's one-metric-per-query model
+    cannot express. Time-keyed equi-join alignment, 7-row output."""
+    from v3io_tsdb_spark.operators.trend import xcorr_lagged
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(
+        F.col("ts").between(F0, T1)
+    )
+    t = (F.lit(F0) + F.floor((F.col("ts") - F0) / DAY) * DAY).cast("long")
+    grid = s.groupBy("name", t.alias("t")).agg(
+        (F.sum("value") / F.count("value")).alias("x")
+    )
+    out = xcorr_lagged(grid, "view", "purchase", key_col="name", max_lag=3)
+    return out.select("lag", "n_pairs", _rz("xcorr"))
+
+
+def q_events_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style histogram_quantile (X100): p50/p90/p99 value
+    estimates per (event_type, day) reconstructed from the 2D
+    heatmap's bucket counts by in-bucket linear interpolation — the
+    dashboard read path that never re-sorts raw samples. Runs entirely
+    downstream of the histogram's one shuffle."""
+    from v3io_tsdb_spark.functions.histogram import (
+        histogram_quantile,
+        value_heatmap,
+    )
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    hm = value_heatmap(
+        ev, "value", 20.0, ts_col="ts_ms", step_ms=DAY, origin_ms=F0,
+        group_cols=("event_type",),
+    )
+    out = histogram_quantile(
+        hm, (0.5, 0.9, 0.99), group_cols=("event_type", "t"), width=20.0
+    )
+    return out.select(
+        F.col("event_type").alias("name"), "t", "q", _rz("est"), "n_total"
+    )
+
+
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (X101): the BM25
+    top-50 for the fixed lexical query fused with the cosine top-50
+    for the fixed query vector (doc ids align with vec ids, the X60
+    contract), rrf = sum 1/(60+rank) — the standard score-free
+    combiner for incomparable ranker scales. Fusion input is two
+    already-reduced 50-row lists; the heavy lifting stays in the
+    plan-audited upstream rankers."""
+    from pyspark.sql import Window
+
+    from v3io_tsdb_spark.functions.fusion import rrf_fuse
+    from v3io_tsdb_spark.functions.similarity import cosine_topk
+    from v3io_tsdb_spark.functions.text import bm25_topk
+
+    bm = bm25_topk(
+        _docs_scattered(spark, sf_dir), ("hash", "join", "vector"), k=50
+    ).select(F.col("doc_id").alias("id"), "rank")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[
+        "embedding"
+    ]
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    cos = (
+        cosine_topk(emb, qvec, k=50)
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.col("vec_id").alias("id"), "rank")
+    )
+    return rrf_fuse([bm, cos], "id", names=("bm25", "cos"), k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -2440,12 +2525,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 117 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(117/50)) — each round the
+    At 121 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(121/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 19 queries NEW this round (X80-X97) sit at the very end
-    (positions 98-116): their r9 evidence is the local 117/117 hash
+    The 23 queries NEW this round (X80-X101) sit at the very end
+    (positions 98-120): their r9 evidence is the local 121/121 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -2575,6 +2660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_assoc_rules": q_events_assoc_rules,
         "doc_bigram_logprob": q_doc_bigram_logprob,
         "doc_classifier_score": q_doc_classifier_score,
+        "tsdb_ols_trend_daily": q_tsdb_ols_trend_daily,
+        "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
+        "events_hist_quantile": q_events_hist_quantile,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
     }
 
 
@@ -4891,6 +4980,153 @@ def oracle_sql() -> dict[str, str]:
                  margin + 0.0 AS margin,
                  round(1.0 / (1.0 + exp(-margin)) + {EPS6}, 6) AS score
           FROM a
+        """,
+        "tsdb_ols_trend_daily": f"""
+          WITH b AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(sum(value) / count(value) + 1e-9, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          a AS (
+            SELECT name, uid, count(*) AS n_buckets,
+                   covar_pop((t - {F0}) / 86400000.0, x) AS cov,
+                   var_pop((t - {F0}) / 86400000.0) AS vt,
+                   var_pop(x) AS vx,
+                   avg((t - {F0}) / 86400000.0) AS mt,
+                   avg(x) AS mx
+            FROM b GROUP BY 1, 2
+          ),
+          s AS (
+            SELECT *, round(CASE WHEN vt <> 0 THEN cov / vt END
+                            + 1e-9, 6) AS slope
+            FROM a
+          )
+          SELECT name, uid, CAST(n_buckets AS BIGINT) AS n_buckets,
+                 round(slope + {EPS4}, 4) + 0.0 AS slope,
+                 round(round(mx - slope * mt + 1e-9, 6) + {EPS4}, 4) + 0.0
+                   AS intercept,
+                 round(CASE WHEN vt > 0 AND vx > 0 THEN
+                         round(cov * cov / (vt * vx) + 1e-9, 6) END
+                       + {EPS4}, 4) + 0.0 AS r2
+          FROM s
+        """,
+        "tsdb_xcorr_daily": f"""
+          WITH g AS (
+            SELECT name, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(sum(value) / count(value) + 1e-9, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2
+          ),
+          av AS (SELECT t, x FROM g WHERE name = 'view'),
+          bv AS (SELECT t, x FROM g WHERE name = 'purchase'),
+          l AS (SELECT unnest(range(-3, 4)) AS lag),
+          p AS (
+            SELECT l.lag, av.x AS xa, bv.x AS xb
+            FROM av CROSS JOIN l
+            JOIN bv ON bv.t = av.t + l.lag * {DAY}
+          )
+          SELECT CAST(lag AS BIGINT) AS lag,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 round(CASE WHEN stddev_samp(xa) * stddev_samp(xb) <> 0
+                       THEN covar_samp(xa, xb)
+                            / (stddev_samp(xa) * stddev_samp(xb)) END
+                       + {EPS4}, 4) + 0.0 AS xcorr
+          FROM p GROUP BY 1
+        """,
+        "events_hist_quantile": f"""
+          WITH h AS (
+            SELECT event_type AS name, {_DAY_BUCKET} AS t,
+                   CAST(floor(value / 20.0) * 20.0 AS DOUBLE) AS lo,
+                   count(value) AS n
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2, 3
+          ),
+          c AS (
+            SELECT name, t, lo, n,
+                   sum(n) OVER (PARTITION BY name, t ORDER BY lo
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   sum(n) OVER (PARTITION BY name, t) AS tot
+            FROM h
+          ),
+          qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+                   AS q)
+          SELECT name, t, qq.q AS q,
+                 round(lo + 20.0 * (qq.q * tot - (cum - n)) / n
+                       + {EPS4}, 4) + 0.0 AS est,
+                 CAST(tot AS BIGINT) AS n_total
+          FROM c CROSS JOIN qq
+          WHERE cum - n < qq.q * tot AND qq.q * tot <= cum
+        """,
+        "doc_hybrid_rrf": r"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                   END AS toks
+            FROM documents
+          ),
+          base AS (SELECT doc_id, len(toks) AS dl FROM d),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avglen FROM base),
+          tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+            WHERE term IN ('hash', 'join', 'vector')
+            GROUP BY 1, 2
+          ),
+          dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                    FROM tf GROUP BY 1),
+          sc AS (
+            SELECT tf.doc_id,
+                   sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / s.avglen))
+                      ) AS score
+            FROM tf JOIN dfreq f USING (term) JOIN base b USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1
+          ),
+          bm AS (
+            SELECT doc_id AS id, rank FROM (
+              SELECT doc_id, row_number() OVER (
+                       ORDER BY round(score + 0.000000001, 6) DESC, doc_id)
+                     AS rank
+              FROM sc) WHERE rank <= 50
+          ),
+          qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          co AS (
+            SELECT e.vec_id,
+              round(list_sum(list_transform(list_zip(e.embedding, q.qv),
+                      p -> p[1]::DOUBLE * p[2]::DOUBLE)) /
+                (sqrt(list_sum(list_transform(e.embedding,
+                       x -> x::DOUBLE * x::DOUBLE))) *
+                 sqrt(list_sum(list_transform(q.qv,
+                       x -> x::DOUBLE * x::DOUBLE))))
+                + 0.000000001, 6) AS cosine
+            FROM embeddings e, qv q
+          ),
+          cr AS (
+            SELECT vec_id AS id, rank FROM (
+              SELECT vec_id, row_number() OVER (
+                       ORDER BY cosine DESC, vec_id) AS rank
+              FROM co) WHERE rank <= 50
+          ),
+          u AS (
+            SELECT id, rank, 0 AS sys FROM bm
+            UNION ALL SELECT id, rank, 1 FROM cr
+          ),
+          g AS (
+            SELECT id,
+                   round(sum(1.0 / (60.0 + rank)) + 0.000000001, 6) AS rrf,
+                   min(CASE WHEN sys = 0 THEN rank END) AS rank_bm25,
+                   min(CASE WHEN sys = 1 THEN rank END) AS rank_cos
+            FROM u GROUP BY 1
+          )
+          SELECT CAST(rank AS BIGINT) AS rank, id, rrf,
+                 CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+                 CAST(rank_cos AS BIGINT) AS rank_cos
+          FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rank
+                FROM g)
+          WHERE rank <= 20
         """,
         "tsdb_mad_daily": f"""
           WITH b AS (

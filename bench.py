@@ -132,6 +132,10 @@ HEADLINE = [
     "events_assoc_rules",
     "doc_bigram_logprob",
     "doc_classifier_score",
+    "tsdb_ols_trend_daily",
+    "tsdb_xcorr_daily",
+    "events_hist_quantile",
+    "doc_hybrid_rrf",
 ]
 
 

@@ -755,3 +755,79 @@ def test_classifier_model_is_broadcast_and_one_shuffle(spark):
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+
+
+def test_ols_trend_is_one_aggregate(spark):
+    """Five moments in ONE partial-aggregable series-keyed pass: no
+    window, no join, no second exchange after the grid."""
+    from v3io_tsdb_spark.operators.trend import ols_trend
+
+    rows = [("m", "u%d" % (i % 4), i * 86_400_000, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, x double")
+    plan = _plan(ols_trend(df))
+    assert "Join" not in plan and "Window" not in plan, plan[:1200]
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan  # map-side combine of the moments
+
+
+def test_xcorr_alignment_is_equi_join(spark):
+    """Lag expansion is a Generate (array explode), never a cartesian
+    product; the A/B alignment is an equi-join on the shifted bucket
+    key."""
+    from v3io_tsdb_spark.operators.trend import xcorr_lagged
+
+    rows = [(n, i * 86_400_000, float(i)) for n in ("A", "B") for i in range(20)]
+    df = spark.createDataFrame(rows, "name string, t long, x double")
+    plan = _plan(xcorr_lagged(df, "A", "B"))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_histogram_quantile_runs_on_panel_sized_data(spark):
+    """The quantile reconstruction is downstream of the histogram's one
+    raw-data shuffle: one more exchange for the (group) window, the
+    quantile list joined as a broadcast, no sort-merge join anywhere."""
+    from v3io_tsdb_spark.datasets import ts_millis
+    from v3io_tsdb_spark.functions.histogram import (
+        histogram_quantile,
+        value_heatmap,
+    )
+    from v3io_tsdb_spark.datasets import load_table
+
+    ev = load_table(spark, SF, "events")
+    ev = ev.withColumn("ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long"))
+    hm = value_heatmap(ev, "value", 20.0, group_cols=("event_type",))
+    plan = _plan(histogram_quantile(hm, (0.5, 0.9), group_cols=("event_type", "t"), width=20.0))
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2
+    assert "Window" in plan
+
+
+def test_rrf_fusion_consumes_reduced_lists(spark):
+    """Every ranker reduces to its own top-k' before fusion touches it:
+    three TakeOrdered in the plan (bm25, cosine, fused), and fusion
+    adds no data-sized structure."""
+    from pyspark.sql import Window
+
+    from v3io_tsdb_spark.datasets import load_table
+    from v3io_tsdb_spark.functions.fusion import rrf_fuse
+    from v3io_tsdb_spark.functions.similarity import cosine_topk
+    from v3io_tsdb_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    bm = bm25_topk(docs, ("hash", "join"), k=50).select(
+        F.col("doc_id").alias("id"), "rank"
+    )
+    w = Window.orderBy(F.desc("cosine"), F.col("vec_id"))
+    import pyspark.sql.functions as SF2
+    cos = (
+        cosine_topk(emb, qvec, k=50)
+        .withColumn("rank", SF2.row_number().over(w))
+        .select(F.col("vec_id").alias("id"), "rank")
+    )
+    plan = _plan(rrf_fuse([bm, cos], "id", k=20))
+    assert plan.count("TakeOrderedAndProject") == 3, plan[:1500]
+    assert "CartesianProduct" not in plan

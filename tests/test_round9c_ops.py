@@ -305,3 +305,171 @@ def test_classifier_feature_hash_stable_across_calls(spark):
     b = sorted((r["doc_id"], r["score"])
                for r in classifier_score(docs).collect())
     assert a == b
+
+
+# ------------------------------------------------------------- OLS trend
+
+
+def test_ols_exact_line_recovered(spark):
+    """x = 3.5·day − 2 with no noise: slope 3.5, intercept −2, R² = 1."""
+    from v3io_tsdb_spark.operators.trend import ols_trend
+
+    xs = [3.5 * i - 2 for i in range(8)]
+    r = ols_trend(_grid(spark, xs)).collect()[0]
+    assert abs(r["slope"] - 3.5) < 1e-9
+    assert abs(r["intercept"] - (-2.0)) < 1e-9
+    assert abs(r["r2"] - 1.0) < 1e-9
+
+
+def test_ols_vs_theilsen_outlier_contrast(spark):
+    """The reason both rows exist: one corrupted bucket moves the OLS
+    slope far from truth while Theil-Sen holds — the slope GAP is the
+    outlier alarm."""
+    from v3io_tsdb_spark.operators.trend import ols_trend, theilsen_trend
+
+    xs = [1, 2, 3, 4, 100]
+    ols = ols_trend(_grid(spark, xs)).collect()[0]
+    ts = theilsen_trend(_grid(spark, xs)).collect()[0]
+    assert ts["slope"] == 1.0
+    assert ols["slope"] > 10  # least squares dragged by the outlier
+
+
+def test_ols_degenerate_verdicts(spark):
+    """Single bucket → no slope (var_t = 0); constant series → slope 0
+    with NULL R² (no explainable variance — not the SQL-standard 1.0)."""
+    from v3io_tsdb_spark.operators.trend import ols_trend
+
+    one = ols_trend(_grid(spark, [7.0])).collect()[0]
+    assert one["slope"] is None and one["r2"] is None
+    const = ols_trend(_grid(spark, [5.0] * 6)).collect()[0]
+    assert const["slope"] == 0.0 and const["intercept"] == 5.0
+    assert const["r2"] is None
+
+
+# ----------------------------------------------------------- xcorr lagged
+
+
+def test_xcorr_detects_known_lead(spark):
+    """B is exactly A shifted two days later: corr at lag +2 is 1.0 and
+    every other lag is strictly smaller — the lead is recovered."""
+    from v3io_tsdb_spark.operators.trend import xcorr_lagged
+
+    import random
+
+    rng = random.Random(5)
+    a = [rng.uniform(0, 10) for _ in range(30)]
+    rows = [("A", i * DAY, a[i]) for i in range(30)]
+    rows += [("B", (i + 2) * DAY, a[i]) for i in range(30)]
+    df = spark.createDataFrame(rows, "name string, t long, x double")
+    out = {r["lag"]: r for r in
+           xcorr_lagged(df, "A", "B", max_lag=3).collect()}
+    assert abs(out[2]["xcorr"] - 1.0) < 1e-6
+    for lag, r in out.items():
+        if lag != 2 and r["xcorr"] is not None:
+            assert r["xcorr"] < 0.99
+
+
+def test_xcorr_pair_counts_shrink_with_lag(spark):
+    """Overlap bookkeeping: with both series on days 0..9, lag k pairs
+    a_t with b_{t+k}, so n_pairs = 10 − |k|."""
+    from v3io_tsdb_spark.operators.trend import xcorr_lagged
+
+    rows = [(n, i * DAY, float(i * (2 if n == "B" else 1)))
+            for n in ("A", "B") for i in range(10)]
+    df = spark.createDataFrame(rows, "name string, t long, x double")
+    out = {r["lag"]: r["n_pairs"] for r in
+           xcorr_lagged(df, "A", "B", max_lag=3).collect()}
+    assert out == {-3: 7, -2: 8, -1: 9, 0: 10, 1: 9, 2: 8, 3: 7}
+
+
+# ------------------------------------------------------ histogram quantile
+
+
+def test_histogram_quantile_golden_interpolation(spark):
+    """Buckets [0,20):2, [20,40):6, [40,60):2 (N=10), hand-computed:
+    q=0.5 → target 5 crosses the middle bucket → 20 + 20·(5−2)/6 = 30;
+    q=0.9 → target 9 → 40 + 20·(9−8)/2 = 50; q=1.0 → exact max-edge 60."""
+    from v3io_tsdb_spark.functions.histogram import histogram_quantile
+
+    hist = spark.createDataFrame(
+        [("g", 0.0, 2), ("g", 20.0, 6), ("g", 40.0, 2)],
+        "grp string, bucket_lo double, n long",
+    )
+    out = {r["q"]: r["est"] for r in histogram_quantile(
+        hist, (0.5, 0.9, 1.0), group_cols=("grp",), width=20.0
+    ).collect()}
+    assert out[0.5] == 30.0
+    assert out[0.9] == 50.0
+    assert out[1.0] == 60.0
+
+
+def test_histogram_quantile_boundary_resolves_low_and_continuous(spark):
+    """A target landing exactly on a bucket boundary (q=0.2 → target 2
+    = the first bucket's cumulative count) resolves to the LOWER
+    bucket and estimates its exact right edge — continuous with the
+    next bucket's left edge, and selected by exactly one row."""
+    from v3io_tsdb_spark.functions.histogram import histogram_quantile
+
+    hist = spark.createDataFrame(
+        [("g", 0.0, 2), ("g", 20.0, 6), ("g", 40.0, 2)],
+        "grp string, bucket_lo double, n long",
+    )
+    rows = histogram_quantile(
+        hist, (0.2,), group_cols=("grp",), width=20.0
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["est"] == 20.0
+
+
+def test_histogram_quantile_matches_exact_on_uniform_buckets(spark):
+    """Sanity against raw data: for values that are exactly bucket
+    midpoints with one value per bucket, the q-th estimate lands
+    inside the bucket holding the exact q-th value."""
+    from v3io_tsdb_spark.functions.histogram import (
+        fixed_width_histogram,
+        histogram_quantile,
+    )
+
+    vals = [float(v) for v in range(100)]  # buckets of width 10: 10 each
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    hist = fixed_width_histogram(df, "value", 10).withColumn(
+        "bucket_lo", F.col("bucket_lo").cast("double")
+    )
+    out = {r["q"]: r["est"] for r in histogram_quantile(
+        hist, (0.5, 0.95), bucket_col="bucket_lo", width=10.0
+    ).collect()}
+    assert 40.0 <= out[0.5] <= 60.0
+    assert 90.0 <= out[0.95] <= 100.0
+
+
+# ----------------------------------------------------------------- RRF
+
+
+def test_rrf_fuse_golden(spark):
+    """sys0 = [a, b], sys1 = [b, c]: rrf(b) = 1/62 + 1/61 beats
+    rrf(a) = 1/61 beats rrf(c) = 1/62; per-system rank columns carry
+    NULL where a system didn't retrieve the id."""
+    from v3io_tsdb_spark.functions.fusion import rrf_fuse
+
+    s0 = spark.createDataFrame([("a", 1), ("b", 2)], "id string, rank long")
+    s1 = spark.createDataFrame([("b", 1), ("c", 2)], "id string, rank long")
+    out = rrf_fuse([s0, s1], "id", names=("lex", "vec"), k=10).collect()
+    assert [r["id"] for r in out] == ["b", "a", "c"]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    b = out[0]
+    assert abs(b["rrf"] - round(1 / 62 + 1 / 61 + 1e-9, 6)) < 1e-12
+    assert b["rank_lex"] == 2 and b["rank_vec"] == 1
+    a = out[1]
+    assert a["rank_lex"] == 1 and a["rank_vec"] is None
+
+
+def test_rrf_tie_breaks_on_id(spark):
+    """Identical rrf scores order by id — the deterministic-tie rule
+    every top-k in the repo shares."""
+    from v3io_tsdb_spark.functions.fusion import rrf_fuse
+
+    s0 = spark.createDataFrame([("z", 1), ("m", 2)], "id string, rank long")
+    s1 = spark.createDataFrame([("m", 1), ("z", 2)], "id string, rank long")
+    out = rrf_fuse([s0, s1], "id", k=10).collect()
+    assert [r["id"] for r in out] == ["m", "z"]  # equal rrf → id asc
+    assert out[0]["rrf"] == out[1]["rrf"]

@@ -413,6 +413,29 @@ def ops(spark):
             F.sum("score"), F.count("*")
         ).collect()
 
+    def op_ols_trend(d):
+        from v3io_tsdb_spark.operators.trend import ols_trend
+
+        return ols_trend(_daily_grid(d)).agg(
+            F.sum("slope"), F.count("*")
+        ).collect()
+
+    def op_hist_quantile(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.functions.histogram import (
+            histogram_quantile,
+            value_heatmap,
+        )
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        hm = value_heatmap(ev, "value", 20.0, group_cols=("event_type",))
+        return histogram_quantile(
+            hm, (0.5, 0.9, 0.99), group_cols=("event_type", "t"), width=20.0
+        ).agg(F.sum("est"), F.count("*")).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -448,6 +471,8 @@ def ops(spark):
         "assoc_rules": op_assoc_rules,
         "bigram_logprob": op_bigram_logprob,
         "classifier_score": op_classifier_score,
+        "ols_trend": op_ols_trend,
+        "hist_quantile": op_hist_quantile,
     }
 
 

@@ -72,3 +72,69 @@ def value_heatmap(
     return df.groupBy(
         *group_cols, t.alias("t"), lo.alias("bucket_lo")
     ).agg(F.count(value_col).alias("n"))
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    quantiles: tuple,
+    group_cols: tuple = (),
+    bucket_col: str = "bucket_lo",
+    n_col: str = "n",
+    width: float = 1.0,
+) -> DataFrame:
+    """PromQL-style ``histogram_quantile`` reconstruction: per group
+    and requested quantile q, the value estimate from the bucketed
+    counts — find the first bucket whose cumulative count reaches the
+    target rank ``q·N`` and interpolate linearly inside it:
+    ``lo + width·(q·N − cum_prev)/n_bucket`` (the exact rule PromQL
+    applies to classic histograms). This is the read path the heatmap
+    operators feed: at 100 TB nobody re-sorts raw samples for a
+    dashboard percentile — the histogram IS the stored aggregate, and
+    the quantile is reconstructed from panel-sized data.
+
+    Plan: runs entirely DOWNSTREAM of the one raw-data shuffle that
+    built the histogram — one cumulative window per group over the
+    panel-sized bucket rows, the quantile list broadcast
+    (``len(quantiles)`` rows), a crossing filter, pure arithmetic. The
+    crossing predicate ``cum − n < q·N ≤ cum`` selects exactly one
+    bucket per (group, q): cumulative counts are strictly increasing
+    over occupied buckets, and a target landing exactly on a bucket
+    boundary resolves to the LOWER bucket (whose estimate is then its
+    exact right edge — continuous across the boundary).
+
+    Exactness: counts are integers and ``q·N`` is one double product
+    both engines compute identically, so the only float boundary is
+    the final interpolation division (4 dp output rounding, standard
+    envelope).
+    """
+    spark = hist.sparkSession
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*group_cols)
+    h = hist.select(
+        *group_cols,
+        F.col(bucket_col).alias("_lo"),
+        F.col(n_col).alias("_n"),
+        F.sum(n_col).over(wcum).alias("_cum"),
+        F.sum(n_col).over(wtot).alias("_tot"),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    j = h.crossJoin(F.broadcast(qs))
+    target = F.col("q") * F.col("_tot")
+    crossing = j.where(
+        ((F.col("_cum") - F.col("_n")) < target) & (target <= F.col("_cum"))
+    )
+    est = F.col("_lo") + F.lit(float(width)) * (
+        target - (F.col("_cum") - F.col("_n"))
+    ) / F.col("_n")
+    return crossing.select(
+        *group_cols,
+        "q",
+        est.alias("est"),
+        F.col("_tot").cast("long").alias("n_total"),
+    )
