@@ -830,7 +830,7 @@ def _stream_conv_fixture(spark: SparkSession, sf_dir: str) -> str:
 LAST_STREAM_SPLIT: dict = {}
 
 
-def _run_available_now(sink_df, partitions: int = 8):
+def _run_available_now(sink_df, partitions: int = 8, output_mode: str = "append"):
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink and return the result as a batch DataFrame.
 
@@ -862,7 +862,7 @@ def _run_available_now(sink_df, partitions: int = 8):
         q = (
             sink_df.writeStream.format("memory")
             .queryName(qn)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", os.path.join(ckpt_root, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -2508,6 +2508,54 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, cos], "id", names=("bm25", "cos"), k=20)
 
 
+def q_events_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (X102): daily per-type activity of
+    the 'whale' users (>= 14 purchases), with the event stream pruned
+    by a 64 KB bloom bitmap of the whale set BEFORE the join exchange.
+    The result is EXACTLY the semi-join (false positives die in the
+    real join) — the bloom is the shuffle-volume device for build
+    sides too big to broadcast as rows but whose bitmap fits
+    everywhere; the only driver materialization is the fixed-size
+    bitmap (the IVF-centroid bounded-metadata pattern)."""
+    from v3io_tsdb_spark.functions.bloom import bloom_semi_join
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    whales = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 14)
+        .select("user_id")
+    )
+    big = ev.select("user_id", "event_type", "ts_ms")
+    joined = bloom_semi_join(big, whales, "user_id")
+    day = (F.lit(F0) + F.floor((F.col("ts_ms") - F0) / DAY) * DAY).cast("long")
+    return joined.groupBy(
+        F.col("event_type").alias("name"), day.alias("t")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min sketch (X103): the CMS cells built by a
+    Structured Streaming aggregation in complete mode over the
+    replayed event feed — the mergeable-sketch property (X92) carried
+    into the streaming engine, where each micro-batch's partial cells
+    fold into state exactly like partition partials fold in batch.
+    Hash-gated against the batch cells SQL on the same clamped feed."""
+    from v3io_tsdb_spark.functions.sketches import cms_sketch
+
+    fx = _stream_evt_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    out = _run_available_now(cms_sketch(raw, "name"), output_mode="complete")
+    return out.select(
+        F.col("r").cast("long").alias("r"),
+        F.col("b").cast("long").alias("b"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -2525,12 +2573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 121 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(121/50)) — each round the
+    At 123 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(123/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 23 queries NEW this round (X80-X101) sit at the very end
-    (positions 98-120): their r9 evidence is the local 121/121 hash
+    The 25 queries NEW this round (X80-X103) sit at the very end
+    (positions 98-122): their r9 evidence is the local 123/123 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -2664,6 +2712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
         "events_hist_quantile": q_events_hist_quantile,
         "doc_hybrid_rrf": q_doc_hybrid_rrf,
+        "events_bloom_semi": q_events_bloom_semi,
+        "stream_cms_sketch": q_stream_cms_sketch,
     }
 
 
@@ -5127,6 +5177,33 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rank
                 FROM g)
           WHERE rank <= 20
+        """,
+        "events_bloom_semi": f"""
+          WITH ev AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          whales AS (
+            SELECT user_id FROM ev WHERE event_type = 'purchase'
+            GROUP BY 1 HAVING count(*) >= 14
+          )
+          SELECT event_type AS name,
+                 {F0} + ((ts_ms - {F0}) // {DAY}) * {DAY} AS t,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ev WHERE user_id IN (SELECT user_id FROM whales)
+          GROUP BY 1, 2
+        """,
+        "stream_cms_sketch": f"""
+          WITH keys AS (
+            SELECT event_type AS key FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          rr AS (SELECT unnest(range(4)) AS r)
+          SELECT rr.r AS r,
+                 ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '_' || key),
+                  1, 15))::BIGINT % 1024 AS b,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM keys, rr GROUP BY 1, 2
         """,
         "tsdb_mad_daily": f"""
           WITH b AS (

@@ -136,6 +136,8 @@ HEADLINE = [
     "tsdb_xcorr_daily",
     "events_hist_quantile",
     "doc_hybrid_rrf",
+    "events_bloom_semi",
+    "stream_cms_sketch",
 ]
 
 

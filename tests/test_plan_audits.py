@@ -831,3 +831,34 @@ def test_rrf_fusion_consumes_reduced_lists(spark):
     plan = _plan(rrf_fuse([bm, cos], "id", k=20))
     assert plan.count("TakeOrderedAndProject") == 3, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_filter_sits_below_the_join_exchange(spark):
+    """The whole point of the explicit bloom: the membership Filter
+    (the getbit/md5 expression) must run on the probe side BEFORE the
+    semi-join, so only survivors reach the join — pinned by forcing a
+    shuffle join (the at-scale shape where the build side can't
+    broadcast as rows) and asserting the filter lives in the probe
+    subtree under the join."""
+    from v3io_tsdb_spark.functions.bloom import (
+        bloom_might_contain,
+        build_bloom_bitmap,
+    )
+
+    small = spark.createDataFrame(
+        [("u%d" % i,) for i in range(50)], "user_id string"
+    )
+    big = spark.createDataFrame(
+        [("u%d" % (i % 200), i) for i in range(2000)], "user_id string, v long"
+    )
+    bm = build_bloom_bitmap(small, "user_id")
+    pruned = big.where(bloom_might_contain(F.col("user_id"), bm))
+    joined = pruned.hint("merge").join(
+        small.distinct(), "user_id", "left_semi"
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan, plan[:1500]
+    assert "getbit" in plan
+    # the filter must appear in the plan BELOW (after, in toString
+    # order) the join node — i.e., inside a child subtree, not above it
+    assert plan.index("getbit") > plan.index("SortMergeJoin"), plan[:1500]

@@ -473,3 +473,142 @@ def test_rrf_tie_breaks_on_id(spark):
     out = rrf_fuse([s0, s1], "id", k=10).collect()
     assert [r["id"] for r in out] == ["m", "z"]  # equal rrf → id asc
     assert out[0]["rrf"] == out[1]["rrf"]
+
+
+# ----------------------------------------------------------- bloom semi
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """The two Bloom guarantees, asserted directly: every build-side
+    key passes the membership test (no false negatives — correctness),
+    and a disjoint probe population is almost entirely pruned
+    (effectiveness: at m=65536/k=4 with 50 keys, false-positive rate
+    is ~0)."""
+    from v3io_tsdb_spark.functions.bloom import (
+        bloom_might_contain,
+        build_bloom_bitmap,
+    )
+
+    small = spark.createDataFrame(
+        [("u%d" % i,) for i in range(0, 100, 2)], "user_id string"
+    )
+    bm = build_bloom_bitmap(small, "user_id")
+    assert len(bm) == 65536 // 64
+    members = small.withColumn(
+        "ok", bloom_might_contain(F.col("user_id"), bm)
+    ).collect()
+    assert all(r["ok"] for r in members)
+    non = spark.createDataFrame(
+        [("x%d" % i,) for i in range(1000)], "user_id string"
+    )
+    passed = non.where(bloom_might_contain(F.col("user_id"), bm)).count()
+    assert passed < 20
+
+
+def test_bloom_semi_join_is_exact(spark):
+    """False positives never reach the output: the bloom-prefiltered
+    semi-join returns exactly the plain semi-join's rows."""
+    from v3io_tsdb_spark.functions.bloom import bloom_semi_join
+
+    small = spark.createDataFrame(
+        [("u%d" % i,) for i in range(0, 100, 3)], "user_id string"
+    )
+    big = spark.createDataFrame(
+        [("u%d" % (i % 150), i) for i in range(3000)],
+        "user_id string, v long",
+    )
+    got = sorted(
+        (r["user_id"], r["v"])
+        for r in bloom_semi_join(big, small, "user_id").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["v"])
+        for r in big.join(small.distinct(), "user_id", "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- heatmap mergeability
+
+
+def test_value_heatmap_is_mergeable(spark):
+    """heatmap(A) + heatmap(B) cell-wise == heatmap(A ∪ B): the
+    property that lets per-day/partition histograms fold into a
+    persisted rollup without re-reading raw data — and the reason the
+    streaming twin of any histogram is just the same aggregate in
+    complete mode."""
+    from v3io_tsdb_spark.functions.histogram import value_heatmap
+
+    def rows(seed, n):
+        import random
+
+        rng = random.Random(seed)
+        return [
+            ("t%d" % rng.randint(0, 2), rng.randint(0, 30) * 3_600_000,
+             rng.uniform(-30, 90))
+            for _ in range(n)
+        ]
+
+    schema = "event_type string, ts_ms long, value double"
+    a = spark.createDataFrame(rows(1, 300), schema)
+    b = spark.createDataFrame(rows(2, 200), schema)
+
+    def cells(df):
+        return {
+            (r["event_type"], r["t"], r["bucket_lo"]): r["n"]
+            for r in value_heatmap(
+                df, "value", 20.0, group_cols=("event_type",)
+            ).collect()
+        }
+
+    ca, cb, cu = cells(a), cells(b), cells(a.union(b))
+    merged = dict(ca)
+    for cell, n in cb.items():
+        merged[cell] = merged.get(cell, 0) + n
+    assert merged == cu
+
+
+# ------------------------------------------------------- streaming CMS
+
+
+def test_stream_cms_folds_across_micro_batches(tmp_path, spark):
+    """The mergeable-sketch property inside the streaming engine: two
+    micro-batches' partial cells fold into state so the final
+    complete-mode table equals the batch sketch of the union."""
+    import json
+
+    from v3io_tsdb_spark.functions.sketches import cms_sketch
+
+    in_dir = tmp_path / "cms_in"
+    in_dir.mkdir()
+    ev1 = [{"ts": i, "name": "k%d" % (i % 5), "value": 0.0} for i in range(60)]
+    ev2 = [{"ts": i, "name": "k%d" % (i % 3), "value": 0.0} for i in range(40)]
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(e) for e in ev1))
+    raw = spark.readStream.schema("ts long, name string, value double").json(
+        str(in_dir)
+    )
+    q = (
+        cms_sketch(raw, "name")
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cms_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (in_dir / "b2.json").write_text("\n".join(json.dumps(e) for e in ev2))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    both = spark.createDataFrame(
+        [(e["name"],) for e in ev1 + ev2], "name string"
+    )
+    want = {
+        (r["r"], r["b"]): r["cnt"] for r in cms_sketch(both, "name").collect()
+    }
+    assert got == want

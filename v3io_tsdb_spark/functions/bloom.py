@@ -70,11 +70,7 @@ def bloom_might_contain(
     for i in range(k):
         p = F.pmod(md5_int60(F.concat(F.lit("b%d_" % i), ks)), F.lit(m_bits))
         word = F.element_at(words, (p / 64).cast("int") + F.lit(1))
-        checks.append(
-            F.shiftrightunsigned(word, F.pmod(p, F.lit(64)).cast("int"))
-            % 2
-            == 1
-        )
+        checks.append(F.getbit(word, F.pmod(p, F.lit(64))) == 1)
     out = checks[0]
     for c in checks[1:]:
         out = out & c
