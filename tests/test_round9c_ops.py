@@ -612,3 +612,91 @@ def test_stream_cms_folds_across_micro_batches(tmp_path, spark):
         (r["r"], r["b"]): r["cnt"] for r in cms_sketch(both, "name").collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------------- z-order
+
+
+def test_zvalue_golden_interleave(spark):
+    """Morton bit-interleave against a literal python reference."""
+    from v3io_tsdb_spark.functions.layout import zvalue_col
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 3), (2, 3), (13, 7), (255, 1)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = df.select(
+        "a", "b", zvalue_col(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_prunes_secondary_dimension(spark, tmp_path):
+    """The pruning claim, measured from parquet FOOTERS, not asserted
+    from theory: 30 days x 128 users written as 16 files. Under the
+    time-sorted layout (the reference's ingest order) a query for ONE
+    user across all time intersects every file's (user) min/max range;
+    under z-order it intersects a small fraction. Day-selective
+    queries stay well-pruned under z-order (the documented trade)."""
+    import pyarrow.parquet as pq
+
+    from v3io_tsdb_spark.functions.layout import zorder_repartition
+
+    rows = [(d, u, d * 1000 + u) for d in range(30) for u in range(128)]
+    df = spark.createDataFrame(rows, "d long, u long, v long")
+
+    def file_ranges(path):
+        out = []
+        import os as _os
+
+        for fn in _os.listdir(path):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(_os.path.join(path, fn)).metadata
+            lo_d = hi_d = lo_u = hi_u = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name == "d":
+                        lo_d = st.min if lo_d is None else min(lo_d, st.min)
+                        hi_d = st.max if hi_d is None else max(hi_d, st.max)
+                    if name == "u":
+                        lo_u = st.min if lo_u is None else min(lo_u, st.min)
+                        hi_u = st.max if hi_u is None else max(hi_u, st.max)
+            out.append((lo_d, hi_d, lo_u, hi_u))
+        return out
+
+    lin = str(tmp_path / "linear")
+    df.repartitionByRange(16, "d").sortWithinPartitions("d", "u").write.parquet(lin)
+    zo = str(tmp_path / "zorder")
+    zorder_repartition(df, "d", "u", 16).write.parquet(zo)
+
+    lin_r, zo_r = file_ranges(lin), file_ranges(zo)
+    assert len(lin_r) == 16 and len(zo_r) == 16
+
+    def touched(ranges, d=None, u=None):
+        n = 0
+        for lo_d, hi_d, lo_u, hi_u in ranges:
+            if d is not None and not (lo_d <= d <= hi_d):
+                continue
+            if u is not None and not (lo_u <= u <= hi_u):
+                continue
+            n += 1
+        return n
+
+    # one user, all days: the z-order payoff dimension
+    lin_u = touched(lin_r, u=77)
+    zo_u = touched(zo_r, u=77)
+    assert lin_u == 16          # time-sorted layout cannot prune users
+    assert zo_u <= 8, zo_r      # z-order: at most half, typically ~1/4
+    # one day, all users: the trade — z-order stays well-pruned
+    zo_d = touched(zo_r, d=11)
+    assert zo_d <= 8, zo_r
