@@ -62,9 +62,10 @@ def bloom_might_contain(
     key: Column, bitmap: list, m_bits: int = 65536, k: int = 4
 ) -> Column:
     """Scan-side membership test: all k bits set → maybe-member (the
-    bitmap rides into the plan as one literal array — executor-local,
-    no join, no shuffle)."""
-    words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    bitmap rides into the plan as ONE array literal — a constant, not
+    a per-row CreateArray of m/64 elements; executor-local, no join,
+    no shuffle)."""
+    words = F.lit(bitmap).cast("array<bigint>")
     ks = key.cast("string")
     checks = []
     for i in range(k):
