@@ -2584,6 +2584,47 @@ def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING 2D heatmap (X105): the X83 time-x-value histogram as
+    a complete-mode Structured Streaming aggregation over the replayed
+    feed — micro-batch partial cells fold into state exactly like
+    partition partials fold in batch (the mergeability property the
+    pytest pins cell-wise). With the CMS twin this closes the loop:
+    every mergeable aggregate in the repo has a streaming serving
+    shape that is literally the same plan in complete mode."""
+    from v3io_tsdb_spark.functions.histogram import value_heatmap
+
+    fx = _stream_evt_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    hm = value_heatmap(
+        raw, "value", 20.0, ts_col="ts", step_ms=DAY, origin_ms=F0,
+        group_cols=("name",),
+    )
+    out = _run_available_now(hm, output_mode="complete")
+    return out.select(
+        "name", F.col("t").cast("long").alias("t"),
+        "bucket_lo", F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch reaggregation (X106): weekly distinct users answered
+    by UNIONING the per-day Datasketches HLL sketches — distinct
+    counts don't add, so without mergeable sketches every coarser
+    granularity means re-reading raw keys; with them the fine-sketch
+    table is a rollup artifact that merges on append like count/sum
+    cells. Gate: merged estimate within 5% of the exact weekly
+    distinct (the distinct_count_gate trust pattern)."""
+    from v3io_tsdb_spark.functions.sketches import hll_rollup_gate
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    return hll_rollup_gate(
+        ev, "user_id", "ts_ms", fine_ms=DAY, coarse_ms=7 * DAY, origin_ms=F0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -2601,15 +2642,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 123 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(123/50)) — each round the
+    At 125 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(125/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 25 queries NEW this round (X80-X103) sit at the very end
-    (positions 98-122): their r9 evidence is the local 123/123 hash
+    The 27 queries NEW this round (X80-X106) sit at the very end
+    (positions 98-124): their r9 evidence is the local 125/125 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
+    `tools/check_rotation.py` audits this contract mechanically
+    (newest green driver row per query vs the 2-round bound) and
+    prints the recommended next head with --plan.
     Stream rows (VERDICT r8 #8): 5 of the 6 stream_* rows are in the
     r9 head; `stream_conversion_latency` (r8-gated) must rotate into
     the r10 head with its window."""
@@ -2742,6 +2786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf": q_doc_hybrid_rrf,
         "events_bloom_semi": q_events_bloom_semi,
         "stream_cms_sketch": q_stream_cms_sketch,
+        "stream_value_heatmap": q_stream_value_heatmap,
+        "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
     }
 
 
@@ -5232,6 +5278,25 @@ def oracle_sql() -> dict[str, str]:
                   1, 15))::BIGINT % 1024 AS b,
                  CAST(count(*) AS BIGINT) AS cnt
           FROM keys, rr GROUP BY 1, 2
+        """,
+        "stream_value_heatmap": f"""
+          SELECT event_type AS name, {_DAY_BUCKET} AS t,
+                 CAST(floor(value / 20.0) * 20.0 AS DOUBLE) AS bucket_lo,
+                 CAST(count(value) AS BIGINT) AS n
+          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1, 2, 3
+        """,
+        "events_hll_weekly_rollup": f"""
+          WITH f AS (
+            SELECT {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS ft,
+                   user_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          )
+          SELECT {F0} + ((ft - {F0}) // {7 * DAY}) * {7 * DAY} AS t,
+                 CAST(count(DISTINCT ft) AS BIGINT) AS n_fine_buckets,
+                 count(DISTINCT user_id) AS n_exact,
+                 TRUE AS ok
+          FROM f GROUP BY 1
         """,
         "tsdb_mad_daily": f"""
           WITH b AS (

@@ -138,6 +138,8 @@ HEADLINE = [
     "doc_hybrid_rrf",
     "events_bloom_semi",
     "stream_cms_sketch",
+    "stream_value_heatmap",
+    "events_hll_weekly_rollup",
 ]
 
 

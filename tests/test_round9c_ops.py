@@ -700,3 +700,78 @@ def test_zorder_prunes_secondary_dimension(spark, tmp_path):
     # one day, all users: the trade — z-order stays well-pruned
     zo_d = touched(zo_r, d=11)
     assert zo_d <= 8, zo_r
+
+
+def test_histogram_quantile_within_one_bucket_of_exact(spark):
+    """PromQL's accuracy contract, property-tested: for ANY data, the
+    reconstructed q-quantile lies within one bucket width of the exact
+    q-th value, because the crossing bucket must contain the exact
+    order statistic."""
+    import random
+
+    from v3io_tsdb_spark.functions.histogram import (
+        fixed_width_histogram,
+        histogram_quantile,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        vals = [rng.uniform(-50, 250) for _ in range(rng.randint(20, 400))]
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        hist = fixed_width_histogram(df, "value", 25).withColumn(
+            "bucket_lo", F.col("bucket_lo").cast("double")
+        )
+        out = {r["q"]: r["est"] for r in histogram_quantile(
+            hist, (0.25, 0.5, 0.95), bucket_col="bucket_lo", width=25.0
+        ).collect()}
+        srt = sorted(vals)
+        for q, est in out.items():
+            # exact order statistic at ceil(q*n) (the crossing rank)
+            import math as _m
+
+            exact = srt[max(0, _m.ceil(q * len(srt)) - 1)]
+            assert abs(est - exact) <= 25.0 + 1e-9, (trial, q, est, exact)
+
+
+# ------------------------------------------------------- HLL rollup gate
+
+
+def test_hll_rollup_merges_instead_of_adding(spark):
+    """The reason mergeable sketches exist: the SAME 50 users active
+    every day means summed daily distincts (700) wildly overcount the
+    weekly distinct (50). The merged weekly sketch must track 50 —
+    union semantics, not addition — and pass the 5% gate."""
+    from v3io_tsdb_spark.functions.sketches import hll_rollup_gate
+
+    DAY = 86_400_000
+    rows = [
+        (d * DAY + i, "u%d" % (i % 50))
+        for d in range(14)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts long, user_id string")
+    out = {r["t"]: r for r in hll_rollup_gate(
+        df, "user_id", "ts", fine_ms=DAY, coarse_ms=7 * DAY
+    ).collect()}
+    assert len(out) == 2
+    for r in out.values():
+        assert r["n_fine_buckets"] == 7
+        assert r["n_exact"] == 50
+        assert r["ok"]
+
+
+def test_hll_rollup_disjoint_days_still_exact_union(spark):
+    """Disjoint daily populations: weekly exact = sum of dailies, and
+    the union estimate must land within tolerance there too (both
+    extremes of overlap bracketed)."""
+    from v3io_tsdb_spark.functions.sketches import hll_rollup_gate
+
+    DAY = 86_400_000
+    rows = [
+        (d * DAY + i, "d%d_u%d" % (d, i)) for d in range(7) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts long, user_id string")
+    r = hll_rollup_gate(
+        df, "user_id", "ts", fine_ms=DAY, coarse_ms=7 * DAY
+    ).collect()[0]
+    assert r["n_exact"] == 280 and r["ok"]

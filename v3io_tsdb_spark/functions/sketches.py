@@ -151,3 +151,65 @@ def heavy_hitters_gate(
             & (F.col("est") <= F.col("exact") + 4 * F.col("_n") / F.lit(w))
         ).alias("ok"),
     )
+
+
+def hll_rollup_gate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    fine_ms: int,
+    coarse_ms: int,
+    origin_ms: int = 0,
+    group_cols: tuple = (),
+    lg_k: int = 12,
+    tol: float = 0.05,
+) -> DataFrame:
+    """Sketch REAGGREGATION — the property HLL actually exists for:
+    distinct counts don't add (Σ daily uniques ≠ weekly uniques), so a
+    coarser-granularity distinct query normally means re-reading raw
+    data. Mergeable sketches break that: build one Datasketches HLL
+    per FINE bucket (``hll_sketch_agg``), then answer every COARSE
+    bucket by UNIONING the fine sketches (``hll_union_agg``) — the raw
+    keys are read exactly once, and the fine-sketch table is the
+    rollup artifact a 100 TB deployment persists next to the numeric
+    rollup log (same ingest-maintenance contract as rollup.py; sketch
+    bytes merge on append exactly like count/sum cells).
+
+    Trust gate like distinct_count_gate: per coarse bucket the merged
+    estimate is checked against the exact distinct (`ok` within
+    ``tol`` relative error). The exact side is what stops scaling;
+    production keeps the fine sketches and drops it once the gate has
+    earned trust at sample scale.
+    """
+    fine = (
+        F.lit(origin_ms)
+        + F.floor((F.col(ts_col) - F.lit(origin_ms)) / F.lit(fine_ms))
+        * F.lit(fine_ms)
+    ).cast("long")
+    coarse_of = lambda c: (  # noqa: E731
+        F.lit(origin_ms)
+        + F.floor((c - F.lit(origin_ms)) / F.lit(coarse_ms)) * F.lit(coarse_ms)
+    ).cast("long")
+    sketches = df.groupBy(*group_cols, fine.alias("_ft")).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias(
+            "_sk"
+        )
+    )
+    merged = sketches.groupBy(
+        *group_cols, coarse_of(F.col("_ft")).alias("t")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+        F.count("*").cast("long").alias("n_fine_buckets"),
+    )
+    exact = df.groupBy(
+        *group_cols, coarse_of(fine).alias("t")
+    ).agg(F.count_distinct(F.col(key_col)).alias("n_exact"))
+    keys = list(group_cols) + ["t"]
+    out = merged.join(exact, keys)
+    err = F.try_divide(
+        F.abs(F.col("_est") - F.col("n_exact")), F.col("n_exact")
+    )
+    ok = F.when(
+        (F.col("n_exact") == 0) & (F.col("_est") == 0), F.lit(True)
+    ).otherwise(F.coalesce(err <= tol, F.lit(False)))
+    return out.select(*keys, "n_fine_buckets", "n_exact", ok.alias("ok"))
