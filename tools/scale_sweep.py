@@ -413,6 +413,27 @@ def ops(spark):
             F.sum("score"), F.count("*")
         ).collect()
 
+    def op_bloom_semi(d):
+        # build + probe both timed: the build side (whales + bitmap)
+        # grows with users, the bitmap stays 8 KB, the probe prune is
+        # scan-side — so the curve should track the scan, not the join
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.functions.bloom import bloom_semi_join
+
+        ev = load_table(spark, d, "events")
+        t = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        ev = ev.select("user_id", "event_type", t.alias("ts_ms"))
+        whales = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") >= 14)
+            .select("user_id")
+        )
+        return bloom_semi_join(ev, whales, "user_id").groupBy(
+            "event_type"
+        ).agg(F.count("*")).collect()
+
     def op_ols_trend(d):
         from v3io_tsdb_spark.operators.trend import ols_trend
 
@@ -473,6 +494,7 @@ def ops(spark):
         "classifier_score": op_classifier_score,
         "ols_trend": op_ols_trend,
         "hist_quantile": op_hist_quantile,
+        "bloom_semi": op_bloom_semi,
     }
 
 
