@@ -2625,6 +2625,17 @@ def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (X107, Efraimidis-Spirakis
+    '06): top-20 docs by hash-deterministic priority u^(1/n_chars) —
+    a length-weighted corpus draw with no RNG, stable across
+    runs/engines/partitioning. One scan + one TakeOrdered."""
+    from v3io_tsdb_spark.functions.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "n_chars", k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -2642,12 +2653,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 125 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(125/50)) — each round the
+    At 126 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(126/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 27 queries NEW this round (X80-X106) sit at the very end
-    (positions 98-124): their r9 evidence is the local 125/125 hash
+    The 28 queries NEW this round (X80-X107) sit at the very end
+    (positions 98-125): their r9 evidence is the local 126/126 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -2788,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms_sketch": q_stream_cms_sketch,
         "stream_value_heatmap": q_stream_value_heatmap,
         "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
+        "doc_weighted_sample": q_doc_weighted_sample,
     }
 
 
@@ -5297,6 +5309,20 @@ def oracle_sql() -> dict[str, str]:
                  count(DISTINCT user_id) AS n_exact,
                  TRUE AS ok
           FROM f GROUP BY 1
+        """,
+        "doc_weighted_sample": f"""
+          WITH p AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                             || '_ws'), 1, 15))::BIGINT + 1)
+                            / 1152921504606846977.0) / n_chars
+                         + 1e-12, 9) AS priority
+            FROM documents WHERE n_chars > 0
+          )
+          SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight, priority
+          FROM (SELECT *, row_number() OVER (
+                  ORDER BY priority DESC, doc_id) AS rank FROM p)
+          WHERE rank <= 20
         """,
         "tsdb_mad_daily": f"""
           WITH b AS (

@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_cms_sketch",
     "stream_value_heatmap",
     "events_hll_weekly_rollup",
+    "doc_weighted_sample",
 ]
 
 

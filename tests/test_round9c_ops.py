@@ -775,3 +775,45 @@ def test_hll_rollup_disjoint_days_still_exact_union(spark):
         df, "user_id", "ts", fine_ms=DAY, coarse_ms=7 * DAY
     ).collect()[0]
     assert r["n_exact"] == 280 and r["ok"]
+
+
+# ------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Hash-deterministic priorities reproduce exactly in pure python
+    (the no-RNG contract): same u derivation, same log-priority, same
+    top-k with id tiebreak."""
+    import hashlib
+
+    from v3io_tsdb_spark.functions.sampling import weighted_sample_topk
+
+    rows = [(i, (i * 37) % 900 + 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = [
+        (r["rank"], r["doc_id"])
+        for r in weighted_sample_topk(df, "n_chars", k=15).collect()
+    ]
+
+    def prio(i, w):
+        h = int(hashlib.md5(("%d_ws" % i).encode()).hexdigest()[:15], 16)
+        import math as _m
+
+        return round(_m.log((h + 1) / float((1 << 60) + 1)) / w + 1e-12, 9)
+
+    ranked = sorted(rows, key=lambda t: (-prio(*t), t[0]))[:15]
+    assert got == [(n + 1, i) for n, (i, _) in enumerate(ranked)]
+
+
+def test_weighted_sample_zero_weight_excluded_and_weight_matters(spark):
+    """Zero-weight items carry no sampling mass; a much larger weight
+    strictly increases priority for the same id-hash (u^(1/w) -> 1 as
+    w grows, so giant-weight items dominate the sample)."""
+    from v3io_tsdb_spark.functions.sampling import weighted_sample_topk
+
+    rows = [(i, 10) for i in range(50)] + [(100, 0), (101, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample_topk(df, "n_chars", k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 100 not in ids            # zero weight: excluded
+    assert out[0]["doc_id"] == 101   # overwhelming weight: rank 1

@@ -295,3 +295,50 @@ def mixture_weights(
             ).alias("weight"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    salt: str = "_ws",
+) -> DataFrame:
+    """Weighted sampling without replacement via hash-deterministic
+    priorities (Efraimidis & Spirakis '06): each item gets a uniform
+    ``u`` derived from md5(id), priority ``u^(1/w)`` — ordered here by
+    the monotone log form ``ln(u)/w`` — and the top-``k`` priorities
+    ARE a weight-proportional sample without replacement. The
+    quality/length-weighted corpus draw every training mixture needs,
+    with the repo's standard determinism contract: no RNG, stable
+    across runs/engines/partitioning, reproducible by any SQL engine
+    from the same md5 (the md5_int60 oracle trick).
+
+    Zero-weight (or negative) items are excluded — they have no
+    sampling mass. Plan: one scan computing the priority scan-side,
+    one TakeOrdered (``orderBy().limit(k)`` — per-partition heaps,
+    never a global sort); rank derives from the k-row result.
+
+    Determinism boundary: the log-priority is rounded at 9 dp before
+    ordering (ties break on id identically in both engines) — the
+    same rounded-score-then-id rule as bm25/cosine/rrf.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int60(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    u = (h + F.lit(1)) / F.lit(float((1 << 60) + 1))
+    lk = F.round(F.log(u) / F.col(weight_col) + F.lit(1e-12), 9)
+    topk = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            lk.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("priority"), F.col(id_col))
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", id_col, "weight", "priority")
