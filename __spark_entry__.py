@@ -1557,6 +1557,79 @@ def q_tsdb_irate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_increase_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL extrapolated ``increase()`` (X108): per series per day,
+    the reset-corrected counter delta scaled out to the bucket
+    boundaries per prometheus/promql/functions.go ``extrapolatedRate``
+    (edge gap < 1.1×avg spacing → extend to the edge, else half a gap;
+    zero-start cap for counters). The boundary-aware upgrade of the
+    reference's bucket rate (pkg/aggregate/iterator.go:327-334). One
+    (series, bucket)-keyed shuffle; extrapolation arithmetic runs on
+    the aggregate output."""
+    from v3io_tsdb_spark.operators.counters import extrapolated_increase
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = extrapolated_increase(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY, from_ms=F0
+    )
+    return out.select(
+        "name", "uid", "t", "count", _rz("delta", 6), _rz("increase", 6)
+    )
+
+
+def q_tsdb_binop_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL vector-matching binary op (X109): ``error /on(uid)
+    purchase`` per day — per-uid daily averages of both metrics
+    combined with inner-match semantics (a (uid, day) missing either
+    side is DROPPED, not NaN-padded — the PromQL convention, opposite
+    of the wide frame's). Single scan, one (uid, day) shuffle via
+    conditional aggregation — no self-join."""
+    from v3io_tsdb_spark.operators.frames import metric_binop
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = metric_binop(
+        s, left="error", right="purchase", match_cols=("uid",),
+        ts_col="ts", step_ms=DAY, from_ms=F0, agg="avg",
+    )
+    return out.select(
+        "uid", "t", _rz("avg_left", 6), _rz("avg_right", 6),
+        _rz("ratio", 6), _rz("diff", 6),
+    )
+
+
+def q_tsdb_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (X110): per series per day,
+    value = trend (centered 7-day RANGE-frame MA, full windows only)
+    + seasonal (centered day-of-week index) + residual. One series
+    shuffle; the series×7 index table broadcasts back."""
+    from v3io_tsdb_spark.operators.trend import seasonal_decompose
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = seasonal_decompose(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY,
+        from_ms=F0, period=7,
+    )
+    return out.select(
+        "name", "uid", "t", F.col("phase").cast("long").alias("phase"),
+        _rz("value", 6), _rz("trend", 6), _rz("seasonal", 6), _rz("residual", 6),
+    )
+
+
+def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining (X111): top-20 3-step event-type paths
+    within 30-min inactivity sessions (overlapping n-gram runs, total
+    order (ts, type, id)). One user-keyed exchange serves sessionize
+    AND the lead windows; path counts are vocab³-bounded; global top-k
+    is TakeOrdered."""
+    from v3io_tsdb_spark.operators.paths import session_path_ngrams
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    return session_path_ngrams(
+        ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
+        id_col="event_id", gap_ms=30 * 60 * 1000, n=3, k=20,
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2800,6 +2873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_value_heatmap": q_stream_value_heatmap,
         "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
         "doc_weighted_sample": q_doc_weighted_sample,
+        "tsdb_increase_daily": q_tsdb_increase_daily,
+        "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
+        "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
+        "events_path_trigrams": q_events_path_trigrams,
     }
 
 
@@ -4128,6 +4205,140 @@ def oracle_sql() -> dict[str, str]:
                  round(dv + {EPS6}, 6) + 0.0 AS idelta,
                  round(CASE WHEN dt > 0 THEN dv / dt END + {EPS6}, 6) + 0.0 AS irate
           FROM l WHERE rn = 1
+        """,
+        "tsdb_increase_daily": f"""
+          WITH b AS (
+            SELECT name, uid, t, value,
+                   {F0} + ((t - {F0}) // {DAY}) * {DAY} AS bt
+            FROM ({_PTS})
+          ),
+          l AS (
+            SELECT name, uid, bt, t, value,
+                   CASE WHEN lag(value) OVER w IS NOT NULL
+                             AND value < lag(value) OVER w
+                        THEN lag(value) OVER w ELSE 0.0 END AS corr,
+                   row_number() OVER (PARTITION BY name, uid, bt
+                                      ORDER BY t, value) AS rna,
+                   row_number() OVER (PARTITION BY name, uid, bt
+                                      ORDER BY t DESC, value DESC) AS rnd,
+                   count(*) OVER (PARTITION BY name, uid, bt) AS cnt
+            FROM b
+            WINDOW w AS (PARTITION BY name, uid, bt ORDER BY t, value)
+          ),
+          a AS (
+            SELECT name, uid, bt, max(cnt) AS cnt, sum(corr) AS rcorr,
+                   max(CASE WHEN rna = 1 THEN t END) AS first_t,
+                   max(CASE WHEN rna = 1 THEN value END) AS first_v,
+                   max(CASE WHEN rnd = 1 THEN t END) AS last_t,
+                   max(CASE WHEN rnd = 1 THEN value END) AS last_v
+            FROM l GROUP BY 1, 2, 3
+          ),
+          s AS (
+            SELECT *, last_v - first_v + rcorr AS delta0,
+                   CAST(last_t - first_t AS DOUBLE) AS sampled,
+                   CAST(last_t - first_t AS DOUBLE) / (cnt - 1) AS avg_dur,
+                   CAST(first_t - bt AS DOUBLE) AS dur_start,
+                   CAST(bt + {DAY} - last_t AS DOUBLE) AS dur_end
+            FROM a
+          ),
+          e AS (
+            SELECT *,
+                   LEAST(dur_start,
+                         CASE WHEN delta0 > 0 AND first_v >= 0
+                              THEN sampled * first_v / delta0
+                              ELSE dur_start END) AS dur_start2,
+                   avg_dur * 1.1 AS thresh
+            FROM s WHERE cnt >= 2 AND sampled > 0
+          ),
+          f AS (
+            SELECT *, sampled
+                   + CASE WHEN dur_start2 < thresh THEN dur_start2
+                          ELSE avg_dur / 2 END
+                   + CASE WHEN dur_end < thresh THEN dur_end
+                          ELSE avg_dur / 2 END AS ext
+            FROM e
+          )
+          SELECT name, uid, bt AS t, CAST(cnt AS BIGINT) AS count,
+                 round(delta0 + {EPS6}, 6) + 0.0 AS delta,
+                 round(delta0 * ext / sampled + {EPS6}, 6) + 0.0 AS increase
+          FROM f
+        """,
+        "tsdb_binop_ratio_daily": f"""
+          WITH a AS (
+            SELECT uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   avg(CASE WHEN name = 'error' THEN value END) AS l,
+                   avg(CASE WHEN name = 'purchase' THEN value END) AS r
+            FROM ({_PTS}) WHERE name IN ('error', 'purchase')
+            GROUP BY 1, 2
+          )
+          SELECT uid, t,
+                 round(l + {EPS6}, 6) + 0.0 AS avg_left,
+                 round(r + {EPS6}, 6) + 0.0 AS avg_right,
+                 round(CASE WHEN r <> 0 THEN l / r END + {EPS6}, 6) + 0.0 AS ratio,
+                 round(l - r + {EPS6}, 6) + 0.0 AS diff
+          FROM a WHERE l IS NOT NULL AND r IS NOT NULL
+        """,
+        "tsdb_seasonal_decompose": f"""
+          WITH grid AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   avg(value) AS value
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          tr AS (
+            SELECT *, CASE WHEN count(value) OVER w = 7
+                           THEN avg(value) OVER w END AS trend,
+                   ((t - {F0}) // {DAY}) % 7 AS phase
+            FROM grid
+            WINDOW w AS (PARTITION BY name, uid ORDER BY t
+                         RANGE BETWEEN {3 * DAY} PRECEDING
+                               AND {3 * DAY} FOLLOWING)
+          ),
+          sc AS (
+            SELECT name, uid, phase,
+                   s_raw - avg(s_raw) OVER (PARTITION BY name, uid) AS seasonal
+            FROM (SELECT name, uid, phase, avg(value - trend) AS s_raw
+                  FROM tr GROUP BY 1, 2, 3)
+          )
+          SELECT tr.name, tr.uid, tr.t, CAST(tr.phase AS BIGINT) AS phase,
+                 round(tr.value + {EPS6}, 6) + 0.0 AS value,
+                 round(tr.trend + {EPS6}, 6) + 0.0 AS trend,
+                 round(sc.seasonal + {EPS6}, 6) + 0.0 AS seasonal,
+                 round(tr.value - tr.trend - sc.seasonal + {EPS6}, 6) + 0.0
+                   AS residual
+          FROM tr JOIN sc USING (name, uid, phase)
+        """,
+        "events_path_trigrams": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          s AS (
+            SELECT *, sum(new_sess) OVER w AS sess
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          p AS (
+            SELECT event_type || '>' || lead(event_type, 1) OVER ws
+                   || '>' || lead(event_type, 2) OVER ws AS path,
+                   lead(event_type, 2) OVER ws AS e3
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, sess
+                          ORDER BY t, event_type, event_id)
+          ),
+          c AS (SELECT path, count(*) AS occurrences FROM p
+                WHERE e3 IS NOT NULL GROUP BY 1),
+          t AS (SELECT * FROM c ORDER BY occurrences DESC, path LIMIT 20)
+          SELECT path, CAST(occurrences AS BIGINT) AS occurrences,
+                 CAST(row_number() OVER (ORDER BY occurrences DESC, path)
+                      AS BIGINT) AS rank
+          FROM t
         """,
         "doc_corpus_diff": """
           WITH old_ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),

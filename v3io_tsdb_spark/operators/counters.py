@@ -58,6 +58,92 @@ def counter_resets_changes(
     )
 
 
+def extrapolated_increase(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+) -> DataFrame:
+    """Prometheus ``increase()`` with boundary extrapolation — the
+    counter semantics the reference's bucket ``rate`` (ref:
+    pkg/aggregate/iterator.go:327-334) approximates but PromQL defines
+    precisely (prometheus/promql/functions.go ``extrapolatedRate``,
+    public source): the raw last−first delta systematically UNDERcounts
+    a window because samples rarely land on its edges, so the delta is
+    scaled out toward the boundaries.
+
+    Per (series, bucket) with ≥2 samples and a nonzero sampled span:
+
+    - ``delta`` = last − first + Σ(prev value at each reset drop) —
+      the counter-reset correction;
+    - ``sampled`` = last_t − first_t; ``avg_dur`` = sampled/(count−1);
+    - each edge extends the extrapolation interval by the actual gap to
+      the boundary if that gap < 1.1·avg_dur (the sample stream
+      plausibly continued to the edge), else by avg_dur/2 (stream
+      stopped; extrapolate half a typical gap);
+    - counter zero-start heuristic: if the counter would have to have
+      been negative before the window (delta > 0, first ≥ 0), the
+      start-side extension is capped at sampled·first/delta — the point
+      where the counter was zero;
+    - ``increase`` = delta · extrapolated/sampled.
+
+    Plan shape: identical to :func:`irate_idelta` — ONE shuffle on
+    (series, bucket); the reset-correction lag window partitions by the
+    same composite key the final groupBy uses, so the sort is
+    bucket-bounded and the aggregate reuses the partitioning. All the
+    extrapolation arithmetic runs on the count-sized aggregate output.
+    """
+    t = tumbling_bucket(F.col(ts_col), from_ms, step_ms)
+    b = df.withColumn("_b", t)
+    w = Window.partitionBy(*series_cols, "_b").orderBy(ts_col, value_col)
+    prev_v = F.lag(value_col).over(w)
+    corr = F.when(
+        prev_v.isNotNull() & (F.col(value_col) < prev_v), prev_v
+    ).otherwise(F.lit(0.0))
+    tv = F.struct(F.col(ts_col), F.col(value_col))
+    agg = (
+        b.withColumn("_corr", corr)
+        .groupBy(*series_cols, F.col("_b").alias("t"))
+        .agg(
+            F.count(value_col).cast("long").alias("count"),
+            F.min_by(tv, tv).alias("_first"),
+            F.max_by(tv, tv).alias("_last"),
+            F.sum("_corr").alias("_rcorr"),
+        )
+    )
+    first_t = F.col("_first")[ts_col].cast("double")
+    first_v = F.col("_first")[value_col]
+    last_t = F.col("_last")[ts_col].cast("double")
+    last_v = F.col("_last")[value_col]
+    delta = last_v - first_v + F.col("_rcorr")
+    sampled = last_t - first_t
+    avg_dur = sampled / (F.col("count") - 1).cast("double")
+    dur_start = first_t - F.col("t").cast("double")
+    dur_end = (F.col("t") + F.lit(step_ms)).cast("double") - last_t
+    zero_cap = F.when(
+        (delta > 0) & (first_v >= 0), sampled * first_v / delta
+    )
+    dur_start2 = F.least(dur_start, F.coalesce(zero_cap, dur_start))
+    thresh = avg_dur * 1.1
+    ext = (
+        sampled
+        + F.when(dur_start2 < thresh, dur_start2).otherwise(avg_dur / 2)
+        + F.when(dur_end < thresh, dur_end).otherwise(avg_dur / 2)
+    )
+    return (
+        agg.where((F.col("count") >= 2) & (sampled > 0))
+        .select(
+            *series_cols,
+            "t",
+            "count",
+            (delta + F.lit(0.0)).alias("delta"),
+            (delta * ext / sampled).alias("increase"),
+        )
+    )
+
+
 def irate_idelta(
     df: DataFrame,
     series_cols: tuple = ("name", "uid"),

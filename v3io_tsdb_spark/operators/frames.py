@@ -79,6 +79,65 @@ def to_wide_frame_mixed(
     return wide
 
 
+def metric_binop(
+    df: DataFrame,
+    left: str,
+    right: str,
+    match_cols: tuple = ("uid",),
+    metric_col: str = "name",
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 3_600_000,
+    from_ms: int = 0,
+    agg: str = "avg",
+) -> DataFrame:
+    """PromQL binary operation between two metrics with vector matching
+    — ``left / on(match_cols) right`` — the cross-metric arithmetic the
+    reference's one-metric-per-query model can't express and PromQL
+    defines via label matching (prometheus/promql/engine.go
+    VectorBinop, public; ref's frames only ALIGN metrics side by side,
+    pkg/pquerier/frames.go:479-642, they never combine them).
+
+    Each side is first bucket-aggregated (``agg`` of ``value_col`` per
+    (match labels, bucket)), then combined. PromQL inner-match
+    semantics: a (labels, bucket) group missing EITHER side is dropped,
+    not null-padded — the opposite convention of :func:`to_wide_frame`'s
+    NaN cells, which is exactly why this is its own operator. Emits
+    ``ratio`` (left/right, null on zero denominator — no verdict, the
+    try_divide rule) and ``diff`` (left − right).
+
+    Plan shape — why this beats the textbook self-join: both vectors
+    live in ONE table, so conditional aggregation (``agg(CASE WHEN
+    name=left ...)``) computes both sides in a single scan and ONE
+    (labels, bucket)-keyed partial-aggregable shuffle; the naive
+    per-metric-DataFrame formulation pays two scans, two shuffles and a
+    join exchange for the same rows. The inner-match filter is the
+    HAVING clause on the same aggregate.
+    """
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    t = tumbling_bucket(F.col(ts_col), from_ms, step_ms)
+    v = F.col(value_col)
+    name = F.col(metric_col)
+    fn = getattr(F, agg)
+    lv = fn(F.when(name == left, v)).alias("_l")
+    rv = fn(F.when(name == right, v)).alias("_r")
+    out = (
+        df.where(name.isin(left, right))
+        .groupBy(*match_cols, t.alias("t"))
+        .agg(lv, rv)
+        .where(F.col("_l").isNotNull() & F.col("_r").isNotNull())
+    )
+    return out.select(
+        *match_cols,
+        "t",
+        F.col("_l").alias(f"{agg}_left"),
+        F.col("_r").alias(f"{agg}_right"),
+        F.try_divide(F.col("_l"), F.col("_r")).alias("ratio"),
+        (F.col("_l") - F.col("_r")).alias("diff"),
+    )
+
+
 def to_series(agg_df: DataFrame, funcs: list, key_cols: list | None = None) -> DataFrame:
     """Melt a wide-by-function aggregate result into the reference's
     SeriesSet shape: one row per (series, Aggregate, t) with an

@@ -508,3 +508,76 @@ def xcorr_lagged(
         F.count("*").cast("long").alias("n_pairs"),
         corr.alias("xcorr"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per series on the
+    bucketed grid: ``value = trend + seasonal + residual`` (Cleveland's
+    pre-STL textbook method; the day-of-week structure the reference's
+    flat bucket aggregates fold invisibly into every daily number).
+
+    - ``trend``: centered ``period``-bucket moving average, computed
+      with a RANGE frame of ±(period//2)·step on the time axis — an
+      offset ROWS frame would silently slip on grid gaps — and null
+      unless the frame holds exactly ``period`` buckets (no partial
+      edge averages);
+    - ``seasonal``: per (series, phase) mean of the detrended values,
+      centered by subtracting the series' mean seasonal index so the
+      components sum back to the value;
+    - ``residual``: value − trend − seasonal (null where trend is —
+      the first/last half-period and gap neighborhoods give no
+      verdict).
+
+    Plan shape: raw samples reduce to the series×bucket grid by one
+    partial-aggregable groupBy; the trend window re-uses that
+    (series)-keyed layout; the seasonal index table is series×period
+    rows — broadcast back, never a shuffle of the grid. At 100 TB the
+    only data-sized exchange is the one every per-series analysis pays.
+    """
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    half = period // 2
+    t = tumbling_bucket(F.col(ts_col), from_ms, step_ms)
+    grid = df.groupBy(*series_cols, t.alias("t")).agg(
+        F.avg(value_col).alias("value")
+    )
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("t")
+        .rangeBetween(-half * step_ms, half * step_ms)
+    )
+    g = grid.withColumn(
+        "trend",
+        F.when(F.count("value").over(w) == period, F.avg("value").over(w)),
+    ).withColumn(
+        "phase",
+        ((F.col("t") - F.lit(from_ms)) / F.lit(step_ms)).cast("long") % period,
+    )
+    detr = g.withColumn("_d", F.col("value") - F.col("trend"))
+    wseries = Window.partitionBy(*series_cols)
+    sidx = (
+        detr.groupBy(*series_cols, "phase")
+        .agg(F.avg("_d").alias("_s_raw"))
+        .withColumn(
+            "seasonal", F.col("_s_raw") - F.avg("_s_raw").over(wseries)
+        )
+        .drop("_s_raw")
+    )
+    out = g.join(F.broadcast(sidx), [*series_cols, "phase"])
+    return out.select(
+        *series_cols,
+        "t",
+        "phase",
+        "value",
+        "trend",
+        "seasonal",
+        (F.col("value") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )
