@@ -1630,6 +1630,51 @@ def q_events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability (X112): per-doc reading
+    ease + grade from regex-count proxies (alphabetic words, [.!?]+
+    sentence runs, vowel-group syllables floored at 1/word) — pure
+    scan-side column algebra, zero shuffle, no UDF."""
+    from v3io_tsdb_spark.functions.text import readability_scores
+
+    docs = _docs_scattered(spark, sf_dir)
+    out = readability_scores(docs)
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        _rz("flesch", 4), _rz("fk_grade", 4),
+    )
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (X113): per query vector, top-5 vectors
+    with cosine in [0.2, 0.8) — informative negatives below the
+    near-dup band. The band filter prunes scan-side BEFORE the
+    per-query rank window, so the window sees only survivors."""
+    from v3io_tsdb_spark.functions.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return hard_negatives(emb, qs, lo=0.2, hi=0.8, k=5)
+
+
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile (X114): log₂ histogram of per-user event
+    counts + global skew factor (max/mean) and hottest-key share —
+    the diagnostic that decides whether a join needs salting and how
+    many buckets. One key-count shuffle, bounded bin aggregate,
+    one-row global reduce broadcast back."""
+    from v3io_tsdb_spark.functions.skew import key_skew_profile
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = key_skew_profile(ev, "user_id")
+    return out.select(
+        "bin", "n_keys", "n_rows", _rz("bin_row_share", 6),
+        _rz("skew_factor", 6), _rz("max_key_share", 6),
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2877,6 +2922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
         "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
         "events_path_trigrams": q_events_path_trigrams,
+        "doc_readability": q_doc_readability,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "events_key_skew": q_events_key_skew,
     }
 
 
@@ -4339,6 +4387,67 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY occurrences DESC, path)
                       AS BIGINT) AS rank
           FROM t
+        """,
+        "doc_readability": f"""
+          WITH w AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS words,
+                   len(regexp_extract_all(lower(text), '[.!?]+')) AS sruns
+            FROM documents
+          ),
+          c AS (
+            SELECT doc_id, len(words) AS n_words,
+                   greatest(1, sruns) AS n_sentences,
+                   CAST(coalesce(list_sum(list_transform(words,
+                     w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))),
+                     0) AS BIGINT) AS n_syllables
+            FROM w
+          )
+          SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                 CAST(n_sentences AS BIGINT) AS n_sentences, n_syllables,
+                 round(206.835 - 1.015 * (n_words / n_sentences)
+                       - 84.6 * (n_syllables::DOUBLE / n_words)
+                       + {EPS4}, 4) + 0.0 AS flesch,
+                 round(0.39 * (n_words / n_sentences)
+                       + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59
+                       + {EPS4}, 4) + 0.0 AS fk_grade
+          FROM c WHERE n_words > 0
+        """,
+        "emb_hard_negatives": """
+          WITH e AS (SELECT vec_id AS id,
+                            list_transform(embedding, x -> x::DOUBLE) AS v
+                     FROM embeddings),
+          q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 3),
+          c AS (SELECT q.query_id, e.id AS vec_id,
+                  round(list_sum(list_transform(list_zip(e.v, q.qv),
+                          z -> z[1] * z[2])) /
+                    (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+                     sqrt(list_sum(list_transform(q.qv, x -> x * x))))
+                    + 0.000000001, 6) AS cosine
+                FROM e, q),
+          b AS (SELECT * FROM c WHERE cosine >= 0.2 AND cosine < 0.8)
+          SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+                FROM b)
+          WHERE rank <= 5
+        """,
+        "events_key_skew": f"""
+          WITH c AS (
+            SELECT user_id, count(*) AS n FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1} GROUP BY 1
+          ),
+          g AS (SELECT max(n) AS max_n, avg(n) AS mean_n, sum(n) AS tot
+                FROM c),
+          b AS (SELECT CAST(floor(log2(n)) AS BIGINT) AS bin,
+                       count(*) AS n_keys, sum(n) AS n_rows
+                FROM c GROUP BY 1)
+          SELECT bin, CAST(n_keys AS BIGINT) AS n_keys,
+                 CAST(n_rows AS BIGINT) AS n_rows,
+                 round(n_rows / tot + {EPS6}, 6) + 0.0 AS bin_row_share,
+                 round(max_n / mean_n + {EPS6}, 6) + 0.0 AS skew_factor,
+                 round(max_n / tot + {EPS6}, 6) + 0.0 AS max_key_share
+          FROM b, g
         """,
         "doc_corpus_diff": """
           WITH old_ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),

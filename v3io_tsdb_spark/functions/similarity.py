@@ -900,3 +900,51 @@ def read_pq_index(spark, path: str) -> tuple:
     with open(os.path.join(path, "_pq_meta.json")) as f:
         meta = json.load(f)
     return spark.read.parquet(os.path.join(path, "codes")), meta["codebooks"]
+
+
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    lo: float = 0.35,
+    hi: float = 0.9,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query, the top-``k`` vectors whose cosine lands in [``lo``, ``hi``)
+    — similar enough to be informative negatives, below the near-dup
+    band where they'd be false negatives (the standard ANN-negatives
+    recipe, e.g. DPR/Karpukhin EMNLP'20 §4.2, public). The ``hi`` cut
+    is the same threshold family as near-dup detection
+    (embedding_near_dups above): what that operator REMOVES as a
+    duplicate, this one must never emit as a negative.
+
+    Plan shape vs cosine_topk_per_query: identical broadcast-queries
+    scoring pass, but the BAND FILTER applies scan-side BEFORE the
+    per-query rank window — at 100 TB the window sees only the band's
+    survivors (typically a few % of N), not all N rows per query, so
+    the per-query sort state shrinks by the filter's selectivity. Same
+    documented Q×N pair budget as the batch scorer (similarity.py
+    batch auto-routing).
+    """
+    qs = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("_qv")
+    )
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    scored = base.crossJoin(F.broadcast(qs)).withColumn(
+        "cosine", F.round(cosine_sim_col(F.col("_v"), F.col("_qv")) + 1e-9, 6)
+    )
+    band = scored.where(
+        (F.col("cosine") >= lo) & (F.col("cosine") < hi)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        band.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1126,3 +1126,62 @@ def bigram_logprob(
             ),
         )
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Flesch reading ease + Flesch-Kincaid grade (Kincaid '75
+    coefficients) from regex-count proxies — the classic readability
+    screen a quality-filter stack runs next to the stopword/length
+    rules (quality_rules above; the reference has no text surface at
+    all — SURVEY §2.10 extension).
+
+    Proxies, chosen to be expressible identically in Spark and ANSI
+    SQL (the RE2∩Java-regex discipline of scrub_pii):
+
+    - words: ``[a-z]+`` runs of the lowercased text (alphabetic
+      tokens — numbers/punctuation don't carry syllables);
+    - sentences: ``[.!?]+`` terminator runs, floored at 1;
+    - syllables: vowel-group runs ``[aeiouy]+`` per word, floored at 1
+      per word (the standard cheap estimator; "rhythm" counts 1 via
+      the y-group, trailing silent e overcounts by ~5% — a KNOWN bias
+      of the proxy, stable across corpora and engines).
+
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)
+    fk_grade = 0.39·(words/sentences) + 11.8·(syllables/word) − 15.59
+
+    Docs with zero alphabetic words are dropped (no verdict). Pure
+    scan-side column algebra: zero shuffle, whole-stage codegen, no
+    UDF — the plan is a projection over the parquet scan.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.regexp_extract_all(t, F.lit("[a-z]+"), F.lit(0))
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0)))
+    )
+    out = docs.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return out.withColumn(
+        "flesch", F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    ).withColumn(
+        "fk_grade", F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    )
