@@ -2771,12 +2771,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 126 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(126/50)) — each round the
+    At 133 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(133/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 28 queries NEW this round (X80-X107) sit at the very end
-    (positions 98-125): their r9 evidence is the local 126/126 hash
+    The 35 queries NEW this round (X80-X114) sit at the very end
+    (positions 98-132): their r9 evidence is the local 133/133 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.

@@ -141,6 +141,13 @@ HEADLINE = [
     "stream_value_heatmap",
     "events_hll_weekly_rollup",
     "doc_weighted_sample",
+    "tsdb_increase_daily",
+    "tsdb_binop_ratio_daily",
+    "tsdb_seasonal_decompose",
+    "events_path_trigrams",
+    "doc_readability",
+    "emb_hard_negatives",
+    "events_key_skew",
 ]
 
 

@@ -457,6 +457,76 @@ def ops(spark):
             hm, (0.5, 0.9, 0.99), group_cols=("event_type", "t"), width=20.0
         ).agg(F.sum("est"), F.count("*")).collect()
 
+    def _samples(d):
+        from pyspark.sql import functions as F2
+
+        from v3io_tsdb_spark.datasets import ts_millis
+
+        ev = load_table(spark, d, "events")
+        t = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        return ev.select(
+            F2.col("event_type").alias("name"),
+            F2.col("user_id").cast("string").alias("uid"),
+            t.alias("ts"),
+            "value",
+        )
+
+    def op_increase(d):
+        from v3io_tsdb_spark.operators.counters import extrapolated_increase
+
+        return extrapolated_increase(
+            _samples(d), ts_col="ts", step_ms=86_400_000,
+            from_ms=1704067200000,
+        ).agg(F.sum("increase"), F.count("*")).collect()
+
+    def op_seasonal_decompose(d):
+        from v3io_tsdb_spark.operators.trend import seasonal_decompose
+
+        return seasonal_decompose(
+            _samples(d), ts_col="ts", step_ms=86_400_000,
+            from_ms=1704067200000, period=7,
+        ).agg(F.sum("residual"), F.count("*")).collect()
+
+    def op_path_trigrams(d):
+        from pyspark.sql import functions as F2
+
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.paths import session_path_ngrams
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return session_path_ngrams(
+            ev, gap_ms=1_800_000, n=3, k=20
+        ).agg(F2.sum("occurrences")).collect()
+
+    def op_readability(d):
+        from v3io_tsdb_spark.functions.text import readability_scores
+
+        return readability_scores(docs(d)).agg(
+            F.sum("flesch"), F.count("*")
+        ).collect()
+
+    def op_hard_negatives(d):
+        from v3io_tsdb_spark.functions.similarity import hard_negatives
+
+        emb = load_table(spark, d, "embeddings")
+        qs = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return hard_negatives(emb, qs, lo=0.2, hi=0.8, k=5).agg(
+            F.sum("cosine"), F.count("*")
+        ).collect()
+
+    def op_key_skew(d):
+        from v3io_tsdb_spark.functions.skew import key_skew_profile
+
+        ev = load_table(spark, d, "events")
+        return key_skew_profile(ev, "user_id").agg(
+            F.sum("n_rows"), F.count("*")
+        ).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -495,6 +565,12 @@ def ops(spark):
         "ols_trend": op_ols_trend,
         "hist_quantile": op_hist_quantile,
         "bloom_semi": op_bloom_semi,
+        "extrapolated_increase": op_increase,
+        "seasonal_decompose": op_seasonal_decompose,
+        "path_trigrams": op_path_trigrams,
+        "readability": op_readability,
+        "hard_negatives": op_hard_negatives,
+        "key_skew": op_key_skew,
     }
 
 
