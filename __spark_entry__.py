@@ -1675,6 +1675,77 @@ def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile (X115): observed vs expected
+    first-significant-digit shares over event values ≥ 1, with the
+    9-digit χ² repeated per row. Digit from the integer part via
+    string — bit-exact across engines where float log10 can flip on
+    boundary values."""
+    from v3io_tsdb_spark.functions.histogram import benford_profile
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = benford_profile(s, value_col="value")
+    return out.select(
+        "digit", "n", _rz("share", 6), _rz("expected", 6), _rz("chi2", 6)
+    )
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap stats per user (X116): mean gap, coefficient
+    of variation, burst floor — the bot screen (cv → 0 is metronomic
+    automation). One user-keyed exchange shared by lag window and
+    aggregate."""
+    from v3io_tsdb_spark.operators.gaps import interarrival_stats
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = interarrival_stats(ev, "user_id", "ts_ms", "event_id")
+    return out.select(
+        "user_id", "n_gaps", _rz("mean_gap_ms", 4), _rz("cv_gap", 6),
+        "min_gap_ms",
+    )
+
+
+def q_tsdb_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric correlation matrix (X117): pairwise Pearson corr between
+    all metrics' daily bucket-mean series (name_a ≤ name_b incl. the
+    diagonal). The pair join is grid×grid (|metrics|×|buckets|), never
+    the raw stream."""
+    from v3io_tsdb_spark.operators.trend import metric_corr_matrix
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = metric_corr_matrix(s, ts_col="ts", step_ms=DAY, from_ms=F0)
+    return out.select("name_a", "name_b", "n_buckets", _rz("corr", 6))
+
+
+def q_events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning actives (X118): per day, distinct users
+    split by whether this is their first-ever day — the cohort
+    triangle's marginal, off the same distinct-(user,day) reduction."""
+    from v3io_tsdb_spark.operators.cohorts import new_vs_returning
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    return new_vs_returning(ev, "user_id", "ts_ms", step_ms=DAY)
+
+
+def q_doc_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift gate (X119): population-stability index between the
+    even- and odd-doc_id snapshot halves over fixed 100-char length
+    bins (fixed bins, not quantiles — quantile edges move with the
+    tested data). Per-bin shares + psi parts with the total repeated."""
+    from v3io_tsdb_spark.functions.histogram import psi_drift
+
+    docs = _docs_scattered(spark, sf_dir)
+    out = psi_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        "n_chars", width=100.0,
+    )
+    return out.select(
+        "bin", _rz("share_a", 6), _rz("share_b", 6),
+        _rz("psi_part", 6), _rz("psi", 6),
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2771,12 +2842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 133 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(133/50)) — each round the
+    At 138 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(138/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 35 queries NEW this round (X80-X114) sit at the very end
-    (positions 98-132): their r9 evidence is the local 133/133 hash
+    The 40 queries NEW this round (X80-X119) sit at the very end
+    (positions 98-137): their r9 evidence is the local 138/138 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -2925,6 +2996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": q_doc_readability,
         "emb_hard_negatives": q_emb_hard_negatives,
         "events_key_skew": q_events_key_skew,
+        "events_benford": q_events_benford,
+        "events_interarrival": q_events_interarrival,
+        "tsdb_corr_matrix": q_tsdb_corr_matrix,
+        "events_new_returning": q_events_new_returning,
+        "doc_psi_drift": q_doc_psi_drift,
     }
 
 
@@ -4448,6 +4524,103 @@ def oracle_sql() -> dict[str, str]:
                  round(max_n / mean_n + {EPS6}, 6) + 0.0 AS skew_factor,
                  round(max_n / tot + {EPS6}, 6) + 0.0 AS max_key_share
           FROM b, g
+        """,
+        "events_benford": f"""
+          WITH v AS (SELECT value FROM ({_PTS}) WHERE value >= 1),
+          c AS (
+            SELECT CAST(substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR),
+                               1, 1) AS BIGINT) AS digit,
+                   count(*) AS n
+            FROM v GROUP BY 1
+          ),
+          d AS (SELECT g AS digit FROM generate_series(1, 9) t(g)),
+          cf AS (SELECT d.digit, COALESCE(c.n, 0) AS n
+                 FROM d LEFT JOIN c ON d.digit = c.digit),
+          s AS (SELECT digit, n, sum(n) OVER () AS tot,
+                       log10(1 + 1.0 / digit) AS expected
+                FROM cf),
+          p AS (SELECT *, pow(n - expected * tot, 2) / (expected * tot)
+                       AS chip
+                FROM s)
+          SELECT digit, CAST(n AS BIGINT) AS n,
+                 round(n / CAST(tot AS DOUBLE) + {EPS6}, 6) + 0.0 AS share,
+                 round(expected + {EPS6}, 6) + 0.0 AS expected,
+                 round(sum(chip) OVER () + {EPS6}, 6) + 0.0 AS chi2
+          FROM p
+        """,
+        "events_interarrival": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_id FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT user_id,
+                   CAST(t - lag(t) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id) AS DOUBLE)
+                     AS gap
+            FROM e
+          ),
+          a AS (
+            SELECT user_id, count(gap) AS n_gaps, avg(gap) AS mg,
+                   stddev_samp(gap) AS sd, min(gap) AS mn
+            FROM g GROUP BY 1
+          )
+          SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+                 round(mg + {EPS4}, 4) + 0.0 AS mean_gap_ms,
+                 round(CASE WHEN mg <> 0 THEN sd / mg END + {EPS6}, 6) + 0.0
+                   AS cv_gap,
+                 CAST(mn AS BIGINT) AS min_gap_ms
+          FROM a WHERE n_gaps >= 1
+        """,
+        "tsdb_corr_matrix": f"""
+          WITH grid AS (
+            SELECT name, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   avg(value) AS v
+            FROM ({_PTS}) GROUP BY 1, 2
+          ),
+          p AS (
+            SELECT a.name AS name_a, b.name AS name_b,
+                   a.v AS va, b.v AS vb
+            FROM grid a JOIN grid b ON a.t = b.t AND a.name <= b.name
+          )
+          SELECT name_a, name_b, CAST(count(*) AS BIGINT) AS n_buckets,
+                 round(corr(va, vb) + {EPS6}, 6) + 0.0 AS corr
+          FROM p GROUP BY 1, 2
+        """,
+        "events_new_returning": f"""
+          WITH ub AS (
+            SELECT DISTINCT user_id, (epoch_ms(ts) // {DAY}) * {DAY} AS t
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          f AS (SELECT *, min(t) OVER (PARTITION BY user_id) AS ft FROM ub)
+          SELECT t, CAST(count(*) AS BIGINT) AS active,
+                 CAST(sum(CASE WHEN t = ft THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new,
+                 CAST(count(*) - sum(CASE WHEN t = ft THEN 1 ELSE 0 END)
+                      AS BIGINT) AS returning
+          FROM f GROUP BY 1
+        """,
+        "doc_psi_drift": f"""
+          WITH ca AS (SELECT n_chars // 100 AS bin, count(*) AS na
+                      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          cb AS (SELECT n_chars // 100 AS bin, count(*) AS nb
+                 FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+          j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin,
+                       COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+                FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+          p AS (SELECT bin,
+                       greatest(na / CAST(sum(na) OVER () AS DOUBLE),
+                                0.000001) AS pa,
+                       greatest(nb / CAST(sum(nb) OVER () AS DOUBLE),
+                                0.000001) AS pb
+                FROM j),
+          s AS (SELECT bin, pa, pb, (pa - pb) * ln(pa / pb) AS psi_part
+                FROM p)
+          SELECT bin, round(pa + {EPS6}, 6) + 0.0 AS share_a,
+                 round(pb + {EPS6}, 6) + 0.0 AS share_b,
+                 round(psi_part + {EPS6}, 6) + 0.0 AS psi_part,
+                 round(sum(psi_part) OVER () + {EPS6}, 6) + 0.0 AS psi
+          FROM s
         """,
         "doc_corpus_diff": """
           WITH old_ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),

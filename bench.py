@@ -148,6 +148,11 @@ HEADLINE = [
     "doc_readability",
     "emb_hard_negatives",
     "events_key_skew",
+    "events_benford",
+    "events_interarrival",
+    "tsdb_corr_matrix",
+    "events_new_returning",
+    "doc_psi_drift",
 ]
 
 

@@ -11,7 +11,7 @@ densify from the bounded output, never from the raw data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -138,3 +138,106 @@ def histogram_quantile(
         est.alias("est"),
         F.col("_tot").cast("long").alias("n_total"),
     )
+
+
+def benford_profile(
+    df: DataFrame, value_col: str = "value", group_cols: tuple = ()
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fabricated-data / unit-mixup screen (Benford '38; a metric that is
+    genuinely scale-spanning follows P(d) = log₁₀(1+1/d), a capped or
+    synthetic one doesn't).
+
+    The digit is taken from the INTEGER part (rows with value < 1 are
+    excluded): integer→string→first char is bit-exact in every engine,
+    where a float log₁₀ first-digit extraction can flip on boundary
+    values (99.999…) between libm implementations — the same
+    determinism-over-cleverness rule as the md5-derived samplers.
+
+    Output: one row per (group, digit 1-9) with observed count/share,
+    the Benford expectation, and the group's total χ² statistic
+    repeated on each row (χ² = Σ_d (obs−exp)²/exp over the 9 digits;
+    compare against χ²₀.₀₅,₈ = 15.51). Plan: one scan, a ≤9·|groups|
+    partial-aggregable digit count, and a window over the 9-row groups
+    — nothing data-sized past the first aggregate.
+    """
+    g = [F.col(c) for c in group_cols]
+    digit = F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = (
+        df.where(F.col(value_col) >= 1)
+        .groupBy(*g, digit.alias("digit"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # χ² must sum over ALL 9 digits — a digit Benford expects but the
+    # data never produces is evidence, not a missing row. The domain
+    # frame is 9·|groups| rows (groups come from the already-aggregated
+    # counts, panel-sized), broadcast-joined back.
+    nine = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+    if group_cols:
+        domain = counts.select(*g).distinct().select(*group_cols, nine)
+    else:
+        domain = counts.sparkSession.range(1, 2).select(nine)
+    full = domain.join(counts, [*group_cols, "digit"], "left").fillna(
+        0, subset=["n"]
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols \
+        else Window.partitionBy(F.lit(1))
+    tot = F.sum("n").over(w)
+    expected = F.log10(1 + 1 / F.col("digit"))
+    scored = full.withColumn("share", F.col("n") / tot).withColumn(
+        "expected", expected
+    ).withColumn(
+        "_chi_part",
+        F.pow(F.col("n") - expected * tot, 2) / (expected * tot),
+    )
+    return scored.withColumn("chi2", F.sum("_chi_part").over(w)).drop(
+        "_chi_part"
+    )
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    width: float,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability index between two snapshots of one metric
+    over fixed-width bins — the standard drift gate (PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 shifted; credit-scoring practice, public)
+    a training pipeline runs between corpus versions before retraining.
+
+    Fixed bins (floor(value/width)), NOT quantiles: quantile edges move
+    with the data being tested, so two drifted snapshots can land in
+    identical quantile bins — the same fixed-bin rule as
+    logprob_profile. Empty-side shares clamp to ``eps`` (PSI's log is
+    undefined at 0; the clamp bounds any single bin's contribution).
+
+    Output: one row per bin present in either side — (bin, share_a,
+    share_b, psi_part) — with the total ``psi`` repeated per row.
+    Plan: each side reduces to bin counts independently (partial-agg),
+    a bin-keyed full-outer join of two panel-sized tables, a window
+    over the bins. Nothing data-sized past the first aggregates.
+    """
+    def bins(df, side):
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(F.floor(F.col(value_col) / width).cast("long").alias("bin"))
+            .agg(F.count("*").alias(f"_n_{side}"))
+        )
+
+    j = bins(a, "a").join(bins(b, "b"), "bin", "full_outer").fillna(
+        0, subset=["_n_a", "_n_b"]
+    )
+    w = Window.partitionBy(F.lit(1))
+    pa = F.greatest(F.col("_n_a") / F.sum("_n_a").over(w), F.lit(eps))
+    pb = F.greatest(F.col("_n_b") / F.sum("_n_b").over(w), F.lit(eps))
+    scored = j.select(
+        "bin",
+        pa.alias("share_a"),
+        pb.alias("share_b"),
+        ((pa - pb) * F.log(pa / pb)).alias("psi_part"),
+    )
+    return scored.withColumn("psi", F.sum("psi_part").over(w))

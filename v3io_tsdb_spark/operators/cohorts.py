@@ -43,3 +43,33 @@ def retention_cohorts(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def new_vs_returning(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    step_ms: int = 86_400_000,
+) -> DataFrame:
+    """Daily active users split into new vs returning — the growth
+    dashboard's first panel, and the cohort triangle's marginal: per
+    bucket, ``active`` distinct users, ``new`` whose FIRST-ever bucket
+    this is, ``returning`` the rest.
+
+    Plan shape mirrors retention_cohorts exactly: reduce the stream to
+    distinct (user, bucket) — partial-aggregable, user-count-sized
+    output — take each user's first bucket as a ``min`` window over
+    that small frame (no self-join, no second scan), then a
+    bucket-keyed aggregate whose output is |buckets| rows.
+    """
+    ub = df.select(
+        F.col(user_col).alias("_u"),
+        wall_bucket(F.col(ts_col), step_ms).alias("t"),
+    ).distinct()
+    first = F.min("t").over(Window.partitionBy("_u"))
+    scored = ub.withColumn("_is_new", (F.col("t") == first).cast("long"))
+    return scored.groupBy("t").agg(
+        F.count("*").cast("long").alias("active"),
+        F.sum("_is_new").cast("long").alias("new"),
+        (F.count("*") - F.sum("_is_new")).cast("long").alias("returning"),
+    )

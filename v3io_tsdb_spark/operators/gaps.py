@@ -55,3 +55,46 @@ def gap_report(
         .withColumn("missing", (F.col("expected") - F.col("present")).cast("long"))
         .drop("_first", "_last")
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics — the bot/automation screen
+    (human traffic is bursty, cv ≈ 1 Poisson-like or higher; scripted
+    traffic is metronomic, cv → 0; a cron job shows cv ≈ 0 AND a
+    repeated modal gap). Per key with ≥2 events:
+
+    - ``n_gaps``: consecutive-event gap count,
+    - ``mean_gap_ms`` / ``cv_gap``: mean and coefficient of variation
+      (sample stddev / mean; null when <2 gaps — no verdict),
+    - ``min_gap_ms``: the burst floor (0 = same-ms events).
+
+    Event order is (ts, id) so equal-ms bursts measure deterministically.
+    Plan shape: one key-hash exchange shared by the lag window and the
+    per-key aggregate — the gap_report pattern exactly; output is
+    |keys|-sized.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gap = (F.col(ts_col) - F.lag(ts_col).over(w)).cast("double")
+    agg = (
+        df.withColumn("_gap", gap)
+        .groupBy(key_col)
+        .agg(
+            F.count("_gap").cast("long").alias("n_gaps"),
+            F.avg("_gap").alias("mean_gap_ms"),
+            F.stddev_samp("_gap").alias("_sd"),
+            F.min("_gap").cast("long").alias("min_gap_ms"),
+        )
+        .where(F.col("n_gaps") >= 1)
+    )
+    return agg.select(
+        key_col,
+        "n_gaps",
+        "mean_gap_ms",
+        F.try_divide(F.col("_sd"), F.col("mean_gap_ms")).alias("cv_gap"),
+        "min_gap_ms",
+    )

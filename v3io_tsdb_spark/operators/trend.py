@@ -581,3 +581,49 @@ def seasonal_decompose(
         "seasonal",
         (F.col("value") - F.col("trend") - F.col("seasonal")).alias("residual"),
     )
+
+
+def metric_corr_matrix(
+    df: DataFrame,
+    metric_col: str = "name",
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix between ALL metrics over
+    their aligned bucket-mean series — the all-pairs generalization of
+    xcorr_lagged's single A/B screen (lag 0): which metrics move
+    together at all, asked before asking who leads.
+
+    Semantics: each metric reduces to its bucket-mean series (mean
+    across all its series per bucket); corr is over buckets where BOTH
+    metrics have a value (inner match per pair — the metric_binop
+    rule); one row per unordered pair (name_a < name_b) plus each
+    metric's self-row (corr 1.0, the matrix diagonal, carrying
+    ``n_buckets`` for reading support).
+
+    Plan shape: the raw stream reduces by ONE partial-aggregable
+    (metric, bucket) groupBy to a |metrics|×|buckets| grid; the pair
+    join is grid×grid on the bucket key with a name inequality — both
+    sides PANEL-sized, never the raw data (at 100 TB the grid for 1000
+    metrics × 1 year of days is 365k rows). The pair aggregate output
+    is |metrics|²-bounded.
+    """
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    grid = df.groupBy(
+        F.col(metric_col).alias("_m"),
+        tumbling_bucket(F.col(ts_col), from_ms, step_ms).alias("t"),
+    ).agg(F.avg(value_col).alias("_v"))
+    a = grid.select(
+        F.col("_m").alias("name_a"), F.col("t"), F.col("_v").alias("_va")
+    )
+    b = grid.select(
+        F.col("_m").alias("name_b"), F.col("t"), F.col("_v").alias("_vb")
+    )
+    pairs = a.join(b, "t").where(F.col("name_a") <= F.col("name_b"))
+    return pairs.groupBy("name_a", "name_b").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.corr("_va", "_vb").alias("corr"),
+    )
