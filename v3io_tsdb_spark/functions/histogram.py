@@ -186,11 +186,13 @@ def benford_profile(
         else Window.partitionBy(F.lit(1))
     tot = F.sum("n").over(w)
     expected = F.log10(1 + 1 / F.col("digit"))
-    scored = full.withColumn("share", F.col("n") / tot).withColumn(
-        "expected", expected
-    ).withColumn(
+    # try_divide: a group with zero qualifying rows (all values < 1)
+    # yields null shares/χ² — no verdict, not a 0/0 crash under ANSI
+    scored = full.withColumn(
+        "share", F.try_divide(F.col("n"), tot)
+    ).withColumn("expected", expected).withColumn(
         "_chi_part",
-        F.pow(F.col("n") - expected * tot, 2) / (expected * tot),
+        F.try_divide(F.pow(F.col("n") - expected * tot, 2), expected * tot),
     )
     return scored.withColumn("chi2", F.sum("_chi_part").over(w)).drop(
         "_chi_part"

@@ -623,7 +623,14 @@ def metric_corr_matrix(
         F.col("_m").alias("name_b"), F.col("t"), F.col("_v").alias("_vb")
     )
     pairs = a.join(b, "t").where(F.col("name_a") <= F.col("name_b"))
+    # try_divide form, not F.corr: a zero-variance side yields null
+    # (no verdict) instead of an ANSI divide-by-zero — the
+    # xcorr_lagged convention
+    corr = F.try_divide(
+        F.covar_samp("_va", "_vb"),
+        F.stddev_samp("_va") * F.stddev_samp("_vb"),
+    )
     return pairs.groupBy("name_a", "name_b").agg(
         F.count("*").cast("long").alias("n_buckets"),
-        F.corr("_va", "_vb").alias("corr"),
+        corr.alias("corr"),
     )
