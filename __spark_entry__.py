@@ -1746,6 +1746,62 @@ def q_doc_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (X120): distinct winnow
+    fingerprints shared per source pair, overlap-coefficient
+    normalized — the mirrored-crawl detector, served from the
+    persisted winnow index. Pair join is fp-keyed over the distinct
+    (source, fp) reduction; |sources|²-bounded output."""
+    from v3io_tsdb_spark.functions.dedup import source_overlap_matrix
+
+    docs = _docs_scattered(spark, sf_dir)
+    out = source_overlap_matrix(docs, fps=_winnow_ensure_index(spark, sf_dir))
+    return out.select(
+        "src_a", "src_b", "shared_fps", "n_fp_a", "n_fp_b", _rz("overlap", 6)
+    )
+
+
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate (X121): per-doc token share outside the
+    corpus top-500 vocabulary (TakeOrdered cut, deterministic
+    count-desc/token-asc tie-break; V-row vocab broadcast onto the
+    token stream — docs never shuffle for the join)."""
+    from v3io_tsdb_spark.functions.text import oov_rate
+
+    docs = _docs_scattered(spark, sf_dir)
+    out = oov_rate(docs, top_v=500)
+    return out.select("doc_id", "n_tokens", "n_oov", _rz("oov_rate", 6))
+
+
+def q_tsdb_minmax_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max plot decimation (X122): per series per 6h bucket, the
+    actual samples achieving the bucket min and max with their true
+    timestamps — the envelope downsample that can never hide a spike,
+    ≤2 points per bucket. One partial-aggregable shuffle."""
+    from v3io_tsdb_spark.operators.interpolate import minmax_decimate
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    return minmax_decimate(
+        s, series_cols=("name", "uid"), ts_col="ts",
+        step_ms=6 * HOUR, from_ms=F0,
+    )
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (X123): each purchase credits the user's
+    most recent non-purchase event within 1 day; out-of-window
+    conversions credit '(none)' so the report sums to the conversion
+    total. One user-keyed as-of window, |event types|-bounded output."""
+    from v3io_tsdb_spark.operators.funnel import attribution_report
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    return attribution_report(
+        ev, conversion_type="purchase", window_ms=DAY,
+        user_col="user_id", ts_col="ts_ms", type_col="event_type",
+        id_col="event_id",
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2842,12 +2898,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 138 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(138/50)) — each round the
+    At 142 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(142/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 40 queries NEW this round (X80-X119) sit at the very end
-    (positions 98-137): their r9 evidence is the local 138/138 hash
+    The 44 queries NEW this round (X80-X123) sit at the very end
+    (positions 98-141): their r9 evidence is the local 142/142 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -3001,6 +3057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_corr_matrix": q_tsdb_corr_matrix,
         "events_new_returning": q_events_new_returning,
         "doc_psi_drift": q_doc_psi_drift,
+        "doc_source_overlap": q_doc_source_overlap,
+        "doc_oov_rate": q_doc_oov_rate,
+        "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
+        "events_attribution": q_events_attribution,
     }
 
 
@@ -4621,6 +4681,108 @@ def oracle_sql() -> dict[str, str]:
                  round(psi_part + {EPS6}, 6) + 0.0 AS psi_part,
                  round(sum(psi_part) OVER () + {EPS6}, 6) + 0.0 AS psi
           FROM s
+        """,
+        "doc_source_overlap": r"""
+          WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+            FROM documents
+          ),
+          kh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5 THEN
+                     list_transform(range(len(toks) - 4),
+                       i -> ('0x' || substr(md5(array_to_string(
+                              list_slice(toks, i + 1, i + 5), ' ')), 1, 15))::BIGINT)
+                   ELSE CAST([] AS BIGINT[]) END AS kh
+            FROM d
+          ),
+          sel AS (
+            SELECT doc_id,
+              CASE WHEN len(kh) >= 4 THEN
+                list_transform(range(len(kh) - 3),
+                  j -> list_min(list_slice(kh, j + 1, j + 4)))
+              WHEN len(kh) > 0 THEN [list_min(kh)]
+              ELSE [] END AS sels
+            FROM kh
+          ),
+          fp AS (SELECT DISTINCT doc_id, CAST(s AS BIGINT) AS fp
+                 FROM (SELECT doc_id, unnest(sels) AS s FROM sel)),
+          tagged AS (SELECT DISTINCT dd.source AS src, fp.fp
+                     FROM fp JOIN documents dd USING (doc_id)),
+          per AS (SELECT src, count(*) AS n_fp FROM tagged GROUP BY 1),
+          sh AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+                 FROM tagged a JOIN tagged b ON a.fp = b.fp AND a.src < b.src
+                 GROUP BY 1, 2)
+          SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_fps,
+                 CAST(pa.n_fp AS BIGINT) AS n_fp_a,
+                 CAST(pb.n_fp AS BIGINT) AS n_fp_b,
+                 round(shared / CAST(least(pa.n_fp, pb.n_fp) AS DOUBLE)
+                       + {eps}, 6) + 0.0 AS overlap
+          FROM sh JOIN per pa ON pa.src = sh.src_a
+                  JOIN per pb ON pb.src = sh.src_b
+        """.replace("{eps}", str(EPS6)),
+        "doc_oov_rate": r"""
+          WITH tk AS (
+            SELECT doc_id, unnest(
+              CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END
+            ) AS tok
+            FROM documents
+          ),
+          vc AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1
+                 ORDER BY c DESC, tok LIMIT 500),
+          m AS (SELECT t.doc_id,
+                       CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                FROM tk t LEFT JOIN vc v ON t.tok = v.tok)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 round(sum(oov) / CAST(count(*) AS DOUBLE) + {eps}, 6) + 0.0
+                   AS oov_rate
+          FROM m GROUP BY 1
+        """.replace("{eps}", str(EPS6)),
+        "tsdb_minmax_decimate": f"""
+          WITH b AS (
+            SELECT name, uid, t, value,
+                   {F0} + ((t - {F0}) // {6 * HOUR}) * {6 * HOUR} AS bt
+            FROM ({_PTS})
+          ),
+          r AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY name, uid, bt
+                                      ORDER BY value, t) AS ra,
+                   row_number() OVER (PARTITION BY name, uid, bt
+                                      ORDER BY value DESC, t) AS rd,
+                   count(*) OVER (PARTITION BY name, uid, bt) AS cnt
+            FROM b
+          )
+          SELECT name, uid, bt AS t, CAST(max(cnt) AS BIGINT) AS count,
+                 max(CASE WHEN ra = 1 THEN value END) AS min_v,
+                 CAST(max(CASE WHEN ra = 1 THEN t END) AS BIGINT) AS min_ts,
+                 max(CASE WHEN rd = 1 THEN value END) AS max_v,
+                 CAST(max(CASE WHEN rd = 1 THEN t END) AS BIGINT) AS max_ts
+          FROM r GROUP BY 1, 2, 3
+        """,
+        "events_attribution": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          l AS (
+            SELECT *, last_value(
+                     CASE WHEN event_type <> 'purchase'
+                          THEN {{'t': t, 'e': event_type}} END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY t, event_type, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch
+            FROM e
+          )
+          SELECT CASE WHEN touch IS NOT NULL AND t - touch['t'] <= {DAY}
+                      THEN touch['e'] ELSE '(none)' END AS touch_type,
+                 CAST(count(*) AS BIGINT) AS conversions
+          FROM l WHERE event_type = 'purchase' GROUP BY 1
         """,
         "doc_corpus_diff": """
           WITH old_ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0),

@@ -153,6 +153,10 @@ HEADLINE = [
     "tsdb_corr_matrix",
     "events_new_returning",
     "doc_psi_drift",
+    "doc_source_overlap",
+    "doc_oov_rate",
+    "tsdb_minmax_decimate",
+    "events_attribution",
 ]
 
 

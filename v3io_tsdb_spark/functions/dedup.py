@@ -865,3 +865,63 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(id_col, status.alias("status"))
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    fps: DataFrame | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Pairwise cross-source duplication matrix from winnowing
+    fingerprints: for every source pair, how many distinct fingerprints
+    they share, normalized by the smaller side — the mirrored-crawl
+    detector (two feeds scraping the same sites light up as a hot cell;
+    per-DOC dedup X1-X5 finds the copies one at a time, this names the
+    SOURCES responsible in one panel).
+
+    ``fps``: pass the persisted winnow index (text.winnow_write_index)
+    to serve build-once like doc_winnow_matches; defaults to computing
+    fingerprints inline.
+
+    overlap = shared / min(n_fp_a, n_fp_b) — overlap coefficient, not
+    Jaccard: a small feed fully contained in a big one scores 1.0
+    instead of being diluted by the big side's size.
+
+    Plan shape: fingerprints reduce to distinct (source, fp) — output
+    bounded by sources × fingerprint vocabulary; the pair join is
+    fp-keyed between two copies of that reduced table (never the doc
+    table), and the final aggregate is |sources|²-bounded with the
+    per-source totals broadcast back.
+    """
+    from v3io_tsdb_spark.functions.text import winnow_fingerprints
+
+    if fps is None:
+        fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col)
+    tagged = (
+        fps.join(docs.select(id_col, source_col), id_col)
+        .select(F.col(source_col).alias("_src"), "fp")
+        .distinct()
+    )
+    per_src = tagged.groupBy("_src").agg(F.count("*").cast("long").alias("n_fp"))
+    a = tagged.select(F.col("_src").alias("src_a"), "fp")
+    b = tagged.select(F.col("_src").alias("src_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("shared_fps"))
+    )
+    na = F.broadcast(per_src.select(F.col("_src").alias("src_a"),
+                                    F.col("n_fp").alias("n_fp_a")))
+    nb = F.broadcast(per_src.select(F.col("_src").alias("src_b"),
+                                    F.col("n_fp").alias("n_fp_b")))
+    out = shared.join(na, "src_a").join(nb, "src_b")
+    return out.select(
+        "src_a", "src_b", "shared_fps", "n_fp_a", "n_fp_b",
+        F.try_divide(
+            F.col("shared_fps"), F.least("n_fp_a", "n_fp_b")
+        ).alias("overlap"),
+    )

@@ -1185,3 +1185,48 @@ def readability_scores(
     ).withColumn(
         "fk_grade", F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    top_v: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-V
+    vocabulary — the tokenizer-health screen (a doc whose tokens mostly
+    fall outside the head vocabulary is boilerplate, another language,
+    or byte noise; the fertility/coverage check run before committing a
+    tokenizer, e.g. SentencePiece's coverage report, public).
+
+    Vocabulary: top ``top_v`` whitespace tokens by corpus frequency,
+    deterministic tie-break (count desc, token asc) — a TakeOrdered
+    cut, never a global sort (the X85 zipf rule). Per doc: token count,
+    OOV token count, and their ratio.
+
+    Plan shape: one term-keyed partial-aggregable count builds the
+    vocab candidates; the V-row vocab broadcasts onto the exploded
+    token stream (map-side hash lookup, docs never shuffle for the
+    join); the per-doc aggregate keys on the id. Two data-sized
+    passes over the tokens, zero data-sized joins.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    vocab = (
+        exploded.groupBy("_tok")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.col("_tok"))
+        .limit(top_v)
+        .select("_tok", F.lit(1).alias("_in_v"))
+    )
+    marked = exploded.join(F.broadcast(vocab), "_tok", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
+    )

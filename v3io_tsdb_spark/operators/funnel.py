@@ -110,3 +110,56 @@ def conversion_latency(
         .withColumn("n", F.col("n").cast("long"))
         .withColumn("n_converted", F.col("n_converted").cast("long"))
     )
+
+
+def attribution_report(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    window_ms: int = 86_400_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion credits the user's most
+    recent NON-conversion event within ``window_ms`` before it; the
+    report counts conversions per touch type, with conversions whose
+    window holds no touch credited to ``(none)`` — the row that keeps
+    the report summing to the conversion total (dropping them silently
+    is how attribution dashboards lie).
+
+    Self-touch rule: an earlier conversion never attributes a later
+    one (the standard last-NON-direct-touch convention, e.g. GA's
+    last non-direct click model, public).
+
+    Plan shape: ONE user-keyed exchange — the last-touch lookup is a
+    running ``last(ignorenulls)`` over the (ts, type, id)-ordered user
+    window (the as-of pattern of conversion_latency, funnel.py:58),
+    never a self-join of events; the report aggregate is |event
+    types|-bounded.
+    """
+    order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col(type_col) != conversion_type,
+            F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("e")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = df.withColumn("_touch", touch).where(
+        F.col(type_col) == conversion_type
+    )
+    credited = F.when(
+        F.col("_touch").isNotNull()
+        & (F.col(ts_col) - F.col("_touch.t") <= window_ms),
+        F.col("_touch.e"),
+    ).otherwise(F.lit("(none)"))
+    return (
+        conv.groupBy(credited.alias("touch_type"))
+        .agg(F.count("*").cast("long").alias("conversions"))
+    )

@@ -277,3 +277,56 @@ def _align_windowed(
         .select(*keys, "t", "value")
     )
     return out
+
+
+def minmax_decimate(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 3_600_000,
+    from_ms: int = 0,
+) -> DataFrame:
+    """Min/max downsampling for plotting: per (series, bucket), the
+    actual sample achieving the bucket minimum and the one achieving
+    the maximum, with their true timestamps — the classic envelope
+    decimation every charting stack ships (e.g. Grafana/Timescale
+    unstable-signal rendering; LTTB's simpler sibling that, unlike
+    mean-downsampling A11, can NEVER hide a spike: the extreme point
+    itself survives, at its real position).
+
+    Ties on value resolve to the earliest timestamp (min_by/max_by on
+    a (value, ts) struct) so both engines pick identically.
+
+    Output: one row per (series, bucket): ``count``, ``min_v``/
+    ``min_ts``, ``max_v``/``max_ts``. Exactly ≤2 points per bucket
+    regardless of input density — the plot payload is panel-sized.
+    Plan: ONE partial-aggregable (series, bucket) shuffle; min_by/
+    max_by fold map-side like any other aggregate pair.
+    """
+    t = (
+        F.lit(from_ms)
+        + F.floor((F.col(ts_col) - from_ms) / step_ms) * step_ms
+    ).cast("long")
+    v = F.col(value_col)
+    lo = F.min_by(F.struct(v.alias("v"), F.col(ts_col).alias("t")),
+                  F.struct(v, F.col(ts_col)))
+    hi = F.max_by(F.struct(v.alias("v"), F.col(ts_col).alias("t")),
+                  F.struct(v, (-F.col(ts_col)).alias("_nt")))
+    return (
+        df.groupBy(*series_cols, t.alias("t"))
+        .agg(
+            F.count(value_col).cast("long").alias("count"),
+            lo.alias("_lo"),
+            hi.alias("_hi"),
+        )
+        .select(
+            *series_cols,
+            "t",
+            "count",
+            F.col("_lo.v").alias("min_v"),
+            F.col("_lo.t").alias("min_ts"),
+            F.col("_hi.v").alias("max_v"),
+            F.col("_hi.t").alias("max_ts"),
+        )
+    )
