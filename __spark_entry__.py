@@ -1802,6 +1802,30 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of new-vs-returning (X124): the per-user
+    first-seen tracker runs as ``applyInPandasWithState`` with TWO
+    longs of state per user (first/last bucket — membership is final
+    on first sight, so rows emit immediately, no closure wait); the
+    day rollup over the emitted (user, day, is_new) rows is a bounded
+    presentation aggregate. Hash-gated against the SAME batch SQL as
+    ``events_new_returning`` — stream == batch exactly, no open-bucket
+    exclusion needed."""
+    from v3io_tsdb_spark.streaming.stateful import stream_first_seen
+
+    fx = _stream_sess_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    clamped = raw.where(F.col("ts").between(F0, T1))
+    out = _run_available_now(stream_first_seen(clamped, "name", DAY))
+    return out.groupBy("t").agg(
+        F.count("*").cast("long").alias("active"),
+        F.sum("is_new").cast("long").alias("new"),
+        (F.count("*") - F.sum("is_new")).cast("long").alias("returning"),
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2898,12 +2922,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 142 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(142/50)) — each round the
+    At 143 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(143/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 44 queries NEW this round (X80-X123) sit at the very end
-    (positions 98-141): their r9 evidence is the local 142/142 hash
+    The 45 queries NEW this round (X80-X124) sit at the very end
+    (positions 98-142): their r9 evidence is the local 143/143 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -3061,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": q_doc_oov_rate,
         "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
         "events_attribution": q_events_attribution,
+        "stream_new_returning": q_stream_new_returning,
     }
 
 
@@ -4681,6 +4706,19 @@ def oracle_sql() -> dict[str, str]:
                  round(psi_part + {EPS6}, 6) + 0.0 AS psi_part,
                  round(sum(psi_part) OVER () + {EPS6}, 6) + 0.0 AS psi
           FROM s
+        """,
+        "stream_new_returning": """
+          WITH ub AS (
+            SELECT DISTINCT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS t
+            FROM events WHERE epoch_ms(ts) BETWEEN 1704067200000 AND 1706745600000
+          ),
+          f AS (SELECT *, min(t) OVER (PARTITION BY user_id) AS ft FROM ub)
+          SELECT t, CAST(count(*) AS BIGINT) AS active,
+                 CAST(sum(CASE WHEN t = ft THEN 1 ELSE 0 END) AS BIGINT)
+                   AS new,
+                 CAST(count(*) - sum(CASE WHEN t = ft THEN 1 ELSE 0 END)
+                      AS BIGINT) AS returning
+          FROM f GROUP BY 1
         """,
         "doc_source_overlap": r"""
           WITH d AS (

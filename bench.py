@@ -157,6 +157,7 @@ HEADLINE = [
     "doc_oov_rate",
     "tsdb_minmax_decimate",
     "events_attribution",
+    "stream_new_returning",
 ]
 
 

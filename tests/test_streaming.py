@@ -472,3 +472,59 @@ def test_zscore_fn_handles_interleaved_arrow_chunks():
     assert list(out["t"]) == [0] and list(out["n"]) == [2]
     hist, cur_t, cur_n = state.get
     assert list(hist) == [2] and cur_t == 100 and cur_n == 1
+
+
+def test_stream_first_seen_cross_batch_new_flag(tmp_path, spark):
+    """First-seen state survives micro-batches: a user new in batch 1
+    is RETURNING for a fresh day in batch 2 (is_new=0), a same-day
+    repeat emits nothing, and a brand-new user in batch 2 is new. The
+    monotone rule drops a late earlier-day event as already counted."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_first_seen
+
+    day = 86_400_000
+    in_dir = tmp_path / "nr_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "nr_ckpt")
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"ts": 10, "name": "u1", "value": 0.0},
+                {"ts": 20, "name": "u1", "value": 0.0},   # same day: no row
+            ]
+        )
+    )
+    raw = spark.readStream.schema("ts long, name string, value double").json(
+        str(in_dir)
+    )
+    out = stream_first_seen(raw, "name", day)
+    q = (
+        out.writeStream.format("memory").queryName("nr_out")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        (in_dir / "b2.json").write_text(
+            "\n".join(
+                json.dumps(d)
+                for d in [
+                    {"ts": day + 5, "name": "u1", "value": 0.0},  # returning
+                    {"ts": 15, "name": "u1", "value": 0.0},       # late: drop
+                    {"ts": day + 9, "name": "u2", "value": 0.0},  # new user
+                ]
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["user_key"], r["t"]): r["is_new"]
+        for r in spark.sql("SELECT * FROM nr_out").collect()
+    }
+    assert rows == {
+        ("u1", 0): 1,
+        ("u1", day): 0,
+        ("u2", day): 1,
+    }

@@ -429,3 +429,83 @@ def stream_trailing_hampel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_NR_OUT_SCHEMA = StructType(
+    [
+        StructField("user_key", StringType()),
+        StructField("t", LongType()),
+        StructField("is_new", LongType()),
+    ]
+)
+_NR_STATE_SCHEMA = StructType(
+    [StructField("first_day", LongType()), StructField("last_day", LongType())]
+)
+
+
+def _make_first_seen_fn(step_ms: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user first-seen tracker: emits one (user, bucket) row
+        the first time a user is active in a bucket, flagged is_new on
+        the user's first-ever bucket. State is TWO longs per user
+        (first_day, last_day) — O(1), not a seen-days set: on a
+        time-ordered feed a user's bucket sequence is non-decreasing,
+        so `day <= last_day` already means "counted" (the same
+        monotone-discard rule as the counter and dedup twins; a
+        genuinely late earlier-day event is dropped as accounted)."""
+        if state.exists:
+            first_day, last_day = state.get
+        else:
+            first_day, last_day = None, None
+        rows = {"user_key": [], "t": [], "is_new": []}
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts in batch["ts"].values:
+                day = (int(ts) // step_ms) * step_ms
+                if last_day is not None and day <= last_day:
+                    continue
+                rows["user_key"].append(key[0])
+                rows["t"].append(day)
+                rows["is_new"].append(1 if first_day is None else 0)
+                if first_day is None:
+                    first_day = day
+                last_day = day
+        if last_day is not None:
+            state.update((int(first_day), int(last_day)))
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
+def stream_first_seen(
+    stream_df: DataFrame, user_col: str = "name", step_ms: int = 86_400_000
+) -> DataFrame:
+    """STREAMING twin of the new-vs-returning reduction
+    (operators/cohorts.py new_vs_returning): the distinct-(user,
+    bucket) rows with the first-ever flag, emitted the moment the
+    user's first event of a bucket arrives — no closure wait, because
+    membership (unlike an aggregate) is final on first sight. The
+    day-level rollup over these emitted rows is a bounded presentation
+    aggregate; the cross-batch memory (has this user ever been seen,
+    and in which bucket last) is what the streaming engine carries.
+
+    State: one (first_day, last_day) pair per user — O(users) total,
+    the same budget as the conversion-pairing twin.
+    """
+    return (
+        stream_df.select(
+            F.col(user_col).cast("string").alias("user_key"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        .groupBy("user_key")
+        .applyInPandasWithState(
+            _make_first_seen_fn(step_ms),
+            outputStructType=_NR_OUT_SCHEMA,
+            stateStructType=_NR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
