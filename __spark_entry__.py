@@ -1826,6 +1826,25 @@ def q_stream_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (X125): trailing 7-day mean ± 2σ per series
+    (self-excluding gap-safe RANGE window, full lookback required)
+    with ±1/0 breach flags compared on 6dp-rounded values — the chart
+    overlay sibling of the trailing z-screen."""
+    from v3io_tsdb_spark.operators.trend import bollinger_bands
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = bollinger_bands(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY,
+        from_ms=F0, lookback=7, k=2.0,
+    )
+    return out.select(
+        "name", "uid", "t", _rz("value", 6), _rz("mid", 6),
+        _rz("upper", 6), _rz("lower", 6),
+        F.col("breach").cast("long").alias("breach"),
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2922,12 +2941,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 143 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(143/50)) — each round the
+    At 144 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(144/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 45 queries NEW this round (X80-X124) sit at the very end
-    (positions 98-142): their r9 evidence is the local 143/143 hash
+    The 46 queries NEW this round (X80-X125) sit at the very end
+    (positions 98-143): their r9 evidence is the local 144/144 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -3086,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
         "events_attribution": q_events_attribution,
         "stream_new_returning": q_stream_new_returning,
+        "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
     }
 
 
@@ -4719,6 +4739,35 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) - sum(CASE WHEN t = ft THEN 1 ELSE 0 END)
                       AS BIGINT) AS returning
           FROM f GROUP BY 1
+        """,
+        "tsdb_bollinger_daily": f"""
+          WITH grid AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   avg(value) AS value
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          b AS (
+            SELECT *, CASE WHEN count(value) OVER w = 7
+                           THEN avg(value) OVER w END AS mid,
+                   CASE WHEN count(value) OVER w = 7
+                        THEN stddev_samp(value) OVER w END AS sd
+            FROM grid
+            WINDOW w AS (PARTITION BY name, uid ORDER BY t
+                         RANGE BETWEEN {7 * DAY} PRECEDING
+                               AND {DAY} PRECEDING)
+          )
+          SELECT name, uid, t,
+                 round(value + {EPS6}, 6) + 0.0 AS value,
+                 round(mid + {EPS6}, 6) + 0.0 AS mid,
+                 round(mid + 2 * sd + {EPS6}, 6) + 0.0 AS upper,
+                 round(mid - 2 * sd + {EPS6}, 6) + 0.0 AS lower,
+                 CASE WHEN mid IS NULL THEN NULL
+                      WHEN round(value + {EPS6}, 6)
+                           > round(mid + 2 * sd + {EPS6}, 6) THEN 1
+                      WHEN round(value + {EPS6}, 6)
+                           < round(mid - 2 * sd + {EPS6}, 6) THEN -1
+                      ELSE 0 END AS breach
+          FROM b
         """,
         "doc_source_overlap": r"""
           WITH d AS (

@@ -158,6 +158,7 @@ HEADLINE = [
     "tsdb_minmax_decimate",
     "events_attribution",
     "stream_new_returning",
+    "tsdb_bollinger_daily",
 ]
 
 

@@ -152,3 +152,43 @@ def test_attribution_one_user_exchange_no_join(spark):
     plan = _plan(attribution_report(df, "purchase", window_ms=1000))
     assert "Join" not in plan, plan[:800]
     assert plan.count("Exchange") == 2, plan[:1200]
+
+
+# ------------------------------------------------ bollinger bands
+
+
+def test_bollinger_golden_breach_detection(spark):
+    """Seven flat buckets (value 10, σ=0) then an 8th at 10.5: band is
+    [10, 10] exactly, the spike breaches +1 — and because the window
+    EXCLUDES the current bucket, the spike cannot widen the band that
+    judges it. The first 7 buckets carry null bands (no full
+    lookback)."""
+    from v3io_tsdb_spark.operators.trend import bollinger_bands
+
+    DAY = 86_400_000
+    rows = [("m", "u", i * DAY, 10.0) for i in range(7)] + [
+        ("m", "u", 7 * DAY, 10.5)
+    ]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, value double")
+    out = {r["t"] // DAY: r for r in
+           bollinger_bands(df, ts_col="t", step_ms=DAY, from_ms=0).collect()}
+    for i in range(7):
+        assert out[i]["mid"] is None and out[i]["breach"] is None
+    r = out[7]
+    assert r["mid"] == 10.0 and r["upper"] == 10.0 and r["lower"] == 10.0
+    assert r["breach"] == 1
+
+
+def test_bollinger_gap_safe_range_window(spark):
+    """Dropping bucket 3 nulls the band for every bucket whose trailing
+    7-window should contain it: only buckets ≥ 11 (window [4..10]+)
+    regain a verdict — a ROWS frame would have slid bucket 0 in and
+    produced a wrong band silently."""
+    from v3io_tsdb_spark.operators.trend import bollinger_bands
+
+    DAY = 86_400_000
+    rows = [("m", "u", i * DAY, float(i)) for i in range(14) if i != 3]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, value double")
+    out = bollinger_bands(df, ts_col="t", step_ms=DAY, from_ms=0).collect()
+    with_band = sorted(r["t"] // DAY for r in out if r["mid"] is not None)
+    assert with_band == [11, 12, 13]

@@ -527,6 +527,90 @@ def ops(spark):
             F.sum("n_rows"), F.count("*")
         ).collect()
 
+    def op_benford(d):
+        from v3io_tsdb_spark.functions.histogram import benford_profile
+
+        ev = load_table(spark, d, "events")
+        return benford_profile(ev, "value").agg(
+            F.sum("chi2"), F.count("*")
+        ).collect()
+
+    def op_interarrival(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.gaps import interarrival_stats
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return interarrival_stats(ev, "user_id", "ts_ms", "event_id").agg(
+            F.sum("n_gaps"), F.count("*")
+        ).collect()
+
+    def op_corr_matrix(d):
+        from v3io_tsdb_spark.operators.trend import metric_corr_matrix
+
+        return metric_corr_matrix(
+            _samples(d), ts_col="ts", step_ms=86_400_000,
+            from_ms=1704067200000,
+        ).agg(F.sum("corr"), F.count("*")).collect()
+
+    def op_new_returning(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.cohorts import new_vs_returning
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return new_vs_returning(ev, "user_id", "ts_ms").agg(
+            F.sum("new"), F.sum("active")
+        ).collect()
+
+    def op_psi(d):
+        from v3io_tsdb_spark.functions.histogram import psi_drift
+
+        dd = docs(d)
+        return psi_drift(
+            dd.where(F.col("doc_id") % 2 == 0),
+            dd.where(F.col("doc_id") % 2 == 1),
+            "n_chars", width=100.0,
+        ).agg(F.sum("psi_part"), F.count("*")).collect()
+
+    def op_source_overlap(d):
+        from v3io_tsdb_spark.functions.dedup import source_overlap_matrix
+
+        return source_overlap_matrix(docs(d)).agg(
+            F.sum("shared_fps"), F.count("*")
+        ).collect()
+
+    def op_oov(d):
+        from v3io_tsdb_spark.functions.text import oov_rate
+
+        return oov_rate(docs(d), top_v=500).agg(
+            F.sum("n_oov"), F.count("*")
+        ).collect()
+
+    def op_minmax(d):
+        from v3io_tsdb_spark.operators.interpolate import minmax_decimate
+
+        return minmax_decimate(
+            _samples(d), ts_col="ts", step_ms=21_600_000,
+            from_ms=1704067200000,
+        ).agg(F.sum("max_v"), F.count("*")).collect()
+
+    def op_attribution(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.funnel import attribution_report
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        )
+        return attribution_report(
+            ev, "purchase", window_ms=86_400_000
+        ).agg(F.sum("conversions"), F.count("*")).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -571,6 +655,15 @@ def ops(spark):
         "readability": op_readability,
         "hard_negatives": op_hard_negatives,
         "key_skew": op_key_skew,
+        "benford": op_benford,
+        "interarrival": op_interarrival,
+        "corr_matrix": op_corr_matrix,
+        "new_returning": op_new_returning,
+        "psi_drift": op_psi,
+        "source_overlap": op_source_overlap,
+        "oov_rate": op_oov,
+        "minmax_decimate": op_minmax,
+        "attribution": op_attribution,
     }
 
 

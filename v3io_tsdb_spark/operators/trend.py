@@ -634,3 +634,68 @@ def metric_corr_matrix(
         F.count("*").cast("long").alias("n_buckets"),
         corr.alias("corr"),
     )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+    lookback: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands per series on the bucketed grid: trailing
+    ``lookback``-bucket mean ± ``k``·sample-stddev, with a breach flag
+    (+1 above the upper band, −1 below the lower, 0 inside) — the
+    classic chart overlay (Bollinger '80s, public), and the
+    parametric sibling of the trailing z-screen (anomaly.py
+    bucket_zscores) exposed in band form for plotting.
+
+    The trailing window EXCLUDES the current bucket (a spike must not
+    widen the band that judges it — the same self-exclusion rule as
+    the z/Hampel screens) and uses a RANGE frame of
+    [−lookback·step, −step] on the time axis, so grid holes shrink the
+    window instead of silently sliding later buckets in; a verdict
+    requires the full ``lookback`` buckets (null band otherwise — no
+    half-warmed envelopes).
+
+    Plan: one partial-aggregable groupBy to the grid, then the
+    series-keyed window on the already-reduced frame. One exchange.
+    """
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    grid = df.groupBy(
+        *series_cols,
+        tumbling_bucket(F.col(ts_col), from_ms, step_ms).alias("t"),
+    ).agg(F.avg(value_col).alias("value"))
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy("t")
+        .rangeBetween(-lookback * step_ms, -step_ms)
+    )
+    full = F.count("value").over(w) == lookback
+    mid = F.when(full, F.avg("value").over(w))
+    sd = F.when(full, F.stddev_samp("value").over(w))
+    g = grid.withColumn("mid", mid).withColumn("_sd", sd)
+    upper = F.col("mid") + k * F.col("_sd")
+    lower = F.col("mid") - k * F.col("_sd")
+    # breach compares 6dp-ROUNDED value vs bands: sub-ulp float-sum
+    # order differences between engines must not flip a boundary
+    # verdict (the changepoint argmax rounding rule, trend.py:119-123)
+    r6 = lambda c: F.round(c + 1e-9, 6)  # noqa: E731
+    breach = F.when(
+        F.col("mid").isNull(), F.lit(None).cast("long")
+    ).when(r6(F.col("value")) > r6(upper), 1).when(
+        r6(F.col("value")) < r6(lower), -1
+    ).otherwise(0)
+    return g.select(
+        *series_cols,
+        "t",
+        "value",
+        "mid",
+        upper.alias("upper"),
+        lower.alias("lower"),
+        breach.alias("breach"),
+    )
