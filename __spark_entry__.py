@@ -1845,6 +1845,61 @@ def q_tsdb_bollinger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (X126): 3 assign/recompute rounds
+    from the 4 lowest-id seeds, distances AND recomputed centroids
+    6dp-rounded each round so both engines walk the identical
+    iteration path — the iterative-algorithm representative, with
+    only the k×dim centroid matrix ever on the driver."""
+    from v3io_tsdb_spark.functions.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_lloyd(emb, k=4, n_iter=3)
+    return out.select("centroid_id", "n_vecs", _rz("inertia", 4))
+
+
+def q_events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert episodes (X127): hourly per-metric means flagged > 40
+    (6dp-rounded compare), consecutive flagged hours merged into
+    episodes with start/end/size/peak — gaps-and-islands downstream of
+    the panel-sized grid; one series exchange."""
+    from v3io_tsdb_spark.operators.anomaly import alert_episodes
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    grid = s.groupBy(
+        "name",
+        (F.lit(F0) + F.floor((F.col("ts") - F0) / HOUR) * HOUR)
+        .cast("long")
+        .alias("t"),
+    ).agg((F.round(F.avg("value") + EPS6, 6) + F.lit(0.0)).alias("v"))
+    flags = grid.withColumn("flag", (F.col("v") > 40).cast("int"))
+    out = alert_episodes(
+        flags, series_cols=("name",), t_col="t", flag_col="flag",
+        value_col="v", step_ms=HOUR,
+    )
+    return out.select("name", "start_t", "end_t", "n_buckets", _rz("peak", 6))
+
+
+def q_tsdb_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn rate (X128): hourly error share over 1h
+    and 6h trailing windows against a 75% SLO budget; page fires only
+    when BOTH burn rates exceed 1.0 (rounded compare) — the SRE
+    Workbook two-window alert. One conditional-aggregation shuffle,
+    panel-sized windows."""
+    from v3io_tsdb_spark.operators.counters import slo_burn_rate
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = slo_burn_rate(
+        s, error_name="error", ts_col="ts", step_ms=HOUR, from_ms=F0,
+        short_buckets=1, long_buckets=6, slo_target=0.75,
+        burn_threshold=1.0,
+    )
+    return out.select(
+        "t", "errors", "total", _rz("burn_short", 6), _rz("burn_long", 6),
+        "page",
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2941,12 +2996,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 144 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(144/50)) — each round the
+    At 147 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(147/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 46 queries NEW this round (X80-X125) sit at the very end
-    (positions 98-143): their r9 evidence is the local 144/144 hash
+    The 49 queries NEW this round (X80-X128) sit at the very end
+    (positions 98-146): their r9 evidence is the local 147/147 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -3106,6 +3161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "stream_new_returning": q_stream_new_returning,
         "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
+        "emb_kmeans_profile": q_emb_kmeans_profile,
+        "events_alert_episodes": q_events_alert_episodes,
+        "tsdb_slo_burn": q_tsdb_slo_burn,
     }
 
 
@@ -3146,6 +3204,47 @@ def _interp_cells(step_ms: int, tol_ms: int) -> str:
     WHERE is_pt = 0 AND nt IS NOT NULL AND nt - t <= {tol_ms}
   )
 """
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as a CTE chain — the oracle twin of
+    similarity.kmeans_lloyd. Each iteration mirrors the engine's two
+    determinism boundaries: distances rounded 6dp before the argmin
+    (ties → lowest cid), recomputed per-dim means rounded 6dp before
+    the next assignment. Empty clusters drop out of c{i} naturally,
+    matching the engine's die-on-empty rule."""
+    sq = ("round(list_sum(list_transform(list_zip(e.v, c.v), "
+          "z -> (z[1] - z[2]) * (z[1] - z[2]))) + 1e-09, 6)")
+    parts = [
+        "WITH e AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),\n"
+        f"  c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v "
+        f"FROM (SELECT id, v FROM e ORDER BY id LIMIT {k}))"
+    ]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(f"""
+  a{it} AS (
+    SELECT id, v, cid, d FROM (
+      SELECT e.id, e.v, c.cid, {sq} AS d,
+             row_number() OVER (PARTITION BY e.id
+                                ORDER BY {sq}, c.cid) AS rn
+      FROM e, {prev} c
+    ) WHERE rn = 1
+  )""")
+        if it < n_iter:
+            parts.append(f"""
+  c{it} AS (
+    SELECT cid, list(m ORDER BY pos) AS v FROM (
+      SELECT cid, i AS pos, round(avg(v[i + 1]) + 1e-09, 6) AS m
+      FROM a{it}, range({dim}) t(i) GROUP BY 1, 2
+    ) GROUP BY 1
+  )""")
+            prev = f"c{it}"
+    return ",".join(parts) + f"""
+  SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(sum(d) + 1e-09, 4) + 0.0 AS inertia
+  FROM a{n_iter} GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4739,6 +4838,55 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) - sum(CASE WHEN t = ft THEN 1 ELSE 0 END)
                       AS BIGINT) AS returning
           FROM f GROUP BY 1
+        """,
+        "emb_kmeans_profile": _kmeans_oracle_sql(k=4, n_iter=3, dim=64),
+        "events_alert_episodes": f"""
+          WITH grid AS (
+            SELECT name, {F0} + ((t - {F0}) // {HOUR}) * {HOUR} AS t,
+                   round(avg(value) + {EPS6}, 6) + 0.0 AS v
+            FROM ({_PTS}) GROUP BY 1, 2
+          ),
+          f AS (SELECT * FROM grid WHERE v > 40),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > {HOUR}
+                           THEN 1 ELSE 0 END AS ne
+            FROM f WINDOW w AS (PARTITION BY name ORDER BY t)
+          ),
+          s AS (SELECT *, sum(ne) OVER (PARTITION BY name ORDER BY t) AS ep
+                FROM g)
+          SELECT name, min(t) AS start_t, max(t) AS end_t,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 round(max(v) + {EPS6}, 6) + 0.0 AS peak
+          FROM s GROUP BY name, ep
+        """,
+        "tsdb_slo_burn": f"""
+          WITH grid AS (
+            SELECT {F0} + ((t - {F0}) // {HOUR}) * {HOUR} AS t,
+                   sum(CASE WHEN name = 'error' THEN 1 ELSE 0 END) AS err,
+                   count(*) AS tot
+            FROM ({_PTS}) GROUP BY 1
+          ),
+          w AS (
+            SELECT t, err, tot,
+                   sum(err) OVER ws / CAST(sum(tot) OVER ws AS DOUBLE)
+                     / 0.25 AS bs,
+                   sum(err) OVER wl / CAST(sum(tot) OVER wl AS DOUBLE)
+                     / 0.25 AS bl
+            FROM grid
+            WINDOW ws AS (ORDER BY t RANGE BETWEEN 0 PRECEDING
+                          AND CURRENT ROW),
+                   wl AS (ORDER BY t RANGE BETWEEN {5 * HOUR} PRECEDING
+                          AND CURRENT ROW)
+          )
+          SELECT t, CAST(err AS BIGINT) AS errors,
+                 CAST(tot AS BIGINT) AS total,
+                 round(bs + {EPS6}, 6) + 0.0 AS burn_short,
+                 round(bl + {EPS6}, 6) + 0.0 AS burn_long,
+                 CAST(CASE WHEN round(bs + {EPS6}, 6) > 1.0
+                           AND round(bl + {EPS6}, 6) > 1.0
+                      THEN 1 ELSE 0 END AS BIGINT) AS page
+          FROM w
         """,
         "tsdb_bollinger_daily": f"""
           WITH grid AS (

@@ -159,6 +159,9 @@ HEADLINE = [
     "events_attribution",
     "stream_new_returning",
     "tsdb_bollinger_daily",
+    "emb_kmeans_profile",
+    "events_alert_episodes",
+    "tsdb_slo_burn",
 ]
 
 

@@ -948,3 +948,99 @@ def hard_negatives(
         .where(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def _round6_half_up(x: float) -> float:
+    """Driver-side mirror of both engines' round(x + 1e-9, 6):
+    half-AWAY-FROM-ZERO at 6 dp (python's round() is banker's and
+    would diverge)."""
+    import math
+
+    y = x + 1e-9
+    if y >= 0:
+        return math.floor(y * 1e6 + 0.5) / 1e6
+    return -math.floor(-y * 1e6 + 0.5) / 1e6
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd k-means — the ITERATIVE algorithm
+    representative (centroid_profile above is exactly one assignment
+    step; this trains): ``n_iter`` rounds of assign-to-nearest-L²
+    centroid then recompute means, seeded from the ``k`` lowest-id
+    vectors, returning the final per-cluster profile
+    ``(centroid_id, n_vecs, inertia)``.
+
+    Determinism across engines — the properties that make an
+    ITERATIVE float algorithm oracle-checkable at hash level:
+
+    - distances are 6dp-rounded BEFORE each argmin (ties → lowest
+      centroid id), so an assignment can never flip on a sub-ulp sum
+      difference and diverge every later iteration;
+    - recomputed centroid means are 6dp-rounded (half-up, the engines'
+      round) before re-broadcast, so iteration i+1 starts from
+      bit-identical literals in both engines;
+    - a centroid that loses all members DIES (standard empty-cluster
+      variant) — survivors keep their original ids.
+
+    100 TB posture: each iteration is ONE scan with the k centroids as
+    broadcast literals (no shuffle of the vectors) plus a
+    k×dim-bounded per-dimension mean aggregate; the driver holds only
+    the k×dim centroid matrix between iterations — the IVF
+    bounded-metadata pattern (similarity.py ivf_build), never data.
+    Cost is n_iter scans by construction; production amortizes with
+    ``df.persist()`` across iterations.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    seed = base.orderBy("_id").limit(k).collect()
+    cents = [(i, list(r["_v"])) for i, r in enumerate(seed)]
+
+    def _assigned(cents_now):
+        dists = [
+            F.round(
+                sq_dist_col(
+                    F.col("_v"),
+                    F.array(*[F.lit(float(x)) for x in cv]),
+                )
+                + 1e-9,
+                6,
+            )
+            for _, cv in cents_now
+        ]
+        best = F.least(*dists) if len(dists) > 1 else dists[0]
+        cid = None
+        for (ci, _), d in zip(cents_now, dists):
+            branch = F.when(d == best, F.lit(ci))
+            cid = branch if cid is None else cid.when(d == best, F.lit(ci))
+        # first matching when-branch wins → ties to lowest centroid id
+        return base.select("_id", "_v", cid.alias("_cid"), best.alias("_d"))
+
+    for _ in range(n_iter - 1):
+        a = _assigned(cents)
+        means = (
+            a.select("_cid", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_cid", "_pos")
+            .agg(F.avg("_val").alias("_m"))
+            .collect()
+        )  # k×dim rows — bounded metadata, the only driver traffic
+        by_cid: dict = {}
+        for r in means:
+            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = _round6_half_up(r["_m"])
+        cents = [
+            (ci, [dims[p] for p in sorted(dims)])
+            for ci, dims in sorted(by_cid.items())
+        ]
+    final = _assigned(cents)
+    return (
+        final.groupBy(F.col("_cid").alias("centroid_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.sum("_d") + 1e-9, 4).alias("inertia"),
+        )
+    )

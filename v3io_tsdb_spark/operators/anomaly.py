@@ -205,3 +205,47 @@ def trailing_hampel(
         (F.round(z + 1e-9, 4) + F.lit(0.0)).alias("z"),
         flag.alias("is_anomaly"),
     )
+
+
+def alert_episodes(
+    flags: DataFrame,
+    series_cols: tuple = ("name",),
+    t_col: str = "t",
+    flag_col: str = "flag",
+    value_col: str | None = None,
+    step_ms: int = 3_600_000,
+) -> DataFrame:
+    """Merge consecutive flagged buckets into alert EPISODES — the
+    alert-fatigue fix every monitor needs (a 6-hour incident is one
+    page, not six): per maximal run of adjacent flagged buckets,
+    ``(start_t, end_t, n_buckets, peak)``.
+
+    Classic gaps-and-islands: flagged buckets partition into islands
+    where consecutive means exactly ``step_ms`` apart — a HOLE in the
+    flag sequence (recovered bucket or missing data) closes the
+    episode; a fresh flag after it opens a new one. ``peak`` is the
+    max of ``value_col`` over the episode (the worst bucket), null if
+    no value column given.
+
+    Composes downstream of ANY flag producer (bucket_zscores,
+    robust_mad_flags, trailing_hampel, bollinger breach): those run on
+    the grid, this runs on their output — the input is already
+    panel-sized, so the island window and episode aggregate are
+    output-bounded. One series-keyed exchange shared by the lag window
+    and the episode groupBy.
+    """
+    f = flags.where(F.col(flag_col).cast("int") == 1)
+    w = Window.partitionBy(*series_cols).orderBy(t_col)
+    new_ep = F.coalesce(
+        (F.col(t_col) - F.lag(t_col).over(w) > step_ms).cast("long"),
+        F.lit(1),
+    )
+    e = f.withColumn("_ep", F.sum(new_ep).over(w))
+    aggs = [
+        F.min(t_col).alias("start_t"),
+        F.max(t_col).alias("end_t"),
+        F.count("*").cast("long").alias("n_buckets"),
+    ]
+    if value_col is not None:
+        aggs.append(F.max(value_col).alias("peak"))
+    return e.groupBy(*series_cols, "_ep").agg(*aggs).drop("_ep")

@@ -190,3 +190,64 @@ def irate_idelta(
             F.try_divide(F.col("_last._dv"), F.col("_last._dt")).alias("irate"),
         )
     )
+
+
+def slo_burn_rate(
+    df: DataFrame,
+    error_name: str = "error",
+    metric_col: str = "name",
+    ts_col: str = "t",
+    step_ms: int = 3_600_000,
+    from_ms: int = 0,
+    short_buckets: int = 1,
+    long_buckets: int = 6,
+    slo_target: float = 0.99,
+    burn_threshold: float = 6.0,
+) -> DataFrame:
+    """Multiwindow SLO burn rate (Google SRE Workbook ch.5 alerting,
+    public): per bucket, the error ratio over a SHORT and a LONG
+    trailing window, each divided by the error budget (1 − SLO), with
+    the page condition = BOTH burn rates over threshold. The long
+    window keeps a brief spike from paging; the short window makes the
+    alert reset quickly once the bleeding stops — that asymmetry is
+    the entire point of the two-window form.
+
+    Windows are trailing-INCLUSIVE of the current bucket (the SRE
+    convention: "the last hour", not "the hour before this one") and
+    gap-safe RANGE frames — an empty bucket contributes nothing rather
+    than sliding older traffic in. Buckets with zero total traffic in
+    a window yield a null ratio (no verdict).
+
+    Plan: the event stream reduces to per-bucket (errors, total) by
+    ONE partial-aggregable groupBy (conditional aggregation — the
+    metric_binop single-scan rule); both trailing windows then run on
+    that |buckets|-sized grid. Output is |buckets| rows.
+    """
+    t = tumbling_bucket(F.col(ts_col), from_ms, step_ms)
+    is_err = (F.col(metric_col) == error_name).cast("long")
+    grid = df.groupBy(t.alias("t")).agg(
+        F.sum(is_err).alias("_err"), F.count("*").alias("_tot")
+    )
+    budget = 1.0 - slo_target
+
+    def ratio(nbuckets):
+        w = (
+            Window.orderBy("t")
+            .rangeBetween(-(nbuckets - 1) * step_ms, 0)
+        )
+        return F.try_divide(F.sum("_err").over(w), F.sum("_tot").over(w))
+
+    rs, rl = ratio(short_buckets), ratio(long_buckets)
+    g = grid.select(
+        "t",
+        F.col("_err").cast("long").alias("errors"),
+        F.col("_tot").cast("long").alias("total"),
+        (rs / budget).alias("burn_short"),
+        (rl / budget).alias("burn_long"),
+    )
+    r6 = lambda c: F.round(c + 1e-9, 6)  # noqa: E731
+    page = (
+        (r6(F.col("burn_short")) > burn_threshold)
+        & (r6(F.col("burn_long")) > burn_threshold)
+    ).cast("long")
+    return g.withColumn("page", page)
