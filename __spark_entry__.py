@@ -1900,6 +1900,25 @@ def q_tsdb_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_adjusted_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly flags (X129): the z-screen run on
+    decomposition RESIDUALS — big-for-a-Sunday flags, the Monday rush
+    doesn't. Composition of X110 + the z rule; per-METRIC daily grid
+    (the per-uid grid at this sf is too sparse for full 7-day trend
+    windows); one series exchange, stats as a window over the panel."""
+    from v3io_tsdb_spark.operators.anomaly import seasonal_adjusted_flags
+
+    s = events_as_samples(spark, sf_dir).where(F.col("ts").between(F0, T1))
+    out = seasonal_adjusted_flags(
+        s, series_cols=("name",), ts_col="ts", step_ms=DAY,
+        from_ms=F0, period=7, k=2.0,
+    )
+    return out.select(
+        "name", "t", _rz("value", 6), _rz("residual", 6),
+        _rz("z", 6), "flag",
+    )
+
+
 def q_doc_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (X69): deterministic old/new snapshots of
     the documents table (old drops doc_id%10==0; new drops doc_id%7==0
@@ -2996,12 +3015,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 147 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(147/50)) — each round the
+    At 148 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a 3-window cycle (ceil(148/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 49 queries NEW this round (X80-X128) sit at the very end
-    (positions 98-146): their r9 evidence is the local 147/147 hash
+    The 50 queries NEW this round (X80-X129) sit at the very end
+    (positions 98-147): their r9 evidence is the local 148/148 hash
     sweep; their first driver gate is r10 — the r10 head should be
     positions 50-99 of this layout (the r8-evidenced tail plus the
     oldest net-new), r11 takes the remainder plus the then-oldest.
@@ -3164,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_profile": q_emb_kmeans_profile,
         "events_alert_episodes": q_events_alert_episodes,
         "tsdb_slo_burn": q_tsdb_slo_burn,
+        "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
     }
 
 
@@ -4838,6 +4858,49 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) - sum(CASE WHEN t = ft THEN 1 ELSE 0 END)
                       AS BIGINT) AS returning
           FROM f GROUP BY 1
+        """,
+        "tsdb_adjusted_anomaly": f"""
+          WITH grid AS (
+            SELECT name, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   avg(value) AS value
+            FROM ({_PTS}) GROUP BY 1, 2
+          ),
+          tr AS (
+            SELECT *, CASE WHEN count(value) OVER w = 7
+                           THEN avg(value) OVER w END AS trend,
+                   ((t - {F0}) // {DAY}) % 7 AS phase
+            FROM grid
+            WINDOW w AS (PARTITION BY name ORDER BY t
+                         RANGE BETWEEN {3 * DAY} PRECEDING
+                               AND {3 * DAY} FOLLOWING)
+          ),
+          sc AS (
+            SELECT name, phase,
+                   s_raw - avg(s_raw) OVER (PARTITION BY name) AS seasonal
+            FROM (SELECT name, phase, avg(value - trend) AS s_raw
+                  FROM tr GROUP BY 1, 2)
+          ),
+          res AS (
+            SELECT tr.name, tr.t, tr.value,
+                   tr.value - tr.trend - sc.seasonal AS residual
+            FROM tr JOIN sc USING (name, phase)
+            WHERE tr.value - tr.trend - sc.seasonal IS NOT NULL
+          ),
+          st AS (
+            SELECT *, avg(residual) OVER w AS mu,
+                   stddev_samp(residual) OVER w AS sd
+            FROM res WINDOW w AS (PARTITION BY name)
+          )
+          SELECT name, t,
+                 round(value + {EPS6}, 6) + 0.0 AS value,
+                 round(residual + {EPS6}, 6) + 0.0 AS residual,
+                 round(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                            ELSE (residual - mu) / sd END + {EPS6}, 6) + 0.0
+                   AS z,
+                 CAST(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                      WHEN abs(round((residual - mu) / sd + {EPS6}, 6)) > 2.0
+                      THEN 1 ELSE 0 END AS BIGINT) AS flag
+          FROM st
         """,
         "emb_kmeans_profile": _kmeans_oracle_sql(k=4, n_iter=3, dim=64),
         "events_alert_episodes": f"""

@@ -162,6 +162,7 @@ HEADLINE = [
     "emb_kmeans_profile",
     "events_alert_episodes",
     "tsdb_slo_burn",
+    "tsdb_adjusted_anomaly",
 ]
 
 

@@ -150,3 +150,57 @@ def test_slo_burn_no_join_single_reduce(spark):
     )
     plan = _plan(slo_burn_rate(df, ts_col="t", step_ms=HOUR))
     assert "Join" not in plan, plan[:800]
+
+
+# ----------------------------------- seasonally-adjusted anomaly
+
+
+def test_adjusted_anomaly_monday_rush_never_flags(spark):
+    """A series with a big weekly template (+20 every phase-0 'Monday')
+    and tiny alternating noise: raw values would z-flag every Monday
+    (|raw z| > 2, shown numerically), but the RESIDUAL screen flags
+    nothing — the decomposition absorbed the rush. That distinction is
+    the operator's whole reason to exist next to bucket_zscores."""
+    import statistics
+
+    from v3io_tsdb_spark.operators.anomaly import seasonal_adjusted_flags
+
+    DAY = 86_400_000
+    s_pat = [20.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vals = [100.0 + s_pat[i % 7] + (0.1 if i % 2 else -0.1)
+            for i in range(21)]
+    rows = [("m", "u", i * DAY, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, value double")
+    out = seasonal_adjusted_flags(
+        df, series_cols=("name", "uid"), ts_col="t", step_ms=DAY,
+        from_ms=0, period=7, k=2.0,
+    ).collect()
+    assert len(out) > 0
+    assert all(r["flag"] == 0 for r in out), [
+        (r["t"] // DAY, r["z"]) for r in out if r["flag"]
+    ]
+    # the contrast: a flat z-screen on RAW values pages every Monday
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert abs((vals[7] - mu) / sd) > 2
+
+
+def test_adjusted_anomaly_spike_flags_through_the_template(spark):
+    """Same weekly template, but one mid-week day carries a +60 spike:
+    the spike day is the UNIQUE flagged bucket — seasonal adjustment
+    removes the template, not genuine anomalies."""
+    from v3io_tsdb_spark.operators.anomaly import seasonal_adjusted_flags
+
+    DAY = 86_400_000
+    s_pat = [20.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    vals = [100.0 + s_pat[i % 7] + (0.1 if i % 2 else -0.1)
+            for i in range(21)]
+    vals[10] += 60.0
+    rows = [("m", "u", i * DAY, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "name string, uid string, t long, value double")
+    out = seasonal_adjusted_flags(
+        df, series_cols=("name", "uid"), ts_col="t", step_ms=DAY,
+        from_ms=0, period=7, k=2.0,
+    ).collect()
+    flagged = sorted(r["t"] // DAY for r in out if r["flag"] == 1)
+    assert 10 in flagged
+    assert flagged == [10] or set(flagged) <= {10}, flagged

@@ -611,6 +611,46 @@ def ops(spark):
             ev, "purchase", window_ms=86_400_000
         ).agg(F.sum("conversions"), F.count("*")).collect()
 
+    def op_kmeans(d):
+        from v3io_tsdb_spark.functions.similarity import kmeans_lloyd
+
+        emb = load_table(spark, d, "embeddings")
+        return kmeans_lloyd(emb, k=4, n_iter=3).agg(
+            F.sum("inertia"), F.sum("n_vecs")
+        ).collect()
+
+    def op_alert_episodes(d):
+        from v3io_tsdb_spark.operators.anomaly import alert_episodes
+
+        s = _samples(d)
+        grid = s.groupBy(
+            "name",
+            (F.floor(F.col("ts") / 3_600_000) * 3_600_000)
+            .cast("long").alias("t"),
+        ).agg(F.round(F.avg("value") + 1e-9, 6).alias("v"))
+        flags = grid.withColumn("flag", (F.col("v") > 40).cast("int"))
+        return alert_episodes(
+            flags, ("name",), "t", "flag", "v", 3_600_000
+        ).agg(F.sum("n_buckets"), F.count("*")).collect()
+
+    def op_slo_burn(d):
+        from v3io_tsdb_spark.operators.counters import slo_burn_rate
+
+        return slo_burn_rate(
+            _samples(d), error_name="error", ts_col="ts",
+            step_ms=3_600_000, from_ms=1704067200000,
+            short_buckets=1, long_buckets=6, slo_target=0.75,
+            burn_threshold=1.0,
+        ).agg(F.sum("page"), F.count("*")).collect()
+
+    def op_bollinger(d):
+        from v3io_tsdb_spark.operators.trend import bollinger_bands
+
+        return bollinger_bands(
+            _samples(d), ts_col="ts", step_ms=86_400_000,
+            from_ms=1704067200000,
+        ).agg(F.sum("breach"), F.count("*")).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -664,6 +704,10 @@ def ops(spark):
         "oov_rate": op_oov,
         "minmax_decimate": op_minmax,
         "attribution": op_attribution,
+        "kmeans_lloyd": op_kmeans,
+        "alert_episodes": op_alert_episodes,
+        "slo_burn": op_slo_burn,
+        "bollinger": op_bollinger,
     }
 
 

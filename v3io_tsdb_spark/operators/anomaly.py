@@ -249,3 +249,59 @@ def alert_episodes(
     if value_col is not None:
         aggs.append(F.max(value_col).alias("peak"))
     return e.groupBy(*series_cols, "_ep").agg(*aggs).drop("_ep")
+
+
+def seasonal_adjusted_flags(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+    period: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """Seasonally-adjusted anomaly flags — the composition that stops
+    a monitor paging every Monday morning: classical decomposition
+    (trend.seasonal_decompose) strips the weekly template and the
+    trend, then the z-screen runs on the RESIDUALS. A value that is
+    huge for a Sunday but normal for a Monday flags; the Monday rush
+    itself never does. (Flagging raw values against a flat
+    mean — bucket_zscores above — cannot make that distinction; this
+    is the documented reason both operators exist.)
+
+    Per series: residual mean/stddev over the buckets with a trend
+    verdict (the decomposition's full-window rule), z = (residual −
+    mean)/std, flag = |z| > k on 6dp-rounded values. Degenerate
+    stddev (constant residuals, <2 samples) → null z, no flag — no
+    verdict.
+
+    Plan: the decomposition's one series exchange + broadcast index,
+    then per-series residual stats as a WINDOW over the same
+    series-keyed panel (no second data-sized exchange) — stats and
+    z stay grid-bounded.
+    """
+    from v3io_tsdb_spark.operators.trend import seasonal_decompose
+
+    dec = seasonal_decompose(
+        df, series_cols=series_cols, ts_col=ts_col, value_col=value_col,
+        step_ms=step_ms, from_ms=from_ms, period=period,
+    )
+    w = Window.partitionBy(*series_cols)
+    mu = F.avg("residual").over(w)
+    sd = F.stddev_samp("residual").over(w)
+    z = F.try_divide(F.col("residual") - mu, sd)
+    r6 = lambda c: F.round(c + 1e-9, 6)  # noqa: E731
+    scored = dec.where(F.col("residual").isNotNull()).withColumn("z", z)
+    return scored.select(
+        *series_cols,
+        "t",
+        "value",
+        "residual",
+        "z",
+        F.when(
+            F.col("z").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            (F.abs(r6(F.col("z"))) > k).cast("long")
+        ).alias("flag"),
+    )
