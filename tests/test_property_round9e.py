@@ -175,7 +175,9 @@ def test_alert_episodes_match_python_islands(spark, flags):
 )
 def test_slo_burn_matches_python(spark, errs):
     """Burn ratios == python trailing-window sums over the hourly
-    (errors, total=5+errs? no — fixed total 10) grid."""
+    (errors, total) grid — total fixed at 10 events/hour, errors
+    arbitrary — with the page flag thresholded on the same rounded
+    values."""
     from v3io_tsdb_spark.operators.counters import slo_burn_rate
 
     rows = []
@@ -266,3 +268,56 @@ def test_kmeans_matches_python_iteration_path(spark, vecs):
     for ci in want:
         assert got[ci][0] == want[ci][0]
         assert math.isclose(got[ci][1], want[ci][1], abs_tol=1e-6)
+
+
+# ------------------------------------- seasonally-adjusted anomaly
+
+
+@settings(**_SET)
+@given(
+    xs=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=14,
+        max_size=21,
+    ),
+    template=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=7,
+        max_size=7,
+    ),
+)
+def test_adjusted_anomaly_is_invariant_to_weekly_template(spark, template, xs):
+    """Adding ANY 7-periodic template to a series leaves the residuals
+    (hence z and flags) unchanged: the template shifts the centered MA
+    by its mean and the seasonal index by its deviation, which cancel
+    exactly. This is the algebraic identity behind 'the Monday rush
+    never flags' — tested as an invariance, not an example."""
+    from v3io_tsdb_spark.operators.anomaly import seasonal_adjusted_flags
+
+    DAY = 86_400_000
+
+    def run(vals):
+        rows = [("m", "u", i * DAY, float(v)) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "name string, uid string, t long, value double"
+        )
+        return {
+            r["t"]: (r["residual"], r["z"], r["flag"])
+            for r in seasonal_adjusted_flags(
+                df, series_cols=("name", "uid"), ts_col="t", step_ms=DAY,
+                from_ms=0, period=7, k=2.0,
+            ).collect()
+        }
+
+    plain = run(xs)
+    shifted = run([x + template[i % 7] for i, x in enumerate(xs)])
+    assert set(plain) == set(shifted)
+    for t in plain:
+        pr, pz, pf = plain[t]
+        sr, sz, sf = shifted[t]
+        assert math.isclose(pr, sr, rel_tol=1e-7, abs_tol=1e-6), (t, pr, sr)
+        if pz is None or sz is None:
+            assert pz == sz
+        else:
+            assert math.isclose(pz, sz, rel_tol=1e-6, abs_tol=1e-6)
+        assert pf == sf
