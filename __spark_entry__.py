@@ -2998,6 +2998,44 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(docs, "n_chars", k=20)
 
 
+def q_tsdb_wow_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``offset`` analog (X130): per series per day, the value
+    of the same series exactly 7 days earlier plus delta and percent
+    change — the week-over-week dashboard row. The prior value comes
+    from a RANGE frame pinned to [-7d, -7d], so a missing prior
+    BUCKET yields null, never the nearest-row substitute a ROWS-frame
+    lag(7) would slide in across grid holes. One exchange."""
+    from v3io_tsdb_spark.operators.trend import offset_compare
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = offset_compare(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY,
+        from_ms=F0, offset_buckets=7,
+    )
+    return out.select(
+        "name", "uid", "t", _rz("value", 6), _rz("prev", 6),
+        _rz("delta", 6), _rz("pct", 6),
+    )
+
+
+def q_doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (X131): per column of the
+    documents table its row/null/exact-distinct counts and type-split
+    min/max/mean — the completeness/cardinality/range-drift gate, one
+    row per column from a single wide aggregate (the exact-distinct
+    Expand path; approx=True is the at-scale HLL mode, plan-tested
+    separately)."""
+    from v3io_tsdb_spark.functions.profile import table_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = table_profile(docs)
+    return out.select(
+        "column", "n_rows", "n_null", "n_distinct",
+        _rz("min_num", 6), _rz("max_num", 6), _rz("mean", 6),
+        "min_str", "max_str",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3184,6 +3222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_alert_episodes": q_events_alert_episodes,
         "tsdb_slo_burn": q_tsdb_slo_burn,
         "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
+        "tsdb_wow_daily": q_tsdb_wow_daily,
+        "doc_table_profile": q_doc_table_profile,
     }
 
 
@@ -6442,5 +6482,61 @@ def oracle_sql() -> dict[str, str]:
                  round(avg(cos) + {EPS6}, 6) AS mean_cos,
                  round(min(cos) + {EPS6}, 6) AS min_cos
           FROM best WHERE rn = 1 GROUP BY 1
+        """,
+        "tsdb_wow_daily": f"""
+          WITH grid AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   avg(value) AS value
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          w AS (
+            SELECT *, max(value) OVER (
+                     PARTITION BY name, uid ORDER BY t
+                     RANGE BETWEEN {7 * DAY} PRECEDING
+                           AND {7 * DAY} PRECEDING) AS prev
+            FROM grid
+          )
+          SELECT name, uid, t,
+                 round(value + {EPS6}, 6) + 0.0 AS value,
+                 round(prev + {EPS6}, 6) + 0.0 AS prev,
+                 round(value - prev + {EPS6}, 6) + 0.0 AS delta,
+                 round(CASE WHEN prev <> 0
+                            THEN (value - prev) / prev END
+                       + {EPS6}, 6) + 0.0 AS pct
+          FROM w
+        """,
+        "doc_table_profile": f"""
+          SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                 count(*) - count(doc_id) AS n_null,
+                 count(DISTINCT doc_id) AS n_distinct,
+                 round(CAST(min(doc_id) AS DOUBLE) + {EPS6}, 6) + 0.0 AS min_num,
+                 round(CAST(max(doc_id) AS DOUBLE) + {EPS6}, 6) + 0.0 AS max_num,
+                 round(avg(doc_id) + {EPS6}, 6) + 0.0 AS mean,
+                 CAST(NULL AS VARCHAR) AS min_str,
+                 CAST(NULL AS VARCHAR) AS max_str
+          FROM documents
+          UNION ALL
+          SELECT 'text', count(*), count(*) - count(text),
+                 count(DISTINCT text), NULL, NULL, NULL,
+                 min(text), max(text)
+          FROM documents
+          UNION ALL
+          SELECT 'lang', count(*), count(*) - count(lang),
+                 count(DISTINCT lang), NULL, NULL, NULL,
+                 min(lang), max(lang)
+          FROM documents
+          UNION ALL
+          SELECT 'source', count(*), count(*) - count(source),
+                 count(DISTINCT source), NULL, NULL, NULL,
+                 min(source), max(source)
+          FROM documents
+          UNION ALL
+          SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                 count(DISTINCT n_chars),
+                 round(CAST(min(n_chars) AS DOUBLE) + {EPS6}, 6) + 0.0,
+                 round(CAST(max(n_chars) AS DOUBLE) + {EPS6}, 6) + 0.0,
+                 round(avg(n_chars) + {EPS6}, 6) + 0.0,
+                 NULL, NULL
+          FROM documents
         """,
     }

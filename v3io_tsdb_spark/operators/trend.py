@@ -699,3 +699,51 @@ def bollinger_bands(
         lower.alias("lower"),
         breach.alias("breach"),
     )
+
+
+def offset_compare(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+    offset_buckets: int = 7,
+) -> DataFrame:
+    """PromQL ``offset`` analog: per series per bucket, the value of
+    the SAME series exactly ``offset_buckets`` buckets earlier, plus
+    the delta and percent change — the week-over-week / day-over-day
+    dashboard comparison (``metric / metric offset 7d`` in PromQL;
+    the reference exposes no time-shift operator, so this extends
+    pkg/aggregate's bucket grid the way X109 extends it with vector
+    matching).
+
+    Gap-safety is the contract: the prior value comes from a RANGE
+    frame pinned to the single point [−offset, −offset] on the time
+    axis, so a missing prior BUCKET yields null (no comparison) —
+    never the nearest-row substitute a ROWS-frame ``lag(offset)``
+    would silently supply across grid holes. ``pct`` is null when the
+    prior value is 0 (no defined ratio) as well as when it is absent.
+
+    Plan: one partial-aggregable groupBy to the series×bucket grid
+    (the only data-sized exchange, carrying map-side partials), then
+    one series-keyed window over the already-reduced panel — no
+    self-join (the equi-join formulation shuffles the grid twice for
+    the same answer).
+    """
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    grid = df.groupBy(
+        *series_cols,
+        tumbling_bucket(F.col(ts_col), from_ms, step_ms).alias("t"),
+    ).agg(F.avg(value_col).alias("value"))
+    off = offset_buckets * step_ms
+    w = Window.partitionBy(*series_cols).orderBy("t").rangeBetween(-off, -off)
+    prev = F.max("value").over(w)  # frame holds at most the one exact bucket
+    g = grid.withColumn("prev", prev)
+    delta = F.col("value") - F.col("prev")
+    pct = F.when(F.col("prev") != 0, delta / F.col("prev"))
+    return g.select(
+        *series_cols, "t", "value", "prev",
+        delta.alias("delta"), pct.alias("pct"),
+    )
