@@ -3036,6 +3036,27 @@ def q_doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase (X132): durations in 6h
+    buckets from each user's first event, administratively
+    right-censored at the day-7 calendar horizon — the estimator that
+    keeps censored slow converters from biasing time-to-convert fast.
+    (The churn-form twin is pytest-gated: at test scale every user is
+    active through the horizon, so its curve is empty — exactly the
+    degenerate case the conversion form avoids here.) One row per
+    conversion duration with risk set, events, censored-at-that-
+    duration, and the 6dp-rounded survival probability."""
+    from v3io_tsdb_spark.operators.cohorts import kaplan_meier_conversion
+
+    out = kaplan_meier_conversion(
+        _events_ms_clamped(spark, sf_dir), horizon_ms=F0 + 7 * DAY,
+        step_ms=6 * HOUR,
+    )
+    return out.select(
+        "duration", "n_risk", "n_events", "n_censored", _rz("survival", 6)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3224,6 +3245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
         "tsdb_wow_daily": q_tsdb_wow_daily,
         "doc_table_profile": q_doc_table_profile,
+        "events_survival": q_events_survival,
     }
 
 
@@ -6538,5 +6560,52 @@ def oracle_sql() -> dict[str, str]:
                  round(avg(n_chars) + {EPS6}, 6) + 0.0,
                  NULL, NULL
           FROM documents
+        """,
+        "events_survival": f"""
+          WITH p AS (
+            SELECT user_id, event_type, epoch_ms(ts) AS t FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          u AS (
+            SELECT user_id, min(t) AS f,
+                   min(CASE WHEN event_type = 'purchase' THEN t END) AS c
+            FROM p GROUP BY 1
+          ),
+          d AS (
+            SELECT CASE WHEN c IS NOT NULL AND c <= {F0 + 7 * DAY}
+                        THEN (c - f) // {6 * HOUR}
+                        ELSE ({F0 + 7 * DAY} - f) // {6 * HOUR} END AS duration,
+                   CASE WHEN c IS NOT NULL AND c <= {F0 + 7 * DAY}
+                        THEN 1 ELSE 0 END AS ev
+            FROM u WHERE f <= {F0 + 7 * DAY}
+          ),
+          panel AS (
+            SELECT duration, sum(ev) AS n_events,
+                   count(*) - sum(ev) AS n_censored, count(*) AS total
+            FROM d GROUP BY 1
+          ),
+          r AS (
+            SELECT *, sum(total) OVER (ORDER BY duration DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+            FROM panel
+          ),
+          s AS (
+            SELECT *,
+                   max(CASE WHEN 1.0 - n_events / CAST(n_risk AS DOUBLE) <= 0
+                            THEN 1 ELSE 0 END) OVER wo AS dead,
+                   sum(CASE WHEN 1.0 - n_events / CAST(n_risk AS DOUBLE) > 0
+                            THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
+                            ELSE 0 END) OVER wo AS lnsum
+            FROM r
+            WINDOW wo AS (ORDER BY duration
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          )
+          SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+                 CAST(n_events AS BIGINT) AS n_events,
+                 CAST(n_censored AS BIGINT) AS n_censored,
+                 round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END
+                       + {EPS6}, 6) + 0.0 AS survival
+          FROM s WHERE n_events > 0
         """,
     }

@@ -1,0 +1,102 @@
+"""Hypothesis cross-checks for the round-9 ninth wave: pure-python
+references for the Kaplan-Meier curve and the offset comparison."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+DAY = 86_400_000
+
+_SET = dict(max_examples=8, deadline=None,
+            suppress_health_check=list(HealthCheck))
+
+
+def _km_python(subjects):
+    """Literal Kaplan-Meier: subjects = [(duration, event)] → rows
+    {dur: (n_risk, n_events, n_censored, survival)} at event durations."""
+    from collections import Counter
+
+    ev = Counter(d for d, e in subjects if e)
+    cen = Counter(d for d, e in subjects if not e)
+    surv, out = 1.0, {}
+    for d in sorted(set(d for d, _ in subjects)):
+        n_risk = sum(1 for dd, _ in subjects if dd >= d)
+        if ev[d]:
+            surv *= 1.0 - ev[d] / n_risk
+            out[d] = (n_risk, ev[d], cen[d], surv)
+    return out
+
+
+@settings(**_SET)
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_km_curve_matches_python(spark, subjects):
+    """The Spark curve (suffix-sum risk set + exp(Σ ln f) product with
+    the absorbing-zero flag) must equal the literal sequential product
+    walk, including exhausted-risk-set zeros and rows censored at
+    event durations."""
+    from v3io_tsdb_spark.operators.cohorts import _km_curve
+
+    df = spark.createDataFrame(
+        [(d, int(e)) for d, e in subjects], "duration long, _ev long"
+    )
+    got = {r["duration"]: r for r in _km_curve(df).collect()}
+    want = _km_python(subjects)
+    assert set(got) == set(want)
+    for d, (n_risk, n_ev, n_cen, surv) in want.items():
+        r = got[d]
+        assert r["n_risk"] == n_risk and r["n_events"] == n_ev
+        assert r["n_censored"] == n_cen
+        assert math.isclose(r["survival"], surv, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@settings(**_SET)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda p: p[0],
+    ),
+    off=st.integers(min_value=1, max_value=9),
+)
+def test_offset_compare_matches_python(spark, days, off):
+    """prev/delta/pct must equal a python dict lookup of the exact
+    prior bucket — absent bucket → None, zero prev → pct None."""
+    from v3io_tsdb_spark.operators.trend import offset_compare
+
+    df = spark.createDataFrame(
+        [("m", "u", d * DAY, v) for d, v in days],
+        "name string, uid string, t long, value double",
+    )
+    got = {r["t"] // DAY: r for r in offset_compare(
+        df, series_cols=("name", "uid"), ts_col="t", step_ms=DAY,
+        from_ms=0, offset_buckets=off,
+    ).collect()}
+    vals = dict(days)
+    assert set(got) == set(vals)
+    for d, v in days:
+        r = got[d]
+        assert math.isclose(r["value"], v)
+        p = vals.get(d - off)
+        if p is None:
+            assert r["prev"] is None and r["delta"] is None and r["pct"] is None
+        else:
+            assert math.isclose(r["prev"], p)
+            assert math.isclose(r["delta"], v - p)
+            if p == 0:
+                assert r["pct"] is None
+            else:
+                assert math.isclose(r["pct"], (v - p) / p)

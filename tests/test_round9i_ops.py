@@ -139,3 +139,90 @@ def test_table_profile_column_subset_and_unknown(spark):
     assert [r["column"] for r in table_profile(df, columns=["s"]).collect()] == ["s"]
     with pytest.raises(ValueError):
         table_profile(df, columns=["nope"])
+
+
+# ------------------------------------------------------- Kaplan-Meier
+
+
+def test_km_textbook_curve_with_censoring(spark):
+    """Hand-computed: subjects (1,event),(2,censored),(3,event),
+    (3,event),(4,censored). S(1)=4/5; the censored-at-2 subject
+    leaves the risk set WITHOUT a curve step, so at d=3 the risk set
+    is 3 and S(3)=0.8*(1/3) — the correction naive averaging lacks."""
+    from v3io_tsdb_spark.operators.cohorts import _km_curve
+
+    per_user = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)], "duration long, _ev long"
+    )
+    out = {r["duration"]: r for r in _km_curve(per_user).collect()}
+    assert set(out) == {1, 3}  # censor times never emit curve rows
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert math.isclose(out[1]["survival"], 0.8)
+    assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 2
+    assert math.isclose(out[3]["survival"], 0.8 / 3.0)
+
+
+def test_km_exhausted_risk_set_pins_zero(spark):
+    """When everyone remaining dies, the factor hits 0 and survival
+    is 0 — computed via the absorbing flag, not exp(ln(0))."""
+    from v3io_tsdb_spark.operators.cohorts import _km_curve
+
+    per_user = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], "duration long, _ev long"
+    )
+    out = {r["duration"]: r for r in _km_curve(per_user).collect()}
+    assert math.isclose(out[1]["survival"], 2.0 / 3.0)
+    assert out[2]["survival"] == 0.0
+
+
+def test_km_churn_form_gap_rule(spark):
+    """horizon=day 30, gap=7d: a user last seen day 10 is an observed
+    churn (lifetime 10-0=10); one last seen day 28 is censored."""
+    from v3io_tsdb_spark.operators.cohorts import kaplan_meier
+
+    rows = [(1, 0), (1, 10 * DAY), (2, 0), (2, 28 * DAY), (3, 2 * DAY),
+            (3, 12 * DAY)]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    out = {r["duration"]: r for r in kaplan_meier(
+        df, horizon_ms=30 * DAY, churn_gap_ms=7 * DAY, step_ms=DAY,
+    ).collect()}
+    assert set(out) == {10}  # both churners had 10-day lifetimes
+    # user 2 (28-day lifetime, censored) is still AT RISK at d=10
+    assert out[10]["n_events"] == 2 and out[10]["n_risk"] == 3
+    assert math.isclose(out[10]["survival"], 1.0 / 3.0)
+
+
+def test_km_conversion_form_horizon_censoring(spark):
+    """Users: A converts at +1d (observed), B converts at +9d — past
+    the 7d horizon, so CENSORED at horizon−first=7d, not observed at
+    9d; C never converts (censored); D's first event is after the
+    horizon and never enters the study."""
+    from v3io_tsdb_spark.operators.cohorts import kaplan_meier_conversion
+
+    rows = [
+        (1, 0, "view"), (1, 1 * DAY, "purchase"),
+        (2, 0, "view"), (2, 9 * DAY, "purchase"),
+        (3, 0, "view"), (3, 2 * DAY, "view"),
+        (4, 8 * DAY, "view"), (4, 9 * DAY, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, event_type string")
+    out = {r["duration"]: r for r in kaplan_meier_conversion(
+        df, horizon_ms=7 * DAY, step_ms=DAY,
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_risk"] == 3          # A, B, C — never D
+    assert out[1]["n_events"] == 1
+    assert out[1]["n_censored"] == 0      # B and C censored at 7d, not 1d
+    assert math.isclose(out[1]["survival"], 2.0 / 3.0)
+
+
+def test_km_no_join_user_reduce_first(spark):
+    """The only data-sized exchange is the per-user reduce, carrying
+    map-side partials; the curve windows ride the bounded panel."""
+    from v3io_tsdb_spark.operators.cohorts import kaplan_meier_conversion
+
+    df = spark.createDataFrame(
+        [(1, 0, "view")], "user_id long, ts_ms long, event_type string"
+    )
+    plan = _plan(kaplan_meier_conversion(df, horizon_ms=7 * DAY))
+    assert "Join" not in plan, plan[:800]

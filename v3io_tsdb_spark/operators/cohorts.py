@@ -73,3 +73,109 @@ def new_vs_returning(
         F.sum("_is_new").cast("long").alias("new"),
         (F.count("*") - F.sum("_is_new")).cast("long").alias("returning"),
     )
+
+
+
+def _km_curve(per_user: DataFrame) -> DataFrame:
+    """Shared Kaplan-Meier core: ``per_user`` has one row per subject
+    with ``duration`` (long buckets) and ``_ev`` (1 = observed event,
+    0 = right-censored). Collapses subjects to the duration panel,
+    takes the at-risk suffix sum and the survival prefix product —
+    ``exp(Σ ln f)`` with the f=0 absorbing case handled by a running
+    max flag, since one exhausted risk set pins S at 0 forever — as
+    windows over that bounded panel: the unpartitioned ordering is
+    panel-sized (≤ observation-window/step rows), never data-sized
+    (the slo_burn_rate precedent, counters.py:195)."""
+    panel = per_user.groupBy("duration").agg(
+        F.sum("_ev").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("_ev")).alias("n_censored"),
+        F.count(F.lit(1)).alias("_total"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("duration").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = panel.withColumn("n_risk", F.sum("_total").over(w_risk))
+    f = 1.0 - F.col("n_events") / F.col("n_risk")
+    w_surv = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dead = F.max((f <= 0.0).cast("int")).over(w_surv) == 1
+    ln_sum = F.sum(F.when(f > 0.0, F.log(f)).otherwise(F.lit(0.0))).over(w_surv)
+    surv = F.when(dead, F.lit(0.0)).otherwise(F.exp(ln_sum))
+    return (
+        p.withColumn("survival", surv)
+        .where(F.col("n_events") > 0)
+        .select("duration", "n_risk", "n_events", "n_censored", "survival")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    horizon_ms: int = 0,
+    churn_gap_ms: int = 7 * 86_400_000,
+    step_ms: int = 86_400_000,
+) -> DataFrame:
+    """Kaplan-Meier survival over time-to-churn (Kaplan & Meier '58,
+    the standard right-censored estimator): each user's lifetime is
+    ``last event − first event`` bucketed to ``step_ms``; a user whose
+    last event precedes ``horizon_ms − churn_gap_ms`` is an observed
+    CHURN at that lifetime, anyone active closer to the horizon is
+    CENSORED there (still alive — we just stopped watching). Naively
+    averaging observed lifetimes would bias churn early because the
+    long-lived are exactly the ones still censored; KM is the fix:
+    at each observed churn duration d,
+
+        S(d) = Π_{d' ≤ d} (1 − churned(d') / at_risk(d'))
+
+    where at_risk counts everyone (churned or censored) surviving at
+    least d'. Output: one row per churn duration with ``n_risk``,
+    ``n_events``, ``n_censored`` (censored at exactly that duration),
+    and the survival probability.
+
+    Plan: one partial-aggregable groupBy collapses the stream to one
+    row per user; panel windows per ``_km_curve``."""
+    users = df.groupBy(user_col).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    dur = ((F.col("_last") - F.col("_first")) / step_ms).cast("long")
+    event = (F.col("_last") < horizon_ms - churn_gap_ms).cast("long")
+    return _km_curve(users.select(dur.alias("duration"), event.alias("_ev")))
+
+
+def kaplan_meier_conversion(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    target: str = "purchase",
+    horizon_ms: int = 0,
+    step_ms: int = 21_600_000,
+) -> DataFrame:
+    """Kaplan-Meier over time-to-first-``target`` with administrative
+    right-censoring at a calendar ``horizon_ms``: duration runs from a
+    user's first event to their first target event if that lands
+    on/before the horizon (observed), else to the horizon (censored —
+    "no conversion YET", which unlike churn is directly observable
+    through the horizon, so the censor time needs no activity gap).
+    Users whose first event is after the horizon never enter the
+    study. Reporting median time-to-convert from converters alone
+    biases fast — the censored slow converters vanish; the KM curve
+    is the standard correction (same estimator as churn-form
+    ``kaplan_meier``, different death definition).
+
+    Plan: one partial-aggregable groupBy (min ts + conditional min
+    target-ts per user) — the conversion_latency shape
+    (operators/funnel.py) reduced further to a curve."""
+    users = df.groupBy(user_col).agg(
+        F.min(ts_col).alias("_first"),
+        F.min(F.when(F.col(type_col) == target, F.col(ts_col))).alias("_conv"),
+    ).where(F.col("_first") <= horizon_ms)
+    observed = F.col("_conv").isNotNull() & (F.col("_conv") <= horizon_ms)
+    end = F.when(observed, F.col("_conv")).otherwise(F.lit(horizon_ms))
+    dur = ((end - F.col("_first")) / step_ms).cast("long")
+    return _km_curve(
+        users.select(dur.alias("duration"), observed.cast("long").alias("_ev"))
+    )
