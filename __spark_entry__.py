@@ -3057,6 +3057,20 @@ def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 (X133): retrieve-then-rerank — a
+    distributed TakeOrdered top-50 prefilter by cosine to vec 0, then
+    the greedy λ=0.7 marginal-relevance walk over that bounded pool,
+    every rel / pairwise cosine / score 6dp-rounded before each
+    argmax so Spark, python, and the unrolled DuckDB CTE oracle pick
+    identical ids in identical order."""
+    from v3io_tsdb_spark.functions.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return mmr_topk(emb, qvec, k=10, lam=0.7, prefilter_m=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3246,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_wow_daily": q_tsdb_wow_daily,
         "doc_table_profile": q_doc_table_profile,
         "events_survival": q_events_survival,
+        "emb_mmr_topk": q_emb_mmr_topk,
     }
 
 
@@ -3286,6 +3301,64 @@ def _interp_cells(step_ms: int, tol_ms: int) -> str:
     WHERE is_pt = 0 AND nt IS NOT NULL AND nt - t <= {tol_ms}
   )
 """
+
+
+def _mmr_oracle_sql(k: int = 10, lam: float = 0.7, m: int = 50) -> str:
+    """Unrolled greedy MMR as a CTE chain — the oracle twin of
+    similarity.mmr_topk, built the way _kmeans_oracle_sql unrolls
+    Lloyd iterations. Each step's argmax runs on 6dp-rounded scores
+    with id tie-breaks, so the walk matches the engine's bit-for-bit;
+    ``{1 - lam!r}``-style literals embed the exact same float64 the
+    engine computes for (1−λ)."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({a}, {b}), "
+            f"z -> z[1] * z[2])) / "
+            f"(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+            f"sqrt(list_sum(list_transform({b}, x -> x * x)))) + 1e-09, 6)"
+        )
+
+    parts = [f"""WITH e AS MATERIALIZED (
+    SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
+  ),
+  qv AS (SELECT v FROM e WHERE id = 0),
+  cand AS MATERIALIZED (
+    SELECT e.id, e.v, {cos('e.v', 'qv.v')} AS rel
+    FROM e, qv ORDER BY rel DESC, id LIMIT {m}
+  ),
+  s1 AS MATERIALIZED (
+    SELECT id, rel, 0.0 AS msim,
+           round({lam!r} * rel + 1e-09, 6) AS score, 1 AS rnk
+    FROM cand ORDER BY rel DESC, id LIMIT 1),
+  sel1 AS MATERIALIZED (SELECT id FROM s1)"""]
+    # every step CTE is MATERIALIZED: sel{{i}} references sel{{i-1}}
+    # three times, so inlined CTEs would expand exponentially in k
+    # (the first draft planned for minutes before materialization)
+    for i in range(2, k + 1):
+        prev = i - 1
+        parts.append(f""",
+  sc{i} AS (
+    SELECT c.id, c.rel, max({cos('c.v', 's.v')}) AS msim
+    FROM cand c JOIN cand s ON s.id IN (SELECT id FROM sel{prev})
+    WHERE c.id NOT IN (SELECT id FROM sel{prev})
+    GROUP BY c.id, c.rel
+  ),
+  s{i} AS MATERIALIZED (
+    SELECT id, rel, msim,
+           round({lam!r} * rel - {1.0 - lam!r} * msim + 1e-09, 6)
+             AS score, {i} AS rnk
+    FROM sc{i} ORDER BY score DESC, id LIMIT 1),
+  sel{i} AS MATERIALIZED (
+    SELECT id FROM sel{prev} UNION ALL SELECT id FROM s{i})""")
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return "".join(parts) + f"""
+  SELECT CAST(rnk AS BIGINT) AS "rank", id AS vec_id,
+         rel + 0.0 AS relevance, msim + 0.0 AS max_sim,
+         score + 0.0 AS mmr_score
+  FROM ({union})"""
 
 
 def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
@@ -4965,6 +5038,7 @@ def oracle_sql() -> dict[str, str]:
           FROM st
         """,
         "emb_kmeans_profile": _kmeans_oracle_sql(k=4, n_iter=3, dim=64),
+        "emb_mmr_topk": _mmr_oracle_sql(k=10, lam=0.7, m=50),
         "events_alert_episodes": f"""
           WITH grid AS (
             SELECT name, {F0} + ((t - {F0}) // {HOUR}) * {HOUR} AS t,

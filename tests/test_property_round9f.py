@@ -100,3 +100,34 @@ def test_offset_compare_matches_python(spark, days, off):
                 assert r["pct"] is None
             else:
                 assert math.isclose(r["pct"], (v - p) / p)
+
+
+@settings(**_SET)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+            min_size=3, max_size=3,
+        ),
+        min_size=2, max_size=12,
+    )
+)
+def test_mmr_lambda_one_matches_cosine_topk(spark, vecs):
+    """With lam=1 the diversity term vanishes: MMR's greedy walk must
+    reproduce cosine_topk's (rounded-cosine desc, id asc) order for
+    any vector set, zero-norm vectors excluded by both paths."""
+    from v3io_tsdb_spark.functions.similarity import cosine_topk, mmr_topk
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.5, -0.25]
+    nz = df.where(
+        sum(F.col("embedding")[i] ** 2 for i in range(3)) > F.lit(0.0)
+    )
+    want = [r["vec_id"] for r in cosine_topk(nz, q, k=5).collect()]
+    got = [r["vec_id"] for r in
+           sorted(mmr_topk(df, q, k=5, lam=1.0, prefilter_m=12).collect(),
+                  key=lambda r: r["rank"])]
+    assert got == want

@@ -226,3 +226,77 @@ def test_km_no_join_user_reduce_first(spark):
     )
     plan = _plan(kaplan_meier_conversion(df, horizon_ms=7 * DAY))
     assert "Join" not in plan, plan[:800]
+
+
+# ------------------------------------------------------- MMR top-k
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """The defining contrast: two near-clones of the best hit vs one
+    moderately-relevant but DIFFERENT vector. Pure cosine ranks the
+    clones 1-2; MMR (lam=0.5) takes the different vector second
+    because the clone's marginal relevance collapses."""
+    from v3io_tsdb_spark.functions.similarity import cosine_topk, mmr_topk
+
+    rows = [
+        (1, [0.99, 0.14]),    # a1 ~ query
+        (2, [0.99, 0.141]),   # a2: clone of a1
+        (3, [0.99, 0.142]),   # a3: clone of a1
+        (4, [0.8, -0.6]),     # b: diverse, still relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0]
+    cos_order = [r["vec_id"] for r in cosine_topk(df, q, k=2).collect()]
+    assert cos_order == [1, 2]
+    mmr = mmr_topk(df, q, k=2, lam=0.5, prefilter_m=4).collect()
+    assert [r["vec_id"] for r in sorted(mmr, key=lambda r: r["rank"])] == [1, 4]
+    # the diverse pick's penalty used its true max-sim to the selected set
+    assert mmr[1]["max_sim"] < mmr[1]["relevance"] + 1e-9
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    """lam=1 zeroes the diversity term: order must equal cosine_topk
+    (including id tie-breaks)."""
+    from v3io_tsdb_spark.functions.similarity import cosine_topk, mmr_topk
+
+    rows = [(i, [1.0, 0.1 * i, 0.01 * i * i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [0.3, 0.9, 0.2]
+    want = [r["vec_id"] for r in cosine_topk(df, q, k=5).collect()]
+    got = [r["vec_id"] for r in
+           sorted(mmr_topk(df, q, k=5, lam=1.0, prefilter_m=8).collect(),
+                  key=lambda r: r["rank"])]
+    assert got == want
+
+
+def test_mmr_zero_norm_excluded_and_prefilter_pool(spark):
+    """A zero vector has no cosine direction and never enters; a
+    diverse vector OUTSIDE the top-M prefilter pool cannot be picked
+    — rerank quality is relative to the retrieved pool by contract."""
+    from v3io_tsdb_spark.functions.similarity import mmr_topk
+
+    rows = [
+        (1, [0.99, 0.14]),
+        (2, [0.99, 0.141]),
+        (3, [0.0, 0.0]),      # zero norm
+        (4, [0.8, -0.6]),     # diverse but rel 0.8 < clones' 0.99
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(df, [1.0, 0.0], k=3, lam=0.5, prefilter_m=2).collect()
+    ids = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 3 not in ids
+    assert ids == [1, 2]  # pool is {1, 2}: 4 unreachable, k clipped to pool
+
+
+def test_mmr_first_pick_uniform_formula(spark):
+    """Rank 1 carries max_sim=0 and score=round6(lam*rel) — one
+    formula for every rank, which is what the unrolled oracle
+    mirrors."""
+    from v3io_tsdb_spark.functions.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = mmr_topk(df, [1.0, 0.0], k=1, lam=0.7).collect()[0]
+    assert r["rank"] == 1 and r["max_sim"] == 0.0
+    assert math.isclose(r["mmr_score"], 0.7)

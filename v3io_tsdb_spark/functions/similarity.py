@@ -1044,3 +1044,86 @@ def kmeans_lloyd(
             F.round(F.sum("_d") + 1e-9, 4).alias("inertia"),
         )
     )
+
+
+def mmr_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    lam: float = 0.7,
+    prefilter_m: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR '98): greedily pick the candidate maximizing
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)`` — the re-ranker
+    that keeps a result page from being k near-copies of the same hit
+    (exactly what plain cosine_topk returns on a redundant corpus;
+    golden-tested as that contrast). λ=1 degrades to pure relevance.
+
+    Two stages, the ANN serving split:
+
+    - PREFILTER (distributed, data-sized): one scan scoring rel =
+      round6(cos(q, v)), TakeOrdered top-``prefilter_m`` — only
+      M×dim floats ever reach the driver, the IVF/PQ bounded-metadata
+      rule. MMR's quality is relative to this pool by construction
+      (the standard retrieve-then-rerank contract).
+    - RERANK (driver, O(M·k) on bounded metadata): the greedy loop
+      over ≤M candidates. A Spark job per greedy step would shuffle
+      nothing and schedule k jobs over 50 rows — the loop is not the
+      scale axis, M is, and M is fixed.
+
+    Determinism across engines (the kmeans_lloyd discipline): rel,
+    every pairwise cosine, and every MMR score are 6dp-rounded
+    half-up BEFORE each argmax, ties → lowest id, so the greedy walk
+    is bit-identical in Spark, python, and the unrolled DuckDB CTE
+    oracle. The first pick uses max_sim = 0 (empty selected set), so
+    one formula covers every rank. Zero-norm vectors have no cosine
+    direction and are excluded up front (the group_diversity guard).
+
+    Returns ``(rank, vec_id, relevance, max_sim, mmr_score)``.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("_id"), v.alias("_v"), norm_col(v).alias("_n")
+    ).where(F.col("_n") > 0)
+    q = query_vec_lit(query_vec)
+    rel = F.round(cosine_sim_col(F.col("_v"), q, na=F.col("_n")) + 1e-9, 6)
+    cand = (
+        base.select("_id", "_v", rel.alias("_rel"))
+        .orderBy(F.desc("_rel"), F.col("_id"))
+        .limit(prefilter_m)
+        .collect()
+    )  # ≤ M×dim doubles — bounded driver metadata, the IVF rule
+
+    import math as _math
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(y * y for y in b))
+        return num / (na * nb)
+
+    remaining = {r["_id"]: (list(r["_v"]), r["_rel"]) for r in cand}
+    selected, rows = [], []
+    for rank in range(1, min(k, len(remaining)) + 1):
+        best = None
+        for cid in sorted(remaining):
+            vec, rl = remaining[cid]
+            msim = max(
+                (_round6_half_up(_cos(vec, sv)) for sv in selected),
+                default=0.0,
+            )
+            score = _round6_half_up(lam * rl - (1.0 - lam) * msim)
+            key = (score, -cid)
+            if best is None or key > best[0]:
+                best = (key, cid, rl, msim, score)
+        _, cid, rl, msim, score = best
+        rows.append((rank, cid, float(rl), float(msim), float(score)))
+        selected.append(remaining.pop(cid)[0])
+    return df.sparkSession.createDataFrame(
+        rows,
+        "rank long, vec_id long, relevance double, max_sim double, "
+        "mmr_score double",
+    )
