@@ -3071,6 +3071,35 @@ def q_emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(emb, qvec, k=10, lam=0.7, prefilter_m=50)
 
 
+def q_tpch_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity panel (X134): orphan counts for the
+    TPC-H FK graph plus the reversed
+    coverage pair customer.c_custkey→events.user_id — most customers
+    never appear in events, so the counting path is exercised with
+    thousands of real unmatched keys, not vacuously zero (on the
+    forward FK graph the synthetic data is perfectly consistent,
+    which the zero rows document). Parent
+    key sets reduce to distinct first; dimension-sized sets broadcast
+    into the anti join (plan-asserted in pytest)."""
+    from v3io_tsdb_spark.functions.profile import referential_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    supp = load_table(spark, sf_dir, "supplier")
+    ev = load_table(spark, sf_dir, "events")
+    return referential_report([
+        (li, orders, "l_orderkey", "o_orderkey"),
+        (orders, cust, "o_custkey", "c_custkey"),
+        (cust, nation, "c_nationkey", "n_nationkey"),
+        (supp, nation, "s_nationkey", "n_nationkey"),
+        (nation, region, "n_regionkey", "r_regionkey"),
+        (cust, ev, "c_custkey", "user_id"),
+    ])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3261,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_table_profile": q_doc_table_profile,
         "events_survival": q_events_survival,
         "emb_mmr_topk": q_emb_mmr_topk,
+        "tpch_fk_integrity": q_tpch_fk_integrity,
     }
 
 
@@ -5039,6 +5069,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_kmeans_profile": _kmeans_oracle_sql(k=4, n_iter=3, dim=64),
         "emb_mmr_topk": _mmr_oracle_sql(k=10, lam=0.7, m=50),
+        "tpch_fk_integrity": " UNION ALL ".join(
+            f"""
+          SELECT '{ck}->{pk}' AS relation,
+                 (SELECT count(*) FROM {c}) AS n_child_rows,
+                 (SELECT count(*) - count({ck}) FROM {c}) AS n_null_keys,
+                 (SELECT count(*) FROM {c}
+                  LEFT JOIN (SELECT DISTINCT {pk} FROM {p}
+                             WHERE {pk} IS NOT NULL) _p
+                    ON {c}.{ck} = _p.{pk}
+                  WHERE {c}.{ck} IS NOT NULL AND _p.{pk} IS NULL)
+                   AS n_orphan_rows,
+                 (SELECT count(DISTINCT {c}.{ck}) FROM {c}
+                  LEFT JOIN (SELECT DISTINCT {pk} FROM {p}
+                             WHERE {pk} IS NOT NULL) _p
+                    ON {c}.{ck} = _p.{pk}
+                  WHERE {c}.{ck} IS NOT NULL AND _p.{pk} IS NULL)
+                   AS n_orphan_keys
+            """
+            for c, p, ck, pk in [
+                ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+                ("orders", "customer", "o_custkey", "c_custkey"),
+                ("customer", "nation", "c_nationkey", "n_nationkey"),
+                ("supplier", "nation", "s_nationkey", "n_nationkey"),
+                ("nation", "region", "n_regionkey", "r_regionkey"),
+                ("customer", "events", "c_custkey", "user_id"),
+            ]
+        ),
         "events_alert_episodes": f"""
           WITH grid AS (
             SELECT name, {F0} + ((t - {F0}) // {HOUR}) * {HOUR} AS t,

@@ -300,3 +300,48 @@ def test_mmr_first_pick_uniform_formula(spark):
     r = mmr_topk(df, [1.0, 0.0], k=1, lam=0.7).collect()[0]
     assert r["rank"] == 1 and r["max_sim"] == 0.0
     assert math.isclose(r["mmr_score"], 0.7)
+
+
+# --------------------------------------------------- FK integrity
+
+
+def test_referential_orphans_golden(spark):
+    """Child rows 10,20(x2),30,NULL against parent {10,20}: 3 orphan
+    ROWS over 1 orphan KEY (30), and the NULL key is absent-not-
+    dangling (SQL FK semantics) — counted separately, never an
+    orphan."""
+    from v3io_tsdb_spark.functions.profile import referential_orphans
+
+    child = spark.createDataFrame(
+        [(10,), (20,), (20,), (30,), (30,), (30,), (None,)], "k long"
+    )
+    parent = spark.createDataFrame([(10,), (20,), (99,)], "pk long")
+    r = referential_orphans(child, parent, "k", "pk").collect()[0]
+    assert r["relation"] == "k->pk"
+    assert r["n_child_rows"] == 7 and r["n_null_keys"] == 1
+    assert r["n_orphan_rows"] == 3 and r["n_orphan_keys"] == 1
+
+
+def test_referential_orphans_duplicate_parent_keys_safe(spark):
+    """A parent with duplicate keys must not double-count child rows:
+    the key set is made distinct BEFORE the anti join (the X39
+    build-side-uniqueness rule)."""
+    from v3io_tsdb_spark.functions.profile import referential_orphans
+
+    child = spark.createDataFrame([(1,), (2,)], "k long")
+    parent = spark.createDataFrame([(1,), (1,), (1,)], "pk long")
+    r = referential_orphans(child, parent, "k", "pk").collect()[0]
+    assert r["n_child_rows"] == 2
+    assert r["n_orphan_rows"] == 1 and r["n_orphan_keys"] == 1
+
+
+def test_referential_orphans_broadcasts_small_parent(spark):
+    """A dimension-sized parent key set rides a broadcast anti join —
+    the fact table never shuffles for the check."""
+    from v3io_tsdb_spark.functions.profile import referential_orphans
+
+    child = spark.range(1000).withColumnRenamed("id", "k")
+    parent = spark.range(10).withColumnRenamed("id", "pk")
+    plan = _plan(referential_orphans(child, parent, "k", "pk"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan

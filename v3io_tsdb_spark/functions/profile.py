@@ -89,3 +89,63 @@ def table_profile(
         wide.select(F.explode(F.array(*structs)).alias("s"))
         .select("s.*")
     )
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    relation: str | None = None,
+) -> DataFrame:
+    """Foreign-key orphan check — the referential-integrity leg of the
+    pipeline-QA panel (`table_profile` covers per-column facts; this
+    covers cross-table ones): one row per relation with the child row
+    count, how many child rows reference a parent key that does not
+    exist, and how many distinct such keys there are. Null child keys
+    are counted separately (``n_null_keys``) and are NOT orphans — an
+    optional FK is absent, not dangling, matching SQL FK semantics
+    where NULL never violates the constraint.
+
+    Plan: the parent reduces to its distinct key set FIRST (partial-
+    aggregable; bounded by parent cardinality, not row count), then
+    one LEFT ANTI join from the non-null child keys — Spark broadcasts
+    the key set when small (dimension tables; plan-asserted) and
+    shuffles on the key otherwise, and AQE's skew split applies since
+    anti joins carry no build-side-duplication hazard here (the key
+    set is distinct by construction, the X39 dup-span rule). Nothing
+    data-sized reaches the driver.
+    """
+    rel = relation or f"{child_key}->{parent_key}"
+    keys = parent.select(F.col(parent_key).alias("_pk")).where(
+        F.col("_pk").isNotNull()
+    ).distinct()
+    ck = child.select(F.col(child_key).alias("_ck"))
+    nn = ck.where(F.col("_ck").isNotNull())
+    orphans = nn.join(keys, nn["_ck"] == keys["_pk"], "left_anti")
+    totals = ck.agg(
+        F.count(F.lit(1)).alias("n_child_rows"),
+        F.sum(F.col("_ck").isNull().cast("long")).alias("n_null_keys"),
+    )
+    o = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphan_rows"),
+        F.count_distinct(F.col("_ck")).alias("n_orphan_keys"),
+    )
+    return totals.crossJoin(o).select(
+        F.lit(rel).alias("relation"),
+        "n_child_rows",
+        "n_null_keys",
+        "n_orphan_rows",
+        F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+    )
+
+
+def referential_report(relations: list) -> DataFrame:
+    """Union of ``referential_orphans`` rows for ``relations`` =
+    [(child, parent, child_key, parent_key), ...] — the whole
+    schema's FK health in one panel (|relations| rows)."""
+    out = None
+    for child, parent, ck, pk in relations:
+        row = referential_orphans(child, parent, ck, pk)
+        out = row if out is None else out.unionByName(row)
+    return out
