@@ -3100,6 +3100,32 @@ def q_tpch_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def q_stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of alert episodes (X135): the page-per-incident
+    merge emitted LIVE — each episode the moment a closed bucket
+    terminates it (non-flagged hour, or a flagged hour past a grid
+    hole), downstream of the same close-on-advance bucketizer as the
+    z/Hampel twins. Counts are integers, so emitted episodes match
+    the batch islands SQL bit-for-bit; the oracle runs over closed
+    buckets (every bucket but each series' open max) and keeps
+    episodes ending strictly before the series' latest closed
+    bucket — the exact emission contract."""
+    from v3io_tsdb_spark.streaming.stateful import stream_alert_episodes
+
+    fx = _stream_evt_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    out = _run_available_now(stream_alert_episodes(raw, threshold=4))
+    return out.select(
+        "series_key",
+        F.col("start_t").cast("long").alias("start_t"),
+        F.col("end_t").cast("long").alias("end_t"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("peak").cast("long").alias("peak"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3291,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival": q_events_survival,
         "emb_mmr_topk": q_emb_mmr_topk,
         "tpch_fk_integrity": q_tpch_fk_integrity,
+        "stream_alert_episodes": q_stream_alert_episodes,
     }
 
 
@@ -6738,5 +6765,40 @@ def oracle_sql() -> dict[str, str]:
                  round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END
                        + {EPS6}, 6) + 0.0 AS survival
           FROM s WHERE n_events > 0
+        """,
+        "stream_alert_episodes": f"""
+          WITH c AS (
+            SELECT event_type AS series_key,
+                   (epoch_ms(ts) // {HOUR}) * {HOUR} AS t, count(*) AS n
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          closed AS (
+            SELECT * FROM (
+              SELECT c.*, max(t) OVER (PARTITION BY series_key) AS open_t
+              FROM c
+            ) WHERE t < open_t
+          ),
+          f AS (SELECT * FROM closed WHERE n > 4),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > {HOUR}
+                           THEN 1 ELSE 0 END AS ne
+            FROM f WINDOW w AS (PARTITION BY series_key ORDER BY t)
+          ),
+          s AS (SELECT *, sum(ne) OVER (PARTITION BY series_key ORDER BY t)
+                     AS ep
+                FROM g),
+          e AS (
+            SELECT series_key, min(t) AS start_t, max(t) AS end_t,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(max(n) AS BIGINT) AS peak
+            FROM s GROUP BY series_key, ep
+          ),
+          lastc AS (SELECT series_key, max(t) AS last_closed
+                    FROM closed GROUP BY 1)
+          SELECT e.series_key, e.start_t, e.end_t, e.n_buckets, e.peak
+          FROM e JOIN lastc USING (series_key)
+          WHERE e.end_t < lastc.last_closed
         """,
     }

@@ -345,3 +345,87 @@ def test_referential_orphans_broadcasts_small_parent(spark):
     plan = _plan(referential_orphans(child, parent, "k", "pk"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:1500]
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------- stream episodes
+
+HOUR = 3_600_000
+
+
+def test_stream_alert_episodes_emission_contract(tmp_path, spark):
+    """Crafted hourly counts [5,6,1,7,2,8,_,9,...open]: run {0,1}
+    emits when non-flagged hour 2 closes; singleton {3} emits when
+    hour 4 closes; singleton {5} emits when flagged hour 7 arrives
+    past the hole at 6 (terminator AND opener); the {7}-episode is
+    still open at stream end and must NOT emit."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_alert_episodes
+
+    counts = {0: 5, 1: 6, 2: 1, 3: 7, 4: 2, 5: 8, 7: 9, 8: 1}
+    ev = [("a", h * HOUR + i) for h, n in counts.items() for i in range(n)]
+    in_dir = tmp_path / "ep_in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps({"ts": t, "name": n, "value": 0.0})
+                  for n, t in ev)
+    )
+    raw = spark.readStream.schema("ts long, name string, value double").json(
+        str(in_dir)
+    )
+    out = stream_alert_episodes(raw, step_ms=HOUR, threshold=4)
+    q = (
+        out.writeStream.format("memory").queryName("ep_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ep_ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.sql("SELECT * FROM ep_out").collect(), key=lambda r: r["start_t"]
+    )
+    got = [(r["start_t"] // HOUR, r["end_t"] // HOUR, r["n_buckets"], r["peak"])
+           for r in rows]
+    # open episode at hour 7 withheld; hour 8 is the open bucket
+    assert got == [(0, 1, 2, 6), (3, 3, 1, 7), (5, 5, 1, 8)]
+
+
+def test_stream_alert_episodes_cross_batch_state(tmp_path, spark):
+    """An episode spanning two micro-batches emits once, intact: the
+    open-episode state carries across the batch boundary."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_alert_episodes
+
+    in_dir = tmp_path / "ep2_in"
+    in_dir.mkdir()
+
+    def write(fname, counts):
+        ev = [("a", h * HOUR + i) for h, n in counts.items() for i in range(n)]
+        (in_dir / fname).write_text(
+            "\n".join(json.dumps({"ts": t, "name": n, "value": 0.0})
+                      for n, t in ev)
+        )
+
+    write("b1.json", {0: 5, 1: 6})
+    raw = spark.readStream.schema("ts long, name string, value double").json(
+        str(in_dir)
+    )
+    out = stream_alert_episodes(raw, step_ms=HOUR, threshold=4)
+    q = (
+        out.writeStream.format("memory").queryName("ep2_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ep2_ckpt")).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM ep2_out").count() == 0  # still open
+        write("b2.json", {2: 7, 3: 1, 4: 1})  # extends, then terminates
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ep2_out").collect()
+    assert [(r["start_t"] // HOUR, r["end_t"] // HOUR, r["n_buckets"],
+             r["peak"]) for r in rows] == [(0, 2, 3, 7)]

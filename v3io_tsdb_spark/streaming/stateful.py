@@ -509,3 +509,126 @@ def stream_first_seen(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_EP_OUT_SCHEMA = StructType(
+    [
+        StructField("series_key", StringType()),
+        StructField("start_t", LongType()),
+        StructField("end_t", LongType()),
+        StructField("n_buckets", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+_EP_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_t", LongType()),
+        StructField("cur_n", LongType()),
+        StructField("ep_start", LongType()),
+        StructField("ep_last", LongType()),
+        StructField("ep_n", LongType()),
+        StructField("ep_peak", LongType()),
+    ]
+)
+
+
+def _make_episodes_fn(step_ms: int, threshold: int):
+    def _fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-series streaming gaps-and-islands: buckets close on
+        advance (the z/Hampel rule); each CLOSED bucket's event count
+        is thresholded, and consecutive flagged buckets accumulate
+        into the one open episode this state carries. An episode
+        EMITS the moment a closed bucket terminates it — a
+        non-flagged bucket, or a flagged bucket beyond a grid hole
+        (which also opens the next episode). Counts are integers, so
+        the stream agrees with the batch SQL bit-for-bit on every
+        emitted episode."""
+        if state.exists:
+            cur_t, cur_n, ep_start, ep_last, ep_n, ep_peak = state.get
+        else:
+            cur_t = cur_n = ep_start = ep_last = ep_n = ep_peak = None
+        out = {
+            "series_key": [], "start_t": [], "end_t": [],
+            "n_buckets": [], "peak": [],
+        }
+
+        def emit():
+            nonlocal ep_start, ep_last, ep_n, ep_peak
+            out["series_key"].append(key[0])
+            out["start_t"].append(ep_start)
+            out["end_t"].append(ep_last)
+            out["n_buckets"].append(ep_n)
+            out["peak"].append(ep_peak)
+            ep_start = ep_last = ep_n = ep_peak = None
+
+        def close(t, n):
+            nonlocal ep_start, ep_last, ep_n, ep_peak
+            if n > threshold:
+                if ep_start is None:
+                    ep_start, ep_last, ep_n, ep_peak = t, t, 1, n
+                elif t == ep_last + step_ms:
+                    ep_last, ep_n = t, ep_n + 1
+                    ep_peak = max(ep_peak, n)
+                else:  # a grid hole severed the run
+                    emit()
+                    ep_start, ep_last, ep_n, ep_peak = t, t, 1, n
+            elif ep_start is not None:
+                emit()
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"ts": []})
+        )
+        for ts in batch.sort_values("ts")["ts"].values:
+            b = (int(ts) // step_ms) * step_ms
+            if cur_t is None:
+                cur_t, cur_n = b, 1
+            elif b == cur_t:
+                cur_n += 1
+            elif b > cur_t:
+                close(cur_t, cur_n)
+                cur_t, cur_n = b, 1
+            # b < cur_t: late for a closed bucket -> dropped
+        state.update((cur_t, cur_n, ep_start, ep_last, ep_n, ep_peak))
+        yield pd.DataFrame(out)
+
+    return _fn
+
+
+def stream_alert_episodes(
+    stream_df: DataFrame,
+    key_col: str = "name",
+    step_ms: int = 3_600_000,
+    threshold: int = 4,
+) -> DataFrame:
+    """STREAMING twin of :func:`operators.anomaly.alert_episodes`:
+    the alert-fatigue page-per-incident merge, live. Batch computes
+    episodes after the fact; this emits each one the moment it
+    terminates (next closed bucket non-flagged, or flagged past a
+    hole) — the actual paging path, downstream of the same
+    close-on-advance bucketizer the z/Hampel twins ride.
+
+    Emission contract for the hash gate: an episode emits iff some
+    CLOSED bucket of its series lies beyond its end — so the oracle
+    is the batch islands SQL over closed buckets (every bucket except
+    each series' open max) keeping episodes with end_t strictly
+    before the series' latest closed bucket. State per series: one
+    open bucket + one open episode — six longs, O(series) total."""
+    return (
+        stream_df.select(
+            F.col(key_col).cast("string").alias("series_key"),
+            F.col("ts").cast("long").alias("ts"),
+        )
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            _make_episodes_fn(step_ms, threshold),
+            outputStructType=_EP_OUT_SCHEMA,
+            stateStructType=_EP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
