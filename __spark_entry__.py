@@ -3143,21 +3143,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 148 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a 3-window cycle (ceil(148/50)) — each round the
+    At 154 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a ~3-window cycle (ceil(154/50)) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 50 queries NEW this round (X80-X129) sit at the very end
-    (positions 98-147): their r9 evidence is the local 148/148 hash
+    The 56 queries NEW this round (X80-X135) sit at the very end
+    (positions 98-153): their r9 evidence is the local 154/154 hash
     sweep; their first driver gate is r10 — the r10 head should be
-    positions 50-99 of this layout (the r8-evidenced tail plus the
-    oldest net-new), r11 takes the remainder plus the then-oldest.
-    `tools/check_rotation.py` audits this contract mechanically
-    (newest green driver row per query vs the 2-round bound) and
-    prints the recommended next head with --plan.
-    Stream rows (VERDICT r8 #8): 5 of the 6 stream_* rows are in the
-    r9 head; `stream_conversion_latency` (r8-gated) must rotate into
-    the r10 head with its window."""
+    the 50 oldest-evidence rows of this layout (the r8-evidenced tail
+    plus the oldest net-new), r11 takes the remainder plus the
+    then-oldest. `tools/check_rotation.py` audits this contract
+    mechanically (newest green driver row per query vs the 2-round
+    bound) and prints the recommended next head with --plan.
+    Stream rows (VERDICT r8 #8): 5 of the stream_* rows are in the
+    r9 head; `stream_conversion_latency` (r8-gated) and the four
+    net-new stream rows (hampel/cms/heatmap/new_returning +
+    alert_episodes) must rotate into the r10 head with their
+    window."""
     return {
         # --- head: r7-evidenced queries rotating back under the gate ---
         "doc_pack_sequences": q_doc_pack_sequences,
