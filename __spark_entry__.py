@@ -3126,6 +3126,59 @@ def q_stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_incident_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global incident timeline (X136): per-metric hourly alert
+    episodes (the X127 grid, mean > 40) become half-open intervals
+    [start, end+1h) and merge across ALL metrics into
+    any-metric-alerting windows — "how long was ANYTHING wrong".
+    Touching intervals merge (adjacent hours are one incident); a
+    1-hour hole splits. The global sweep window rides the
+    episode panel (hundreds of rows), the slo_burn precedent."""
+    from v3io_tsdb_spark.operators.anomaly import alert_episodes
+    from v3io_tsdb_spark.operators.intervals import merge_intervals
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    grid = s.groupBy(
+        "name",
+        (F.lit(F0) + F.floor((F.col("ts") - F0) / HOUR) * HOUR)
+        .cast("long")
+        .alias("t"),
+    ).agg((F.round(F.avg("value") + EPS6, 6) + F.lit(0.0)).alias("v"))
+    flags = grid.withColumn("flag", (F.col("v") > 40).cast("int"))
+    eps = alert_episodes(
+        flags, series_cols=("name",), t_col="t", flag_col="flag",
+        value_col="v", step_ms=HOUR,
+    )
+    iv = eps.select(
+        F.col("start_t").alias("start"),
+        (F.col("end_t") + HOUR).alias("end"),
+    )
+    out = merge_intervals(iv, group_cols=(), start_col="start", end_col="end")
+    return out.select("start", "end", "n_merged", "covered")
+
+
+def q_events_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (X137): the same events table split two
+    ways — keyed on the ROW id (every user's events scatter across
+    train/val/test: near-total leakage) vs keyed on the GROUP id
+    (zero by construction) — with the audit row for each. The
+    contrast IS the report: identical 90/5/5 weights, identical data,
+    one silent eval-inflation bug apart."""
+    from v3io_tsdb_spark.functions.sampling import assign_split, split_leakage
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    rows = []
+    for method, key in (("row_hash", "event_id"), ("group_hash", "user_id")):
+        split = assign_split(ev, key)
+        rows.append(
+            split_leakage(split, "user_id").select(
+                F.lit(method).alias("method"), "n_rows", "n_groups",
+                "n_leaky_groups", "n_leaky_rows", "leak_frac",
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3320,6 +3373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_topk": q_emb_mmr_topk,
         "tpch_fk_integrity": q_tpch_fk_integrity,
         "stream_alert_episodes": q_stream_alert_episodes,
+        "events_incident_timeline": q_events_incident_timeline,
+        "events_split_leakage": q_events_split_leakage,
     }
 
 
@@ -6802,5 +6857,82 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.series_key, e.start_t, e.end_t, e.n_buckets, e.peak
           FROM e JOIN lastc USING (series_key)
           WHERE e.end_t < lastc.last_closed
+        """,
+        "events_incident_timeline": f"""
+          WITH grid AS (
+            SELECT name, {F0} + ((t - {F0}) // {HOUR}) * {HOUR} AS t,
+                   round(avg(value) + {EPS6}, 6) + 0.0 AS v
+            FROM ({_PTS}) GROUP BY 1, 2
+          ),
+          f AS (SELECT * FROM grid WHERE v > 40),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > {HOUR}
+                           THEN 1 ELSE 0 END AS ne
+            FROM f WINDOW w AS (PARTITION BY name ORDER BY t)
+          ),
+          s AS (SELECT *, sum(ne) OVER (PARTITION BY name ORDER BY t) AS ep
+                FROM g),
+          e AS (
+            SELECT min(t) AS istart, max(t) + {HOUR} AS iend
+            FROM s GROUP BY name, ep
+          ),
+          sweep AS (
+            SELECT istart, iend,
+                   max(iend) OVER (ORDER BY istart, iend
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS run_end
+            FROM e
+          ),
+          isl AS (
+            SELECT *, sum(CASE WHEN run_end IS NULL
+                               OR istart > run_end THEN 1 ELSE 0 END)
+                          OVER (ORDER BY istart, iend
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS grp
+            FROM sweep
+          )
+          SELECT min(istart) AS "start", max(iend) AS "end",
+                 CAST(count(*) AS BIGINT) AS n_merged,
+                 max(iend) - min(istart) AS covered
+          FROM isl GROUP BY grp
+        """,
+        "events_split_leakage": f"""
+          WITH ev AS (
+            SELECT event_id, user_id FROM events
+            WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          lab AS (
+            SELECT 'row_hash' AS method, user_id,
+                   ('0x' || substr(md5('split' || CAST(event_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 10000 AS bk
+            FROM ev
+            UNION ALL
+            SELECT 'group_hash', user_id,
+                   ('0x' || substr(md5('split' || CAST(user_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 10000 AS bk
+            FROM ev
+          ),
+          s AS (
+            SELECT method, user_id,
+                   CASE WHEN bk < 9000 THEN 'train'
+                        WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split
+            FROM lab
+          ),
+          pg AS (
+            SELECT method, user_id, count(*) AS rows_,
+                   count(DISTINCT split) AS nsplits
+            FROM s GROUP BY 1, 2
+          )
+          SELECT method, CAST(sum(rows_) AS BIGINT) AS n_rows,
+                 count(*) AS n_groups,
+                 CAST(sum(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_leaky_groups,
+                 CAST(sum(CASE WHEN nsplits > 1 THEN rows_ ELSE 0 END)
+                      AS BIGINT) AS n_leaky_rows,
+                 round(sum(CASE WHEN nsplits > 1 THEN rows_ ELSE 0 END)
+                       / CAST(sum(rows_) AS DOUBLE) + 1e-09, 6) + 0.0
+                   AS leak_frac
+          FROM pg GROUP BY 1
         """,
     }

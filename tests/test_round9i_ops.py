@@ -429,3 +429,108 @@ def test_stream_alert_episodes_cross_batch_state(tmp_path, spark):
     rows = spark.sql("SELECT * FROM ep2_out").collect()
     assert [(r["start_t"] // HOUR, r["end_t"] // HOUR, r["n_buckets"],
              r["peak"]) for r in rows] == [(0, 2, 3, 7)]
+
+
+# ------------------------------------------------- interval merge
+
+
+def test_merge_intervals_golden(spark):
+    """[1,5)+[3,8)+[8,10) chain into one (touching half-open merges);
+    [12,13) stands alone."""
+    from v3io_tsdb_spark.operators.intervals import merge_intervals
+
+    df = spark.createDataFrame(
+        [(1, 5), (3, 8), (8, 10), (12, 13)], "start long, end long"
+    )
+    out = sorted(
+        merge_intervals(df).collect(), key=lambda r: r["start"]
+    )
+    assert [(r["start"], r["end"], r["n_merged"], r["covered"])
+            for r in out] == [(1, 10, 3, 9), (12, 13, 1, 1)]
+
+
+def test_merge_intervals_contained_cannot_split(spark):
+    """A short interval strictly inside an earlier long one must not
+    reset the running coverage end: with lag(end) instead of the
+    running max, [2,3) would make [4,12) look disconnected from
+    [0,10). The sweep uses max-over-all-priors, so one [0,12) block
+    comes out — and a true gap after it still splits."""
+    from v3io_tsdb_spark.operators.intervals import merge_intervals
+
+    df = spark.createDataFrame(
+        [(0, 10), (2, 3), (4, 12), (13, 14)], "start long, end long"
+    )
+    out = sorted(merge_intervals(df).collect(), key=lambda r: r["start"])
+    assert [(r["start"], r["end"], r["n_merged"]) for r in out] == [
+        (0, 12, 3), (13, 14, 1)
+    ]
+
+
+def test_merge_intervals_gap_and_groups(spark):
+    """merge_gap bridges holes up to the gap; groups never merge
+    across keys."""
+    from v3io_tsdb_spark.operators.intervals import merge_intervals
+
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 6, 8), ("b", 0, 5)], "g string, start long, end long"
+    )
+    strict = merge_intervals(df, group_cols=("g",))
+    assert strict.count() == 3  # 1-tick hole splits at gap 0
+    bridged = sorted(
+        merge_intervals(df, group_cols=("g",), merge_gap=1).collect(),
+        key=lambda r: (r["g"], r["start"]),
+    )
+    assert [(r["g"], r["start"], r["end"]) for r in bridged] == [
+        ("a", 0, 8), ("b", 0, 5)
+    ]
+
+
+# ------------------------------------------------- split leakage
+
+
+def test_split_leakage_row_vs_group_contrast(spark):
+    """Two users x many rows: a row-keyed split scatters each user
+    across splits (leaky); a group-keyed split cannot leak by
+    construction — the audit quantifies exactly that contrast."""
+    from v3io_tsdb_spark.functions.sampling import assign_split, split_leakage
+
+    rows = [(i, i % 2) for i in range(200)]  # 2 users, 100 rows each
+    df = spark.createDataFrame(rows, "row_id long, user long")
+    weights = {"train": 0.5, "test": 0.5}
+    leaky = split_leakage(
+        assign_split(df, "row_id", weights), "user"
+    ).collect()[0]
+    assert leaky["n_groups"] == 2 and leaky["n_leaky_groups"] == 2
+    assert leaky["n_leaky_rows"] == 200 and leaky["leak_frac"] == 1.0
+    clean = split_leakage(
+        assign_split(df, "user", weights), "user"
+    ).collect()[0]
+    assert clean["n_leaky_groups"] == 0 and clean["n_leaky_rows"] == 0
+    assert clean["leak_frac"] == 0.0
+
+
+def test_split_leakage_counts_rows_of_leaky_groups(spark):
+    """A leaky group contributes ALL its rows to n_leaky_rows (any
+    of them could carry memorized eval content), not just the
+    minority-split ones."""
+    from v3io_tsdb_spark.functions.sampling import split_leakage
+
+    df = spark.createDataFrame(
+        [("u1", "train"), ("u1", "train"), ("u1", "test"),
+         ("u2", "train")],
+        "user string, split string",
+    )
+    r = split_leakage(df, "user").collect()[0]
+    assert r["n_rows"] == 4 and r["n_groups"] == 2
+    assert r["n_leaky_groups"] == 1 and r["n_leaky_rows"] == 3
+    assert math.isclose(r["leak_frac"], 0.75)
+
+
+def test_split_leakage_no_expand_single_distinct(spark):
+    """One distinct aggregate per group -> no Expand node; the
+    group reduce carries map-side partials."""
+    from v3io_tsdb_spark.functions.sampling import split_leakage
+
+    df = spark.createDataFrame([("u", "train")], "user string, split string")
+    plan = _plan(split_leakage(df, "user"))
+    assert "Expand" not in plan, plan[:1200]

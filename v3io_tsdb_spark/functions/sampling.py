@@ -342,3 +342,41 @@ def weighted_sample_topk(
     return topk.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("rank", id_col, "weight", "priority")
+
+
+def split_leakage(
+    df: DataFrame,
+    group_col: str,
+    split_col_name: str = "split",
+) -> DataFrame:
+    """Group-leakage audit for a train/val/test split: a GROUP (user,
+    session, patient, near-dup cluster) with rows in more than one
+    split leaks training information into evaluation — the classic
+    silent eval inflation. Row-level hash splits (X20's default keyed
+    on a ROW id) guarantee this whenever groups span rows; the fix is
+    keying ``assign_split`` on the GROUP id, and this operator is the
+    audit that proves which one a dataset actually got.
+
+    One row out: total rows/groups, leaky groups (spanning >1 split),
+    rows belonging to leaky groups, and their fraction. Plan: one
+    partial-aggregable groupBy to |groups| rows (the count_distinct
+    is per-group over its own rows — no Expand, since there is one
+    distinct aggregate), then a one-row reduce. Nothing data-sized
+    moves twice.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.count_distinct(F.col(split_col_name)).alias("_nsplits"),
+    )
+    leaky = (F.col("_nsplits") > 1).cast("long")
+    out = per_group.agg(
+        F.sum("_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(leaky).alias("n_leaky_groups"),
+        F.sum(F.col("_rows") * leaky).alias("n_leaky_rows"),
+    )
+    frac = F.round(F.col("n_leaky_rows") / F.col("n_rows") + 1e-9, 6)
+    return out.select(
+        "n_rows", "n_groups", "n_leaky_groups", "n_leaky_rows",
+        frac.alias("leak_frac"),
+    )

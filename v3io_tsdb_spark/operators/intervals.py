@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BKT = "__rj_bucket"
@@ -91,3 +91,51 @@ def range_join(
                 missing = missing.withColumn(c, F.lit(None).cast(dict(points.dtypes)[c]))
         return matched.unionByName(missing)
     raise ValueError(f"how must be inner|left, got {how!r}")
+
+
+def merge_intervals(
+    df: DataFrame,
+    group_cols: Sequence[str] = (),
+    start_col: str = "start",
+    end_col: str = "end",
+    merge_gap: int = 0,
+) -> DataFrame:
+    """Merge overlapping/touching ``[start, end)`` intervals per group
+    — the union-of-intervals reduction (total downtime from per-check
+    alert windows, effective on-call coverage, any "how long was
+    ANYTHING wrong" panel). Two intervals merge when the later one
+    starts within ``merge_gap`` of the running coverage end; with the
+    default 0, touching half-open intervals ([1,5) + [5,9)) merge and
+    a 1 ms gap splits.
+
+    Classic sweep: order by (start, end) per group, take the running
+    max of prior ends — ``max`` over an unbounded-preceding-to-1-
+    preceding ROWS frame, so an interval ENTIRELY INSIDE an earlier
+    long one (start later, end earlier) extends nothing and cannot
+    split the run — then cut a new island exactly where start exceeds
+    the running end + gap. Output per merged interval: start, end,
+    source-interval count, and covered duration.
+
+    The input is interval-shaped (episodes, sessions, maintenance
+    windows) — already reduced, panel-sized; the window shuffles only
+    that. Composes upstream of nothing data-sized: feed it
+    alert_episodes output to get the global incident timeline.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(start_col, end_col)
+    run_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.coalesce(
+        (F.col(start_col) > run_end + merge_gap).cast("long"), F.lit(1)
+    )
+    isl = df.withColumn("_isl", F.sum(new_island).over(w))
+    return (
+        isl.groupBy(*group_cols, "_isl")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .withColumn("covered", F.col("end") - F.col("start"))
+        .drop("_isl")
+    )
