@@ -3179,6 +3179,22 @@ def q_events_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows[0].unionByName(rows[1])
 
 
+def q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift (X138): per metric, D = max
+    |ECDF diff| between first-half and second-half values of the
+    month, with the Smirnov alpha=0.05 rejection flag — the bin-free
+    sibling of the PSI gate (X119). Values reduce to distinct-value
+    counts BEFORE the ordered pass, so nothing raw-sized sorts."""
+    from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    mid = F0 + 15 * DAY
+    a = s.where(F.col("ts") < mid).select("name", "value")
+    b = s.where(F.col("ts") >= mid).select("name", "value")
+    out = ks_2sample(a, b, "value", group_cols=("name",))
+    return out.select("name", "n_a", "n_b", _rz("ks_d", 6), "reject")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3375,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_alert_episodes": q_stream_alert_episodes,
         "events_incident_timeline": q_events_incident_timeline,
         "events_split_leakage": q_events_split_leakage,
+        "events_ks_drift": q_events_ks_drift,
     }
 
 
@@ -6934,5 +6951,40 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(sum(rows_) AS DOUBLE) + 1e-09, 6) + 0.0
                    AS leak_frac
           FROM pg GROUP BY 1
+        """,
+        "events_ks_drift": f"""
+          WITH s AS (
+            SELECT name, round(value + 1e-09, 6) AS v,
+                   CASE WHEN t < {F0 + 15 * DAY} THEN 1 ELSE 0 END AS ca,
+                   CASE WHEN t < {F0 + 15 * DAY} THEN 0 ELSE 1 END AS cb
+            FROM ({_PTS})
+          ),
+          counts AS (
+            SELECT name, v, sum(ca) AS nav, sum(cb) AS nbv
+            FROM s GROUP BY 1, 2
+          ),
+          c AS (
+            SELECT *, sum(nav) OVER wc AS cum_a, sum(nbv) OVER wc AS cum_b,
+                   sum(nav) OVER wp AS n_a, sum(nbv) OVER wp AS n_b
+            FROM counts
+            WINDOW wc AS (PARTITION BY name ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wp AS (PARTITION BY name)
+          ),
+          g AS (
+            SELECT name, CAST(max(n_a) AS BIGINT) AS n_a,
+                   CAST(max(n_b) AS BIGINT) AS n_b,
+                   round(max(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     abs(cum_a / CAST(n_a AS DOUBLE)
+                         - cum_b / CAST(n_b AS DOUBLE)) END) + 1e-09, 6)
+                     AS ks_d
+            FROM c GROUP BY 1
+          )
+          SELECT name, n_a, n_b, ks_d + 0.0 AS ks_d,
+                 CASE WHEN ks_d IS NULL THEN NULL
+                      WHEN ks_d > round(1.358 * sqrt((n_a + n_b)
+                           / (CAST(n_a AS DOUBLE) * n_b)) + 1e-09, 6)
+                      THEN 1 ELSE 0 END AS reject
+          FROM g
         """,
     }

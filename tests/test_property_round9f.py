@@ -131,3 +131,33 @@ def test_mmr_lambda_one_matches_cosine_topk(spark, vecs):
            sorted(mmr_topk(df, q, k=5, lam=1.0, prefilter_m=12).collect(),
                   key=lambda r: r["rank"])]
     assert got == want
+
+
+@settings(**_SET)
+@given(
+    xs=st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False),
+                min_size=1, max_size=30),
+    ys=st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False),
+                min_size=1, max_size=30),
+)
+def test_ks_matches_python_ecdf_walk(spark, xs, ys):
+    """D must equal a literal python ECDF comparison over the union
+    of 6dp-rounded distinct values, including cross-side ties."""
+    from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+    def r6(v):
+        import math as m
+        y = v + 1e-9
+        s = 1.0 if y >= 0 else -1.0
+        return s * m.floor(abs(y) * 1e6 + 0.5) / 1e6
+
+    ra, rb = [r6(v) for v in xs], [r6(v) for v in ys]
+    want = max(
+        abs(sum(1 for v in ra if v <= u) / len(ra)
+            - sum(1 for v in rb if v <= u) / len(rb))
+        for u in sorted(set(ra) | set(rb))
+    )
+    a = spark.createDataFrame([(v,) for v in xs], "value double")
+    b = spark.createDataFrame([(v,) for v in ys], "value double")
+    r = ks_2sample(a, b, "value").collect()[0]
+    assert math.isclose(r["ks_d"], r6(want), abs_tol=2e-6), (r["ks_d"], want)

@@ -534,3 +534,64 @@ def test_split_leakage_no_expand_single_distinct(spark):
     df = spark.createDataFrame([("u", "train")], "user string, split string")
     plan = _plan(split_leakage(df, "user"))
     assert "Expand" not in plan, plan[:1200]
+
+
+# ------------------------------------------------- KS drift
+
+
+def test_ks_identical_samples_zero(spark):
+    from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+    a = spark.createDataFrame([(float(i % 5),) for i in range(20)], "value double")
+    r = ks_2sample(a, a, "value").collect()[0]
+    assert r["ks_d"] == 0.0 and r["reject"] == 0
+
+
+def test_ks_hand_computed_with_cross_side_tie(spark):
+    """a={1,2}, b={2,3}: ECDFs step at 1,2,3 -> F_a=(.5,1,1),
+    F_b=(0,.5,1), D=0.5; the shared value 2 must aggregate counts
+    from BOTH sides at one step."""
+    from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "value double")
+    r = ks_2sample(a, b, "value").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert math.isclose(r["ks_d"], 0.5)
+
+
+def test_ks_disjoint_rejects_at_scale(spark):
+    """Fully shifted samples: D=1; with 30 per side the Smirnov bound
+    (~0.35) rejects. With only 3 per side the SAME D=1 does NOT
+    reject — the flag carries the sample-size honesty."""
+    from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+    big_a = spark.createDataFrame([(float(i),) for i in range(30)], "value double")
+    big_b = spark.createDataFrame([(100.0 + i,) for i in range(30)], "value double")
+    r = ks_2sample(big_a, big_b, "value").collect()[0]
+    assert r["ks_d"] == 1.0 and r["reject"] == 1
+    small_a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "value double")
+    small_b = spark.createDataFrame([(11.0,), (12.0,), (13.0,)], "value double")
+    r2 = ks_2sample(small_a, small_b, "value").collect()[0]
+    assert r2["ks_d"] == 1.0 and r2["reject"] == 0
+
+
+def test_ks_empty_side_no_verdict(spark):
+    from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+    a = spark.createDataFrame([(1.0,)], "value double")
+    b = spark.createDataFrame([], "value double")
+    r = ks_2sample(a, b, "value").collect()[0]
+    assert r["ks_d"] is None and r["reject"] is None
+
+
+def test_ks_reduces_before_ordered_pass(spark):
+    """The distinct-value reduce happens BEFORE the cumulative
+    window: no join, and the first aggregate carries map-side
+    partials so nothing raw-sized ever sorts."""
+    from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+    a = spark.createDataFrame([("m", 1.0)], "name string, value double")
+    plan = _plan(ks_2sample(a, a, "value", group_cols=("name",)))
+    assert "Join" not in plan, plan[:800]
+    assert "partial_sum" in plan or "HashAggregate" in plan

@@ -651,6 +651,94 @@ def ops(spark):
             from_ms=1704067200000,
         ).agg(F.sum("breach"), F.count("*")).collect()
 
+    def op_offset_compare(d):
+        from v3io_tsdb_spark.operators.trend import offset_compare
+
+        return offset_compare(
+            _samples(d), series_cols=("name", "uid"), ts_col="ts",
+            step_ms=86_400_000, from_ms=1704067200000, offset_buckets=7,
+        ).agg(F.sum("delta"), F.count("*")).collect()
+
+    def op_table_profile(d):
+        from v3io_tsdb_spark.functions.profile import table_profile
+
+        docs = load_table(spark, d, "documents")
+        return table_profile(docs).collect()
+
+    def op_table_profile_approx(d):
+        from v3io_tsdb_spark.functions.profile import table_profile
+
+        docs = load_table(spark, d, "documents")
+        return table_profile(docs, approx=True).collect()
+
+    def op_kaplan_meier(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.cohorts import kaplan_meier_conversion
+
+        ev = load_table(spark, d, "events")
+        ev = ev.withColumn(
+            "ts_ms", ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        ).withColumn("event_type", F.col("event_type"))
+        return kaplan_meier_conversion(
+            ev, "user_id", "ts_ms", horizon_ms=1704067200000 + 7 * 86_400_000,
+            step_ms=21_600_000,
+        ).agg(F.sum("n_events"), F.count("*")).collect()
+
+    def op_mmr_topk(d):
+        from v3io_tsdb_spark.functions.similarity import mmr_topk
+
+        emb = load_table(spark, d, "embeddings")
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return mmr_topk(emb, qv, k=10, lam=0.7, prefilter_m=50).collect()
+
+    def op_fk_orphans(d):
+        from v3io_tsdb_spark.functions.profile import referential_orphans
+
+        child = load_table(spark, d, "events")
+        parent = load_table(spark, BASE, "events").select("user_id")
+        return referential_orphans(
+            child, parent, "user_id", "user_id"
+        ).collect()
+
+    def op_incident_timeline(d):
+        from v3io_tsdb_spark.operators.anomaly import alert_episodes
+        from v3io_tsdb_spark.operators.intervals import merge_intervals
+
+        s = _samples(d)
+        grid = s.groupBy(
+            "name",
+            (F.floor(F.col("ts") / 3_600_000) * 3_600_000)
+            .cast("long").alias("t"),
+        ).agg(F.round(F.avg("value") + 1e-9, 6).alias("v"))
+        flags = grid.withColumn("flag", (F.col("v") > 40).cast("int"))
+        eps = alert_episodes(flags, ("name",), "t", "flag", "v", 3_600_000)
+        iv = eps.select(
+            F.col("start_t").alias("start"),
+            (F.col("end_t") + 3_600_000).alias("end"),
+        )
+        return merge_intervals(iv).agg(
+            F.sum("covered"), F.count("*")
+        ).collect()
+
+    def op_ks_drift(d):
+        from v3io_tsdb_spark.functions.histogram import ks_2sample
+
+        s = _samples(d)
+        mid = 1704067200000 + 15 * 86_400_000
+        a = s.where(F.col("ts") < mid).select("name", "value")
+        b = s.where(F.col("ts") >= mid).select("name", "value")
+        return ks_2sample(a, b, "value", group_cols=("name",)).collect()
+
+    def op_split_leakage(d):
+        from v3io_tsdb_spark.functions.sampling import (
+            assign_split, split_leakage,
+        )
+
+        ev = load_table(spark, d, "events")
+        return split_leakage(
+            assign_split(ev, "event_id"), "user_id"
+        ).collect()
+
     return {
         "quality_rules": op_quality,
         "corpus_pipeline": op_corpus_pipeline,
@@ -708,6 +796,15 @@ def ops(spark):
         "alert_episodes": op_alert_episodes,
         "slo_burn": op_slo_burn,
         "bollinger": op_bollinger,
+        "offset_compare": op_offset_compare,
+        "table_profile": op_table_profile,
+        "table_profile_approx": op_table_profile_approx,
+        "kaplan_meier": op_kaplan_meier,
+        "mmr_topk": op_mmr_topk,
+        "fk_orphans": op_fk_orphans,
+        "incident_timeline": op_incident_timeline,
+        "split_leakage": op_split_leakage,
+        "ks_drift": op_ks_drift,
     }
 
 

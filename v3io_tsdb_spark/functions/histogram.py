@@ -243,3 +243,77 @@ def psi_drift(
         ((pa - pb) * F.log(pa / pb)).alias("psi_part"),
     )
     return scored.withColumn("psi", F.sum("psi_part").over(w))
+
+
+def ks_2sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+    alpha_c: float = 1.358,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per group — the
+    bin-free sibling of :func:`psi_drift`: D = max |ECDF_a − ECDF_b|,
+    sensitive to ANY distributional difference (location, scale,
+    shape) where PSI only sees mass moving between its fixed bins. The
+    large-sample rejection bound D > c(α)·sqrt((n_a+n_b)/(n_a·n_b))
+    ships as a flag with c(0.05) = 1.358 (Smirnov's asymptotic table,
+    public).
+
+    Scale-right plan — the naive formulation sorts every raw row per
+    group; this one never does: values are 6dp-rounded (the repo's
+    determinism boundary — D is then exact for the rounded data) and
+    each side reduces FIRST to per-distinct-value counts — a
+    partial-aggregable shuffle whose output is distinct-value-sized —
+    so the ordered cumulative pass runs over that bounded panel. Both
+    ECDFs step at every observed value from either side, which is
+    exactly where |F_a − F_b| attains its max. An empty side has no
+    ECDF: null D, no verdict (the try_divide convention).
+
+    Output per group: ``n_a, n_b, ks_d, reject``.
+    """
+    eps = 1e-9
+
+    def _tag(df, ca, cb):
+        return df.select(
+            *group_cols,
+            F.round(F.col(value_col) + eps, 6).alias("_v"),
+            F.lit(ca).alias("_ca"),
+            F.lit(cb).alias("_cb"),
+        )
+
+    u = _tag(a, 1, 0).unionByName(_tag(b, 0, 1))
+    counts = u.groupBy(*group_cols, "_v").agg(
+        F.sum("_ca").alias("_na_v"), F.sum("_cb").alias("_nb_v")
+    )
+    w_part = Window.partitionBy(*group_cols)
+    w_cum = w_part.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        counts.withColumn("_cum_a", F.sum("_na_v").over(w_cum))
+        .withColumn("_cum_b", F.sum("_nb_v").over(w_cum))
+        .withColumn("_n_a", F.sum("_na_v").over(w_part))
+        .withColumn("_n_b", F.sum("_nb_v").over(w_part))
+    )
+    diff = F.when(
+        (F.col("_n_a") > 0) & (F.col("_n_b") > 0),
+        F.abs(
+            F.col("_cum_a") / F.col("_n_a") - F.col("_cum_b") / F.col("_n_b")
+        ),
+    )
+    g = c.groupBy(*group_cols).agg(
+        F.first("_n_a").alias("n_a"),
+        F.first("_n_b").alias("n_b"),
+        F.round(F.max(diff) + eps, 6).alias("ks_d"),
+    )
+    crit = alpha_c * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+    )
+    reject = F.when(
+        F.col("ks_d").isNotNull(),
+        (F.col("ks_d") > F.round(crit + eps, 6)).cast("long"),
+    )
+    return g.select(
+        *group_cols, "n_a", "n_b", "ks_d", reject.alias("reject")
+    )
