@@ -163,6 +163,17 @@ HEADLINE = [
     "events_alert_episodes",
     "tsdb_slo_burn",
     "tsdb_adjusted_anomaly",
+    "tsdb_wow_daily",
+    "doc_table_profile",
+    "events_survival",
+    "emb_mmr_topk",
+    "tpch_fk_integrity",
+    "stream_alert_episodes",
+    "events_incident_timeline",
+    "events_split_leakage",
+    "events_ks_drift",
+    "tsdb_absent_hourly",
+    "stream_slo_burn",
 ]
 
 

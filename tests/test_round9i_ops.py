@@ -595,3 +595,98 @@ def test_ks_reduces_before_ordered_pass(spark):
     plan = _plan(ks_2sample(a, a, "value", group_cols=("name",)))
     assert "Join" not in plan, plan[:800]
     assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+# ------------------------------------------------- absent()
+
+
+def test_absent_buckets_golden(spark):
+    """Metric m reports hours 0,1,3 of a 0-4 window: absent rows are
+    exactly hours 2 and 4; a second metric with full coverage emits
+    nothing; a NEVER-seen metric cannot (the PromQL blind spot,
+    documented)."""
+    from v3io_tsdb_spark.operators.gaps import absent_buckets
+
+    rows = [("m", h * HOUR) for h in (0, 1, 3)] + [
+        ("k", h * HOUR) for h in range(5)
+    ]
+    df = spark.createDataFrame(rows, "name string, ts long")
+    out = sorted(
+        absent_buckets(df, ("name",), "ts", HOUR, 0, 4 * HOUR).collect(),
+        key=lambda r: (r["name"], r["t"]),
+    )
+    assert [(r["name"], r["t"] // HOUR, r["absent"]) for r in out] == [
+        ("m", 2, 1), ("m", 4, 1)
+    ]
+
+
+def test_absent_buckets_generated_not_exploded(spark):
+    """The expected grid comes from a sequence() over the DISTINCT
+    series set — the plan carries a Generate over the reduced keys
+    and an anti join, never a data-sized explode."""
+    from v3io_tsdb_spark.operators.gaps import absent_buckets
+
+    df = spark.createDataFrame([("m", 0)], "name string, ts long")
+    plan = _plan(absent_buckets(df, ("name",), "ts", HOUR, 0, 4 * HOUR))
+    assert "Generate explode" in plan, plan[:1500]
+    assert "LeftAnti" in plan, plan[:1500]
+
+
+# ------------------------------------------------- stream SLO burn
+
+
+def test_stream_slo_burn_matches_batch_on_closed(tmp_path, spark):
+    """The streaming ring replays the batch RANGE frames: a quiet
+    hour must contribute NOTHING to the long window (gap-safety) and
+    every closed bucket's burn pair matches the batch operator
+    bit-for-bit; the open last bucket is withheld."""
+    import json
+
+    from v3io_tsdb_spark.operators.counters import slo_burn_rate
+    from v3io_tsdb_spark.streaming.stateful import stream_slo_burn
+
+    # hours 0,1,2 then a HOLE at 3, then 4,5; hour 5 stays open
+    counts = {0: (1, 4), 1: (4, 4), 2: (0, 4), 4: (4, 4), 5: (1, 2)}
+    ev = []
+    for h, (err, tot) in counts.items():
+        ev += [("error", h * HOUR + i) for i in range(err)]
+        ev += [("view", h * HOUR + 1000 + i) for i in range(tot - err)]
+    in_dir = tmp_path / "slo_in"
+    in_dir.mkdir()
+    (in_dir / "b.json").write_text(
+        "\n".join(json.dumps({"ts": t, "name": n, "value": 0.0})
+                  for n, t in sorted(ev, key=lambda x: x[1]))
+    )
+    raw = spark.readStream.schema("ts long, name string, value double").json(
+        str(in_dir)
+    )
+    out = stream_slo_burn(raw, step_ms=HOUR, short_buckets=1,
+                          long_buckets=3, slo_target=0.75,
+                          burn_threshold=1.0)
+    q = (out.writeStream.format("memory").queryName("slo_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "slo_ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["t"] // HOUR: r for r in spark.sql("SELECT * FROM slo_out").collect()}
+    assert set(got) == {0, 1, 2, 4}  # hour 5 open; hole at 3 never existed
+    batch_in = spark.createDataFrame(
+        [(n, t) for n, t in ev], "name string, t long"
+    )
+    want = {r["t"] // HOUR: r for r in slo_burn_rate(
+        batch_in, error_name="error", ts_col="t", step_ms=HOUR,
+        from_ms=0, short_buckets=1, long_buckets=3, slo_target=0.75,
+        burn_threshold=1.0,
+    ).collect() if r["t"] // HOUR != 5}
+    assert set(want) == set(got)
+    for h in got:
+        g, w = got[h], want[h]
+        assert (g["errors"], g["total"]) == (w["errors"], w["total"])
+        assert g["burn_short"] == w["burn_short"]
+        assert g["burn_long"] == w["burn_long"]
+        assert g["page"] == w["page"]
+    # the hole: hour 4's long window spans hours 2-4 but only 2 and 4
+    # exist -> (0+4)/(4+4)/0.25 = 2.0, NOT diluted by a phantom hour 3
+    assert got[4]["burn_long"] == 2.0

@@ -720,6 +720,14 @@ def ops(spark):
             F.sum("covered"), F.count("*")
         ).collect()
 
+    def op_absent(d):
+        from v3io_tsdb_spark.operators.gaps import absent_buckets
+
+        return absent_buckets(
+            _samples(d), ("name",), "ts", 3_600_000,
+            1704067200000, 1706745600000,
+        ).agg(F.count("*")).collect()
+
     def op_ks_drift(d):
         from v3io_tsdb_spark.functions.histogram import ks_2sample
 
@@ -805,6 +813,7 @@ def ops(spark):
         "incident_timeline": op_incident_timeline,
         "split_leakage": op_split_leakage,
         "ks_drift": op_ks_drift,
+        "absent_buckets": op_absent,
     }
 
 

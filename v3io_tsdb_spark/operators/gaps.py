@@ -98,3 +98,54 @@ def interarrival_stats(
         F.try_divide(F.col("_sd"), F.col("mean_gap_ms")).alias("cv_gap"),
         "min_gap_ms",
     )
+
+
+def absent_buckets(
+    df: DataFrame,
+    series_cols: tuple = ("name",),
+    ts_col: str = "ts",
+    step_ms: int = 3_600_000,
+    from_ms: int = 0,
+    to_ms: int = 0,
+) -> DataFrame:
+    """PromQL ``absent()`` analog: the buckets where a KNOWN series
+    reported nothing — the alert you need when an exporter dies,
+    because every threshold rule silently passes on missing data
+    (the complement of the reference's empty-bucket suppression, A10
+    pkg/aggregate/iterator.go; gap_report summarizes holes per
+    series, this MATERIALIZES them as rows a rule can fire on).
+
+    The series universe is the distinct key set observed in the
+    window (absent() on a never-seen series is unanswerable from data
+    alone — PromQL shares the blind spot). Densification is
+    scan-free: the stream reduces to its distinct (series, bucket)
+    grid (partial-aggregable), the |series|-row key set explodes a
+    ``sequence()`` of bucket starts — |series|×|buckets| GENERATED
+    rows, never a data-sized explode — and the observed grid
+    anti-joins away. Output is exactly the holes.
+    """
+    bucket = (
+        F.lit(from_ms)
+        + F.floor((F.col(ts_col) - from_ms) / step_ms) * step_ms
+    ).cast("long")
+    grid = (
+        df.where(F.col(ts_col).between(from_ms, to_ms))
+        .select(*series_cols, bucket.alias("t"))
+        .distinct()
+    )
+    expected = (
+        grid.select(*series_cols)
+        .distinct()
+        .select(
+            *series_cols,
+            F.explode(
+                F.sequence(
+                    F.lit(from_ms),
+                    F.lit(from_ms + ((to_ms - from_ms) // step_ms) * step_ms),
+                    F.lit(step_ms),
+                )
+            ).alias("t"),
+        )
+    )
+    holes = expected.join(grid, [*series_cols, "t"], "left_anti")
+    return holes.select(*series_cols, "t", F.lit(1).alias("absent"))

@@ -632,3 +632,160 @@ def stream_alert_episodes(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SLO_OUT_SCHEMA = StructType(
+    [
+        StructField("t", LongType()),
+        StructField("errors", LongType()),
+        StructField("total", LongType()),
+        StructField("burn_short", DoubleType()),
+        StructField("burn_long", DoubleType()),
+        StructField("page", LongType()),
+    ]
+)
+_SLO_STATE_SCHEMA = StructType(
+    [
+        StructField("ring_t", ArrayType(LongType())),
+        StructField("ring_err", ArrayType(LongType())),
+        StructField("ring_tot", ArrayType(LongType())),
+        StructField("cur_t", LongType()),
+        StructField("cur_err", LongType()),
+        StructField("cur_tot", LongType()),
+    ]
+)
+
+
+def _make_slo_fn(
+    step_ms: int,
+    error_name: str,
+    short_buckets: int,
+    long_buckets: int,
+    slo_target: float,
+    burn_threshold: float,
+):
+    budget = 1.0 - slo_target
+
+    def _r6(x: float) -> float:
+        import math as _m
+
+        y = x + 1e-9
+        s = 1.0 if y >= 0 else -1.0
+        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+
+    def _fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Global SLO burn, live: ONE state group (the SLO is one
+        series) holding the trailing ring of closed (t, errors,
+        total) buckets. Each bucket closes on advance and immediately
+        yields its two trailing-INCLUSIVE gap-safe window ratios —
+        entries selected by TIMESTAMP, so a quiet hour contributes
+        nothing instead of sliding older traffic in (the batch RANGE
+        frame, replayed). Integer sums → identical doubles → the
+        stream hash-matches the batch SQL on every closed bucket."""
+        if state.exists:
+            ring_t, ring_err, ring_tot, cur_t, cur_err, cur_tot = state.get
+            ring = list(zip(ring_t, ring_err, ring_tot))
+        else:
+            ring, cur_t, cur_err, cur_tot = [], None, 0, 0
+        out = {
+            "t": [], "errors": [], "total": [],
+            "burn_short": [], "burn_long": [], "page": [],
+        }
+
+        def close(t, err, tot):
+            ring.append((t, err, tot))
+            lo = t - (long_buckets - 1) * step_ms
+            ring[:] = [e for e in ring if e[0] >= lo]
+
+            def burn(n):
+                cut = t - (n - 1) * step_ms
+                es = sum(e for tt, e, _ in ring if tt >= cut)
+                ts_ = sum(x for tt, _, x in ring if tt >= cut)
+                return (es / ts_) / budget if ts_ > 0 else None
+
+            bs, bl = burn(short_buckets), burn(long_buckets)
+            page = int(
+                bs is not None and bl is not None
+                and _r6(bs) > burn_threshold and _r6(bl) > burn_threshold
+            )
+            out["t"].append(t)
+            out["errors"].append(err)
+            out["total"].append(tot)
+            out["burn_short"].append(bs)
+            out["burn_long"].append(bl)
+            out["page"].append(page)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"ts": [], "name": []})
+        )
+        for ts, name in batch.sort_values("ts")[["ts", "name"]].values:
+            b = (int(ts) // step_ms) * step_ms
+            e = int(name == error_name)
+            if cur_t is None:
+                cur_t, cur_err, cur_tot = b, e, 1
+            elif b == cur_t:
+                cur_err, cur_tot = cur_err + e, cur_tot + 1
+            elif b > cur_t:
+                close(cur_t, cur_err, cur_tot)
+                cur_t, cur_err, cur_tot = b, e, 1
+            # b < cur_t: late for a closed bucket -> dropped
+        state.update((
+            [e[0] for e in ring], [e[1] for e in ring], [e[2] for e in ring],
+            cur_t, cur_err, cur_tot,
+        ))
+        yield pd.DataFrame(out)
+
+    return _fn
+
+
+def stream_slo_burn(
+    stream_df: DataFrame,
+    error_name: str = "error",
+    step_ms: int = 3_600_000,
+    short_buckets: int = 1,
+    long_buckets: int = 6,
+    slo_target: float = 0.99,
+    burn_threshold: float = 6.0,
+    key_col: str | None = None,
+) -> DataFrame:
+    """STREAMING twin of :func:`operators.counters.slo_burn_rate`:
+    the SRE two-window page evaluated the moment each bucket closes —
+    the deployed shape of the alert (batch recomputes the panel per
+    dashboard refresh; this carries O(long_buckets) state per key and
+    pages in-stream).
+
+    ``key_col=None`` is the batch twin's GLOBAL SLO: one state group,
+    so the whole event stream funnels through one Python worker —
+    inherent to a single global alert and bounded by one service's
+    event rate in practice, but NOT the fleet shape. At scale the
+    deployment keys the SLO (``key_col="service"``): state and
+    traffic then partition per service like every other stateful
+    twin. The hash gate runs the global form because that is what
+    the batch operator computes."""
+    key = (
+        F.col(key_col).cast("string") if key_col is not None
+        else F.lit("slo")
+    )
+    return (
+        stream_df.select(
+            key.alias("slo_key"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("name").cast("string").alias("name"),
+        )
+        .groupBy("slo_key")
+        .applyInPandasWithState(
+            _make_slo_fn(
+                step_ms, error_name, short_buckets, long_buckets,
+                slo_target, burn_threshold,
+            ),
+            outputStructType=_SLO_OUT_SCHEMA,
+            stateStructType=_SLO_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
