@@ -2600,10 +2600,18 @@ def q_doc_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI over co-occurring trigram shingles (X87): phrase pairs
     appearing together in documents far above chance — the template-
     structure detector. df-capped inverted index (4 <= df <= 100)
-    bounds the per-doc pair blowup; pairs with c_ab >= 3 reported."""
+    bounds the per-doc pair blowup; pairs with c_ab >= 3 reported.
+    Served from the PERSISTED shingle index (X18 postings + df
+    sidecar) like every other sketch query — shingling and df
+    counting ran once at ingest, so the query is the pair join, not
+    a corpus re-shingle (r9: the recompute was the heaviest bench
+    row at 4.9s warm; indexed it is ~2s)."""
     from v3io_tsdb_spark.functions.text import cooccur_pmi
 
-    return cooccur_pmi(_docs_scattered(spark, sf_dir))
+    return cooccur_pmi(
+        _docs_scattered(spark, sf_dir),
+        inv=_shingle_ensure_index(spark, sf_dir),
+    )
 
 
 def q_events_hampel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -690,3 +690,34 @@ def test_stream_slo_burn_matches_batch_on_closed(tmp_path, spark):
     # the hole: hour 4's long window spans hours 2-4 but only 2 and 4
     # exist -> (0+4)/(4+4)/0.25 = 2.0, NOT diluted by a phantom hour 3
     assert got[4]["burn_long"] == 2.0
+
+
+# ------------------------------------------------- indexed PMI
+
+
+def test_cooccur_pmi_indexed_equals_recompute(tmp_path, spark):
+    """The persisted-shingle-index serving path must return exactly
+    the recompute path's rows (the X18 equivalence contract, applied
+    to PMI like winnow/jaccard/minhash before it)."""
+    from v3io_tsdb_spark.functions.dedup import (
+        read_shingle_index, shingle_write_index,
+    )
+    from v3io_tsdb_spark.functions.text import cooccur_pmi
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " * 3) + f"tail{i % 2}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sh_idx")
+    shingle_write_index(docs, path)
+    kw = dict(min_df=2, max_df=8, min_pair=2)
+    direct = {(r["term_a"], r["term_b"]): r for r in
+              cooccur_pmi(docs, **kw).collect()}
+    indexed = {(r["term_a"], r["term_b"]): r for r in
+               cooccur_pmi(docs, inv=read_shingle_index(spark, path),
+                           **kw).collect()}
+    assert set(direct) == set(indexed) and len(direct) > 0
+    for k in direct:
+        assert direct[k]["c_ab"] == indexed[k]["c_ab"]
+        assert direct[k]["pmi"] == indexed[k]["pmi"]

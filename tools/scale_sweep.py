@@ -340,6 +340,24 @@ def ops(spark):
 
         return cooccur_pmi(docs(d)).agg(F.sum("pmi"), F.count("*")).collect()
 
+    def op_cooccur_pmi_indexed(d):
+        # the deployed read path since r9: shingling + df counting ran
+        # at ingest (shingle_write_index, untimed here); this row
+        # measures the pair join alone — the `cooccur_pmi` row above
+        # keeps measuring the ingest-side compute shape
+        from v3io_tsdb_spark.functions.dedup import (
+            read_shingle_index,
+            shingle_write_index,
+        )
+        from v3io_tsdb_spark.functions.text import cooccur_pmi
+
+        path = os.path.join(d, "_shingle_idx")
+        if not os.path.exists(os.path.join(path, "df", "_SUCCESS")):
+            shingle_write_index(docs(d), path)
+        return cooccur_pmi(
+            docs(d), inv=read_shingle_index(spark, path)
+        ).agg(F.sum("pmi"), F.count("*")).collect()
+
     def op_centroid_profile(d):
         from v3io_tsdb_spark.functions.similarity import centroid_profile
 
@@ -774,6 +792,7 @@ def ops(spark):
         "zipf_fit": op_zipf,
         "logprob_profile": op_logprob_profile,
         "cooccur_pmi": op_cooccur_pmi,
+        "cooccur_pmi_indexed": op_cooccur_pmi_indexed,
         "centroid_profile": op_centroid_profile,
         "trailing_hampel": op_hampel,
         "pq_topk_indexed": op_pq_topk,

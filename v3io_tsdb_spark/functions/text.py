@@ -998,6 +998,7 @@ def cooccur_pmi(
     min_df: int = 4,
     max_df: int = 100,
     min_pair: int = 3,
+    inv: tuple | None = None,
 ) -> DataFrame:
     """Pointwise mutual information over co-occurring n-gram shingles:
     which phrase pairs appear in the same documents far more often
@@ -1024,13 +1025,23 @@ def cooccur_pmi(
     from v3io_tsdb_spark.functions.dedup import shingles_col
 
     eps = 1e-9
-    inv = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("g"),
-    )
-    dfreq = inv.groupBy("g").agg(F.count("*").alias("c"))
+    if inv is not None:
+        # persisted shingle index (X18): postings (id, n_sh, g, h60) +
+        # (g, df) sidecar — shingling and document-frequency counting
+        # ran once at ingest; this query is two parquet scans (the
+        # winnow-serving rule, r8 verdict #6: measured ~6s of
+        # re-shingle + df-count upstream gone at sf0.1)
+        postings, sidecar = inv
+        idx = postings.select(F.col("id"), F.col("g"))
+        dfreq = sidecar.select("g", F.col("df").alias("c"))
+    else:
+        idx = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles_col(F.col(text_col), n)).alias("g"),
+        )
+        dfreq = idx.groupBy("g").agg(F.count("*").alias("c"))
     kept = dfreq.where((F.col("c") >= min_df) & (F.col("c") <= max_df))
-    capped = inv.join(kept, "g").select("id", "g", "c")
+    capped = idx.join(kept, "g").select("id", "g", "c")
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, (F.col("a.id") == F.col("b.id")) & (F.col("a.g") < F.col("b.g")))
