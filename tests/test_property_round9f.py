@@ -161,3 +161,40 @@ def test_ks_matches_python_ecdf_walk(spark, xs, ys):
     b = spark.createDataFrame([(v,) for v in ys], "value double")
     r = ks_2sample(a, b, "value").collect()[0]
     assert math.isclose(r["ks_d"], r6(want), abs_tol=2e-6), (r["ks_d"], want)
+
+
+@settings(**_SET)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=1, max_value=15),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    gap=st.integers(min_value=0, max_value=3),
+)
+def test_merge_intervals_matches_python_sweep(spark, ivs, gap):
+    """Merged blocks must equal a literal python sweep (sort by
+    (start, end), extend while start <= running_end + gap), for any
+    interval soup including nested and duplicate intervals."""
+    from v3io_tsdb_spark.operators.intervals import merge_intervals
+
+    intervals = sorted((s, s + l) for s, l in ivs)
+    blocks, counts = [], []
+    for s, e in intervals:
+        if blocks and s <= blocks[-1][1] + gap:
+            blocks[-1][1] = max(blocks[-1][1], e)
+            counts[-1] += 1
+        else:
+            blocks.append([s, e])
+            counts.append(1)
+    want = [(b[0], b[1], c, b[1] - b[0]) for b, c in zip(blocks, counts)]
+    df = spark.createDataFrame([(s, e) for s, e in intervals],
+                               "start long, end long")
+    got = sorted(
+        ((r["start"], r["end"], r["n_merged"], r["covered"])
+         for r in merge_intervals(df, merge_gap=gap).collect()),
+    )
+    assert got == sorted(want)
