@@ -3248,6 +3248,29 @@ def q_stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_hw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (X141): triple exponential smoothing per
+    metric over the dense 30-day grid (m=7, alpha/beta/gamma =
+    .3/.1/.2), emitting the pre-update one-step fitted value and
+    residual per bucket plus the h=1 forecast on the last row — the
+    repo's second sequential-recursion hash oracle (kmeans applied in
+    time): every state write rounds 6dp half-up, so the python
+    recursion and the programmatically unrolled 23-step DuckDB CTE
+    chain stay bit-identical."""
+    from v3io_tsdb_spark.operators.trend import holt_winters
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = holt_winters(
+        s, series_cols=("name",), ts_col="ts", value_col="value",
+        step_ms=DAY, from_ms=F0, n_buckets=30, period=7,
+        alpha=0.3, beta=0.1, gamma=0.2,
+    )
+    return out.select(
+        "name", "t", _rz("x", 6), _rz("fitted", 6), _rz("residual", 6),
+        _rz("forecast", 6),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3265,14 +3288,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     persisted index instead of recomputing; same rows, append==rebuild
     pytest-proven) so its r8 row + the r9 local hash sweep carry it.
 
-    At 159 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a ~4-window cycle (ceil(159/50) = 4; the bound
+    At 160 registered queries the 50-slot gate is SATURATED: the
+    rotation is now a ~4-window cycle (ceil(160/50) = 4; the bound
     rises to 3 rounds as the registry crosses 150 — noted for the
     judge's age audit) — each round the
     50 queries whose newest driver rows are OLDEST move into the head,
     so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 61 queries NEW this round (X80-X140) sit at the very end
-    (positions 98-158): their r9 evidence is the local 159/159 hash
+    The 62 queries NEW this round (X80-X141) sit at the very end
+    (positions 98-159): their r9 evidence is the local 160/160 hash
     sweep; their first driver gate is r10 — the r10 head should be
     the 50 oldest-evidence rows of this layout (the r8-evidenced tail
     plus the oldest net-new), r11 takes the remainder plus the
@@ -3449,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_drift": q_events_ks_drift,
         "tsdb_absent_hourly": q_tsdb_absent_hourly,
         "stream_slo_burn": q_stream_slo_burn,
+        "tsdb_hw_daily": q_tsdb_hw_daily,
     }
 
 
@@ -3547,6 +3571,82 @@ def _mmr_oracle_sql(k: int = 10, lam: float = 0.7, m: int = 50) -> str:
          rel + 0.0 AS relevance, msim + 0.0 AS max_sim,
          score + 0.0 AS mmr_score
   FROM ({union})"""
+
+
+def _hw_oracle_sql(
+    n: int = 31, m: int = 7,
+    alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2,
+) -> str:
+    """Unrolled Holt-Winters recursion as a CTE chain — the oracle
+    twin of trend.holt_winters, built the way _kmeans_oracle_sql
+    unrolls Lloyd rounds but stepping in TIME: state (l, b, s0..s6)
+    updates once per bucket t = m..n-1, every write rounded 6dp, so
+    the chain replays the engine's recursion bit-for-bit. Literals
+    like ``{1 - alpha!r}`` embed the exact float64 the engine uses."""
+    a, b_, g_ = alpha, beta, gamma
+    oa, ob, og = 1 - alpha, 1 - beta, 1 - gamma
+    E = "1e-09"
+    scols = ", ".join(f"s{j}" for j in range(m))
+    sel_x = ", ".join(
+        f"round(max(CASE WHEN i = {j} THEN x END) - mean1 + {E}, 6) AS s{j}"
+        for j in range(m)
+    )
+    parts = [f"""WITH grid AS MATERIALIZED (
+    SELECT name, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS bt,
+           round(avg(value) + {E}, 6) AS x
+    FROM ({_PTS}) WHERE t < {F0} + {n * DAY}
+    GROUP BY 1, 2
+  ),
+  g AS MATERIALIZED (
+    SELECT name, bt, x, (bt - {F0}) // {DAY} AS i FROM grid
+    WHERE name IN (SELECT name FROM grid GROUP BY 1 HAVING count(*) = {n})
+  ),
+  init AS (
+    SELECT name,
+           round(avg(CASE WHEN i < {m} THEN x END) + {E}, 6) AS mean1,
+           round(avg(CASE WHEN i >= {m} AND i < {2 * m} THEN x END)
+                 + {E}, 6) AS mean2,
+           {sel_x}
+    FROM g GROUP BY 1
+  ),
+  st{m - 1} AS (
+    SELECT name, mean1 AS l,
+           round((mean2 - mean1) / {m} + {E}, 6) AS b, {scols}
+    FROM init
+  )"""]
+    for t in range(m, n):
+        j = t % m
+        s_new = ", ".join(
+            (f"round({g_!r} * (x - l_new) + {og!r} * s{k} + {E}, 6) AS s{k}"
+             if k == j else f"s{k}")
+            for k in range(m)
+        )
+        parts.append(f""",
+  tmp{t} AS (
+    SELECT p.name, g.bt, g.x, p.l, p.b, {scols},
+           round(p.l + p.b + p.s{j} + {E}, 6) AS fitted,
+           round({a!r} * (g.x - p.s{j}) + {oa!r} * (p.l + p.b)
+                 + {E}, 6) AS l_new
+    FROM st{t - 1} p JOIN g ON g.name = p.name AND g.i = {t}
+  ),
+  st{t} AS (
+    SELECT name, l_new AS l,
+           round({b_!r} * (l_new - l) + {ob!r} * b + {E}, 6) AS b,
+           {s_new}
+    FROM tmp{t}
+  )""")
+    rows = " UNION ALL ".join(
+        f"SELECT name, bt, x, fitted, {t} AS step FROM tmp{t}"
+        for t in range(m, n)
+    )
+    jf = n % m
+    return "".join(parts) + f""",
+  fc AS (SELECT name, round(l + b + s{jf} + {E}, 6) AS forecast
+         FROM st{n - 1})
+  SELECT r.name, r.bt AS t, r.x + 0.0 AS x, r.fitted + 0.0 AS fitted,
+         round(r.x - r.fitted + {E}, 6) + 0.0 AS residual,
+         CASE WHEN r.step = {n - 1} THEN fc.forecast END + 0.0 AS forecast
+  FROM ({rows}) r JOIN fc ON fc.name = r.name"""
 
 
 def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
@@ -5226,6 +5326,8 @@ def oracle_sql() -> dict[str, str]:
           FROM st
         """,
         "emb_kmeans_profile": _kmeans_oracle_sql(k=4, n_iter=3, dim=64),
+        "tsdb_hw_daily": _hw_oracle_sql(n=30, m=7, alpha=0.3, beta=0.1,
+                                        gamma=0.2),
         "emb_mmr_topk": _mmr_oracle_sql(k=10, lam=0.7, m=50),
         "tpch_fk_integrity": " UNION ALL ".join(
             f"""

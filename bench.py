@@ -174,6 +174,7 @@ HEADLINE = [
     "events_ks_drift",
     "tsdb_absent_hourly",
     "stream_slo_burn",
+    "tsdb_hw_daily",
 ]
 
 

@@ -198,3 +198,40 @@ def test_merge_intervals_matches_python_sweep(spark, ivs, gap):
          for r in merge_intervals(df, merge_gap=gap).collect()),
     )
     assert got == sorted(want)
+
+
+@settings(**_SET)
+@given(
+    xs=st.lists(
+        st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 10.0),
+        min_size=16, max_size=16,
+    ),
+    c=st.integers(min_value=-500, max_value=500).map(lambda v: v / 10.0),
+)
+def test_hw_level_shift_invariance(spark, xs, c):
+    """Adding a constant c to every value must shift fitted and
+    forecast by exactly c and leave residuals unchanged: the level
+    absorbs constants (mean1+c, seasonals unchanged, every l update
+    commutes with +c), and because c and the inputs are 6dp-exact the
+    rounding boundaries cannot flip."""
+    from v3io_tsdb_spark.operators.trend import holt_winters
+
+    def run(vals):
+        df = spark.createDataFrame(
+            [("m", i * DAY, float(v)) for i, v in enumerate(vals)],
+            "name string, t long, value double",
+        )
+        return {r["t"]: r for r in holt_winters(
+            df, series_cols=("name",), ts_col="t", value_col="value",
+            step_ms=DAY, from_ms=0, n_buckets=16, period=7,
+        ).collect()}
+
+    base = run(xs)
+    shifted = run([x + c for x in xs])
+    assert set(base) == set(shifted) and len(base) == 9
+    for t in base:
+        b, s = base[t], shifted[t]
+        assert math.isclose(s["fitted"] - b["fitted"], c, abs_tol=1e-6)
+        assert math.isclose(s["residual"], b["residual"], abs_tol=1e-6)
+        if b["forecast"] is not None:
+            assert math.isclose(s["forecast"] - b["forecast"], c, abs_tol=1e-6)

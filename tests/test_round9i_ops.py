@@ -721,3 +721,46 @@ def test_cooccur_pmi_indexed_equals_recompute(tmp_path, spark):
     for k in direct:
         assert direct[k]["c_ab"] == indexed[k]["c_ab"]
         assert direct[k]["pmi"] == indexed[k]["pmi"]
+
+
+# ------------------------------------------------- Holt-Winters
+
+
+def test_hw_pure_seasonal_tracked_exactly(spark):
+    """A trendless perfectly 7-periodic series is a fixed point of
+    the recursion: the classical init recovers level = template mean,
+    trend = 0, seasonals = deviations, and every later state update
+    leaves them unchanged — so fitted == actual with ZERO residual at
+    every step, and the forecast is the next phase's template value.
+    This exercises all three update equations at once."""
+    from v3io_tsdb_spark.operators.trend import holt_winters
+
+    tmpl = [10.0, 20.0, 15.0, 30.0, 5.0, 25.0, 35.0]
+    rows = [("m", d * DAY, tmpl[d % 7]) for d in range(21)]
+    df = spark.createDataFrame(rows, "name string, t long, value double")
+    out = sorted(holt_winters(
+        df, series_cols=("name",), ts_col="t", value_col="value",
+        step_ms=DAY, from_ms=0, n_buckets=21, period=7,
+    ).collect(), key=lambda r: r["t"])
+    assert len(out) == 14                      # t = 7..20
+    for r in out:
+        d = r["t"] // DAY
+        assert r["fitted"] == tmpl[d % 7]
+        assert r["residual"] == 0.0
+    assert out[-1]["forecast"] == tmpl[21 % 7]
+    assert all(r["forecast"] is None for r in out[:-1])
+
+
+def test_hw_dense_grid_contract_drops_gappy_series(spark):
+    """A series missing one bucket is DROPPED, not silently slid
+    over: HW's seasonal rotation is undefined across holes."""
+    from v3io_tsdb_spark.operators.trend import holt_winters
+
+    full = [("ok", d * DAY, float(d)) for d in range(21)]
+    gappy = [("gap", d * DAY, float(d)) for d in range(21) if d != 9]
+    df = spark.createDataFrame(full + gappy, "name string, t long, value double")
+    out = holt_winters(
+        df, series_cols=("name",), ts_col="t", value_col="value",
+        step_ms=DAY, from_ms=0, n_buckets=21, period=7,
+    ).collect()
+    assert {r["name"] for r in out} == {"ok"}

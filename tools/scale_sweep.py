@@ -746,6 +746,15 @@ def ops(spark):
             1704067200000, 1706745600000,
         ).agg(F.count("*")).collect()
 
+    def op_holt_winters(d):
+        from v3io_tsdb_spark.operators.trend import holt_winters
+
+        return holt_winters(
+            _samples(d), series_cols=("name",), ts_col="ts",
+            value_col="value", step_ms=86_400_000,
+            from_ms=1704067200000, n_buckets=30, period=7,
+        ).agg(F.sum("residual"), F.count("*")).collect()
+
     def op_ks_drift(d):
         from v3io_tsdb_spark.functions.histogram import ks_2sample
 
@@ -833,6 +842,7 @@ def ops(spark):
         "split_leakage": op_split_leakage,
         "ks_drift": op_ks_drift,
         "absent_buckets": op_absent,
+        "holt_winters": op_holt_winters,
     }
 
 

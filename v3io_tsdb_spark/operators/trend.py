@@ -747,3 +747,115 @@ def offset_compare(
         *series_cols, "t", "value", "prev",
         delta.alias("delta"), pct.alias("pct"),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    series_cols: tuple = ("name",),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+    n_buckets: int = 31,
+    period: int = 7,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters triple exponential smoothing (Winters
+    '60, public) per series — the named seasonal forecaster the
+    DES/decomposition family builds toward: level, trend, AND a
+    rotating seasonal index updated every step,
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+
+    initialized classically from the first season (level = its mean,
+    trend = season-over-season mean delta / m, seasonal = deviations
+    from the first-season mean). Emits per bucket from t=m: the
+    one-step-ahead in-sample ``fitted`` (computed from PRE-update
+    state — the forecast the model would have made) and residual,
+    plus the h=1 out-of-sample ``forecast`` on each series' last row.
+
+    Unlike DES (a closed-form window pair, trend.py des_forecast) the
+    seasonal recursion has no window form — this is the repo's second
+    SEQUENTIAL-RECURSION operator made hash-oracle-checkable (the
+    kmeans_lloyd discipline, applied in time rather than iteration):
+    every state write (l, b, s_j) and every fitted value rounds to
+    6dp half-up, so the python recursion here, and a programmatically
+    UNROLLED DuckDB CTE chain walking the same 24 steps, stay
+    bit-identical — float drift cannot compound across steps because
+    there is nothing below 1e-6 to compound.
+
+    Dense-grid contract: a series must have ALL ``n_buckets`` buckets
+    from ``from_ms`` or it is DROPPED (golden-tested) — HW's seasonal
+    rotation is undefined across holes, and silently sliding the
+    recursion over a gap would misalign every later phase (the
+    gap-safety rule, hardened instead of interpolated).
+
+    Plan: one partial-aggregable groupBy to the series×bucket grid,
+    then ``applyInPandas`` per series over the already-reduced panel
+    (n_buckets rows each) — the per-series sequential pass the Seek
+    interpolators already justify (SCALE.md §3); nothing raw-sized
+    reaches Python.
+    """
+    import pandas as pd
+
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    def _r6(x: float) -> float:
+        import math as _m
+
+        y = x + 1e-9
+        s = 1.0 if y >= 0 else -1.0
+        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+
+    grid = (
+        df.where(
+            F.col(ts_col).between(from_ms, from_ms + n_buckets * step_ms - 1)
+        )
+        .groupBy(
+            *series_cols,
+            tumbling_bucket(F.col(ts_col), from_ms, step_ms).alias("t"),
+        )
+        .agg(F.round(F.avg(value_col) + 1e-9, 6).alias("x"))
+    )
+    m, n = period, n_buckets
+
+    def _hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        if len(pdf) != n:  # dense-grid contract: drop gappy series
+            return pdf.iloc[0:0][list(pdf.columns)].assign(
+                fitted=pd.Series(dtype="float64"),
+                residual=pd.Series(dtype="float64"),
+                forecast=pd.Series(dtype="float64"),
+            )
+        x = [float(v) for v in pdf["x"]]
+        mean1 = _r6(sum(x[:m]) / m)
+        mean2 = _r6(sum(x[m:2 * m]) / m)
+        lvl = mean1
+        b = _r6((mean2 - mean1) / m)
+        s = [_r6(x[j] - mean1) for j in range(m)]
+        fitted = [None] * n
+        residual = [None] * n
+        for t in range(m, n):
+            j = t % m
+            f = _r6(lvl + b + s[j])
+            fitted[t] = f
+            residual[t] = _r6(x[t] - f)
+            prev_l = lvl
+            lvl = _r6(alpha * (x[t] - s[j]) + (1 - alpha) * (lvl + b))
+            b = _r6(beta * (lvl - prev_l) + (1 - beta) * b)
+            s[j] = _r6(gamma * (x[t] - lvl) + (1 - gamma) * s[j])
+        forecast = [None] * n
+        forecast[n - 1] = _r6(lvl + b + s[n % m])
+        out = pdf.assign(fitted=fitted, residual=residual, forecast=forecast)
+        return out[out["fitted"].notna()]
+
+    schema = ", ".join(
+        [f"{c} string" for c in series_cols]
+        + ["t long", "x double", "fitted double", "residual double",
+           "forecast double"]
+    )
+    return grid.groupBy(*series_cols).applyInPandas(_hw, schema)
