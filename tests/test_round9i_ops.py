@@ -764,3 +764,83 @@ def test_hw_dense_grid_contract_drops_gappy_series(spark):
         step_ms=DAY, from_ms=0, n_buckets=21, period=7,
     ).collect()
     assert {r["name"] for r in out} == {"ok"}
+
+
+# ------------------------------------------------- edge cases
+
+
+def test_hw_rejects_insufficient_history(spark):
+    """n_buckets < 2*period would average a PARTIAL second season by
+    m on one engine and by its true count on another — refused at
+    call time instead of silently diverging."""
+    import pytest
+
+    from v3io_tsdb_spark.operators.trend import holt_winters
+
+    df = spark.createDataFrame([("m", 0, 1.0)], "name string, t long, value double")
+    with pytest.raises(ValueError, match="2\\*period"):
+        holt_winters(df, series_cols=("name",), ts_col="t",
+                     value_col="value", step_ms=DAY, from_ms=0,
+                     n_buckets=10, period=7)
+
+
+def test_table_profile_empty_frame(spark):
+    from v3io_tsdb_spark.functions.profile import table_profile
+
+    df = spark.createDataFrame([], "id long, s string")
+    out = {r["column"]: r for r in table_profile(df).collect()}
+    assert out["id"]["n_rows"] == 0 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 0
+    assert out["id"]["min_num"] is None and out["s"]["max_str"] is None
+
+
+def test_referential_orphans_empty_child(spark):
+    from v3io_tsdb_spark.functions.profile import referential_orphans
+
+    child = spark.createDataFrame([], "k long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    r = referential_orphans(child, parent, "k", "pk").collect()[0]
+    assert r["n_child_rows"] == 0 and r["n_orphan_rows"] == 0
+    assert r["n_orphan_keys"] == 0
+
+
+def test_km_conversion_nobody_in_study(spark):
+    """Every first event after the horizon: the study is empty and
+    the curve has no rows (not a crash, not a null row)."""
+    from v3io_tsdb_spark.operators.cohorts import kaplan_meier_conversion
+
+    df = spark.createDataFrame(
+        [(1, 10 * DAY, "view")], "user_id long, ts_ms long, event_type string"
+    )
+    assert kaplan_meier_conversion(df, horizon_ms=7 * DAY).count() == 0
+
+
+def test_mmr_lambda_zero_pure_diversity(spark):
+    """lam=0: after the relevance-seeded first pick, each step takes
+    the candidate FARTHEST from the selected set (score = -max_sim)."""
+    from v3io_tsdb_spark.functions.similarity import mmr_topk
+
+    rows = [
+        (1, [1.0, 0.0]),     # picked first (closest to query)
+        (2, [0.999, 0.04]),  # clone of 1
+        (3, [0.0, 1.0]),     # orthogonal to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(mmr_topk(df, [1.0, 0.0], k=2, lam=0.0).collect(),
+                 key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in out] == [1, 3]
+
+
+def test_offset_compare_series_isolation(spark):
+    """A prior bucket from ANOTHER series must never serve as prev."""
+    from v3io_tsdb_spark.operators.trend import offset_compare
+
+    df = spark.createDataFrame(
+        [("a", "u", 0, 1.0), ("b", "u", 7 * DAY, 9.0)],
+        "name string, uid string, t long, value double",
+    )
+    out = {(r["name"], r["t"] // DAY): r for r in offset_compare(
+        df, series_cols=("name", "uid"), ts_col="t", step_ms=DAY,
+        from_ms=0, offset_buckets=7,
+    ).collect()}
+    assert out[("b", 7)]["prev"] is None

@@ -804,6 +804,17 @@ def holt_winters(
 
     from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
 
+    if n_buckets < 2 * period:
+        # the classical init consumes two full seasons (level/seasonals
+        # from the first, trend from the season-over-season delta); a
+        # partial second season would divide its sum by m while any
+        # faithful mirror averages the actual count — a silent
+        # cross-engine divergence, so refuse instead
+        raise ValueError(
+            f"holt_winters needs n_buckets >= 2*period "
+            f"({n_buckets} < {2 * period})"
+        )
+
     def _r6(x: float) -> float:
         import math as _m
 
