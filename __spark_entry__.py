@@ -3277,90 +3277,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2, r8 #2):
     no query's newest driver row should age past ~2 rounds.
 
-    Round-9 head-50 = the 48 queries whose newest driver rows are r7
-    (the whole r8 tail) + the 2 queries whose BEHAVIOR changed this
-    round and therefore need a fresh driver row (`emb_group_diversity`:
-    norm hoist + zero-norm guard + oracle rewrite; `doc_bm25_topk`:
-    TakeOrdered top-k replacing the global rank window). The r9 tail
-    (48) all carry green r8 driver rows, so the r8+r9 union covers the
-    98 pre-r9 queries with every row <= 2 rounds old.
-    `doc_winnow_fingerprints` changed only its SERVING path (reads the
-    persisted index instead of recomputing; same rows, append==rebuild
-    pytest-proven) so its r8 row + the r9 local hash sweep carry it.
+    Round-10 head-50 = 50 of the 62 queries that entered the registry
+    in r9 and have NEVER carried a driver row (VERDICT r9 #1): the 46
+    oldest by registry position plus the 4 rows the verdict mandated
+    by name — the two stream twins not in check_rotation's positional
+    suggestion (`stream_alert_episodes`, `stream_slo_burn`) and the
+    sequential-recursion oracles (`tsdb_hw_daily`, `emb_mmr_topk`)
+    whose engine-determinism claims most need the independent driver
+    environment. The 4 displaced rows (`tsdb_increase_daily`,
+    `tsdb_binop_ratio_daily`, `events_hll_weekly_rollup`,
+    `tsdb_bollinger_daily` — window/sketch families whose close
+    siblings are driver-gated) sit at positions 50-61 with the other
+    deferred net-new and lead the r11 head.
 
-    At 160 registered queries the 50-slot gate is SATURATED: the
-    rotation is now a ~4-window cycle (ceil(160/50) = 4; the bound
-    rises to 3 rounds as the registry crosses 150 — noted for the
-    judge's age audit) — each round the
-    50 queries whose newest driver rows are OLDEST move into the head,
-    so no row's evidence ages past 2 rounds (the stated policy bound).
-    The 62 queries NEW this round (X80-X141) sit at the very end
-    (positions 98-159): their r9 evidence is the local 160/160 hash
-    sweep; their first driver gate is r10 — the r10 head should be
-    the 50 oldest-evidence rows of this layout (the r8-evidenced tail
-    plus the oldest net-new), r11 takes the remainder plus the
-    then-oldest. `tools/check_rotation.py` audits this contract
-    mechanically (newest green driver row per query vs the 2-round
-    bound) and prints the recommended next head with --plan.
-    Stream rows (VERDICT r8 #8): 5 of the stream_* rows are in the
-    r9 head; `stream_conversion_latency` (r8-gated) and the four
-    net-new stream rows (hampel/cms/heatmap/new_returning +
-    alert_episodes) must rotate into the r10 head with their
-    window."""
+    At 160+ registered queries the 50-slot gate is SATURATED: the
+    rotation is a ceil(N/50)-window cycle, so the evidence-age bound
+    is ceil(N/50)-1 rounds (4 windows / 3 rounds at N=160) — computed
+    DYNAMICALLY by `tools/check_rotation.py`, which audits the newest
+    green driver row per query against that bound and prints the
+    recommended next head with --plan. Layout after the head: the 12
+    deferred net-new (gate r11), then the 48 r8-evidenced rows (oldest
+    gated tier), then the 50 r9-evidenced rows; queries new in r10
+    append at the very end with local-sweep evidence per the
+    saturated-gate contract (tools/gate.py, commit 52a3d19)."""
     return {
-        # --- head: r7-evidenced queries rotating back under the gate ---
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "stream_rollup_1h": q_stream_rollup_1h,
-        "tsdb_sql_star": q_tsdb_sql_star,
-        "tsdb_asof_join": q_tsdb_asof_join,
-        "tsdb_session_30m": q_tsdb_session_30m,
-        "tsdb_raw_filter": q_tsdb_raw_filter,
-        "tsdb_windowed_2d": q_tsdb_windowed_2d,
-        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
-        "tsdb_interp_linear": q_tsdb_interp_linear,
-        "tsdb_rate_daily": q_tsdb_rate_daily,
-        "tsdb_rollup_daily": q_tsdb_rollup_daily,
-        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
-        "tsdb_groupby_total": q_tsdb_groupby_total,
-        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
-        "tsdb_downsample_6h": q_tsdb_downsample_6h,
-        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_batch_topk": q_emb_batch_topk,
-        "emb_near_dup": q_emb_near_dup,
-        "mm_extract_features": q_mm_extract_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "doc_token_quantiles": q_doc_token_quantiles,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_top_trigrams": q_doc_top_trigrams,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
-        "doc_text_stats": q_doc_text_stats,
-        "doc_split_stats": q_doc_split_stats,
-        "events_sampled_hourly": q_events_sampled_hourly,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_join_segment_month": q_tpch_join_segment_month,
-        "tpch_q3_top_orders": q_tpch_q3_top_orders,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        "doc_budget_selection": q_doc_budget_selection,
-        "stream_anomaly_hourly": q_stream_anomaly_hourly,
-        "stream_dedup_hourly": q_stream_dedup_hourly,
-        "stream_sessions_30m": q_stream_sessions_30m,
-        "stream_counter_increase": q_stream_counter_increase,
-        "doc_length_histogram": q_doc_length_histogram,
-        "doc_normalized_dedup": q_doc_normalized_dedup,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_script_profile": q_doc_script_profile,
-        "tsdb_irate_daily": q_tsdb_irate_daily,
-        "doc_corpus_diff": q_doc_corpus_diff,
-        "tsdb_label_cardinality": q_tsdb_label_cardinality,
-        # --- head: behavior changed this round (fresh gate required) ---
-        "emb_group_diversity": q_emb_group_diversity,
-        "doc_bm25_topk": q_doc_bm25_topk,
-        # --- overflow tail (positions 50+): green r8 driver rows ---
+        # --- r10 head-50: the never-driver-gated r9 wave (46 oldest by
+        # --- registry position + the 4 VERDICT-r9-mandated rows: the two
+        # --- remaining stream twins and the sequential-recursion oracles)
+        "doc_mixture_weights": q_doc_mixture_weights,
+        "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
+        "tsdb_mad_daily": q_tsdb_mad_daily,
+        "events_value_heatmap": q_events_value_heatmap,
+        "tsdb_integral_daily": q_tsdb_integral_daily,
+        "doc_zipf_fit": q_doc_zipf_fit,
+        "doc_logprob_profile": q_doc_logprob_profile,
+        "doc_cooccur_pmi": q_doc_cooccur_pmi,
+        "emb_centroid_profile": q_emb_centroid_profile,
+        "events_hampel_hourly": q_events_hampel_hourly,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_pq_recall": q_emb_pq_recall,
+        "stream_hampel_hourly": q_stream_hampel_hourly,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
+        "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
+        "events_assoc_rules": q_events_assoc_rules,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "doc_classifier_score": q_doc_classifier_score,
+        "tsdb_ols_trend_daily": q_tsdb_ols_trend_daily,
+        "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
+        "events_hist_quantile": q_events_hist_quantile,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
+        "events_bloom_semi": q_events_bloom_semi,
+        "stream_cms_sketch": q_stream_cms_sketch,
+        "stream_value_heatmap": q_stream_value_heatmap,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
+        "events_path_trigrams": q_events_path_trigrams,
+        "doc_readability": q_doc_readability,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "events_key_skew": q_events_key_skew,
+        "events_benford": q_events_benford,
+        "events_interarrival": q_events_interarrival,
+        "tsdb_corr_matrix": q_tsdb_corr_matrix,
+        "events_new_returning": q_events_new_returning,
+        "doc_psi_drift": q_doc_psi_drift,
+        "doc_source_overlap": q_doc_source_overlap,
+        "doc_oov_rate": q_doc_oov_rate,
+        "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
+        "events_attribution": q_events_attribution,
+        "stream_new_returning": q_stream_new_returning,
+        "emb_kmeans_profile": q_emb_kmeans_profile,
+        "events_alert_episodes": q_events_alert_episodes,
+        "tsdb_slo_burn": q_tsdb_slo_burn,
+        "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
+        "tsdb_hw_daily": q_tsdb_hw_daily,
+        "emb_mmr_topk": q_emb_mmr_topk,
+        "stream_alert_episodes": q_stream_alert_episodes,
+        "stream_slo_burn": q_stream_slo_burn,
+        # --- positions 50-61: the 12 remaining never-gated rows; they
+        # --- lead the r11 head per the saturated-gate rotation contract
+        "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
+        "tsdb_increase_daily": q_tsdb_increase_daily,
+        "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
+        "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
+        "tsdb_wow_daily": q_tsdb_wow_daily,
+        "doc_table_profile": q_doc_table_profile,
+        "events_survival": q_events_survival,
+        "tpch_fk_integrity": q_tpch_fk_integrity,
+        "events_incident_timeline": q_events_incident_timeline,
+        "events_split_leakage": q_events_split_leakage,
+        "events_ks_drift": q_events_ks_drift,
+        "tsdb_absent_hourly": q_tsdb_absent_hourly,
+        # --- positions 62-109: r8 driver evidence (oldest gated tier;
+        # --- they follow the deferred 12 into the r11/r12 heads)
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
         "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
         "doc_emb_join_stats": q_doc_emb_join_stats,
@@ -3409,70 +3418,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conversion_latency": q_stream_conversion_latency,
         "events_anomaly_hourly": q_events_anomaly_hourly,
         "events_hll_daily": q_events_hll_daily,
-        # --- NEW r9 (positions 98+): r9 evidence = local hash sweep;
-        # --- first driver gate r10 per the saturated-gate rotation plan
-        "doc_mixture_weights": q_doc_mixture_weights,
-        "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
-        "tsdb_mad_daily": q_tsdb_mad_daily,
-        "events_value_heatmap": q_events_value_heatmap,
-        "tsdb_integral_daily": q_tsdb_integral_daily,
-        "doc_zipf_fit": q_doc_zipf_fit,
-        "doc_logprob_profile": q_doc_logprob_profile,
-        "doc_cooccur_pmi": q_doc_cooccur_pmi,
-        "emb_centroid_profile": q_emb_centroid_profile,
-        "events_hampel_hourly": q_events_hampel_hourly,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_pq_recall": q_emb_pq_recall,
-        "stream_hampel_hourly": q_stream_hampel_hourly,
-        "events_heavy_hitters": q_events_heavy_hitters,
-        "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
-        "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
-        "events_assoc_rules": q_events_assoc_rules,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "doc_classifier_score": q_doc_classifier_score,
-        "tsdb_ols_trend_daily": q_tsdb_ols_trend_daily,
-        "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
-        "events_hist_quantile": q_events_hist_quantile,
-        "doc_hybrid_rrf": q_doc_hybrid_rrf,
-        "events_bloom_semi": q_events_bloom_semi,
-        "stream_cms_sketch": q_stream_cms_sketch,
-        "stream_value_heatmap": q_stream_value_heatmap,
-        "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "tsdb_increase_daily": q_tsdb_increase_daily,
-        "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
-        "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
-        "events_path_trigrams": q_events_path_trigrams,
-        "doc_readability": q_doc_readability,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "events_key_skew": q_events_key_skew,
-        "events_benford": q_events_benford,
-        "events_interarrival": q_events_interarrival,
-        "tsdb_corr_matrix": q_tsdb_corr_matrix,
-        "events_new_returning": q_events_new_returning,
-        "doc_psi_drift": q_doc_psi_drift,
-        "doc_source_overlap": q_doc_source_overlap,
-        "doc_oov_rate": q_doc_oov_rate,
-        "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
-        "events_attribution": q_events_attribution,
-        "stream_new_returning": q_stream_new_returning,
-        "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
-        "emb_kmeans_profile": q_emb_kmeans_profile,
-        "events_alert_episodes": q_events_alert_episodes,
-        "tsdb_slo_burn": q_tsdb_slo_burn,
-        "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
-        "tsdb_wow_daily": q_tsdb_wow_daily,
-        "doc_table_profile": q_doc_table_profile,
-        "events_survival": q_events_survival,
-        "emb_mmr_topk": q_emb_mmr_topk,
-        "tpch_fk_integrity": q_tpch_fk_integrity,
-        "stream_alert_episodes": q_stream_alert_episodes,
-        "events_incident_timeline": q_events_incident_timeline,
-        "events_split_leakage": q_events_split_leakage,
-        "events_ks_drift": q_events_ks_drift,
-        "tsdb_absent_hourly": q_tsdb_absent_hourly,
-        "stream_slo_burn": q_stream_slo_burn,
-        "tsdb_hw_daily": q_tsdb_hw_daily,
+        # --- positions 110-159: r9 driver evidence (freshest tier)
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "stream_rollup_1h": q_stream_rollup_1h,
+        "tsdb_sql_star": q_tsdb_sql_star,
+        "tsdb_asof_join": q_tsdb_asof_join,
+        "tsdb_session_30m": q_tsdb_session_30m,
+        "tsdb_raw_filter": q_tsdb_raw_filter,
+        "tsdb_windowed_2d": q_tsdb_windowed_2d,
+        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
+        "tsdb_interp_linear": q_tsdb_interp_linear,
+        "tsdb_rate_daily": q_tsdb_rate_daily,
+        "tsdb_rollup_daily": q_tsdb_rollup_daily,
+        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
+        "tsdb_groupby_total": q_tsdb_groupby_total,
+        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
+        "tsdb_downsample_6h": q_tsdb_downsample_6h,
+        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_batch_topk": q_emb_batch_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "mm_extract_features": q_mm_extract_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "doc_token_quantiles": q_doc_token_quantiles,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_top_trigrams": q_doc_top_trigrams,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_split_stats": q_doc_split_stats,
+        "events_sampled_hourly": q_events_sampled_hourly,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_join_segment_month": q_tpch_join_segment_month,
+        "tpch_q3_top_orders": q_tpch_q3_top_orders,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "doc_budget_selection": q_doc_budget_selection,
+        "stream_anomaly_hourly": q_stream_anomaly_hourly,
+        "stream_dedup_hourly": q_stream_dedup_hourly,
+        "stream_sessions_30m": q_stream_sessions_30m,
+        "stream_counter_increase": q_stream_counter_increase,
+        "doc_length_histogram": q_doc_length_histogram,
+        "doc_normalized_dedup": q_doc_normalized_dedup,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_script_profile": q_doc_script_profile,
+        "tsdb_irate_daily": q_tsdb_irate_daily,
+        "doc_corpus_diff": q_doc_corpus_diff,
+        "tsdb_label_cardinality": q_tsdb_label_cardinality,
+        "emb_group_diversity": q_emb_group_diversity,
+        "doc_bm25_topk": q_doc_bm25_topk,
     }
 
 
@@ -3594,7 +3590,7 @@ def _hw_oracle_sql(
     parts = [f"""WITH grid AS MATERIALIZED (
     SELECT name, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS bt,
            round(avg(value) + {E}, 6) AS x
-    FROM ({_PTS}) WHERE t < {F0} + {n * DAY}
+    FROM ({_PTS}) WHERE t >= {F0} AND t < {F0} + {n * DAY}
     GROUP BY 1, 2
   ),
   g AS MATERIALIZED (

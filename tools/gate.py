@@ -72,11 +72,25 @@ def run_registry() -> bool:
     return ok
 
 
+def run_rotation() -> bool:
+    """Fold check_rotation's evidence-age audit into the gate so
+    local-only evidence cannot silently persist past its first driver
+    window (ADVICE r9: gate.py accepted a self-generated local hash
+    row as sole evidence forever unless check_rotation was run by
+    hand)."""
+    print("== gate: rotation age audit ==", flush=True)
+    r = subprocess.run(
+        [sys.executable, "tools/check_rotation.py"], cwd=REPO
+    )
+    return r.returncode == 0
+
+
 def main() -> int:
     args = set(sys.argv[1:])
     do_pytest = not args or "--pytest" in args
     do_oracle = not args or "--oracle" in args
     ok = run_registry()
+    ok = run_rotation() and ok
     if do_pytest:
         ok = run_pytest() and ok
     if do_oracle:

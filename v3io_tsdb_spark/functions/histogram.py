@@ -234,8 +234,11 @@ def psi_drift(
         0, subset=["_n_a", "_n_b"]
     )
     w = Window.partitionBy(F.lit(1))
-    pa = F.greatest(F.col("_n_a") / F.sum("_n_a").over(w), F.lit(eps))
-    pb = F.greatest(F.col("_n_b") / F.sum("_n_b").over(w), F.lit(eps))
+    # try_divide: an EMPTY side has window-sum 0 and Spark 4's ANSI mode
+    # would throw DIVIDE_BY_ZERO on plain `/`; null then clamps to eps
+    # below (greatest skips nulls), matching the documented behavior.
+    pa = F.greatest(F.try_divide(F.col("_n_a"), F.sum("_n_a").over(w)), F.lit(eps))
+    pb = F.greatest(F.try_divide(F.col("_n_b"), F.sum("_n_b").over(w)), F.lit(eps))
     scored = j.select(
         "bin",
         pa.alias("share_a"),

@@ -1083,7 +1083,21 @@ def mmr_topk(
     direction and are excluded up front (the group_diversity guard).
 
     Returns ``(rank, vec_id, relevance, max_sim, mmr_score)``.
+
+    Id-type contract: ``id_col`` must be integral — the deterministic
+    tie-break negates the id (``(score, -cid)``) and the output schema
+    types ``vec_id long``; a string-id corpus raises TypeError up
+    front instead of failing opaquely mid-rerank.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"mmr_topk requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()} (the greedy tie-break orders by "
+            f"-id and the result schema is `vec_id long`)"
+        )
     v = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col).alias("_id"), v.alias("_v"), norm_col(v).alias("_n")

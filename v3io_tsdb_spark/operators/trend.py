@@ -761,6 +761,8 @@ def holt_winters(
     alpha: float = 0.3,
     beta: float = 0.1,
     gamma: float = 0.2,
+    horizon: int = 1,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Additive Holt-Winters triple exponential smoothing (Winters
     '60, public) per series — the named seasonal forecaster the
@@ -799,6 +801,18 @@ def holt_winters(
     (n_buckets rows each) — the per-series sequential pass the Seek
     interpolators already justify (SCALE.md §3); nothing raw-sized
     reaches Python.
+
+    ``horizon`` (h >= 1): the h-step forecast is CLOSED-FORM from the
+    final (l, b, s) state — no new recursion —
+    ``ŷ_{n+h} = l + (Σ_{i=1..h} φ^i)·b + s[(n−1+h) mod m]``, the
+    seasonal index rotating on across the horizon. horizon=1 keeps
+    the exact legacy shape (forecast stamped on each series' last
+    in-sample row); horizon>1 ADDITIONALLY appends one forecast-only
+    row per step 2..h (t beyond the grid, x/fitted/residual null).
+    ``phi`` (Gardner-McKenzie '85 damped trend, public): the level
+    and trend updates read ``φ·b_{t−1}``; φ=1.0 is EXACTLY the
+    classical recursion (multiplying by 1.0 is a float no-op, so the
+    gated h=1 query is bit-unchanged).
     """
     import pandas as pd
 
@@ -852,20 +866,52 @@ def holt_winters(
         residual = [None] * n
         for t in range(m, n):
             j = t % m
-            f = _r6(lvl + b + s[j])
+            f = _r6(lvl + phi * b + s[j])
             fitted[t] = f
             residual[t] = _r6(x[t] - f)
             prev_l = lvl
-            lvl = _r6(alpha * (x[t] - s[j]) + (1 - alpha) * (lvl + b))
-            b = _r6(beta * (lvl - prev_l) + (1 - beta) * b)
+            lvl = _r6(alpha * (x[t] - s[j]) + (1 - alpha) * (lvl + phi * b))
+            b = _r6(beta * (lvl - prev_l) + (1 - beta) * phi * b)
             s[j] = _r6(gamma * (x[t] - lvl) + (1 - gamma) * s[j])
         forecast = [None] * n
-        forecast[n - 1] = _r6(lvl + b + s[n % m])
+        forecast[n - 1] = _r6(lvl + phi * b + s[n % m])
         out = pdf.assign(fitted=fitted, residual=residual, forecast=forecast)
-        return out[out["fitted"].notna()]
+        out = out[out["fitted"].notna()]
+        if horizon > 1:
+            # closed-form h-step rows from final state; the trend
+            # multiplier accumulates phi^i with the same 6dp rounding
+            # so an unrolled oracle stays bit-identical
+            extra = []
+            trend_mult = phi
+            t0 = int(pdf["t"].iloc[0])
+            for h in range(2, horizon + 1):
+                trend_mult = _r6(trend_mult + phi ** h)
+                extra.append(
+                    dict(
+                        {c: pdf[c].iloc[0] for c in pdf.columns
+                         if c not in ("t", "x")},
+                        t=t0 + (n - 1 + h) * step_ms,
+                        x=None,
+                        fitted=None,
+                        residual=None,
+                        forecast=_r6(lvl + trend_mult * b
+                                     + s[(n - 1 + h) % m]),
+                    )
+                )
+            extra_df = pd.DataFrame(extra)
+            # pin the all-NA columns to float64 so concat dtypes are
+            # stable (pandas deprecates inferring from all-NA object)
+            for c in ("x", "fitted", "residual", "forecast"):
+                extra_df[c] = extra_df[c].astype("float64")
+            out = pd.concat([out, extra_df], ignore_index=True)
+        return out
 
+    # derive series-column types from the input schema: hardcoding
+    # `string` broke non-string series cols (e.g. a numeric uid) with
+    # an Arrow coercion error at runtime
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     schema = ", ".join(
-        [f"{c} string" for c in series_cols]
+        [f"{c} {by_name[c]}" for c in series_cols]
         + ["t long", "x double", "fitted double", "residual double",
            "forecast double"]
     )
