@@ -3271,6 +3271,31 @@ def q_tsdb_hw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped Holt-Winters horizon forecast (VERDICT r9 #6): the same
+    30-day per-metric recursion as tsdb_hw_daily but with the
+    Gardner-McKenzie damping φ=0.75 threaded through every level/
+    trend update and a 7-step forecast horizon — the call a capacity
+    planner actually makes. Steps 2..7 are closed-form from the final
+    (l, b, s) state (trend multiplier Σφ^i replayed with the engine's
+    6dp rounding) and arrive as forecast-only rows past the grid; the
+    oracle unrolls them as literal-multiplier UNION rows. φ=0.75 is
+    exactly representable in binary (as are its powers), so pow() is
+    engine-independent arithmetic."""
+    from v3io_tsdb_spark.operators.trend import holt_winters
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = holt_winters(
+        s, series_cols=("name",), ts_col="ts", value_col="value",
+        step_ms=DAY, from_ms=F0, n_buckets=30, period=7,
+        alpha=0.3, beta=0.1, gamma=0.2, horizon=7, phi=0.75,
+    )
+    return out.select(
+        "name", "t", _rz("x", 6), _rz("fitted", 6), _rz("residual", 6),
+        _rz("forecast", 6),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3469,6 +3494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_label_cardinality": q_tsdb_label_cardinality,
         "emb_group_diversity": q_emb_group_diversity,
         "doc_bm25_topk": q_doc_bm25_topk,
+        # --- NEW r10: local-sweep evidence until their first driver
+        # --- window, per the saturated-gate contract
+        "tsdb_hw_forecast": q_tsdb_hw_forecast,
     }
 
 
@@ -3572,15 +3600,30 @@ def _mmr_oracle_sql(k: int = 10, lam: float = 0.7, m: int = 50) -> str:
 def _hw_oracle_sql(
     n: int = 31, m: int = 7,
     alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2,
+    horizon: int = 1, phi: float = 1.0,
 ) -> str:
     """Unrolled Holt-Winters recursion as a CTE chain — the oracle
     twin of trend.holt_winters, built the way _kmeans_oracle_sql
     unrolls Lloyd rounds but stepping in TIME: state (l, b, s0..s6)
     updates once per bucket t = m..n-1, every write rounded 6dp, so
     the chain replays the engine's recursion bit-for-bit. Literals
-    like ``{1 - alpha!r}`` embed the exact float64 the engine uses."""
+    like ``{1 - alpha!r}`` embed the exact float64 the engine uses.
+
+    ``horizon``/``phi`` (VERDICT r9 #6): h-step forecast rows unroll
+    as literal (step, phase, trend-multiplier) triples — the Σφ^i
+    multiplier is REPLAYED here in python with the engine's own
+    rounding (tm_h = r6(tm_{h-1} + φ^h)), so both engines consume the
+    identical float64 literal; damped updates embed (1−β)·φ etc. as
+    pre-multiplied python products, matching the engine's left-
+    associative grouping. Defaults emit the byte-identical legacy SQL
+    (the gated tsdb_hw_daily string is untouched)."""
     a, b_, g_ = alpha, beta, gamma
     oa, ob, og = 1 - alpha, 1 - beta, 1 - gamma
+    # damped-trend helpers: with phi=1.0 emit the legacy expressions
+    # so the existing gated oracle strings stay byte-identical
+    pb = "p.b" if phi == 1.0 else f"({phi!r} * p.b)"
+    fb = "b" if phi == 1.0 else f"({phi!r} * b)"
+    obp = ob if phi == 1.0 else ob * phi
     E = "1e-09"
     scols = ", ".join(f"s{j}" for j in range(m))
     sel_x = ", ".join(
@@ -3620,14 +3663,14 @@ def _hw_oracle_sql(
         parts.append(f""",
   tmp{t} AS (
     SELECT p.name, g.bt, g.x, p.l, p.b, {scols},
-           round(p.l + p.b + p.s{j} + {E}, 6) AS fitted,
-           round({a!r} * (g.x - p.s{j}) + {oa!r} * (p.l + p.b)
+           round(p.l + {pb} + p.s{j} + {E}, 6) AS fitted,
+           round({a!r} * (g.x - p.s{j}) + {oa!r} * (p.l + {pb})
                  + {E}, 6) AS l_new
     FROM st{t - 1} p JOIN g ON g.name = p.name AND g.i = {t}
   ),
   st{t} AS (
     SELECT name, l_new AS l,
-           round({b_!r} * (l_new - l) + {ob!r} * b + {E}, 6) AS b,
+           round({b_!r} * (l_new - l) + {obp!r} * b + {E}, 6) AS b,
            {s_new}
     FROM tmp{t}
   )""")
@@ -3636,13 +3679,32 @@ def _hw_oracle_sql(
         for t in range(m, n)
     )
     jf = n % m
-    return "".join(parts) + f""",
-  fc AS (SELECT name, round(l + b + s{jf} + {E}, 6) AS forecast
+    sql = "".join(parts) + f""",
+  fc AS (SELECT name, round(l + {fb} + s{jf} + {E}, 6) AS forecast
          FROM st{n - 1})
   SELECT r.name, r.bt AS t, r.x + 0.0 AS x, r.fitted + 0.0 AS fitted,
          round(r.x - r.fitted + {E}, 6) + 0.0 AS residual,
          CASE WHEN r.step = {n - 1} THEN fc.forecast END + 0.0 AS forecast
   FROM ({rows}) r JOIN fc ON fc.name = r.name"""
+    if horizon > 1:
+        # replay the engine's trend-multiplier recursion in python and
+        # embed each tm_h as the identical float64 literal
+        def _r6(x):
+            import math as _m
+            y = x + 1e-9
+            return (1.0 if y >= 0 else -1.0) * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+        tm = phi
+        for h in range(2, horizon + 1):
+            tm = _r6(tm + phi ** h)
+            jh = (n - 1 + h) % m
+            sql += f"""
+  UNION ALL
+  SELECT name, {F0 + (n - 1 + h) * DAY} AS t,
+         CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS fitted,
+         CAST(NULL AS DOUBLE) AS residual,
+         round(l + {tm!r} * b + s{jh} + {E}, 6) + 0.0 AS forecast
+  FROM st{n - 1}"""
+    return sql
 
 
 def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
@@ -5324,6 +5386,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_profile": _kmeans_oracle_sql(k=4, n_iter=3, dim=64),
         "tsdb_hw_daily": _hw_oracle_sql(n=30, m=7, alpha=0.3, beta=0.1,
                                         gamma=0.2),
+        "tsdb_hw_forecast": _hw_oracle_sql(n=30, m=7, alpha=0.3, beta=0.1,
+                                           gamma=0.2, horizon=7, phi=0.75),
         "emb_mmr_topk": _mmr_oracle_sql(k=10, lam=0.7, m=50),
         "tpch_fk_integrity": " UNION ALL ".join(
             f"""

@@ -175,6 +175,7 @@ HEADLINE = [
     "tsdb_absent_hourly",
     "stream_slo_burn",
     "tsdb_hw_daily",
+    "tsdb_hw_forecast",
 ]
 
 
@@ -457,6 +458,19 @@ def main():
                 print(f"bench corpus_pipeline stage split FAILED: {exc}",
                       file=sys.stderr)
 
+    # Per-query EFFECTIVE warm seconds (VERDICT r9 #7): for stream
+    # queries ~80% of wall is fixed awaitTermination/checkpoint floor
+    # (queries_task_ms shows 0.7-1.4s task CPU against 8-13s wall), so
+    # the steady-state signal is the measured micro-batch run_sec; for
+    # batch queries effective == wall. Keeps the per-query trend from
+    # diluting as more stream twins land.
+    warm_effective = dict(warm)
+    for name, split in stream_split.items():
+        run = split.get("warm", split.get("cold", {})).get("run_sec")
+        if run is not None and name in warm_effective:
+            warm_effective[name] = round(min(warm_effective[name], run), 3)
+    warm_effective_total = round(sum(warm_effective.values()), 3)
+
     # The driver keeps only a bounded tail of stdout and parses the JSON
     # line out of it, so the line must stay well under 2 kB. Per-query
     # warm times live in BENCH_DETAIL.json next to this script; the line
@@ -469,6 +483,10 @@ def main():
         "sf": sf,
         "queries_warm": warm,
         "warm_total_sec": round(warm_total, 3),
+        # stream rows replaced by their measured micro-batch run_sec
+        # (harness floor excluded); batch rows identical to queries_warm
+        "queries_warm_effective": warm_effective,
+        "warm_effective_total_sec": warm_effective_total,
         "ingest_sec": ingest_sec,
         "ingest_samples_per_sec": ingest_rate,
         # per stream query: harness (checkpoint + stream start) vs
@@ -490,12 +508,18 @@ def main():
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    # BENCH_r09 recorded parsed=null because stream_setup_run_split
+    # (12 stream entries, ~1.5 kB) pushed the line past the driver's
+    # 2000-char stdout tail even after the queries-map trim — the
+    # split now lives only in BENCH_DETAIL.json (VERDICT r9 #4).
     line = {
         k: v
         for k, v in detail.items()
         if k not in ("queries_warm", "queries_gc_ms", "queries_task_ms",
-                     "corpus_pipeline_stage_prefix_sec")
+                     "corpus_pipeline_stage_prefix_sec",
+                     "stream_setup_run_split", "queries_warm_effective")
     }
+    line["n_queries"] = len(times)
     line["warm_detail"] = "BENCH_DETAIL.json"
     # session-total task time inline (per-query map is in the detail
     # file — it cannot fit the driver's ~2 kB stdout-tail budget)
@@ -511,17 +535,24 @@ def main():
     # values, and if still oversized keep only the slowest queries
     # inline (the full map lives in the committed BENCH_DETAIL.json).
     line["queries"] = {k: round(v, 2) for k, v in line["queries"].items()}
-    if len(json.dumps(line, separators=(",", ":"))) > 1800:
-        ranked = sorted(
-            line["queries"].items(), key=lambda kv: -kv[1]
-        )
-        keep = dict(ranked[:25])
-        keep["_omitted_queries"] = len(ranked) - 25
+    # shrink until the line fits WELL inside the 2000-char tail with
+    # margin for the trailing newline and any buffering split
+    n_keep = 25
+    while (len(json.dumps(line, separators=(",", ":"))) > 1500
+           and n_keep >= 0):
+        ranked = sorted(times.items(), key=lambda kv: -kv[1])
+        keep = {k: round(v, 2) for k, v in ranked[:n_keep]}
+        keep["_omitted_queries"] = len(ranked) - n_keep
         keep["_omitted_total_sec"] = round(
-            sum(v for _, v in ranked[25:]), 2
+            sum(v for _, v in ranked[n_keep:]), 2
         )
         line["queries"] = keep
-    print(json.dumps(line, separators=(",", ":")))
+        n_keep -= 5
+    out = json.dumps(line, separators=(",", ":"))
+    # first AND last stdout line: parseable whether the driver keeps a
+    # head or a tail of stdout, and the only stdout content either way
+    print(out)
+    print(out)
 
 
 if __name__ == "__main__":

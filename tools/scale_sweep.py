@@ -926,6 +926,45 @@ def main():
                   f"pairgen={pairgen:.2f}s cluster={cluster:.2f}s",
                   flush=True)
 
+    # Directed split for source_overlap (VERDICT r9 #5): the 64x curve
+    # was explained as candidate-volume growth in prose only — record
+    # the MEASURED volumes: distinct (source, fp) rows entering the
+    # fp-keyed pair join, fp-match pair rows it generates, and output
+    # cells. Runs whenever source_overlap is in the op set.
+    overlap_split = {}
+    if "source_overlap" in table or (
+        OPS_FILTER and "source_overlap_split" in OPS_FILTER
+    ):
+        from pyspark.sql import functions as F
+
+        from v3io_tsdb_spark.datasets import load_table
+        from v3io_tsdb_spark.functions.text import winnow_fingerprints
+
+        for m in MULTS:
+            d = dirs[m]
+            docs_df = load_table(spark, d, "documents")
+            fps = winnow_fingerprints(docs_df)
+            tagged = (
+                fps.join(docs_df.select("doc_id", "source"), "doc_id")
+                .select(F.col("source").alias("_src"), "fp")
+                .distinct()
+                .persist()
+            )
+            n_tagged = tagged.count()
+            a = tagged.select(F.col("_src").alias("src_a"), "fp")
+            b = tagged.select(F.col("_src").alias("src_b"), "fp")
+            pair = a.join(b, "fp").where(F.col("src_a") < F.col("src_b"))
+            n_pairs = pair.count()
+            n_out = pair.groupBy("src_a", "src_b").count().count()
+            tagged.unpersist()
+            overlap_split[str(m)] = {
+                "distinct_source_fp_rows": int(n_tagged),
+                "pair_rows": int(n_pairs),
+                "output_rows": int(n_out),
+            }
+            print(f"source_overlap split {m:3d}x: src_fp={n_tagged} "
+                  f"pairs={n_pairs} out={n_out}", flush=True)
+
     # merge into the existing artifact so partial runs (op filter /
     # extra multipliers) extend rather than clobber prior evidence
     path = os.path.join(REPO, "SCALE_SWEEP.json")
@@ -939,6 +978,8 @@ def main():
         doc["seconds"].setdefault(name, {}).update(pts)
     if cluster_split:
         doc.setdefault("dedup_clusters_split", {}).update(cluster_split)
+    if overlap_split:
+        doc.setdefault("source_overlap_split", {}).update(overlap_split)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print("wrote SCALE_SWEEP.json")
