@@ -3296,6 +3296,122 @@ def q_tsdb_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak-to-trough drawdown (X143): per series on the
+    daily grid, the running peak, the fractional dip below it, and
+    the worst dip on record — the capacity-headroom panel. One
+    data-sized exchange to the grid, one series-keyed window pass."""
+    from v3io_tsdb_spark.operators.trend import drawdown
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = drawdown(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY, from_ms=F0,
+    )
+    return out.select(
+        "name", "uid", "t", _rz("x", 6), _rz("peak", 6), _rz("dd", 6),
+        _rz("max_dd", 6),
+    )
+
+
+def q_tsdb_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL predict_linear (X144): rolling 7-bucket least-squares
+    line per series extrapolated 3 buckets ahead — the
+    disk-will-fill-in-X primitive; RANGE frame so grid holes null the
+    verdict instead of sliding older buckets in."""
+    from v3io_tsdb_spark.operators.trend import predict_linear
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = predict_linear(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY,
+        from_ms=F0, lookback=7, horizon=3,
+    )
+    return out.select(
+        "name", "uid", "t", _rz("x", 6), _rz("slope", 6), _rz("predict", 6),
+    )
+
+
+def q_tsdb_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL topk() (X145): per daily bucket the 3 series with the
+    largest 6dp-rounded bucket average, rank ties broken by series
+    key — the WHO panel the cross-series *_all reduction discards."""
+    from v3io_tsdb_spark.operators.frames import topk_series_per_bucket
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = topk_series_per_bucket(
+        s, series_cols=("name", "uid"), ts_col="ts", step_ms=DAY,
+        from_ms=F0, k=3,
+    )
+    return out.select(
+        "t", F.col("rank").cast("long").alias("rank"), "name", "uid",
+        _rz("x", 6),
+    )
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session Markov transition matrix (X146): row-normalized
+    p(to|from) over consecutive in-session event pairs — the
+    generative summary of every path the n-gram miner samples."""
+    from v3io_tsdb_spark.operators.paths import markov_transitions
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = markov_transitions(
+        ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
+        id_col="event_id", gap_ms=1_800_000,
+    )
+    return out.select(
+        "from_state", "to_state", F.col("c").cast("long").alias("c"),
+        _rz("p", 6),
+    )
+
+
+def q_events_markov_kstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step Markov state distribution (X147): power iteration from
+    the uniform start with 6dp rounding per step — the THIRD
+    sequential-recursion hash oracle (k-means in cluster space, HW in
+    time, this in state space); absorbing mass exits the walk and
+    total_mass < 1 is part of the verdict."""
+    from v3io_tsdb_spark.operators.paths import markov_kstep, markov_transitions
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    trans = markov_transitions(
+        ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
+        id_col="event_id", gap_ms=1_800_000,
+    )
+    out = markov_kstep(trans, k=3)
+    return out.select("state", _rz("p", 6), _rz("total_mass", 6))
+
+
+def q_doc_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs (X148): (prefix, length-
+    band) blocking, oversized blocks dropped whole (df-cap rule),
+    Levenshtein on the first 80 normalized chars ≤ 10 — the ORDER-
+    sensitive screen the bag-of-shingles family can't express;
+    integer DP distance, no rounding boundary at all."""
+    from v3io_tsdb_spark.functions.dedup import fuzzy_pairs_blocked
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = fuzzy_pairs_blocked(docs)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("dist").cast("long"),
+    )
+
+
+def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth + Heaps fit (X149): cumulative tokens N and
+    vocabulary V at 10 doc-id checkpoints via per-term FIRST-
+    occurrence reduction (one pass — no per-prefix distinct rescan),
+    log-log OLS for V ≈ k·N^β."""
+    from v3io_tsdb_spark.functions.text import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs).select(
+        F.col("cp").cast("long"), F.col("n_docs").cast("long"),
+        F.col("n_tokens").cast("long"), F.col("vocab").cast("long"),
+        _rz("heaps_k", 6), _rz("heaps_beta", 6),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -3497,6 +3613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r10: local-sweep evidence until their first driver
         # --- window, per the saturated-gate contract
         "tsdb_hw_forecast": q_tsdb_hw_forecast,
+        "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
+        "tsdb_predict_linear": q_tsdb_predict_linear,
+        "tsdb_topk_daily": q_tsdb_topk_daily,
+        "events_markov_transitions": q_events_markov_transitions,
+        "events_markov_kstep": q_events_markov_kstep,
+        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
+        "doc_vocab_growth": q_doc_vocab_growth,
     }
 
 
@@ -5388,6 +5511,242 @@ def oracle_sql() -> dict[str, str]:
                                         gamma=0.2),
         "tsdb_hw_forecast": _hw_oracle_sql(n=30, m=7, alpha=0.3, beta=0.1,
                                            gamma=0.2, horizon=7, phi=0.75),
+        "tsdb_drawdown_daily": f"""
+          WITH grid AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(avg(value) + {EPS6}, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          pk AS (
+            SELECT *, max(x) OVER w AS peak
+            FROM grid
+            WINDOW w AS (PARTITION BY name, uid ORDER BY t
+                         ROWS UNBOUNDED PRECEDING)
+          ),
+          d AS (
+            SELECT *, CASE WHEN peak > 0
+                           THEN round((peak - x) / peak + {EPS6}, 6)
+                      END AS dd
+            FROM pk
+          )
+          SELECT name, uid, t, x + 0.0 AS x, peak + 0.0 AS peak,
+                 dd + 0.0 AS dd,
+                 max(dd) OVER (PARTITION BY name, uid ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) + 0.0 AS max_dd
+          FROM d
+        """,
+        "tsdb_predict_linear": f"""
+          WITH grid AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(avg(value) + {EPS6}, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          ),
+          m AS (
+            SELECT name, uid, t, x, (t - {F0}) // {DAY} AS i FROM grid
+          ),
+          b AS (
+            SELECT *, count(x) OVER w AS n,
+                   CAST(sum(i) OVER w AS DOUBLE) AS si,
+                   sum(x) OVER w AS sx,
+                   sum(CAST(i AS DOUBLE) * x) OVER w AS six,
+                   CAST(sum(i * i) OVER w AS DOUBLE) AS sii
+            FROM m
+            WINDOW w AS (PARTITION BY name, uid ORDER BY t
+                         RANGE BETWEEN {6 * DAY} PRECEDING AND CURRENT ROW)
+          ),
+          sl AS (
+            SELECT *, CASE WHEN n = 7 THEN
+              round((n * six - si * sx) / (n * sii - si * si) + {EPS6}, 6)
+            END AS slope
+            FROM b
+          )
+          SELECT name, uid, t, x + 0.0 AS x, slope + 0.0 AS slope,
+                 CASE WHEN slope IS NOT NULL THEN
+                   round(sx / n + slope * (i + 3 - si / n) + {EPS6}, 6)
+                 END + 0.0 AS predict
+          FROM sl
+        """,
+        "tsdb_topk_daily": f"""
+          WITH grid AS (
+            SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                   round(avg(value) + {EPS6}, 6) AS x
+            FROM ({_PTS}) GROUP BY 1, 2, 3
+          )
+          SELECT t, CAST(rank AS BIGINT) AS rank, name, uid, x + 0.0 AS x
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY t
+                        ORDER BY x DESC, name, uid) AS rank
+            FROM grid
+          ) WHERE rank <= 3
+        """,
+        "events_markov_transitions": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          s AS (
+            SELECT *, sum(new_sess) OVER w AS sess
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          pr AS (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER ws AS to_state
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, sess
+                          ORDER BY t, event_type, event_id)
+          ),
+          c AS (
+            SELECT from_state, to_state, count(*) AS c FROM pr
+            WHERE to_state IS NOT NULL GROUP BY 1, 2
+          )
+          SELECT from_state, to_state, CAST(c AS BIGINT) AS c,
+                 round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
+                       + {EPS6}, 6) + 0.0 AS p
+          FROM c
+        """,
+        "events_markov_kstep": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          s AS (
+            SELECT *, sum(new_sess) OVER w AS sess
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          pr AS (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER ws AS to_state
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, sess
+                          ORDER BY t, event_type, event_id)
+          ),
+          cn AS (
+            SELECT from_state, to_state, count(*) AS c FROM pr
+            WHERE to_state IS NOT NULL GROUP BY 1, 2
+          ),
+          mtx AS MATERIALIZED (
+            SELECT from_state, to_state,
+                   round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
+                         + {EPS6}, 6) AS tp
+            FROM cn
+          ),
+          st AS MATERIALIZED (
+            SELECT from_state AS state FROM mtx
+            UNION SELECT to_state FROM mtx
+          ),
+          v0 AS (
+            SELECT state,
+                   round(1.0 / (SELECT count(*) FROM st) + {EPS6}, 6) AS p
+            FROM st
+          ),
+          v1 AS MATERIALIZED (
+            SELECT m.to_state AS state, round(sum(v.p * m.tp) + {EPS6}, 6) AS p
+            FROM v0 v JOIN mtx m ON m.from_state = v.state GROUP BY 1
+          ),
+          v2 AS MATERIALIZED (
+            SELECT m.to_state AS state, round(sum(v.p * m.tp) + {EPS6}, 6) AS p
+            FROM v1 v JOIN mtx m ON m.from_state = v.state GROUP BY 1
+          ),
+          v3 AS MATERIALIZED (
+            SELECT m.to_state AS state, round(sum(v.p * m.tp) + {EPS6}, 6) AS p
+            FROM v2 v JOIN mtx m ON m.from_state = v.state GROUP BY 1
+          )
+          SELECT state, p + 0.0 AS p,
+                 (SELECT round(sum(p) + {EPS6}, 6) FROM v3) + 0.0 AS total_mass
+          FROM v3
+        """,
+        "doc_fuzzy_dedup": r"""
+          WITH nrm AS (
+            SELECT doc_id AS id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nm
+            FROM documents
+          ),
+          b AS (
+            SELECT id, substr(nm, 1, 80) AS s, substr(nm, 1, 12) AS pfx,
+                   length(nm) // 64 AS band
+            FROM nrm
+          ),
+          sz AS (SELECT pfx, band, count(*) AS bn FROM b GROUP BY 1, 2),
+          k AS MATERIALIZED (
+            SELECT b.* FROM b JOIN sz USING (pfx, band) WHERE bn <= 50
+          )
+          SELECT a.id AS id_a, b2.id AS id_b,
+                 CAST(levenshtein(a.s, b2.s) AS BIGINT) AS dist
+          FROM k a JOIN k b2
+            ON a.pfx = b2.pfx AND a.band = b2.band AND a.id < b2.id
+          WHERE levenshtein(a.s, b2.s) <= 10
+        """,
+        "doc_vocab_growth": r"""
+          WITH d AS (
+            SELECT doc_id AS d,
+                   CASE WHEN len(trim(lower(trim(text)))) = 0
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(lower(trim(text))),
+                                                   '\s+')
+                   END AS toks
+            FROM documents
+          ),
+          mx AS (SELECT max(d) AS mx FROM d),
+          di AS (
+            SELECT greatest(1, CAST(ceil(10 * d.d / mx.mx) AS BIGINT)) AS cp,
+                   count(*) AS docs, sum(len(toks)) AS tks
+            FROM d, mx GROUP BY 1
+          ),
+          fo AS (
+            SELECT term, min(d) AS fd
+            FROM (SELECT d, unnest(toks) AS term FROM d) GROUP BY 1
+          ),
+          vi AS (
+            SELECT greatest(1, CAST(ceil(10 * fo.fd / mx.mx) AS BIGINT)) AS cp,
+                   count(*) AS terms
+            FROM fo, mx GROUP BY 1
+          ),
+          sp AS (SELECT i + 1 AS cp FROM range(10) t(i)),
+          panel AS MATERIALIZED (
+            SELECT sp.cp,
+                   sum(coalesce(docs, 0)) OVER w AS n_docs,
+                   sum(coalesce(tks, 0)) OVER w AS n_tokens,
+                   sum(coalesce(terms, 0)) OVER w AS vocab
+            FROM sp LEFT JOIN di USING (cp) LEFT JOIN vi USING (cp)
+            WINDOW w AS (ORDER BY sp.cp ROWS UNBOUNDED PRECEDING)
+          ),
+          pts AS (
+            SELECT ln(n_tokens) AS lnn, ln(vocab) AS lnv FROM panel
+            WHERE n_tokens > 0 AND vocab > 0
+          ),
+          fit AS (
+            SELECT covar_pop(lnn, lnv) / var_pop(lnn) AS beta0,
+                   avg(lnn) AS mn, avg(lnv) AS mv
+            FROM pts
+          ),
+          f2 AS (
+            SELECT round(beta0 + 1e-9, 6) AS heaps_beta,
+                   round(exp(mv - round(beta0 + 1e-9, 6) * mn) + 1e-9, 6)
+                     AS heaps_k
+            FROM fit
+          )
+          SELECT p.cp, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(vocab AS BIGINT) AS vocab,
+                 heaps_k + 0.0 AS heaps_k, heaps_beta + 0.0 AS heaps_beta
+          FROM panel p, f2
+        """,
         "emb_mmr_topk": _mmr_oracle_sql(k=10, lam=0.7, m=50),
         "tpch_fk_integrity": " UNION ALL ".join(
             f"""

@@ -176,6 +176,13 @@ HEADLINE = [
     "stream_slo_burn",
     "tsdb_hw_daily",
     "tsdb_hw_forecast",
+    "tsdb_drawdown_daily",
+    "tsdb_predict_linear",
+    "tsdb_topk_daily",
+    "events_markov_transitions",
+    "events_markov_kstep",
+    "doc_fuzzy_dedup",
+    "doc_vocab_growth",
 ]
 
 

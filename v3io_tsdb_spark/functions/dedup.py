@@ -925,3 +925,75 @@ def source_overlap_matrix(
             F.col("shared_fps"), F.least("n_fp_a", "n_fp_b")
         ).alias("overlap"),
     )
+
+
+def fuzzy_pairs_blocked(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 12,
+    band_chars: int = 64,
+    max_block: int = 50,
+    max_dist: int = 10,
+    cmp_chars: int = 80,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs under blocking — the record-
+    linkage classic (Fellegi-Sunter-era blocking + Levenshtein,
+    public): candidate pairs share a (normalized-prefix, length-band)
+    block, and a pair survives if the Levenshtein distance of the
+    docs' first ``cmp_chars`` normalized characters is ≤ ``max_dist``.
+    Complements the set-similarity family (MinHash/SimHash/Jaccard
+    X2-X4): edit distance is ORDER-sensitive — it catches small
+    in-place edits (typo farms, template fills) that bag-of-shingles
+    similarity scores identically, and misses block-moved text that
+    shingles catch. Both screens exist because neither subsumes the
+    other.
+
+    Honest-blocking contract (documented recall holes): a pair must
+    agree on its first ``prefix_len`` normalized chars AND fall in
+    the same ``band_chars``-wide length band, so near-dups that
+    diverge inside the prefix, or straddle a band edge, are missed —
+    the standard blocking trade. Oversized blocks (> ``max_block``
+    docs — boilerplate prefixes) are DROPPED whole, the df-cap rule:
+    a prefix shared by thousands of docs is template noise whose
+    pairs the winnowing family already indexes, and the quadratic
+    block join is the blowup source the cap controls at 100 TB.
+
+    Determinism: Levenshtein is exact integer dynamic programming —
+    identical in Spark and DuckDB — and the comparison string is a
+    deterministic normalization (lower, whitespace-collapsed, first
+    ``cmp_chars`` chars), so pairs and distances hash-match with no
+    rounding boundary at all. Cost per pair is O(cmp_chars²) — capped
+    by construction, never full-document.
+
+    Plan: one scan normalizes and blocks; block sizes come from one
+    block-keyed aggregate joined back (panel-sized); the pair join is
+    block-keyed between two copies of the bounded survivor set with
+    ``id_a < id_b``; the distance filter runs scan-side on the join
+    output. No all-pairs anywhere.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, cmp_chars).alias("_s"),
+        F.substring(norm, 1, prefix_len).alias("_pfx"),
+        (F.length(norm) / band_chars).cast("long").alias("_band"),
+    )
+    sizes = base.groupBy("_pfx", "_band").agg(F.count("*").alias("_bn"))
+    kept = base.join(
+        sizes.where(F.col("_bn") <= max_block), ["_pfx", "_band"]
+    )
+    a = kept.select(
+        F.col("_pfx"), F.col("_band"),
+        F.col("id").alias("id_a"), F.col("_s").alias("_sa"),
+    )
+    b = kept.select(
+        F.col("_pfx"), F.col("_band"),
+        F.col("id").alias("id_b"), F.col("_s").alias("_sb"),
+    )
+    pairs = a.join(b, ["_pfx", "_band"]).where(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein("_sa", "_sb")
+    return (
+        pairs.select("id_a", "id_b", dist.alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )

@@ -8,7 +8,7 @@ reproducible in ANSI SQL for oracle checking.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small per-language stopword sets for the n-gram/stopword heuristic
@@ -1240,4 +1240,116 @@ def oov_rate(
             .alias("n_oov"),
         )
         .withColumn("oov_rate", F.col("n_oov") / F.col("n_tokens"))
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary growth curve + Heaps'-law fit (Heaps '78, public):
+    at each of ``n_checkpoints`` equal doc-id fractions of the corpus,
+    the cumulative token count N and distinct-term vocabulary V seen
+    so far, plus the log-log OLS fit V ≈ k·N^β — the
+    corpus-saturation dial (β near 1 = every shard still brings new
+    vocabulary, diminishing β = the crawl is converging), the growth
+    sibling of the static Zipf rank-frequency fit (X75).
+
+    The cumulative-distinct trap is the design point: a literal
+    running COUNT(DISTINCT) per prefix is not partial-aggregable and
+    re-scans the corpus per checkpoint. Instead each term reduces to
+    its FIRST doc id (one term-keyed aggregate) — vocabulary at
+    checkpoint i is then "terms whose first occurrence lands at or
+    before it", a cumulative sum over per-interval first-occurrence
+    counts. One pass over the data, then panel-sized windows.
+
+    Checkpoint membership — doc d lands in interval
+    ``ceil(n_cp·d / max_id)`` (clamped to 1) — is cross-engine exact
+    at any realistic scale: the products are integer-exact in float64
+    up to 2^53 (n_cp·max_id ~ 1e11 at 100 TB), and a misrounded
+    boundary would need the true quotient within half-an-ulp of an
+    integer, i.e. a remainder below max_id/1e15; both engines divide
+    doubles with identical IEEE rounding either way. The fit
+    runs over the ≤n_checkpoints panel rows with population moments
+    and try_divide (degenerate variance → null β, the ols_trend
+    rule); ln is identical-input libm arithmetic absorbed by 6dp
+    rounding.
+    """
+    eps = 1e-9
+    toks = tokens_col(F.lower(F.trim(F.col(text_col))))
+    base = df.select(F.col(id_col).alias("_d"), toks.alias("_tk"))
+    mx = base.agg(F.max("_d").alias("_mx"))
+
+    def interval(dcol):
+        # smallest i in 1..n_cp with n_cp*d <= i*max_id
+        return F.greatest(
+            F.lit(1),
+            F.ceil(F.lit(n_checkpoints) * dcol / F.col("_mx")).cast("long"),
+        )
+
+    # per-interval doc + token tallies (one data-sized aggregate)
+    per_doc = base.select("_d", F.size("_tk").alias("_nt"))
+    doc_iv = (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(interval(F.col("_d")).alias("cp"))
+        .agg(
+            F.count("*").cast("long").alias("_docs"),
+            F.sum("_nt").cast("long").alias("_toks"),
+        )
+    )
+    # per-interval first-occurrence counts (term-keyed aggregate,
+    # vocabulary-bounded output)
+    first = (
+        base.select("_d", F.explode("_tk").alias("term"))
+        .groupBy("term")
+        .agg(F.min("_d").alias("_fd"))
+    )
+    voc_iv = (
+        first.crossJoin(F.broadcast(mx))
+        .groupBy(interval(F.col("_fd")).alias("cp"))
+        .agg(F.count("*").cast("long").alias("_terms"))
+    )
+    # dense checkpoint spine (an interval can be empty), then cumsums
+    spine = df.sparkSession.range(1, n_checkpoints + 1).select(
+        F.col("id").cast("long").alias("cp")
+    )
+    wcum = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    panel = (
+        spine.join(doc_iv, "cp", "left")
+        .join(voc_iv, "cp", "left")
+        .select(
+            "cp",
+            F.sum(F.coalesce(F.col("_docs"), F.lit(0))).over(wcum).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_toks"), F.lit(0))).over(wcum).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_terms"), F.lit(0))).over(wcum).alias("vocab"),
+        )
+        # the panel feeds BOTH the fit aggregate and the output rows:
+        # cut the lineage (<= n_checkpoints rows) so the corpus scans
+        # once, not once per consumer (the shingle-index rule)
+        .localCheckpoint(eager=True)
+    )
+    pts = panel.where((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+        "cp", F.log("n_tokens").alias("_ln"), F.log("vocab").alias("_lv")
+    )
+    fit = pts.agg(
+        F.covar_pop("_ln", "_lv").alias("_cov"),
+        F.var_pop("_ln").alias("_var"),
+        F.avg("_ln").alias("_mn"),
+        F.avg("_lv").alias("_mv"),
+    ).select(
+        F.round(F.try_divide(F.col("_cov"), F.col("_var")) + eps, 6).alias(
+            "heaps_beta"
+        ),
+        F.col("_mn"),
+        F.col("_mv"),
+    ).select(
+        "heaps_beta",
+        F.round(
+            F.exp(F.col("_mv") - F.col("heaps_beta") * F.col("_mn")) + eps, 6
+        ).alias("heaps_k"),
+    )
+    return panel.crossJoin(F.broadcast(fit)).select(
+        "cp", "n_docs", "n_tokens", "vocab", "heaps_k", "heaps_beta"
     )

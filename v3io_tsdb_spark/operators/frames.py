@@ -9,7 +9,7 @@ row-at-a-time merge loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.labels import labels_string_col
@@ -158,3 +158,49 @@ def to_series(agg_df: DataFrame, funcs: list, key_cols: list | None = None) -> D
         )
     )
     return agg_df.select(*keys, "t", stack).where(F.col("value").isNotNull())
+
+
+def topk_series_per_bucket(
+    df: DataFrame,
+    series_cols: tuple = ("name", "uid"),
+    ts_col: str = "t",
+    value_col: str = "value",
+    step_ms: int = 86_400_000,
+    from_ms: int = 0,
+    k: int = 3,
+    bottom: bool = False,
+) -> DataFrame:
+    """PromQL ``topk()`` / ``bottomk()`` on the bucketed grid: per
+    bucket, the k series with the largest (smallest) aggregated value,
+    with their rank — the instant-vector selector the reference's
+    cross-series ``*_all`` path (pkg/aggregate, `max_all` etc.)
+    reduces AWAY (one number per bucket) where dashboards need the
+    WHO (which series are on top and in what order).
+
+    Rank is over the 6dp-ROUNDED bucket value with ties broken by the
+    series key tuple (lexicographic) — sub-ulp float-sum differences
+    between engines must not reorder a boundary pair (the changepoint
+    argmax rule), and equal values rank deterministically.
+
+    Plan: one partial-aggregable groupBy to the series×bucket grid
+    (the only data-sized exchange), then a bucket-keyed rank window
+    over the reduced panel — the window input per task is one
+    bucket's series set, never raw samples. No global sort, no
+    TakeOrdered: output is per-bucket, so the rank partitions by
+    bucket and each partition's state is |series|-bounded.
+    """
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    grid = df.groupBy(
+        *series_cols,
+        tumbling_bucket(F.col(ts_col), from_ms, step_ms).alias("t"),
+    ).agg(F.round(F.avg(value_col) + 1e-9, 6).alias("x"))
+    order = F.col("x").asc() if bottom else F.col("x").desc()
+    w = Window.partitionBy("t").orderBy(
+        order, *[F.col(c) for c in series_cols]
+    )
+    return (
+        grid.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("t", "rank", *series_cols, "x")
+    )

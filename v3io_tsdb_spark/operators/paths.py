@@ -66,3 +66,102 @@ def session_path_ngrams(
     top = counted.orderBy(F.col("occurrences").desc(), "path").limit(k)
     wr = Window.orderBy(F.col("occurrences").desc(), "path")
     return top.withColumn("rank", F.row_number().over(wr).cast("long"))
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """First-order Markov transition matrix over session steps: for
+    every ordered (from_state → to_state) pair of CONSECUTIVE events
+    within an inactivity-gap session, the count and the row-normalized
+    transition probability p(to | from) — the model behind "where do
+    users go next from here", and the input to :func:`markov_kstep`.
+    The n-gram miner (session_path_ngrams) reports popular literal
+    sequences; this is the generative summary of ALL of them.
+
+    p = c / Σ_from c is exact integer division rounded 6dp — both
+    engines consume identical integers, so the matrix is bit-stable.
+
+    Plan: the session_path_ngrams exchange discipline — ONE user-keyed
+    shuffle serves sessionize + the within-session lead; the pair
+    aggregate is partial-aggregable on |states|²-bounded keys; the
+    row normalization is a window over the |states|²-sized panel.
+    """
+    order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
+    wu = Window.partitionBy(user_col).orderBy(*order)
+    new_sess = (
+        F.col(ts_col) - F.lag(ts_col).over(wu) > gap_ms
+    ).cast("long")
+    s = df.withColumn(
+        "_sess", F.sum(F.coalesce(new_sess, F.lit(1))).over(wu)
+    )
+    ws = Window.partitionBy(user_col, "_sess").orderBy(*order)
+    pairs = s.select(
+        F.col(type_col).alias("from_state"),
+        F.lead(type_col).over(ws).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wrow = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "c",
+        F.round(F.col("c") / F.sum("c").over(wrow) + 1e-9, 6).alias("p"),
+    )
+
+
+def markov_kstep(
+    trans: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """k-step state distribution by power iteration from the uniform
+    start over the matrix's observed states — "after k more clicks,
+    where is the population?" — the repo's THIRD sequential-recursion
+    hash oracle (kmeans iterates in cluster space, Holt-Winters in
+    time, this in the chain's state space): each step's probabilities
+    round 6dp half-up before the next matrix-vector product, so the
+    k-join Spark plan and an unrolled k-CTE DuckDB chain consume
+    bit-identical state at every step.
+
+    Absorbing contract: mass reaching a state with NO outgoing
+    transitions leaves the walk at the next step (the matrix row is
+    empty — there is nothing to multiply by), so ``total_mass`` of
+    the output can be < 1 and is itself part of the verdict (how much
+    of the population has exited by step k). No hidden self-loops, no
+    renormalization — both would silently change the chain.
+
+    Plan: k joins of a |states|-row vector against the |states|²-row
+    matrix — every frame is panel-sized (bounded by the event-type
+    vocabulary, never by data volume); the data-sized work happened
+    once in markov_transitions.
+    """
+    states = (
+        trans.select(F.col("from_state").alias("state"))
+        .union(trans.select(F.col("to_state")))
+        .distinct()
+    )
+    n = states.count()  # |event types| — bounded vocabulary, not data
+    v = states.select(
+        "state", F.round(F.lit(1.0 / n) + 1e-9, 6).alias("p")
+    )
+    m = trans.select(
+        F.col("from_state"), F.col("to_state"), F.col("p").alias("tp")
+    )
+    for _ in range(k):
+        v = (
+            v.join(m, v["state"] == m["from_state"])
+            .groupBy(F.col("to_state").alias("_s"))
+            .agg(F.round(F.sum(F.col("p") * F.col("tp")) + 1e-9, 6).alias("p"))
+            .select(F.col("_s").alias("state"), "p")
+        )
+    total = v.agg(F.round(F.sum("p") + 1e-9, 6).alias("_tm"))
+    return v.crossJoin(F.broadcast(total)).select(
+        "state", "p", F.col("_tm").alias("total_mass")
+    )
