@@ -3248,6 +3248,27 @@ def q_stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the running drawdown panel (X150): per
+    metric, each closed daily bucket immediately emits its mean, the
+    running peak, the dip below it, and the worst dip on record from
+    five scalars of per-series state. The running aggregates have the
+    prefix property, so the stream hash-matches the batch window SQL
+    on every closed bucket (the open last bucket per series is
+    excluded oracle-side, as with every bucketized twin)."""
+    from v3io_tsdb_spark.streaming.stateful import stream_drawdown
+
+    fx = _stream_evt_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    out = _run_available_now(stream_drawdown(raw, step_ms=DAY))
+    return out.select(
+        "series_key", F.col("t").cast("long").alias("t"),
+        _rz("x", 6), _rz("peak", 6), _rz("dd", 6), _rz("max_dd", 6),
+    )
+
+
 def q_tsdb_hw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (X141): triple exponential smoothing per
     metric over the dense 30-day grid (m=7, alpha/beta/gamma =
@@ -3293,6 +3314,88 @@ def q_tsdb_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "name", "t", _rz("x", 6), _rz("fitted", 6), _rz("residual", 6),
         _rz("forecast", 6),
+    )
+
+
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (X151): order-priority counts over a quarter
+    where EXISTS a late lineitem — the correlated-exists semi-join
+    surface (the fixture lineitem has no commitdate, so "late" is
+    l_shipdate > o_orderdate + 60 days, preserving the Q4 plan shape:
+    date-pruned orders scan, LEFT SEMI join on key + cross-side date
+    predicate, priority-keyed count). AQE broadcasts the pruned
+    orders side at test scale; at 100 TB both sides shuffle on
+    orderkey and the semi join never materializes lineitem columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+def q_tpch_q12_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (X152): lineitem⋈orders fact join with the
+    two-bucket priority split (URGENT/HIGH vs rest) grouped by a line
+    attribute (returnflag stands in for the fixture's missing
+    shipmode) over a one-year ship window. The join is key-keyed
+    (shuffle on orderkey, AQE may broadcast the date-pruned side);
+    the CASE split is scan-side; output |returnflag|-bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).cast("long").alias("high_line_count"),
+            F.sum(1 - hi).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU + stickiness (X153): rolling distinct actives via the
+    bounded-expansion identity — distinct (user, day) reduced first,
+    each pair contributed to the 7 trailing windows it belongs to,
+    then bucket-keyed distinct counts; never a per-bucket rescan."""
+    from v3io_tsdb_spark.operators.cohorts import active_users_rolling
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = active_users_rolling(
+        ev, user_col="user_id", ts_col="ts_ms", step_ms=DAY,
+        window_buckets=7,
+    )
+    return out.select(
+        "t", F.col("dau").cast("long"), F.col("wau").cast("long"),
+        _rz("stickiness", 6),
+    )
+
+
+def q_doc_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (X154): continuation-
+    probability backoff (D=0.75) — the San-Francisco correction the
+    add-α model (X97) lacks; every term an exact-integer ratio so the
+    ln sits alone inside the 6dp envelope."""
+    from v3io_tsdb_spark.functions.text import kn_bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = kn_bigram_logprob(docs)
+    return out.select(
+        "doc_id", F.col("n_bigrams").cast("long"), _rz("mean_logprob", 6),
     )
 
 
@@ -3614,12 +3717,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- window, per the saturated-gate contract
         "tsdb_hw_forecast": q_tsdb_hw_forecast,
         "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
+        "stream_drawdown": q_stream_drawdown,
         "tsdb_predict_linear": q_tsdb_predict_linear,
         "tsdb_topk_daily": q_tsdb_topk_daily,
         "events_markov_transitions": q_events_markov_transitions,
         "events_markov_kstep": q_events_markov_kstep,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_vocab_growth": q_doc_vocab_growth,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q12_modes": q_tpch_q12_modes,
+        "events_dau_wau": q_events_dau_wau,
+        "doc_kn_bigram": q_doc_kn_bigram,
     }
 
 
@@ -5534,6 +5642,112 @@ def oracle_sql() -> dict[str, str]:
                  max(dd) OVER (PARTITION BY name, uid ORDER BY t
                                ROWS UNBOUNDED PRECEDING) + 0.0 AS max_dd
           FROM d
+        """,
+        "tpch_q4_priority": """
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+          FROM orders o
+          WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+          GROUP BY 1
+        """,
+        "tpch_q12_modes": """
+          SELECT l_returnflag,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+                 CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1
+        """,
+        "events_dau_wau": f"""
+          WITH ub AS MATERIALIZED (
+            SELECT DISTINCT user_id AS u,
+                   (epoch_ms(ts) // {DAY}) * {DAY} AS b
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          dau AS (SELECT b, count(DISTINCT u) AS dau FROM ub GROUP BY 1),
+          con AS (SELECT u, b + {DAY} * i AS b FROM ub, range(7) t(i)),
+          wau AS (SELECT b, count(DISTINCT u) AS wau FROM con GROUP BY 1)
+          SELECT dau.b AS t, CAST(dau AS BIGINT) AS dau,
+                 CAST(wau AS BIGINT) AS wau,
+                 round(dau * 1.0 / wau + {EPS6}, 6) + 0.0 AS stickiness
+          FROM dau JOIN wau USING (b)
+        """,
+        "doc_kn_bigram": f"""
+          WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                   END AS arr
+            FROM documents
+          ),
+          bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr)),
+                          i -> {{'w1': arr[i], 'w2': arr[i + 1]}})) AS p
+            FROM tk
+          ),
+          b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+          tf AS (SELECT doc_id, w1, w2, count(*) AS c_doc
+                 FROM b2 GROUP BY 1, 2, 3),
+          corpus AS MATERIALIZED (
+            SELECT w1, w2, sum(c_doc) AS c_bg FROM tf GROUP BY 1, 2
+          ),
+          ctx AS (SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n_follow
+                  FROM corpus GROUP BY 1),
+          cont AS (SELECT w2, count(*) AS n_precede FROM corpus GROUP BY 1),
+          bt AS (SELECT count(*) AS b_total FROM corpus)
+          SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
+                 round(sum(tf.c_doc * ln(
+                         greatest(c.c_bg - 0.75, 0.0) / x.c_ctx
+                         + (0.75 * x.n_follow / x.c_ctx)
+                           * (ct.n_precede / bt.b_total)))
+                       / sum(tf.c_doc) + {EPS6}, 6) + 0.0 AS mean_logprob
+          FROM tf
+          JOIN corpus c USING (w1, w2)
+          JOIN ctx x USING (w1)
+          JOIN cont ct USING (w2)
+          CROSS JOIN bt
+          GROUP BY 1
+        """,
+        "stream_drawdown": f"""
+          WITH grid AS (
+            SELECT event_type AS name,
+                   {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
+                   round(avg(value) + {EPS6}, 6) AS x
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          pk AS (
+            SELECT *, max(x) OVER w AS peak
+            FROM grid
+            WINDOW w AS (PARTITION BY name ORDER BY t
+                         ROWS UNBOUNDED PRECEDING)
+          ),
+          d AS (
+            SELECT *, CASE WHEN peak > 0
+                           THEN round((peak - x) / peak + {EPS6}, 6)
+                      END AS dd
+            FROM pk
+          ),
+          m AS (
+            SELECT *, max(dd) OVER (PARTITION BY name ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS max_dd
+            FROM d
+          )
+          SELECT name AS series_key, t, x + 0.0 AS x, peak + 0.0 AS peak,
+                 dd + 0.0 AS dd, max_dd + 0.0 AS max_dd
+          FROM m
+          WHERE t < (SELECT max(g.t) FROM grid g WHERE g.name = m.name)
         """,
         "tsdb_predict_linear": f"""
           WITH grid AS (

@@ -183,6 +183,11 @@ HEADLINE = [
     "events_markov_kstep",
     "doc_fuzzy_dedup",
     "doc_vocab_growth",
+    "stream_drawdown",
+    "tpch_q4_priority",
+    "tpch_q12_modes",
+    "events_dau_wau",
+    "doc_kn_bigram",
 ]
 
 

@@ -1353,3 +1353,73 @@ def vocab_growth(
     return panel.crossJoin(F.broadcast(fit)).select(
         "cp", "n_docs", "n_tokens", "vocab", "heaps_k", "heaps_beta"
     )
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-doc mean bigram log-probability under interpolated
+    Kneser-Ney smoothing (Kneser & Ney '95, Chen & Goodman '98 —
+    public) — the LM-filtering upgrade of the add-α bigram model
+    (:func:`bigram_logprob`): the backoff distribution is the
+    CONTINUATION probability (in how many distinct contexts does w2
+    appear, over the distinct-bigram total), not raw frequency — the
+    classic "San Francisco" correction where add-α overrates
+    "Francisco" after everything because the unigram is common,
+    while KN knows it only ever follows "San".
+
+        p_kn(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+
+    with D = ``discount``, N1+(w1·)/N1+(·w2) the distinct right/left
+    neighbor counts and B the distinct-bigram total. Scoring the
+    corpus against itself, every scored bigram is seen, so the
+    max(·,0) arm is live but the model needs no unseen-mass path.
+
+    Determinism: every term is a ratio of exact integers and the one
+    float literal D; the ln sits inside the 6dp output envelope.
+
+    Plan shape — bigram_logprob's five stages plus two PANEL
+    aggregates, nothing extra over the data: continuation counts
+    N1+(·w2) and fan-out counts N1+(w1·) are row-counts OVER the
+    corpus bigram table (it is distinct by construction), and B is a
+    1-row broadcast — none of them re-touch raw text.
+    """
+    toks = tokens_col(F.lower(F.trim(F.col(text_col))))
+    base = df.select(F.col(id_col), toks.alias("_tk"))
+    bg = base.select(
+        F.col(id_col), F.explode(_bigram_structs(F.col("_tk"))).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c_doc"))
+    corpus = tf.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg"))
+    ctx = corpus.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx"),
+        F.count("*").cast("long").alias("n_follow"),  # N1+(w1·)
+    )
+    cont = corpus.groupBy("w2").agg(
+        F.count("*").cast("long").alias("n_precede")  # N1+(·w2)
+    )
+    btot = corpus.agg(F.count("*").cast("long").alias("b_total"))
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("c_bg") - d, F.lit(0.0)) / F.col("c_ctx")
+        + d * F.col("n_follow") / F.col("c_ctx")
+        * (F.col("n_precede") / F.col("b_total"))
+    )
+    return (
+        tf.join(corpus, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c_doc") * F.log(p_kn)) / F.sum("c_doc") + 1e-9,
+                6,
+            ).alias("mean_logprob"),
+        )
+    )

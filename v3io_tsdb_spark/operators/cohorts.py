@@ -179,3 +179,66 @@ def kaplan_meier_conversion(
     return _km_curve(
         users.select(dur.alias("duration"), observed.cast("long").alias("_ev"))
     )
+
+
+def active_users_rolling(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    step_ms: int = 86_400_000,
+    window_buckets: int = 7,
+) -> DataFrame:
+    """DAU / WAU per bucket: distinct users active in the bucket, and
+    distinct users active in the trailing ``window_buckets`` buckets
+    (inclusive) — the engagement ratio pair (DAU/WAU = stickiness).
+
+    Rolling COUNT DISTINCT does not decompose into window sums — a
+    user active twice in the window must count once — so the plan
+    uses the standard bounded-expansion identity instead of a
+    per-bucket rescan: reduce to distinct (user, bucket) rows first
+    (the data-sized aggregate), then CONTRIBUTE each active pair to
+    the ``window_buckets`` buckets whose trailing window contains it
+    (a ×W fan-out of the already-reduced panel, W fixed and small),
+    and count distinct users per contributed bucket. WAU(d) counts a
+    user once even with 7 active days because distinctness is per
+    (user, contributed-bucket).
+
+    Only buckets with direct activity are reported (dau > 0) — the
+    contribution fan-out can land on silent buckets; they are joined
+    back to the observed grid, matching the aggregate paths'
+    empty-bucket suppression rule.
+
+    Plan: one partial-aggregable distinct on (user, bucket); a
+    scan-side sequence/explode fan-out (rows × W, no shuffle to
+    build); two bucket-keyed distinct aggregates. At 100 TB the
+    fan-out multiplies the REDUCED user-day panel, never raw events.
+    """
+    from v3io_tsdb_spark.operators.bucketing import tumbling_bucket
+
+    ub = df.select(
+        F.col(user_col).alias("u"),
+        tumbling_bucket(F.col(ts_col), 0, step_ms).alias("b"),
+    ).distinct()
+    dau = ub.groupBy("b").agg(F.count_distinct("u").cast("long").alias("dau"))
+    contrib = ub.select(
+        "u",
+        F.explode(
+            F.sequence(
+                F.col("b"),
+                F.col("b") + F.lit((window_buckets - 1) * step_ms),
+                F.lit(step_ms),
+            )
+        ).alias("b"),
+    )
+    wau = contrib.groupBy("b").agg(
+        F.count_distinct("u").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "b")
+        .select(
+            F.col("b").alias("t"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau") + 1e-9, 6).alias("stickiness"),
+        )
+    )

@@ -789,3 +789,115 @@ def stream_slo_burn(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_DD_OUT_SCHEMA = StructType(
+    [
+        StructField("series_key", StringType()),
+        StructField("t", LongType()),
+        StructField("x", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("dd", DoubleType()),
+        StructField("max_dd", DoubleType()),
+    ]
+)
+_DD_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_t", LongType()),
+        StructField("cur_sum", DoubleType()),
+        StructField("cur_n", LongType()),
+        StructField("peak", DoubleType()),
+        StructField("max_dd", DoubleType()),
+    ]
+)
+
+
+def _make_drawdown_fn(step_ms: int):
+    import math as _m
+
+    def _r6(x: float) -> float:
+        y = x + 1e-9
+        s = 1.0 if y >= 0 else -1.0
+        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Close-on-advance running drawdown: when a bucket closes,
+        its 6dp-rounded mean updates the running peak / dd / max-dd
+        exactly as the batch window pass does in bucket order, and
+        the closed row emits immediately. State is five scalars per
+        series (open-bucket sum/count + peak + worst dip) — O(1),
+        the counter-twin budget; NaN marks the not-yet-defined peak
+        and max_dd (a state schema has no null double)."""
+        if state.exists:
+            cur_t, cur_sum, cur_n, peak, max_dd = state.get
+        else:
+            cur_t, cur_sum, cur_n, peak, max_dd = None, 0.0, 0, float("nan"), float("nan")
+        rows = {"series_key": [], "t": [], "x": [], "peak": [],
+                "dd": [], "max_dd": []}
+
+        def close(t, sm, n):
+            nonlocal peak, max_dd
+            x = _r6(sm / n)
+            peak = x if _m.isnan(peak) else max(peak, x)
+            dd = _r6((peak - x) / peak) if peak > 0 else None
+            if dd is not None:
+                max_dd = dd if _m.isnan(max_dd) else max(max_dd, dd)
+            rows["series_key"].append(key[0])
+            rows["t"].append(t)
+            rows["x"].append(x)
+            rows["peak"].append(peak)
+            rows["dd"].append(dd)
+            rows["max_dd"].append(None if _m.isnan(max_dd) else max_dd)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts, val in zip(batch["ts"].values, batch["value"].values):
+                day = (int(ts) // step_ms) * step_ms
+                if cur_t is None:
+                    cur_t, cur_sum, cur_n = day, 0.0, 0
+                elif day > cur_t:
+                    close(cur_t, cur_sum, cur_n)
+                    cur_t, cur_sum, cur_n = day, 0.0, 0
+                elif day < cur_t:
+                    continue  # late event for a closed bucket: accounted
+                cur_sum += float(val)
+                cur_n += 1
+        if cur_t is not None:
+            state.update((int(cur_t), float(cur_sum), int(cur_n),
+                          float(peak), float(max_dd)))
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
+def stream_drawdown(
+    stream_df: DataFrame, series_col: str = "name", step_ms: int = 86_400_000
+) -> DataFrame:
+    """STREAMING twin of the running drawdown panel (operators/
+    trend.py drawdown): each daily bucket's mean, the running peak,
+    the dip below it, and the worst dip on record emit the moment the
+    next bucket opens — close-on-advance, the watermark-eviction
+    analog every bucketized twin here uses. The running aggregates
+    have the PREFIX property (a closed bucket's peak/dd never depend
+    on later buckets), so the stream hash-matches the batch window
+    SQL on every closed bucket with no reconciliation.
+
+    State: five scalars per series — O(series), not O(buckets)."""
+    return (
+        stream_df.select(
+            F.col(series_col).cast("string").alias("series_key"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            _make_drawdown_fn(step_ms),
+            outputStructType=_DD_OUT_SCHEMA,
+            stateStructType=_DD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
