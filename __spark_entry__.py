@@ -3317,6 +3317,110 @@ def q_tsdb_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery shape (X155) — max_over_time(rate(m[1h])[1d:]):
+    hourly Δlast/step rates from the Querier's A5 path, then the
+    daily max of the 4dp-ROUNDED hourly rate per series (round before
+    the max so boundary argmax verdicts are engine-stable — the
+    changepoint rule). Operator COMPOSITION is the point: the inner
+    grid is output-sized, so the outer aggregate is panel work."""
+    q = Querier(spark, events_as_samples(spark, sf_dir))
+    res = q.select(
+        SelectParams(functions="rate", step="1h", group_by="uid",
+                     from_time=F0, to_time=T1)
+    )
+    r4 = F.round(F.col("rate") + EPS4, 4)
+    day_t = (F.lit(F0) + F.floor((F.col("t") - F.lit(F0)) / DAY) * DAY).cast("long")
+    return (
+        res.where(F.col("rate").isNotNull())
+        .select("name", "uid", day_t.alias("t"), r4.alias("_r"))
+        .groupBy("name", "uid", "t")
+        .agg(
+            (F.max("_r") + F.lit(0.0)).alias("max_rate"),
+            F.count("*").cast("long").alias("n_hours"),
+        )
+    )
+
+
+def q_events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (X156): per-user recency/frequency/monetary
+    scored 1-4 against exact population quartiles by scan-side
+    threshold comparison — no ntile, no global sort; the three
+    boundary triples are one 1-row broadcast."""
+    from v3io_tsdb_spark.operators.cohorts import rfm_scores
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = rfm_scores(ev, user_col="user_id", ts_col="ts_ms",
+                     value_col="value", horizon_ms=T1)
+    return out.select(
+        "user_id", _rz("recency_days", 4), F.col("frequency").cast("long"),
+        _rz("monetary", 4), "r_score", "f_score", "m_score", "rfm",
+    )
+
+
+def q_events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts (X157): the Lorenz
+    scalar from the count HISTOGRAM with closed-form tied-rank sums —
+    the only ordered pass runs over the distinct-count panel, exact
+    integers until the final division."""
+    from v3io_tsdb_spark.functions.skew import gini_from_counts
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    return gini_from_counts(ev, "user_id")
+
+
+def q_tsdb_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week heatmap per metric (X158): weekly
+    rhythm read directly from history via epoch-integer dow/hour
+    (timezone-free); one partial-aggregable groupBy to ≤168 cells per
+    metric."""
+    from v3io_tsdb_spark.operators.frames import calendar_profile
+
+    s = events_as_samples(spark, sf_dir).where(F.col("ts").between(F0, T1))
+    out = calendar_profile(s, series_cols=("name",), ts_col="ts")
+    return out.select("name", "dow", "hour", F.col("n").cast("long"),
+                      _rz("mean", 6))
+
+
+def q_stream_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the rolling predict_linear (X159): each
+    closed daily bucket's trailing-7 least-squares extrapolation
+    emits on close from an O(lookback) timestamped ring — entries
+    selected by timestamp so grid holes null the verdict, the batch
+    RANGE frame replayed; hash-matches the batch SQL on every closed
+    bucket."""
+    from v3io_tsdb_spark.streaming.stateful import stream_predict_linear
+
+    fx = _stream_evt_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("ts long, name string, value double").parquet(
+        os.path.join(fx, "in")
+    )
+    out = _run_available_now(stream_predict_linear(
+        raw, step_ms=DAY, lookback=7, horizon=3, from_ms=F0,
+    ))
+    return out.select(
+        "series_key", F.col("t").cast("long").alias("t"),
+        _rz("x", 6), _rz("slope", 6), _rz("predict", 6),
+    )
+
+
+def q_tpch_parts_no_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join shape (X160): parts with NO lineitem in a ship-year,
+    counted per brand — the NOT-EXISTS complement of Q4's semi-join
+    (LEFT ANTI on partkey against the date-pruned fact side; part
+    columns alone materialize)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+    )
+
+
 def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (X151): order-priority counts over a quarter
     where EXISTS a late lineitem — the correlated-exists semi-join
@@ -3728,6 +3832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_modes": q_tpch_q12_modes,
         "events_dau_wau": q_events_dau_wau,
         "doc_kn_bigram": q_doc_kn_bigram,
+        "tsdb_subquery_rate": q_tsdb_subquery_rate,
+        "events_rfm_scores": q_events_rfm_scores,
+        "events_gini": q_events_gini,
+        "tsdb_calendar_profile": q_tsdb_calendar_profile,
+        "stream_predict_linear": q_stream_predict_linear,
+        "tpch_parts_no_sales": q_tpch_parts_no_sales,
     }
 
 
@@ -5642,6 +5752,150 @@ def oracle_sql() -> dict[str, str]:
                  max(dd) OVER (PARTITION BY name, uid ORDER BY t
                                ROWS UNBOUNDED PRECEDING) + 0.0 AS max_dd
           FROM d
+        """,
+        "tsdb_subquery_rate": f"""
+          WITH b AS (
+            SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+                   {F0} + ((epoch_ms(ts) - {F0}) // 3600000) * 3600000 AS t,
+                   arg_max(value, epoch_ms(ts)) AS lastv
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2, 3
+          ),
+          r AS (
+            SELECT name, uid, t,
+                   round((lastv - lag(lastv) OVER (PARTITION BY name, uid
+                                                   ORDER BY t)) / 3600.0
+                         + {EPS4}, 4) AS r4
+            FROM b
+          )
+          SELECT name, uid,
+                 {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
+                 max(r4) + 0.0 AS max_rate,
+                 CAST(count(*) AS BIGINT) AS n_hours
+          FROM r WHERE r4 IS NOT NULL
+          GROUP BY 1, 2, 3
+        """,
+        "events_rfm_scores": f"""
+          WITH u AS MATERIALIZED (
+            SELECT user_id,
+                   round(({T1} - max(epoch_ms(ts))) / 86400000.0
+                         + {EPS6}, 4) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   round(sum(value) + {EPS6}, 4) AS monetary
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1
+          ),
+          q AS (
+            SELECT quantile_cont(recency_days, 0.25) AS r25,
+                   quantile_cont(recency_days, 0.50) AS r50,
+                   quantile_cont(recency_days, 0.75) AS r75,
+                   quantile_cont(frequency, 0.25) AS f25,
+                   quantile_cont(frequency, 0.50) AS f50,
+                   quantile_cont(frequency, 0.75) AS f75,
+                   quantile_cont(monetary, 0.25) AS m25,
+                   quantile_cont(monetary, 0.50) AS m50,
+                   quantile_cont(monetary, 0.75) AS m75
+            FROM u
+          ),
+          s AS (
+            SELECT u.*,
+              5 - (1 + (round(recency_days + {EPS6}, 4) > round(r25 + {EPS6}, 4))::INT
+                     + (round(recency_days + {EPS6}, 4) > round(r50 + {EPS6}, 4))::INT
+                     + (round(recency_days + {EPS6}, 4) > round(r75 + {EPS6}, 4))::INT)
+                AS r_score,
+              1 + (round(frequency + {EPS6}, 4) > round(f25 + {EPS6}, 4))::INT
+                + (round(frequency + {EPS6}, 4) > round(f50 + {EPS6}, 4))::INT
+                + (round(frequency + {EPS6}, 4) > round(f75 + {EPS6}, 4))::INT
+                AS f_score,
+              1 + (round(monetary + {EPS6}, 4) > round(m25 + {EPS6}, 4))::INT
+                + (round(monetary + {EPS6}, 4) > round(m50 + {EPS6}, 4))::INT
+                + (round(monetary + {EPS6}, 4) > round(m75 + {EPS6}, 4))::INT
+                AS m_score
+            FROM u, q
+          )
+          SELECT user_id, recency_days + 0.0 AS recency_days, frequency,
+                 monetary + 0.0 AS monetary,
+                 CAST(r_score AS BIGINT) AS r_score,
+                 CAST(f_score AS BIGINT) AS f_score,
+                 CAST(m_score AS BIGINT) AS m_score,
+                 CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+          FROM s
+        """,
+        "events_gini": f"""
+          WITH pk AS (
+            SELECT user_id, count(*) AS c
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1
+          ),
+          h AS (SELECT c, count(*) AS k FROM pk GROUP BY 1),
+          cum AS (
+            SELECT c, k,
+                   sum(k) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS b
+            FROM h
+          ),
+          a AS (
+            SELECT sum(c * ((b - k) + 1 + b) * k) AS two_ix,
+                   sum(c * k) AS tot, sum(k) AS n
+            FROM cum
+          )
+          SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+                 round((two_ix - (n + 1) * tot) * 1.0 / (n * tot)
+                       + {EPS6}, 6) + 0.0 AS gini
+          FROM a
+        """,
+        "tsdb_calendar_profile": f"""
+          SELECT event_type AS name,
+                 ((epoch_ms(ts) // {DAY}) + 4) % 7 AS dow,
+                 (epoch_ms(ts) % {DAY}) // 3600000 AS hour,
+                 CAST(count(value) AS BIGINT) AS n,
+                 round(avg(value) + {EPS6}, 6) + 0.0 AS mean
+          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          GROUP BY 1, 2, 3
+        """,
+        "stream_predict_linear": f"""
+          WITH grid AS MATERIALIZED (
+            SELECT event_type AS name,
+                   {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
+                   round(avg(value) + {EPS6}, 6) AS x
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          m AS (
+            SELECT name, t, x, (t - {F0}) // {DAY} AS i FROM grid
+          ),
+          b AS (
+            SELECT *, count(x) OVER w AS n,
+                   CAST(sum(i) OVER w AS DOUBLE) AS si,
+                   sum(x) OVER w AS sx,
+                   sum(CAST(i AS DOUBLE) * x) OVER w AS six,
+                   CAST(sum(i * i) OVER w AS DOUBLE) AS sii
+            FROM m
+            WINDOW w AS (PARTITION BY name ORDER BY t
+                         RANGE BETWEEN {6 * DAY} PRECEDING AND CURRENT ROW)
+          ),
+          sl AS (
+            SELECT *, CASE WHEN n = 7 THEN
+              round((n * six - si * sx) / (n * sii - si * si) + {EPS6}, 6)
+            END AS slope
+            FROM b
+          )
+          SELECT name AS series_key, t, x + 0.0 AS x, slope + 0.0 AS slope,
+                 CASE WHEN slope IS NOT NULL THEN
+                   round(sx / n + slope * (i + 3 - si / n) + {EPS6}, 6)
+                 END + 0.0 AS predict
+          FROM sl
+          WHERE t < (SELECT max(g.t) FROM grid g WHERE g.name = sl.name)
+        """,
+        "tpch_parts_no_sales": """
+          SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+          FROM part p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_partkey = p.p_partkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          )
+          GROUP BY 1
         """,
         "tpch_q4_priority": """
           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -188,6 +188,12 @@ HEADLINE = [
     "tpch_q12_modes",
     "events_dau_wau",
     "doc_kn_bigram",
+    "tsdb_subquery_rate",
+    "events_rfm_scores",
+    "events_gini",
+    "tsdb_calendar_profile",
+    "stream_predict_linear",
+    "tpch_parts_no_sales",
 ]
 
 

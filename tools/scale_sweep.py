@@ -755,6 +755,93 @@ def ops(spark):
             from_ms=1704067200000, n_buckets=30, period=7,
         ).agg(F.sum("residual"), F.count("*")).collect()
 
+    def op_hw_forecast(d):
+        from v3io_tsdb_spark.operators.trend import holt_winters
+
+        return holt_winters(
+            _samples(d), series_cols=("name",), ts_col="ts",
+            value_col="value", step_ms=86_400_000,
+            from_ms=1704067200000, n_buckets=30, period=7,
+            horizon=7, phi=0.75,
+        ).agg(F.sum("forecast"), F.count("*")).collect()
+
+    def op_drawdown(d):
+        from v3io_tsdb_spark.operators.trend import drawdown
+
+        return drawdown(
+            _samples(d), series_cols=("name",), ts_col="ts",
+            step_ms=86_400_000, from_ms=1704067200000,
+        ).agg(F.sum("max_dd"), F.count("*")).collect()
+
+    def op_predict_linear(d):
+        from v3io_tsdb_spark.operators.trend import predict_linear
+
+        return predict_linear(
+            _samples(d), series_cols=("name",), ts_col="ts",
+            step_ms=86_400_000, from_ms=1704067200000,
+            lookback=7, horizon=3,
+        ).agg(F.sum("predict"), F.count("*")).collect()
+
+    def op_topk_series(d):
+        from v3io_tsdb_spark.operators.frames import topk_series_per_bucket
+
+        return topk_series_per_bucket(
+            _samples(d), series_cols=("name",), ts_col="ts",
+            step_ms=3_600_000, from_ms=1704067200000, k=3,
+        ).agg(F.count("*")).collect()
+
+    def _raw_events(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+
+        ev = load_table(spark, d, "events")
+        t = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        return ev.select(
+            "user_id", t.alias("ts_ms"), "event_type", "event_id"
+        )
+
+    def op_markov_transitions(d):
+        from v3io_tsdb_spark.operators.paths import markov_transitions
+
+        return markov_transitions(_raw_events(d)).agg(
+            F.sum("c"), F.count("*")
+        ).collect()
+
+    def op_markov_kstep(d):
+        from v3io_tsdb_spark.operators.paths import (
+            markov_kstep,
+            markov_transitions,
+        )
+
+        return markov_kstep(
+            markov_transitions(_raw_events(d)), k=3
+        ).collect()
+
+    def op_fuzzy_pairs(d):
+        from v3io_tsdb_spark.functions.dedup import fuzzy_pairs_blocked
+
+        return fuzzy_pairs_blocked(docs(d)).agg(
+            F.count("*"), F.sum("dist")
+        ).collect()
+
+    def op_vocab_growth(d):
+        from v3io_tsdb_spark.functions.text import vocab_growth
+
+        return vocab_growth(docs(d)).collect()
+
+    def op_dau_wau(d):
+        from v3io_tsdb_spark.operators.cohorts import active_users_rolling
+
+        return active_users_rolling(
+            _raw_events(d), user_col="user_id", ts_col="ts_ms",
+        ).agg(F.sum("wau"), F.count("*")).collect()
+
+    def op_kn_bigram(d):
+        from v3io_tsdb_spark.functions.text import kn_bigram_logprob
+
+        return kn_bigram_logprob(docs(d)).agg(
+            F.sum("mean_logprob"), F.count("*")
+        ).collect()
+
     def op_ks_drift(d):
         from v3io_tsdb_spark.functions.histogram import ks_2sample
 
@@ -843,6 +930,16 @@ def ops(spark):
         "ks_drift": op_ks_drift,
         "absent_buckets": op_absent,
         "holt_winters": op_holt_winters,
+        "hw_forecast": op_hw_forecast,
+        "drawdown": op_drawdown,
+        "predict_linear": op_predict_linear,
+        "topk_series": op_topk_series,
+        "markov_transitions": op_markov_transitions,
+        "markov_kstep": op_markov_kstep,
+        "fuzzy_pairs": op_fuzzy_pairs,
+        "vocab_growth": op_vocab_growth,
+        "dau_wau": op_dau_wau,
+        "kn_bigram": op_kn_bigram,
     }
 
 

@@ -18,7 +18,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -51,4 +51,58 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         (F.col("n_rows") / F.col("_tot")).alias("bin_row_share"),
         (F.col("_max_n") / F.col("_mean_n")).alias("skew_factor"),
         (F.col("_max_n") / F.col("_tot")).alias("max_key_share"),
+    )
+
+
+def gini_from_counts(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Gini coefficient of per-key activity — the inequality summary
+    behind "5% of users generate 80% of events" (the Lorenz-curve
+    scalar; complements the top-k concentration shares of key_skew
+    with a single comparable number in [0, 1)).
+
+        G = (2·Σ_i i·x_i − (n+1)·Σx) / (n·Σx),  x sorted ascending
+
+    The design point is the SORTED-RANK trap: the textbook form ranks
+    every key (a data-sized total order). Keys first reduce to their
+    activity count, counts then reduce to a HISTOGRAM (count-value →
+    n_keys, bounded by the distinct-count vocabulary), and the rank
+    sum inside a tied block is the closed-form arithmetic series
+    c·(a+b)(b−a+1)/2 over cumulative positions — so the only ordered
+    pass runs over the histogram panel, and every term is exact
+    integer arithmetic until the final division (rounded 6dp).
+
+    Output: 1 row (n_keys, total, gini).
+    """
+    w = weight_col if weight_col is not None else F.lit(1)
+    per_key = df.groupBy(key_col).agg(F.sum(w).cast("long").alias("_c"))
+    hist = per_key.groupBy("_c").agg(F.count("*").cast("long").alias("_k"))
+    wcum = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, 0)
+    h = hist.select(
+        "_c",
+        "_k",
+        F.sum("_k").over(wcum).alias("_b"),  # cumulative keys through block
+    ).select(
+        "_c", "_k", "_b", (F.col("_b") - F.col("_k")).alias("_a0")  # keys before
+    )
+    # Σ i·x over the block with ranks a0+1 .. b: c·(a0+1+b)·k/2
+    term = F.col("_c") * (F.col("_a0") + 1 + F.col("_b")) * F.col("_k")
+    agg = h.agg(
+        F.sum(term).alias("_2ix"),  # already 2·Σ i·x (the /2 cancels)
+        F.sum(F.col("_c") * F.col("_k")).alias("_tot"),
+        F.sum("_k").alias("_n"),
+    )
+    g = F.round(
+        (F.col("_2ix") - (F.col("_n") + 1) * F.col("_tot"))
+        / (F.col("_n") * F.col("_tot"))
+        + 1e-9,
+        6,
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_keys"),
+        F.col("_tot").cast("long").alias("total"),
+        g.alias("gini"),
     )

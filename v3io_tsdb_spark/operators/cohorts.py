@@ -242,3 +242,72 @@ def active_users_rolling(
             F.round(F.col("dau") / F.col("wau") + 1e-9, 6).alias("stickiness"),
         )
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    horizon_ms: int = 0,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    direct-marketing scoring, public since Hughes '94): per user, days
+    since last event at the ``horizon_ms`` observation point, event
+    count, and value sum, each scored 1-4 against the EXACT quartile
+    boundaries of the user population, concatenated as ``rfm`` (444 =
+    best: recent, frequent, high-value).
+
+    Scoring is threshold-comparison, NOT ntile: an unpartitioned
+    ntile/rank would total-order the user panel (data-sized at 100 TB);
+    here the three quartile boundary triples come back as ONE 1-row
+    broadcast (exact interpolated percentiles over the reduced user
+    frame) and each user scores scan-side — 1 + Σ (v > q_k) on
+    4dp-rounded values, so boundary verdicts are engine-stable.
+    Recency scores INVERTED (smaller = better = 4).
+
+    Plan: one partial-aggregable user reduce, one 1-row exact-quantile
+    aggregate (broadcast), one scan-side projection. No global sort,
+    no window at all.
+    """
+    eps = 1e-9
+    users = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.round(
+            (F.lit(horizon_ms) - F.max(ts_col)) / F.lit(86_400_000.0) + eps, 4
+        ).alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        F.round(F.sum(value_col) + eps, 4).alias("monetary"),
+    )
+    qs = users.agg(
+        *[
+            F.percentile(c, F.lit(p)).alias(f"_{c[0]}{int(p * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(col, prefix, invert=False):
+        v = F.round(F.col(col) + eps, 4)
+        s = (
+            F.lit(1)
+            + (v > F.round(F.col(f"_{prefix}25") + eps, 4)).cast("int")
+            + (v > F.round(F.col(f"_{prefix}50") + eps, 4)).cast("int")
+            + (v > F.round(F.col(f"_{prefix}75") + eps, 4)).cast("int")
+        )
+        return (F.lit(5) - s) if invert else s
+
+    r, fq, m = (
+        score("recency_days", "r", invert=True),
+        score("frequency", "f"),
+        score("monetary", "m"),
+    )
+    return users.crossJoin(F.broadcast(qs)).select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("long").alias("r_score"),
+        fq.cast("long").alias("f_score"),
+        m.cast("long").alias("m_score"),
+        (r * 100 + fq * 10 + m).cast("long").alias("rfm"),
+    )

@@ -204,3 +204,38 @@ def topk_series_per_bucket(
         .where(F.col("rank") <= k)
         .select("t", "rank", *series_cols, "x")
     )
+
+
+def calendar_profile(
+    df: DataFrame,
+    series_cols: tuple = ("name",),
+    ts_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap per series: mean
+    value and sample count per (dow, hour) cell — the weekly-rhythm
+    profile behind seasonal baselines (the X110 decomposition
+    ESTIMATES this shape from one period; the calendar profile reads
+    it directly from all history, and the two disagreeing is itself a
+    drift signal).
+
+    dow/hour derive from epoch-ms INTEGER arithmetic (epoch day 0 =
+    Thursday → dow = (days + 4) mod 7, 0 = Sunday), not calendar
+    functions — timezone-free and bit-identical in any engine.
+
+    Plan: ONE partial-aggregable groupBy to the ≤ series×168-cell
+    panel. Nothing else.
+    """
+    day = 86_400_000
+    hour = 3_600_000
+    dow = ((F.col(ts_col) / day).cast("long") + 4) % 7
+    hod = (F.col(ts_col) % day / hour).cast("long")
+    return (
+        df.groupBy(
+            *series_cols, dow.alias("dow"), hod.alias("hour")
+        )
+        .agg(
+            F.count(value_col).cast("long").alias("n"),
+            F.round(F.avg(value_col) + 1e-9, 6).alias("mean"),
+        )
+    )

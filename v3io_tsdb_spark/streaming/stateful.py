@@ -901,3 +901,134 @@ def stream_drawdown(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_PL_OUT_SCHEMA = StructType(
+    [
+        StructField("series_key", StringType()),
+        StructField("t", LongType()),
+        StructField("x", DoubleType()),
+        StructField("slope", DoubleType()),
+        StructField("predict", DoubleType()),
+    ]
+)
+_PL_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_t", LongType()),
+        StructField("cur_sum", DoubleType()),
+        StructField("cur_n", LongType()),
+        StructField("ring_t", ArrayType(LongType())),
+        StructField("ring_x", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _make_predict_linear_fn(step_ms: int, lookback: int, horizon: int,
+                            from_ms: int):
+    import math as _m
+
+    def _r6(x: float) -> float:
+        y = x + 1e-9
+        s = 1.0 if y >= 0 else -1.0
+        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Close-on-advance rolling least-squares: each closed bucket
+        joins a timestamped ring of the last ``lookback`` closed
+        buckets; a verdict needs the ring to cover the full trailing
+        RANGE (entries selected by TIMESTAMP, so grid holes shrink
+        the window and null the verdict — the batch RANGE-frame rule
+        replayed, same as the SLO twin's ring). State is the open
+        bucket's (sum, n) plus ≤lookback (t, x) pairs."""
+        if state.exists:
+            cur_t, cur_sum, cur_n, ring_t, ring_x = state.get
+            ring = list(zip(list(ring_t), list(ring_x)))
+        else:
+            cur_t, cur_sum, cur_n, ring = None, 0.0, 0, []
+        rows = {"series_key": [], "t": [], "x": [], "slope": [],
+                "predict": []}
+
+        def close(t, sm, n):
+            x = _r6(sm / n)
+            ring.append((t, x))
+            lo = t - (lookback - 1) * step_ms
+            while ring and ring[0][0] < lo:
+                ring.pop(0)
+            slope = pred = None
+            if len(ring) == lookback:
+                # index base = from_ms so the regression sums run over
+                # SMALL integers exactly like the batch/oracle grid —
+                # absolute epoch-day indexes (~2e4) would cancel 12
+                # digits in n*sii - si^2 and drift past the 6dp envelope
+                idx = [(rt - from_ms) // step_ms for rt, _ in ring]
+                xs = [rx for _, rx in ring]
+                nn = float(lookback)
+                si, sx = float(sum(idx)), sum(xs)
+                six = sum(i * v for i, v in zip(idx, xs))
+                sii = float(sum(i * i for i in idx))
+                slope = _r6((nn * six - si * sx) / (nn * sii - si * si))
+                pred = _r6(sx / nn
+                           + slope * ((t - from_ms) // step_ms + horizon
+                                      - si / nn))
+            rows["series_key"].append(key[0])
+            rows["t"].append(t)
+            rows["x"].append(x)
+            rows["slope"].append(slope)
+            rows["predict"].append(pred)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts, val in zip(batch["ts"].values, batch["value"].values):
+                day = (int(ts) // step_ms) * step_ms
+                if cur_t is None:
+                    cur_t, cur_sum, cur_n = day, 0.0, 0
+                elif day > cur_t:
+                    close(cur_t, cur_sum, cur_n)
+                    cur_t, cur_sum, cur_n = day, 0.0, 0
+                elif day < cur_t:
+                    continue
+                cur_sum += float(val)
+                cur_n += 1
+        if cur_t is not None:
+            state.update((
+                int(cur_t), float(cur_sum), int(cur_n),
+                [int(t) for t, _ in ring], [float(x) for _, x in ring],
+            ))
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
+def stream_predict_linear(
+    stream_df: DataFrame,
+    series_col: str = "name",
+    step_ms: int = 86_400_000,
+    lookback: int = 7,
+    horizon: int = 3,
+    from_ms: int = 0,
+) -> DataFrame:
+    """STREAMING twin of the rolling predict_linear fit (operators/
+    trend.py predict_linear): each closed bucket's trailing-window
+    least-squares extrapolation emits the moment the next bucket
+    opens. The ring holds (t, x) pairs selected by TIMESTAMP, so a
+    grid hole shrinks the window below ``lookback`` and nulls the
+    verdict — hash-matching the batch RANGE frame on every closed
+    bucket. State: O(lookback) per series."""
+    return (
+        stream_df.select(
+            F.col(series_col).cast("string").alias("series_key"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            _make_predict_linear_fn(step_ms, lookback, horizon, from_ms),
+            outputStructType=_PL_OUT_SCHEMA,
+            stateStructType=_PL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
