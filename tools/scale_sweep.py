@@ -842,6 +842,30 @@ def ops(spark):
             F.sum("mean_logprob"), F.count("*")
         ).collect()
 
+    def op_rfm(d):
+        from v3io_tsdb_spark.datasets import ts_millis
+        from v3io_tsdb_spark.operators.cohorts import rfm_scores
+
+        ev = load_table(spark, d, "events")
+        t = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        evv = ev.select("user_id", t.alias("ts_ms"), "value")
+        return rfm_scores(
+            evv, user_col="user_id", ts_col="ts_ms",
+            value_col="value", horizon_ms=1706745600000,
+        ).agg(F.sum("rfm"), F.count("*")).collect()
+
+    def op_gini(d):
+        from v3io_tsdb_spark.functions.skew import gini_from_counts
+
+        return gini_from_counts(_raw_events(d), "user_id").collect()
+
+    def op_calendar_profile(d):
+        from v3io_tsdb_spark.operators.frames import calendar_profile
+
+        return calendar_profile(
+            _samples(d), series_cols=("name",), ts_col="ts",
+        ).agg(F.sum("n"), F.count("*")).collect()
+
     def op_ks_drift(d):
         from v3io_tsdb_spark.functions.histogram import ks_2sample
 
@@ -940,6 +964,9 @@ def ops(spark):
         "vocab_growth": op_vocab_growth,
         "dau_wau": op_dau_wau,
         "kn_bigram": op_kn_bigram,
+        "rfm_scores": op_rfm,
+        "gini": op_gini,
+        "calendar_profile": op_calendar_profile,
     }
 
 
