@@ -3317,6 +3317,84 @@ def q_tsdb_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration (X161): covariance
+    from raw second moments (one double-posexplode pass, map-side
+    combinable into d² cells), then 5 von-Mises steps with every
+    state write rounded 6dp — the FOURTH sequential-recursion hash
+    oracle (k-means/cluster, HW/time, Markov/state, this/feature
+    space). eigenvalue = the final ‖C·v‖ Rayleigh estimate."""
+    from v3io_tsdb_spark.functions.similarity import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_top_component(emb, dim=64, n_iter=5)
+    return out.select("dim_idx", _rz("component", 6), _rz("eigenvalue", 6))
+
+
+def q_events_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session sequence scoring under the corpus Markov model (X162):
+    per session, the mean ln p of its transitions — the bot/anomaly
+    screen (a session walking improbable edges scores low); operator
+    COMPOSITION over X146's matrix, all ratios exact integers."""
+    from v3io_tsdb_spark.operators.paths import session_perplexity
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = session_perplexity(
+        ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
+        id_col="event_id", gap_ms=1_800_000,
+    )
+    return out.select(
+        "user_id", "sess", F.col("n_steps").cast("long"),
+        _rz("mean_logp", 6),
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (X163): revenue of lines below half their
+    part's average quantity — the correlated-scalar-aggregate surface
+    rewritten as aggregate-then-join (the Catalyst decorrelation
+    target): per-part averages shuffle once, the fact side joins on
+    partkey, one global sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_aq")
+    )
+    return (
+        li.join(avg_q, F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("l_quantity") < 0.5 * F.col("_aq"))
+        .agg(
+            F.expr(_DEC.format(expr="l_extendedprice")).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (X164): orders whose total quantity exceeds a
+    threshold — aggregate-HAVING on the fact key, then the order/
+    customer enrichment joins only for the qualifying keys (the
+    filter runs BEFORE the dimension joins, so the join input is the
+    survivor set, not the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity") + EPS4, 4).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            F.col("c_name").alias("c_name"),
+            (F.round(F.col("o_totalprice") + EPS4, 4) + F.lit(0.0)).alias("o_totalprice"),
+            (F.col("sum_qty") + F.lit(0.0)).alias("sum_qty"),
+        )
+    )
+
+
 def q_tsdb_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL subquery shape (X155) — max_over_time(rate(m[1h])[1d:]):
     hourly Δlast/step rates from the Querier's A5 path, then the
@@ -3838,6 +3916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_calendar_profile": q_tsdb_calendar_profile,
         "stream_predict_linear": q_stream_predict_linear,
         "tpch_parts_no_sales": q_tpch_parts_no_sales,
+        "emb_pca_top": q_emb_pca_top,
+        "events_session_perplexity": q_events_session_perplexity,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
     }
 
 
@@ -4046,6 +4128,55 @@ def _hw_oracle_sql(
          round(l + {tm!r} * b + s{jh} + {E}, 6) + 0.0 AS forecast
   FROM st{n - 1}"""
     return sql
+
+
+def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
+    """Unrolled power iteration as a CTE chain — the oracle twin of
+    similarity.pca_top_component: covariance from raw second moments
+    with mu and C rounded 6dp BEFORE the iteration, then n_iter
+    matrix-vector/normalize steps each rounding every state write,
+    so the chain replays the engine's recursion bit-for-bit."""
+    import math as _m
+
+    E = "1e-09"
+    v0 = round(1.0 / _m.sqrt(dim) + 1e-9, 6)
+    parts = [f"""WITH e AS MATERIALIZED (
+    SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  ),
+  nn AS (SELECT count(*) AS n FROM e),
+  mu AS MATERIALIZED (
+    SELECT i, round(avg(v[i + 1]) + {E}, 6) AS mu
+    FROM e, range({dim}) t(i) GROUP BY 1
+  ),
+  cells AS (
+    SELECT i, j, sum(v[i + 1] * v[j + 1]) AS s
+    FROM e, range({dim}) ti(i), range({dim}) tj(j)
+    GROUP BY 1, 2
+  ),
+  cmat AS MATERIALIZED (
+    SELECT c.i, c.j,
+           round(c.s / nn.n - mi.mu * mj.mu + {E}, 6) AS c
+    FROM cells c, nn
+    JOIN mu mi ON mi.i = c.i
+    JOIN mu mj ON mj.i = c.j
+  ),
+  v0 AS (SELECT i, {v0!r} AS p FROM range({dim}) t(i))"""]
+    prev = "v0"
+    for it in range(1, n_iter + 1):
+        parts.append(f""",
+  w{it} AS MATERIALIZED (
+    SELECT c.i, round(sum(c.c * v.p) + {E}, 6) AS w
+    FROM cmat c JOIN {prev} v ON v.i = c.j GROUP BY 1
+  ),
+  n{it} AS (SELECT round(sqrt(sum(w * w)) + {E}, 6) AS nm FROM w{it}),
+  v{it} AS MATERIALIZED (
+    SELECT i, round(w / nm + {E}, 6) AS p FROM w{it}, n{it}
+  )""")
+        prev = f"v{it}"
+    return "".join(parts) + f"""
+  SELECT CAST(i AS BIGINT) AS dim_idx, p + 0.0 AS component,
+         (SELECT nm FROM n{n_iter}) + 0.0 AS eigenvalue
+  FROM v{n_iter}"""
 
 
 def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
@@ -5752,6 +5883,70 @@ def oracle_sql() -> dict[str, str]:
                  max(dd) OVER (PARTITION BY name, uid ORDER BY t
                                ROWS UNBOUNDED PRECEDING) + 0.0 AS max_dd
           FROM d
+        """,
+        "emb_pca_top": _pca_oracle_sql(dim=64, n_iter=5),
+        "events_session_perplexity": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          s AS (
+            SELECT *, sum(new_sess) OVER w AS sess
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          pr AS MATERIALIZED (
+            SELECT user_id, sess, event_type AS from_state,
+                   lead(event_type) OVER ws AS to_state
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, sess
+                          ORDER BY t, event_type, event_id)
+          ),
+          pp AS MATERIALIZED (SELECT * FROM pr WHERE to_state IS NOT NULL),
+          cn AS (
+            SELECT from_state, to_state, count(*) AS c FROM pp GROUP BY 1, 2
+          ),
+          m AS (
+            SELECT from_state, to_state,
+                   round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
+                         + {EPS6}, 6) AS p
+            FROM cn
+          )
+          SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
+                 round(avg(ln(m.p)) + {EPS6}, 6) + 0.0 AS mean_logp
+          FROM pp JOIN m USING (from_state, to_state)
+          GROUP BY 1, 2
+        """,
+        "tpch_q17_small_qty": """
+          WITH a AS (
+            SELECT l_partkey AS pk, avg(l_quantity) AS aq
+            FROM lineitem GROUP BY 1
+          )
+          SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                      AS DOUBLE) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem l JOIN a ON l.l_partkey = a.pk
+          WHERE l.l_quantity < 0.5 * a.aq
+        """,
+        "tpch_q18_big_orders": f"""
+          WITH big AS (
+            SELECT l_orderkey, round(sum(l_quantity) + {EPS4}, 4) AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING round(sum(l_quantity) + {EPS4}, 4) > 150
+          )
+          SELECT o.o_orderkey, c.c_name,
+                 round(o.o_totalprice + {EPS4}, 4) + 0.0 AS o_totalprice,
+                 big.sum_qty + 0.0 AS sum_qty
+          FROM big
+          JOIN orders o ON big.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "tsdb_subquery_rate": f"""
           WITH b AS (

@@ -194,6 +194,10 @@ HEADLINE = [
     "tsdb_calendar_profile",
     "stream_predict_linear",
     "tpch_parts_no_sales",
+    "emb_pca_top",
+    "events_session_perplexity",
+    "tpch_q17_small_qty",
+    "tpch_q18_big_orders",
 ]
 
 

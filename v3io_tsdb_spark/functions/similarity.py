@@ -1141,3 +1141,98 @@ def mmr_topk(
         "rank long, vec_id long, relevance double, max_sim double, "
         "mmr_score double",
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Top principal component of an embedding corpus by power
+    iteration on the covariance matrix (von Mises iteration, public
+    textbook) — the dominant-variance direction behind embedding
+    whitening, drift monitoring ("did the corpus's main axis move?"),
+    and the 1-D projection used for fast coarse ordering. The repo's
+    FOURTH sequential-recursion hash oracle: k-means iterates in
+    cluster space, Holt-Winters in time, Markov in state space — this
+    in FEATURE space, with the same discipline (every state write
+    rounds 6dp half-up, so the Spark panel joins and an unrolled
+    k-CTE DuckDB chain carry bit-identical vectors at every step).
+
+    Covariance via raw second moments (C = E[xxᵀ] − μμᵀ): one
+    double-posexplode pass turns each vector into its d² products —
+    map-side combinable into exactly d² cells regardless of corpus
+    size (the only data-proportional stage, O(n·d²) multiply-adds,
+    which is what covariance costs anywhere). Both μ and C round 6dp
+    BEFORE the iteration, so cross-engine float-sum order differences
+    die at the boundary, exactly like the k-means centroid rule.
+
+    Iteration state: v₀ = 1/√d (exact for d a power of 4);
+    w = round6(C·v) per entry, v' = round6(w / round6(‖w‖)). The
+    returned ``eigenvalue`` is the final iterate's ‖C·v‖ — the
+    standard power-iteration Rayleigh estimate (C is PSD, so it
+    converges to λ₁ from any start not orthogonal to the top
+    eigenvector; the all-positive start never is for real corpora).
+
+    Everything after the moment aggregate is d- or d²-sized panel
+    work — the driver never sees data, only the plan.
+    """
+    eps = 1e-9
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(v.alias("_v"))
+    # per-dim means + count (one pass, d-row panel)
+    ex = base.select(F.posexplode("_v").alias("i", "x"))
+    mu = ex.groupBy("i").agg(F.round(F.avg("x") + eps, 6).alias("mu"))
+    n = base.count()  # scalar metadata, like the IVF centroid count
+    # raw second moments -> d^2 cells (map-side combinable)
+    cells = (
+        base.select(F.posexplode("_v").alias("i", "xi"), F.col("_v"))
+        .select("i", "xi", F.posexplode("_v").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("_s"))
+    )
+    mui = mu.select(F.col("i"), F.col("mu").alias("_mi"))
+    muj = mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj"))
+    cmat = (
+        cells.join(F.broadcast(mui), "i")
+        .join(F.broadcast(muj), "j")
+        .select(
+            "i", "j",
+            F.round(
+                F.col("_s") / F.lit(float(n)) - F.col("_mi") * F.col("_mj")
+                + eps, 6,
+            ).alias("c"),
+        )
+        # consumed once per iteration: cut the data-sized lineage so
+        # the corpus scans once, not once per power step
+        .localCheckpoint(eager=True)
+    )
+    spark = df.sparkSession
+    import math as _m
+
+    v0 = round(1.0 / _m.sqrt(dim) + eps, 6)
+    vec = spark.range(dim).select(
+        F.col("id").cast("int").alias("i"), F.lit(v0).alias("p")
+    )
+    norm = None
+    for _ in range(n_iter):
+        w = (
+            cmat.join(
+                vec.select(F.col("i").alias("j"), F.col("p")), "j"
+            )
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("c") * F.col("p")) + eps, 6).alias("w"))
+        )
+        norm = w.agg(
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + eps, 6).alias("nm")
+        )
+        vec = w.crossJoin(F.broadcast(norm)).select(
+            "i", F.round(F.col("w") / F.col("nm") + eps, 6).alias("p")
+        )
+    return vec.crossJoin(F.broadcast(norm)).select(
+        F.col("i").cast("long").alias("dim_idx"),
+        F.col("p").alias("component"),
+        F.col("nm").alias("eigenvalue"),
+    )

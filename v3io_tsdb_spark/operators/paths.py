@@ -165,3 +165,61 @@ def markov_kstep(
     return v.crossJoin(F.broadcast(total)).select(
         "state", "p", F.col("_tm").alias("total_mass")
     )
+
+
+def session_perplexity(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Score every session's step sequence under the corpus's own
+    first-order Markov model (:func:`markov_transitions`): per
+    session, the mean ``ln p(to|from)`` over its transitions — the
+    sequence-anomaly screen (bot loops and scripted walks traverse
+    improbable edges and score low; the n-gram miner shows WHAT paths
+    exist, this scores each session's walk against all of them).
+
+    Single-step sessions have no transitions and drop out (no
+    verdict), the bigram_logprob empty-doc rule.
+
+    Plan: the transition matrix build is the X146 pass (one
+    user-keyed exchange, |states|²-bounded output); scoring re-uses
+    the SAME sessionized pairs frame joined to the matrix on
+    (from, to) — a panel-sized broadcast join — then one
+    (user, session)-keyed aggregate. p is the matrix's exact-integer
+    ratio rounded 6dp, so ln runs on identical doubles everywhere.
+    """
+    order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
+    wu = Window.partitionBy(user_col).orderBy(*order)
+    new_sess = (
+        F.col(ts_col) - F.lag(ts_col).over(wu) > gap_ms
+    ).cast("long")
+    s = df.withColumn(
+        "_sess", F.sum(F.coalesce(new_sess, F.lit(1))).over(wu)
+    )
+    ws = Window.partitionBy(user_col, "_sess").orderBy(*order)
+    pairs = s.select(
+        F.col(user_col).alias("user_id"),
+        F.col("_sess").alias("sess"),
+        F.col(type_col).alias("from_state"),
+        F.lead(type_col).over(ws).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    wrow = Window.partitionBy("from_state")
+    m = counts.select(
+        "from_state", "to_state",
+        F.round(F.col("_c") / F.sum("_c").over(wrow) + 1e-9, 6).alias("_p"),
+    )
+    return (
+        pairs.join(F.broadcast(m), ["from_state", "to_state"])
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count("*").cast("long").alias("n_steps"),
+            F.round(F.avg(F.log("_p")) + 1e-9, 6).alias("mean_logp"),
+        )
+    )
