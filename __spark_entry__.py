@@ -3317,6 +3317,75 @@ def q_tsdb_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (X165): KN bigram scores
+    split into per-LANGUAGE head/middle/tail terciles (perplexity is
+    not cross-language comparable — the CCNet design point); exact
+    percentile boundaries broadcast, rfm threshold rule, no rank
+    window."""
+    from v3io_tsdb_spark.functions.text import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs)
+    return out.select("doc_id", "lang", _rz("mean_logprob", 6), "bucket")
+
+
+def q_events_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle (X166): the retention triangle's revenue
+    twin — per (cohort_week, offset), active cohort users and their
+    value sum; per-(user, week) sums reduce first, same one-scan
+    plan."""
+    from v3io_tsdb_spark.operators.cohorts import cohort_revenue
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = cohort_revenue(ev, user_col="user_id", ts_col="ts_ms",
+                         value_col="value")
+    return out.select(
+        "cohort_week", "week_offset", F.col("n_users").cast("long"),
+        (F.col("revenue") + F.lit(0.0)).alias("revenue"),
+    )
+
+
+def q_tpch_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE pricing rollup (X167): Q1's aggregate over ALL
+    (returnflag × linestatus) grouping sets including subtotals and
+    the grand total — Spark's Expand-based multi-level aggregate vs
+    DuckDB GROUPING SETS, with grouping_id disambiguating subtotal
+    nulls from value nulls."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.expr(_DEC.format(expr="l_extendedprice*(1-l_discount)")).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def q_tsdb_hw_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-band anomaly on HW residuals (X168): a bucket alarms
+    only when it deviates > 3 robust sigmas from what the SEASONAL
+    model predicted for it — the Monday-rush-never-alarms upgrade of
+    the trailing screens; exact-median MAD band, mad=0 → no
+    verdict."""
+    from v3io_tsdb_spark.operators.trend import hw_anomaly
+
+    s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
+    out = hw_anomaly(
+        s, series_cols=("name",), ts_col="ts", value_col="value",
+        step_ms=DAY, from_ms=F0, n_buckets=30, period=7,
+        alpha=0.3, beta=0.1, gamma=0.2, k=3.0,
+    )
+    return out.select(
+        "name", "t", _rz("x", 6), _rz("fitted", 6), _rz("residual", 6),
+        _rz("resid_med", 6), _rz("resid_mad", 6),
+        F.col("flag").cast("long").alias("flag"),
+    )
+
+
 def q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component by power iteration (X161): covariance
     from raw second moments (one double-posexplode pass, map-side
@@ -3920,6 +3989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_perplexity": q_events_session_perplexity,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "doc_perplexity_buckets": q_doc_perplexity_buckets,
+        "events_cohort_revenue": q_events_cohort_revenue,
+        "tpch_cube_pricing": q_tpch_cube_pricing,
+        "tsdb_hw_anomaly": q_tsdb_hw_anomaly,
     }
 
 
@@ -5883,6 +5956,109 @@ def oracle_sql() -> dict[str, str]:
                  max(dd) OVER (PARTITION BY name, uid ORDER BY t
                                ROWS UNBOUNDED PRECEDING) + 0.0 AS max_dd
           FROM d
+        """,
+        "doc_perplexity_buckets": f"""
+          WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                   END AS arr
+            FROM documents
+          ),
+          bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr)),
+                          i -> {{'w1': arr[i], 'w2': arr[i + 1]}})) AS p
+            FROM tk
+          ),
+          b2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+          tf AS (SELECT doc_id, w1, w2, count(*) AS c_doc
+                 FROM b2 GROUP BY 1, 2, 3),
+          corpus AS MATERIALIZED (
+            SELECT w1, w2, sum(c_doc) AS c_bg FROM tf GROUP BY 1, 2
+          ),
+          ctx AS (SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n_follow
+                  FROM corpus GROUP BY 1),
+          cont AS (SELECT w2, count(*) AS n_precede FROM corpus GROUP BY 1),
+          bt AS (SELECT count(*) AS b_total FROM corpus),
+          kn AS MATERIALIZED (
+            SELECT tf.doc_id,
+                   round(sum(tf.c_doc * ln(
+                           greatest(c.c_bg - 0.75, 0.0) / x.c_ctx
+                           + (0.75 * x.n_follow / x.c_ctx)
+                             * (ct.n_precede / bt.b_total)))
+                         / sum(tf.c_doc) + {EPS6}, 6) AS mean_logprob
+            FROM tf
+            JOIN corpus c USING (w1, w2)
+            JOIN ctx x USING (w1)
+            JOIN cont ct USING (w2)
+            CROSS JOIN bt
+            GROUP BY 1
+          ),
+          sc AS MATERIALIZED (
+            SELECT kn.doc_id, d.lang, kn.mean_logprob,
+                   round(kn.mean_logprob + {EPS6}, 6) AS s6
+            FROM kn JOIN documents d USING (doc_id)
+          ),
+          q AS (
+            SELECT lang,
+                   round(quantile_cont(s6, {1.0 / 3.0!r}) + {EPS6}, 6) AS q33,
+                   round(quantile_cont(s6, {2.0 / 3.0!r}) + {EPS6}, 6) AS q67
+            FROM sc GROUP BY 1
+          )
+          SELECT sc.doc_id, sc.lang, sc.mean_logprob + 0.0 AS mean_logprob,
+                 CASE WHEN sc.s6 > q.q67 THEN 'head'
+                      WHEN sc.s6 > q.q33 THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM sc JOIN q USING (lang)
+        """,
+        "events_cohort_revenue": f"""
+          WITH uw AS (
+            SELECT user_id AS u,
+                   (epoch_ms(ts) // {7 * DAY}) * {7 * DAY} AS w,
+                   sum(value) AS v
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2
+          ),
+          c AS (SELECT *, min(w) OVER (PARTITION BY u) AS cw FROM uw)
+          SELECT cw AS cohort_week, (w - cw) // {7 * DAY} AS week_offset,
+                 CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+                 round(sum(v) + {EPS6}, 4) + 0.0 AS revenue
+          FROM c GROUP BY 1, 2
+        """,
+        "tpch_cube_pricing": """
+          SELECT l_returnflag, l_linestatus,
+                 CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM lineitem
+          GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "tsdb_hw_anomaly": f"""
+          WITH base AS MATERIALIZED (
+            SELECT * FROM ({_hw_oracle_sql(n=30, m=7, alpha=0.3, beta=0.1,
+                                           gamma=0.2)})
+          ),
+          med AS (
+            SELECT name, round(quantile_cont(residual, 0.5) + {EPS6}, 6)
+                     AS med
+            FROM base GROUP BY 1
+          ),
+          mad AS (
+            SELECT b.name,
+                   round(quantile_cont(abs(b.residual - m.med), 0.5)
+                         + {EPS6}, 6) AS mad
+            FROM base b JOIN med m USING (name) GROUP BY 1
+          )
+          SELECT b.name, b.t, b.x, b.fitted, b.residual,
+                 m.med + 0.0 AS resid_med, d.mad + 0.0 AS resid_mad,
+                 CASE WHEN d.mad > 0 THEN
+                        CAST(round(abs(b.residual - m.med) + {EPS6}, 6)
+                             > round(3.0 * d.mad + {EPS6}, 6) AS BIGINT)
+                      WHEN round(abs(b.residual - m.med) + {EPS6}, 6) = 0
+                        THEN 0 END AS flag
+          FROM base b JOIN med m USING (name) JOIN mad d USING (name)
         """,
         "emb_pca_top": _pca_oracle_sql(dim=64, n_iter=5),
         "events_session_perplexity": f"""

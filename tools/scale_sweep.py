@@ -866,6 +866,19 @@ def ops(spark):
             _samples(d), series_cols=("name",), ts_col="ts",
         ).agg(F.sum("n"), F.count("*")).collect()
 
+    def op_pca_top(d):
+        from v3io_tsdb_spark.functions.similarity import pca_top_component
+
+        emb = load_table(spark, d, "embeddings")
+        return pca_top_component(emb, dim=64, n_iter=5).collect()
+
+    def op_session_perplexity(d):
+        from v3io_tsdb_spark.operators.paths import session_perplexity
+
+        return session_perplexity(_raw_events(d)).agg(
+            F.sum("mean_logp"), F.count("*")
+        ).collect()
+
     def op_ks_drift(d):
         from v3io_tsdb_spark.functions.histogram import ks_2sample
 
@@ -967,6 +980,8 @@ def ops(spark):
         "rfm_scores": op_rfm,
         "gini": op_gini,
         "calendar_profile": op_calendar_profile,
+        "pca_top": op_pca_top,
+        "session_perplexity": op_session_perplexity,
     }
 
 

@@ -1423,3 +1423,52 @@ def kn_bigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    discount: float = 0.75,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek '19, public): score
+    every doc under the corpus LM (:func:`kn_bigram_logprob`), then
+    split each language into head / middle / tail TERCILES of the
+    score — the standard pre-training data triage (head = fluent,
+    tail = noise candidates), here with the in-repo KN bigram model
+    standing in for CCNet's external KenLM.
+
+    Per-language boundaries, not global: perplexity is not comparable
+    across languages (different bigram entropy floors) — the CCNet
+    design point. Terciles come from EXACT interpolated percentiles
+    over each language's 6dp-rounded scores, compared with the rfm
+    threshold rule (round both sides) so boundary docs bucket
+    identically in every engine; the boundary table is
+    |languages|-sized and broadcast — no rank window, no global sort.
+
+    Output: (doc_id, lang, mean_logprob, bucket) with bucket in
+    {'head','middle','tail'} (higher logprob = head).
+    """
+    eps = 1e-9
+    scored = (
+        kn_bigram_logprob(df, text_col=text_col, id_col=id_col,
+                          discount=discount)
+        .join(df.select(id_col, lang_col), id_col)
+    )
+    s6 = F.round(F.col("mean_logprob") + eps, 6)
+    qs = scored.groupBy(lang_col).agg(
+        F.percentile(s6, F.lit(1.0 / 3.0)).alias("_q33"),
+        F.percentile(s6, F.lit(2.0 / 3.0)).alias("_q67"),
+    )
+    q33 = F.round(F.col("_q33") + eps, 6)
+    q67 = F.round(F.col("_q67") + eps, 6)
+    bucket = (
+        F.when(s6 > q67, F.lit("head"))
+        .when(s6 > q33, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(qs), lang_col)
+        .select(id_col, lang_col, "mean_logprob", bucket.alias("bucket"))
+    )

@@ -311,3 +311,42 @@ def rfm_scores(
         m.cast("long").alias("m_score"),
         (r * 100 + fq * 10 + m).cast("long").alias("rfm"),
     )
+
+
+def cohort_revenue(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+    week_ms: int = WEEK_MS,
+) -> DataFrame:
+    """Cohort LTV triangle: the retention triangle's revenue twin —
+    per (cohort_week, week_offset), the distinct active cohort users
+    AND their value sum, the pair a growth dashboard divides for
+    revenue-per-retained-user.
+
+    Plan mirrors retention_cohorts with one change: the stream first
+    reduces to per-(user, week) SUMS (partial-aggregable, user×week-
+    sized) instead of distinct pairs, the cohort week is the same
+    ``min`` window over that reduced frame, and the triangle
+    aggregate carries the value sum alongside the user count. Still
+    one scan, no self-join.
+    """
+    eps = 1e-9
+    uw = df.groupBy(
+        F.col(user_col).alias("_u"),
+        wall_bucket(F.col(ts_col), week_ms).alias("_week"),
+    ).agg(F.sum(value_col).alias("_v"))
+    w = Window.partitionBy("_u")
+    return (
+        uw.withColumn("cohort_week", F.min("_week").over(w))
+        .withColumn(
+            "week_offset",
+            ((F.col("_week") - F.col("cohort_week")) / week_ms).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count_distinct("_u").cast("long").alias("n_users"),
+            F.round(F.sum("_v") + eps, 4).alias("revenue"),
+        )
+    )
