@@ -4203,6 +4203,135 @@ def _hw_oracle_sql(
     return sql
 
 
+def _hw_anomaly_oracle_sql(
+    n: int = 30, m: int = 7,
+    alpha: float = 0.3, beta: float = 0.1, gamma: float = 0.2,
+    k: float = 3.0,
+) -> str:
+    """Unrolled TWO-PASS robust Holt-Winters anomaly chain — the
+    oracle twin of trend.hw_anomaly after VERDICT r10 #1: pass A is
+    the plain recursion (same shape as _hw_oracle_sql) whose
+    residuals yield the med/MAD band; pass R replays the recursion
+    with the band in hand, and a flagged bucket feeds its one-step
+    forecast (not the raw spike) into the state update — the
+    filter-side rejection, unrolled step by step with every state
+    write rounded 6dp so both engines stay bit-identical."""
+    a, b_, g_ = alpha, beta, gamma
+    oa, ob, og = 1 - alpha, 1 - beta, 1 - gamma
+    E = "1e-09"
+    scols = ", ".join(f"s{j}" for j in range(m))
+    sel_x = ", ".join(
+        f"round(max(CASE WHEN i = {j} THEN x END) - mean1 + {E}, 6) AS s{j}"
+        for j in range(m)
+    )
+    parts = [f"""WITH grid AS MATERIALIZED (
+    SELECT name, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS bt,
+           round(avg(value) + {E}, 6) AS x
+    FROM ({_PTS}) WHERE t >= {F0} AND t < {F0} + {n * DAY}
+    GROUP BY 1, 2
+  ),
+  g AS MATERIALIZED (
+    SELECT name, bt, x, (bt - {F0}) // {DAY} AS i FROM grid
+    WHERE name IN (SELECT name FROM grid GROUP BY 1 HAVING count(*) = {n})
+  ),
+  init AS MATERIALIZED (
+    SELECT name,
+           round(avg(CASE WHEN i < {m} THEN x END) + {E}, 6) AS mean1,
+           round(avg(CASE WHEN i >= {m} AND i < {2 * m} THEN x END)
+                 + {E}, 6) AS mean2,
+           {sel_x}
+    FROM g GROUP BY 1
+  ),
+  stA{m - 1} AS (
+    SELECT name, mean1 AS l,
+           round((mean2 - mean1) / {m} + {E}, 6) AS b, {scols}
+    FROM init
+  )"""]
+    for t in range(m, n):
+        j = t % m
+        s_new = ", ".join(
+            (f"round({g_!r} * (x - l_new) + {og!r} * s{kj} + {E}, 6) AS s{kj}"
+             if kj == j else f"s{kj}")
+            for kj in range(m)
+        )
+        parts.append(f""",
+  tmpA{t} AS (
+    SELECT p.name, g.bt, g.x, p.l, p.b, {scols},
+           round(p.l + p.b + p.s{j} + {E}, 6) AS fitted,
+           round({a!r} * (g.x - p.s{j}) + {oa!r} * (p.l + p.b)
+                 + {E}, 6) AS l_new
+    FROM stA{t - 1} p JOIN g ON g.name = p.name AND g.i = {t}
+  ),
+  stA{t} AS (
+    SELECT name, l_new AS l,
+           round({b_!r} * (l_new - l) + {ob!r} * b + {E}, 6) AS b,
+           {s_new}
+    FROM tmpA{t}
+  )""")
+    rows_a = " UNION ALL ".join(
+        f"SELECT name, round(x - fitted + {E}, 6) AS residual FROM tmpA{t}"
+        for t in range(m, n)
+    )
+    parts.append(f""",
+  baseA AS MATERIALIZED ({rows_a}),
+  med AS (
+    SELECT name, round(quantile_cont(residual, 0.5) + {E}, 6) AS med
+    FROM baseA GROUP BY 1
+  ),
+  band AS MATERIALIZED (
+    SELECT b.name, m.med,
+           round(quantile_cont(abs(b.residual - m.med), 0.5) + {E}, 6) AS mad
+    FROM baseA b JOIN med m USING (name) GROUP BY 1, 2
+  ),
+  stR{m - 1} AS (
+    SELECT i.name, i.mean1 AS l,
+           round((i.mean2 - i.mean1) / {m} + {E}, 6) AS b, {scols},
+           band.med, band.mad
+    FROM init i JOIN band ON band.name = i.name
+  )""")
+    for t in range(m, n):
+        j = t % m
+        s_new = ", ".join(
+            (f"round({g_!r} * (xe - l_new) + {og!r} * s{kj} + {E}, 6) AS s{kj}"
+             if kj == j else f"s{kj}")
+            for kj in range(m)
+        )
+        parts.append(f""",
+  tmpR{t} AS (
+    SELECT p.name, g.bt, g.x, p.l, p.b, {scols}, p.med, p.mad,
+           round(p.l + p.b + p.s{j} + {E}, 6) AS fitted
+    FROM stR{t - 1} p JOIN g ON g.name = p.name AND g.i = {t}
+  ),
+  eR{t} AS MATERIALIZED (
+    SELECT *, round(x - fitted + {E}, 6) AS resid,
+           CASE WHEN mad > 0 THEN
+                  CAST(round(abs(round(x - fitted + {E}, 6) - med) + {E}, 6)
+                       > round({k!r} * mad + {E}, 6) AS BIGINT)
+                WHEN round(abs(round(x - fitted + {E}, 6) - med) + {E}, 6)
+                     = 0 THEN 0 END AS flag
+    FROM tmpR{t}
+  ),
+  xR{t} AS (
+    SELECT *, CASE WHEN flag = 1 THEN fitted ELSE x END AS xe,
+           round({a!r} * ((CASE WHEN flag = 1 THEN fitted ELSE x END) - s{j})
+                 + {oa!r} * (l + b) + {E}, 6) AS l_new
+    FROM eR{t}
+  ),
+  stR{t} AS (
+    SELECT name, med, mad, l_new AS l,
+           round({b_!r} * (l_new - l) + {ob!r} * b + {E}, 6) AS b,
+           {s_new}
+    FROM xR{t}
+  )""")
+    rows_r = " UNION ALL ".join(
+        f"""SELECT name, bt AS t, x + 0.0 AS x, fitted + 0.0 AS fitted,
+           resid + 0.0 AS residual, med + 0.0 AS resid_med,
+           mad + 0.0 AS resid_mad, flag FROM eR{t}"""
+        for t in range(m, n)
+    )
+    return "".join(parts) + f"\n  {rows_r}"
+
+
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
     """Unrolled power iteration as a CTE chain — the oracle twin of
     similarity.pca_top_component: covariance from raw second moments
@@ -6035,31 +6164,9 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
-        "tsdb_hw_anomaly": f"""
-          WITH base AS MATERIALIZED (
-            SELECT * FROM ({_hw_oracle_sql(n=30, m=7, alpha=0.3, beta=0.1,
-                                           gamma=0.2)})
-          ),
-          med AS (
-            SELECT name, round(quantile_cont(residual, 0.5) + {EPS6}, 6)
-                     AS med
-            FROM base GROUP BY 1
-          ),
-          mad AS (
-            SELECT b.name,
-                   round(quantile_cont(abs(b.residual - m.med), 0.5)
-                         + {EPS6}, 6) AS mad
-            FROM base b JOIN med m USING (name) GROUP BY 1
-          )
-          SELECT b.name, b.t, b.x, b.fitted, b.residual,
-                 m.med + 0.0 AS resid_med, d.mad + 0.0 AS resid_mad,
-                 CASE WHEN d.mad > 0 THEN
-                        CAST(round(abs(b.residual - m.med) + {EPS6}, 6)
-                             > round(3.0 * d.mad + {EPS6}, 6) AS BIGINT)
-                      WHEN round(abs(b.residual - m.med) + {EPS6}, 6) = 0
-                        THEN 0 END AS flag
-          FROM base b JOIN med m USING (name) JOIN mad d USING (name)
-        """,
+        "tsdb_hw_anomaly": _hw_anomaly_oracle_sql(
+            n=30, m=7, alpha=0.3, beta=0.1, gamma=0.2, k=3.0
+        ),
         "emb_pca_top": _pca_oracle_sql(dim=64, n_iter=5),
         "events_session_perplexity": f"""
           WITH e AS (

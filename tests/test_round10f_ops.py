@@ -86,7 +86,9 @@ def test_cube_grouping_sets_complete(spark):
 def test_hw_anomaly_seasonal_spike_flags_flat_rush_does_not(spark):
     """A 7-periodic series with one mid-week spike: the spike bucket
     is the ONLY flag — the weekly rush pattern itself never alarms
-    because the model predicts it."""
+    because the model predicts it, and the spike cannot poison the
+    following week because a flagged bucket updates state with its
+    forecast, not the observation (filter-side rejection)."""
     from v3io_tsdb_spark.operators.trend import hw_anomaly
 
     tmpl = [10.0, 20.0, 15.0, 30.0, 5.0, 25.0, 35.0]
@@ -99,11 +101,11 @@ def test_hw_anomaly_seasonal_spike_flags_flat_rush_does_not(spark):
         df, series_cols=("name",), ts_col="t", value_col="value",
         step_ms=DAY, from_ms=0, n_buckets=28, period=7, k=3.0,
     ).collect()}
-    flagged = [d for d, r in out.items() if r["flag"] == 1]
-    assert 17 in flagged
-    assert all(d in (17, 18) or out[d]["flag"] in (0, None)
-               for d in out)  # day 18's residual also reacts to the
-    # spike's corruption of day-17 state; nothing else may alarm
+    flagged = sorted(d for d, r in out.items() if r["flag"] == 1)
+    assert flagged == [17]
+    # rejection keeps the post-spike week's forecasts clean: every
+    # bucket after the spike fits the template exactly again
+    assert all(out[d]["residual"] == 0.0 for d in range(18, 28))
 
 
 def test_hw_anomaly_pure_seasonal_never_flags(spark):
