@@ -3452,9 +3452,14 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity") + EPS4, 4).alias("sum_qty"))
         .where(F.col("sum_qty") > 150)
     )
+    # no broadcast hints (ADVICE r10: force-broadcasting the FULL
+    # customer dimension contradicts the 100 TB posture — an unbounded
+    # dim broadcast OOMs at scale). The survivor set `big` is the only
+    # provably small side; AQE picks broadcast joins at runtime from
+    # actual sizes, which is the right call for both joins here.
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "o_orderkey",
             F.col("c_name").alias("c_name"),

@@ -34,6 +34,21 @@ def test_rfm_golden_quartiles(spark):
     assert out[7]["r_score"] == 4 and out[0]["r_score"] == 1
 
 
+def test_rfm_default_horizon_anchors_at_data_max(spark):
+    """horizon_ms=None (the default) anchors recency at the data's
+    own max(ts): recency is non-negative by construction and the
+    most recent user scores exactly 0 days (ADVICE r10 — the old
+    default of 0 produced large negative day counts)."""
+    from v3io_tsdb_spark.operators.cohorts import rfm_scores
+
+    rows = [(1, 0, 1.0), (2, 2 * DAY, 1.0), (3, 5 * DAY, 1.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, value double")
+    out = {r["user_id"]: r for r in rfm_scores(df).collect()}
+    assert out[3]["recency_days"] == 0.0
+    assert out[2]["recency_days"] == 3.0
+    assert all(r["recency_days"] >= 0.0 for r in out.values())
+
+
 def test_rfm_no_window_in_plan(spark):
     """Threshold scoring, not ntile: the plan must contain no Window
     operator (the quartile boundaries come back as a broadcast)."""

@@ -1179,9 +1179,22 @@ def pca_top_component(
     Everything after the moment aggregate is d- or d²-sized panel
     work — the driver never sees data, only the plan.
     """
+    if n_iter < 1:
+        # n_iter=0 would crossJoin a None norm downstream — refuse
+        # up front instead of crashing mid-plan (ADVICE r10)
+        raise ValueError(f"pca_top_component needs n_iter >= 1 ({n_iter})")
     eps = 1e-9
     v = F.col(vec_col).cast("array<double>")
     base = df.select(v.alias("_v"))
+    # dim mismatch would silently drop indexes from the iteration
+    # join and mis-scale v0 = 1/sqrt(dim) (ADVICE r10): check one
+    # sampled vector's actual length — bounded metadata, one row
+    sample = df.select(F.size(v).alias("_d")).limit(1).collect()
+    if sample and sample[0]["_d"] != dim:
+        raise ValueError(
+            f"pca_top_component dim={dim} but vectors have "
+            f"length {sample[0]['_d']}"
+        )
     # per-dim means + count (one pass, d-row panel)
     ex = base.select(F.posexplode("_v").alias("i", "x"))
     mu = ex.groupBy("i").agg(F.round(F.avg("x") + eps, 6).alias("mu"))

@@ -77,8 +77,15 @@ def gini_from_counts(
 
     Output: 1 row (n_keys, total, gini).
     """
+    # fractional weights (e.g. revenue) round HALF-UP to the nearest
+    # integer unit before the histogram — a plain cast('long') would
+    # TRUNCATE them (ADVICE r10), biasing every tied-block rank sum
+    # low; integer weights pass through exactly (round is identity on
+    # integral doubles below 2^52)
     w = weight_col if weight_col is not None else F.lit(1)
-    per_key = df.groupBy(key_col).agg(F.sum(w).cast("long").alias("_c"))
+    per_key = df.groupBy(key_col).agg(
+        F.round(F.sum(w) + 1e-9, 0).cast("long").alias("_c")
+    )
     hist = per_key.groupBy("_c").agg(F.count("*").cast("long").alias("_k"))
     wcum = Window.orderBy("_c").rowsBetween(Window.unboundedPreceding, 0)
     h = hist.select(

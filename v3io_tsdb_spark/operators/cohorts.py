@@ -249,7 +249,7 @@ def rfm_scores(
     user_col: str = "user_id",
     ts_col: str = "ts_ms",
     value_col: str = "value",
-    horizon_ms: int = 0,
+    horizon_ms: int | None = None,
 ) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary — the classic
     direct-marketing scoring, public since Hughes '94): per user, days
@@ -257,6 +257,14 @@ def rfm_scores(
     count, and value sum, each scored 1-4 against the EXACT quartile
     boundaries of the user population, concatenated as ``rfm`` (444 =
     best: recent, frequent, high-value).
+
+    ``horizon_ms = None`` (the default) anchors recency at the data's
+    own ``max(ts)`` — recency is then non-negative by construction
+    (ADVICE r10: the old ``horizon_ms=0`` default made recency a large
+    NEGATIVE day count unless the caller remembered to pass the
+    observation point). The anchor is the max over the per-user maxima
+    (a panel-sized aggregate), attached as a 1-row broadcast — no
+    driver collect, no extra raw scan.
 
     Scoring is threshold-comparison, NOT ntile: an unpartitioned
     ntile/rank would total-order the user panel (data-sized at 100 TB);
@@ -272,11 +280,23 @@ def rfm_scores(
     """
     eps = 1e-9
     users = df.groupBy(F.col(user_col).alias("user_id")).agg(
-        F.round(
-            (F.lit(horizon_ms) - F.max(ts_col)) / F.lit(86_400_000.0) + eps, 4
-        ).alias("recency_days"),
+        F.max(ts_col).alias("_maxts"),
         F.count("*").cast("long").alias("frequency"),
         F.round(F.sum(value_col) + eps, 4).alias("monetary"),
+    )
+    if horizon_ms is None:
+        hz = users.agg(F.max("_maxts").alias("_h"))
+        users = users.crossJoin(F.broadcast(hz))
+        hcol = F.col("_h")
+    else:
+        hcol = F.lit(horizon_ms)
+    users = users.select(
+        "user_id",
+        F.round(
+            (hcol - F.col("_maxts")) / F.lit(86_400_000.0) + eps, 4
+        ).alias("recency_days"),
+        "frequency",
+        "monetary",
     )
     qs = users.agg(
         *[

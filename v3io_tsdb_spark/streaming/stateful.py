@@ -862,7 +862,12 @@ def _make_drawdown_fn(step_ms: int):
                     close(cur_t, cur_sum, cur_n)
                     cur_t, cur_sum, cur_n = day, 0.0, 0
                 elif day < cur_t:
-                    continue  # late event for a closed bucket: accounted
+                    # late event for an already-CLOSED bucket: DROPPED
+                    # (the bucket's row was emitted; there is no
+                    # retraction channel) — the batch/stream hash
+                    # match is scoped to in-order feeds, see the
+                    # public docstrings (ADVICE r10)
+                    continue
                 cur_sum += float(val)
                 cur_n += 1
         if cur_t is not None:
@@ -884,6 +889,12 @@ def stream_drawdown(
     have the PREFIX property (a closed bucket's peak/dd never depend
     on later buckets), so the stream hash-matches the batch window
     SQL on every closed bucket with no reconciliation.
+
+    In-order contract: an event arriving for an already-CLOSED bucket
+    is DROPPED (no retraction channel in append mode), so the
+    batch/stream hash-match claim is scoped to feeds that are
+    in-order at bucket granularity — out-of-order WITHIN a bucket is
+    fine (the batch concat+sort handles it).
 
     State: five scalars per series — O(series), not O(buckets)."""
     return (
@@ -989,7 +1000,7 @@ def _make_predict_linear_fn(step_ms: int, lookback: int, horizon: int,
                     close(cur_t, cur_sum, cur_n)
                     cur_t, cur_sum, cur_n = day, 0.0, 0
                 elif day < cur_t:
-                    continue
+                    continue  # closed-bucket late event: DROPPED
                 cur_sum += float(val)
                 cur_n += 1
         if cur_t is not None:
@@ -1016,7 +1027,10 @@ def stream_predict_linear(
     opens. The ring holds (t, x) pairs selected by TIMESTAMP, so a
     grid hole shrinks the window below ``lookback`` and nulls the
     verdict — hash-matching the batch RANGE frame on every closed
-    bucket. State: O(lookback) per series."""
+    bucket. Same in-order contract as stream_drawdown: events for an
+    already-closed bucket are DROPPED, so the hash-match claim is
+    scoped to bucket-granularity in-order feeds.
+    State: O(lookback) per series."""
     return (
         stream_df.select(
             F.col(series_col).cast("string").alias("series_key"),
