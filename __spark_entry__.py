@@ -3777,85 +3777,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2, r8 #2):
     no query's newest driver row should age past ~2 rounds.
 
-    Round-10 head-50 = 50 of the 62 queries that entered the registry
-    in r9 and have NEVER carried a driver row (VERDICT r9 #1): the 46
-    oldest by registry position plus the 4 rows the verdict mandated
-    by name — the two stream twins not in check_rotation's positional
-    suggestion (`stream_alert_episodes`, `stream_slo_burn`) and the
-    sequential-recursion oracles (`tsdb_hw_daily`, `emb_mmr_topk`)
-    whose engine-determinism claims most need the independent driver
-    environment. The 4 displaced rows (`tsdb_increase_daily`,
-    `tsdb_binop_ratio_daily`, `events_hll_weekly_rollup`,
-    `tsdb_bollinger_daily` — window/sketch families whose close
-    siblings are driver-gated) sit at positions 50-61 with the other
-    deferred net-new and lead the r11 head.
+    Round-11 head-50 = ALL 39 never-driver-gated rows (VERDICT r10
+    #3: the 12 deferred at r10 + the 27 that entered the registry in
+    r10, including the 4 late X165–X168 rows the r10 verdict flagged
+    as evidence-free) + the 11 oldest r8-evidence rows to restart the
+    age cycle. After this gate runs, zero queries carry local-only
+    evidence older than one round.
 
     At 160+ registered queries the 50-slot gate is SATURATED: the
     rotation is a ceil(N/50)-window cycle, so the evidence-age bound
-    is ceil(N/50)-1 rounds (4 windows / 3 rounds at N=160) — computed
-    DYNAMICALLY by `tools/check_rotation.py`, which audits the newest
-    green driver row per query against that bound and prints the
-    recommended next head with --plan. Layout after the head: the 12
-    deferred net-new (gate r11), then the 48 r8-evidenced rows (oldest
-    gated tier), then the 50 r9-evidenced rows; queries new in r10
-    append at the very end with local-sweep evidence per the
-    saturated-gate contract (tools/gate.py, commit 52a3d19)."""
+    is ceil(N/50)-1 rounds — computed DYNAMICALLY by
+    `tools/check_rotation.py`, which audits the newest green driver
+    row per query against that bound and prints the recommended next
+    head with --plan. Layout after the head: the 37 remaining
+    r8-evidenced rows (oldest gated tier, they lead the r12 head),
+    then the 50 r9-evidenced rows, then the 50 r10-evidenced rows
+    (freshest); queries new in r11 append at the very end with
+    local-sweep evidence per the saturated-gate contract
+    (tools/gate.py, commit 52a3d19)."""
     return {
-        # --- r10 head-50: the never-driver-gated r9 wave (46 oldest by
-        # --- registry position + the 4 VERDICT-r9-mandated rows: the two
-        # --- remaining stream twins and the sequential-recursion oracles)
-        "doc_mixture_weights": q_doc_mixture_weights,
-        "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
-        "tsdb_mad_daily": q_tsdb_mad_daily,
-        "events_value_heatmap": q_events_value_heatmap,
-        "tsdb_integral_daily": q_tsdb_integral_daily,
-        "doc_zipf_fit": q_doc_zipf_fit,
-        "doc_logprob_profile": q_doc_logprob_profile,
-        "doc_cooccur_pmi": q_doc_cooccur_pmi,
-        "emb_centroid_profile": q_emb_centroid_profile,
-        "events_hampel_hourly": q_events_hampel_hourly,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_pq_recall": q_emb_pq_recall,
-        "stream_hampel_hourly": q_stream_hampel_hourly,
-        "events_heavy_hitters": q_events_heavy_hitters,
-        "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
-        "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
-        "events_assoc_rules": q_events_assoc_rules,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "doc_classifier_score": q_doc_classifier_score,
-        "tsdb_ols_trend_daily": q_tsdb_ols_trend_daily,
-        "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
-        "events_hist_quantile": q_events_hist_quantile,
-        "doc_hybrid_rrf": q_doc_hybrid_rrf,
-        "events_bloom_semi": q_events_bloom_semi,
-        "stream_cms_sketch": q_stream_cms_sketch,
-        "stream_value_heatmap": q_stream_value_heatmap,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
-        "events_path_trigrams": q_events_path_trigrams,
-        "doc_readability": q_doc_readability,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "events_key_skew": q_events_key_skew,
-        "events_benford": q_events_benford,
-        "events_interarrival": q_events_interarrival,
-        "tsdb_corr_matrix": q_tsdb_corr_matrix,
-        "events_new_returning": q_events_new_returning,
-        "doc_psi_drift": q_doc_psi_drift,
-        "doc_source_overlap": q_doc_source_overlap,
-        "doc_oov_rate": q_doc_oov_rate,
-        "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
-        "events_attribution": q_events_attribution,
-        "stream_new_returning": q_stream_new_returning,
-        "emb_kmeans_profile": q_emb_kmeans_profile,
-        "events_alert_episodes": q_events_alert_episodes,
-        "tsdb_slo_burn": q_tsdb_slo_burn,
-        "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
-        "tsdb_hw_daily": q_tsdb_hw_daily,
-        "emb_mmr_topk": q_emb_mmr_topk,
-        "stream_alert_episodes": q_stream_alert_episodes,
-        "stream_slo_burn": q_stream_slo_burn,
-        # --- positions 50-61: the 12 remaining never-gated rows; they
-        # --- lead the r11 head per the saturated-gate rotation contract
+        # --- r11 head-50: all 39 never-driver-gated rows (the 12
+        # --- deferred at r10 + the 27 that entered in r10, incl. the 4
+        # --- late X165-X168 rows VERDICT r10 #2 flagged) + the 11
+        # --- oldest r8-evidence rows to restart the age cycle
         "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
         "tsdb_increase_daily": q_tsdb_increase_daily,
         "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
@@ -3868,8 +3812,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_split_leakage": q_events_split_leakage,
         "events_ks_drift": q_events_ks_drift,
         "tsdb_absent_hourly": q_tsdb_absent_hourly,
-        # --- positions 62-109: r8 driver evidence (oldest gated tier;
-        # --- they follow the deferred 12 into the r11/r12 heads)
+        "tsdb_hw_forecast": q_tsdb_hw_forecast,
+        "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
+        "stream_drawdown": q_stream_drawdown,
+        "tsdb_predict_linear": q_tsdb_predict_linear,
+        "tsdb_topk_daily": q_tsdb_topk_daily,
+        "events_markov_transitions": q_events_markov_transitions,
+        "events_markov_kstep": q_events_markov_kstep,
+        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
+        "doc_vocab_growth": q_doc_vocab_growth,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q12_modes": q_tpch_q12_modes,
+        "events_dau_wau": q_events_dau_wau,
+        "doc_kn_bigram": q_doc_kn_bigram,
+        "tsdb_subquery_rate": q_tsdb_subquery_rate,
+        "events_rfm_scores": q_events_rfm_scores,
+        "events_gini": q_events_gini,
+        "tsdb_calendar_profile": q_tsdb_calendar_profile,
+        "stream_predict_linear": q_stream_predict_linear,
+        "tpch_parts_no_sales": q_tpch_parts_no_sales,
+        "emb_pca_top": q_emb_pca_top,
+        "events_session_perplexity": q_events_session_perplexity,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "doc_perplexity_buckets": q_doc_perplexity_buckets,
+        "events_cohort_revenue": q_events_cohort_revenue,
+        "tpch_cube_pricing": q_tpch_cube_pricing,
+        "tsdb_hw_anomaly": q_tsdb_hw_anomaly,
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
         "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
         "doc_emb_join_stats": q_doc_emb_join_stats,
@@ -3881,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
         "doc_word_entropy": q_doc_word_entropy,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
+        # --- r8 driver evidence (oldest gated tier; leads the r12 head)
         "tsdb_range_join": q_tsdb_range_join,
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
@@ -3918,7 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conversion_latency": q_stream_conversion_latency,
         "events_anomaly_hourly": q_events_anomaly_hourly,
         "events_hll_daily": q_events_hll_daily,
-        # --- positions 110-159: r9 driver evidence (freshest tier)
+        # --- r9 driver evidence
         "doc_pack_sequences": q_doc_pack_sequences,
         "stream_rollup_1h": q_stream_rollup_1h,
         "tsdb_sql_star": q_tsdb_sql_star,
@@ -3969,35 +3939,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_label_cardinality": q_tsdb_label_cardinality,
         "emb_group_diversity": q_emb_group_diversity,
         "doc_bm25_topk": q_doc_bm25_topk,
-        # --- NEW r10: local-sweep evidence until their first driver
-        # --- window, per the saturated-gate contract
-        "tsdb_hw_forecast": q_tsdb_hw_forecast,
-        "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
-        "stream_drawdown": q_stream_drawdown,
-        "tsdb_predict_linear": q_tsdb_predict_linear,
-        "tsdb_topk_daily": q_tsdb_topk_daily,
-        "events_markov_transitions": q_events_markov_transitions,
-        "events_markov_kstep": q_events_markov_kstep,
-        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
-        "doc_vocab_growth": q_doc_vocab_growth,
-        "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q12_modes": q_tpch_q12_modes,
-        "events_dau_wau": q_events_dau_wau,
-        "doc_kn_bigram": q_doc_kn_bigram,
-        "tsdb_subquery_rate": q_tsdb_subquery_rate,
-        "events_rfm_scores": q_events_rfm_scores,
-        "events_gini": q_events_gini,
-        "tsdb_calendar_profile": q_tsdb_calendar_profile,
-        "stream_predict_linear": q_stream_predict_linear,
-        "tpch_parts_no_sales": q_tpch_parts_no_sales,
-        "emb_pca_top": q_emb_pca_top,
-        "events_session_perplexity": q_events_session_perplexity,
-        "tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "tpch_q18_big_orders": q_tpch_q18_big_orders,
-        "doc_perplexity_buckets": q_doc_perplexity_buckets,
-        "events_cohort_revenue": q_events_cohort_revenue,
-        "tpch_cube_pricing": q_tpch_cube_pricing,
-        "tsdb_hw_anomaly": q_tsdb_hw_anomaly,
+        # --- r10 driver evidence (freshest tier)
+        "doc_mixture_weights": q_doc_mixture_weights,
+        "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
+        "tsdb_mad_daily": q_tsdb_mad_daily,
+        "events_value_heatmap": q_events_value_heatmap,
+        "tsdb_integral_daily": q_tsdb_integral_daily,
+        "doc_zipf_fit": q_doc_zipf_fit,
+        "doc_logprob_profile": q_doc_logprob_profile,
+        "doc_cooccur_pmi": q_doc_cooccur_pmi,
+        "emb_centroid_profile": q_emb_centroid_profile,
+        "events_hampel_hourly": q_events_hampel_hourly,
+        "emb_pq_topk": q_emb_pq_topk,
+        "emb_pq_recall": q_emb_pq_recall,
+        "stream_hampel_hourly": q_stream_hampel_hourly,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
+        "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
+        "events_assoc_rules": q_events_assoc_rules,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "doc_classifier_score": q_doc_classifier_score,
+        "tsdb_ols_trend_daily": q_tsdb_ols_trend_daily,
+        "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
+        "events_hist_quantile": q_events_hist_quantile,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
+        "events_bloom_semi": q_events_bloom_semi,
+        "stream_cms_sketch": q_stream_cms_sketch,
+        "stream_value_heatmap": q_stream_value_heatmap,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
+        "events_path_trigrams": q_events_path_trigrams,
+        "doc_readability": q_doc_readability,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "events_key_skew": q_events_key_skew,
+        "events_benford": q_events_benford,
+        "events_interarrival": q_events_interarrival,
+        "tsdb_corr_matrix": q_tsdb_corr_matrix,
+        "events_new_returning": q_events_new_returning,
+        "doc_psi_drift": q_doc_psi_drift,
+        "doc_source_overlap": q_doc_source_overlap,
+        "doc_oov_rate": q_doc_oov_rate,
+        "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
+        "events_attribution": q_events_attribution,
+        "stream_new_returning": q_stream_new_returning,
+        "emb_kmeans_profile": q_emb_kmeans_profile,
+        "events_alert_episodes": q_events_alert_episodes,
+        "tsdb_slo_burn": q_tsdb_slo_burn,
+        "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
+        "tsdb_hw_daily": q_tsdb_hw_daily,
+        "emb_mmr_topk": q_emb_mmr_topk,
+        "stream_alert_episodes": q_stream_alert_episodes,
+        "stream_slo_burn": q_stream_slo_burn,
     }
 
 
