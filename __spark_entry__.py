@@ -3388,11 +3388,13 @@ def q_tsdb_hw_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_pca_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component by power iteration (X161): covariance
-    from raw second moments (one double-posexplode pass, map-side
-    combinable into d² cells), then 5 von-Mises steps with every
-    state write rounded 6dp — the FOURTH sequential-recursion hash
-    oracle (k-means/cluster, HW/time, Markov/state, this/feature
-    space). eigenvalue = the final ‖C·v‖ Rayleigh estimate."""
+    from raw second moments (per-Arrow-batch Gram partials — one
+    BLAS X^T·X per batch into d² cells; measured flat at 64× vs the
+    posexplode alternative, SCALE.md r11), then 5 von-Mises steps
+    with every state write rounded 6dp — the FOURTH sequential-
+    recursion hash oracle (k-means/cluster, HW/time, Markov/state,
+    this/feature space). eigenvalue = the final ‖C·v‖ Rayleigh
+    estimate."""
     from v3io_tsdb_spark.functions.similarity import pca_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")

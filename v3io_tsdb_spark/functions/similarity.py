@@ -1149,6 +1149,7 @@ def pca_top_component(
     id_col: str = "vec_id",
     dim: int = 64,
     n_iter: int = 5,
+    gram_partials: bool = True,
 ) -> DataFrame:
     """Top principal component of an embedding corpus by power
     iteration on the covariance matrix (von Mises iteration, public
@@ -1161,13 +1162,20 @@ def pca_top_component(
     rounds 6dp half-up, so the Spark panel joins and an unrolled
     k-CTE DuckDB chain carry bit-identical vectors at every step).
 
-    Covariance via raw second moments (C = E[xxᵀ] − μμᵀ): one
-    double-posexplode pass turns each vector into its d² products —
-    map-side combinable into exactly d² cells regardless of corpus
-    size (the only data-proportional stage, O(n·d²) multiply-adds,
-    which is what covariance costs anywhere). Both μ and C round 6dp
-    BEFORE the iteration, so cross-engine float-sum order differences
-    die at the boundary, exactly like the k-means centroid rule.
+    Covariance via raw second moments (C = E[xxᵀ] − μμᵀ), computed
+    by PER-BATCH GRAM PARTIALS by default (VERDICT r10 #4, measured):
+    one BLAS X^T·X per Arrow batch emits d² partial rows, reduced by
+    one hash aggregate — O(n·d²) multiply-adds either way (what
+    covariance costs anywhere), but without materializing n·d²
+    exploded rows first. At 64× data the gram path is FLAT (2.9s vs
+    the double-posexplode path's 11.8s, SCALE.md) because the only
+    data-proportional work runs inside matmul and each batch ships
+    exactly d² rows to the shuffle. ``gram_partials=False`` keeps the
+    pure-codegen explode path (bit-identical output, measured slower
+    — kept for the zero-Python-worker property). Both μ and C round
+    6dp BEFORE the iteration, so cross-engine float-sum order
+    differences die at the boundary, exactly like the k-means
+    centroid rule.
 
     Iteration state: v₀ = 1/√d (exact for d a power of 4);
     w = round6(C·v) per entry, v' = round6(w / round6(‖w‖)). The
@@ -1199,13 +1207,43 @@ def pca_top_component(
     ex = base.select(F.posexplode("_v").alias("i", "x"))
     mu = ex.groupBy("i").agg(F.round(F.avg("x") + eps, 6).alias("mu"))
     n = base.count()  # scalar metadata, like the IVF centroid count
-    # raw second moments -> d^2 cells (map-side combinable)
-    cells = (
-        base.select(F.posexplode("_v").alias("i", "xi"), F.col("_v"))
-        .select("i", "xi", F.posexplode("_v").alias("j", "xj"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj")).alias("_s"))
-    )
+    # raw second moments -> d^2 cells. Two physically different plans
+    # for the same sums (VERDICT r10 #4, measured — see SCALE.md):
+    if gram_partials:
+        # per-Arrow-batch Gram partials: one BLAS X^T·X per batch
+        # emits d^2 partial rows (4096 for d=64) instead of
+        # materializing n·d^2 exploded rows before the hash
+        # aggregate — the shuffle stays d^2-per-partition either
+        # way, this cuts the 4096x row materialization and moves
+        # the multiply-adds from codegen row loops into matmul
+        import numpy as np
+        import pandas as pd
+
+        d_ = dim
+
+        def _gram(iters):
+            for pdf in iters:
+                if not len(pdf):
+                    continue
+                x_mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+                gm = x_mat.T @ x_mat
+                ii, jj = np.indices((d_, d_))
+                yield pd.DataFrame(
+                    {"i": ii.ravel(), "j": jj.ravel(), "_s": gm.ravel()}
+                )
+
+        cells = (
+            base.mapInPandas(_gram, "i int, j int, _s double")
+            .groupBy("i", "j")
+            .agg(F.sum("_s").alias("_s"))
+        )
+    else:
+        cells = (
+            base.select(F.posexplode("_v").alias("i", "xi"), F.col("_v"))
+            .select("i", "xi", F.posexplode("_v").alias("j", "xj"))
+            .groupBy("i", "j")
+            .agg(F.sum(F.col("xi") * F.col("xj")).alias("_s"))
+        )
     mui = mu.select(F.col("i"), F.col("mu").alias("_mi"))
     muj = mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj"))
     cmat = (
