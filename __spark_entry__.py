@@ -961,6 +961,28 @@ def _stream_evt_fixture(spark: SparkSession, sf_dir: str) -> str:
     return fx
 
 
+def _stream_evt_uid_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """(ts, name, uid, value) raw event stream fixture for the
+    cross-uid twins (stream_topk): event_type as the series key,
+    user_id as the ranked dimension; clamped to [F0, T1] and sorted
+    like _stream_evt_fixture."""
+    from v3io_tsdb_spark.datasets import ts_millis
+
+    fx = _persist_path("spark_graft_stream_evt_uid", sf_dir, "events")
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ts_ms = ts_millis("ts", dict(ev.dtypes)["ts"]).cast("long")
+        ev.select(
+            ts_ms.alias("ts"),
+            F.col("event_type").alias("name"),
+            F.col("user_id").cast("string").alias("uid"),
+            F.col("value").cast("double").alias("value"),
+        ).where(F.col("ts").between(F0, T1)).orderBy("ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(fx, "in"))
+    return fx
+
+
 def q_stream_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the trailing z-score monitor (X52), driven
     end-to-end: raw events replayed through a stateful per-series
@@ -3471,6 +3493,133 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q21_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (X169): suppliers SOLELY to blame for a
+    problem in a multi-supplier order — the two-opposite-polarity
+    correlated-quantifier surface (EXISTS and NOT EXISTS against the
+    SAME fact on the SAME key) nothing else in the registry hits.
+    The fixture lineitem has no receiptdate/commitdate, so "problem"
+    is a RETURNED line (l_returnflag = 'R') in a finalized order;
+    the plan shape is Q21's exactly: three key-equi quantifier joins
+    against lineitem/orders — semi (order finalized), semi (another
+    supplier exists in the order), anti (no OTHER supplier's line was
+    returned) — all shuffling on l_orderkey, so at scale the three
+    exchanges reuse one partitioning; per-supplier distinct-order
+    counts then join the supplier/nation dims (panel-sized survivor
+    set). Plan-asserted LeftSemi + LeftAnti (pytest)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ret = li.where(F.col("l_returnflag") == "R")
+    l1 = ret.join(
+        orders.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l1 = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("_ok2"))
+        & (F.col("l_suppkey") != F.col("_sk2")),
+        "left_semi",
+    )
+    l3 = ret.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    l1 = l1.join(
+        l3,
+        (F.col("l_orderkey") == F.col("_ok3"))
+        & (F.col("l_suppkey") != F.col("_sk3")),
+        "left_anti",
+    )
+    blame = l1.groupBy("l_suppkey").agg(
+        F.count_distinct("l_orderkey").cast("long").alias("numwait")
+    )
+    return (
+        blame.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "numwait")
+    )
+
+
+def q_tpch_q20_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (X170): suppliers who shipped MORE THAN HALF
+    of some qualifying part's total year volume — the nested-IN +
+    correlated-scalar-aggregate surface (the fixture has no partsupp,
+    so availqty > 0.5·sum(l_quantity) becomes pair-share >
+    0.5·part-total, preserving the decorrelation target exactly: an
+    inner IN over a name-filtered dimension, a HAVING against a
+    correlated per-part scalar aggregate, an outer IN into the
+    supplier dim). Spark plan: part-key semi-join prunes the
+    date-windowed fact once, per-(part, supplier) sums aggregate,
+    per-part totals derive from THOSE sums (aggregate-of-aggregate —
+    never a second fact scan), the half-share filter runs on the
+    joined panel, and the supplier dim LEFT SEMI joins the qualifying
+    keys. Quantities are integral doubles, so the 0.5·total
+    comparison is exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pk = part.where(F.col("p_name").startswith("s")).select("p_partkey")
+    f = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        # consumed twice (pair shares + part totals): cut the
+        # data-sized lineage so the fact scans ONCE, not once per
+        # branch — the pca cmat rule; the checkpoint is pair-panel-
+        # sized (name-filtered parts × their suppliers)
+        .localCheckpoint(eager=True)
+    )
+    tot = f.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_q").alias("_tq")
+    )
+    qual = (
+        f.join(tot, F.col("l_partkey") == F.col("_pk"))
+        .where(F.col("_q") > 0.5 * F.col("_tq"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select(
+            "s_suppkey", "s_name",
+            (F.round(F.col("s_acctbal") + EPS4, 4) + F.lit(0.0)).alias(
+                "s_acctbal"
+            ),
+        )
+    )
+
+
+def q_stream_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the per-bucket top-k panel (X171): per
+    metric, when a daily bucket closes, the 3 uids with the largest
+    6dp-rounded bucket mean emit with their rank (ties by uid asc on
+    the rounded value — the batch rank rule). State is the open
+    bucket's uid -> (sum, n) map per metric — O(live uids), sharded
+    by metric exactly like the batch exchange; hash-matches the batch
+    rank SQL on every closed bucket."""
+    from v3io_tsdb_spark.streaming.stateful import stream_topk
+
+    fx = _stream_evt_uid_fixture(spark, sf_dir)
+    raw = spark.readStream.schema(
+        "ts long, name string, uid string, value double"
+    ).parquet(os.path.join(fx, "in"))
+    out = _run_available_now(stream_topk(raw, step_ms=DAY, k=3))
+    return out.select(
+        "series_key", F.col("t").cast("long").alias("t"),
+        F.col("rank").cast("long").alias("rank"), "uid", _rz("x", 6),
+    )
+
+
 def q_tsdb_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL subquery shape (X155) — max_over_time(rate(m[1h])[1d:]):
     hourly Δlast/step rates from the Querier's A5 path, then the
@@ -3992,6 +4141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_topk": q_emb_mmr_topk,
         "stream_alert_episodes": q_stream_alert_episodes,
         "stream_slo_burn": q_stream_slo_burn,
+        # --- NEW r11: local-sweep evidence until their first driver
+        # --- window, per the saturated-gate contract
+        "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
+        "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
+        "stream_topk_daily": q_stream_topk_daily,
     }
 
 
@@ -6374,6 +6528,47 @@ def oracle_sql() -> dict[str, str]:
           )
           GROUP BY 1
         """,
+        "tpch_q21_sole_blame": """
+          WITH l1 AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_orderstatus = 'F')
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l.l_orderkey
+                            AND l2.l_suppkey <> l.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l.l_orderkey
+                                AND l3.l_suppkey <> l.l_suppkey
+                                AND l3.l_returnflag = 'R')
+          )
+          SELECT s.s_name, n.n_name,
+                 CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+          FROM l1
+          JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          GROUP BY 1, 2
+        """,
+        "tpch_q20_share_suppliers": f"""
+          SELECT s_suppkey, s_name,
+                 round(s_acctbal + {EPS4}, 4) + 0.0 AS s_acctbal
+          FROM supplier
+          WHERE s_suppkey IN (
+            SELECT l.l_suppkey FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 's%')
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l.l_partkey, l.l_suppkey
+            HAVING sum(l.l_quantity) > 0.5 * (
+              SELECT sum(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+                AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l2.l_shipdate < TIMESTAMP '1997-01-01')
+          )
+        """,
         "tpch_q4_priority": """
           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
           FROM orders o
@@ -6449,6 +6644,27 @@ def oracle_sql() -> dict[str, str]:
           JOIN cont ct USING (w2)
           CROSS JOIN bt
           GROUP BY 1
+        """,
+        "stream_topk_daily": f"""
+          WITH grid AS (
+            SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
+                   {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
+                   round(avg(value) + {EPS6}, 6) AS x
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+            GROUP BY 1, 2, 3
+          ),
+          r AS (
+            SELECT name AS series_key, t, uid, x,
+                   row_number() OVER (PARTITION BY name, t
+                                      ORDER BY x DESC, uid) AS rank
+            FROM grid
+          )
+          SELECT series_key, t, CAST(rank AS BIGINT) AS rank, uid,
+                 x + 0.0 AS x
+          FROM r
+          WHERE rank <= 3
+            AND t < (SELECT max(g.t) FROM grid g
+                     WHERE g.name = r.series_key)
         """,
         "stream_drawdown": f"""
           WITH grid AS (

@@ -198,6 +198,13 @@ HEADLINE = [
     "events_session_perplexity",
     "tpch_q17_small_qty",
     "tpch_q18_big_orders",
+    "doc_perplexity_buckets",
+    "events_cohort_revenue",
+    "tpch_cube_pricing",
+    "tsdb_hw_anomaly",
+    "tpch_q21_sole_blame",
+    "tpch_q20_share_suppliers",
+    "stream_topk_daily",
 ]
 
 

@@ -1,0 +1,248 @@
+"""Round-11 goldens: stream_topk twin, Q21 sole-blame semi+anti
+composition, Q20 nested-IN/correlated-share shape."""
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+DAY = 86_400_000
+
+
+# ---------------------------------------------------- stream topk
+
+
+def _run_topk(spark, tmp_path, rows, k=3):
+    from v3io_tsdb_spark.streaming.stateful import stream_topk
+
+    src = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(
+        rows, "ts long, name string, uid string, value double"
+    ).orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src)
+    raw = spark.readStream.schema(
+        "ts long, name string, uid string, value double"
+    ).parquet(src)
+    q = (
+        stream_topk(raw, step_ms=DAY, k=k)
+        .writeStream.format("memory").queryName("tk_out")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from tk_out").collect()
+    return sorted(out, key=lambda r: (r["series_key"], r["t"], r["rank"]))
+
+
+def test_stream_topk_ranks_closed_bucket_only(tmp_path, spark):
+    """Day 0 holds four uids; one day-1 event closes it. The top 3
+    emit ranked by bucket mean desc; day 1 stays open (no rows)."""
+    rows = [
+        (100, "m", "a", 5.0),
+        (200, "m", "b", 9.0),
+        (300, "m", "c", 7.0),
+        (400, "m", "d", 1.0),
+        (DAY + 100, "m", "a", 2.0),
+    ]
+    out = _run_topk(spark, tmp_path, rows)
+    assert [(r["t"] // DAY, r["rank"], r["uid"], r["x"]) for r in out] == [
+        (0, 1, "b", 9.0), (0, 2, "c", 7.0), (0, 3, "a", 5.0),
+    ]
+
+
+def test_stream_topk_bucket_mean_and_uid_tiebreak(tmp_path, spark):
+    """Multiple events per uid average within the bucket; equal
+    rounded means rank by uid ascending (the batch tie rule)."""
+    rows = [
+        (100, "m", "b", 4.0), (200, "m", "b", 8.0),  # mean 6
+        (300, "m", "a", 6.0),                        # mean 6 (tie)
+        (400, "m", "c", 5.0),
+        (DAY, "m", "a", 0.0),
+    ]
+    out = _run_topk(spark, tmp_path, rows, k=2)
+    assert [(r["rank"], r["uid"], r["x"]) for r in out] == [
+        (1, "a", 6.0), (2, "b", 6.0),
+    ]
+
+
+def test_stream_topk_cross_batch_state(tmp_path, spark):
+    """An open bucket's uid->(sum, n) map persists in the state store
+    across micro-batches: batch 1 leaves day 0 open, batch 2 adds to
+    it and then closes it — the emitted means combine both batches."""
+    from v3io_tsdb_spark.streaming.stateful import stream_topk
+
+    in_dir = tmp_path / "tk_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "tk_ckpt")
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps(d) for d in [
+            {"ts": 100, "name": "m", "uid": "a", "value": 4.0},
+            {"ts": 200, "name": "m", "uid": "b", "value": 1.0},
+        ])
+    )
+    raw = spark.readStream.schema(
+        "ts long, name string, uid string, value double"
+    ).json(str(in_dir))
+    q = (
+        stream_topk(raw, step_ms=DAY, k=2)
+        .writeStream.format("memory").queryName("tk_xb")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        (in_dir / "b2.json").write_text(
+            "\n".join(json.dumps(d) for d in [
+                {"ts": 300, "name": "m", "uid": "a", "value": 8.0},
+                {"ts": DAY + 1, "name": "m", "uid": "a", "value": 0.0},
+            ])
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = sorted(
+        spark.sql("select * from tk_xb").collect(), key=lambda r: r["rank"]
+    )
+    # a: (4+8)/2 = 6 across batches; b: 1 from batch 1's state
+    assert [(r["rank"], r["uid"], r["x"]) for r in out] == [
+        (1, "a", 6.0), (2, "b", 1.0),
+    ]
+
+
+# ------------------------------------------------------- Q21 shape
+
+
+def _fake_q21_dir(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        # (orderkey, suppkey, returnflag)
+        [(1, 1, "R"), (1, 2, "N"),          # sole blame: supp 1
+         (2, 1, "R"), (2, 2, "R"),          # both returned: nobody
+         (3, 1, "R"),                        # single-supplier: nobody
+         (4, 3, "R"), (4, 4, "N")],          # order open: nobody
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "O")],
+        "o_orderkey long, o_orderstatus string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(i, f"S{i}", 0) for i in (1, 2, 3, 4)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    spark.createDataFrame(
+        [(0, "NATION_0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(os.path.join(d, "nation.parquet"))
+    return d
+
+
+def test_q21_sole_blame_fanout_rules(tmp_path, spark):
+    """Blame requires ALL THREE quantifiers: returned line + finalized
+    order + another supplier present + no OTHER supplier returned.
+    Each fake order knocks out exactly one rule."""
+    import __spark_entry__ as E
+
+    d = _fake_q21_dir(spark, tmp_path)
+    out = E.queries()["tpch_q21_sole_blame"](spark, d).collect()
+    assert [(r["s_name"], r["n_name"], r["numwait"]) for r in out] == [
+        ("S1", "NATION_0", 1)
+    ]
+
+
+def test_q21_counts_order_once_not_per_line(tmp_path, spark):
+    """Two returned lines by the same supplier in one qualifying order
+    count ONE waiting order (count distinct, not join fan-out)."""
+    import __spark_entry__ as E
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, 1, "R"), (1, 1, "R"), (1, 2, "N")],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, "F")], "o_orderkey long, o_orderstatus string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "S1", 0), (2, "S2", 0)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    spark.createDataFrame(
+        [(0, "NATION_0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).write.parquet(os.path.join(d, "nation.parquet"))
+    out = E.queries()["tpch_q21_sole_blame"](spark, d).collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("S1", 1)]
+
+
+def test_q21_plan_has_semi_and_anti(spark):
+    """The two opposite-polarity quantifiers compile to LeftSemi AND
+    LeftAnti joins in one plan — the shape this row exists for."""
+    import __spark_entry__ as E
+
+    plan = E.queries()["tpch_q21_sole_blame"](spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+# ------------------------------------------------------- Q20 shape
+
+
+def _fake_q20_dir(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    rows = [
+        # part 10 ('spring', matches): supp 1 ships 60, supp 2 ships 40
+        (10, 1, 60.0, "1996-03-01"),
+        (10, 2, 40.0, "1996-04-01"),
+        # out-of-year volume must not count toward the share
+        (10, 2, 1000.0, "1995-03-01"),
+        # part 30 ('steel', matches): exactly half is NOT enough
+        (30, 3, 50.0, "1996-05-01"),
+        (30, 4, 50.0, "1996-06-01"),
+        # part 20 ('metal', name filtered out): sole supplier ignored
+        (20, 5, 100.0, "1996-07-01"),
+    ]
+    spark.createDataFrame(
+        rows, "l_partkey long, l_suppkey long, l_quantity double, l_d string"
+    ).select(
+        "l_partkey", "l_suppkey", "l_quantity",
+        F.col("l_d").cast("timestamp_ntz").alias("l_shipdate"),
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "spring"), (20, "metal"), (30, "steel")],
+        "p_partkey long, p_name string",
+    ).write.parquet(os.path.join(d, "part.parquet"))
+    spark.createDataFrame(
+        [(i, f"S{i}", 10.0 * i) for i in (1, 2, 3, 4, 5)],
+        "s_suppkey long, s_name string, s_acctbal double",
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    return d
+
+
+def test_q20_share_threshold_rules(tmp_path, spark):
+    """Only the supplier with MORE than half a qualifying part's
+    in-year volume survives: exactly-half loses, out-of-year volume
+    is excluded from both sides, name-filtered parts never qualify."""
+    import __spark_entry__ as E
+
+    d = _fake_q20_dir(spark, tmp_path)
+    out = E.queries()["tpch_q20_share_suppliers"](spark, d).collect()
+    assert [(r["s_suppkey"], r["s_name"], r["s_acctbal"]) for r in out] == [
+        (1, "S1", 10.0)
+    ]
+
+
+def test_q20_plan_semi_join_no_second_fact_scan(spark):
+    """Supplier joins the qualifying keys as LeftSemi, and the
+    per-part totals derive from the CHECKPOINTED pair aggregate
+    (ExistingRDD), never a second lineitem scan — the fact is read
+    exactly once, inside the checkpoint job."""
+    import __spark_entry__ as E
+
+    plan = E.queries()["tpch_q20_share_suppliers"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 0  # served from the pair panel
+    assert "ExistingRDD" in plan

@@ -1046,3 +1046,131 @@ def stream_predict_linear(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_TK_OUT_SCHEMA = StructType(
+    [
+        StructField("series_key", StringType()),
+        StructField("t", LongType()),
+        StructField("rank", LongType()),
+        StructField("uid", StringType()),
+        StructField("x", DoubleType()),
+    ]
+)
+_TK_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_t", LongType()),
+        StructField("uids", ArrayType(StringType())),
+        StructField("sums", ArrayType(DoubleType())),
+        StructField("ns", ArrayType(LongType())),
+    ]
+)
+
+
+def _make_topk_fn(step_ms: int, k: int):
+    import math as _m
+
+    def _r6(x: float) -> float:
+        y = x + 1e-9
+        s = 1.0 if y >= 0 else -1.0
+        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Close-on-advance per-bucket top-k: the open bucket holds a
+        uid -> (sum, n) value map; when the next bucket opens, every
+        uid's 6dp-rounded mean ranks (x desc, uid asc — the batch
+        tie rule on rounded values) and the top k rows emit at once.
+        State is O(uids within this series key) for ONE bucket — the
+        'O(series) value map per open bucket' budget; nothing ever
+        holds more than the live bucket."""
+        if state.exists:
+            cur_t, uids, sums, ns = state.get
+            cur_t = int(cur_t)
+            acc = {u: [s, n] for u, s, n in zip(uids, sums, ns)}
+        else:
+            cur_t, acc = None, {}
+        rows = {"series_key": [], "t": [], "rank": [], "uid": [], "x": []}
+
+        def close(t, acc):
+            ranked = sorted(
+                ((_r6(s / n), u) for u, (s, n) in acc.items()),
+                key=lambda p: (-p[0], p[1]),
+            )
+            for r, (x, u) in enumerate(ranked[:k], start=1):
+                rows["series_key"].append(key[0])
+                rows["t"].append(t)
+                rows["rank"].append(r)
+                rows["uid"].append(u)
+                rows["x"].append(x)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            for ts, uid, val in zip(
+                batch["ts"].values, batch["uid"].values, batch["value"].values
+            ):
+                day = (int(ts) // step_ms) * step_ms
+                if cur_t is None:
+                    cur_t = day
+                elif day > cur_t:
+                    close(cur_t, acc)
+                    acc, cur_t = {}, day
+                elif day < cur_t:
+                    continue  # closed-bucket late event: DROPPED
+                e = acc.setdefault(str(uid), [0.0, 0])
+                e[0] += float(val)
+                e[1] += 1
+        if cur_t is not None:
+            items = sorted(acc.items())
+            state.update((
+                int(cur_t),
+                [u for u, _ in items],
+                [float(e[0]) for _, e in items],
+                [int(e[1]) for _, e in items],
+            ))
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
+def stream_topk(
+    stream_df: DataFrame,
+    series_col: str = "name",
+    uid_col: str = "uid",
+    step_ms: int = 86_400_000,
+    k: int = 3,
+) -> DataFrame:
+    """STREAMING twin of the per-bucket top-k panel (operators/
+    frames.py topk_series_per_bucket, ranked WITHIN each series key):
+    when a daily bucket closes, the k uids with the largest
+    6dp-rounded bucket mean emit with their rank, ties broken by uid
+    ascending on the ROUNDED value — the batch rank window replayed
+    per closed bucket. Unlike the per-series scalar twins, the rank
+    is cross-uid WITHIN the series key, so the state is the open
+    bucket's uid -> (sum, n) map — O(live uids per key), sharded by
+    the series key across the cluster exactly like the batch
+    exchange; a global top-k would instead put the whole corpus
+    behind one key, which is the anti-pattern this signature avoids.
+
+    Same in-order contract as stream_drawdown: events for an
+    already-closed bucket are DROPPED, so the batch/stream hash match
+    is scoped to bucket-granularity in-order feeds.
+    """
+    return (
+        stream_df.select(
+            F.col(series_col).cast("string").alias("series_key"),
+            F.col(uid_col).cast("string").alias("uid"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            _make_topk_fn(step_ms, k),
+            outputStructType=_TK_OUT_SCHEMA,
+            stateStructType=_TK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
