@@ -85,17 +85,41 @@ def run_rotation() -> bool:
     return r.returncode == 0
 
 
+def tree_state() -> str:
+    """The exact tree this gate run blesses: HEAD hash + dirty marker.
+    VERDICT r10 #2 — r10's snapshot added registry rows AFTER the gate
+    ran, shipping a RED tree. The mechanical rule: the snapshot commit
+    must be the exact tree gate.py blessed, so the gate prints the
+    hash it ran on and the snapshot message records it. A '-dirty'
+    suffix means uncommitted changes were present: committing them
+    afterwards produces a DIFFERENT tree than the one blessed, so a
+    dirty-green gate only covers an immediately following commit of
+    exactly those changes and nothing more."""
+    h = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    return f"{h}-dirty" if dirty else h
+
+
 def main() -> int:
     args = set(sys.argv[1:])
     do_pytest = not args or "--pytest" in args
     do_oracle = not args or "--oracle" in args
+    state = tree_state()
+    print(f"== gate: tree {state} ==", flush=True)
     ok = run_registry()
     ok = run_rotation() and ok
     if do_pytest:
         ok = run_pytest() and ok
     if do_oracle:
         ok = run_oracle() and ok
-    print(f"== gate: {'GREEN' if ok else 'RED — do not snapshot'} ==")
+    verdict = "GREEN" if ok else "RED — do not snapshot"
+    print(f"== gate: {verdict} (tree {state}) ==")
     return 0 if ok else 1
 
 

@@ -879,6 +879,15 @@ def ops(spark):
             F.sum("mean_logp"), F.count("*")
         ).collect()
 
+    def op_hw_anomaly(d):
+        from v3io_tsdb_spark.operators.trend import hw_anomaly
+
+        return hw_anomaly(
+            _samples(d), series_cols=("name",), ts_col="ts",
+            step_ms=86_400_000, from_ms=1704067200000, n_buckets=30,
+            period=7,
+        ).collect()
+
     def op_ks_drift(d):
         from v3io_tsdb_spark.functions.histogram import ks_2sample
 
@@ -982,6 +991,7 @@ def ops(spark):
         "calendar_profile": op_calendar_profile,
         "pca_top": op_pca_top,
         "session_perplexity": op_session_perplexity,
+        "hw_anomaly": op_hw_anomaly,
     }
 
 

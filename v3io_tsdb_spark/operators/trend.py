@@ -1086,12 +1086,15 @@ def hw_anomaly(
     rounds 6dp exactly like pass 1, so the unrolled DuckDB oracle
     chain replays both recursions bit-for-bit.
 
-    Plan: one grid reduce feeds both passes (re-bucketing an
-    already-bucketed 6dp panel is an exact no-op, so Catalyst sees
-    one identical scan subtree and ReusedExchange applies); pass-1
-    recursion + two exact-percentile panel aggregates, then the
-    pass-2 ``applyInPandas`` over the grid joined to the broadcast
-    band. Nothing new touches raw data.
+    Plan: ONE grid reduce feeds both passes — the reduced
+    series×n_buckets panel is locally checkpointed, so the four
+    consumers (pass-1 recursion feeding med and mad, plus the pass-2
+    recursion) replay the bounded panel, never the raw scan (without
+    the checkpoint Catalyst duplicated the scan subtree per branch —
+    four raw scans, measured). Re-bucketing the already-bucketed 6dp
+    panel inside holt_winters is an exact no-op. Then two
+    exact-percentile panel aggregates and the pass-2
+    ``applyInPandas`` over the panel joined to the broadcast band.
     """
     import pandas as pd
 
@@ -1107,6 +1110,9 @@ def hw_anomaly(
             tumbling_bucket(F.col(ts_col), from_ms, step_ms).alias("t"),
         )
         .agg(F.round(F.avg(value_col) + eps, 6).alias("x"))
+        # consumed by four downstream branches: cut the data-sized
+        # lineage so raw scans once — the panel is series×n_buckets
+        .localCheckpoint(eager=True)
     )
     hw = holt_winters(
         grid, series_cols=series_cols, ts_col="t", value_col="x",
