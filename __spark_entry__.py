@@ -3599,6 +3599,83 @@ def q_tpch_q20_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2_min_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (X172): the supplier(s) achieving each
+    size-filtered part's MINIMUM price — the EQUALITY-ON-AGGREGATE
+    join-back surface (Q17 compares against a correlated scalar, this
+    row must re-join rows EQUAL to it: the argmin shape). The fixture
+    has no partsupp, so min ps_supplycost becomes min l_extendedprice
+    over the part's lineitems — the plan is Q2's exactly: dimension
+    filter prunes the fact through a key join, per-part minima
+    aggregate once, and the join-back equality on the 4dp-ROUNDED
+    price (round-before-compare, the changepoint argmax rule — a
+    sub-ulp engine difference must not move the argmin) recovers all
+    achieving (part, supplier) pairs, DISTINCT against same-price
+    repeat lines. Two passes over the dimension-pruned fact — the
+    textbook decorrelation trade (the aggregate and the join-back
+    need different shapes); both prune through the same part-key
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pdim = part.where(F.col("p_size") == 2).select("p_partkey", "p_brand")
+    fact = li.join(pdim, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_partkey", "p_brand", "l_suppkey",
+        F.round(F.col("l_extendedprice") + EPS4, 4).alias("_pr"),
+    )
+    minp = fact.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("_pr").alias("min_price")
+    )
+    arg = (
+        fact.join(
+            minp,
+            (F.col("p_partkey") == F.col("_pk"))
+            & (F.col("_pr") == F.col("min_price")),
+        )
+        .select("p_partkey", "p_brand", "l_suppkey", "min_price")
+        .distinct()
+    )
+    return arg.join(
+        supplier, F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "p_partkey", "p_brand", "s_name",
+        (F.col("min_price") + F.lit(0.0)).alias("min_price"),
+    )
+
+
+def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (X173): above-average-balance customers with
+    NO recent orders, aggregated per segment — the GLOBAL-SCALAR
+    broadcast + LeftAnti composition (Q22's two quantifiers: a scalar
+    subquery over a different filter of the SAME dimension, and a
+    NOT EXISTS against the fact). The positive-balance average comes
+    back as a 1-row broadcast (never a window), the rich set
+    anti-joins the date-pruned order keys, and the segment rollup is
+    |segments|-bounded. Balances compare 4dp-rounded on both sides;
+    the money sum runs in DECIMAL(18,6) like every TPC-H row.
+    Fixture customers all have SOME order, so 'idle' is scoped to a
+    recent window (>= 2000-01-01) to keep the anti-join non-vacuous —
+    the reversed-coverage rule from the FK row."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    posavg = cust.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal") + EPS4, 4).alias("_avg")
+    )
+    rich = cust.crossJoin(F.broadcast(posavg)).where(
+        F.round(F.col("c_acctbal") + EPS4, 4) > F.col("_avg")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("numcust"),
+        F.expr(_DEC.format(expr="c_acctbal")).alias("totacctbal"),
+    )
+
+
 def q_stream_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the per-bucket top-k panel (X171): per
     metric, when a daily bucket closes, the 3 uids with the largest
@@ -4146,6 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
         "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
         "stream_topk_daily": q_stream_topk_daily,
+        "tpch_q2_min_price": q_tpch_q2_min_price,
+        "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
     }
 
 
@@ -6526,6 +6605,31 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
           )
+          GROUP BY 1
+        """,
+        "tpch_q2_min_price": f"""
+          SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name,
+                 round(l.l_extendedprice + {EPS4}, 4) + 0.0 AS min_price
+          FROM part p
+          JOIN lineitem l ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          WHERE p.p_size = 2
+            AND round(l.l_extendedprice + {EPS4}, 4) = (
+              SELECT min(round(l2.l_extendedprice + {EPS4}, 4))
+              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        """,
+        "tpch_q22_idle_rich": f"""
+          SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+                 CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS totacctbal
+          FROM customer c
+          WHERE round(c.c_acctbal + {EPS4}, 4) > (
+              SELECT round(avg(c2.c_acctbal) + {EPS4}, 4)
+              FROM customer c2 WHERE c2.c_acctbal > 0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
           GROUP BY 1
         """,
         "tpch_q21_sole_blame": """

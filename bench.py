@@ -205,6 +205,8 @@ HEADLINE = [
     "tpch_q21_sole_blame",
     "tpch_q20_share_suppliers",
     "stream_topk_daily",
+    "tpch_q2_min_price",
+    "tpch_q22_idle_rich",
 ]
 
 

@@ -246,3 +246,95 @@ def test_q20_plan_semi_join_no_second_fact_scan(spark):
     assert "LeftSemi" in plan
     assert plan.count("lineitem.parquet") == 0  # served from the pair panel
     assert "ExistingRDD" in plan
+
+
+# ------------------------------------------------------- Q2 shape
+
+
+def test_q2_argmin_ties_and_size_filter(tmp_path, spark):
+    """Two suppliers at the SAME (rounded) minimum price both emit;
+    the higher-priced supplier never does; wrong-size parts are
+    pruned before the fact ever aggregates."""
+    import __spark_entry__ as E
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(10, 1, 100.0), (10, 2, 100.0), (10, 3, 250.0),
+         (20, 4, 5.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "B1", 2), (20, "B2", 9)],
+        "p_partkey long, p_brand string, p_size int",
+    ).write.parquet(os.path.join(d, "part.parquet"))
+    spark.createDataFrame(
+        [(i, f"S{i}") for i in (1, 2, 3, 4)],
+        "s_suppkey long, s_name string",
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    out = sorted(
+        E.queries()["tpch_q2_min_price"](spark, d).collect(),
+        key=lambda r: r["s_name"],
+    )
+    assert [(r["p_partkey"], r["s_name"], r["min_price"]) for r in out] == [
+        (10, "S1", 100.0), (10, "S2", 100.0),
+    ]
+
+
+def test_q2_distinct_collapses_repeat_min_lines(tmp_path, spark):
+    """One supplier hitting the min price on THREE lines emits one
+    row (DISTINCT on the achieving pair, not line fan-out)."""
+    import __spark_entry__ as E
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(10, 1, 50.0), (10, 1, 50.0), (10, 1, 50.0), (10, 2, 60.0)],
+        "l_partkey long, l_suppkey long, l_extendedprice double",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "B1", 2)], "p_partkey long, p_brand string, p_size int",
+    ).write.parquet(os.path.join(d, "part.parquet"))
+    spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string",
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    out = E.queries()["tpch_q2_min_price"](spark, d).collect()
+    assert [(r["s_name"], r["min_price"]) for r in out] == [("S1", 50.0)]
+
+
+# ------------------------------------------------------- Q22 shape
+
+
+def test_q22_boundary_and_anti_rules(tmp_path, spark):
+    """Exactly-average balance is excluded (strict >); an above-avg
+    customer with a recent order is excluded by the anti-join; the
+    average is over POSITIVE balances only."""
+    import __spark_entry__ as E
+
+    d = str(tmp_path / "sf")
+    # positive balances: 100, 200, 300 -> avg 200. The -1000 customer
+    # must not drag the average down.
+    spark.createDataFrame(
+        [(1, "A", 100.0), (2, "A", 200.0), (3, "A", 300.0),
+         (4, "B", 250.0), (5, "B", -1000.0)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    # customer 4 (above avg) ordered recently -> anti-joined away
+    spark.createDataFrame(
+        [(4, "2000-06-01"), (3, "1999-01-01")],
+        "o_custkey long, o_d string",
+    ).select(
+        "o_custkey", F.col("o_d").cast("timestamp_ntz").alias("o_orderdate")
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    out = E.queries()["tpch_q22_idle_rich"](spark, d).collect()
+    # only customer 3 survives: above 200, no order on/after 2000-01-01
+    assert [(r["c_mktsegment"], r["numcust"], r["totacctbal"])
+            for r in out] == [("A", 1, 300.0)]
+
+
+def test_q22_plan_anti_join_and_broadcast_scalar(spark):
+    import __spark_entry__ as E
+
+    plan = E.queries()["tpch_q22_idle_rich"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
