@@ -3676,6 +3676,72 @@ def q_tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (X174): the orders-per-customer DISTRIBUTION
+    including zero-order customers — the ZERO-PRESERVING OUTER-JOIN
+    histogram (every other join shape here drops non-matching keys;
+    Q13's point is that the empty groups are data). customer LEFT
+    OUTER joins the priority-filtered orders with the filter INSIDE
+    the join condition (a WHERE after an outer join would silently
+    turn it inner — the classic Q13 trap, golden-pinned), per-customer
+    counts preserve zeros via count(o_orderkey) counting non-null,
+    and the count-of-counts histogram is |distinct counts|-bounded.
+    Plan: one outer shuffle join, two panel aggregates — the second
+    aggregate's input is already customer-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    per_cust = (
+        cust.join(
+            orders, F.col("o_custkey") == F.col("c_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+def q_tpch_q11_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (X175): parts whose revenue exceeds a FRACTION
+    of the GLOBAL total — the group-vs-global scalar HAVING (Q22's
+    scalar came from a different filter of a dimension; this one is
+    the aggregate-of-the-same-aggregate: Σ_group > f·Σ_all). The
+    whole comparison runs in DECIMAL(18,6): per-part revenues sum
+    exactly, the global total is the exact sum OF THOSE SUMS (never a
+    second fact scan — the checkpointed panel feeds both sides), and
+    the 0.08% threshold is the integer inequality 1250·v > total, so
+    there is no float anywhere and no rounding boundary to defend —
+    the strongest form of the round-before-compare rule. The 1-row
+    total broadcasts; the filter is scan-side on the panel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice * (1 - l_discount)"
+                    " AS DECIMAL(18,6))"
+                )
+            ).alias("_v")
+        )
+        # consumed by both the global total and the share filter:
+        # cut the lineage so the fact scans once (the q20 rule)
+        .localCheckpoint(eager=True)
+    )
+    tot = pv.agg(F.sum("_v").alias("_tot"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("_v") * 1250 > F.col("_tot"))
+        .select(
+            "l_partkey",
+            F.col("_v").cast("double").alias("revenue"),
+        )
+    )
+
+
 def q_stream_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the per-bucket top-k panel (X171): per
     metric, when a daily bucket closes, the 3 uids with the largest
@@ -4225,6 +4291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk_daily": q_stream_topk_daily,
         "tpch_q2_min_price": q_tpch_q2_min_price,
         "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q11_share_parts": q_tpch_q11_share_parts,
     }
 
 
@@ -6606,6 +6674,30 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate < TIMESTAMP '1997-01-01'
           )
           GROUP BY 1
+        """,
+        "tpch_q13_custdist": """
+          WITH c_orders AS (
+            SELECT c.c_custkey,
+                   CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT'
+            GROUP BY 1
+          )
+          SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          FROM c_orders GROUP BY 1
+        """,
+        "tpch_q11_share_parts": """
+          WITH pv AS (
+            SELECT l_partkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS v
+            FROM lineitem GROUP BY 1
+          )
+          SELECT l_partkey, CAST(v AS DOUBLE) AS revenue
+          FROM pv
+          WHERE 1250 * v > (SELECT sum(v) FROM pv)
         """,
         "tpch_q2_min_price": f"""
           SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name,

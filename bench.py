@@ -207,6 +207,8 @@ HEADLINE = [
     "stream_topk_daily",
     "tpch_q2_min_price",
     "tpch_q22_idle_rich",
+    "tpch_q13_custdist",
+    "tpch_q11_share_parts",
 ]
 
 

@@ -338,3 +338,62 @@ def test_q22_plan_anti_join_and_broadcast_scalar(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------------------- Q13 shape
+
+
+def test_q13_zero_order_customers_survive(tmp_path, spark):
+    """The outer join preserves customers with NO qualifying orders —
+    the zero bucket is data (the Q13 point), and the priority filter
+    lives INSIDE the join condition: customer 3's only order is
+    non-urgent, so they land in the zero bucket, not dropped."""
+    import __spark_entry__ as E
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")],
+        "c_custkey long, c_name string",
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(100, 1, "1-URGENT"), (101, 1, "1-URGENT"), (102, 3, "3-MEDIUM")],
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    out = {r["c_count"]: r["custdist"]
+           for r in E.queries()["tpch_q13_custdist"](spark, d).collect()}
+    assert out == {2: 1, 0: 2}  # cust 1 -> 2 urgent; cust 2 and 3 -> 0
+
+
+# ------------------------------------------------------- Q11 shape
+
+
+def test_q11_share_is_exact_decimal(tmp_path, spark):
+    """The group-vs-global comparison runs entirely in decimal:
+    three parts at 30/30/40 of a 100 total with threshold 1/1250 —
+    all pass; raise one part to dominate and shrink another below
+    0.08% and only the big ones survive. A part at EXACTLY the
+    threshold does NOT pass (strict >, exact integer decimal)."""
+    import __spark_entry__ as E
+
+    d = str(tmp_path / "sf")
+    # revenues: 1249 parts' worth concentrated in part 1 (1249.0),
+    # part 2 exactly 1.0 of total 1250 -> 1250*1.0 == 1250.0 exactly
+    # at the boundary -> excluded by strict >
+    spark.createDataFrame(
+        [(1, 1249.0, 0.0), (2, 1.0, 0.0)],
+        "l_partkey long, l_extendedprice double, l_discount double",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    out = E.queries()["tpch_q11_share_parts"](spark, d).collect()
+    assert [(r["l_partkey"], r["revenue"]) for r in out] == [(1, 1249.0)]
+
+
+def test_q11_plan_single_fact_scan_broadcast_total(spark):
+    """The global total derives from the checkpointed per-part panel
+    (ExistingRDD) — one fact scan — and arrives as a broadcast."""
+    import __spark_entry__ as E
+
+    plan = E.queries()["tpch_q11_share_parts"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 0
+    assert "ExistingRDD" in plan and "Broadcast" in plan
