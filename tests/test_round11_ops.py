@@ -397,3 +397,22 @@ def test_q11_plan_single_fact_scan_broadcast_total(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 0
     assert "ExistingRDD" in plan and "Broadcast" in plan
+
+
+# --------------------------------------------------- cube pre-agg
+
+
+def test_cube_pricing_expands_panel_not_fact(spark):
+    """The r11 pre-aggregate-then-cube rewrite: Expand's input is the
+    finest-group aggregate, never the raw fact — an HashAggregate
+    must sit between Expand and the scan (Spark's raw CUBE replicates
+    every fact row once per grouping set before any aggregation)."""
+    import __spark_entry__ as E
+
+    plan = E.queries()["tpch_cube_pricing"](
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    i_expand = plan.index("Expand")
+    i_scan = plan.index("FileScan")
+    assert i_expand < i_scan  # tree prints parent-first
+    assert "HashAggregate" in plan[i_expand:i_scan]
