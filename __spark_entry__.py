@@ -3407,8 +3407,9 @@ def q_tsdb_hw_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-band anomaly on HW residuals (X168): a bucket alarms
     only when it deviates > 3 robust sigmas from what the SEASONAL
     model predicted for it — the Monday-rush-never-alarms upgrade of
-    the trailing screens; exact-median MAD band, mad=0 → no
-    verdict."""
+    the trailing screens; exact-median MAD band (mad=0 is a
+    zero-width band: any deviation flags), flagged buckets feed the
+    forecast, not the spike, into the state update."""
     from v3io_tsdb_spark.operators.trend import hw_anomaly
 
     s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
@@ -4620,11 +4621,8 @@ def _hw_anomaly_oracle_sql(
   ),
   eR{t} AS MATERIALIZED (
     SELECT *, round(x - fitted + {E}, 6) AS resid,
-           CASE WHEN mad > 0 THEN
-                  CAST(round(abs(round(x - fitted + {E}, 6) - med) + {E}, 6)
-                       > round({k!r} * mad + {E}, 6) AS BIGINT)
-                WHEN round(abs(round(x - fitted + {E}, 6) - med) + {E}, 6)
-                     = 0 THEN 0 END AS flag
+           CAST(round(abs(round(x - fitted + {E}, 6) - med) + {E}, 6)
+                > round({k!r} * mad + {E}, 6) AS BIGINT) AS flag
     FROM tmpR{t}
   ),
   xR{t} AS (

@@ -416,3 +416,49 @@ def test_cube_pricing_expands_panel_not_fact(spark):
     i_scan = plan.index("FileScan")
     assert i_expand < i_scan  # tree prints parent-first
     assert "HashAggregate" in plan[i_expand:i_scan]
+
+
+# --------------------------------------- r11 hardening properties
+
+
+def test_hw_anomaly_single_spike_isolation_property(spark):
+    """PROPERTY (deterministic sweep over spike positions): on a
+    clean 7-periodic series, a single +300 spike anywhere past the
+    init window flags exactly that bucket, and every later residual
+    is 0 — the filter-side rejection contract, independent of spike
+    phase."""
+    from v3io_tsdb_spark.operators.trend import hw_anomaly
+
+    tmpl = [12.0, 25.0, 18.0, 31.0, 7.0, 22.0, 36.0]
+    for spike_day in (15, 19, 24):  # three phases, incl. last week
+        rows = [
+            ("m", d * DAY, tmpl[d % 7] + (300.0 if d == spike_day else 0.0))
+            for d in range(28)
+        ]
+        df = spark.createDataFrame(
+            rows, "name string, t long, value double"
+        )
+        out = {r["t"] // DAY: r for r in hw_anomaly(
+            df, series_cols=("name",), ts_col="t", value_col="value",
+            step_ms=DAY, from_ms=0, n_buckets=28, period=7, k=3.0,
+        ).collect()}
+        flagged = sorted(d for d, r in out.items() if r["flag"] == 1)
+        assert flagged == [spike_day], (spike_day, flagged)
+        assert all(out[d]["residual"] == 0.0
+                   for d in range(spike_day + 1, 28)), spike_day
+
+
+def test_pca_gram_and_explode_paths_agree(spark):
+    """The two covariance plans are the SAME sums: gram partials and
+    double-posexplode must produce bit-identical components on a
+    non-trivial corpus (the contract that made the swap safe)."""
+    from v3io_tsdb_spark.functions.similarity import pca_top_component
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, pca_top_component(
+        emb, dim=8, n_iter=4, gram_partials=True).collect()))
+    b = sorted(map(tuple, pca_top_component(
+        emb, dim=8, n_iter=4, gram_partials=False).collect()))
+    assert a == b

@@ -1078,13 +1078,19 @@ def hw_anomaly(
        contaminate the next period's predictions (golden: a +500
        spike on a clean weekly series flags exactly one bucket).
 
-    ``mad = 0`` (over half the residuals identical) yields flag =
-    null for off-median rows — no verdict from a degenerate band,
-    the try_divide discipline — and null never triggers rejection
-    (only flag = 1 does). Flags compare 6dp-rounded deviation
-    against the 6dp-rounded band; every state write in pass 2
-    rounds 6dp exactly like pass 1, so the unrolled DuckDB oracle
-    chain replays both recursions bit-for-bit.
+    ``mad = 0`` (over half the residuals sit EXACTLY on the median)
+    is a ZERO-WIDTH band, and the comparison stays well-defined:
+    ``d > k·0`` flags any nonzero deviation — on a deterministic
+    series, a bucket that deviates at all is infinitely many robust
+    sigmas out, so it alarms (r11: the first robust cut returned
+    null here "for safety", which meant a +300 spike on a perfectly
+    clean weekly series never flagged AND, unrejected, poisoned the
+    following week — the try_divide no-verdict rule belongs to
+    divisions, and nothing is divided here; property-tested over
+    spike phases). Flags compare 6dp-rounded deviation against the
+    6dp-rounded band; every state write in pass 2 rounds 6dp exactly
+    like pass 1, so the unrolled DuckDB oracle chain replays both
+    recursions bit-for-bit.
 
     Plan: ONE grid reduce feeds both passes — the reduced
     series×n_buckets panel is locally checkpointed, so the four
@@ -1166,10 +1172,7 @@ def hw_anomaly(
             f = _r6(lvl + b + s[j])
             r = _r6(x[t] - f)
             d = _r6(abs(r - med_v))
-            if mad_v > 0:
-                fl = 1 if d > bd else 0
-            else:
-                fl = 0 if d == 0 else None
+            fl = 1 if d > bd else 0  # bd = 0 is a zero-width band
             xe = f if fl == 1 else x[t]
             fitted[t], residual[t], flag[t] = f, r, fl
             prev_l = lvl
