@@ -4088,12 +4088,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2, r8 #2):
     no query's newest driver row should age past ~2 rounds.
 
-    Round-11 head-50 = ALL 39 never-driver-gated rows (VERDICT r10
-    #3: the 12 deferred at r10 + the 27 that entered the registry in
-    r10, including the 4 late X165–X168 rows the r10 verdict flagged
-    as evidence-free) + the 11 oldest r8-evidence rows to restart the
-    age cycle. After this gate runs, zero queries carry local-only
-    evidence older than one round.
+    Round-12 head-50 = the 7 r11 net-new rows (local-only evidence,
+    VERDICT r11 #3) + `events_session_perplexity` (X162 — re-gate
+    after the integer-micro-nat determinism fix, VERDICT r11 #1) +
+    the 37 r8-evidence rows (oldest gated tier) + the 5 oldest
+    r9-evidence rows. After this gate runs, zero queries carry
+    local-only evidence and no driver evidence is older than r9.
 
     At 160+ registered queries the 50-slot gate is SATURATED: the
     rotation is a ceil(N/50)-window cycle, so the evidence-age bound
@@ -4107,61 +4107,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local-sweep evidence per the saturated-gate contract
     (tools/gate.py, commit 52a3d19)."""
     return {
-        # --- r11 head-50: all 39 never-driver-gated rows (the 12
-        # --- deferred at r10 + the 27 that entered in r10, incl. the 4
-        # --- late X165-X168 rows VERDICT r10 #2 flagged) + the 11
-        # --- oldest r8-evidence rows to restart the age cycle
-        "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
-        "tsdb_increase_daily": q_tsdb_increase_daily,
-        "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
-        "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
-        "tsdb_wow_daily": q_tsdb_wow_daily,
-        "doc_table_profile": q_doc_table_profile,
-        "events_survival": q_events_survival,
-        "tpch_fk_integrity": q_tpch_fk_integrity,
-        "events_incident_timeline": q_events_incident_timeline,
-        "events_split_leakage": q_events_split_leakage,
-        "events_ks_drift": q_events_ks_drift,
-        "tsdb_absent_hourly": q_tsdb_absent_hourly,
-        "tsdb_hw_forecast": q_tsdb_hw_forecast,
-        "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
-        "stream_drawdown": q_stream_drawdown,
-        "tsdb_predict_linear": q_tsdb_predict_linear,
-        "tsdb_topk_daily": q_tsdb_topk_daily,
-        "events_markov_transitions": q_events_markov_transitions,
-        "events_markov_kstep": q_events_markov_kstep,
-        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
-        "doc_vocab_growth": q_doc_vocab_growth,
-        "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q12_modes": q_tpch_q12_modes,
-        "events_dau_wau": q_events_dau_wau,
-        "doc_kn_bigram": q_doc_kn_bigram,
-        "tsdb_subquery_rate": q_tsdb_subquery_rate,
-        "events_rfm_scores": q_events_rfm_scores,
-        "events_gini": q_events_gini,
-        "tsdb_calendar_profile": q_tsdb_calendar_profile,
-        "stream_predict_linear": q_stream_predict_linear,
-        "tpch_parts_no_sales": q_tpch_parts_no_sales,
-        "emb_pca_top": q_emb_pca_top,
+        # --- r12 head-50: 7 r11 net-new (first driver window) + the
+        # --- X162 re-gate + the 37 r8-tier rows + the 5 oldest r9 rows
+        "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
+        "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
+        "stream_topk_daily": q_stream_topk_daily,
+        "tpch_q2_min_price": q_tpch_q2_min_price,
+        "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q11_share_parts": q_tpch_q11_share_parts,
         "events_session_perplexity": q_events_session_perplexity,
-        "tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "tpch_q18_big_orders": q_tpch_q18_big_orders,
-        "doc_perplexity_buckets": q_doc_perplexity_buckets,
-        "events_cohort_revenue": q_events_cohort_revenue,
-        "tpch_cube_pricing": q_tpch_cube_pricing,
-        "tsdb_hw_anomaly": q_tsdb_hw_anomaly,
-        "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
-        "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
-        "doc_emb_join_stats": q_doc_emb_join_stats,
-        "events_top_users_daily": q_events_top_users_daily,
-        "events_seasonality": q_events_seasonality,
-        "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
-        "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
-        "tsdb_ewma_daily": q_tsdb_ewma_daily,
-        "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
-        "doc_word_entropy": q_doc_word_entropy,
-        "tsdb_sql_frontend": q_tsdb_sql_frontend,
-        # --- r8 driver evidence (oldest gated tier; leads the r12 head)
         "tsdb_range_join": q_tsdb_range_join,
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
@@ -4199,12 +4154,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_conversion_latency": q_stream_conversion_latency,
         "events_anomaly_hourly": q_events_anomaly_hourly,
         "events_hll_daily": q_events_hll_daily,
-        # --- r9 driver evidence
         "doc_pack_sequences": q_doc_pack_sequences,
         "stream_rollup_1h": q_stream_rollup_1h,
         "tsdb_sql_star": q_tsdb_sql_star,
         "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_session_30m": q_tsdb_session_30m,
+        # --- r11 driver evidence (the r11 head minus the X162 re-gate)
+        "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
+        "tsdb_increase_daily": q_tsdb_increase_daily,
+        "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
+        "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
+        "tsdb_wow_daily": q_tsdb_wow_daily,
+        "doc_table_profile": q_doc_table_profile,
+        "events_survival": q_events_survival,
+        "tpch_fk_integrity": q_tpch_fk_integrity,
+        "events_incident_timeline": q_events_incident_timeline,
+        "events_split_leakage": q_events_split_leakage,
+        "events_ks_drift": q_events_ks_drift,
+        "tsdb_absent_hourly": q_tsdb_absent_hourly,
+        "tsdb_hw_forecast": q_tsdb_hw_forecast,
+        "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
+        "stream_drawdown": q_stream_drawdown,
+        "tsdb_predict_linear": q_tsdb_predict_linear,
+        "tsdb_topk_daily": q_tsdb_topk_daily,
+        "events_markov_transitions": q_events_markov_transitions,
+        "events_markov_kstep": q_events_markov_kstep,
+        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
+        "doc_vocab_growth": q_doc_vocab_growth,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q12_modes": q_tpch_q12_modes,
+        "events_dau_wau": q_events_dau_wau,
+        "doc_kn_bigram": q_doc_kn_bigram,
+        "tsdb_subquery_rate": q_tsdb_subquery_rate,
+        "events_rfm_scores": q_events_rfm_scores,
+        "events_gini": q_events_gini,
+        "tsdb_calendar_profile": q_tsdb_calendar_profile,
+        "stream_predict_linear": q_stream_predict_linear,
+        "tpch_parts_no_sales": q_tpch_parts_no_sales,
+        "emb_pca_top": q_emb_pca_top,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "doc_perplexity_buckets": q_doc_perplexity_buckets,
+        "events_cohort_revenue": q_events_cohort_revenue,
+        "tpch_cube_pricing": q_tpch_cube_pricing,
+        "tsdb_hw_anomaly": q_tsdb_hw_anomaly,
+        "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
+        "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
+        "doc_emb_join_stats": q_doc_emb_join_stats,
+        "events_top_users_daily": q_events_top_users_daily,
+        "events_seasonality": q_events_seasonality,
+        "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
+        "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
+        "tsdb_ewma_daily": q_tsdb_ewma_daily,
+        "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
+        "doc_word_entropy": q_doc_word_entropy,
+        "tsdb_sql_frontend": q_tsdb_sql_frontend,
+        # --- r9 driver evidence (remaining)
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
         "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
@@ -4301,15 +4306,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_topk": q_emb_mmr_topk,
         "stream_alert_episodes": q_stream_alert_episodes,
         "stream_slo_burn": q_stream_slo_burn,
-        # --- NEW r11: local-sweep evidence until their first driver
-        # --- window, per the saturated-gate contract
-        "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
-        "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
-        "stream_topk_daily": q_stream_topk_daily,
-        "tpch_q2_min_price": q_tpch_q2_min_price,
-        "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
-        "tpch_q13_custdist": q_tpch_q13_custdist,
-        "tpch_q11_share_parts": q_tpch_q11_share_parts,
     }
 
 
@@ -6426,11 +6422,11 @@ def oracle_sql() -> dict[str, str]:
           bt AS (SELECT count(*) AS b_total FROM corpus),
           kn AS MATERIALIZED (
             SELECT tf.doc_id,
-                   round(sum(tf.c_doc * ln(
+                   round(sum(tf.c_doc * CAST(round(ln(
                            greatest(c.c_bg - 0.75, 0.0) / x.c_ctx
                            + (0.75 * x.n_follow / x.c_ctx)
-                             * (ct.n_precede / bt.b_total)))
-                         / sum(tf.c_doc) + {EPS6}, 6) AS mean_logprob
+                             * (ct.n_precede / bt.b_total)) * 1e6) AS BIGINT))
+                         / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) AS mean_logprob
             FROM tf
             JOIN corpus c USING (w1, w2)
             JOIN ctx x USING (w1)
@@ -6517,7 +6513,8 @@ def oracle_sql() -> dict[str, str]:
             FROM cn
           )
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 round(avg(ln(m.p)) + {EPS6}, 6) + 0.0 AS mean_logp
+                 round(sum(CAST(round(ln(m.p) * 1e6) AS BIGINT))
+                       / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
           FROM pp JOIN m USING (from_state, to_state)
           GROUP BY 1, 2
         """,
@@ -6843,11 +6840,12 @@ def oracle_sql() -> dict[str, str]:
           cont AS (SELECT w2, count(*) AS n_precede FROM corpus GROUP BY 1),
           bt AS (SELECT count(*) AS b_total FROM corpus)
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
-                 round(sum(tf.c_doc * ln(
+                 round(sum(tf.c_doc * CAST(round(ln(
                          greatest(c.c_bg - 0.75, 0.0) / x.c_ctx
                          + (0.75 * x.n_follow / x.c_ctx)
-                           * (ct.n_precede / bt.b_total)))
-                       / sum(tf.c_doc) + {EPS6}, 6) + 0.0 AS mean_logprob
+                           * (ct.n_precede / bt.b_total)) * 1e6) AS BIGINT))
+                       / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) + 0.0
+                   AS mean_logprob
           FROM tf
           JOIN corpus c USING (w1, w2)
           JOIN ctx x USING (w1)
@@ -7098,13 +7096,24 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (ORDER BY sp.cp ROWS UNBOUNDED PRECEDING)
           ),
           pts AS (
-            SELECT ln(n_tokens) AS lnn, ln(vocab) AS lnv FROM panel
+            -- order-free OLS via integer micro-nat moments (micro_nats
+            -- twin); HUGEINT keeps the n*sxy - sx*sy combos exact
+            SELECT CAST(round(ln(n_tokens) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(vocab) * 1e6) AS BIGINT) AS y
+            FROM panel
             WHERE n_tokens > 0 AND vocab > 0
           ),
-          fit AS (
-            SELECT covar_pop(lnn, lnv) / var_pop(lnn) AS beta0,
-                   avg(lnn) AS mn, avg(lnv) AS mv
+          mm AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
             FROM pts
+          ),
+          fit AS (
+            SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS beta0,
+                   CAST(sx AS DOUBLE) / (1e6 * n) AS mn,
+                   CAST(sy AS DOUBLE) / (1e6 * n) AS mv
+            FROM mm
           ),
           f2 AS (
             SELECT round(beta0 + 1e-9, 6) AS heaps_beta,
@@ -7535,8 +7544,9 @@ def oracle_sql() -> dict[str, str]:
           corpus AS (SELECT term, sum(c_doc) AS c_corpus FROM tf GROUP BY 1),
           tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus)
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_tokens,
-                 round(sum(tf.c_doc * ln((c.c_corpus + 0.5)
-                          / (t.n_total + 0.5 * t.v_size))) / sum(tf.c_doc)
+                 round(sum(tf.c_doc * CAST(round(ln((c.c_corpus + 0.5)
+                          / (t.n_total + 0.5 * t.v_size)) * 1e6) AS BIGINT))
+                       / (1e6 * sum(tf.c_doc))
                        + {EPS6}, 6) AS mean_logprob
           FROM tf JOIN corpus c USING (term) CROSS JOIN tot t
           GROUP BY 1
@@ -8274,9 +8284,9 @@ def oracle_sql() -> dict[str, str]:
                      FROM tf GROUP BY 1, 2),
           ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM corpus GROUP BY 1)
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
-                 round(sum(tf.c_doc * ln((c.c_bg + 0.5)
-                           / (x.c_ctx + 0.5 * v.v_size)))
-                       / sum(tf.c_doc) + {EPS6}, 6) AS mean_logprob
+                 round(sum(tf.c_doc * CAST(round(ln((c.c_bg + 0.5)
+                           / (x.c_ctx + 0.5 * v.v_size)) * 1e6) AS BIGINT))
+                       / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) AS mean_logprob
           FROM tf
           JOIN corpus c USING (w1, w2)
           JOIN ctx x USING (w1)
@@ -8590,13 +8600,31 @@ def oracle_sql() -> dict[str, str]:
           cnt AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
           top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 1000),
           r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
-                FROM top)
-          SELECT CAST(count(*) AS BIGINT) AS n_terms,
-                 round(regr_slope(ln(c), ln(rank)) + {EPS6}, 6) + 0.0 AS slope,
-                 round(regr_intercept(ln(c), ln(rank)) + {EPS6}, 6) + 0.0
-                   AS intercept,
-                 round(regr_r2(ln(c), ln(rank)) + {EPS6}, 6) + 0.0 AS r2
-          FROM r
+                FROM top),
+          -- order-free OLS: integer micro-nat moments (micro_nats twin);
+          -- n*sxy - sx*sy can pass int64 so the combos run in HUGEINT
+          q AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x,
+                       CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+                FROM r),
+          mm AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                        sum(x * y) AS sxy, sum(x * x) AS sxx,
+                        sum(y * y) AS syy
+                 FROM q),
+          d AS (SELECT n, sx, sy,
+                       CAST(n * sxy - sx * sy AS DOUBLE) AS dxy,
+                       CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
+                       CAST(n * syy - sy * sy AS DOUBLE) AS dyy
+                FROM mm),
+          f AS (SELECT n, dxy / dxx AS slope0,
+                       (CAST(sy AS DOUBLE) - (dxy / dxx) * CAST(sx AS DOUBLE))
+                         / (1e6 * n) AS intercept0,
+                       (dxy * dxy) / (dxx * dyy) AS r20
+                FROM d)
+          SELECT CAST(n AS BIGINT) AS n_terms,
+                 round(slope0 + {EPS6}, 6) + 0.0 AS slope,
+                 round(intercept0 + {EPS6}, 6) + 0.0 AS intercept,
+                 round(r20 + {EPS6}, 6) + 0.0 AS r2
+          FROM f
         """,
         "doc_logprob_profile": f"""
           WITH tk AS (
@@ -8611,8 +8639,9 @@ def oracle_sql() -> dict[str, str]:
           tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus),
           doc AS (
             SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_tokens,
-                   round(sum(c_doc * ln((c_corpus + 0.5)
-                         / (n_total + 0.5 * v_size))) / sum(c_doc)
+                   round(sum(c_doc * CAST(round(ln((c_corpus + 0.5)
+                         / (n_total + 0.5 * v_size)) * 1e6) AS BIGINT))
+                         / (1e6 * sum(c_doc))
                          + {EPS6}, 6) AS lp
             FROM tf JOIN corpus USING (term) CROSS JOIN tot GROUP BY 1
           ),

@@ -784,10 +784,15 @@ def test_unigram_logprob(spark):
     def p(c):
         return (c + a) / (N + a * V)
 
-    exp1 = (math.log(p(2)) + math.log(p(2)) + math.log(p(1))) / 3
-    exp3 = (math.log(p(1)) + math.log(p(1))) / 2
-    assert out[1]["mean_logprob"] == pytest.approx(exp1, abs=1e-9)
-    assert out[3]["mean_logprob"] == pytest.approx(exp3, abs=1e-9)
+    def mn(c):
+        # integer micro-nat quantization (text.micro_nats), the
+        # order-free accumulation contract of VERDICT r11 #2
+        return float(round(math.log(p(c)) * 1e6))
+
+    exp1 = (mn(2) + mn(2) + mn(1)) / (1e6 * 3)
+    exp3 = (mn(1) + mn(1)) / (1e6 * 2)
+    assert out[1]["mean_logprob"] == pytest.approx(exp1, abs=1e-12)
+    assert out[3]["mean_logprob"] == pytest.approx(exp3, abs=1e-12)
     assert out[1]["mean_logprob"] > out[3]["mean_logprob"]
     assert out[1]["n_tokens"] == 3 and out[3]["n_tokens"] == 2
 

@@ -184,6 +184,10 @@ def test_unigram_logprob_matches_python_reference(spark, texts):
         if not ws:
             assert i not in got  # empty docs contribute no (doc, term) rows
             continue
-        want = sum(math.log((corpus[w] + 0.5) / (N + 0.5 * V)) for w in ws) / len(ws)
+        # integer micro-nat quantization (text.micro_nats, VERDICT r11 #2)
+        want = sum(
+            round(math.log((corpus[w] + 0.5) / (N + 0.5 * V)) * 1e6)
+            for w in ws
+        ) / (1e6 * len(ws))
         assert got[i]["n_tokens"] == len(ws)
-        assert got[i]["mean_logprob"] == pytest.approx(want, abs=1e-9)
+        assert got[i]["mean_logprob"] == pytest.approx(want, abs=1e-12)

@@ -225,11 +225,16 @@ def test_bigram_logprob_golden_tiny_corpus(spark):
         [(1, "x y"), (2, "x y x")], "doc_id long, text string"
     )
     got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+
+    def mn(p):
+        # integer micro-nat quantization (text.micro_nats, VERDICT r11 #2)
+        return float(round(math.log(p) * 1e6))
+
     assert got[1]["n_bigrams"] == 1
-    assert abs(got[1]["mean_logprob"] - math.log(2.5 / 3)) < 1e-9
-    want2 = (math.log(2.5 / 3) + math.log(1.5 / 2)) / 2
+    assert abs(got[1]["mean_logprob"] - mn(2.5 / 3) / 1e6) < 1e-12
+    want2 = (mn(2.5 / 3) + mn(1.5 / 2)) / (1e6 * 2)
     assert got[2]["n_bigrams"] == 2
-    assert abs(got[2]["mean_logprob"] - want2) < 1e-9
+    assert abs(got[2]["mean_logprob"] - want2) < 1e-12
 
 
 def test_bigram_logprob_short_docs_drop(spark):

@@ -3,9 +3,13 @@
 Round 4 shipped with a red test and 20 erring driver queries because
 the gate was a convention, not a command. This makes it mechanical:
 
-    python tools/gate.py            # full gate (pytest + oracle @ sf0.01)
+    python tools/gate.py            # full gate (pytest + oracle + order @ sf0.01)
     python tools/gate.py --oracle   # oracle sweep only
     python tools/gate.py --pytest   # test suite only
+    python tools/gate.py --order    # order-robustness sweep only
+
+Capture output with tee (never a tail pipe) — the r11 flake's query
+name was lost to one: `python tools/gate.py 2>&1 | tee /tmp/gate.log`.
 
 Exit code 0 iff EVERYTHING is green. Run it before every end-of-round
 commit; if it is red, the snapshot is not ready.
@@ -30,6 +34,20 @@ def run_oracle() -> bool:
     print("== gate: oracle sweep (sf0.01) ==", flush=True)
     r = subprocess.run(
         [sys.executable, "tools/check_oracle.py", "/root/testdata/sf0.01"],
+        cwd=REPO,
+    )
+    return r.returncode == 0
+
+
+def run_order() -> bool:
+    """Order-robustness sweep (VERDICT r11 #2): every registry query at
+    1 vs 32 shuffle partitions must hash identically — catches the
+    float-sum-order class (the r11 driver red AND the r11 gate flake)
+    locally instead of on the driver."""
+    print("== gate: order-robustness sweep (sf0.01) ==", flush=True)
+    r = subprocess.run(
+        [sys.executable, "tools/check_order_robustness.py",
+         "/root/testdata/sf0.01"],
         cwd=REPO,
     )
     return r.returncode == 0
@@ -110,6 +128,7 @@ def main() -> int:
     args = set(sys.argv[1:])
     do_pytest = not args or "--pytest" in args
     do_oracle = not args or "--oracle" in args
+    do_order = not args or "--order" in args
     state = tree_state()
     print(f"== gate: tree {state} ==", flush=True)
     ok = run_registry()
@@ -118,6 +137,8 @@ def main() -> int:
         ok = run_pytest() and ok
     if do_oracle:
         ok = run_oracle() and ok
+    if do_order:
+        ok = run_order() and ok
     verdict = "GREEN" if ok else "RED — do not snapshot"
     print(f"== gate: {verdict} (tree {state}) ==")
     return 0 if ok else 1

@@ -29,6 +29,26 @@ def tokens_col(text: Column) -> Column:
     ).otherwise(F.split(F.trim(text), r"\s+"))
 
 
+def micro_nats(logexpr: Column) -> Column:
+    """Quantize a natural-log term to integer micro-nats:
+    ``round(ln(·)·1e6)`` as a long.
+
+    The determinism primitive behind every mean-of-logs score in this
+    module (VERDICT r11 #1/#2): a float ``sum(ln ·)`` accumulates in
+    partition/engine order, so a mean near a 6dp rounding boundary can
+    flip between Spark and an oracle engine (the r11 driver red on
+    X162 was exactly this). Integer sums are exact and order-free, and
+    the single final division of identical integers is bit-identical
+    IEEE everywhere. Residual cross-libm risk is a per-term ln ulp
+    straddling a half-micro-nat boundary (~4e-9/term) — orders of
+    magnitude below the old per-sum exposure — and within one host the
+    result is partitioning-invariant (tests/test_order_robustness.py).
+    DuckDB twin: ``CAST(round(ln(x) * 1e6) AS BIGINT)`` (both engines
+    round halves away from zero).
+    """
+    return F.round(logexpr * F.lit(1e6)).cast("long")
+
+
 def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
@@ -475,6 +495,11 @@ def unigram_logprob(
          vocabulary is NOT assumed broadcastable), then a doc-keyed
          aggregate of ``c_doc · ln p_term``.
     No window, no all-pairs; every shuffle keys on doc_id or term.
+
+    The per-term log is quantized to integer micro-nats before the
+    doc-keyed sum (see :func:`micro_nats`) so the mean is order-free:
+    ``mean_logprob = Σ c·round(ln p·1e6) / (1e6·Σ c)`` — exact integer
+    arithmetic until one final division of identical integers.
     """
     toks = df.select(
         F.col(id_col),
@@ -495,7 +520,14 @@ def unigram_logprob(
         .groupBy(id_col)
         .agg(
             F.sum("c_doc").cast("long").alias("n_tokens"),
-            (F.sum(F.col("c_doc") * logp) / F.sum("c_doc")).alias("mean_logprob"),
+            F.sum(F.col("c_doc").cast("long") * micro_nats(logp)).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_s") / (F.lit(1e6) * F.col("n_tokens"))).alias(
+                "mean_logprob"
+            ),
         )
     )
     return scored
@@ -915,7 +947,17 @@ def zipf_fit(
     regardless of corpus size. Rank ties break on the term string, so
     both engines rank identically; counts and ranks are exact
     integers, making ``ln`` identical-input arithmetic on every
-    engine (6-dp output rounding covers the last-ulp libm delta).
+    engine.
+
+    Order-free fit (VERDICT r11 #2): the OLS moments are NOT
+    ``regr_slope``/``regr_r2`` — those accumulate float products in
+    partition/engine order. Each log is quantized to integer
+    micro-nats (:func:`micro_nats`; the 1e6 scale factors cancel in
+    the slope and r² ratios) and the five moment sums run as exact
+    long sums; the n·Σxy − ΣxΣy combinations, which can exceed int64
+    (~1e20 at a 100 TB vocabulary), combine in decimal(38,0). Only
+    the final slope/intercept/r² divisions touch floats — identical
+    operands, identical IEEE ops, identical everywhere.
     """
     from pyspark.sql import Window
 
@@ -928,14 +970,42 @@ def zipf_fit(
     ranked = top.select(
         "term", "c", F.row_number().over(w).alias("rank")
     )
-    lx = F.log(F.col("rank").cast("double"))
-    ly = F.log(F.col("c").cast("double"))
+    lx = micro_nats(F.log(F.col("rank").cast("double")))
+    ly = micro_nats(F.log(F.col("c").cast("double")))
     eps = 1e-9
-    return ranked.agg(
+    dec = "decimal(38,0)"
+    moments = ranked.agg(
         F.count("*").cast("long").alias("n_terms"),
-        (F.round(F.regr_slope(ly, lx) + eps, 6) + F.lit(0.0)).alias("slope"),
-        (F.round(F.regr_intercept(ly, lx) + eps, 6) + F.lit(0.0)).alias("intercept"),
-        (F.round(F.regr_r2(ly, lx) + eps, 6) + F.lit(0.0)).alias("r2"),
+        F.sum(lx).alias("_sx"),
+        F.sum(ly).alias("_sy"),
+        F.sum(lx * ly).alias("_sxy"),
+        F.sum(lx * lx).alias("_sxx"),
+        F.sum(ly * ly).alias("_syy"),
+    )
+    n_d = F.col("n_terms").cast(dec)
+    dxy = (
+        n_d * F.col("_sxy").cast(dec)
+        - F.col("_sx").cast(dec) * F.col("_sy").cast(dec)
+    ).cast("double")
+    dxx = (
+        n_d * F.col("_sxx").cast(dec)
+        - F.col("_sx").cast(dec) * F.col("_sx").cast(dec)
+    ).cast("double")
+    dyy = (
+        n_d * F.col("_syy").cast(dec)
+        - F.col("_sy").cast(dec) * F.col("_sy").cast(dec)
+    ).cast("double")
+    slope = F.try_divide(dxy, dxx)
+    scale = F.lit(1e6) * F.col("n_terms")
+    intercept = (
+        F.col("_sy").cast("double") - slope * F.col("_sx").cast("double")
+    ) / scale
+    r2 = F.try_divide(dxy * dxy, dxx * dyy)
+    return moments.select(
+        "n_terms",
+        (F.round(slope + eps, 6) + F.lit(0.0)).alias("slope"),
+        (F.round(intercept + eps, 6) + F.lit(0.0)).alias("intercept"),
+        (F.round(r2 + eps, 6) + F.lit(0.0)).alias("r2"),
     )
 
 
@@ -1125,6 +1195,7 @@ def bigram_logprob(
         (F.col("c_bg") + F.lit(alpha))
         / (F.col("c_ctx") + F.lit(alpha) * F.col("v_size"))
     )
+    # order-free mean of logs via integer micro-nats (micro_nats)
     return (
         tf.join(corpus, ["w1", "w2"])
         .join(ctx, "w1")
@@ -1132,7 +1203,12 @@ def bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.sum("c_doc").cast("long").alias("n_bigrams"),
-            (F.sum(F.col("c_doc") * logp) / F.sum("c_doc")).alias(
+            F.sum(F.col("c_doc").cast("long") * micro_nats(logp)).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("_s") / (F.lit(1e6) * F.col("n_bigrams"))).alias(
                 "mean_logprob"
             ),
         )
@@ -1330,20 +1406,37 @@ def vocab_growth(
         # once, not once per consumer (the shingle-index rule)
         .localCheckpoint(eager=True)
     )
+    # order-free OLS: integer micro-nat moments (micro_nats; the 1e6
+    # factors cancel in beta, and the means divide exact integers), so
+    # the fit no longer depends on float accumulation order — only the
+    # final divisions and one exp touch floats, on identical operands.
     pts = panel.where((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
-        "cp", F.log("n_tokens").alias("_ln"), F.log("vocab").alias("_lv")
+        "cp",
+        micro_nats(F.log("n_tokens")).alias("_x"),
+        micro_nats(F.log("vocab")).alias("_y"),
     )
-    fit = pts.agg(
-        F.covar_pop("_ln", "_lv").alias("_cov"),
-        F.var_pop("_ln").alias("_var"),
-        F.avg("_ln").alias("_mn"),
-        F.avg("_lv").alias("_mv"),
-    ).select(
-        F.round(F.try_divide(F.col("_cov"), F.col("_var")) + eps, 6).alias(
-            "heaps_beta"
-        ),
-        F.col("_mn"),
-        F.col("_mv"),
+    dec = "decimal(38,0)"
+    mm = pts.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    n_d = F.col("_n").cast(dec)
+    dxy = (
+        n_d * F.col("_sxy").cast(dec)
+        - F.col("_sx").cast(dec) * F.col("_sy").cast(dec)
+    ).cast("double")
+    dxx = (
+        n_d * F.col("_sxx").cast(dec)
+        - F.col("_sx").cast(dec) * F.col("_sx").cast(dec)
+    ).cast("double")
+    scale = F.lit(1e6) * F.col("_n")
+    fit = mm.select(
+        F.round(F.try_divide(dxy, dxx) + eps, 6).alias("heaps_beta"),
+        (F.col("_sx").cast("double") / scale).alias("_mn"),
+        (F.col("_sy").cast("double") / scale).alias("_mv"),
     ).select(
         "heaps_beta",
         F.round(
@@ -1380,7 +1473,9 @@ def kn_bigram_logprob(
     max(·,0) arm is live but the model needs no unseen-mass path.
 
     Determinism: every term is a ratio of exact integers and the one
-    float literal D; the ln sits inside the 6dp output envelope.
+    float literal D, and the per-bigram log is quantized to integer
+    micro-nats before the doc-keyed sum (:func:`micro_nats`), so the
+    mean is order-free in both engines.
 
     Plan shape — bigram_logprob's five stages plus two PANEL
     aggregates, nothing extra over the data: continuation counts
@@ -1409,6 +1504,7 @@ def kn_bigram_logprob(
         + d * F.col("n_follow") / F.col("c_ctx")
         * (F.col("n_precede") / F.col("b_total"))
     )
+    # order-free mean of logs via integer micro-nats (micro_nats)
     return (
         tf.join(corpus, ["w1", "w2"])
         .join(ctx, "w1")
@@ -1417,9 +1513,15 @@ def kn_bigram_logprob(
         .groupBy(id_col)
         .agg(
             F.sum("c_doc").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("c_doc").cast("long") * micro_nats(F.log(p_kn))
+            ).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
             F.round(
-                F.sum(F.col("c_doc") * F.log(p_kn)) / F.sum("c_doc") + 1e-9,
-                6,
+                F.col("_s") / (F.lit(1e6) * F.col("n_bigrams")) + 1e-9, 6
             ).alias("mean_logprob"),
         )
     )

@@ -191,6 +191,20 @@ def session_perplexity(
     (from, to) — a panel-sized broadcast join — then one
     (user, session)-keyed aggregate. p is the matrix's exact-integer
     ratio rounded 6dp, so ln runs on identical doubles everywhere.
+
+    Determinism (r11 driver red, VERDICT r11 #1): the session mean
+    was ``round(avg(ln p), 6)`` — a float sum whose value depends on
+    partition/engine accumulation order, so a mean within ~1e-12 of
+    a 6dp rounding boundary could flip between Spark and the oracle.
+    Now each term is quantized to integer micro-nats
+    (``round(ln(p)·1e6)`` as long) BEFORE summation: integer sums are
+    exact and order-free, and the single final division of identical
+    integers is bit-identical in IEEE everywhere. The only residual
+    cross-libm risk is a per-term ln ulp straddling a half-micro-nat
+    boundary (~4e-9/term), orders of magnitude below the old
+    per-session sum-order exposure — and within one host the result
+    is now partitioning-invariant (pinned by the repartition(1) vs
+    repartition(64) hash test in tests/test_order_robustness.py).
     """
     order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
     wu = Window.partitionBy(user_col).orderBy(*order)
@@ -220,6 +234,14 @@ def session_perplexity(
         .groupBy("user_id", "sess")
         .agg(
             F.count("*").cast("long").alias("n_steps"),
-            F.round(F.avg(F.log("_p")) + 1e-9, 6).alias("mean_logp"),
+            F.sum(F.round(F.log("_p") * 1e6).cast("long")).alias("_s"),
+        )
+        .select(
+            "user_id",
+            "sess",
+            "n_steps",
+            F.round(
+                F.col("_s") / (F.lit(1e6) * F.col("n_steps")) + 1e-9, 6
+            ).alias("mean_logp"),
         )
     )
