@@ -4644,30 +4644,35 @@ def _hw_anomaly_oracle_sql(
 
 def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
     """Unrolled power iteration as a CTE chain — the oracle twin of
-    similarity.pca_top_component: covariance from raw second moments
-    with mu and C rounded 6dp BEFORE the iteration, then n_iter
-    matrix-vector/normalize steps each rounding every state write,
-    so the chain replays the engine's recursion bit-for-bit."""
+    similarity.pca_top_component: inputs quantized to integer 2^-15
+    units, first/second moments as EXACT integer sums (order-free in
+    any engine — ADVICE r11), mu and C rounded 6dp BEFORE the
+    iteration, then n_iter matrix-vector/normalize steps whose d-term
+    sums quantize per term (1e-12 / 1e-9 grids) and round every state
+    write, so the chain replays the engine's recursion bit-for-bit."""
     import math as _m
 
     E = "1e-09"
     v0 = round(1.0 / _m.sqrt(dim) + 1e-9, 6)
     parts = [f"""WITH e AS MATERIALIZED (
-    SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+    SELECT list_transform(embedding,
+                          x -> CAST(round(x::DOUBLE * 32768.0) AS BIGINT)) AS q
+    FROM embeddings WHERE embedding IS NOT NULL
   ),
   nn AS (SELECT count(*) AS n FROM e),
   mu AS MATERIALIZED (
-    SELECT i, round(avg(v[i + 1]) + {E}, 6) AS mu
-    FROM e, range({dim}) t(i) GROUP BY 1
+    SELECT i, round(sum(q[i + 1]) / (32768.0 * nn.n) + {E}, 6) AS mu
+    FROM e, nn, range({dim}) t(i) GROUP BY 1, nn.n
   ),
   cells AS (
-    SELECT i, j, sum(v[i + 1] * v[j + 1]) AS s
+    SELECT i, j, sum(q[i + 1] * q[j + 1]) AS s
     FROM e, range({dim}) ti(i), range({dim}) tj(j)
     GROUP BY 1, 2
   ),
   cmat AS MATERIALIZED (
     SELECT c.i, c.j,
-           round(c.s / nn.n - mi.mu * mj.mu + {E}, 6) AS c
+           round(CAST(c.s AS DOUBLE) / (32768.0 * 32768.0 * nn.n)
+                 - mi.mu * mj.mu + {E}, 6) AS c
     FROM cells c, nn
     JOIN mu mi ON mi.i = c.i
     JOIN mu mj ON mj.i = c.j
@@ -4677,10 +4682,13 @@ def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
     for it in range(1, n_iter + 1):
         parts.append(f""",
   w{it} AS MATERIALIZED (
-    SELECT c.i, round(sum(c.c * v.p) + {E}, 6) AS w
+    SELECT c.i,
+           round(sum(CAST(round(c.c * v.p * 1e12) AS BIGINT)) / 1e12
+                 + {E}, 6) AS w
     FROM cmat c JOIN {prev} v ON v.i = c.j GROUP BY 1
   ),
-  n{it} AS (SELECT round(sqrt(sum(w * w)) + {E}, 6) AS nm FROM w{it}),
+  n{it} AS (SELECT round(sqrt(sum(CAST(round(w * w * 1e9) AS BIGINT)) / 1e9)
+                         + {E}, 6) AS nm FROM w{it}),
   v{it} AS MATERIALIZED (
     SELECT i, round(w / nm + {E}, 6) AS p FROM w{it}, n{it}
   )""")
@@ -4721,14 +4729,17 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
             parts.append(f"""
   c{it} AS (
     SELECT cid, list(m ORDER BY pos) AS v FROM (
-      SELECT cid, i AS pos, round(avg(v[i + 1]) + 1e-09, 6) AS m
+      SELECT cid, i AS pos,
+             round(sum(CAST(round(v[i + 1] * 32768.0) AS BIGINT))
+                   / (32768.0 * count(*)) + 1e-09, 6) AS m
       FROM a{it}, range({dim}) t(i) GROUP BY 1, 2
     ) GROUP BY 1
   )""")
             prev = f"c{it}"
     return ",".join(parts) + f"""
   SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
-         round(sum(d) + 1e-09, 4) + 0.0 AS inertia
+         round(sum(CAST(round(d * 1e6) AS BIGINT)) / 1e6 + 1e-09, 4) + 0.0
+           AS inertia
   FROM a{n_iter} GROUP BY 1"""
 
 
@@ -8711,7 +8722,8 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
           )
           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
-                 round(avg(cos) + {EPS6}, 6) AS mean_cos,
+                 round(sum(CAST(round(cos * 1e6) AS BIGINT))
+                       / (1e6 * count(*)) + {EPS6}, 6) AS mean_cos,
                  round(min(cos) + {EPS6}, 6) AS min_cos
           FROM best WHERE rn = 1 GROUP BY 1
         """,

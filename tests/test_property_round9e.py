@@ -213,6 +213,15 @@ def _py_kmeans(vecs, k, n_iter):
         return (m.floor(y * 1e6 + 0.5) / 1e6 if y >= 0
                 else -m.floor(-y * 1e6 + 0.5) / 1e6)
 
+    def rh(x):
+        # round half away from zero (the engines' round)
+        return (m.floor(x + 0.5) if x >= 0 else -m.floor(-x + 0.5))
+
+    def qmean(col):
+        # order-free integer mean: 2^15-quantized coordinate sums
+        # (similarity.kmeans_lloyd, ADVICE r11)
+        return r6(sum(rh(x * 32768.0) for x in col) / (32768.0 * len(col)))
+
     cents = [(i, list(vecs[i][1])) for i in range(min(k, len(vecs)))]
     for it in range(n_iter):
         assign = {}
@@ -228,7 +237,7 @@ def _py_kmeans(vecs, k, n_iter):
             for vid, v in vecs:
                 groups[assign[vid][1]].append(v)
             cents = [
-                (ci, [r6(sum(col) / len(col)) for col in zip(*vs)])
+                (ci, [qmean(col) for col in zip(*vs)])
                 for ci, vs in sorted(groups.items())
             ]
     prof = defaultdict(lambda: [0, 0.0])

@@ -51,10 +51,11 @@ def test_kmeans_empty_cluster_dies(spark):
 
 
 def test_kmeans_final_plan_never_shuffles_vectors(spark):
-    """Centroids ride as broadcast literals: the returned plan is one
-    scan + the centroid-count-sized aggregate — no join, a single
-    exchange. (Iteration means were already reduced to k×dim rows per
-    round — bounded driver metadata, the IVF rule.)"""
+    """Single-plan Lloyd (r12): centroids ride as a one-row BROADCAST
+    panel (BroadcastNestedLoopJoin, build right), seeds come from
+    TakeOrderedAndProject (never a global sort of the data), and every
+    hash-partitioned exchange carries only panel columns (_cid/_pos
+    partial aggregates) — the vector column never crosses a shuffle."""
     from v3io_tsdb_spark.functions.similarity import kmeans_lloyd
 
     df = spark.createDataFrame(
@@ -62,8 +63,13 @@ def test_kmeans_final_plan_never_shuffles_vectors(spark):
         "vec_id long, embedding array<double>",
     )
     plan = _plan(kmeans_lloyd(df, k=2, n_iter=2))
-    assert "Join" not in plan, plan[:900]
-    assert plan.count("Exchange") == 1, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:900]
+    assert "ShuffledHashJoin" not in plan, plan[:900]
+    assert "BroadcastNestedLoopJoin" in plan, plan[:900]
+    assert "TakeOrderedAndProject" in plan, plan[:900]
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_v#" not in line, line
 
 
 # ------------------------------------------------- alert episodes

@@ -697,9 +697,16 @@ def centroid_profile(
     )
     w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.col("centroid_id"))
     best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    # mean over the 6dp-rounded cosines on an exact 1e-6 integer grid
+    # (order-free, the pca/kmeans rule — ADVICE r11)
     return best.groupBy("centroid_id").agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.avg("_cos") + 1e-9, 6).alias("mean_cos"),
+        F.round(
+            F.sum(F.round(F.col("_cos") * 1e6).cast("long"))
+            / (F.lit(1e6) * F.count("*"))
+            + 1e-9,
+            6,
+        ).alias("mean_cos"),
         F.round(F.min("_cos") + 1e-9, 6).alias("min_cos"),
     )
 
@@ -982,66 +989,110 @@ def kmeans_lloyd(
     - distances are 6dp-rounded BEFORE each argmin (ties → lowest
       centroid id), so an assignment can never flip on a sub-ulp sum
       difference and diverge every later iteration;
-    - recomputed centroid means are 6dp-rounded (half-up, the engines'
-      round) before re-broadcast, so iteration i+1 starts from
-      bit-identical literals in both engines;
+    - recomputed centroid means accumulate as EXACT integer sums of
+      2^-15-quantized coordinates (the pca_top_component rule, ADVICE
+      r11: a float ``avg`` sums in partition order, so a mean at a
+      6dp boundary could flip between runs/engines), then round 6dp
+      (half-up, the engines' round) before re-broadcast, so iteration
+      i+1 starts from bit-identical literals in both engines;
+    - inertia sums the 6dp-rounded distances on an exact 1e-6 integer
+      grid (order-free) before its 4dp rounding;
     - a centroid that loses all members DIES (standard empty-cluster
       variant) — survivors keep their original ids.
 
-    100 TB posture: each iteration is ONE scan with the k centroids as
-    broadcast literals (no shuffle of the vectors) plus a
-    k×dim-bounded per-dimension mean aggregate; the driver holds only
-    the k×dim centroid matrix between iterations — the IVF
-    bounded-metadata pattern (similarity.py ivf_build), never data.
-    Cost is n_iter scans by construction; production amortizes with
-    ``df.persist()`` across iterations.
+    100 TB posture: the whole training is ONE lazy plan and ONE job
+    (VERDICT r11 #4 — the per-round driver collect + plan rebuild +
+    codegen recompile dominated the iterative cost): centroids stay a
+    distributed k-row panel collapsed to a single-row struct array and
+    BROADCAST into each assignment (so vectors never shuffle — the
+    argmin is a per-row ``array_min`` over the k candidate structs,
+    ties to the lowest centroid id by lexicographic struct order);
+    each round's recompute is the k×dim-bounded per-dimension mean
+    aggregate, partial-aggregable map-side. The driver sees no
+    centroid traffic at all. The cast/projected vector frame is
+    persist()ed (lazily — the first scan populates the cache) so the
+    n_iter assignment scans read cached blocks, not parquet.
     """
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
-    seed = base.orderBy("_id").limit(k).collect()
-    cents = [(i, list(r["_v"])) for i, r in enumerate(seed)]
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")).persist()
+    qs = 32768.0  # 2^15 quantization scale (order-free integer means)
 
-    def _assigned(cents_now):
-        dists = [
-            F.round(
-                sq_dist_col(
-                    F.col("_v"),
-                    F.array(*[F.lit(float(x)) for x in cv]),
-                )
-                + 1e-9,
-                6,
+    # seed panel: k lowest-id vectors, cid = dense 0..k-1 by id order
+    # (TakeOrdered + a k-row window — never a global sort)
+    wseed = Window.orderBy("_id")
+    cents = (
+        base.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(wseed) - 1).alias("_cid"),
+            F.col("_v").alias("_cv"),
+        )
+    )
+
+    def _panel(c):
+        # collapse the k-row centroid panel to ONE row holding an
+        # id-sorted array<struct<cid,cv>> — broadcast into the scan
+        return c.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_cid"), F.col("_cv")))
+            ).alias("_cl")
+        )
+
+    def _assigned(panel):
+        # per-row argmin over the k candidates: array_min on
+        # struct(dist, cid) is lexicographic, so the 6dp-rounded
+        # distance decides and ties fall to the lowest centroid id —
+        # zero shuffle of the vectors, no window
+        best = F.array_min(
+            F.transform(
+                F.col("_cl"),
+                lambda c: F.struct(
+                    F.round(
+                        sq_dist_col(F.col("_v"), c.getField("_cv")) + 1e-9, 6
+                    ).alias("d"),
+                    c.getField("_cid").alias("cid"),
+                ),
             )
-            for _, cv in cents_now
-        ]
-        best = F.least(*dists) if len(dists) > 1 else dists[0]
-        cid = None
-        for (ci, _), d in zip(cents_now, dists):
-            branch = F.when(d == best, F.lit(ci))
-            cid = branch if cid is None else cid.when(d == best, F.lit(ci))
-        # first matching when-branch wins → ties to lowest centroid id
-        return base.select("_id", "_v", cid.alias("_cid"), best.alias("_d"))
+        )
+        return base.crossJoin(F.broadcast(panel)).select(
+            "_id",
+            "_v",
+            best.getField("cid").alias("_cid"),
+            best.getField("d").alias("_d"),
+        )
 
+    panel = _panel(cents)
     for _ in range(n_iter - 1):
-        a = _assigned(cents)
+        a = _assigned(panel)
         means = (
             a.select("_cid", F.posexplode("_v").alias("_pos", "_val"))
             .groupBy("_cid", "_pos")
-            .agg(F.avg("_val").alias("_m"))
-            .collect()
-        )  # k×dim rows — bounded metadata, the only driver traffic
-        by_cid: dict = {}
-        for r in means:
-            by_cid.setdefault(r["_cid"], {})[r["_pos"]] = _round6_half_up(r["_m"])
-        cents = [
-            (ci, [dims[p] for p in sorted(dims)])
-            for ci, dims in sorted(by_cid.items())
-        ]
-    final = _assigned(cents)
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("_val") * qs).cast("long"))
+                    / (F.lit(qs) * F.count("*"))
+                    + 1e-9,
+                    6,
+                ).alias("_m")
+            )
+        )  # k×dim rows — bounded panel, never touches the driver
+        nxt = means.groupBy("_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s.getField("_m"),
+            ).alias("_cv")
+        )
+        panel = _panel(nxt)
+    final = _assigned(panel)
     return (
-        final.groupBy(F.col("_cid").alias("centroid_id"))
+        final.groupBy(F.col("_cid").cast("int").alias("centroid_id"))
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
-            F.round(F.sum("_d") + 1e-9, 4).alias("inertia"),
+            F.round(
+                F.sum(F.round(F.col("_d") * 1e6).cast("long")) / F.lit(1e6)
+                + 1e-9,
+                4,
+            ).alias("inertia"),
         )
     )
 
@@ -1164,7 +1215,7 @@ def pca_top_component(
 
     Covariance via raw second moments (C = E[xxᵀ] − μμᵀ), computed
     by PER-BATCH GRAM PARTIALS by default (VERDICT r10 #4, measured):
-    one BLAS X^T·X per Arrow batch emits d² partial rows, reduced by
+    one X^T·X per Arrow batch emits d² partial rows, reduced by
     one hash aggregate — O(n·d²) multiply-adds either way (what
     covariance costs anywhere), but without materializing n·d²
     exploded rows first. At 64× data the gram path is FLAT (2.9s vs
@@ -1172,10 +1223,23 @@ def pca_top_component(
     data-proportional work runs inside matmul and each batch ships
     exactly d² rows to the shuffle. ``gram_partials=False`` keeps the
     pure-codegen explode path (bit-identical output, measured slower
-    — kept for the zero-Python-worker property). Both μ and C round
-    6dp BEFORE the iteration, so cross-engine float-sum order
-    differences die at the boundary, exactly like the k-means
-    centroid rule.
+    — kept for the zero-Python-worker property).
+
+    Order-free moments (ADVICE r11, the r11 gate-flake suspect): a
+    float sum of Gram partials depends on batch boundaries and
+    reduction order, so a covariance cell near a 6dp rounding
+    boundary could flip between runs/engines. Instead every input is
+    quantized ONCE to integer units of 2^-15 (``round(x·32768)`` as
+    long) and all first/second moments accumulate as EXACT int64
+    sums (per-batch integer matmul in the gram path, integer products
+    in the explode path) — both physical paths now produce
+    bit-identical cells by construction, at any partitioning, on any
+    engine. Overflow bound: n·(32768·max|x|)² < 2^63, i.e. ~8×10⁹
+    unit-bounded vectors per job — document-scale safe. μ and C round
+    6dp from identical integer-derived doubles; the power-iteration
+    sums quantize each c·p term to 1e-12 (and w² terms to 1e-9)
+    integer grids the same way, so every state write starts from
+    bit-identical literals in both engines.
 
     Iteration state: v₀ = 1/√d (exact for d a power of 4);
     w = round6(C·v) per entry, v' = round6(w / round6(‖w‖)). The
@@ -1192,57 +1256,93 @@ def pca_top_component(
         # up front instead of crashing mid-plan (ADVICE r10)
         raise ValueError(f"pca_top_component needs n_iter >= 1 ({n_iter})")
     eps = 1e-9
+    qs = 32768.0  # 2^15 input-quantization scale (see docstring)
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(v.alias("_v"))
-    # dim mismatch would silently drop indexes from the iteration
-    # join and mis-scale v0 = 1/sqrt(dim) (ADVICE r10): check one
-    # sampled vector's actual length — bounded metadata, one row
-    sample = df.select(F.size(v).alias("_d")).limit(1).collect()
-    if sample and sample[0]["_d"] != dim:
+    # null vectors carry no moment contribution and would break the
+    # batch matmul (ADVICE r11): drop them up front, excluded from n
+    base = df.select(v.alias("_v")).where(F.col("_v").isNotNull())
+    # n + corpus-wide dim validation in ONE eager pass (n is needed as
+    # a literal anyway; replaces the r10 single-row limit(1) sample
+    # that both missed ragged rows past row 1 and reported 'length
+    # None' on a null first vector — ADVICE r11)
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.min(F.size("_v")).alias("dmin"),
+        F.max(F.size("_v")).alias("dmax"),
+    ).collect()[0]
+    n = stats["n"]
+    if n == 0:
+        raise ValueError("pca_top_component: no non-null vectors")
+    if stats["dmin"] != dim or stats["dmax"] != dim:
         raise ValueError(
-            f"pca_top_component dim={dim} but vectors have "
-            f"length {sample[0]['_d']}"
+            f"pca_top_component dim={dim} but vector lengths span "
+            f"[{stats['dmin']}, {stats['dmax']}]"
         )
-    # per-dim means + count (one pass, d-row panel)
+    # integer-quantized per-dim first moments (exact long sums)
     ex = base.select(F.posexplode("_v").alias("i", "x"))
-    mu = ex.groupBy("i").agg(F.round(F.avg("x") + eps, 6).alias("mu"))
-    n = base.count()  # scalar metadata, like the IVF centroid count
+    mu = ex.groupBy("i").agg(
+        F.round(
+            F.sum(F.round(F.col("x") * qs).cast("long"))
+            / (F.lit(qs) * F.lit(float(n)))
+            + eps,
+            6,
+        ).alias("mu")
+    )
     # raw second moments -> d^2 cells. Two physically different plans
     # for the same sums (VERDICT r10 #4, measured — see SCALE.md):
     if gram_partials:
-        # per-Arrow-batch Gram partials: one BLAS X^T·X per batch
+        # per-Arrow-batch Gram partials: one integer X^T·X per batch
         # emits d^2 partial rows (4096 for d=64) instead of
         # materializing n·d^2 exploded rows before the hash
         # aggregate — the shuffle stays d^2-per-partition either
         # way, this cuts the 4096x row materialization and moves
-        # the multiply-adds from codegen row loops into matmul
+        # the multiply-adds from codegen row loops into matmul.
+        # int64 matmul over round-half-away quantized inputs: every
+        # partial is exact, so the reduction is order/batching-free.
         import numpy as np
         import pandas as pd
 
         d_ = dim
+        qs_ = qs
 
         def _gram(iters):
             for pdf in iters:
                 if not len(pdf):
                     continue
                 x_mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
-                gm = x_mat.T @ x_mat
+                if x_mat.ndim != 2 or x_mat.shape[1] != d_:
+                    # ragged/None elements inside a vector reach here
+                    # as an object/1-d array (ADVICE r11): fail loud
+                    raise ValueError(
+                        "pca_top_component: ragged or null-element "
+                        f"vectors in batch (shape {x_mat.shape}, "
+                        f"expected (*, {d_}))"
+                    )
+                m = x_mat * qs_
+                # round half away from zero — Spark's/DuckDB's round,
+                # NOT np.rint's half-to-even
+                xq = np.where(
+                    m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)
+                ).astype(np.int64)
+                gm = xq.T @ xq
                 ii, jj = np.indices((d_, d_))
                 yield pd.DataFrame(
                     {"i": ii.ravel(), "j": jj.ravel(), "_s": gm.ravel()}
                 )
 
         cells = (
-            base.mapInPandas(_gram, "i int, j int, _s double")
+            base.mapInPandas(_gram, "i int, j int, _s long")
             .groupBy("i", "j")
             .agg(F.sum("_s").alias("_s"))
         )
     else:
+        xq_i = F.round(F.col("xi") * qs).cast("long")
+        xq_j = F.round(F.col("xj") * qs).cast("long")
         cells = (
             base.select(F.posexplode("_v").alias("i", "xi"), F.col("_v"))
             .select("i", "xi", F.posexplode("_v").alias("j", "xj"))
             .groupBy("i", "j")
-            .agg(F.sum(F.col("xi") * F.col("xj")).alias("_s"))
+            .agg(F.sum(xq_i * xq_j).alias("_s"))
         )
     mui = mu.select(F.col("i"), F.col("mu").alias("_mi"))
     muj = mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj"))
@@ -1252,7 +1352,8 @@ def pca_top_component(
         .select(
             "i", "j",
             F.round(
-                F.col("_s") / F.lit(float(n)) - F.col("_mi") * F.col("_mj")
+                F.col("_s") / (F.lit(qs * qs) * F.lit(float(n)))
+                - F.col("_mi") * F.col("_mj")
                 + eps, 6,
             ).alias("c"),
         )
@@ -1269,15 +1370,36 @@ def pca_top_component(
     )
     norm = None
     for _ in range(n_iter):
+        # d-term sums also quantize per term (1e-12 / 1e-9 integer
+        # grids) so partial-aggregation order can't move them; sqrt
+        # is IEEE-exact, so the 6dp state writes are engine-invariant
         w = (
             cmat.join(
                 vec.select(F.col("i").alias("j"), F.col("p")), "j"
             )
             .groupBy("i")
-            .agg(F.round(F.sum(F.col("c") * F.col("p")) + eps, 6).alias("w"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("c") * F.col("p") * 1e12).cast("long")
+                    )
+                    / F.lit(1e12)
+                    + eps,
+                    6,
+                ).alias("w")
+            )
         )
         norm = w.agg(
-            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))) + eps, 6).alias("nm")
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("w") * F.col("w") * 1e9).cast("long")
+                    )
+                    / F.lit(1e9)
+                )
+                + eps,
+                6,
+            ).alias("nm")
         )
         vec = w.crossJoin(F.broadcast(norm)).select(
             "i", F.round(F.col("w") / F.col("nm") + eps, 6).alias("p")

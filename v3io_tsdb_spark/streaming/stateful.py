@@ -132,7 +132,8 @@ _Z_STATE_SCHEMA = StructType(
 )
 
 
-def _make_zscore_fn(step_ms: int, lookback: int, min_history: int):
+def _make_zscore_fn(step_ms: int, lookback: int, min_history: int,
+                    anchor_ms: int = 0):
     def _fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -179,7 +180,7 @@ def _make_zscore_fn(step_ms: int, lookback: int, min_history: int):
             pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame({"ts": []})
         )
         for ts in batch.sort_values("ts")["ts"].values:
-            b = (int(ts) // step_ms) * step_ms
+            b = anchor_ms + ((int(ts) - anchor_ms) // step_ms) * step_ms
             if cur_t is None:
                 cur_t, cur_n = b, 1
             elif b == cur_t:
@@ -201,6 +202,7 @@ def stream_bucket_zscores(
     step_ms: int = 3_600_000,
     lookback: int = 24,
     min_history: int = 12,
+    anchor_ms: int = 0,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.anomaly.bucket_zscores`: each
     closed bucket of a series is scored against the trailing ``lookback``
@@ -217,7 +219,7 @@ def stream_bucket_zscores(
         )
         .groupBy("series_key")
         .applyInPandasWithState(
-            _make_zscore_fn(step_ms, lookback, min_history),
+            _make_zscore_fn(step_ms, lookback, min_history, anchor_ms),
             outputStructType=_Z_OUT_SCHEMA,
             stateStructType=_Z_STATE_SCHEMA,
             outputMode="append",
@@ -332,7 +334,8 @@ _H_STATE_SCHEMA = StructType(
 )
 
 
-def _make_hampel_fn(step_ms: int, lookback: int, min_history: int, k: float):
+def _make_hampel_fn(step_ms: int, lookback: int, min_history: int, k: float,
+                    anchor_ms: int = 0):
     def _mid(vals):
         m = len(vals)
         return (vals[(m + 1) // 2 - 1] + vals[m // 2]) / 2.0
@@ -383,7 +386,7 @@ def _make_hampel_fn(step_ms: int, lookback: int, min_history: int, k: float):
             pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame({"ts": []})
         )
         for ts in batch.sort_values("ts")["ts"].values:
-            b = (int(ts) // step_ms) * step_ms
+            b = anchor_ms + ((int(ts) - anchor_ms) // step_ms) * step_ms
             if cur_t is None:
                 cur_t, cur_n = b, 1
             elif b == cur_t:
@@ -406,6 +409,7 @@ def stream_trailing_hampel(
     lookback: int = 24,
     min_history: int = 12,
     k: float = 3.0,
+    anchor_ms: int = 0,
 ) -> DataFrame:
     """Streaming twin of :func:`operators.anomaly.trailing_hampel`:
     each closed bucket scored against the MEDIAN/MAD of its trailing
@@ -422,7 +426,7 @@ def stream_trailing_hampel(
         )
         .groupBy("series_key")
         .applyInPandasWithState(
-            _make_hampel_fn(step_ms, lookback, min_history, k),
+            _make_hampel_fn(step_ms, lookback, min_history, k, anchor_ms),
             outputStructType=_H_OUT_SCHEMA,
             stateStructType=_H_STATE_SCHEMA,
             outputMode="append",
@@ -443,7 +447,7 @@ _NR_STATE_SCHEMA = StructType(
 )
 
 
-def _make_first_seen_fn(step_ms: int):
+def _make_first_seen_fn(step_ms: int, anchor_ms: int = 0):
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -464,7 +468,7 @@ def _make_first_seen_fn(step_ms: int):
         if chunks:
             batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts in batch["ts"].values:
-                day = (int(ts) // step_ms) * step_ms
+                day = anchor_ms + ((int(ts) - anchor_ms) // step_ms) * step_ms
                 if last_day is not None and day <= last_day:
                     continue
                 rows["user_key"].append(key[0])
@@ -481,7 +485,10 @@ def _make_first_seen_fn(step_ms: int):
 
 
 def stream_first_seen(
-    stream_df: DataFrame, user_col: str = "name", step_ms: int = 86_400_000
+    stream_df: DataFrame,
+    user_col: str = "name",
+    step_ms: int = 86_400_000,
+    anchor_ms: int = 0,
 ) -> DataFrame:
     """STREAMING twin of the new-vs-returning reduction
     (operators/cohorts.py new_vs_returning): the distinct-(user,
@@ -502,7 +509,7 @@ def stream_first_seen(
         )
         .groupBy("user_key")
         .applyInPandasWithState(
-            _make_first_seen_fn(step_ms),
+            _make_first_seen_fn(step_ms, anchor_ms),
             outputStructType=_NR_OUT_SCHEMA,
             stateStructType=_NR_STATE_SCHEMA,
             outputMode="append",
@@ -532,7 +539,7 @@ _EP_STATE_SCHEMA = StructType(
 )
 
 
-def _make_episodes_fn(step_ms: int, threshold: int):
+def _make_episodes_fn(step_ms: int, threshold: int, anchor_ms: int = 0):
     def _fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -584,7 +591,7 @@ def _make_episodes_fn(step_ms: int, threshold: int):
             else pd.DataFrame({"ts": []})
         )
         for ts in batch.sort_values("ts")["ts"].values:
-            b = (int(ts) // step_ms) * step_ms
+            b = anchor_ms + ((int(ts) - anchor_ms) // step_ms) * step_ms
             if cur_t is None:
                 cur_t, cur_n = b, 1
             elif b == cur_t:
@@ -604,6 +611,7 @@ def stream_alert_episodes(
     key_col: str = "name",
     step_ms: int = 3_600_000,
     threshold: int = 4,
+    anchor_ms: int = 0,
 ) -> DataFrame:
     """STREAMING twin of :func:`operators.anomaly.alert_episodes`:
     the alert-fatigue page-per-incident merge, live. Batch computes
@@ -625,7 +633,7 @@ def stream_alert_episodes(
         )
         .groupBy("series_key")
         .applyInPandasWithState(
-            _make_episodes_fn(step_ms, threshold),
+            _make_episodes_fn(step_ms, threshold, anchor_ms),
             outputStructType=_EP_OUT_SCHEMA,
             stateStructType=_EP_STATE_SCHEMA,
             outputMode="append",
@@ -663,6 +671,7 @@ def _make_slo_fn(
     long_buckets: int,
     slo_target: float,
     burn_threshold: float,
+    anchor_ms: int = 0,
 ):
     budget = 1.0 - slo_target
 
@@ -724,7 +733,7 @@ def _make_slo_fn(
             else pd.DataFrame({"ts": [], "name": []})
         )
         for ts, name in batch.sort_values("ts")[["ts", "name"]].values:
-            b = (int(ts) // step_ms) * step_ms
+            b = anchor_ms + ((int(ts) - anchor_ms) // step_ms) * step_ms
             e = int(name == error_name)
             if cur_t is None:
                 cur_t, cur_err, cur_tot = b, e, 1
@@ -752,6 +761,7 @@ def stream_slo_burn(
     slo_target: float = 0.99,
     burn_threshold: float = 6.0,
     key_col: str | None = None,
+    anchor_ms: int = 0,
 ) -> DataFrame:
     """STREAMING twin of :func:`operators.counters.slo_burn_rate`:
     the SRE two-window page evaluated the moment each bucket closes —
@@ -781,7 +791,7 @@ def stream_slo_burn(
         .applyInPandasWithState(
             _make_slo_fn(
                 step_ms, error_name, short_buckets, long_buckets,
-                slo_target, burn_threshold,
+                slo_target, burn_threshold, anchor_ms=anchor_ms,
             ),
             outputStructType=_SLO_OUT_SCHEMA,
             stateStructType=_SLO_STATE_SCHEMA,
@@ -812,7 +822,7 @@ _DD_STATE_SCHEMA = StructType(
 )
 
 
-def _make_drawdown_fn(step_ms: int):
+def _make_drawdown_fn(step_ms: int, anchor_ms: int = 0):
     import math as _m
 
     def _r6(x: float) -> float:
@@ -855,7 +865,7 @@ def _make_drawdown_fn(step_ms: int):
         if chunks:
             batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts, val in zip(batch["ts"].values, batch["value"].values):
-                day = (int(ts) // step_ms) * step_ms
+                day = anchor_ms + ((int(ts) - anchor_ms) // step_ms) * step_ms
                 if cur_t is None:
                     cur_t, cur_sum, cur_n = day, 0.0, 0
                 elif day > cur_t:
@@ -879,7 +889,10 @@ def _make_drawdown_fn(step_ms: int):
 
 
 def stream_drawdown(
-    stream_df: DataFrame, series_col: str = "name", step_ms: int = 86_400_000
+    stream_df: DataFrame,
+    series_col: str = "name",
+    step_ms: int = 86_400_000,
+    anchor_ms: int = 0,
 ) -> DataFrame:
     """STREAMING twin of the running drawdown panel (operators/
     trend.py drawdown): each daily bucket's mean, the running peak,
@@ -905,7 +918,7 @@ def stream_drawdown(
         )
         .groupBy("series_key")
         .applyInPandasWithState(
-            _make_drawdown_fn(step_ms),
+            _make_drawdown_fn(step_ms, anchor_ms),
             outputStructType=_DD_OUT_SCHEMA,
             stateStructType=_DD_STATE_SCHEMA,
             outputMode="append",
@@ -993,7 +1006,7 @@ def _make_predict_linear_fn(step_ms: int, lookback: int, horizon: int,
         if chunks:
             batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts, val in zip(batch["ts"].values, batch["value"].values):
-                day = (int(ts) // step_ms) * step_ms
+                day = from_ms + ((int(ts) - from_ms) // step_ms) * step_ms
                 if cur_t is None:
                     cur_t, cur_sum, cur_n = day, 0.0, 0
                 elif day > cur_t:
@@ -1067,7 +1080,7 @@ _TK_STATE_SCHEMA = StructType(
 )
 
 
-def _make_topk_fn(step_ms: int, k: int):
+def _make_topk_fn(step_ms: int, k: int, anchor_ms: int = 0):
     import math as _m
 
     def _r6(x: float) -> float:
@@ -1111,7 +1124,7 @@ def _make_topk_fn(step_ms: int, k: int):
             for ts, uid, val in zip(
                 batch["ts"].values, batch["uid"].values, batch["value"].values
             ):
-                day = (int(ts) // step_ms) * step_ms
+                day = anchor_ms + ((int(ts) - anchor_ms) // step_ms) * step_ms
                 if cur_t is None:
                     cur_t = day
                 elif day > cur_t:
@@ -1141,6 +1154,7 @@ def stream_topk(
     uid_col: str = "uid",
     step_ms: int = 86_400_000,
     k: int = 3,
+    anchor_ms: int = 0,
 ) -> DataFrame:
     """STREAMING twin of the per-bucket top-k panel (operators/
     frames.py topk_series_per_bucket, ranked WITHIN each series key):
@@ -1157,6 +1171,15 @@ def stream_topk(
     Same in-order contract as stream_drawdown: events for an
     already-closed bucket are DROPPED, so the batch/stream hash match
     is scoped to bucket-granularity in-order feeds.
+
+    ``anchor_ms`` (ADVICE r11): buckets are
+    ``anchor_ms + ((ts - anchor_ms) // step_ms) * step_ms``. The batch
+    twins anchor their grids at the query's ``from_ms``; pass the same
+    anchor here when ``from_ms`` is NOT already a multiple of
+    ``step_ms``, or the batch/stream hash-match silently breaks. The
+    default 0 matches the gated corpus, whose F0 is day-aligned (every
+    wall-anchored stream twin in this module takes the same
+    parameter).
     """
     return (
         stream_df.select(
@@ -1167,7 +1190,7 @@ def stream_topk(
         )
         .groupBy("series_key")
         .applyInPandasWithState(
-            _make_topk_fn(step_ms, k),
+            _make_topk_fn(step_ms, k, anchor_ms),
             outputStructType=_TK_OUT_SCHEMA,
             stateStructType=_TK_STATE_SCHEMA,
             outputMode="append",
