@@ -729,6 +729,24 @@ def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes", "content_sha")
 
 
+def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL single-modality decode (X178, VERDICT r11 #6): a valid
+    RIFF/WAVE payload is assembled per doc from pure SQL expressions
+    (44-byte canonical PCM header + the text bytes as int16-LE
+    samples), then wav_features walks the actual RIFF chunks and
+    parses the PCM — genuine byte-level decoding, not the hex stub.
+    The oracle parses the identical bytes in DuckDB ('0x' casts over
+    the hex, lag() for sign flips), so every feature is byte-level
+    hash-gated."""
+    from v3io_tsdb_spark.functions.multimodal import (
+        attach_wav_payload,
+        wav_features,
+    )
+
+    docs = attach_wav_payload(load_table(spark, sf_dir, "documents"))
+    return wav_features(docs)
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any word 8-gram
     with the eval slice (doc_id % 10 == 3 stands in for a benchmark
@@ -3759,6 +3777,85 @@ def q_tpch_q11_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (X176, VERDICT r11 #5): the supplier(s) whose
+    quarterly revenue equals the MAXIMUM of the per-supplier revenue
+    view — the max-of-aggregate argmax over a DERIVED view (Q2/X172's
+    argmin join-back generalized: there the aggregate keyed per part,
+    here the comparison scalar is an aggregate OVER the aggregate).
+    Every revenue is an exact DECIMAL(18,6) sum, the max is the exact
+    max of those decimals, and the achieving-row filter is decimal
+    equality — no float and no rounding boundary anywhere (the Q11
+    rule). Plan: one date-pruned fact scan into a supplier-keyed
+    decimal aggregate, localCheckpointed because the view feeds BOTH
+    the 1-row max and the equality filter (never a second fact scan);
+    the max broadcasts; the supplier dimension broadcast-joins the
+    ≤|argmax| survivors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("_sk"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(l_extendedprice * (1 - l_discount)"
+                    " AS DECIMAL(18,6))"
+                )
+            ).alias("_rev")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("_sk") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (X177, VERDICT r11 #5): distinct-supplier counts
+    per (brand, type, size) for a NOT-LIKE/NOT-IN-filtered part
+    family, excluding a blacklisted supplier set — the distinct-agg
+    anti-join surface (Q22 anti-joined a fact; this anti-joins the
+    DIMENSION KEY against a filtered dim, then rolls up
+    count(DISTINCT)). The fixture has no partsupp or s_comment, so
+    lineitem's (partkey, suppkey) pairs stand in for partsupp and the
+    complaint blacklist becomes s_acctbal < 0 — same plan: the part
+    dimension (brand/type/size predicates scan-side) broadcast-prunes
+    the fact, the blacklist broadcasts into a LeftAnti, and the
+    count(DISTINCT l_suppkey) is Spark's standard two-phase expand
+    (partial-aggregable on (group, suppkey)) — no global sort, no
+    window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    pdim = part.where(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = sup.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pdim), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("_bad"), "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
 def q_stream_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the per-bucket top-k panel (X171): per
     metric, when a daily bucket closes, the 3 uids with the largest
@@ -4306,6 +4403,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_topk": q_emb_mmr_topk,
         "stream_alert_episodes": q_stream_alert_episodes,
         "stream_slo_burn": q_stream_slo_burn,
+        # --- NEW r12: local-sweep evidence until their first driver
+        # --- window, per the saturated-gate contract
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "mm_wav_features": q_mm_wav_features,
     }
 
 
@@ -9020,5 +9122,79 @@ def oracle_sql() -> dict[str, str]:
                            AND round(bl + {EPS6}, 6) > 1.0
                       THEN 1 ELSE 0 END AS BIGINT) AS page
           FROM w WHERE t < open_t
+        """,
+        "tpch_q15_top_supplier": """
+          WITH r AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1
+          ),
+          m AS (SELECT max(rev) AS mx FROM r)
+          SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                 CAST(r.rev AS DOUBLE) AS total_revenue
+          FROM r CROSS JOIN m
+          JOIN supplier s ON r.l_suppkey = s.s_suppkey
+          WHERE r.rev = m.mx
+        """,
+        "tpch_q16_supplier_cnt": """
+          SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+                 CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand <> 'Brand#5'
+            AND p.p_type NOT LIKE 'MEDIUM%'
+            AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+            AND l.l_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          GROUP BY 1, 2, 3
+        """,
+        "mm_wav_features": """
+          WITH h AS (
+            SELECT doc_id,
+                   substring(hex(encode(text)), 1,
+                             4 * CAST(floor(length(hex(encode(text))) / 4)
+                                      AS INT)) AS dh
+            FROM documents
+          ),
+          n AS (
+            SELECT doc_id, dh, length(dh) // 4 AS ns
+            FROM h WHERE length(dh) >= 4
+          ),
+          -- one int16-LE sample per 4 hex chars: lo byte then hi byte
+          ix AS (SELECT doc_id, ns, dh, unnest(range(ns)) AS i FROM n),
+          s AS (
+            SELECT doc_id, ns, i,
+                   CAST(('0x' || substr(dh, CAST(4 * i + 3 AS INT), 2)
+                              || substr(dh, CAST(4 * i + 1 AS INT), 2))
+                        AS INTEGER) AS u
+            FROM ix
+          ),
+          v AS (
+            SELECT doc_id, ns, i,
+                   u - 65536 * CAST(u >= 32768 AS INTEGER) AS x
+            FROM s
+          ),
+          z AS (
+            SELECT doc_id, ns, x,
+                   CASE WHEN x >= 0 THEN 1 ELSE -1 END AS sg,
+                   lag(CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS psg
+            FROM v
+          )
+          SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+                 8000 AS sample_rate,
+                 CAST(max(abs(x)) AS BIGINT) AS peak,
+                 round(CAST(sum(abs(x)) AS DOUBLE) / ns + 1e-9, 6)
+                   AS mean_abs,
+                 round(sqrt(CAST(sum(x * x) AS DOUBLE) / ns) + 1e-9, 6)
+                   AS rms,
+                 CAST(sum(CASE WHEN psg IS NOT NULL AND sg <> psg
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_crossings
+          FROM z GROUP BY doc_id, ns
         """,
     }

@@ -1,0 +1,199 @@
+"""Round-12 goldens: TPC-H Q15 (max-of-aggregate argmax over a derived
+revenue view) and Q16 (NOT-IN-filtered dim + count(DISTINCT) rollup),
+per VERDICT r11 #5 — fan-out fakes in the X169-X175 style."""
+
+import datetime
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------- Q15 shape
+
+
+def _fake_q15_dir(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        # (suppkey, shipdate, extendedprice, discount)
+        [
+            (1, _ts("1996-02-01"), 10.0, 0.0),   # s1 in-window: 10
+            (1, _ts("1996-03-01"), 5.0, 0.5),    # s1 in-window: +2.5
+            (2, _ts("1996-01-15"), 12.5, 0.0),   # s2: 12.5 — exact tie
+            (3, _ts("1995-12-31"), 100.0, 0.0),  # before the window
+            (3, _ts("1996-04-01"), 100.0, 0.0),  # at the exclusive end
+            (3, _ts("1996-02-20"), 1.0, 0.0),    # s3 in-window: 1
+        ],
+        "l_suppkey long, l_shipdate timestamp_ntz, "
+        "l_extendedprice double, l_discount double",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(i, f"S{i}") for i in (1, 2, 3)], "s_suppkey long, s_name string"
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    return d
+
+
+def test_q15_argmax_tie_returns_all_achievers(tmp_path, spark):
+    """s1's 10 + 2.5 and s2's 12.5 are the SAME exact decimal — both
+    argmax suppliers emit; s3's out-of-window lines never count and
+    the window end is exclusive."""
+    import __spark_entry__ as E
+
+    d = _fake_q15_dir(spark, tmp_path)
+    out = sorted(
+        E.queries()["tpch_q15_top_supplier"](spark, d).collect(),
+        key=lambda r: r["s_suppkey"],
+    )
+    assert [(r["s_suppkey"], r["s_name"], r["total_revenue"]) for r in out] \
+        == [(1, "S1", 12.5), (2, "S2", 12.5)]
+
+
+def test_q15_plan_single_fact_scan_broadcast_dim(spark):
+    """The revenue view is checkpointed (one fact scan feeds both the
+    max and the equality filter) and the supplier dim joins broadcast
+    — no SortMergeJoin anywhere."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tpch_q15_top_supplier"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------- Q16 shape
+
+
+def _fake_q16_dir(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        # kept / brand-excluded / type-prefix-excluded / size-excluded
+        [
+            (1, "Brand#1", "ECONOMY", 4),
+            (2, "Brand#5", "ECONOMY", 4),
+            (3, "Brand#1", "MEDIUM", 4),
+            (4, "Brand#1", "ECONOMY", 7),
+        ],
+        "p_partkey long, p_brand string, p_type string, p_size int",
+    ).write.parquet(os.path.join(d, "part.parquet"))
+    spark.createDataFrame(
+        [(1, "S1", 10.0), (2, "S2", -5.0), (3, "S3", 0.0)],
+        "s_suppkey long, s_name string, s_acctbal double",
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    spark.createDataFrame(
+        # (partkey, suppkey): dup pair, blacklisted supplier, second
+        # supplier, and pairs on every excluded part
+        [(1, 1), (1, 1), (1, 2), (1, 3), (2, 1), (3, 1), (4, 1)],
+        "l_partkey long, l_suppkey long",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    return d
+
+
+def test_q16_excludes_and_distinct_counts(tmp_path, spark):
+    """Only part 1 survives the brand/type/size predicates; its
+    suppliers are {s1 (dup pairs count once), s3} — s2 is blacklisted
+    (acctbal < 0) by the anti-join."""
+    import __spark_entry__ as E
+
+    d = _fake_q16_dir(spark, tmp_path)
+    out = E.queries()["tpch_q16_supplier_cnt"](spark, d).collect()
+    assert [(r["p_brand"], r["p_type"], r["p_size"], r["supplier_cnt"])
+            for r in out] == [("Brand#1", "ECONOMY", 4, 2)]
+
+
+def test_q16_plan_broadcast_dim_and_left_anti(spark):
+    """Dimension predicates prune via a broadcast join, the blacklist
+    is a broadcast LeftAnti, and the fact is never sort-merge-joined."""
+    import __spark_entry__ as E
+
+    df = E.queries()["tpch_q16_supplier_cnt"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "LeftAnti" in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+# ------------------------------------------------- WAV real decode
+
+
+def _wav_bytes(samples, rate=8000, extra_chunk=False):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    chunks = b""
+    if extra_chunk:
+        # odd-sized LIST chunk + pad byte: exercises the word-aligned
+        # RIFF walk, not just the canonical fixed-offset layout
+        chunks += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + fmt + chunks + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_features_hand_golden(spark):
+    """Hand-packed PCM [100, -200, 0, 300]: peak 300, mean_abs 150,
+    rms sqrt(35000) at 6dp, 2 sign flips (0 counts positive)."""
+    from v3io_tsdb_spark.functions.multimodal import wav_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes([100, -200, 0, 300])))],
+        "doc_id long, payload binary",
+    )
+    r = wav_features(df).collect()[0]
+    assert (r["n_samples"], r["sample_rate"], r["peak"]) == (4, 8000, 300)
+    assert r["mean_abs"] == 150.0
+    assert r["rms"] == 187.082869  # round6(sqrt(35000))
+    assert r["zero_crossings"] == 2
+
+
+def test_wav_features_walks_riff_chunks(spark):
+    """A non-canonical layout (odd-sized LIST chunk before data) parses
+    identically — the decoder walks chunks, it doesn't assume byte 44."""
+    from v3io_tsdb_spark.functions.multimodal import wav_features
+
+    df = spark.createDataFrame(
+        [(7, bytearray(_wav_bytes([5, -5], extra_chunk=True)))],
+        "doc_id long, payload binary",
+    )
+    r = wav_features(df).collect()[0]
+    assert (r["doc_id"], r["n_samples"], r["peak"], r["zero_crossings"]) \
+        == (7, 2, 5, 1)
+
+
+def test_wav_features_rejects_garbage(spark):
+    """A payload without the RIFF/WAVE magic raises, loudly."""
+    import pytest as _pytest
+
+    from v3io_tsdb_spark.functions.multimodal import wav_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav file at all"))],
+        "doc_id long, payload binary",
+    )
+    with _pytest.raises(Exception, match="RIFF|WAVE"):
+        wav_features(df).collect()
+
+
+def test_attach_wav_payload_is_valid_wav(spark):
+    """The SQL-expression-built payload is a byte-exact canonical WAV:
+    python's struct parse of it recovers the text bytes as samples."""
+    import struct
+
+    from v3io_tsdb_spark.functions.multimodal import attach_wav_payload
+
+    df = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    payload = bytes(attach_wav_payload(df).collect()[0]["payload"])
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert struct.unpack_from("<I", payload, 4)[0] == len(payload) - 8
+    assert payload[36:40] == b"data"
+    assert struct.unpack_from("<I", payload, 40)[0] == 4
+    assert payload[44:] == b"abcd"  # 2 int16 samples = the text bytes
