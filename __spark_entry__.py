@@ -4197,12 +4197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is ceil(N/50)-1 rounds — computed DYNAMICALLY by
     `tools/check_rotation.py`, which audits the newest green driver
     row per query against that bound and prints the recommended next
-    head with --plan. Layout after the head: the 37 remaining
-    r8-evidenced rows (oldest gated tier, they lead the r12 head),
-    then the 50 r9-evidenced rows, then the 50 r10-evidenced rows
-    (freshest); queries new in r11 append at the very end with
-    local-sweep evidence per the saturated-gate contract
-    (tools/gate.py, commit 52a3d19)."""
+    head with --plan. Layout after the head: the r11-evidenced rows
+    (the r11 head minus the X162 re-gate), then the remaining r9
+    tier, then the r10 tier; queries new in r12 (tpch_q15/q16,
+    mm_wav_features) append at the very end with local-sweep evidence
+    per the saturated-gate contract (tools/gate.py, commit 52a3d19)
+    — they must lead the r13 head."""
     return {
         # --- r12 head-50: 7 r11 net-new (first driver window) + the
         # --- X162 re-gate + the 37 r8-tier rows + the 5 oldest r9 rows

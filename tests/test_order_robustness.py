@@ -101,3 +101,50 @@ def test_vocab_growth_repartition_invariant(spark, docs):
     from v3io_tsdb_spark.functions.text import vocab_growth
 
     _run_both(lambda n: docs.repartition(n), vocab_growth)
+
+
+# ------------------------------------ quantization form properties
+
+
+def _py_half_away(c):
+    import math
+
+    return (math.floor(c + 0.5) if c >= 0 else -math.floor(-c + 0.5))
+
+
+def test_qhalf_matches_python_half_away(spark):
+    """The floor/ceil quantization form (similarity._qhalf /
+    text.micro_nats) selects the half-away-from-zero integer on a
+    gauntlet of boundary cases: exact dyadic halves (float32-sourced
+    values × 2^15 land on these), negatives, zero, and large
+    magnitudes."""
+    from pyspark.sql import functions as F
+
+    from v3io_tsdb_spark.functions.similarity import _qhalf
+
+    cases = [
+        0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5,          # exact halves
+        0.49999999999, -0.49999999999, 1.0000000001,
+        12345.5, -12345.5, 3.2767e4, -3.2768e4,
+        7.25, -7.25, 1e-12, -1e-12, 999999.5, -999999.5,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "c double")
+    got = [r["q"] for r in
+           df.select(_qhalf(F.col("c")).alias("q")).collect()]
+    assert got == [_py_half_away(c) for c in cases]
+
+
+def test_micro_nats_matches_python(spark):
+    """micro_nats = half-away-from-zero(ln·1e6) as a long, identical
+    to the python mirror over log-scale values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from v3io_tsdb_spark.functions.text import micro_nats
+
+    vals = [1.0, 0.5, 0.1, 0.001, 1e-6, 0.999999, 0.123456]
+    df = spark.createDataFrame([(v,) for v in vals], "p double")
+    got = [r["m"] for r in
+           df.select(micro_nats(F.log("p")).alias("m")).collect()]
+    assert got == [_py_half_away(math.log(v) * 1e6) for v in vals]

@@ -923,6 +923,19 @@ def ops(spark):
             F.sum("mean_logp"), F.count("*")
         ).collect()
 
+    def op_wav_features(d):
+        # real RIFF/PCM byte decode over SQL-built payloads (X178)
+        from v3io_tsdb_spark.functions.multimodal import (
+            attach_wav_payload,
+            wav_features,
+        )
+
+        return (
+            wav_features(attach_wav_payload(docs(d)))
+            .agg(F.sum("zero_crossings"))
+            .collect()
+        )
+
     def op_tpch_q21(d):
         # the heaviest TPC-H shape: three quantifier joins (semi/semi/
         # anti) on one key — run through the registry entry itself
@@ -1048,6 +1061,7 @@ def ops(spark):
         "session_perplexity": op_session_perplexity,
         "hw_anomaly": op_hw_anomaly,
         "tpch_q21": op_tpch_q21,
+        "wav_features": op_wav_features,
     }
 
 
