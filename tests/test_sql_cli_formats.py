@@ -180,6 +180,17 @@ def test_cli_end_to_end(tmp_path, spark, capsys):
     assert capsys.readouterr().out.endswith("0 rows\n")
 
 
+def test_cli_version(capsys):
+    """`version` prints package + pyspark versions (ref:
+    pkg/tsdbctl/version.go) — the 12th and last tsdbctl command twin."""
+    from v3io_tsdb_spark import __version__, cli
+
+    assert cli.main(["version"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out.startswith(f"v3io-tsdb-spark {__version__}")
+    assert "pyspark" in out
+
+
 def test_cli_time_and_sweep(tmp_path, spark, capsys):
     from v3io_tsdb_spark import cli
 

@@ -53,6 +53,21 @@ def cmd_create(args):
     print(f"created TSDB at {args.path} (granularity {args.granularity})")
 
 
+def cmd_version(args):
+    """Engine + runtime versions (ref: pkg/tsdbctl/version.go — prints
+    the build's version/branch/revision; here the package version plus
+    the PySpark build it runs on, the analogous provenance)."""
+    from v3io_tsdb_spark import __version__
+
+    try:
+        import pyspark
+
+        spark_v = pyspark.__version__
+    except Exception:  # pragma: no cover - pyspark is a hard dep
+        spark_v = "unknown"
+    print(f"v3io-tsdb-spark {__version__} (pyspark {spark_v})")
+
+
 def cmd_time(args):
     """RFC 3339 ⇄ Unix conversions (ref: pkg/tsdbctl/time.go:41-47)."""
     import time as _time
@@ -309,6 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("time", help="RFC 3339 / Unix timestamp conversions")
     t.add_argument("time", nargs="?", help="RFC 3339 string or unix seconds; default: now")
     t.set_defaults(fn=cmd_time)
+
+    v = sub.add_parser("version", help="print engine + runtime versions")
+    v.set_defaults(fn=cmd_version)
 
     w = sub.add_parser("sweep", help="apply the retention policy (drop expired partitions)")
     common(w)
