@@ -747,6 +747,37 @@ def q_mm_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_features(docs)
 
 
+def _stream_wav_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Binary-payload stream fixture: the documents table with its
+    SQL-built RIFF/WAVE payload persisted once, so the streaming twin
+    replays real bytes through readStream."""
+    from v3io_tsdb_spark.functions.multimodal import attach_wav_payload
+
+    fx = _persist_path("spark_graft_stream_wav", sf_dir, "documents")
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        attach_wav_payload(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", "payload"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(fx, "in"))
+    return fx
+
+
+def q_stream_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the real WAV decode (X179): the binary
+    payload column arrives as a stream and wav_features' chunk-walking
+    PCM parser runs as a STATELESS Arrow mapInPandas over each
+    micro-batch — the blob-ingest serving shape (decode at arrival,
+    store features, never re-read bytes). Stateless ⇒ the oracle is
+    the batch byte-parse itself, so the gate proves streaming decode
+    emits byte-identical features to the batch path."""
+    from v3io_tsdb_spark.functions.multimodal import wav_features
+
+    fx = _stream_wav_fixture(spark, sf_dir)
+    raw = spark.readStream.schema("doc_id long, payload binary").parquet(
+        os.path.join(fx, "in")
+    )
+    return _run_available_now(wav_features(raw))
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any word 8-gram
     with the eval slice (doc_id % 10 == 3 stands in for a benchmark
@@ -4408,6 +4439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "mm_wav_features": q_mm_wav_features,
+        "stream_wav_features": q_stream_wav_features,
     }
 
 
@@ -9144,6 +9176,51 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2, 3
         """,
         "mm_wav_features": """
+          WITH h AS (
+            SELECT doc_id,
+                   substring(hex(encode(text)), 1,
+                             4 * CAST(floor(length(hex(encode(text))) / 4)
+                                      AS INT)) AS dh
+            FROM documents
+          ),
+          n AS (
+            SELECT doc_id, dh, length(dh) // 4 AS ns
+            FROM h WHERE length(dh) >= 4
+          ),
+          -- one int16-LE sample per 4 hex chars: lo byte then hi byte
+          ix AS (SELECT doc_id, ns, dh, unnest(range(ns)) AS i FROM n),
+          s AS (
+            SELECT doc_id, ns, i,
+                   CAST(('0x' || substr(dh, CAST(4 * i + 3 AS INT), 2)
+                              || substr(dh, CAST(4 * i + 1 AS INT), 2))
+                        AS INTEGER) AS u
+            FROM ix
+          ),
+          v AS (
+            SELECT doc_id, ns, i,
+                   u - 65536 * CAST(u >= 32768 AS INTEGER) AS x
+            FROM s
+          ),
+          z AS (
+            SELECT doc_id, ns, x,
+                   CASE WHEN x >= 0 THEN 1 ELSE -1 END AS sg,
+                   lag(CASE WHEN x >= 0 THEN 1 ELSE -1 END)
+                     OVER (PARTITION BY doc_id ORDER BY i) AS psg
+            FROM v
+          )
+          SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+                 8000 AS sample_rate,
+                 CAST(max(abs(x)) AS BIGINT) AS peak,
+                 round(CAST(sum(abs(x)) AS DOUBLE) / ns + 1e-9, 6)
+                   AS mean_abs,
+                 round(sqrt(CAST(sum(x * x) AS DOUBLE) / ns) + 1e-9, 6)
+                   AS rms,
+                 CAST(sum(CASE WHEN psg IS NOT NULL AND sg <> psg
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_crossings
+          FROM z GROUP BY doc_id, ns
+        """,
+        "stream_wav_features": """
           WITH h AS (
             SELECT doc_id,
                    substring(hex(encode(text)), 1,

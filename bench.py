@@ -212,6 +212,7 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "mm_wav_features",
+    "stream_wav_features",
 ]
 
 

@@ -197,3 +197,24 @@ def test_attach_wav_payload_is_valid_wav(spark):
     assert payload[36:40] == b"data"
     assert struct.unpack_from("<I", payload, 40)[0] == 4
     assert payload[44:] == b"abcd"  # 2 int16 samples = the text bytes
+
+
+def test_stream_wav_matches_batch(tmp_path, spark):
+    """The streaming decode is stateless mapInPandas: its features are
+    byte-identical to the batch parse of the same payloads."""
+    import __spark_entry__ as E
+    from v3io_tsdb_spark.functions.multimodal import wav_features
+
+    src = os.path.join(str(tmp_path), "in")
+    payloads = [
+        (1, bytearray(_wav_bytes([100, -200, 0, 300]))),
+        (2, bytearray(_wav_bytes([7, 7, -7]))),
+    ]
+    spark.createDataFrame(
+        payloads, "doc_id long, payload binary"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    raw = spark.readStream.schema("doc_id long, payload binary").parquet(src)
+    out = E._run_available_now(wav_features(raw))
+    batch = wav_features(spark.read.parquet(src))
+    key = lambda r: r["doc_id"]
+    assert sorted(out.collect(), key=key) == sorted(batch.collect(), key=key)
