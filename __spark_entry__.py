@@ -717,6 +717,22 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=6, dim=64)
 
 
+def q_emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (X180): corpus embeddings whose cosine
+    to ANY eval embedding (vec_id % 10 == 3, the X19 eval-slice
+    convention) clears the threshold — LSH-blocked, eval side
+    broadcast, argmax ties to the lowest eval id. Threshold 0.35 keeps
+    the near-orthogonal fixture non-trivial (max cross cosine ≈ 0.45)."""
+    from v3io_tsdb_spark.functions.dedup import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 10 == 3)
+    corpus = emb.where(F.col("vec_id") % 10 != 3)
+    return semantic_decontaminate(
+        corpus, ev, threshold=0.35, n_planes=6, dim=64
+    )
+
+
 def q_mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column → mapInPandas batch
     feature extraction (deterministic stub decoder)."""
@@ -4440,6 +4456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "mm_wav_features": q_mm_wav_features,
         "stream_wav_features": q_stream_wav_features,
+        "emb_semantic_decontaminate": q_emb_semantic_decontaminate,
     }
 
 
@@ -5423,6 +5440,36 @@ def oracle_sql() -> dict[str, str]:
       SELECT id_a, id_b, round(cos + 0.000000001, 6) AS cosine FROM pc WHERE cos >= 0.4
     """
 
+    # X180: corpus-vs-eval LSH-blocked cosine decontamination with
+    # Hamming<=2 multiprobe — same e/pl/dots/sigs/sv chain (pc goes
+    # unreferenced, hence unevaluated); each candidate pair matches
+    # exactly ONE probe mask (= xor of the two sigs), so no dedup
+    sem_masks = ", ".join(
+        f"({m})" for m in range(64) if bin(m).count("1") <= 2
+    )
+    sem_decon = f"""
+      WITH {emb_pair_ctes},
+      cp AS (SELECT * FROM sv WHERE id % 10 <> 3),
+      ev0 AS (SELECT * FROM sv WHERE id % 10 = 3),
+      mk(m) AS (VALUES {sem_masks}),
+      ev AS (SELECT ev0.id, ev0.v, ev0.nrm,
+                    xor(ev0.sig, mk.m::BIGINT) AS sig
+             FROM ev0, mk),
+      sp AS (SELECT c.id AS id, e.id AS eid,
+               list_sum(list_transform(list_zip(c.v, e.v), z -> z[1] * z[2]))
+                 / (c.nrm * e.nrm) AS cos
+             FROM cp c JOIN ev e ON c.sig = e.sig),
+      f AS (SELECT id, eid, round(cos + 0.000000001, 6) AS c6
+            FROM sp WHERE cos >= 0.35),
+      r AS (SELECT id, eid, c6,
+              row_number() OVER (PARTITION BY id ORDER BY c6 DESC, eid) AS rn,
+              count(*) OVER (PARTITION BY id) AS nm
+            FROM f)
+      SELECT CAST(id AS BIGINT) AS vec_id, CAST(nm AS BIGINT) AS n_matches,
+             CAST(eid AS BIGINT) AS best_eval_id, c6 + 0.0 AS best_cosine
+      FROM r WHERE rn = 1
+    """
+
     emb_clusters = f"""
       WITH RECURSIVE {emb_pair_ctes},
       pr AS (SELECT id_a, id_b FROM pc WHERE cos >= 0.4),
@@ -5995,6 +6042,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk": topk,
         "emb_batch_topk": batch_topk,
         "emb_near_dup": near_dup,
+        "emb_semantic_decontaminate": sem_decon,
         "mm_extract_features": mm,
         "mm_frame_sample": frame,
         "doc_minhash_pairs": minhash,

@@ -213,6 +213,7 @@ HEADLINE = [
     "tpch_q16_supplier_cnt",
     "mm_wav_features",
     "stream_wav_features",
+    "emb_semantic_decontaminate",
 ]
 
 

@@ -218,3 +218,52 @@ def test_stream_wav_matches_batch(tmp_path, spark):
     batch = wav_features(spark.read.parquet(src))
     key = lambda r: r["doc_id"]
     assert sorted(out.collect(), key=key) == sorted(batch.collect(), key=key)
+
+
+# ------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_contract(spark):
+    """Identical vectors share a signature, so an exact eval copy is
+    ALWAYS found (any radius); two identical eval matches tie at
+    cosine 1.0 and the argmax falls to the LOWER eval id; orthogonal
+    vectors stay below threshold and produce no verdict."""
+    from v3io_tsdb_spark.functions.dedup import semantic_decontaminate
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(1, e1), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(10, e1), (11, e1), (12, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_decontaminate(
+        corpus, ev, threshold=0.9, n_planes=4, dim=4, probe_radius=1
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_matches"] == 2
+    assert out[1]["best_eval_id"] == 10  # tie at 1.0 -> lowest eval id
+    assert out[1]["best_cosine"] == 1.0
+
+
+def test_semantic_decontaminate_multiprobe_widens_recall(spark):
+    """On the sf0.001 fixture, radius-2 probing finds at least as many
+    contaminated items as exact-signature blocking (radius 0), and
+    every radius-0 verdict survives at radius 2 (probes are a strict
+    superset)."""
+    from v3io_tsdb_spark.functions.dedup import semantic_decontaminate
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ev = emb.where(F.col("vec_id") % 10 == 3)
+    corpus = emb.where(F.col("vec_id") % 10 != 3)
+
+    def run(r):
+        return {row["vec_id"] for row in semantic_decontaminate(
+            corpus, ev, threshold=0.3, n_planes=6, dim=64, probe_radius=r
+        ).collect()}
+
+    r0, r2 = run(0), run(2)
+    assert r0 <= r2
+    assert len(r2) >= len(r0)

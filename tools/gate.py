@@ -47,7 +47,7 @@ def run_order() -> bool:
     print("== gate: order-robustness sweep (sf0.01) ==", flush=True)
     r = subprocess.run(
         [sys.executable, "tools/check_order_robustness.py",
-         "/root/testdata/sf0.01"],
+         "/root/testdata/sf0.01", "--json", "ORDER_SWEEP.json"],
         cwd=REPO,
     )
     return r.returncode == 0

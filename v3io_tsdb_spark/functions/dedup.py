@@ -691,6 +691,100 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int | None = None,
+    probe_radius: int = 2,
+) -> DataFrame:
+    """Embedding-cosine decontamination (X180): flag corpus items whose
+    embedding near-duplicates ANY eval item — the SEMANTIC upgrade of
+    the verbatim decontamination pair (X19 8-gram overlap, X81 winnow
+    fingerprints): a paraphrased eval passage shares no n-gram but
+    keeps its embedding direction, and slips every verbatim screen.
+
+    Plan: :func:`embedding_near_dup_pairs`'s LSH hyperplane-signature
+    blocking with MULTIPROBE, eval side BROADCAST (an eval set is
+    panel-sized against a training corpus — the X19 broadcast-eval
+    rule), so the corpus never shuffles: each eval signature expands
+    to every probe within Hamming radius ``probe_radius`` (Σ C(n,≤r)
+    masks — each candidate pair still matches exactly ONE probe, the
+    XOR of the two signatures, so no dedup pass is needed), candidate
+    generation stays a broadcast EQUI-join on the probed signature,
+    exact cosine verifies, and one corpus-keyed aggregate emits
+    ``(vec_id, n_matches, best_eval_id, best_cosine)`` — argmax on the
+    6dp-rounded cosine, ties to the LOWEST eval id (lexicographic
+    struct max over (cosine6, -eval_id): round-before-compare).
+
+    Recall contract: a true pair at angle θ survives blocking with
+    probability P(Binomial(n_planes, θ/π) ≤ probe_radius) — e.g.
+    ~58% at cos 0.35 with n=6, r=2 versus ~5% exact-signature; for
+    decontamination recall is the point, so the radius is a dial paid
+    for ONLY in broadcast size (panel × n_masks), never in corpus
+    shuffle. Both engines implement the SAME probing, so the gate
+    checks this exact composition, not an idealized all-pairs scan.
+    """
+    from v3io_tsdb_spark.functions.similarity import (
+        cosine_sim_col, hyperplane_sig_col, norm_col,
+    )
+
+    def prep(df, out_id):
+        d = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        return d.withColumn("nrm", norm_col(F.col("v"))).withColumn(
+            "sig", hyperplane_sig_col(F.col("v"), n_planes, dim)
+        )
+
+    c = prep(corpus, "id")
+    masks = [
+        m for m in range(1 << n_planes)
+        if bin(m).count("1") <= probe_radius
+    ]
+    ev = (
+        prep(eval_df, "eid")
+        .select(
+            "eid", F.col("v").alias("ev"), F.col("nrm").alias("enrm"), "sig"
+        )
+        .withColumn("_m", F.explode(F.lit(masks)))
+        .select(
+            "eid", "ev", "enrm",
+            F.col("sig").bitwiseXOR(F.col("_m").cast("long")).alias("sig"),
+        )
+    )
+    pairs = (
+        c.join(F.broadcast(ev), "sig")
+        .withColumn(
+            "_cos",
+            cosine_sim_col(
+                F.col("v"), F.col("ev"), F.col("nrm"), F.col("enrm")
+            ),
+        )
+        .where(F.col("_cos") >= threshold)
+    )
+    c6 = F.round(F.col("_cos") + 1e-9, 6)
+    return (
+        pairs.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_matches"),
+            F.max(
+                F.struct(c6.alias("c"), (-F.col("eid")).alias("ni"))
+            ).alias("_b"),
+        )
+        .select(
+            id_col,
+            "n_matches",
+            (-F.col("_b.ni")).cast("long").alias("best_eval_id"),
+            (F.col("_b.c") + F.lit(0.0)).alias("best_cosine"),
+        )
+    )
+
+
 # -- duplicate clustering ---------------------------------------------------
 
 def _union_find_driver(e: DataFrame) -> DataFrame:
