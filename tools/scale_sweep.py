@@ -936,6 +936,27 @@ def ops(spark):
             .collect()
         )
 
+    def op_sem_decon(d):
+        # multiprobe-LSH semantic decontamination (X180): the corpus
+        # side scales; the eval side is a FIXED panel from the base
+        # fixture (eval sets don't grow with the training corpus —
+        # that is the posture the broadcast depends on)
+        from v3io_tsdb_spark.functions.dedup import semantic_decontaminate
+
+        ev = load_table(spark, BASE, "embeddings").where(
+            F.col("vec_id") % 10 == 3
+        )
+        corpus = load_table(spark, d, "embeddings").where(
+            F.col("vec_id") % 10 != 3
+        )
+        return (
+            semantic_decontaminate(
+                corpus, ev, threshold=0.35, n_planes=6, dim=64
+            )
+            .agg(F.sum("n_matches"))
+            .collect()
+        )
+
     def op_tpch_q21(d):
         # the heaviest TPC-H shape: three quantifier joins (semi/semi/
         # anti) on one key — run through the registry entry itself
@@ -1062,6 +1083,7 @@ def ops(spark):
         "hw_anomaly": op_hw_anomaly,
         "tpch_q21": op_tpch_q21,
         "wav_features": op_wav_features,
+        "semantic_decontaminate": op_sem_decon,
     }
 
 

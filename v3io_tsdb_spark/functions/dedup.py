@@ -723,10 +723,17 @@ def semantic_decontaminate(
     Recall contract: a true pair at angle θ survives blocking with
     probability P(Binomial(n_planes, θ/π) ≤ probe_radius) — e.g.
     ~58% at cos 0.35 with n=6, r=2 versus ~5% exact-signature; for
-    decontamination recall is the point, so the radius is a dial paid
-    for ONLY in broadcast size (panel × n_masks), never in corpus
-    shuffle. Both engines implement the SAME probing, so the gate
-    checks this exact composition, not an idealized all-pairs scan.
+    decontamination recall is the point. Both engines implement the
+    SAME probing, so the gate checks this exact composition, not an
+    idealized all-pairs scan.
+
+    Cost model (measured 1/16/64× in SCALE_SWEEP.json — sublinear,
+    23× wall at 64× data): candidate verifications ≈
+    |corpus| · |eval| · ΣC(n,≤r) / 2^n_planes — the corpus never
+    shuffles and the eval side is broadcast, so the ONLY scale knobs
+    are n_planes (each extra plane halves expected collisions) and
+    probe_radius; at a fixed eval panel the cost is linear in the
+    corpus by construction.
     """
     from v3io_tsdb_spark.functions.similarity import (
         cosine_sim_col, hyperplane_sig_col, norm_col,
