@@ -794,6 +794,58 @@ def q_stream_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(wav_features(raw))
 
 
+def _stream_session_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """(ts, user_id, event_type, event_id) event stream fixture for
+    the session-scoring twin, clamped to [F0, T1] and time-ordered."""
+    fx = _persist_path("spark_graft_stream_sessperp", sf_dir, "events")
+    if not os.path.exists(os.path.join(fx, "in", "_SUCCESS")):
+        ev = _events_ms_clamped(spark, sf_dir)
+        ev.select(
+            F.col("ts_ms").alias("ts"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("event_id").cast("long").alias("event_id"),
+        ).orderBy("ts", "event_type", "event_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(fx, "in"))
+    return fx
+
+
+def q_stream_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the session sequence scorer (X181) — the
+    MODEL-SERVING shape: the Markov transition model trains batch-side
+    (X146's exact-integer matrix, per-edge scores pre-quantized to
+    integer micro-nats JVM-SIDE so the stream's running sums are
+    bit-identical to the batch operator's), then scores the live event
+    stream per user; a session emits the moment the user's next event
+    opens a gap (close-on-advance). Oracle = the batch X162 SQL
+    restricted to CLOSED sessions (every session except each user's
+    last)."""
+    from v3io_tsdb_spark.functions.text import micro_nats
+    from v3io_tsdb_spark.operators.paths import markov_transitions
+    from v3io_tsdb_spark.streaming.stateful import stream_session_perplexity
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    model = {
+        (r["from_state"], r["to_state"]): r["mn"]
+        for r in markov_transitions(ev)
+        .select(
+            "from_state", "to_state",
+            micro_nats(F.log("p")).alias("mn"),
+        )
+        .collect()
+    }  # |states|^2-bounded panel — the k-means centroid rule
+    fx = _stream_session_fixture(spark, sf_dir)
+    raw = spark.readStream.schema(
+        "ts long, user_id long, event_type string, event_id long"
+    ).parquet(os.path.join(fx, "in"))
+    out = _run_available_now(stream_session_perplexity(raw, model))
+    return out.select(
+        F.col("user_id").cast("long"), F.col("sess").cast("long"),
+        "n_steps", "mean_logp",
+    )
+
+
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any word 8-gram
     with the eval slice (doc_id % 10 == 3 stands in for a benchmark
@@ -4457,6 +4509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_features": q_mm_wav_features,
         "stream_wav_features": q_stream_wav_features,
         "emb_semantic_decontaminate": q_emb_semantic_decontaminate,
+        "stream_session_perplexity": q_stream_session_perplexity,
     }
 
 
@@ -6706,6 +6759,50 @@ def oracle_sql() -> dict[str, str]:
                  round(sum(CAST(CASE WHEN ln(m.p) * 1e6 >= 0 THEN floor((ln(m.p) * 1e6) + 0.5) ELSE -floor(-(ln(m.p) * 1e6) + 0.5) END AS BIGINT))
                        / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
           FROM pp JOIN m USING (from_state, to_state)
+          GROUP BY 1, 2
+        """,
+        "stream_session_perplexity": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          s AS (
+            SELECT *, sum(new_sess) OVER w AS sess
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          pr AS MATERIALIZED (
+            SELECT user_id, sess, event_type AS from_state,
+                   lead(event_type) OVER ws AS to_state
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, sess
+                          ORDER BY t, event_type, event_id)
+          ),
+          pp AS MATERIALIZED (SELECT * FROM pr WHERE to_state IS NOT NULL),
+          -- closed sessions only: every session except each user's last
+          mx AS (SELECT user_id, max(sess) AS mxs FROM s GROUP BY 1),
+          cn AS (
+            SELECT from_state, to_state, count(*) AS c FROM pp GROUP BY 1, 2
+          ),
+          m AS (
+            SELECT from_state, to_state,
+                   round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
+                         + {EPS6}, 6) AS p
+            FROM cn
+          )
+          SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
+                 round(sum(CAST(CASE WHEN ln(m.p) * 1e6 >= 0 THEN floor((ln(m.p) * 1e6) + 0.5) ELSE -floor(-(ln(m.p) * 1e6) + 0.5) END AS BIGINT))
+                       / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
+          FROM pp JOIN m USING (from_state, to_state)
+          JOIN mx ON pp.user_id = mx.user_id
+          WHERE pp.sess < mx.mxs
           GROUP BY 1, 2
         """,
         "tpch_q17_small_qty": """

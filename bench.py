@@ -214,6 +214,7 @@ HEADLINE = [
     "mm_wav_features",
     "stream_wav_features",
     "emb_semantic_decontaminate",
+    "stream_session_perplexity",
 ]
 
 

@@ -267,3 +267,57 @@ def test_semantic_decontaminate_multiprobe_widens_recall(spark):
     r0, r2 = run(0), run(2)
     assert r0 <= r2
     assert len(r2) >= len(r0)
+
+
+# ------------------------------- streaming session perplexity (X181)
+
+
+def test_stream_session_perplexity_cross_batch(tmp_path, spark):
+    """Model-serving twin: the pre-quantized integer model scores the
+    stream; a session stays OPEN in state across micro-batches and
+    emits only when a later event opens a gap — with the exact batch
+    mean (integer micro-nat sum / (1e6 * n))."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_session_perplexity
+
+    GAP = 1_800_000
+    model = {("x", "y"): -693_147, ("y", "x"): -1_203_973}
+    in_dir = tmp_path / "sp_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "sp_ckpt")
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps(d) for d in [
+            {"ts": 0, "user_id": 7, "event_type": "x", "event_id": 1},
+            {"ts": 100, "user_id": 7, "event_type": "y", "event_id": 2},
+        ])
+    )
+    raw = spark.readStream.schema(
+        "ts long, user_id long, event_type string, event_id long"
+    ).json(str(in_dir))
+    q = (
+        stream_session_perplexity(raw, model, gap_ms=GAP)
+        .writeStream.format("memory").queryName("sp_xb")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from sp_xb").count() == 0  # still open
+        (in_dir / "b2.json").write_text(
+            "\n".join(json.dumps(d) for d in [
+                # same session continues (within gap), then a gap closes it
+                {"ts": 200, "user_id": 7, "event_type": "x", "event_id": 3},
+                {"ts": 200 + GAP + 1, "user_id": 7,
+                 "event_type": "x", "event_id": 4},
+            ])
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("select * from sp_xb").collect()
+    assert len(out) == 1
+    r = out[0]
+    # session 1: x->y (-693147) + y->x (-1203973) over 2 steps
+    want = round((-693_147 - 1_203_973) / (1e6 * 2) + 1e-9, 6)
+    assert (r["user_id"], r["sess"], r["n_steps"]) == (7, 1, 2)
+    assert abs(r["mean_logp"] - want) < 1e-12

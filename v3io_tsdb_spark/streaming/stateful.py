@@ -1197,3 +1197,122 @@ def stream_topk(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SP_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("sess", LongType()),
+        StructField("n_steps", LongType()),
+        StructField("mean_logp", DoubleType()),
+    ]
+)
+_SP_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_type", StringType()),
+        StructField("last_id", LongType()),
+        StructField("sess", LongType()),
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+    ]
+)
+
+
+def _make_session_perplexity_fn(model: dict, gap_ms: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user session scoring against the broadcast batch-trained
+        transition model: each in-session step adds the model's
+        PRE-QUANTIZED integer micro-nats (computed JVM-side, so the
+        running sum is bit-identical to the batch operator's — no
+        python-libm ln here at all); a gap closes the session and
+        emits its mean. State is six scalars per user."""
+        uid = int(key[0])
+        if state.exists:
+            last_ts, last_type, last_id, sess, n, s = state.get
+        else:
+            last_ts, last_type, last_id, sess, n, s = None, None, None, 0, 0, 0
+        rows = {"user_id": [], "sess": [], "n_steps": [], "mean_logp": []}
+
+        def close():
+            if n >= 1:
+                rows["user_id"].append(uid)
+                rows["sess"].append(int(sess))
+                rows["n_steps"].append(int(n))
+                m = s / (1e6 * n) + 1e-9
+                rows["mean_logp"].append(
+                    (int(m * 1e6 + 0.5) if m >= 0 else -int(-m * 1e6 + 0.5))
+                    / 1e6
+                )
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_type", "event_id"]
+            )
+            for ts, et, eid in zip(
+                batch["ts"].values, batch["event_type"].values,
+                batch["event_id"].values,
+            ):
+                ts, eid = int(ts), int(eid)
+                if last_ts is None:
+                    sess, n, s = 1, 0, 0
+                elif ts - last_ts > gap_ms:
+                    close()
+                    sess, n, s = sess + 1, 0, 0
+                else:
+                    n += 1
+                    s += model[(last_type, et)]
+                last_ts, last_type, last_id = ts, et, eid
+        if last_ts is not None:
+            state.update((last_ts, last_type, last_id,
+                          int(sess), int(n), int(s)))
+        yield pd.DataFrame(rows)
+
+    return fn
+
+
+def stream_session_perplexity(
+    stream_df: DataFrame,
+    model: dict,
+    user_col: str = "user_id",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """STREAMING twin of the session sequence scorer (operators/
+    paths.py session_perplexity) — the MODEL-SERVING shape: the
+    transition model is trained batch-side (X146's exact-integer
+    matrix) and scores a live event stream; a session emits the moment
+    the same user's next event opens a gap > ``gap_ms`` (close-on-
+    advance, the module's watermark analog — each user's final session
+    stays open and unemitted, so the batch hash-match is scoped to
+    closed sessions on in-order feeds).
+
+    ``model`` maps ``(from_state, to_state)`` to the INTEGER MICRO-NAT
+    score ``round_half_away(ln(p)·1e6)`` — quantized ONCE, JVM-side,
+    by the batch pipeline (`micro_nats`), so the stream's running
+    integer sums are bit-identical to the batch operator's by
+    construction (a python ``math.log`` here could differ by an ulp
+    from the JVM's). The model is |states|²-bounded (panel-sized) and
+    ships in the function closure like the k-means centroid panel.
+
+    State per user: six scalars. Sharded by user exactly like the
+    batch exchange.
+    """
+    return (
+        stream_df.select(
+            F.col(user_col).cast("string").alias("user_id"),
+            F.col("ts").cast("long").alias("ts"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_perplexity_fn(dict(model), gap_ms),
+            outputStructType=_SP_OUT_SCHEMA,
+            stateStructType=_SP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
