@@ -321,3 +321,71 @@ def test_stream_session_perplexity_cross_batch(tmp_path, spark):
     want = round((-693_147 - 1_203_973) / (1e6 * 2) + 1e-9, 6)
     assert (r["user_id"], r["sess"], r["n_steps"]) == (7, 1, 2)
     assert abs(r["mean_logp"] - want) < 1e-12
+
+
+def test_wav_features_rejects_truncated_chunk(spark):
+    """A data chunk whose declared size overruns the payload raises —
+    no features from a silent partial decode."""
+    import pytest as _pytest
+
+    from v3io_tsdb_spark.functions.multimodal import wav_features
+
+    blob = _wav_bytes([1, 2, 3, 4])[:-4]  # cut the last two samples
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="truncated"):
+        wav_features(df).collect()
+
+
+def test_stream_session_perplexity_skips_unseen_transition(tmp_path, spark):
+    """A transition absent from the training model contributes to
+    neither n_steps nor the sum (the batch inner-join rule) — and
+    never crashes the query."""
+    import json
+
+    from v3io_tsdb_spark.streaming.stateful import stream_session_perplexity
+
+    GAP = 1_800_000
+    model = {("x", "y"): -1_000_000}  # (y, z) deliberately unseen
+    in_dir = tmp_path / "spu_in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(json.dumps(d) for d in [
+            {"ts": 0, "user_id": 1, "event_type": "x", "event_id": 1},
+            {"ts": 1, "user_id": 1, "event_type": "y", "event_id": 2},
+            {"ts": 2, "user_id": 1, "event_type": "z", "event_id": 3},
+            {"ts": 2 + GAP + 1, "user_id": 1,
+             "event_type": "x", "event_id": 4},
+        ])
+    )
+    raw = spark.readStream.schema(
+        "ts long, user_id long, event_type string, event_id long"
+    ).json(str(in_dir))
+    q = (
+        stream_session_perplexity(raw, model, gap_ms=GAP)
+        .writeStream.format("memory").queryName("spu_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "spu_ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("select * from spu_out").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_steps"], r["mean_logp"]) == (1, -1.0)  # y->z skipped
+
+
+def test_stream_session_perplexity_rejects_string_ids(spark):
+    import pytest as _pytest
+
+    from v3io_tsdb_spark.streaming.stateful import stream_session_perplexity
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "timestamp as ts", "CAST(value AS STRING) AS user_id",
+        "'x' AS event_type", "value AS event_id"
+    )
+    with _pytest.raises(TypeError, match="integral user column"):
+        stream_session_perplexity(df, {})

@@ -62,7 +62,8 @@ def test_kmeans_final_plan_never_shuffles_vectors(spark):
         [(0, [0.0, 1.0]), (1, [1.0, 0.0])],
         "vec_id long, embedding array<double>",
     )
-    plan = _plan(kmeans_lloyd(df, k=2, n_iter=2))
+    out = kmeans_lloyd(df, k=2, n_iter=2, materialize=False)
+    plan = _plan(out)
     assert "SortMergeJoin" not in plan, plan[:900]
     assert "ShuffledHashJoin" not in plan, plan[:900]
     assert "BroadcastNestedLoopJoin" in plan, plan[:900]

@@ -270,6 +270,15 @@ def wav_features(
         while pos + 8 <= len(payload):
             cid = payload[pos:pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
+            if pos + 8 + size > len(payload):
+                # a declared chunk overrunning the payload is a
+                # truncated blob — raise, never emit features computed
+                # from a silent partial decode (the module contract)
+                raise ValueError(
+                    f"truncated RIFF chunk {cid!r}: declares {size} "
+                    f"bytes at offset {pos + 8} but payload ends at "
+                    f"{len(payload)}"
+                )
             body = payload[pos + 8: pos + 8 + size]
             if cid == b"fmt ":
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
@@ -319,10 +328,9 @@ def wav_features(
 
 
 def _round6(x: float) -> float:
-    """round(x + 1e-9, 6) half away from zero — the engines' round."""
-    import math
+    """round(x + 1e-9, 6) half away from zero — delegates to the
+    driver-side mirror in similarity (one implementation of the
+    engines' round, not three)."""
+    from v3io_tsdb_spark.functions.similarity import _round6_half_up
 
-    y = x + 1e-9
-    if y >= 0:
-        return math.floor(y * 1e6 + 0.5) / 1e6
-    return -math.floor(-y * 1e6 + 0.5) / 1e6
+    return _round6_half_up(x)

@@ -958,16 +958,12 @@ def hard_negatives(
 
 
 def _qhalf(c: Column) -> Column:
-    """Quantize to the nearest integer, halves away from zero, as a
-    long — the floor/ceil form, NOT ``F.round`` (round(double, 0)
-    routes through BigDecimal per row: measured 5× slower inside
-    codegen on data-sized passes). Plain IEEE mul/add/floor, so the
-    DuckDB twin ``CASE WHEN c >= 0 THEN floor(c + 0.5) ELSE
-    -floor(-c + 0.5) END`` selects the identical integer on identical
-    inputs by construction."""
-    return F.when(c >= 0, F.floor(c + F.lit(0.5))).otherwise(
-        -F.floor(-c + F.lit(0.5))
-    )
+    """Half-away-from-zero integer quantization — delegates to the
+    single source of truth, ``text.quantize_half_away`` (rationale and
+    the DuckDB twin documented there)."""
+    from v3io_tsdb_spark.functions.text import quantize_half_away
+
+    return quantize_half_away(c)
 
 
 def _round6_half_up(x: float) -> float:
@@ -988,6 +984,7 @@ def kmeans_lloyd(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd k-means — the ITERATIVE algorithm
     representative (centroid_profile above is exactly one assignment
@@ -1097,17 +1094,22 @@ def kmeans_lloyd(
         )
         panel = _panel(nxt)
     final = _assigned(panel)
-    return (
-        final.groupBy(F.col("_cid").cast("int").alias("centroid_id"))
-        .agg(
-            F.count("*").cast("long").alias("n_vecs"),
-            F.round(
-                F.sum(_qhalf(F.col("_d") * 1e6)) / F.lit(1e6)
-                + 1e-9,
-                4,
-            ).alias("inertia"),
-        )
+    out = final.groupBy(F.col("_cid").cast("int").alias("centroid_id")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum(_qhalf(F.col("_d") * 1e6)) / F.lit(1e6) + 1e-9, 4
+        ).alias("inertia"),
     )
+    if materialize:
+        # run the training now (the k-row profile checkpoints) so the
+        # cache can be RELEASED before returning — the ivf_build
+        # unpersist rule; without this every call leaked a pinned
+        # copy of the vector frame for the session lifetime.
+        # materialize=False returns the lazy training plan (plan
+        # audits) and leaves cache release to the caller.
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+    return out
 
 
 def mmr_topk(
@@ -1245,10 +1247,13 @@ def pca_top_component(
     quantized ONCE to integer units of 2^-15 (``round(x·32768)`` as
     long) and all first/second moments accumulate as EXACT int64
     sums (per-batch integer matmul in the gram path, integer products
-    in the explode path) — both physical paths now produce
+    in the explode path; global reductions in decimal(38,0), so no
+    int64 wrap at any corpus size) — both physical paths produce
     bit-identical cells by construction, at any partitioning, on any
-    engine. Overflow bound: n·(32768·max|x|)² < 2^63, i.e. ~8×10⁹
-    unit-bounded vectors per job — document-scale safe. μ and C round
+    engine. The one remaining magnitude constraint — per-batch dgemm
+    exactness, batch_rows·(32768·max|x|)² < 2^53 — is ENFORCED by the
+    distributed |x| ≤ 16 validation below (exact through 32k-row
+    Arrow batches; defaults are 10k). μ and C round
     6dp from identical integer-derived doubles; the power-iteration
     sums quantize each c·p term to 1e-12 (and w² terms to 1e-9)
     integer grids the same way, so every state write starts from
@@ -1278,15 +1283,22 @@ def pca_top_component(
     # eager driver job (the r10 limit(1) sample missed ragged rows
     # past row 1 AND cost a cluster job at plan-construction time —
     # ADVICE r11; the r12 stats.collect() fix cost a full extra scan)
+    # magnitude bound: per-batch dgemm exactness needs
+    # batch_rows·(2^15·max|x|)² < 2^53 — |x| ≤ 16 keeps a 32k-row
+    # Arrow batch exact with 3× margin (default batches are 10k), so
+    # out-of-range vectors fail loud instead of silently losing the
+    # integer-exactness contract
     checked = F.when(
-        (F.size(v) == dim) & ~F.exists(v, lambda x: x.isNull()), v
+        (F.size(v) == dim)
+        & ~F.exists(v, lambda x: x.isNull() | (F.abs(x) > 16.0)),
+        v,
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"pca_top_component dim={dim} but vector has "
                       "length "),
                 F.size(v).cast("string"),
-                F.lit(" (or null elements)"),
+                F.lit(" (or null/|x|>16 elements)"),
             )
         ).cast("array<double>")
     )
@@ -1354,10 +1366,13 @@ def pca_top_component(
                     {"i": ii.ravel(), "j": jj.ravel(), "_s": gm.ravel()}
                 )
 
+        # global reduction over the exact int64 batch partials runs in
+        # decimal(38,0): an int64 global sum would wrap past
+        # ~2^63/(2^15·16)² ≈ 3e7 rows at the magnitude bound
         cells = (
             base.mapInPandas(_gram, "i int, j int, _s long")
             .groupBy("i", "j")
-            .agg(F.sum("_s").alias("_s"))
+            .agg(F.sum(F.col("_s").cast("decimal(38,0)")).alias("_s"))
         )
     else:
         xq_i = _qhalf(F.col("xi") * qs)
@@ -1366,7 +1381,9 @@ def pca_top_component(
             base.select(F.posexplode("_v").alias("i", "xi"), F.col("_v"))
             .select("i", "xi", F.posexplode("_v").alias("j", "xj"))
             .groupBy("i", "j")
-            .agg(F.sum(xq_i * xq_j).alias("_s"))
+            .agg(
+                F.sum((xq_i * xq_j).cast("decimal(38,0)")).alias("_s")
+            )
         )
     mui = mu.select(F.col("i"), F.col("mu").alias("_mi"))
     muj = mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj"))

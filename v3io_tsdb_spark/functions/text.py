@@ -29,6 +29,22 @@ def tokens_col(text: Column) -> Column:
     ).otherwise(F.split(F.trim(text), r"\s+"))
 
 
+def quantize_half_away(c: Column) -> Column:
+    """THE determinism/throughput quantization primitive: nearest
+    integer, halves away from zero, as a long — the floor/ceil form,
+    NOT ``F.round`` (round(double, 0) routes through BigDecimal per
+    row: measured 5× slower inside codegen on data-sized passes).
+    Plain IEEE mul/add/floor, so the DuckDB twin
+    ``CASE WHEN c >= 0 THEN floor(c + 0.5) ELSE -floor(-c + 0.5) END``
+    selects the identical integer on identical inputs by construction.
+    Single source of truth — :func:`micro_nats` and
+    ``similarity._qhalf`` both delegate here; a change to the rounding
+    form must land exactly once."""
+    return F.when(c >= 0, F.floor(c + F.lit(0.5))).otherwise(
+        -F.floor(-c + F.lit(0.5))
+    )
+
+
 def micro_nats(logexpr: Column) -> Column:
     """Quantize a natural-log term to integer micro-nats:
     ``round(ln(·)·1e6)`` as a long.
@@ -44,20 +60,10 @@ def micro_nats(logexpr: Column) -> Column:
     magnitude below the old per-sum exposure — and within one host the
     result is partitioning-invariant (tests/test_order_robustness.py).
 
-    The rounding is the floor/ceil HALF-AWAY-FROM-ZERO form, not
-    ``F.round``: round(double, 0) routes through BigDecimal per row
-    (measured 5× slower inside codegen on exploded passes), while
-    floor stays a primitive — and the floor form is plain IEEE
-    mul/add/floor, so the DuckDB twin
-    ``CAST(CASE WHEN c >= 0 THEN floor(c + 0.5)
-          ELSE -floor(-c + 0.5) END AS BIGINT)``
-    selects the identical integer on identical inputs by
-    construction.
+    Rounding delegates to :func:`quantize_half_away` (the floor/ceil
+    half-away-from-zero form and its rationale live there, once).
     """
-    c = logexpr * F.lit(1e6)
-    return F.when(c >= 0, F.floor(c + F.lit(0.5))).otherwise(
-        -F.floor(-c + F.lit(0.5))
-    )
+    return quantize_half_away(logexpr * F.lit(1e6))
 
 
 def token_count_col(text: Column) -> Column:
@@ -985,13 +991,17 @@ def zipf_fit(
     ly = micro_nats(F.log(F.col("c").cast("double")))
     eps = 1e-9
     dec = "decimal(38,0)"
+    # second-moment sums accumulate in decimal(38,0), not long: a
+    # per-term ly² reaches ~2e14 at corpus-scale counts, so an int64
+    # sum would silently wrap past ~5e4 terms (DuckDB's BIGINT sums
+    # widen to int128 automatically — the engines must match)
     moments = ranked.agg(
         F.count("*").cast("long").alias("n_terms"),
         F.sum(lx).alias("_sx"),
         F.sum(ly).alias("_sy"),
-        F.sum(lx * ly).alias("_sxy"),
-        F.sum(lx * lx).alias("_sxx"),
-        F.sum(ly * ly).alias("_syy"),
+        F.sum((lx * ly).cast(dec)).alias("_sxy"),
+        F.sum((lx * lx).cast(dec)).alias("_sxx"),
+        F.sum((ly * ly).cast(dec)).alias("_syy"),
     )
     n_d = F.col("n_terms").cast(dec)
     dxy = (

@@ -1263,8 +1263,14 @@ def _make_session_perplexity_fn(model: dict, gap_ms: int):
                     close()
                     sess, n, s = sess + 1, 0, 0
                 else:
-                    n += 1
-                    s += model[(last_type, et)]
+                    # batch parity: the batch operator INNER-joins
+                    # pairs to the matrix, so a transition absent from
+                    # the training model contributes to neither n nor
+                    # the sum — skip it, never crash the query
+                    mn = model.get((last_type, et))
+                    if mn is not None:
+                        n += 1
+                        s += mn
                 last_ts, last_type, last_id = ts, et, eid
         if last_ts is not None:
             state.update((last_ts, last_type, last_id,
@@ -1299,7 +1305,23 @@ def stream_session_perplexity(
 
     State per user: six scalars. Sharded by user exactly like the
     batch exchange.
+
+    Id-type contract: ``user_col`` must be integral (the output schema
+    types ``user_id long``, the mmr_topk rule) — a string-id stream
+    raises TypeError up front instead of killing the query mid-batch.
+    A transition the training model never saw is SKIPPED (contributes
+    to neither n_steps nor the sum), matching the batch operator's
+    inner join exactly.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = stream_df.schema[user_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"stream_session_perplexity requires an integral user column; "
+            f"{user_col!r} is {id_type.simpleString()} (output schema "
+            "types user_id long)"
+        )
     return (
         stream_df.select(
             F.col(user_col).cast("string").alias("user_id"),
