@@ -1250,10 +1250,10 @@ def pca_top_component(
     in the explode path; global reductions in decimal(38,0), so no
     int64 wrap at any corpus size) — both physical paths produce
     bit-identical cells by construction, at any partitioning, on any
-    engine. The one remaining magnitude constraint — per-batch dgemm
-    exactness, batch_rows·(32768·max|x|)² < 2^53 — is ENFORCED by the
-    distributed |x| ≤ 16 validation below (exact through 32k-row
-    Arrow batches; defaults are 10k). μ and C round
+    engine. The one remaining magnitude constraint — per-slice dgemm
+    exactness, 256·(32768·max|x|)² < 2^53 (the gram matmul runs in
+    256-row slices accumulated in int64) — is ENFORCED by the
+    distributed |x| ≤ 128 validation below. μ and C round
     6dp from identical integer-derived doubles; the power-iteration
     sums quantize each c·p term to 1e-12 (and w² terms to 1e-9)
     integer grids the same way, so every state write starts from
@@ -1283,14 +1283,14 @@ def pca_top_component(
     # eager driver job (the r10 limit(1) sample missed ragged rows
     # past row 1 AND cost a cluster job at plan-construction time —
     # ADVICE r11; the r12 stats.collect() fix cost a full extra scan)
-    # magnitude bound: per-batch dgemm exactness needs
-    # batch_rows·(2^15·max|x|)² < 2^53 — |x| ≤ 16 keeps a 32k-row
-    # Arrow batch exact with 3× margin (default batches are 10k), so
-    # out-of-range vectors fail loud instead of silently losing the
-    # integer-exactness contract
+    # magnitude bound: dgemm exactness needs
+    # slice_rows·(2^15·max|x|)² < 2^53 — the gram path computes its
+    # matmul in 256-row slices (int64 accumulation across slices), so
+    # |x| ≤ 128 is exact with 2× margin; out-of-range vectors fail
+    # loud instead of silently losing the integer-exactness contract
     checked = F.when(
         (F.size(v) == dim)
-        & ~F.exists(v, lambda x: x.isNull() | (F.abs(x) > 16.0)),
+        & ~F.exists(v, lambda x: x.isNull() | (F.abs(x) > 128.0)),
         v,
     ).otherwise(
         F.raise_error(
@@ -1298,7 +1298,7 @@ def pca_top_component(
                 F.lit(f"pca_top_component dim={dim} but vector has "
                       "length "),
                 F.size(v).cast("string"),
-                F.lit(" (or null/|x|>16 elements)"),
+                F.lit(" (or null/|x|>128 elements)"),
             )
         ).cast("array<double>")
     )
@@ -1355,12 +1355,15 @@ def pca_top_component(
                 # NOT np.rint's half-to-even
                 xq = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
                 # BLAS dgemm over integer-VALUED float64 is EXACT while
-                # every partial sum stays below 2^53 — i.e. batch_rows ·
-                # (2^15·max|x|)² < 2^53, ~8e6 unit-bounded rows per
-                # Arrow batch (batches are ~10k rows) — so this keeps
-                # the exact-integer contract at matmul speed instead of
-                # numpy's non-BLAS int64 path
-                gm = (xq.T @ xq).astype(np.int64)
+                # every partial sum stays below 2^53: matmul in 256-row
+                # slices (256·(2^15·128)² = 2^52, 2× margin at the
+                # validated |x| ≤ 128 bound) accumulated in int64 —
+                # matmul speed, exact-integer contract, no batch-size
+                # assumption
+                gm = np.zeros((d_, d_), dtype=np.int64)
+                for lo in range(0, len(xq), 256):
+                    sl = xq[lo:lo + 256]
+                    gm += (sl.T @ sl).astype(np.int64)
                 ii, jj = np.indices((d_, d_))
                 yield pd.DataFrame(
                     {"i": ii.ravel(), "j": jj.ravel(), "_s": gm.ravel()}
