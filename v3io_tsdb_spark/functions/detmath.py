@@ -1,0 +1,519 @@
+"""Deterministic cross-engine transcendentals (det_ln / det_exp).
+
+Why this exists (VERDICT r12 #1/#2): every hashed oracle column that
+contained an engine-local ``ln``/``exp`` carried a cross-libm risk —
+Spark's JVM ``StrictMath``-backed ``F.log`` and the driver DuckDB's
+host libm are BOTH within 1 ulp of the true log, but not the SAME
+ulp on every input.  When ``ln(p)·1e6`` lands within an ulp of a
+half-micro-nat boundary, the quantized integer flips on one engine
+only; ``events_session_perplexity`` (X162) was driver hash-red two
+consecutive rounds on exactly this, despite being order-free.
+
+The structural fix: compute the log with pure IEEE-754 ``+ − × ÷``
+(each correctly rounded and bit-identical on every conforming
+engine) in an expression tree generated ONCE here and emitted both
+as a PySpark Column chain and as DuckDB SQL text.  Identical doubles
+in → bit-identical doubles out, on any libm.
+
+Algorithm (ln): exact power-of-two ladder range reduction
+(multiplying a double by 2^±P is exact, so the reduced mantissa is
+exactly ``x·2^-k``), center to m ∈ (√2/2, √2], then
+``ln m = 2·atanh(t)`` with ``t = (m−1)/(m+1)`` (|t| ≤ 0.1716) via a
+fixed-order 12-term Horner series; ``ln x = k·LN2 + ln m``.  Max
+error a few ulps vs true ln (pytest pins < 1e-12 relative vs
+``math.log``); bit-identity across engines is pinned by
+tests/test_detmath.py running BOTH emitters on the same grids.
+
+Algorithm (exp): ``k = round_half_away(x/LN2)``, ``r = x − k·LN2``
+(|r| ≤ 0.3466), 15-term Taylor Horner for e^r, then exact 2^k
+scaling by a descending power-of-two ladder on k.
+
+Both are emitted as STAGED columns (a chain of small projections),
+not one nested expression: a single-expression form re-expands the
+shared ladder subtrees exponentially in plan text / codegen, while
+staged columns are referenced by name.  Spark's CollapseProject
+keeps non-cheap multiply-referenced aliases staged, so the physical
+plan stays compact (asserted in tests/test_detmath.py).
+
+Domain: det_ln requires x ∈ [2^-64, 2^64) (≈ [5.4e-20, 1.8e19]) —
+outside, or x ≤ 0, yields NULL (loud, never silently wrong).
+det_exp requires |x| ≤ 700.  Both bounds cover every call site (6dp
+probabilities ≥ 1e-9, counts ≤ 1e12) with orders of magnitude to
+spare.
+
+PERTURB_ULPS: test hook for tools/check_order_robustness.py — when
+set to ±n, the SPARK emission (only) multiplies the det_ln/det_exp
+result by (1 + n·2^-52), simulating a 1-ulp libm disagreement.  A
+query whose hash is invariant under ±1 ulp cannot flip on a
+boundary the way X162 did.
+
+Reference parity note: the reference engine has no such concern
+(one binary, one libm); this module exists because our correctness
+gate compares two independent engines bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LN2 = 0.6931471805599453          # shortest repr of the double nearest ln 2
+INV_LN2 = 1.4426950408889634      # double nearest 1/ln 2
+SQRT2 = 1.4142135623730951        # double nearest sqrt 2
+
+# Test hook (see module docstring). 0 in production; the robustness
+# harness sets ±1 and asserts query hashes are invariant.
+PERTURB_ULPS = 0
+
+
+# --------------------------------------------------------------------------
+# Dual emitters: the algorithm below is written once against this tiny ops
+# interface; _SparkOps builds pyspark Columns, _SqlOps builds DuckDB SQL
+# text.  Any change to the algorithm lands in BOTH engines by construction.
+# --------------------------------------------------------------------------
+
+class _SparkOps:
+    @staticmethod
+    def lit(v):
+        return F.lit(float(v))
+
+    @staticmethod
+    def add(a, b):
+        return a + b
+
+    @staticmethod
+    def sub(a, b):
+        return a - b
+
+    @staticmethod
+    def mul(a, b):
+        return a * b
+
+    @staticmethod
+    def div(a, b):
+        return a / b
+
+    @staticmethod
+    def neg(a):
+        return -a
+
+    @staticmethod
+    def lt(a, b):
+        return a < b
+
+    @staticmethod
+    def ge(a, b):
+        return a >= b
+
+    @staticmethod
+    def le(a, b):
+        return a <= b
+
+    @staticmethod
+    def gt(a, b):
+        return a > b
+
+    @staticmethod
+    def and_(a, b):
+        return a & b
+
+    @staticmethod
+    def case(pairs, els):
+        out = None
+        for cond, val in pairs:
+            out = F.when(cond, val) if out is None else out.when(cond, val)
+        return out.otherwise(els)
+
+    @staticmethod
+    def null():
+        return F.lit(None).cast("double")
+
+    @staticmethod
+    def floor_d(a):
+        # Spark floor returns LONG; align to DuckDB's DOUBLE floor.
+        return F.floor(a).cast("double")
+
+
+class _SqlOps:
+    @staticmethod
+    def lit(v):
+        # explicit DOUBLE: DuckDB types bare decimal literals as DECIMAL,
+        # whose arithmetic is NOT IEEE and overflows on these products
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    @staticmethod
+    def add(a, b):
+        return f"({a} + {b})"
+
+    @staticmethod
+    def sub(a, b):
+        return f"({a} - {b})"
+
+    @staticmethod
+    def mul(a, b):
+        return f"({a} * {b})"
+
+    @staticmethod
+    def div(a, b):
+        return f"({a} / {b})"
+
+    @staticmethod
+    def neg(a):
+        return f"(- {a})"
+
+    @staticmethod
+    def lt(a, b):
+        return f"({a} < {b})"
+
+    @staticmethod
+    def ge(a, b):
+        return f"({a} >= {b})"
+
+    @staticmethod
+    def le(a, b):
+        return f"({a} <= {b})"
+
+    @staticmethod
+    def gt(a, b):
+        return f"({a} > {b})"
+
+    @staticmethod
+    def and_(a, b):
+        return f"({a} AND {b})"
+
+    @staticmethod
+    def case(pairs, els):
+        parts = " ".join(f"WHEN {c} THEN {v}" for c, v in pairs)
+        return f"(CASE {parts} ELSE {els} END)"
+
+    @staticmethod
+    def null():
+        return "CAST(NULL AS DOUBLE)"
+
+    @staticmethod
+    def floor_d(a):
+        return f"CAST(floor({a}) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Programs: ordered (column_name, builder) stages.  builder(ops, R) where
+# R(name) references a previously-emitted column (or the staged input).
+# --------------------------------------------------------------------------
+
+def _ln_series(o, t, u):
+    """ln m = 2·t·Q(u), u = t², Q Horner from 1/23 down — fixed order."""
+    q = o.lit(1.0 / 23.0)
+    for n in (21, 19, 17, 15, 13, 11, 9, 7, 5, 3):
+        q = o.add(o.mul(q, u), o.lit(1.0 / n))
+    q = o.add(o.mul(q, u), o.lit(1.0))
+    return o.mul(o.mul(o.lit(2.0), t), q)
+
+
+def _program_det_ln(p: str):
+    """Stages computing det_ln of column ``{p}x`` into ``{p}res``."""
+    stages = []
+    s_prev, k_prev = f"{p}x", None
+    for P in (32, 16, 8, 4, 2, 1):
+        s_name, k_name = f"{p}s{P}", f"{p}k{P}"
+        hi, lo = 2.0 ** P, 2.0 ** (-P)
+
+        def s_fn(o, R, s_prev=s_prev, hi=hi, lo=lo):
+            s = R(s_prev)
+            return o.case(
+                [(o.lt(s, o.lit(lo)), o.mul(s, o.lit(hi))),
+                 (o.ge(s, o.lit(hi)), o.mul(s, o.lit(lo)))],
+                s,
+            )
+
+        def k_fn(o, R, s_prev=s_prev, k_prev=k_prev, hi=hi, lo=lo, P=P):
+            s = R(s_prev)
+            step = o.case(
+                [(o.lt(s, o.lit(lo)), o.lit(-float(P))),
+                 (o.ge(s, o.lit(hi)), o.lit(float(P)))],
+                o.lit(0.0),
+            )
+            return step if k_prev is None else o.add(R(k_prev), step)
+
+        stages.append((s_name, s_fn))
+        stages.append((k_name, k_fn))
+        s_prev, k_prev = s_name, k_name
+
+    # normalize to [1,2): s1 ∈ [0.5, 2)
+    def m1_fn(o, R, s_prev=s_prev):
+        s = R(s_prev)
+        return o.case([(o.lt(s, o.lit(1.0)), o.mul(s, o.lit(2.0)))], s)
+
+    def km1_fn(o, R, s_prev=s_prev, k_prev=k_prev):
+        s = R(s_prev)
+        return o.case(
+            [(o.lt(s, o.lit(1.0)), o.sub(R(k_prev), o.lit(1.0)))], R(k_prev)
+        )
+
+    stages.append((f"{p}m1", m1_fn))
+    stages.append((f"{p}km1", km1_fn))
+
+    # center to (√2/2, √2]
+    def m_fn(o, R):
+        m = R(f"{p}m1")
+        return o.case([(o.gt(m, o.lit(SQRT2)), o.mul(m, o.lit(0.5)))], m)
+
+    def k_fn2(o, R):
+        m = R(f"{p}m1")
+        return o.case(
+            [(o.gt(m, o.lit(SQRT2)), o.add(R(f"{p}km1"), o.lit(1.0)))],
+            R(f"{p}km1"),
+        )
+
+    stages.append((f"{p}m", m_fn))
+    stages.append((f"{p}k", k_fn2))
+
+    # safe mantissa: out-of-domain x (≤0) is mapped to 1.0 so the t
+    # division can never see m = −1 (Spark ANSI divide-by-zero would
+    # error before the final domain CASE can return NULL); in-domain
+    # x always has m > 0, so results are unchanged.
+    def ms_fn(o, R):
+        m = R(f"{p}m")
+        return o.case([(o.gt(m, o.lit(0.0)), m)], o.lit(1.0))
+
+    stages.append((f"{p}ms", ms_fn))
+
+    def t_fn(o, R):
+        m = R(f"{p}ms")
+        return o.div(o.sub(m, o.lit(1.0)), o.add(m, o.lit(1.0)))
+
+    stages.append((f"{p}t", t_fn))
+    stages.append((f"{p}u", lambda o, R: o.mul(R(f"{p}t"), R(f"{p}t"))))
+
+    def res_fn(o, R):
+        lnm = _ln_series(o, R(f"{p}t"), R(f"{p}u"))
+        raw = o.add(o.mul(R(f"{p}k"), o.lit(LN2)), lnm)
+        x = R(f"{p}x")
+        dom = o.and_(
+            o.and_(o.gt(x, o.lit(0.0)), o.ge(x, o.lit(2.0 ** -64))),
+            o.lt(x, o.lit(2.0 ** 64)),
+        )
+        return o.case([(dom, raw)], o.null())
+
+    stages.append((f"{p}res", res_fn))
+    return stages
+
+
+def _program_det_exp(p: str):
+    """Stages computing det_exp of column ``{p}x`` into ``{p}res``."""
+    stages = []
+
+    def k_fn(o, R):
+        xi = o.mul(R(f"{p}x"), o.lit(INV_LN2))
+        # half-away-from-zero, the repo-wide floor/ceil rounding form
+        return o.case(
+            [(o.ge(xi, o.lit(0.0)), o.floor_d(o.add(xi, o.lit(0.5))))],
+            o.neg(o.floor_d(o.add(o.neg(xi), o.lit(0.5)))),
+        )
+
+    stages.append((f"{p}k", k_fn))
+
+    def r_fn(o, R):
+        return o.sub(R(f"{p}x"), o.mul(R(f"{p}k"), o.lit(LN2)))
+
+    stages.append((f"{p}r", r_fn))
+
+    def er_fn(o, R):
+        r = R(f"{p}r")
+        q = o.lit(1.0 / math.factorial(14))
+        for n in range(13, 0, -1):
+            q = o.add(o.mul(q, r), o.lit(1.0 / math.factorial(n)))
+        return o.add(o.mul(q, r), o.lit(1.0))
+
+    stages.append((f"{p}er", er_fn))
+
+    a_prev, j_prev = f"{p}er", f"{p}k"
+    for P in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        a_name, j_name = f"{p}a{P}", f"{p}j{P}"
+
+        def a_fn(o, R, a_prev=a_prev, j_prev=j_prev, P=P):
+            j, a = R(j_prev), R(a_prev)
+            return o.case(
+                [(o.ge(j, o.lit(float(P))), o.mul(a, o.lit(2.0 ** P))),
+                 (o.le(j, o.lit(float(-P))), o.mul(a, o.lit(2.0 ** (-P))))],
+                a,
+            )
+
+        def j_fn(o, R, j_prev=j_prev, P=P):
+            j = R(j_prev)
+            return o.case(
+                [(o.ge(j, o.lit(float(P))), o.sub(j, o.lit(float(P)))),
+                 (o.le(j, o.lit(float(-P))), o.add(j, o.lit(float(P))))],
+                j,
+            )
+
+        stages.append((a_name, a_fn))
+        stages.append((j_name, j_fn))
+        a_prev, j_prev = a_name, j_name
+
+    def res_fn(o, R, a_prev=a_prev):
+        x = R(f"{p}x")
+        dom = o.and_(
+            o.ge(x, o.lit(-700.0)), o.le(x, o.lit(700.0))
+        )
+        return o.case([(dom, R(a_prev))], o.null())
+
+    stages.append((f"{p}res", res_fn))
+    return stages
+
+
+# --------------------------------------------------------------------------
+# Spark emission
+# --------------------------------------------------------------------------
+
+def _with_program(df: DataFrame, program, p: str, out: str,
+                  x: Column) -> DataFrame:
+    df = df.withColumn(f"{p}x", x.cast("double"))
+    names = [f"{p}x"]
+    R = lambda n: F.col(n)  # noqa: E731
+    for name, fn in program:
+        df = df.withColumn(name, fn(_SparkOps, R))
+        names.append(name)
+    res = F.col(f"{p}res")
+    if PERTURB_ULPS:
+        res = res * F.lit(1.0 + PERTURB_ULPS * 2.0 ** -52)
+    return df.withColumn(out, res).drop(*names)
+
+
+def with_det_ln(df: DataFrame, out: str, x: Column,
+                prefix: str = "_dl_") -> DataFrame:
+    """Append column ``out`` = det_ln(x) to ``df`` (staged; temps dropped).
+
+    Use a distinct ``prefix`` when emitting two det-columns on one frame.
+    """
+    return _with_program(df, _program_det_ln(prefix), prefix, out, x)
+
+
+def with_det_exp(df: DataFrame, out: str, x: Column,
+                 prefix: str = "_de_") -> DataFrame:
+    """Append column ``out`` = det_exp(x) to ``df`` (staged; temps dropped)."""
+    return _with_program(df, _program_det_exp(prefix), prefix, out, x)
+
+
+# --------------------------------------------------------------------------
+# SQL emission (DuckDB).  Wraps an inner relation in a chain of small
+# SELECTs — name-based sharing, the same staging as the Spark side.
+# --------------------------------------------------------------------------
+
+def _sql_program(inner: str, program, p: str, out: str, x_expr: str) -> str:
+    R = lambda n: n  # noqa: E731
+    q = f"SELECT *, CAST(({x_expr}) AS DOUBLE) AS {p}x FROM ({inner})"
+    for name, fn in program:
+        q = f"SELECT *, {fn(_SqlOps, R)} AS {name} FROM ({q})"
+    drops = ", ".join([f"{p}x"] + [name for name, _ in program])
+    return (f"SELECT * EXCLUDE ({drops}), {p}res AS {out} FROM ({q})")
+
+
+def det_ln_sql(inner: str, x_expr: str, out: str,
+               prefix: str = "_dl_") -> str:
+    """SQL relation: ``inner`` plus column ``out`` = det_ln(x_expr).
+
+    ``x_expr`` may reference any column of ``inner``; the result keeps
+    every inner column.  Embed as a CTE body or FROM-subquery.
+    """
+    return _sql_program(inner, _program_det_ln(prefix), prefix, out, x_expr)
+
+
+def det_exp_sql(inner: str, x_expr: str, out: str,
+                prefix: str = "_de_") -> str:
+    """SQL relation: ``inner`` plus column ``out`` = det_exp(x_expr)."""
+    return _sql_program(inner, _program_det_exp(prefix), prefix, out, x_expr)
+
+
+# --------------------------------------------------------------------------
+# Python reference (tests): same op sequence, Python floats are IEEE.
+# --------------------------------------------------------------------------
+
+class _PyOps:
+    lit = staticmethod(float)
+    add = staticmethod(lambda a, b: a + b)
+    sub = staticmethod(lambda a, b: a - b)
+    mul = staticmethod(lambda a, b: a * b)
+    div = staticmethod(lambda a, b: a / b)
+    neg = staticmethod(lambda a: -a)
+    lt = staticmethod(lambda a, b: a < b)
+    ge = staticmethod(lambda a, b: a >= b)
+    le = staticmethod(lambda a, b: a <= b)
+    gt = staticmethod(lambda a, b: a > b)
+    and_ = staticmethod(lambda a, b: a and b)
+    null = staticmethod(lambda: None)
+    floor_d = staticmethod(lambda a: float(math.floor(a)))
+
+    @staticmethod
+    def case(pairs, els):
+        for c, v in pairs:
+            if c:
+                return v
+        return els
+
+
+def det_ln_py(x: float, prefix: str = "_dl_") -> float | None:
+    """Pure-Python det_ln — the reference for bit-identity tests."""
+    vals = {f"{prefix}x": float(x)}
+    R = lambda n: vals[n]  # noqa: E731
+    for name, fn in _program_det_ln(prefix):
+        # lazy CASE: python and/or on bools; values computed eagerly is
+        # fine except None arithmetic — guard by domain check ordering
+        vals[name] = fn(_PyOps, R)
+    return vals[f"{prefix}res"]
+
+
+def det_exp_py(x: float, prefix: str = "_de_") -> float | None:
+    """Pure-Python det_exp — the reference for bit-identity tests."""
+    vals = {f"{prefix}x": float(x)}
+    R = lambda n: vals[n]  # noqa: E731
+    for name, fn in _program_det_exp(prefix):
+        vals[name] = fn(_PyOps, R)
+    return vals[f"{prefix}res"]
+
+
+# --------------------------------------------------------------------------
+# Exact integer helpers for sites that only need an integer of a log.
+# --------------------------------------------------------------------------
+
+def floor_log2_long(c: Column, max_bits: int = 62) -> Column:
+    """floor(log2(n)) for integral n ≥ 1 with NO floating point at all:
+    Σ_j [n ≥ 2^j] — exact integer comparisons, identical in any engine.
+    Replaces ``F.floor(F.log2(n))`` whose libm log2 could flip the bin
+    at exact powers of two (VERDICT r12 #2 class)."""
+    n = c.cast("long")
+    out = F.lit(0).cast("long")
+    for j in range(1, max_bits + 1):
+        out = out + (n >= F.lit(2 ** j)).cast("long")
+    return out
+
+
+def floor_log2_sql(x: str, max_bits: int = 62) -> str:
+    """SQL twin of :func:`floor_log2_long`."""
+    terms = " + ".join(
+        f"(CASE WHEN {x} >= {2 ** j} THEN 1 ELSE 0 END)"
+        for j in range(1, max_bits + 1)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+# Benford expected proportions: log10(1+1/d) for d=1..9 precomputed ONCE
+# here (host libm at authoring time) and shared as literals by both
+# engines — a constant table, so no engine-local transcendental.
+BENFORD_EXPECTED = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_expected_col(digit: Column) -> Column:
+    out = None
+    for d, v in BENFORD_EXPECTED.items():
+        out = (F.when(digit == d, F.lit(v)) if out is None
+               else out.when(digit == d, F.lit(v)))
+    return out.otherwise(F.lit(None).cast("double"))
+
+
+def benford_expected_sql(digit: str) -> str:
+    parts = " ".join(
+        f"WHEN {d} THEN {repr(v)}" for d, v in BENFORD_EXPECTED.items()
+    )
+    return f"(CASE {digit} {parts} ELSE CAST(NULL AS DOUBLE) END)"
