@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.config import TSDBConfig
 from v3io_tsdb_spark.datasets import events_as_samples, load_table
+from v3io_tsdb_spark.functions.detmath import det_exp_sql, det_ln_sql
 from v3io_tsdb_spark.querier import Querier, SelectParams
 from v3io_tsdb_spark.rollup import build_rollup
 
@@ -98,6 +99,15 @@ def _rz(col: str, n: int = 4):
     negative values where Spark emits 0.0 — numerically equal but
     hash-different; the oracle side mirrors this with `+ 0.0`."""
     return (F.round(F.col(col) + (EPS4 if n == 4 else EPS6), n) + F.lit(0.0)).alias(col)
+
+
+def _mn_sql(x: str) -> str:
+    """SQL twin of text.micro_nats: round(x·1e6) half-away-from-zero as
+    BIGINT, in the repo-wide floor/ceil form. ``x`` must be a simple
+    column reference (it is repeated three times)."""
+    e = f"({x} * 1e6)"
+    return (f"CAST(CASE WHEN {e} >= 0 THEN floor({e} + 0.5) "
+            f"ELSE -floor(-{e} + 0.5) END AS BIGINT)")
 
 
 # ---------------------------------------------------------------------------
@@ -821,6 +831,7 @@ def q_stream_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens a gap (close-on-advance). Oracle = the batch X162 SQL
     restricted to CLOSED sessions (every session except each user's
     last)."""
+    from v3io_tsdb_spark.functions.detmath import with_det_ln
     from v3io_tsdb_spark.functions.text import micro_nats
     from v3io_tsdb_spark.operators.paths import markov_transitions
     from v3io_tsdb_spark.streaming.stateful import stream_session_perplexity
@@ -828,10 +839,10 @@ def q_stream_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_ms_clamped(spark, sf_dir)
     model = {
         (r["from_state"], r["to_state"]): r["mn"]
-        for r in markov_transitions(ev)
+        for r in with_det_ln(markov_transitions(ev), "_lnp", F.col("p"))
         .select(
             "from_state", "to_state",
-            micro_nats(F.log("p")).alias("mn"),
+            micro_nats(F.col("_lnp")).alias("mn"),
         )
         .collect()
     }  # |states|^2-bounded panel — the k-means centroid rule
@@ -6749,14 +6760,18 @@ def oracle_sql() -> dict[str, str]:
           cn AS (
             SELECT from_state, to_state, count(*) AS c FROM pp GROUP BY 1, 2
           ),
+          -- det_ln (shared IEEE-only log, detmath.py) + micro-nat
+          -- quantization happen ONCE per matrix edge, exactly as the
+          -- Spark side does in the broadcast panel
           m AS (
-            SELECT from_state, to_state,
-                   round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
-                         + {EPS6}, 6) AS p
-            FROM cn
+            SELECT from_state, to_state, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                f"SELECT from_state, to_state, "
+                f"round(c * 1.0 / sum(c) OVER (PARTITION BY from_state) "
+                f"+ {EPS6}, 6) AS p FROM cn", "p", "lnp")})
           )
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 round(sum(CAST(CASE WHEN ln(m.p) * 1e6 >= 0 THEN floor((ln(m.p) * 1e6) + 0.5) ELSE -floor(-(ln(m.p) * 1e6) + 0.5) END AS BIGINT))
+                 round(sum(m.mn)
                        / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
           FROM pp JOIN m USING (from_state, to_state)
           GROUP BY 1, 2
@@ -6791,14 +6806,16 @@ def oracle_sql() -> dict[str, str]:
           cn AS (
             SELECT from_state, to_state, count(*) AS c FROM pp GROUP BY 1, 2
           ),
+          -- det_ln + micro-nats in the panel (see events_session_perplexity)
           m AS (
-            SELECT from_state, to_state,
-                   round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
-                         + {EPS6}, 6) AS p
-            FROM cn
+            SELECT from_state, to_state, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                f"SELECT from_state, to_state, "
+                f"round(c * 1.0 / sum(c) OVER (PARTITION BY from_state) "
+                f"+ {EPS6}, 6) AS p FROM cn", "p", "lnp")})
           )
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 round(sum(CAST(CASE WHEN ln(m.p) * 1e6 >= 0 THEN floor((ln(m.p) * 1e6) + 0.5) ELSE -floor(-(ln(m.p) * 1e6) + 0.5) END AS BIGINT))
+                 round(sum(m.mn)
                        / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
           FROM pp JOIN m USING (from_state, to_state)
           JOIN mx ON pp.user_id = mx.user_id

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.functions.detmath import with_det_ln
 from v3io_tsdb_spark.functions.text import micro_nats
 
 
@@ -201,12 +202,16 @@ def session_perplexity(
     Now each term is quantized to integer micro-nats
     (``round(ln(p)·1e6)`` as long) BEFORE summation: integer sums are
     exact and order-free, and the single final division of identical
-    integers is bit-identical in IEEE everywhere. The only residual
-    cross-libm risk is a per-term ln ulp straddling a half-micro-nat
-    boundary (~4e-9/term), orders of magnitude below the old
-    per-session sum-order exposure — and within one host the result
-    is now partitioning-invariant (pinned by the repartition(1) vs
-    repartition(64) hash test in tests/test_order_robustness.py).
+    integers is bit-identical in IEEE everywhere.
+
+    The ln itself is :func:`detmath.with_det_ln` (VERDICT r12 #1): the
+    r11/r12 driver reds survived the micro-nat fix because Spark's JVM
+    ``F.log`` and the driver host's libm ``ln`` disagree by an ulp on
+    boundary-straddling edges; det_ln is pure IEEE ``+−×÷`` emitted
+    identically on both engines, so the quantized edge score is
+    bit-identical by construction (tests/test_detmath.py), and the
+    robustness sweep additionally pins hash-invariance under a
+    simulated ±1 ulp ln perturbation.
     """
     order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
     wu = Window.partitionBy(user_col).orderBy(*order)
@@ -231,12 +236,18 @@ def session_perplexity(
         "from_state", "to_state",
         F.round(F.col("_c") / F.sum("_c").over(wrow) + 1e-9, 6).alias("_p"),
     )
+    # det_ln + micro-nat quantization happen ONCE per matrix edge (the
+    # |states|²-bounded panel), never per transition: the broadcast
+    # side carries the already-quantized integer score.
+    m = with_det_ln(m, "_lnp", F.col("_p")).select(
+        "from_state", "to_state", micro_nats(F.col("_lnp")).alias("_mn")
+    )
     return (
         pairs.join(F.broadcast(m), ["from_state", "to_state"])
         .groupBy("user_id", "sess")
         .agg(
             F.count("*").cast("long").alias("n_steps"),
-            F.sum(micro_nats(F.log("_p"))).alias("_s"),
+            F.sum("_mn").alias("_s"),
         )
         .select(
             "user_id",
