@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.config import TSDBConfig
 from v3io_tsdb_spark.datasets import events_as_samples, load_table
-from v3io_tsdb_spark.functions.detmath import det_exp_sql, det_ln_sql
+from v3io_tsdb_spark.functions.detmath import (
+    benford_expected_sql,
+    det_exp_sql,
+    det_ln_sql,
+    floor_log2_sql,
+)
 from v3io_tsdb_spark.querier import Querier, SelectParams
 from v3io_tsdb_spark.rollup import build_rollup
 
@@ -6167,7 +6172,7 @@ def oracle_sql() -> dict[str, str]:
           FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
           WHERE s1.t_view IS NOT NULL
         """,
-        "doc_tfidf_terms": """
+        "doc_tfidf_terms": f"""
           WITH tk AS (
             SELECT doc_id,
                    unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -6177,10 +6182,17 @@ def oracle_sql() -> dict[str, str]:
           tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
           dfq AS (SELECT term, count(DISTINCT doc_id) AS dfv FROM tf GROUP BY 1),
           nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+          -- det_ln at term level (detmath shared IEEE-only log)
+          idf AS (
+            SELECT term, lnidf
+            FROM ({det_ln_sql(
+                "SELECT dfq.term, (nn.n + 1.0) / (dfq.dfv + 1.0) AS xr "
+                "FROM dfq, nn", "xr", "lnidf")})
+          ),
           s AS (
             SELECT tf.doc_id, tf.term, tf.tf,
-                   tf.tf * (ln((nn.n + 1.0) / (dfq.dfv + 1.0)) + 1.0) AS score
-            FROM tf JOIN dfq USING (term), nn
+                   tf.tf * (idf.lnidf + 1.0) AS score
+            FROM tf JOIN idf USING (term)
           ),
           r AS (
             SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -6461,7 +6473,8 @@ def oracle_sql() -> dict[str, str]:
           ),
           g AS (SELECT max(n) AS max_n, avg(n) AS mean_n, sum(n) AS tot
                 FROM c),
-          b AS (SELECT CAST(floor(log2(n)) AS BIGINT) AS bin,
+          -- exact integer bit-length bin (detmath.floor_log2_sql)
+          b AS (SELECT {floor_log2_sql('n')} AS bin,
                        count(*) AS n_keys, sum(n) AS n_rows
                 FROM c GROUP BY 1)
           SELECT bin, CAST(n_keys AS BIGINT) AS n_keys,
@@ -6482,8 +6495,9 @@ def oracle_sql() -> dict[str, str]:
           d AS (SELECT g AS digit FROM generate_series(1, 9) t(g)),
           cf AS (SELECT d.digit, COALESCE(c.n, 0) AS n
                  FROM d LEFT JOIN c ON d.digit = c.digit),
+          -- shared-literal Benford table (detmath.BENFORD_EXPECTED)
           s AS (SELECT digit, n, sum(n) OVER () AS tot,
-                       log10(1 + 1.0 / digit) AS expected
+                       {benford_expected_sql('digit')} AS expected
                 FROM cf),
           p AS (SELECT *, pow(n - expected * tot, 2) / (expected * tot)
                        AS chip
@@ -6560,8 +6574,9 @@ def oracle_sql() -> dict[str, str]:
                        greatest(nb / CAST(sum(nb) OVER () AS DOUBLE),
                                 0.000001) AS pb
                 FROM j),
-          s AS (SELECT bin, pa, pb, (pa - pb) * ln(pa / pb) AS psi_part
-                FROM p)
+          -- det_ln (detmath shared IEEE-only log)
+          s AS (SELECT bin, pa, pb, (pa - pb) * lnr AS psi_part
+                FROM ({det_ln_sql("SELECT * FROM p", "pa / pb", "lnr")}))
           SELECT bin, round(pa + {EPS6}, 6) + 0.0 AS share_a,
                  round(pb + {EPS6}, 6) + 0.0 AS share_b,
                  round(psi_part + {EPS6}, 6) + 0.0 AS psi_part,
@@ -6677,15 +6692,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM corpus GROUP BY 1),
           cont AS (SELECT w2, count(*) AS n_precede FROM corpus GROUP BY 1),
           bt AS (SELECT count(*) AS b_total FROM corpus),
+          -- det_ln + micro-nats at BIGRAM-panel level (detmath), the
+          -- same placement as the Spark side's kn panel
+          pnl AS MATERIALIZED (
+            SELECT w1, w2, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                "SELECT c.w1, c.w2, greatest(c.c_bg - 0.75, 0.0) / x.c_ctx"
+                " + (0.75 * x.n_follow / x.c_ctx)"
+                " * (ct.n_precede / bt.b_total) AS pkn"
+                " FROM corpus c JOIN ctx x USING (w1)"
+                " JOIN cont ct USING (w2) CROSS JOIN bt", "pkn", "lnp")})
+          ),
           kn AS MATERIALIZED (
             SELECT tf.doc_id,
-                   round(sum(tf.c_doc * CAST(CASE WHEN ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6 >= 0 THEN floor((ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) ELSE -floor(-(ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) END AS BIGINT))
+                   round(sum(tf.c_doc * pnl.mn)
                          / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) AS mean_logprob
             FROM tf
-            JOIN corpus c USING (w1, w2)
-            JOIN ctx x USING (w1)
-            JOIN cont ct USING (w2)
-            CROSS JOIN bt
+            JOIN pnl USING (w1, w2)
             GROUP BY 1
           ),
           sc AS MATERIALIZED (
@@ -7142,16 +7165,23 @@ def oracle_sql() -> dict[str, str]:
           ctx AS (SELECT w1, sum(c_bg) AS c_ctx, count(*) AS n_follow
                   FROM corpus GROUP BY 1),
           cont AS (SELECT w2, count(*) AS n_precede FROM corpus GROUP BY 1),
-          bt AS (SELECT count(*) AS b_total FROM corpus)
+          bt AS (SELECT count(*) AS b_total FROM corpus),
+          -- det_ln + micro-nats at BIGRAM-panel level (detmath)
+          pnl AS MATERIALIZED (
+            SELECT w1, w2, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                "SELECT c.w1, c.w2, greatest(c.c_bg - 0.75, 0.0) / x.c_ctx"
+                " + (0.75 * x.n_follow / x.c_ctx)"
+                " * (ct.n_precede / bt.b_total) AS pkn"
+                " FROM corpus c JOIN ctx x USING (w1)"
+                " JOIN cont ct USING (w2) CROSS JOIN bt", "pkn", "lnp")})
+          )
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
-                 round(sum(tf.c_doc * CAST(CASE WHEN ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6 >= 0 THEN floor((ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) ELSE -floor(-(ln( greatest(c.c_bg - 0.75, 0.0) / x.c_ctx + (0.75 * x.n_follow / x.c_ctx) * (ct.n_precede / bt.b_total)) * 1e6) + 0.5) END AS BIGINT))
+                 round(sum(tf.c_doc * pnl.mn)
                        / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) + 0.0
                    AS mean_logprob
           FROM tf
-          JOIN corpus c USING (w1, w2)
-          JOIN ctx x USING (w1)
-          JOIN cont ct USING (w2)
-          CROSS JOIN bt
+          JOIN pnl USING (w1, w2)
           GROUP BY 1
         """,
         "stream_topk_daily": f"""
@@ -7362,7 +7392,7 @@ def oracle_sql() -> dict[str, str]:
             ON a.pfx = b2.pfx AND a.band = b2.band AND a.id < b2.id
           WHERE levenshtein(a.s, b2.s) <= 10
         """,
-        "doc_vocab_growth": r"""
+        "doc_vocab_growth": rf"""
           WITH d AS (
             SELECT doc_id AS d,
                    CASE WHEN len(trim(lower(trim(text)))) = 0
@@ -7397,12 +7427,14 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (ORDER BY sp.cp ROWS UNBOUNDED PRECEDING)
           ),
           pts AS (
-            -- order-free OLS via integer micro-nat moments (micro_nats
-            -- twin); HUGEINT keeps the n*sxy - sx*sy combos exact
-            SELECT CAST(CASE WHEN ln(n_tokens) * 1e6 >= 0 THEN floor((ln(n_tokens) * 1e6) + 0.5) ELSE -floor(-(ln(n_tokens) * 1e6) + 0.5) END AS BIGINT) AS x,
-                   CAST(CASE WHEN ln(vocab) * 1e6 >= 0 THEN floor((ln(vocab) * 1e6) + 0.5) ELSE -floor(-(ln(vocab) * 1e6) + 0.5) END AS BIGINT) AS y
-            FROM panel
-            WHERE n_tokens > 0 AND vocab > 0
+            -- order-free OLS via integer micro-nat moments over det_ln
+            -- (detmath); HUGEINT keeps the n*sxy - sx*sy combos exact
+            SELECT {_mn_sql('lnt')} AS x, {_mn_sql('lnv')} AS y
+            FROM ({det_ln_sql(
+                det_ln_sql(
+                    "SELECT * FROM panel WHERE n_tokens > 0 AND vocab > 0",
+                    "n_tokens", "lnt", prefix="_dlt_"),
+                "vocab", "lnv", prefix="_dlv_")})
           ),
           mm AS (
             SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
@@ -7417,10 +7449,12 @@ def oracle_sql() -> dict[str, str]:
             FROM mm
           ),
           f2 AS (
+            -- det_exp (detmath shared IEEE-only exp)
             SELECT round(beta0 + 1e-9, 6) AS heaps_beta,
-                   round(exp(mv - round(beta0 + 1e-9, 6) * mn) + 1e-9, 6)
-                     AS heaps_k
-            FROM fit
+                   round(ek + 1e-9, 6) AS heaps_k
+            FROM ({det_exp_sql(
+                "SELECT * FROM fit",
+                "mv - round(beta0 + 1e-9, 6) * mn", "ek")})
           )
           SELECT p.cp, CAST(n_docs AS BIGINT) AS n_docs,
                  CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -7816,11 +7850,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
             FROM documents
           ),
-          tf AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2)
-          SELECT doc_id, CAST(count(term) AS BIGINT) AS n_distinct,
-                 CAST(sum(c) AS BIGINT) AS n_tokens,
-                 round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + {EPS6}, 6) AS entropy
-          FROM tf GROUP BY 1
+          tf AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+          -- det_ln per (doc, term) row and once per doc total (detmath)
+          tfl AS (
+            SELECT doc_id, term, c, lnc
+            FROM ({det_ln_sql("SELECT * FROM tf", "c", "lnc")})
+          ),
+          ag AS (
+            SELECT doc_id, CAST(count(term) AS BIGINT) AS n_distinct,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   sum(c * lnc) AS clnc
+            FROM tfl GROUP BY 1
+          )
+          SELECT doc_id, n_distinct, n_tokens,
+                 round(lnn - clnc / n_tokens + {EPS6}, 6) AS entropy
+          FROM ({det_ln_sql("SELECT * FROM ag", "n_tokens", "lnn")})
         """,
         "doc_normalized_dedup": """
           WITH norm AS (
@@ -7843,12 +7887,21 @@ def oracle_sql() -> dict[str, str]:
           ),
           tf AS (SELECT doc_id, term, count(*) AS c_doc FROM tk GROUP BY 1, 2),
           corpus AS (SELECT term, sum(c_doc) AS c_corpus FROM tf GROUP BY 1),
-          tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus)
+          tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus),
+          -- det_ln + micro-nats at TERM level (detmath), mirroring the
+          -- Spark side's vocabulary panel
+          pm AS (
+            SELECT term, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                "SELECT c.term, (c.c_corpus + 0.5)"
+                " / (t.n_total + 0.5 * t.v_size) AS pr"
+                " FROM corpus c CROSS JOIN tot t", "pr", "lnp")})
+          )
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_tokens,
-                 round(sum(tf.c_doc * CAST(CASE WHEN ln((c.c_corpus + 0.5) / (t.n_total + 0.5 * t.v_size)) * 1e6 >= 0 THEN floor((ln((c.c_corpus + 0.5) / (t.n_total + 0.5 * t.v_size)) * 1e6) + 0.5) ELSE -floor(-(ln((c.c_corpus + 0.5) / (t.n_total + 0.5 * t.v_size)) * 1e6) + 0.5) END AS BIGINT))
+                 round(sum(tf.c_doc * pm.mn)
                        / (1e6 * sum(tf.c_doc))
                        + {EPS6}, 6) AS mean_logprob
-          FROM tf JOIN corpus c USING (term) CROSS JOIN tot t
+          FROM tf JOIN pm USING (term)
           GROUP BY 1
         """,
         "tsdb_downsample_prev_6h": f"""
@@ -8079,7 +8132,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 2
         """,
-        "doc_bm25_topk": r"""
+        "doc_bm25_topk": rf"""
           WITH d AS (
             SELECT doc_id,
                    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -8095,14 +8148,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
           ),
           dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+          -- det_ln idf at term level (detmath)
+          idfp AS (
+            SELECT term, idf
+            FROM ({det_ln_sql(
+                "SELECT f.term, f.df, s.n_docs"
+                " FROM dfreq f CROSS JOIN stats s",
+                "1.0 + (n_docs - df + 0.5) / (df + 0.5)", "idf")})
+          ),
           sc AS (
             SELECT tf.doc_id,
-                   sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   sum(i.idf
                        * tf.tf * 2.2
                        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / s.avglen))
                       ) AS score,
                    count(*) AS n_hit_terms
-            FROM tf JOIN dfreq f USING (term) JOIN base b USING (doc_id)
+            FROM tf JOIN idfp i USING (term) JOIN base b USING (doc_id)
             CROSS JOIN stats s
             GROUP BY 1
           )
@@ -8115,7 +8176,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
           ) WHERE rank <= 20
         """,
-        "doc_slice_kl": r"""
+        "doc_slice_kl": rf"""
           WITH tk AS (
             SELECT source AS sl,
                    unnest(CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -8125,13 +8186,20 @@ def oracle_sql() -> dict[str, str]:
           ps AS (SELECT sl, term, count(*) AS c FROM tk GROUP BY 1, 2),
           pt AS (SELECT term, sum(c) AS ct FROM ps GROUP BY 1),
           tot AS (SELECT sl, sum(c) AS n FROM ps GROUP BY 1),
-          g AS (SELECT sum(ct) AS nt FROM pt)
-          SELECT ps.sl AS source,
-                 round(sum((ps.c / tot.n) * ln((ps.c / tot.n) / (pt.ct / g.nt)))
+          g AS (SELECT sum(ct) AS nt FROM pt),
+          -- det_ln on the joined (slice, term) rows (detmath)
+          j AS (
+            SELECT sl, c, n, lnr
+            FROM ({det_ln_sql(
+                "SELECT ps.sl, ps.c, tot.n, pt.ct, g.nt"
+                " FROM ps JOIN pt USING (term) JOIN tot USING (sl)"
+                " CROSS JOIN g", "(c / n) / (ct / nt)", "lnr")})
+          )
+          SELECT sl AS source,
+                 round(sum((c / n) * lnr)
                        + 0.000000001, 6) AS kl,
                  CAST(count(*) AS BIGINT) AS n_terms
-          FROM ps JOIN pt USING (term) JOIN tot USING (sl) CROSS JOIN g
-          GROUP BY 1
+          FROM j GROUP BY 1
         """,
         "emb_group_diversity": """
           WITH e AS (
@@ -8582,14 +8650,21 @@ def oracle_sql() -> dict[str, str]:
                  FROM b2 GROUP BY 1, 2, 3),
           corpus AS (SELECT w1, w2, sum(c_doc) AS c_bg
                      FROM tf GROUP BY 1, 2),
-          ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM corpus GROUP BY 1)
+          ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM corpus GROUP BY 1),
+          -- det_ln + micro-nats at BIGRAM-panel level (detmath)
+          pnl AS (
+            SELECT w1, w2, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                "SELECT c.w1, c.w2, (c.c_bg + 0.5)"
+                " / (x.c_ctx + 0.5 * v.v_size) AS pr"
+                " FROM corpus c JOIN ctx x USING (w1) CROSS JOIN v",
+                "pr", "lnp")})
+          )
           SELECT tf.doc_id, CAST(sum(tf.c_doc) AS BIGINT) AS n_bigrams,
-                 round(sum(tf.c_doc * CAST(CASE WHEN ln((c.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)) * 1e6 >= 0 THEN floor((ln((c.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)) * 1e6) + 0.5) ELSE -floor(-(ln((c.c_bg + 0.5) / (x.c_ctx + 0.5 * v.v_size)) * 1e6) + 0.5) END AS BIGINT))
+                 round(sum(tf.c_doc * pnl.mn)
                        / (1e6 * sum(tf.c_doc)) + {EPS6}, 6) AS mean_logprob
           FROM tf
-          JOIN corpus c USING (w1, w2)
-          JOIN ctx x USING (w1)
-          CROSS JOIN v
+          JOIN pnl USING (w1, w2)
           GROUP BY 1
         """,
         "doc_classifier_score": f"""
@@ -8619,8 +8694,8 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
                  margin + 0.0 AS margin,
-                 round(1.0 / (1.0 + exp(-margin)) + {EPS6}, 6) AS score
-          FROM a
+                 round(1.0 / (1.0 + enm) + {EPS6}, 6) AS score
+          FROM ({det_exp_sql("SELECT * FROM a", "- margin", "enm")})
         """,
         "tsdb_ols_trend_daily": f"""
           WITH b AS (
@@ -8698,7 +8773,7 @@ def oracle_sql() -> dict[str, str]:
           FROM c CROSS JOIN qq
           WHERE cum - n < qq.q * tot AND qq.q * tot <= cum
         """,
-        "doc_hybrid_rrf": r"""
+        "doc_hybrid_rrf": rf"""
           WITH d AS (
             SELECT doc_id,
                    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -8716,13 +8791,21 @@ def oracle_sql() -> dict[str, str]:
           ),
           dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
                     FROM tf GROUP BY 1),
+          -- det_ln idf at term level (detmath), same as doc_bm25_topk
+          idfp AS (
+            SELECT term, idf
+            FROM ({det_ln_sql(
+                "SELECT f.term, f.df, s.n_docs"
+                " FROM dfreq f CROSS JOIN stats s",
+                "1.0 + (n_docs - df + 0.5) / (df + 0.5)", "idf")})
+          ),
           sc AS (
             SELECT tf.doc_id,
-                   sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   sum(i.idf
                        * tf.tf * 2.2
                        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * b.dl / s.avglen))
                       ) AS score
-            FROM tf JOIN dfreq f USING (term) JOIN base b USING (doc_id)
+            FROM tf JOIN idfp i USING (term) JOIN base b USING (doc_id)
             CROSS JOIN stats s
             GROUP BY 1
           ),
@@ -8817,12 +8900,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_weighted_sample": f"""
           WITH p AS (
+            -- det_ln of the md5-derived uniform (detmath)
             SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-                   round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                             || '_ws'), 1, 15))::BIGINT + 1)
-                            / 1152921504606846977.0) / n_chars
-                         + 1e-12, 9) AS priority
-            FROM documents WHERE n_chars > 0
+                   round(lnu / n_chars + 1e-12, 9) AS priority
+            FROM ({det_ln_sql(
+                "SELECT doc_id, n_chars,"
+                " (('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
+                " || '_ws'), 1, 15))::BIGINT + 1)"
+                " / 1152921504606846977.0 AS u"
+                " FROM documents WHERE n_chars > 0", "u", "lnu")})
           )
           SELECT CAST(rank AS BIGINT) AS rank, doc_id, weight, priority
           FROM (SELECT *, row_number() OVER (
@@ -8900,11 +8986,13 @@ def oracle_sql() -> dict[str, str]:
           top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 1000),
           r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
                 FROM top),
-          -- order-free OLS: integer micro-nat moments (micro_nats twin);
-          -- n*sxy - sx*sy can pass int64 so the combos run in HUGEINT
-          q AS (SELECT CAST(CASE WHEN ln(rank) * 1e6 >= 0 THEN floor((ln(rank) * 1e6) + 0.5) ELSE -floor(-(ln(rank) * 1e6) + 0.5) END AS BIGINT) AS x,
-                       CAST(CASE WHEN ln(c) * 1e6 >= 0 THEN floor((ln(c) * 1e6) + 0.5) ELSE -floor(-(ln(c) * 1e6) + 0.5) END AS BIGINT) AS y
-                FROM r),
+          -- order-free OLS: integer micro-nat moments over det_ln
+          -- (detmath); n*sxy - sx*sy can pass int64 → HUGEINT combos
+          q AS (SELECT {_mn_sql('lnr')} AS x, {_mn_sql('lnc')} AS y
+                FROM ({det_ln_sql(
+                    det_ln_sql("SELECT * FROM r", "rank", "lnr",
+                               prefix="_dlr_"),
+                    "c", "lnc", prefix="_dlc_")})),
           mm AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
                         sum(x * y) AS sxy, sum(x * x) AS sxx,
                         sum(y * y) AS syy
@@ -8936,12 +9024,20 @@ def oracle_sql() -> dict[str, str]:
           tf AS (SELECT doc_id, term, count(*) AS c_doc FROM tk GROUP BY 1, 2),
           corpus AS (SELECT term, sum(c_doc) AS c_corpus FROM tf GROUP BY 1),
           tot AS (SELECT sum(c_corpus) AS n_total, count(*) AS v_size FROM corpus),
+          -- det_ln + micro-nats at TERM level (detmath)
+          pm AS (
+            SELECT term, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                "SELECT c.term, (c.c_corpus + 0.5)"
+                " / (t.n_total + 0.5 * t.v_size) AS pr"
+                " FROM corpus c CROSS JOIN tot t", "pr", "lnp")})
+          ),
           doc AS (
             SELECT doc_id, CAST(sum(c_doc) AS BIGINT) AS n_tokens,
-                   round(sum(c_doc * CAST(CASE WHEN ln((c_corpus + 0.5) / (n_total + 0.5 * v_size)) * 1e6 >= 0 THEN floor((ln((c_corpus + 0.5) / (n_total + 0.5 * v_size)) * 1e6) + 0.5) ELSE -floor(-(ln((c_corpus + 0.5) / (n_total + 0.5 * v_size)) * 1e6) + 0.5) END AS BIGINT))
+                   round(sum(c_doc * mn)
                          / (1e6 * sum(c_doc))
                          + {EPS6}, 6) AS lp
-            FROM tf JOIN corpus USING (term) CROSS JOIN tot GROUP BY 1
+            FROM tf JOIN pm USING (term) GROUP BY 1
           ),
           binned AS (
             SELECT floor(doc.lp / 0.5) * 0.5 AS bin_lo, documents.source,
@@ -8977,8 +9073,10 @@ def oracle_sql() -> dict[str, str]:
           nd AS (SELECT count(*) AS n FROM documents)
           SELECT term_a, term_b, CAST(c_ab AS BIGINT) AS c_ab,
                  CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
-                 round(ln(n * c_ab / (c_a * c_b)) + {EPS6}, 6) AS pmi
-          FROM pr CROSS JOIN nd
+                 round(lnpmi + {EPS6}, 6) AS pmi
+          FROM ({det_ln_sql(
+              "SELECT pr.*, nd.n FROM pr CROSS JOIN nd",
+              "n * c_ab / (c_a * c_b)", "lnpmi")})
         """,
         "emb_centroid_profile": f"""
           WITH e AS (
@@ -9099,23 +9197,30 @@ def oracle_sql() -> dict[str, str]:
                    AS n_risk
             FROM panel
           ),
+          -- det_ln/det_exp for the prefix product (detmath)
+          rl AS (
+            SELECT * FROM ({det_ln_sql(
+                "SELECT *, 1.0 - n_events / CAST(n_risk AS DOUBLE) AS f"
+                " FROM r", "f", "lnf")})
+          ),
           s AS (
             SELECT *,
-                   max(CASE WHEN 1.0 - n_events / CAST(n_risk AS DOUBLE) <= 0
-                            THEN 1 ELSE 0 END) OVER wo AS dead,
-                   sum(CASE WHEN 1.0 - n_events / CAST(n_risk AS DOUBLE) > 0
-                            THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
-                            ELSE 0 END) OVER wo AS lnsum
-            FROM r
+                   max(CASE WHEN f <= 0 THEN 1 ELSE 0 END) OVER wo AS dead,
+                   sum(CASE WHEN f > 0 THEN lnf ELSE 0 END) OVER wo AS lnsum
+            FROM rl
             WINDOW wo AS (ORDER BY duration
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ),
+          se AS (
+            SELECT * FROM ({det_exp_sql("SELECT * FROM s",
+                                        "lnsum", "es")})
           )
           SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
                  CAST(n_events AS BIGINT) AS n_events,
                  CAST(n_censored AS BIGINT) AS n_censored,
-                 round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lnsum) END
+                 round(CASE WHEN dead = 1 THEN 0.0 ELSE es END
                        + {EPS6}, 6) + 0.0 AS survival
-          FROM s WHERE n_events > 0
+          FROM se WHERE n_events > 0
         """,
         "stream_alert_episodes": f"""
           WITH c AS (

@@ -177,3 +177,22 @@ def test_staged_plan_stays_compact(spark):
     df = with_det_ln(sdf, "y", F.col("x"))
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 200_000, len(plan)
+
+
+def test_no_raw_transcendentals_in_oracle_sql():
+    """Regression lint for the r11/r12 driver-red class: no oracle SQL
+    may compute ln/exp/log/log2/log10 engine-locally — every
+    data-dependent transcendental must route through detmath's
+    det_ln_sql/det_exp_sql (pure IEEE arithmetic) or a shared-literal
+    table. A new query that reintroduces a raw call fails here before
+    it can flake at the driver."""
+    import re
+    import __spark_entry__ as E
+
+    pat = re.compile(r"(?<![a-z_])(ln|exp|log|log2|log10)\s*\(", re.I)
+    offenders = {
+        name: sorted({m.group(1) for m in pat.finditer(sql)})
+        for name, sql in E.oracle_sql().items()
+        if pat.search(sql)
+    }
+    assert offenders == {}, offenders

@@ -19,6 +19,15 @@ query whose verdict column survives this is partitioning-invariant on
 this host; combined with the exact-integer accumulation discipline
 (`functions/text.py::micro_nats`) that also makes it engine-invariant.
 
+LIBM-PERTURBATION passes (VERDICT r12 #1/#2): for every query that
+routes through `functions/detmath.py` (detected via its BUILD_COUNT),
+two further passes run with ``detmath.PERTURB_ULPS = ±1`` — the det
+results are multiplied by (1 ± 2^-52), simulating a 1-ulp libm
+disagreement — and the normalized result must STILL match pass A.
+This is the local test that would have caught both r11/r12 driver
+reds on `events_session_perplexity`: a hash that survives ±1 ulp of
+log error cannot flip on a cross-engine ulp at a rounding boundary.
+
 Usage:
     python tools/check_order_robustness.py [sf_dir] [query ...]
     python tools/check_order_robustness.py [sf_dir] --json OUT.json
@@ -72,6 +81,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as E
+    from v3io_tsdb_spark.functions import detmath
 
     qs = E.queries()
     failures = 0
@@ -81,6 +91,7 @@ def main() -> int:
             continue
         frames = []
         err = None
+        det_before = detmath.BUILD_COUNT
         for parts, split_bytes in PASSES:
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
@@ -94,9 +105,35 @@ def main() -> int:
             results[name] = {"order_invariant": False, "err": err}
             failures += 1
             continue
-        a, b = frames
-        same = list(a.columns) == list(b.columns) and len(a) == len(b) and a.equals(b)
-        if not same:
+        # ±1ulp libm-perturbation passes, only for detmath-routed queries
+        uses_det = detmath.BUILD_COUNT > det_before
+        if uses_det:
+            for ulps in (1, -1):
+                detmath.PERTURB_ULPS = ulps
+                try:
+                    frames.append(norm(fn(spark, SF).toPandas()))
+                except Exception as exc:  # noqa: BLE001
+                    err = f"perturb {ulps:+d}: {type(exc).__name__}: {str(exc)[:160]}"
+                    break
+                finally:
+                    detmath.PERTURB_ULPS = 0
+            if err is not None:
+                print(f"FAIL {name}: {err}")
+                results[name] = {"order_invariant": False, "err": err}
+                failures += 1
+                continue
+        a = frames[0]
+        bad = None
+        for i, b in enumerate(frames[1:], 1):
+            tag = ("32-part" if i == 1
+                   else f"ulp{+1 if i == 2 else -1:+d}")
+            same = (list(a.columns) == list(b.columns)
+                    and len(a) == len(b) and a.equals(b))
+            if not same:
+                bad = (tag, b)
+                break
+        if bad is not None:
+            tag, b = bad
             detail = f"rows {len(a)} vs {len(b)}"
             if list(a.columns) == list(b.columns) and len(a) == len(b):
                 for c in a.columns:
@@ -105,12 +142,19 @@ def main() -> int:
                         i = neq.idxmax()
                         detail = f"col {c}: {a[c][i]!r} vs {b[c][i]!r} ({int(neq.sum())} cells)"
                         break
-            print(f"FAIL {name}: order-sensitive — {detail}")
-            results[name] = {"order_invariant": False, "err": detail}
+            print(f"FAIL {name}: sensitive at {tag} — {detail}")
+            results[name] = {
+                "order_invariant": False, "err": f"{tag}: {detail}"
+            }
             failures += 1
         else:
-            print(f"PASS {name}: {len(a)} rows invariant across 1/32 partitions")
-            results[name] = {"order_invariant": True, "err": None}
+            extra = " + ±1ulp" if uses_det else ""
+            print(f"PASS {name}: {len(a)} rows invariant across "
+                  f"1/32 partitions{extra}")
+            results[name] = {
+                "order_invariant": True, "err": None,
+                "ulp_checked": bool(uses_det),
+            }
     # restore the session defaults for any caller sharing the JVM
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")

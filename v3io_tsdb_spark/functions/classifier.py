@@ -99,9 +99,14 @@ def classifier_score(
             F.round(F.avg("weight") + F.lit(eps), 6).alias("margin"),
         )
     )
+    from v3io_tsdb_spark.functions.detmath import with_det_exp
+
+    # det_exp (detmath: shared IEEE-only exp) so the sigmoid is
+    # bit-identical to the oracle engine's on any libm
+    scored = with_det_exp(scored, "_enm", -F.col("margin"))
     return scored.select(
         id_col,
         "n_features",
         "margin",
-        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.col("_enm"))).alias("score"),
     )

@@ -67,6 +67,11 @@ SQRT2 = 1.4142135623730951        # double nearest sqrt 2
 # harness sets ±1 and asserts query hashes are invariant.
 PERTURB_ULPS = 0
 
+# Incremented every time a Spark det-column is built; lets the
+# robustness harness detect which queries route through detmath (and
+# so need the ±1 ulp perturbation passes) without a hand-kept list.
+BUILD_COUNT = 0
+
 
 # --------------------------------------------------------------------------
 # Dual emitters: the algorithm below is written once against this tiny ops
@@ -369,6 +374,8 @@ def _program_det_exp(p: str):
 
 def _with_program(df: DataFrame, program, p: str, out: str,
                   x: Column) -> DataFrame:
+    global BUILD_COUNT
+    BUILD_COUNT += 1
     df = df.withColumn(f"{p}x", x.cast("double"))
     names = [f"{p}x"]
     R = lambda n: F.col(n)  # noqa: E731

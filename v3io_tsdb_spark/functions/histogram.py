@@ -184,8 +184,12 @@ def benford_profile(
     )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols \
         else Window.partitionBy(F.lit(1))
+    from v3io_tsdb_spark.functions.detmath import benford_expected_col
+
     tot = F.sum("n").over(w)
-    expected = F.log10(1 + 1 / F.col("digit"))
+    # shared-literal table (detmath.BENFORD_EXPECTED): a constant
+    # computed once at authoring time, not per-engine libm log10
+    expected = benford_expected_col(F.col("digit"))
     # try_divide: a group with zero qualifying rows (all values < 1)
     # yields null shares/χ² — no verdict, not a 0/0 crash under ANSI
     scored = full.withColumn(
@@ -239,11 +243,18 @@ def psi_drift(
     # below (greatest skips nulls), matching the documented behavior.
     pa = F.greatest(F.try_divide(F.col("_n_a"), F.sum("_n_a").over(w)), F.lit(eps))
     pb = F.greatest(F.try_divide(F.col("_n_b"), F.sum("_n_b").over(w)), F.lit(eps))
-    scored = j.select(
+    from v3io_tsdb_spark.functions.detmath import with_det_ln
+
+    scored = j.select("bin", pa.alias("share_a"), pb.alias("share_b"))
+    scored = with_det_ln(
+        scored, "_lnr", F.col("share_a") / F.col("share_b")
+    ).select(
         "bin",
-        pa.alias("share_a"),
-        pb.alias("share_b"),
-        ((pa - pb) * F.log(pa / pb)).alias("psi_part"),
+        "share_a",
+        "share_b",
+        ((F.col("share_a") - F.col("share_b")) * F.col("_lnr")).alias(
+            "psi_part"
+        ),
     )
     return scored.withColumn("psi", F.sum("psi_part").over(w))
 

@@ -325,12 +325,16 @@ def weighted_sample_topk(
     """
     from pyspark.sql import Window
 
+    from v3io_tsdb_spark.functions.detmath import with_det_ln
+
     h = md5_int60(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     u = (h + F.lit(1)) / F.lit(float((1 << 60) + 1))
-    lk = F.round(F.log(u) / F.col(weight_col) + F.lit(1e-12), 9)
+    # det_ln (shared IEEE-only log) so the 9dp-rounded priority cannot
+    # flip on a cross-libm ulp at a rounding boundary
+    base = with_det_ln(df.where(F.col(weight_col) > 0), "_lnu", u)
+    lk = F.round(F.col("_lnu") / F.col(weight_col) + F.lit(1e-12), 9)
     topk = (
-        df.where(F.col(weight_col) > 0)
-        .select(
+        base.select(
             F.col(id_col),
             F.col(weight_col).cast("long").alias("weight"),
             lk.alias("priority"),

@@ -37,8 +37,12 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.avg("_n").alias("_mean_n"),
         F.sum("_n").alias("_tot"),
     )
+    from v3io_tsdb_spark.functions.detmath import floor_log2_long
+
+    # exact integer bit-length binning (detmath) — floor(libm log2)
+    # can flip at exact powers of two across engines
     bins = counts.groupBy(
-        F.floor(F.log2("_n")).cast("long").alias("bin")
+        floor_log2_long(F.col("_n")).alias("bin")
     ).agg(
         F.count("*").cast("long").alias("n_keys"),
         F.sum("_n").cast("long").alias("n_rows"),

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.functions.detmath import with_det_exp, with_det_ln
+
 # Small per-language stopword sets for the n-gram/stopword heuristic
 # language-ID (public, standard function words).
 STOPWORDS = {
@@ -355,14 +357,15 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("_df"))
     n = df.agg(F.count_distinct(F.col(id_col)).alias("_N"))
+    # det_ln (detmath: shared IEEE-only log, identical in the oracle
+    # engine) computed ONCE per vocabulary term, not per (doc, term)
+    idf = with_det_ln(
+        dfreq.crossJoin(F.broadcast(n)), "_lnidf",
+        (F.col("_N") + 1) / (F.col("_df") + 1),
+    ).select("term", "_df", "_lnidf")
     scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .withColumn(
-            "score",
-            F.col("tf")
-            * (F.log((F.col("_N") + 1) / (F.col("_df") + 1)) + F.lit(1.0)),
-        )
+        tf.join(idf, "term")
+        .withColumn("score", F.col("tf") * (F.col("_lnidf") + F.lit(1.0)))
     )
     w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
     return (
@@ -440,12 +443,20 @@ def word_entropy(
         F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("c"))
-    n = F.sum("c")
-    clnc = F.sum(F.col("c") * F.log(F.col("c")))
-    return tf.groupBy(id_col).agg(
+    # det_ln per (doc, term) row pre-agg, and once more on the per-doc
+    # total post-agg — no engine-local libm anywhere in the hash
+    tf = with_det_ln(tf, "_lnc", F.col("c").cast("double"))
+    g = tf.groupBy(id_col).agg(
         F.count("term").cast("long").alias("n_distinct"),
-        n.cast("long").alias("n_tokens"),
-        (F.log(n) - clnc / n).alias("entropy"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("_lnc")).alias("_clnc"),
+    )
+    g = with_det_ln(g, "_lnn", F.col("n_tokens").cast("double"))
+    return g.select(
+        id_col,
+        "n_distinct",
+        "n_tokens",
+        (F.col("_lnn") - F.col("_clnc") / F.col("n_tokens")).alias("entropy"),
     )
 
 
@@ -527,17 +538,19 @@ def unigram_logprob(
     totals = corpus.agg(
         F.sum("c_corpus").alias("n_total"), F.count("*").alias("v_size")
     )
-    logp = F.log(
+    # det_ln + micro-nat quantization at TERM level (vocabulary-sized
+    # panel) — the per-(doc, term) pass consumes the integer directly
+    pm = with_det_ln(
+        corpus.crossJoin(F.broadcast(totals)), "_lnp",
         (F.col("c_corpus") + F.lit(alpha))
-        / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
-    )
+        / (F.col("n_total") + F.lit(alpha) * F.col("v_size")),
+    ).select("term", micro_nats(F.col("_lnp")).alias("_mn"))
     scored = (
-        tf.join(corpus, "term")
-        .crossJoin(F.broadcast(totals))
+        tf.join(pm, "term")
         .groupBy(id_col)
         .agg(
             F.sum("c_doc").cast("long").alias("n_tokens"),
-            F.sum(F.col("c_doc").cast("long") * micro_nats(logp)).alias("_s"),
+            F.sum(F.col("c_doc").cast("long") * F.col("_mn")).alias("_s"),
         )
         .select(
             id_col,
@@ -727,17 +740,19 @@ def bm25_topk(
     dfreq = tf.groupBy("term").agg(
         F.count_distinct(F.col(id_col)).alias("_df")
     )
-    idf = F.log(
+    # det_ln at term level (≤ len(query_terms) rows)
+    idfp = with_det_ln(
+        dfreq.crossJoin(F.broadcast(stats.select("_N"))), "_idf",
         F.lit(1.0)
-        + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-    )
+        + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5),
+    ).select("term", "_idf")
     denom = F.col("tf") + k1 * (
         1.0 - b + b * F.col("_len") / F.col("_avglen")
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(F.broadcast(idfp), "term")
         .crossJoin(F.broadcast(stats))
-        .withColumn("_s", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .withColumn("_s", F.col("_idf") * F.col("tf") * (k1 + 1.0) / denom)
         .groupBy(id_col)
         .agg(
             F.sum("_s").alias("score"),
@@ -794,13 +809,16 @@ def slice_kl_divergence(
     grand = per_term.agg(F.sum("_ct").alias("_nt"))
     p = F.col("_c") / F.col("_n")
     q = F.col("_ct") / F.col("_nt")
-    return (
+    j = (
         per_slice.join(per_term, "term")
         .join(F.broadcast(totals), "_sl")
         .crossJoin(F.broadcast(grand))
-        .groupBy("_sl")
+    )
+    j = with_det_ln(j, "_lnr", p / q)
+    return (
+        j.groupBy("_sl")
         .agg(
-            F.round(F.sum(p * F.log(p / q)) + 1e-9, 6).alias("kl"),
+            F.round(F.sum(p * F.col("_lnr")) + 1e-9, 6).alias("kl"),
             F.count("*").alias("n_terms"),
         )
         .select(
@@ -987,8 +1005,12 @@ def zipf_fit(
     ranked = top.select(
         "term", "c", F.row_number().over(w).alias("rank")
     )
-    lx = micro_nats(F.log(F.col("rank").cast("double")))
-    ly = micro_nats(F.log(F.col("c").cast("double")))
+    ranked = with_det_ln(ranked, "_lnr", F.col("rank").cast("double"),
+                         prefix="_dlr_")
+    ranked = with_det_ln(ranked, "_lnc", F.col("c").cast("double"),
+                         prefix="_dlc_")
+    lx = micro_nats(F.col("_lnr"))
+    ly = micro_nats(F.col("_lnc"))
     eps = 1e-9
     dec = "decimal(38,0)"
     # second-moment sums accumulate in decimal(38,0), not long: a
@@ -1146,15 +1168,18 @@ def cooccur_pmi(
         .where(F.col("c_ab") >= min_pair)
     )
     ndocs = df.agg(F.count("*").alias("_n"))
-    return pairs.crossJoin(F.broadcast(ndocs)).select(
+    out = pairs.crossJoin(F.broadcast(ndocs))
+    out = with_det_ln(
+        out, "_lnpmi",
+        F.col("_n") * F.col("c_ab") / (F.col("c_a") * F.col("c_b")),
+    )
+    return out.select(
         "term_a",
         "term_b",
         F.col("c_ab").cast("long").alias("c_ab"),
         F.col("c_a").cast("long").alias("c_a"),
         F.col("c_b").cast("long").alias("c_b"),
-        F.round(
-            F.log(F.col("_n") * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))) + eps, 6
-        ).alias("pmi"),
+        F.round(F.col("_lnpmi") + eps, 6).alias("pmi"),
     )
 
 
@@ -1212,19 +1237,21 @@ def bigram_logprob(
     tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c_doc"))
     corpus = tf.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg"))
     ctx = corpus.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
-    logp = F.log(
+    # det_ln + micro-nats at BIGRAM level (bigram-vocabulary panel) —
+    # the per-(doc, bigram) pass consumes the integer directly
+    pm = with_det_ln(
+        corpus.join(ctx.select("w1", "c_ctx"), "w1")
+        .crossJoin(F.broadcast(vocab)),
+        "_lnp",
         (F.col("c_bg") + F.lit(alpha))
-        / (F.col("c_ctx") + F.lit(alpha) * F.col("v_size"))
-    )
-    # order-free mean of logs via integer micro-nats (micro_nats)
+        / (F.col("c_ctx") + F.lit(alpha) * F.col("v_size")),
+    ).select("w1", "w2", micro_nats(F.col("_lnp")).alias("_mn"))
     return (
-        tf.join(corpus, ["w1", "w2"])
-        .join(ctx, "w1")
-        .crossJoin(F.broadcast(vocab))
+        tf.join(pm, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.sum("c_doc").cast("long").alias("n_bigrams"),
-            F.sum(F.col("c_doc").cast("long") * micro_nats(logp)).alias("_s"),
+            F.sum(F.col("c_doc").cast("long") * F.col("_mn")).alias("_s"),
         )
         .select(
             id_col,
@@ -1431,10 +1458,15 @@ def vocab_growth(
     # factors cancel in beta, and the means divide exact integers), so
     # the fit no longer depends on float accumulation order — only the
     # final divisions and one exp touch floats, on identical operands.
-    pts = panel.where((F.col("n_tokens") > 0) & (F.col("vocab") > 0)).select(
+    pts = panel.where((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+    pts = with_det_ln(pts, "_lnt", F.col("n_tokens").cast("double"),
+                      prefix="_dlt_")
+    pts = with_det_ln(pts, "_lnv", F.col("vocab").cast("double"),
+                      prefix="_dlv_")
+    pts = pts.select(
         "cp",
-        micro_nats(F.log("n_tokens")).alias("_x"),
-        micro_nats(F.log("vocab")).alias("_y"),
+        micro_nats(F.col("_lnt")).alias("_x"),
+        micro_nats(F.col("_lnv")).alias("_y"),
     )
     dec = "decimal(38,0)"
     mm = pts.agg(
@@ -1458,11 +1490,12 @@ def vocab_growth(
         F.round(F.try_divide(dxy, dxx) + eps, 6).alias("heaps_beta"),
         (F.col("_sx").cast("double") / scale).alias("_mn"),
         (F.col("_sy").cast("double") / scale).alias("_mv"),
+    )
+    fit = with_det_exp(
+        fit, "_ek", F.col("_mv") - F.col("heaps_beta") * F.col("_mn")
     ).select(
         "heaps_beta",
-        F.round(
-            F.exp(F.col("_mv") - F.col("heaps_beta") * F.col("_mn")) + eps, 6
-        ).alias("heaps_k"),
+        F.round(F.col("_ek") + eps, 6).alias("heaps_k"),
     )
     return panel.crossJoin(F.broadcast(fit)).select(
         "cp", "n_docs", "n_tokens", "vocab", "heaps_k", "heaps_beta"
@@ -1525,18 +1558,18 @@ def kn_bigram_logprob(
         + d * F.col("n_follow") / F.col("c_ctx")
         * (F.col("n_precede") / F.col("b_total"))
     )
-    # order-free mean of logs via integer micro-nats (micro_nats)
+    # det_ln + micro-nats at BIGRAM level (the corpus⋈ctx⋈cont panel,
+    # bigram-vocabulary-sized) — per-(doc, bigram) rows consume integers
+    pm = with_det_ln(
+        corpus.join(ctx, "w1").join(cont, "w2").crossJoin(F.broadcast(btot)),
+        "_lnp", p_kn,
+    ).select("w1", "w2", micro_nats(F.col("_lnp")).alias("_mn"))
     return (
-        tf.join(corpus, ["w1", "w2"])
-        .join(ctx, "w1")
-        .join(cont, "w2")
-        .crossJoin(F.broadcast(btot))
+        tf.join(pm, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.sum("c_doc").cast("long").alias("n_bigrams"),
-            F.sum(
-                F.col("c_doc").cast("long") * micro_nats(F.log(p_kn))
-            ).alias("_s"),
+            F.sum(F.col("c_doc").cast("long") * F.col("_mn")).alias("_s"),
         )
         .select(
             id_col,

@@ -95,14 +95,25 @@ def _km_curve(per_user: DataFrame) -> DataFrame:
         Window.orderBy(F.col("duration").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    from v3io_tsdb_spark.functions.detmath import with_det_exp, with_det_ln
+
     p = panel.withColumn("n_risk", F.sum("_total").over(w_risk))
     f = 1.0 - F.col("n_events") / F.col("n_risk")
+    # det_ln/det_exp (detmath): the prefix-product runs over shared
+    # IEEE-only terms so both engines exponentiate identical doubles
+    p = with_det_ln(p.withColumn("_f", f), "_lnf", F.col("_f"))
     w_surv = Window.orderBy("duration").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    dead = F.max((f <= 0.0).cast("int")).over(w_surv) == 1
-    ln_sum = F.sum(F.when(f > 0.0, F.log(f)).otherwise(F.lit(0.0))).over(w_surv)
-    surv = F.when(dead, F.lit(0.0)).otherwise(F.exp(ln_sum))
+    dead = F.max((F.col("_f") <= 0.0).cast("int")).over(w_surv) == 1
+    ln_sum = F.sum(
+        F.when(F.col("_f") > 0.0, F.col("_lnf")).otherwise(F.lit(0.0))
+    ).over(w_surv)
+    p = with_det_exp(
+        p.withColumn("_dead", dead).withColumn("_lnsum", ln_sum),
+        "_es", F.col("_lnsum"),
+    )
+    surv = F.when(F.col("_dead"), F.lit(0.0)).otherwise(F.col("_es"))
     return (
         p.withColumn("survival", surv)
         .where(F.col("n_events") > 0)
