@@ -722,10 +722,18 @@ def semantic_decontaminate(
 
     Recall contract: a true pair at angle θ survives blocking with
     probability P(Binomial(n_planes, θ/π) ≤ probe_radius) — e.g.
-    ~58% at cos 0.35 with n=6, r=2 versus ~5% exact-signature; for
-    decontamination recall is the point. Both engines implement the
-    SAME probing, so the gate checks this exact composition, not an
-    idealized all-pairs scan.
+    ~58% at cos 0.35 with n_planes=6, r=2 (the registry entry's
+    configuration; at this function's DEFAULT n_planes=8 the same
+    point is ~41%) versus ~5% exact-signature; for decontamination
+    recall is the point. Both engines implement the SAME probing, so
+    the gate checks this exact composition, not an idealized
+    all-pairs scan.
+
+    ``id_col`` must be INTEGRAL on the eval side: the argmax ties
+    break via a numeric negation (``-eval_id``), so a string id
+    fails at analysis time (ADVICE r12 — documented, not widened:
+    every fixture id is integral and the negation keeps the
+    tie-break inside one struct-max aggregate).
 
     Cost model (measured 1/16/64× in SCALE_SWEEP.json — sublinear,
     23× wall at 64× data): candidate verifications ≈

@@ -1024,7 +1024,14 @@ def kmeans_lloyd(
     n_iter assignment scans read cached blocks, not parquet.
     """
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")).persist()
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    if materialize:
+        # persist only when this call also materializes (and so can
+        # unpersist before returning) — ADVICE r12: a persist() under
+        # materialize=False had no release path short of
+        # spark.catalog.clearCache(), pinning one vector-frame copy
+        # per call for the session lifetime.
+        base = base.persist()
     qs = 32768.0  # 2^15 quantization scale (order-free integer means)
 
     # seed panel: k lowest-id vectors, cid = dense 0..k-1 by id order
@@ -1103,10 +1110,9 @@ def kmeans_lloyd(
     if materialize:
         # run the training now (the k-row profile checkpoints) so the
         # cache can be RELEASED before returning — the ivf_build
-        # unpersist rule; without this every call leaked a pinned
-        # copy of the vector frame for the session lifetime.
-        # materialize=False returns the lazy training plan (plan
-        # audits) and leaves cache release to the caller.
+        # unpersist rule. materialize=False returns the lazy training
+        # plan (plan audits) and never persists, so there is nothing
+        # for the caller to release (ADVICE r12).
         out = out.localCheckpoint(eager=True)
         base.unpersist()
     return out
@@ -1357,17 +1363,25 @@ def pca_top_component(
                 # BLAS dgemm over integer-VALUED float64 is EXACT while
                 # every partial sum stays below 2^53: matmul in 256-row
                 # slices (256·(2^15·128)² = 2^52, 2× margin at the
-                # validated |x| ≤ 128 bound) accumulated in int64 —
-                # matmul speed, exact-integer contract, no batch-size
-                # assumption
-                gm = np.zeros((d_, d_), dtype=np.int64)
-                for lo in range(0, len(xq), 256):
-                    sl = xq[lo:lo + 256]
-                    gm += (sl.T @ sl).astype(np.int64)
+                # validated |x| ≤ 128 bound). The int64 slice
+                # accumulator itself wraps after 2^11 slices (2^63 /
+                # 2^52 — an Arrow batch over 524,288 rows at the
+                # magnitude bound), so partials FLUSH every 1024
+                # slices (≤ 2^62 accumulated, 2× margin) — exactness
+                # holds for ANY batch size, not just the Arrow default
+                # (ADVICE r12).
                 ii, jj = np.indices((d_, d_))
-                yield pd.DataFrame(
-                    {"i": ii.ravel(), "j": jj.ravel(), "_s": gm.ravel()}
-                )
+                flush_rows = 256 * 1024
+                for start in range(0, len(xq), flush_rows):
+                    chunk = xq[start:start + flush_rows]
+                    gm = np.zeros((d_, d_), dtype=np.int64)
+                    for lo in range(0, len(chunk), 256):
+                        sl = chunk[lo:lo + 256]
+                        gm += (sl.T @ sl).astype(np.int64)
+                    yield pd.DataFrame(
+                        {"i": ii.ravel(), "j": jj.ravel(),
+                         "_s": gm.ravel()}
+                    )
 
         # global reduction over the exact int64 batch partials runs in
         # decimal(38,0): an int64 global sum would wrap past
