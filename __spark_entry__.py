@@ -1159,32 +1159,6 @@ def q_stream_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_hampel_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of the trailing Hampel filter (X91): the robust
-    counterpart of stream_anomaly_hourly, driven end-to-end through
-    ``applyInPandasWithState`` with the same close-on-advance rule and
-    ring state. Every statistic is an exact rational of integer
-    counts, so the stream matches the batch SQL oracle bit-for-bit on
-    every closed bucket (the still-open last bucket per series is
-    excluded on the oracle side, as with the z-score twin)."""
-    from v3io_tsdb_spark.streaming.stateful import stream_trailing_hampel
-
-    fx = _stream_evt_fixture(spark, sf_dir)
-    raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(fx, "in")
-    )
-    out = _run_available_now(stream_trailing_hampel(raw))
-    return out.select(
-        "series_key",
-        F.col("t").cast("long").alias("t"),
-        F.col("n").cast("long").alias("n"),
-        "med",
-        "mad",
-        _rz("z"),
-        F.col("is_anomaly").cast("long").alias("is_anomaly"),
-    )
-
-
 def q_stream_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of batch sessionize, driven end-to-end: the events
     feed (per-user series) is replayed through Structured Streaming's
@@ -3423,27 +3397,6 @@ def q_stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of the running drawdown panel (X150): per
-    metric, each closed daily bucket immediately emits its mean, the
-    running peak, the dip below it, and the worst dip on record from
-    five scalars of per-series state. The running aggregates have the
-    prefix property, so the stream hash-matches the batch window SQL
-    on every closed bucket (the open last bucket per series is
-    excluded oracle-side, as with every bucketized twin)."""
-    from v3io_tsdb_spark.streaming.stateful import stream_drawdown
-
-    fx = _stream_evt_fixture(spark, sf_dir)
-    raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(fx, "in")
-    )
-    out = _run_available_now(stream_drawdown(raw, step_ms=DAY))
-    return out.select(
-        "series_key", F.col("t").cast("long").alias("t"),
-        _rz("x", 6), _rz("peak", 6), _rz("dd", 6), _rz("max_dd", 6),
-    )
-
-
 def q_tsdb_hw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (X141): triple exponential smoothing per
     metric over the dense 30-day grid (m=7, alpha/beta/gamma =
@@ -4368,27 +4321,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2, r8 #2):
     no query's newest driver row should age past ~2 rounds.
 
-    Round-12 head-50 = the 7 r11 net-new rows (local-only evidence,
-    VERDICT r11 #3) + `events_session_perplexity` (X162 — re-gate
-    after the integer-micro-nat determinism fix, VERDICT r11 #1) +
-    the 37 r8-evidence rows (oldest gated tier) + the 5 oldest
-    r9-evidence rows. After this gate runs, zero queries carry
-    local-only evidence and no driver evidence is older than r9.
+    Round-13 head-50 = the 6 r12 net-new rows (local-only evidence,
+    VERDICT r12 #2) + the 2 r13 net-new rows (`tpch_q19_discount_promo`
+    — the disjunctive pushdown shape, `mm_image_features` — the real
+    PPM codec) + the 42 oldest-evidence (r9) rows, exactly
+    `tools/check_rotation.py --plan`. `events_session_perplexity`
+    (X162, driver hash-red r11+r12 on cross-libm ln) re-gates inside
+    the r9 tier with the structural det_ln fix (functions/detmath.py).
 
-    At 160+ registered queries the 50-slot gate is SATURATED: the
+    At 200 registered queries the 50-slot gate is SATURATED: the
     rotation is a ceil(N/50)-window cycle, so the evidence-age bound
     is ceil(N/50)-1 rounds — computed DYNAMICALLY by
     `tools/check_rotation.py`, which audits the newest green driver
     row per query against that bound and prints the recommended next
-    head with --plan. Layout after the head: the r11-evidenced rows
-    (the r11 head minus the X162 re-gate), then the remaining r9
-    tier, then the r10 tier; queries new in r12 (tpch_q15/q16,
-    mm_wav_features) append at the very end with local-sweep evidence
-    per the saturated-gate contract (tools/gate.py, commit 52a3d19)
-    — they must lead the r13 head."""
+    head with --plan.
+
+    Registry held at N=200 (VERDICT r12 #7): r13 added two rows and
+    RETIRED `stream_drawdown` and `stream_hampel_hourly` to
+    pytest-only status — each is a near-duplicate stateful twin whose
+    code path stays pinned by a direct stream-matches-batch pytest
+    (test_round10c_ops.py, test_round9b_ops.py) and whose batch
+    operator keeps its own gated row (tsdb_drawdown_daily,
+    events_hampel_hourly)."""
     return {
-        # --- r12 head-50: 7 r11 net-new (first driver window) + the
-        # --- X162 re-gate + the 37 r8-tier rows + the 5 oldest r9 rows
+        # --- r13 head-50: the 6 r12 net-new rows + the 2 r13
+        # --- net-new (tpch_q19, mm_image) + the oldest-evidence
+        # --- (r9) tier, per tools/check_rotation.py --plan
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "mm_wav_features": q_mm_wav_features,
+        "stream_wav_features": q_stream_wav_features,
+        "emb_semantic_decontaminate": q_emb_semantic_decontaminate,
+        "stream_session_perplexity": q_stream_session_perplexity,
+        "tpch_q19_discount_promo": q_tpch_q19_discount_promo,
+        "mm_image_features": q_mm_image_features,
+        "tsdb_raw_filter": q_tsdb_raw_filter,
+        "tsdb_windowed_2d": q_tsdb_windowed_2d,
+        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
+        "tsdb_interp_linear": q_tsdb_interp_linear,
+        "tsdb_rate_daily": q_tsdb_rate_daily,
+        "tsdb_rollup_daily": q_tsdb_rollup_daily,
+        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
+        "tsdb_groupby_total": q_tsdb_groupby_total,
+        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
+        "tsdb_downsample_6h": q_tsdb_downsample_6h,
+        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_batch_topk": q_emb_batch_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "mm_extract_features": q_mm_extract_features,
+        "mm_frame_sample": q_mm_frame_sample,
+        "doc_token_quantiles": q_doc_token_quantiles,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_top_trigrams": q_doc_top_trigrams,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_split_stats": q_doc_split_stats,
+        "events_sampled_hourly": q_events_sampled_hourly,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_join_segment_month": q_tpch_join_segment_month,
+        "tpch_q3_top_orders": q_tpch_q3_top_orders,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "doc_budget_selection": q_doc_budget_selection,
+        "stream_anomaly_hourly": q_stream_anomaly_hourly,
+        "stream_dedup_hourly": q_stream_dedup_hourly,
+        "stream_sessions_30m": q_stream_sessions_30m,
+        "stream_counter_increase": q_stream_counter_increase,
+        "doc_length_histogram": q_doc_length_histogram,
+        "doc_normalized_dedup": q_doc_normalized_dedup,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_script_profile": q_doc_script_profile,
+        "tsdb_irate_daily": q_tsdb_irate_daily,
+        "doc_corpus_diff": q_doc_corpus_diff,
+        # --- tail: r10/r11/r12-evidenced tiers, rotation order
         "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
         "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
         "stream_topk_daily": q_stream_topk_daily,
@@ -4439,7 +4448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_sql_star": q_tsdb_sql_star,
         "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_session_30m": q_tsdb_session_30m,
-        # --- r11 driver evidence (the r11 head minus the X162 re-gate)
         "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
         "tsdb_increase_daily": q_tsdb_increase_daily,
         "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
@@ -4454,7 +4462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_absent_hourly": q_tsdb_absent_hourly,
         "tsdb_hw_forecast": q_tsdb_hw_forecast,
         "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
-        "stream_drawdown": q_stream_drawdown,
         "tsdb_predict_linear": q_tsdb_predict_linear,
         "tsdb_topk_daily": q_tsdb_topk_daily,
         "events_markov_transitions": q_events_markov_transitions,
@@ -4489,53 +4496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
         "doc_word_entropy": q_doc_word_entropy,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
-        # --- r9 driver evidence (remaining)
-        "tsdb_raw_filter": q_tsdb_raw_filter,
-        "tsdb_windowed_2d": q_tsdb_windowed_2d,
-        "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
-        "tsdb_interp_linear": q_tsdb_interp_linear,
-        "tsdb_rate_daily": q_tsdb_rate_daily,
-        "tsdb_rollup_daily": q_tsdb_rollup_daily,
-        "tsdb_wide_frame_daily": q_tsdb_wide_frame_daily,
-        "tsdb_groupby_total": q_tsdb_groupby_total,
-        "tsdb_stddev_weekly": q_tsdb_stddev_weekly,
-        "tsdb_downsample_6h": q_tsdb_downsample_6h,
-        "tsdb_overlapping_windows": q_tsdb_overlapping_windows,
-        "doc_dedup_clusters": q_doc_dedup_clusters,
-        "emb_cosine_topk": q_emb_cosine_topk,
-        "emb_batch_topk": q_emb_batch_topk,
-        "emb_near_dup": q_emb_near_dup,
-        "mm_extract_features": q_mm_extract_features,
-        "mm_frame_sample": q_mm_frame_sample,
-        "doc_token_quantiles": q_doc_token_quantiles,
-        "doc_decontaminate": q_doc_decontaminate,
-        "doc_top_trigrams": q_doc_top_trigrams,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_dedup_exact_stats": q_doc_dedup_exact_stats,
-        "doc_text_stats": q_doc_text_stats,
-        "doc_split_stats": q_doc_split_stats,
-        "events_sampled_hourly": q_events_sampled_hourly,
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_join_segment_month": q_tpch_join_segment_month,
-        "tpch_q3_top_orders": q_tpch_q3_top_orders,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        "doc_budget_selection": q_doc_budget_selection,
-        "stream_anomaly_hourly": q_stream_anomaly_hourly,
-        "stream_dedup_hourly": q_stream_dedup_hourly,
-        "stream_sessions_30m": q_stream_sessions_30m,
-        "stream_counter_increase": q_stream_counter_increase,
-        "doc_length_histogram": q_doc_length_histogram,
-        "doc_normalized_dedup": q_doc_normalized_dedup,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_script_profile": q_doc_script_profile,
-        "tsdb_irate_daily": q_tsdb_irate_daily,
-        "doc_corpus_diff": q_doc_corpus_diff,
         "tsdb_label_cardinality": q_tsdb_label_cardinality,
         "emb_group_diversity": q_emb_group_diversity,
         "doc_bm25_topk": q_doc_bm25_topk,
-        # --- r10 driver evidence (freshest tier)
         "doc_mixture_weights": q_doc_mixture_weights,
         "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
         "tsdb_mad_daily": q_tsdb_mad_daily,
@@ -4548,7 +4511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hampel_hourly": q_events_hampel_hourly,
         "emb_pq_topk": q_emb_pq_topk,
         "emb_pq_recall": q_emb_pq_recall,
-        "stream_hampel_hourly": q_stream_hampel_hourly,
         "events_heavy_hitters": q_events_heavy_hitters,
         "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
         "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
@@ -4586,17 +4548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mmr_topk": q_emb_mmr_topk,
         "stream_alert_episodes": q_stream_alert_episodes,
         "stream_slo_burn": q_stream_slo_burn,
-        # --- NEW r12: local-sweep evidence until their first driver
-        # --- window, per the saturated-gate contract
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
-        "mm_wav_features": q_mm_wav_features,
-        "stream_wav_features": q_stream_wav_features,
-        "emb_semantic_decontaminate": q_emb_semantic_decontaminate,
-        "stream_session_perplexity": q_stream_session_perplexity,
-        # --- NEW r13
-        "tpch_q19_discount_promo": q_tpch_q19_discount_promo,
-        "mm_image_features": q_mm_image_features,
     }
 
 
@@ -7289,36 +7240,6 @@ def oracle_sql() -> dict[str, str]:
             AND t < (SELECT max(g.t) FROM grid g
                      WHERE g.name = r.series_key)
         """,
-        "stream_drawdown": f"""
-          WITH grid AS (
-            SELECT event_type AS name,
-                   {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
-                   round(avg(value) + {EPS6}, 6) AS x
-            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
-            GROUP BY 1, 2
-          ),
-          pk AS (
-            SELECT *, max(x) OVER w AS peak
-            FROM grid
-            WINDOW w AS (PARTITION BY name ORDER BY t
-                         ROWS UNBOUNDED PRECEDING)
-          ),
-          d AS (
-            SELECT *, CASE WHEN peak > 0
-                           THEN round((peak - x) / peak + {EPS6}, 6)
-                      END AS dd
-            FROM pk
-          ),
-          m AS (
-            SELECT *, max(dd) OVER (PARTITION BY name ORDER BY t
-                                    ROWS UNBOUNDED PRECEDING) AS max_dd
-            FROM d
-          )
-          SELECT name AS series_key, t, x + 0.0 AS x, peak + 0.0 AS peak,
-                 dd + 0.0 AS dd, max_dd + 0.0 AS max_dd
-          FROM m
-          WHERE t < (SELECT max(g.t) FROM grid g WHERE g.name = m.name)
-        """,
         "tsdb_predict_linear": f"""
           WITH grid AS (
             SELECT name, uid, {F0} + ((t - {F0}) // {DAY}) * {DAY} AS t,
@@ -8041,49 +7962,6 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN hist >= 12 AND std > 0
                       THEN round((n - mean) / std + {EPS4}, 4) + 0.0 END AS z
           FROM w WHERE t < last_t
-        """,
-        "stream_hampel_hourly": f"""
-          WITH c AS (
-            SELECT event_type AS series_key,
-                   (epoch_ms(ts) // {HOUR}) * {HOUR} AS t, count(*) AS n
-            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
-            GROUP BY 1, 2
-          ),
-          w AS (
-            SELECT series_key, t, n,
-                   list_sort(list(CAST(n AS DOUBLE)) OVER win) AS arr,
-                   max(t) OVER (PARTITION BY series_key) AS last_t
-            FROM c
-            WINDOW win AS (PARTITION BY series_key ORDER BY t
-                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
-          ),
-          st AS (
-            SELECT series_key, t, n, arr, last_t, len(arr) AS m,
-                   CASE WHEN len(arr) > 0 THEN
-                     (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0
-                   END AS med
-            FROM w
-          ),
-          st2 AS (
-            SELECT series_key, t, n, m, med, last_t,
-                   CASE WHEN m > 0 THEN
-                     (list_sort(list_transform(arr, v -> abs(v - med)))
-                        [(m + 1) // 2]
-                      + list_sort(list_transform(arr, v -> abs(v - med)))
-                        [m // 2 + 1]) / 2.0
-                   END AS mad,
-                   abs(n - med) AS dev
-            FROM st
-          )
-          SELECT series_key, t, n,
-                 CASE WHEN m >= 12 THEN med END AS med,
-                 CASE WHEN m >= 12 THEN mad END AS mad,
-                 round(CASE WHEN m >= 12 AND mad > 0
-                       THEN dev / (1.4826 * mad) END + {EPS4}, 4) + 0.0 AS z,
-                 CASE WHEN m >= 12
-                      THEN CAST(dev > 3.0 * (1.4826 * mad) AS BIGINT) END
-                   AS is_anomaly
-          FROM st2 WHERE t < last_t
         """,
         "tsdb_percentiles_daily": f"""
           SELECT event_type AS name,

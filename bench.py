@@ -125,7 +125,6 @@ HEADLINE = [
     "events_hampel_hourly",
     "emb_pq_topk",
     "emb_pq_recall",
-    "stream_hampel_hourly",
     "events_heavy_hitters",
     "tsdb_theilsen_daily",
     "tsdb_seasonal_naive",
@@ -183,7 +182,6 @@ HEADLINE = [
     "events_markov_kstep",
     "doc_fuzzy_dedup",
     "doc_vocab_growth",
-    "stream_drawdown",
     "tpch_q4_priority",
     "tpch_q12_modes",
     "events_dau_wau",
