@@ -52,6 +52,14 @@ def build_scaled(mult: int) -> str:
             _build_embeddings(mult, out)
         if not os.path.exists(os.path.join(out, "lineitem.parquet")):
             _build_tpch(mult, out)  # added r12: TPC-H fact replicas
+        if not os.path.exists(os.path.join(out, "part.parquet")):
+            import duckdb
+            duckdb.connect().execute(
+                f"""COPY (SELECT * FROM read_parquet(
+                      '{os.path.join(BASE, "part.parquet")}'))
+                    TO '{os.path.join(out, "part.parquet")}'
+                    (FORMAT PARQUET)"""
+            )  # added r13: Q19 part dim
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -146,7 +154,9 @@ def _build_tpch(mult: int, out: str) -> None:
         ) TO '{os.path.join(out, "orders.parquet")}' (FORMAT PARQUET)
         """
     )
-    for dim in ("supplier", "nation"):
+    # part joins the replicated lineitem on l_partkey (X182 Q19): a
+    # fixed dim, like supplier — per-part line volume grows linearly
+    for dim in ("supplier", "nation", "part"):
         con.execute(
             f"""
             COPY (SELECT * FROM read_parquet(
@@ -936,6 +946,26 @@ def ops(spark):
             .collect()
         )
 
+    def op_image_features(d):
+        # real PPM P6 byte decode over SQL-built payloads (X183)
+        from v3io_tsdb_spark.functions.multimodal import (
+            attach_ppm_payload,
+            ppm_features,
+        )
+
+        return (
+            ppm_features(attach_ppm_payload(docs(d)))
+            .agg(F.sum("luma_grad"))
+            .collect()
+        )
+
+    def op_tpch_q19(d):
+        # disjunctive OR-of-AND-blocks pushdown (X182): run through
+        # the registry entry itself
+        import __spark_entry__ as E
+
+        return E.queries()["tpch_q19_discount_promo"](spark, d).collect()
+
     def op_sem_decon(d):
         # multiprobe-LSH semantic decontamination (X180): the corpus
         # side scales; the eval side is a FIXED panel from the base
@@ -1084,6 +1114,8 @@ def ops(spark):
         "tpch_q21": op_tpch_q21,
         "wav_features": op_wav_features,
         "semantic_decontaminate": op_sem_decon,
+        "image_features": op_image_features,
+        "tpch_q19": op_tpch_q19,
     }
 
 
