@@ -25,6 +25,7 @@ from v3io_tsdb_spark.functions.detmath import (
     benford_expected_sql,
     det_exp_sql,
     det_ln_sql,
+    det_pow_int_sql,
     floor_log2_sql,
 )
 from v3io_tsdb_spark.querier import Querier, SelectParams
@@ -6259,7 +6260,7 @@ def oracle_sql() -> dict[str, str]:
           m AS (SELECT max(n) AS nmax FROM c),
           r AS (
             SELECT c.source,
-                   CAST(floor(least(1.0, 0.25 * pow(CAST(m.nmax AS DOUBLE) / c.n, 0.5))
+                   CAST(floor(least(1.0, 0.25 * sqrt(CAST(m.nmax AS DOUBLE) / c.n))
                               * 10000 + 0.000001) AS BIGINT) AS thr
             FROM c, m
           )
@@ -6521,7 +6522,8 @@ def oracle_sql() -> dict[str, str]:
           s AS (SELECT digit, n, sum(n) OVER () AS tot,
                        {benford_expected_sql('digit')} AS expected
                 FROM cf),
-          p AS (SELECT *, pow(n - expected * tot, 2) / (expected * tot)
+          p AS (SELECT *, ((n - expected * tot) * (n - expected * tot))
+                          / (expected * tot)
                        AS chip
                 FROM s)
           SELECT digit, CAST(n AS BIGINT) AS n,
@@ -7816,7 +7818,7 @@ def oracle_sql() -> dict[str, str]:
           ),
           w AS (
             SELECT name, uid, t, x, i, x0,
-                   coalesce(sum(CASE WHEN i >= 1 THEN x * pow(0.7, -i) END)
+                   coalesce(sum(CASE WHEN i >= 1 THEN x * {det_pow_int_sql(1.0 / 0.7, 'i')} END)
                      OVER (PARTITION BY name, uid ORDER BY t
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      0.0) AS csum
@@ -7824,7 +7826,7 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT name, uid, t,
                  round(x + {EPS4}, 4) + 0.0 AS avg,
-                 round(pow(0.7, i) * (x0 + 0.3 * csum) + {EPS4}, 4) + 0.0 AS ewma
+                 round({det_pow_int_sql(0.7, 'i')} * (x0 + 0.3 * csum) + {EPS4}, 4) + 0.0 AS ewma
           FROM w
         """,
         "tsdb_autocorr_daily": f"""
@@ -8264,7 +8266,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b WINDOW win AS (PARTITION BY name, uid ORDER BY t)
           ),
           w AS (
-            SELECT *, coalesce(sum(CASE WHEN i >= 1 THEN x * pow(0.7, -i) END)
+            SELECT *, coalesce(sum(CASE WHEN i >= 1 THEN x * {det_pow_int_sql(1.0 / 0.7, 'i')} END)
                      OVER (PARTITION BY name, uid ORDER BY t
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      0.0) AS csum
@@ -8272,7 +8274,7 @@ def oracle_sql() -> dict[str, str]:
           ),
           s1t AS (
             SELECT name, uid, t, x, i,
-                   round(pow(0.7, i) * (x0 + 0.3 * csum) + {EPS6}, 6) AS s1
+                   round({det_pow_int_sql(0.7, 'i')} * (x0 + 0.3 * csum) + {EPS6}, 6) AS s1
             FROM w
           ),
           r2 AS (
@@ -8281,7 +8283,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s1t
           ),
           w2 AS (
-            SELECT *, coalesce(sum(CASE WHEN i >= 1 THEN s1 * pow(0.7, -i) END)
+            SELECT *, coalesce(sum(CASE WHEN i >= 1 THEN s1 * {det_pow_int_sql(1.0 / 0.7, 'i')} END)
                      OVER (PARTITION BY name, uid ORDER BY t
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                      0.0) AS csum2
@@ -8289,7 +8291,7 @@ def oracle_sql() -> dict[str, str]:
           ),
           f AS (
             SELECT name, uid, t, x, s1,
-                   round(pow(0.7, i) * (s10 + 0.3 * csum2) + {EPS6}, 6) AS s2
+                   round({det_pow_int_sql(0.7, 'i')} * (s10 + 0.3 * csum2) + {EPS6}, 6) AS s2
             FROM w2
           )
           SELECT name, uid, t,

@@ -189,10 +189,43 @@ def test_no_raw_transcendentals_in_oracle_sql():
     import re
     import __spark_entry__ as E
 
-    pat = re.compile(r"(?<![a-z_])(ln|exp|log|log2|log10)\s*\(", re.I)
+    pat = re.compile(
+        r"(?<![a-z_])(ln|exp|log|log2|log10|pow|power)\s*\(", re.I
+    )
     offenders = {
         name: sorted({m.group(1) for m in pat.finditer(sql)})
         for name, sql in E.oracle_sql().items()
         if pat.search(sql)
     }
     assert offenders == {}, offenders
+
+
+def test_det_pow_int_bit_identity(spark):
+    """Binary exponentiation over shared literals: Spark, DuckDB, and
+    a Python fold produce bit-identical doubles, close to libm pow."""
+    from v3io_tsdb_spark.functions.detmath import (
+        _pow2_table,
+        det_pow_int,
+        det_pow_int_sql,
+    )
+
+    cases = [(0.7, i) for i in range(0, 40)] + [
+        (1.0 / 0.7, i) for i in range(0, 40)
+    ] + [(0.3, 7), (0.99, 1023), (1.5, 100)]
+    for base, i in cases:
+        sdf = spark.createDataFrame([(i,)], "i long")
+        got = sdf.select(
+            det_pow_int(base, F.col("i")).alias("y")
+        ).collect()[0]["y"]
+        dd = duckdb.connect().execute(
+            f"SELECT {det_pow_int_sql(base, str(i))}"
+        ).fetchone()[0]
+        acc = 1.0
+        for j, bj in enumerate(_pow2_table(base, 20)):
+            if (i >> j) & 1:
+                acc = acc * bj
+        assert _bits(got) == _bits(acc), (base, i, got, acc)
+        assert _bits(dd) == _bits(acc), (base, i, dd, acc)
+        want = base ** i
+        if want != 0.0:
+            assert abs(acc - want) <= 1e-12 * abs(want), (base, i)

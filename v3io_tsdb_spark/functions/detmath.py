@@ -141,12 +141,18 @@ class _SparkOps:
         return F.floor(a).cast("double")
 
 
+def _sql_double(v: float) -> str:
+    """DOUBLE literal as a QUOTED string cast: DuckDB parses a bare
+    numeric literal as DECIMAL first, and DECIMAL→DOUBLE is not
+    correctly rounded (an 18-digit repr can land 1 ulp off — observed
+    on 1.5^64). The string→DOUBLE cast is a correctly-rounded parse,
+    so the engine sees exactly the double Python repr'd. Non-finite
+    values spell out ('inf'/'nan' parse fine)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
 class _SqlOps:
-    @staticmethod
-    def lit(v):
-        # explicit DOUBLE: DuckDB types bare decimal literals as DECIMAL,
-        # whose arithmetic is NOT IEEE and overflows on these products
-        return f"CAST({float(v)!r} AS DOUBLE)"
+    lit = staticmethod(_sql_double)
 
     @staticmethod
     def add(a, b):
@@ -503,6 +509,44 @@ def floor_log2_sql(x: str, max_bits: int = 62) -> str:
         for j in range(1, max_bits + 1)
     )
     return f"CAST(({terms}) AS BIGINT)"
+
+
+def _pow2_table(base: float, max_bits: int) -> list:
+    """[base^(2^j) for j in range(max_bits)] by Python repeated
+    squaring — each entry a shared literal, identical in any engine."""
+    t, b = [], float(base)
+    for _ in range(max_bits):
+        t.append(b)
+        b = b * b
+    return t
+
+
+def det_pow_int(base: float, i: Column, max_bits: int = 20) -> Column:
+    """``base ** i`` for integral ``i ≥ 0`` with NO libm pow: binary
+    exponentiation over shared ``base^(2^j)`` literals in a fixed
+    multiply order — bit-identical in any engine (libm ``pow`` is not
+    correctly rounded and differs across builds, the VERDICT r12 #2
+    class). Supports i < 2^max_bits; overflow/underflow behave as
+    IEEE inf/0, the same as pow's."""
+    ii = i.cast("long")
+    acc = F.lit(1.0)
+    for j, bj in enumerate(_pow2_table(base, max_bits)):
+        acc = acc * F.when(
+            ii.bitwiseAND(F.lit(2 ** j)) != 0, F.lit(bj)
+        ).otherwise(F.lit(1.0))
+    return acc
+
+
+def det_pow_int_sql(base: float, i: str, max_bits: int = 20) -> str:
+    """SQL twin of :func:`det_pow_int`; ``i`` must be a simple
+    integral column reference (repeated per bit)."""
+    acc = "CAST(1.0 AS DOUBLE)"
+    for j, bj in enumerate(_pow2_table(base, max_bits)):
+        term = (f"(CASE WHEN ({i} & {2 ** j}) != 0 "
+                f"THEN {_sql_double(bj)} "
+                f"ELSE CAST(1.0 AS DOUBLE) END)")
+        acc = f"({acc} * {term})"
+    return acc
 
 
 # Benford expected proportions: log10(1+1/d) for d=1..9 precomputed ONCE

@@ -192,11 +192,14 @@ def benford_profile(
     expected = benford_expected_col(F.col("digit"))
     # try_divide: a group with zero qualifying rows (all values < 1)
     # yields null shares/χ² — no verdict, not a 0/0 crash under ANSI
+    # explicit square, not pow(·, 2): libm pow is not guaranteed
+    # correctly rounded even at integral exponents (detmath class)
+    dev = F.col("n") - expected * tot
     scored = full.withColumn(
         "share", F.try_divide(F.col("n"), tot)
     ).withColumn("expected", expected).withColumn(
         "_chi_part",
-        F.try_divide(F.pow(F.col("n") - expected * tot, 2), expected * tot),
+        F.try_divide(dev * dev, expected * tot),
     )
     return scored.withColumn("chi2", F.sum("_chi_part").over(w)).drop(
         "_chi_part"

@@ -19,6 +19,7 @@ container ships no codec libraries, so tests gate the real path with
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -314,8 +315,11 @@ def wav_features(
                 out["mean_abs"].append(
                     _round6(int(sabs.sum()) / n)
                 )
+                # math.sqrt, not ** 0.5: CPython ** routes through
+                # libm pow, whose 0.5 case is not guaranteed to equal
+                # the correctly-rounded sqrt the oracle engine uses
                 out["rms"].append(
-                    _round6((int((s * s).sum()) / n) ** 0.5)
+                    _round6(math.sqrt(int((s * s).sum()) / n))
                 )
                 out["zero_crossings"].append(
                     int((sign[1:] != sign[:-1]).sum())

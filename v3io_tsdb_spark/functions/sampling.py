@@ -214,14 +214,31 @@ def mixture_sample(
     """
     counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
     nmax = counts.agg(F.max("_n").alias("_nmax"))
-    rates = counts.crossJoin(F.broadcast(nmax)).select(
+    base = counts.crossJoin(F.broadcast(nmax))
+    ratio = F.col("_nmax") / F.col("_n")
+    # the temperature power avoids libm pow (not correctly rounded,
+    # differs per engine build — the detmath class): sqrt IS an IEEE
+    # correctly-rounded primitive, so the standard alpha=0.5 case is
+    # exact everywhere; other alphas route through det_exp/det_ln on
+    # this panel-sized per-source frame
+    expnt = 1.0 - alpha
+    if expnt == 0.5:
+        base = base.withColumn("_sc", F.sqrt(ratio))
+    elif expnt == 0.0:
+        base = base.withColumn("_sc", F.lit(1.0))
+    elif expnt == 1.0:
+        base = base.withColumn("_sc", ratio)
+    else:
+        from v3io_tsdb_spark.functions.detmath import (
+            with_det_exp, with_det_ln,
+        )
+
+        base = with_det_ln(base, "_lnr", ratio)
+        base = with_det_exp(base, "_sc", F.lit(expnt) * F.col("_lnr"))
+    rates = base.select(
         source_col,
         F.floor(
-            F.least(
-                F.lit(1.0),
-                F.lit(top_rate)
-                * F.pow(F.col("_nmax") / F.col("_n"), F.lit(1.0 - alpha)),
-            )
+            F.least(F.lit(1.0), F.lit(top_rate) * F.col("_sc"))
             * F.lit(N_BUCKETS)
             + F.lit(1e-6)
         )

@@ -33,14 +33,19 @@ def ewma_over_buckets(
     alpha: float = 0.3,
 ) -> DataFrame:
     """Add ``ewma`` to a bucketed frame (one row per series-bucket)."""
+    from v3io_tsdb_spark.functions.detmath import det_pow_int
+
     beta = 1.0 - alpha
     wo = Window.partitionBy(*series_cols).orderBy(t_col)
     wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     i = F.row_number().over(wo) - F.lit(1)
     x0 = F.first(x_col).over(wr)
-    k = F.when(i >= 1, F.col(x_col) * F.pow(F.lit(beta), -i))
+    # integer powers via exact binary exponentiation (detmath): libm
+    # pow is not correctly rounded and can differ per engine build —
+    # the same cross-libm class as VERDICT r12 #1's ln
+    k = F.when(i >= 1, F.col(x_col) * det_pow_int(1.0 / beta, i))
     csum = F.coalesce(F.sum(k).over(wr), F.lit(0.0))
-    ewma = F.pow(F.lit(beta), i) * (x0 + F.lit(alpha) * csum)
+    ewma = det_pow_int(beta, i) * (x0 + F.lit(alpha) * csum)
     return df.withColumn("ewma", ewma)
 
 
