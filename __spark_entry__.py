@@ -3104,31 +3104,6 @@ def q_stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_value_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING 2D heatmap (X105): the X83 time-x-value histogram as
-    a complete-mode Structured Streaming aggregation over the replayed
-    feed — micro-batch partial cells fold into state exactly like
-    partition partials fold in batch (the mergeability property the
-    pytest pins cell-wise). With the CMS twin this closes the loop:
-    every mergeable aggregate in the repo has a streaming serving
-    shape that is literally the same plan in complete mode."""
-    from v3io_tsdb_spark.functions.histogram import value_heatmap
-
-    fx = _stream_evt_fixture(spark, sf_dir)
-    raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(fx, "in")
-    )
-    hm = value_heatmap(
-        raw, "value", 20.0, ts_col="ts", step_ms=DAY, origin_ms=F0,
-        group_cols=("name",),
-    )
-    out = _run_available_now(hm, output_mode="complete")
-    return out.select(
-        "name", F.col("t").cast("long").alias("t"),
-        "bucket_lo", F.col("n").cast("long").alias("n"),
-    )
-
-
 def q_events_hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch reaggregation (X106): weekly distinct users answered
     by UNIONING the per-day Datasketches HLL sketches — distinct
@@ -3258,32 +3233,6 @@ def q_tpch_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
-def q_stream_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of alert episodes (X135): the page-per-incident
-    merge emitted LIVE — each episode the moment a closed bucket
-    terminates it (non-flagged hour, or a flagged hour past a grid
-    hole), downstream of the same close-on-advance bucketizer as the
-    z/Hampel twins. Counts are integers, so emitted episodes match
-    the batch islands SQL bit-for-bit; the oracle runs over closed
-    buckets (every bucket but each series' open max) and keeps
-    episodes ending strictly before the series' latest closed
-    bucket — the exact emission contract."""
-    from v3io_tsdb_spark.streaming.stateful import stream_alert_episodes
-
-    fx = _stream_evt_fixture(spark, sf_dir)
-    raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(fx, "in")
-    )
-    out = _run_available_now(stream_alert_episodes(raw, threshold=4))
-    return out.select(
-        "series_key",
-        F.col("start_t").cast("long").alias("start_t"),
-        F.col("end_t").cast("long").alias("end_t"),
-        F.col("n_buckets").cast("long").alias("n_buckets"),
-        F.col("peak").cast("long").alias("peak"),
-    )
-
-
 def q_events_incident_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global incident timeline (X136): per-metric hourly alert
     episodes (the X127 grid, mean > 40) become half-open intervals
@@ -3368,34 +3317,6 @@ def q_tsdb_absent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         from_ms=F0, to_ms=T1,
     )
     return out.select("name", "t", F.col("absent").cast("long").alias("absent"))
-
-
-def q_stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of the two-window SLO burn alert (X140): each
-    closed hourly bucket immediately yields its trailing-inclusive
-    short/long burn ratios and the page verdict from an
-    O(long_buckets) timestamped ring — gap-safe entry selection by
-    timestamp, so a quiet hour contributes nothing, exactly the batch
-    RANGE frame replayed. Integer sums make the stream hash-match the
-    batch SQL on every closed bucket (the open max bucket is excluded
-    oracle-side)."""
-    from v3io_tsdb_spark.streaming.stateful import stream_slo_burn
-
-    fx = _stream_evt_fixture(spark, sf_dir)
-    raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(fx, "in")
-    )
-    out = _run_available_now(stream_slo_burn(
-        raw, error_name="error", step_ms=HOUR, short_buckets=1,
-        long_buckets=6, slo_target=0.75, burn_threshold=1.0,
-    ))
-    return out.select(
-        F.col("t").cast("long").alias("t"),
-        F.col("errors").cast("long").alias("errors"),
-        F.col("total").cast("long").alias("total"),
-        _rz("burn_short", 6), _rz("burn_long", 6),
-        F.col("page").cast("long").alias("page"),
-    )
 
 
 def q_tsdb_hw_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3993,6 +3914,217 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (X184, VERDICT r12 missing-#2): bilateral
+    shipping volume between a NATION PAIR by ship year — the
+    symmetric cross-dimension disjunction ((n1=A AND n2=B) OR
+    (n1=B AND n2=A)) that no other registry row has: the predicate
+    spans TWO INDEPENDENT broadcast dims (supplier's nation and
+    customer's nation), so the FULL predicate only evaluates after
+    both dim joins — but Catalyst derives each side's residual
+    `n_name IN (A, B)` and pushes it into BOTH nation scans (the
+    two-dim analog of Q19's one-join residual derivation,
+    plan-asserted in tests/test_round13b_ops.py). Plan: the shipdate
+    band is the only fact-scan predicate (pushed); both nation
+    lookups broadcast; the two fact-fact joins (lineitem-orders on
+    orderkey, then orders-customer on custkey) are the real
+    exchanges; the exact pair filter runs post-broadcast-join at
+    ~zero cost and cuts the aggregate input to the pair's lines. Group key (supp_nation,
+    cust_nation, l_year) is tiny; revenue is the exact DECIMAL sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("_nk1"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_nk2"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3")
+         & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7")
+           & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.expr(
+                _DEC.format(expr="l_extendedprice * (1 - l_discount)")
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (X185, VERDICT r12 missing-#2): one nation's
+    market share, per order year, of a part type's volume sold into
+    one region's market — the conditional-sum-over-snowflake surface:
+    SEVEN tables (the registry's widest join), where the region
+    filter prunes through TWO dim hops (region -> customer nation ->
+    customer) and the share nation is a CASE tag on a THIRD dim hop
+    (supplier -> nation), so numerator and denominator come out of
+    ONE aggregate over one fact pass — never two scans. Share =
+    nation_volume / total_volume: both are exact DECIMAL(18,6) sums
+    cast to double, and IEEE division of bit-identical doubles is
+    correctly rounded on every engine (unlike libm ln — detmath's
+    class does NOT arise), so round(q + EPS, 6) matches DuckDB.
+    Plan: p_type pushes to the part scan, the orderdate band to the
+    orders scan; part/customer-side dims broadcast; the fact joins
+    exchange on orderkey/custkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    n1 = n.select(F.col("n_nationkey").alias("_nk1"),
+                  F.col("n_regionkey").alias("_rk1"))
+    n2 = n.select(F.col("n_nationkey").alias("_nk2"),
+                  F.col("n_name").alias("supp_nation"))
+    pt = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    vol = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+    agg = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            o.where(
+                (F.col("o_orderdate")
+                 >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate")
+                   < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_nk1"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "AMERICA")),
+            F.col("_rk1") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_nk2"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN supp_nation = 'NATION_15' "
+                f"THEN {vol} ELSE CAST(0 AS DECIMAL(18,6)) END)"
+                " AS DOUBLE)"
+            ).alias("nation_volume"),
+            F.expr(_DEC.format(expr="l_extendedprice * (1 - l_discount)"))
+            .alias("total_volume"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    return agg.select(
+        "o_year", "nation_volume", "total_volume", "n_lines",
+        (F.round(F.col("nation_volume") / F.col("total_volume")
+                 + F.lit(EPS4), 6) + F.lit(0.0)).alias("mkt_share"),
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (X186, VERDICT r12 missing-#2): profit per
+    (supplier nation, order year) over a part-name-substring family —
+    the snowflake whose measure SPANS tables: profit combines
+    lineitem columns with a PART column (the fixture has no partsupp,
+    so p_retailprice·l_quantity stands in for ps_supplycost·quantity;
+    reference semantics kept: revenue minus cost, grouped
+    nation × year, TPC-H 2.4 Q9). The '%red%' substring predicate is
+    the registry's only non-anchored LIKE on a dim — Spark's parquet
+    source accepts StringContains into PushedFilters (row-group
+    dictionary/stats screening), plan-asserted in
+    tests/test_round13b_ops.py, so the dim prunes scan-side. One fact pass: part prunes lineitem via broadcast
+    semi-shape, orders joins on orderkey for the year, supplier and
+    nation broadcast. The profit term is cast to DECIMAL(18,6) per
+    line and summed exactly — order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.expr(
+                _DEC.format(
+                    expr="l_extendedprice * (1 - l_discount)"
+                    " - p_retailprice * l_quantity"
+                )
+            ).alias("profit"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (X187, VERDICT r12 missing-#2): the promotion
+    revenue share for one ship month — the single-group
+    conditional-aggregate-ratio surface (Q8 computes it per group;
+    Q14 is the degenerate one-row form whose ENTIRE answer is the
+    ratio, TPC-H 2.4 Q14's 100·promo/total). Both sums come from one
+    aggregate over one month-pruned fact pass (the CASE tags the
+    broadcast part join's p_type); promo_revenue and total_revenue
+    are exact DECIMAL(18,6) sums, and the published percentage is
+    their IEEE double quotient ×100 — correctly-rounded division, no
+    libm term, so the 6dp round matches DuckDB bit-for-bit. Plan: the
+    shipdate month band is the only fact predicate (pushed to the
+    lineitem scan); part broadcasts; ZERO exchanges beyond the final
+    single-row aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN p_type = 'PROMO' "
+                f"THEN {vol} ELSE CAST(0 AS DECIMAL(18,6)) END)"
+                " AS DOUBLE)"
+            ).alias("promo_revenue"),
+            F.expr(_DEC.format(expr="l_extendedprice * (1 - l_discount)"))
+            .alias("total_revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+    return agg.select(
+        "promo_revenue", "total_revenue", "n_lines",
+        (F.round(F.lit(100.0) * F.col("promo_revenue")
+                 / F.col("total_revenue") + F.lit(EPS4), 6)
+         + F.lit(0.0)).alias("promo_share"),
+    )
+
+
 def q_stream_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of the per-bucket top-k panel (X171): per
     metric, when a daily bucket closes, the 3 uids with the largest
@@ -4077,28 +4209,6 @@ def q_tsdb_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = calendar_profile(s, series_cols=("name",), ts_col="ts")
     return out.select("name", "dow", "hour", F.col("n").cast("long"),
                       _rz("mean", 6))
-
-
-def q_stream_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of the rolling predict_linear (X159): each
-    closed daily bucket's trailing-7 least-squares extrapolation
-    emits on close from an O(lookback) timestamped ring — entries
-    selected by timestamp so grid holes null the verdict, the batch
-    RANGE frame replayed; hash-matches the batch SQL on every closed
-    bucket."""
-    from v3io_tsdb_spark.streaming.stateful import stream_predict_linear
-
-    fx = _stream_evt_fixture(spark, sf_dir)
-    raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(fx, "in")
-    )
-    out = _run_available_now(stream_predict_linear(
-        raw, step_ms=DAY, lookback=7, horizon=3, from_ms=F0,
-    ))
-    return out.select(
-        "series_key", F.col("t").cast("long").alias("t"),
-        _rz("x", 6), _rz("slope", 6), _rz("predict", 6),
-    )
 
 
 def q_tpch_parts_no_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4323,9 +4433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no query's newest driver row should age past ~2 rounds.
 
     Round-13 head-50 = the 6 r12 net-new rows (local-only evidence,
-    VERDICT r12 #2) + the 2 r13 net-new rows (`tpch_q19_discount_promo`
+    VERDICT r12 #2) + the 6 r13 net-new rows (`tpch_q19_discount_promo`
     — the disjunctive pushdown shape, `mm_image_features` — the real
-    PPM codec) + the 42 oldest-evidence (r9) rows, exactly
+    PPM codec, and the four remaining distinct public TPC-H plan
+    patterns `tpch_q7_volume_shipping` / `tpch_q8_market_share` /
+    `tpch_q9_product_profit` / `tpch_q14_promo_share`, VERDICT r12
+    missing-#2) + the 38 oldest-evidence (r9) rows, per
     `tools/check_rotation.py --plan`. `events_session_perplexity`
     (X162, driver hash-red r11+r12 on cross-libm ln) re-gates inside
     the r9 tier with the structural det_ln fix (functions/detmath.py).
@@ -4337,13 +4450,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row per query against that bound and prints the recommended next
     head with --plan.
 
-    Registry held at N=200 (VERDICT r12 #7): r13 added two rows and
-    RETIRED `stream_drawdown` and `stream_hampel_hourly` to
-    pytest-only status — each is a near-duplicate stateful twin whose
-    code path stays pinned by a direct stream-matches-batch pytest
-    (test_round10c_ops.py, test_round9b_ops.py) and whose batch
-    operator keeps its own gated row (tsdb_drawdown_daily,
-    events_hampel_hourly)."""
+    Registry held at N=200 (VERDICT r12 #7): r13 added six rows and
+    RETIRED six near-duplicate stateful stream twins to pytest-only
+    status — `stream_drawdown`, `stream_hampel_hourly`,
+    `stream_predict_linear`, `stream_slo_burn`,
+    `stream_alert_episodes`, `stream_value_heatmap` — each with its
+    code path pinned by a direct stream-matches-batch pytest
+    (test_round10c_ops.py, test_round9b_ops.py, test_round10d_ops.py,
+    test_round9i_ops.py, test_round13b_ops.py) and its batch operator
+    keeping a gated row (tsdb_drawdown_daily, events_hampel_hourly,
+    tsdb_predict_linear, tsdb_slo_burn, events_alert_episodes,
+    events_value_heatmap)."""
     return {
         # --- r13 head-50: the 6 r12 net-new rows + the 2 r13
         # --- net-new (tpch_q19, mm_image) + the oldest-evidence
@@ -4356,6 +4473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_perplexity": q_stream_session_perplexity,
         "tpch_q19_discount_promo": q_tpch_q19_discount_promo,
         "mm_image_features": q_mm_image_features,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
         "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
@@ -4477,7 +4598,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm_scores": q_events_rfm_scores,
         "events_gini": q_events_gini,
         "tsdb_calendar_profile": q_tsdb_calendar_profile,
-        "stream_predict_linear": q_stream_predict_linear,
         "tpch_parts_no_sales": q_tpch_parts_no_sales,
         "emb_pca_top": q_emb_pca_top,
         "tpch_q17_small_qty": q_tpch_q17_small_qty,
@@ -4524,7 +4644,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_rrf": q_doc_hybrid_rrf,
         "events_bloom_semi": q_events_bloom_semi,
         "stream_cms_sketch": q_stream_cms_sketch,
-        "stream_value_heatmap": q_stream_value_heatmap,
         "doc_weighted_sample": q_doc_weighted_sample,
         "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
         "events_path_trigrams": q_events_path_trigrams,
@@ -4547,8 +4666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
         "tsdb_hw_daily": q_tsdb_hw_daily,
         "emb_mmr_topk": q_emb_mmr_topk,
-        "stream_alert_episodes": q_stream_alert_episodes,
-        "stream_slo_burn": q_stream_slo_burn,
     }
 
 
@@ -6869,6 +6986,93 @@ def oracle_sql() -> dict[str, str]:
           WHERE pp.sess < mx.mxs
           GROUP BY 1, 2
         """,
+        "tpch_q7_volume_shipping": """
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                 CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer cu ON o.o_custkey = cu.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON cu.c_nationkey = n2.n_nationkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          GROUP BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": f"""
+          WITH a AS (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CASE WHEN n2.n_name = 'NATION_15'
+                                 THEN CAST(l.l_extendedprice
+                                           * (1 - l.l_discount)
+                                           AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE) AS nation_volume,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_volume,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+                       AND p.p_type = 'STANDARD'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer cu ON o.o_custkey = cu.c_custkey
+            JOIN nation n1 ON cu.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+                         AND r.r_name = 'AMERICA'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+          )
+          SELECT o_year, nation_volume, total_volume, n_lines,
+                 round(nation_volume / total_volume + {EPS4}, 6) + 0.0
+                   AS mkt_share
+          FROM a
+        """,
+        "tpch_q9_product_profit": """
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * l.l_quantity
+                               AS DECIMAL(18,6))) AS DOUBLE) AS profit,
+                 CAST(count(*) AS BIGINT) AS n_lines
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+                     AND p.p_name LIKE '%red%'
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY 1, 2
+        """,
+        "tpch_q14_promo_share": f"""
+          WITH a AS (
+            SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_extendedprice
+                                           * (1 - l.l_discount)
+                                           AS DECIMAL(18,6))
+                                 ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE) AS promo_revenue,
+                   CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                     AS total_revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
+              AND l.l_shipdate < TIMESTAMP '1998-04-01'
+          )
+          SELECT promo_revenue, total_revenue, n_lines,
+                 round(100.0 * promo_revenue / total_revenue
+                       + {EPS4}, 6) + 0.0 AS promo_share
+          FROM a
+        """,
         "tpch_q19_discount_promo": """
           SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
@@ -7004,40 +7208,6 @@ def oracle_sql() -> dict[str, str]:
                  round(avg(value) + {EPS6}, 6) + 0.0 AS mean
           FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
           GROUP BY 1, 2, 3
-        """,
-        "stream_predict_linear": f"""
-          WITH grid AS MATERIALIZED (
-            SELECT event_type AS name,
-                   {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS t,
-                   round(avg(value) + {EPS6}, 6) AS x
-            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
-            GROUP BY 1, 2
-          ),
-          m AS (
-            SELECT name, t, x, (t - {F0}) // {DAY} AS i FROM grid
-          ),
-          b AS (
-            SELECT *, count(x) OVER w AS n,
-                   CAST(sum(i) OVER w AS DOUBLE) AS si,
-                   sum(x) OVER w AS sx,
-                   sum(CAST(i AS DOUBLE) * x) OVER w AS six,
-                   CAST(sum(i * i) OVER w AS DOUBLE) AS sii
-            FROM m
-            WINDOW w AS (PARTITION BY name ORDER BY t
-                         RANGE BETWEEN {6 * DAY} PRECEDING AND CURRENT ROW)
-          ),
-          sl AS (
-            SELECT *, CASE WHEN n = 7 THEN
-              round((n * six - si * sx) / (n * sii - si * si) + {EPS6}, 6)
-            END AS slope
-            FROM b
-          )
-          SELECT name AS series_key, t, x + 0.0 AS x, slope + 0.0 AS slope,
-                 CASE WHEN slope IS NOT NULL THEN
-                   round(sx / n + slope * (i + 3 - si / n) + {EPS6}, 6)
-                 END + 0.0 AS predict
-          FROM sl
-          WHERE t < (SELECT max(g.t) FROM grid g WHERE g.name = sl.name)
         """,
         "tpch_parts_no_sales": """
           SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
@@ -8843,13 +9013,6 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS cnt
           FROM keys, rr GROUP BY 1, 2
         """,
-        "stream_value_heatmap": f"""
-          SELECT event_type AS name, {_DAY_BUCKET} AS t,
-                 CAST(floor(value / 20.0) * 20.0 AS DOUBLE) AS bucket_lo,
-                 CAST(count(value) AS BIGINT) AS n
-          FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
-          GROUP BY 1, 2, 3
-        """,
         "events_hll_weekly_rollup": f"""
           WITH f AS (
             SELECT {F0} + ((epoch_ms(ts) - {F0}) // {DAY}) * {DAY} AS ft,
@@ -9186,41 +9349,6 @@ def oracle_sql() -> dict[str, str]:
                        + {EPS6}, 6) + 0.0 AS survival
           FROM se WHERE n_events > 0
         """,
-        "stream_alert_episodes": f"""
-          WITH c AS (
-            SELECT event_type AS series_key,
-                   (epoch_ms(ts) // {HOUR}) * {HOUR} AS t, count(*) AS n
-            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
-            GROUP BY 1, 2
-          ),
-          closed AS (
-            SELECT * FROM (
-              SELECT c.*, max(t) OVER (PARTITION BY series_key) AS open_t
-              FROM c
-            ) WHERE t < open_t
-          ),
-          f AS (SELECT * FROM closed WHERE n > 4),
-          g AS (
-            SELECT *, CASE WHEN lag(t) OVER w IS NULL
-                           OR t - lag(t) OVER w > {HOUR}
-                           THEN 1 ELSE 0 END AS ne
-            FROM f WINDOW w AS (PARTITION BY series_key ORDER BY t)
-          ),
-          s AS (SELECT *, sum(ne) OVER (PARTITION BY series_key ORDER BY t)
-                     AS ep
-                FROM g),
-          e AS (
-            SELECT series_key, min(t) AS start_t, max(t) AS end_t,
-                   CAST(count(*) AS BIGINT) AS n_buckets,
-                   CAST(max(n) AS BIGINT) AS peak
-            FROM s GROUP BY series_key, ep
-          ),
-          lastc AS (SELECT series_key, max(t) AS last_closed
-                    FROM closed GROUP BY 1)
-          SELECT e.series_key, e.start_t, e.end_t, e.n_buckets, e.peak
-          FROM e JOIN lastc USING (series_key)
-          WHERE e.end_t < lastc.last_closed
-        """,
         "events_incident_timeline": f"""
           WITH grid AS (
             SELECT name, {F0} + ((t - {F0}) // {HOUR}) * {HOUR} AS t,
@@ -9347,35 +9475,6 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.name, e.t, CAST(1 AS BIGINT) AS absent
           FROM exp e LEFT JOIN obs o ON e.name = o.name AND e.t = o.t
           WHERE o.t IS NULL
-        """,
-        "stream_slo_burn": f"""
-          WITH grid AS (
-            SELECT (t // {HOUR}) * {HOUR} AS t,
-                   sum(CASE WHEN name = 'error' THEN 1 ELSE 0 END) AS err,
-                   count(*) AS tot
-            FROM ({_PTS}) GROUP BY 1
-          ),
-          w AS (
-            SELECT t, err, tot,
-                   sum(err) OVER ws / CAST(sum(tot) OVER ws AS DOUBLE)
-                     / 0.25 AS bs,
-                   sum(err) OVER wl / CAST(sum(tot) OVER wl AS DOUBLE)
-                     / 0.25 AS bl,
-                   max(t) OVER () AS open_t
-            FROM grid
-            WINDOW ws AS (ORDER BY t RANGE BETWEEN 0 PRECEDING
-                          AND CURRENT ROW),
-                   wl AS (ORDER BY t RANGE BETWEEN {5 * HOUR} PRECEDING
-                          AND CURRENT ROW)
-          )
-          SELECT t, CAST(err AS BIGINT) AS errors,
-                 CAST(tot AS BIGINT) AS total,
-                 round(bs + {EPS6}, 6) + 0.0 AS burn_short,
-                 round(bl + {EPS6}, 6) + 0.0 AS burn_long,
-                 CAST(CASE WHEN round(bs + {EPS6}, 6) > 1.0
-                           AND round(bl + {EPS6}, 6) > 1.0
-                      THEN 1 ELSE 0 END AS BIGINT) AS page
-          FROM w WHERE t < open_t
         """,
         "tpch_q15_top_supplier": """
           WITH r AS (
