@@ -137,7 +137,6 @@ HEADLINE = [
     "doc_hybrid_rrf",
     "events_bloom_semi",
     "stream_cms_sketch",
-    "stream_value_heatmap",
     "events_hll_weekly_rollup",
     "doc_weighted_sample",
     "tsdb_increase_daily",
@@ -167,12 +166,10 @@ HEADLINE = [
     "events_survival",
     "emb_mmr_topk",
     "tpch_fk_integrity",
-    "stream_alert_episodes",
     "events_incident_timeline",
     "events_split_leakage",
     "events_ks_drift",
     "tsdb_absent_hourly",
-    "stream_slo_burn",
     "tsdb_hw_daily",
     "tsdb_hw_forecast",
     "tsdb_drawdown_daily",
@@ -190,7 +187,6 @@ HEADLINE = [
     "events_rfm_scores",
     "events_gini",
     "tsdb_calendar_profile",
-    "stream_predict_linear",
     "tpch_parts_no_sales",
     "emb_pca_top",
     "events_session_perplexity",
@@ -213,6 +209,12 @@ HEADLINE = [
     "stream_wav_features",
     "emb_semantic_decontaminate",
     "stream_session_perplexity",
+    "tpch_q19_discount_promo",
+    "mm_image_features",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q14_promo_share",
 ]
 
 

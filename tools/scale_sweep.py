@@ -52,14 +52,16 @@ def build_scaled(mult: int) -> str:
             _build_embeddings(mult, out)
         if not os.path.exists(os.path.join(out, "lineitem.parquet")):
             _build_tpch(mult, out)  # added r12: TPC-H fact replicas
-        if not os.path.exists(os.path.join(out, "part.parquet")):
-            import duckdb
-            duckdb.connect().execute(
-                f"""COPY (SELECT * FROM read_parquet(
-                      '{os.path.join(BASE, "part.parquet")}'))
-                    TO '{os.path.join(out, "part.parquet")}'
-                    (FORMAT PARQUET)"""
-            )  # added r13: Q19 part dim
+        for dim in ("part", "customer", "region"):
+            # added r13: Q19 part dim, then Q7/Q8 customer+region dims
+            if not os.path.exists(os.path.join(out, dim + ".parquet")):
+                import duckdb
+                duckdb.connect().execute(
+                    f"""COPY (SELECT * FROM read_parquet(
+                          '{os.path.join(BASE, dim + ".parquet")}'))
+                        TO '{os.path.join(out, dim + ".parquet")}'
+                        (FORMAT PARQUET)"""
+                )
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -155,8 +157,11 @@ def _build_tpch(mult: int, out: str) -> None:
         """
     )
     # part joins the replicated lineitem on l_partkey (X182 Q19): a
-    # fixed dim, like supplier — per-part line volume grows linearly
-    for dim in ("supplier", "nation", "part"):
+    # fixed dim, like supplier — per-part line volume grows linearly.
+    # customer/region (X184 Q7, X185 Q8): replicated orders keep their
+    # o_custkey, so per-customer order volume grows against a fixed
+    # customer base — the production shape for those snowflakes too.
+    for dim in ("supplier", "nation", "part", "customer", "region"):
         con.execute(
             f"""
             COPY (SELECT * FROM read_parquet(
@@ -966,6 +971,35 @@ def ops(spark):
 
         return E.queries()["tpch_q19_discount_promo"](spark, d).collect()
 
+    def op_tpch_q7(d):
+        # symmetric nation-pair disjunction over two broadcast dims
+        # (X184): run through the registry entry itself
+        import __spark_entry__ as E
+
+        return E.queries()["tpch_q7_volume_shipping"](spark, d).collect()
+
+    def op_tpch_q8(d):
+        # conditional market share over the widest snowflake (X185)
+        import __spark_entry__ as E
+
+        return E.queries()["tpch_q8_market_share"](spark, d).collect()
+
+    def op_tpch_q9(d):
+        # cross-table profit measure, contains-pushdown family (X186)
+        import __spark_entry__ as E
+
+        return (
+            E.queries()["tpch_q9_product_profit"](spark, d)
+            .agg(F.sum("n_lines"))
+            .collect()
+        )
+
+    def op_tpch_q14(d):
+        # single-row conditional-aggregate ratio (X187)
+        import __spark_entry__ as E
+
+        return E.queries()["tpch_q14_promo_share"](spark, d).collect()
+
     def op_sem_decon(d):
         # multiprobe-LSH semantic decontamination (X180): the corpus
         # side scales; the eval side is a FIXED panel from the base
@@ -1116,6 +1150,10 @@ def ops(spark):
         "semantic_decontaminate": op_sem_decon,
         "image_features": op_image_features,
         "tpch_q19": op_tpch_q19,
+        "tpch_q7": op_tpch_q7,
+        "tpch_q8": op_tpch_q8,
+        "tpch_q9": op_tpch_q9,
+        "tpch_q14": op_tpch_q14,
     }
 
 
