@@ -799,6 +799,29 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppm_features(docs)
 
 
+def q_mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL third-modality decode (X188): a valid YUV4MPEG2 stream is
+    assembled per doc from pure SQL expressions — fixed ascii stream
+    header, then a data-dependent NUMBER of FRAME sections built by
+    `transform(sequence(...))` interleaving the marker with each
+    frame's luma bytes — and y4m_features genuinely DEMUXES the
+    container: tagged header grammar (W/H/F required, I/A/X
+    tolerated, C selects the plane layout), per-frame marker walk
+    with exact plane-size validation (truncated frames raise), numpy
+    plane decode. The oracle computes the identical planes in DuckDB
+    ('0x' casts; lag(v) for intra-frame gradient, lag(v, w·h) for
+    inter-frame motion), so every feature is byte-level hash-gated —
+    the mm_wav_features property on a VIDEO container. Compressed
+    demux (MP4/H.264) stays the one declared stub."""
+    from v3io_tsdb_spark.functions.multimodal import (
+        attach_y4m_payload,
+        y4m_features,
+    )
+
+    docs = attach_y4m_payload(load_table(spark, sf_dir, "documents"))
+    return y4m_features(docs)
+
+
 def _stream_wav_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Binary-payload stream fixture: the documents table with its
     SQL-built RIFF/WAVE payload persisted once, so the streaming twin
@@ -1949,30 +1972,6 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, conversion_type="purchase", window_ms=DAY,
         user_col="user_id", ts_col="ts_ms", type_col="event_type",
         id_col="event_id",
-    )
-
-
-def q_stream_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING twin of new-vs-returning (X124): the per-user
-    first-seen tracker runs as ``applyInPandasWithState`` with TWO
-    longs of state per user (first/last bucket — membership is final
-    on first sight, so rows emit immediately, no closure wait); the
-    day rollup over the emitted (user, day, is_new) rows is a bounded
-    presentation aggregate. Hash-gated against the SAME batch SQL as
-    ``events_new_returning`` — stream == batch exactly, no open-bucket
-    exclusion needed."""
-    from v3io_tsdb_spark.streaming.stateful import stream_first_seen
-
-    fx = _stream_sess_fixture(spark, sf_dir)
-    raw = spark.readStream.schema("ts long, name string, value double").parquet(
-        os.path.join(fx, "in")
-    )
-    clamped = raw.where(F.col("ts").between(F0, T1))
-    out = _run_available_now(stream_first_seen(clamped, "name", DAY))
-    return out.groupBy("t").agg(
-        F.count("*").cast("long").alias("active"),
-        F.sum("is_new").cast("long").alias("new"),
-        (F.count("*") - F.sum("is_new")).cast("long").alias("returning"),
     )
 
 
@@ -4433,12 +4432,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no query's newest driver row should age past ~2 rounds.
 
     Round-13 head-50 = the 6 r12 net-new rows (local-only evidence,
-    VERDICT r12 #2) + the 6 r13 net-new rows (`tpch_q19_discount_promo`
+    VERDICT r12 #2) + the 7 r13 net-new rows (`tpch_q19_discount_promo`
     — the disjunctive pushdown shape, `mm_image_features` — the real
-    PPM codec, and the four remaining distinct public TPC-H plan
+    PPM codec, the four remaining distinct public TPC-H plan
     patterns `tpch_q7_volume_shipping` / `tpch_q8_market_share` /
-    `tpch_q9_product_profit` / `tpch_q14_promo_share`, VERDICT r12
-    missing-#2) + the 38 oldest-evidence (r9) rows, per
+    `tpch_q9_product_profit` / `tpch_q14_promo_share` (VERDICT r12
+    missing-#2), and `mm_video_features` — the real Y4M video demux)
+    + the 37 oldest-evidence (r9) rows, per
     `tools/check_rotation.py --plan`. `events_session_perplexity`
     (X162, driver hash-red r11+r12 on cross-libm ln) re-gates inside
     the r9 tier with the structural det_ln fix (functions/detmath.py).
@@ -4450,17 +4450,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row per query against that bound and prints the recommended next
     head with --plan.
 
-    Registry held at N=200 (VERDICT r12 #7): r13 added six rows and
-    RETIRED six near-duplicate stateful stream twins to pytest-only
+    Registry held at N=200 (VERDICT r12 #7): r13 added seven rows and
+    RETIRED seven near-duplicate stateful stream twins to pytest-only
     status — `stream_drawdown`, `stream_hampel_hourly`,
     `stream_predict_linear`, `stream_slo_burn`,
-    `stream_alert_episodes`, `stream_value_heatmap` — each with its
-    code path pinned by a direct stream-matches-batch pytest
-    (test_round10c_ops.py, test_round9b_ops.py, test_round10d_ops.py,
-    test_round9i_ops.py, test_round13b_ops.py) and its batch operator
-    keeping a gated row (tsdb_drawdown_daily, events_hampel_hourly,
-    tsdb_predict_linear, tsdb_slo_burn, events_alert_episodes,
-    events_value_heatmap)."""
+    `stream_alert_episodes`, `stream_value_heatmap`,
+    `stream_new_returning` — each with its code path pinned by a
+    direct stream-vs-batch pytest (test_round10c_ops.py,
+    test_round9b_ops.py, test_round10d_ops.py, test_round9i_ops.py,
+    test_round13b_ops.py, test_streaming.py stream_first_seen) and
+    its batch operator keeping a gated row (tsdb_drawdown_daily,
+    events_hampel_hourly, tsdb_predict_linear, tsdb_slo_burn,
+    events_alert_episodes, events_value_heatmap,
+    events_new_returning)."""
     return {
         # --- r13 head-50: the 6 r12 net-new rows + the 2 r13
         # --- net-new (tpch_q19, mm_image) + the oldest-evidence
@@ -4477,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q9_product_profit": q_tpch_q9_product_profit,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "mm_video_features": q_mm_video_features,
         "tsdb_raw_filter": q_tsdb_raw_filter,
         "tsdb_windowed_2d": q_tsdb_windowed_2d,
         "tsdb_cross_series_daily": q_tsdb_cross_series_daily,
@@ -4659,7 +4662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": q_doc_oov_rate,
         "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
         "events_attribution": q_events_attribution,
-        "stream_new_returning": q_stream_new_returning,
         "emb_kmeans_profile": q_emb_kmeans_profile,
         "events_alert_episodes": q_events_alert_episodes,
         "tsdb_slo_burn": q_tsdb_slo_burn,
@@ -6724,18 +6726,43 @@ def oracle_sql() -> dict[str, str]:
                  round(sum(psi_part) OVER () + {EPS6}, 6) + 0.0 AS psi
           FROM s
         """,
-        "stream_new_returning": """
-          WITH ub AS (
-            SELECT DISTINCT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS t
-            FROM events WHERE epoch_ms(ts) BETWEEN 1704067200000 AND 1706745600000
+        "mm_video_features": """
+          WITH hb AS (
+            SELECT doc_id, hex(encode(text)) AS th,
+                   (length(hex(encode(text))) // 2) // 64 AS nf
+            FROM documents
           ),
-          f AS (SELECT *, min(t) OVER (PARTITION BY user_id) AS ft FROM ub)
-          SELECT t, CAST(count(*) AS BIGINT) AS active,
-                 CAST(sum(CASE WHEN t = ft THEN 1 ELSE 0 END) AS BIGINT)
-                   AS new,
-                 CAST(count(*) - sum(CASE WHEN t = ft THEN 1 ELSE 0 END)
-                      AS BIGINT) AS returning
-          FROM f GROUP BY 1
+          n AS (SELECT doc_id, th, nf FROM hb WHERE nf >= 1),
+          ix AS (SELECT doc_id, nf, th, unnest(range(64 * nf)) AS i
+                 FROM n),
+          -- one mono luma byte per 2 hex chars of the plane dump
+          b AS (
+            SELECT doc_id, nf, i,
+                   CAST(('0x' || substr(th, CAST(2 * i + 1 AS INT), 2))
+                        AS INTEGER) AS v
+            FROM ix
+          ),
+          z AS (
+            SELECT *,
+                   lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv,
+                   lag(v, 64) OVER (PARTITION BY doc_id ORDER BY i)
+                     AS fv
+            FROM b
+          )
+          SELECT doc_id, 8 AS width, 8 AS height,
+                 CAST(nf AS BIGINT) AS n_frames,
+                 25 AS fps_num, 1 AS fps_den,
+                 round(CAST(sum(v) AS DOUBLE) / count(*) + 1e-9, 6)
+                   AS mean_luma,
+                 CAST(min(v) AS INT) AS luma_min,
+                 CAST(max(v) AS INT) AS luma_max,
+                 CAST(sum(CASE WHEN fv IS NOT NULL
+                               THEN abs(v - fv) ELSE 0 END) AS BIGINT)
+                   AS temporal_motion,
+                 CAST(sum(CASE WHEN i % 64 != 0
+                               THEN abs(v - pv) ELSE 0 END) AS BIGINT)
+                   AS intra_grad
+          FROM z GROUP BY doc_id, nf
         """,
         "tsdb_adjusted_anomaly": f"""
           WITH grid AS (

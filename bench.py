@@ -155,7 +155,6 @@ HEADLINE = [
     "doc_oov_rate",
     "tsdb_minmax_decimate",
     "events_attribution",
-    "stream_new_returning",
     "tsdb_bollinger_daily",
     "emb_kmeans_profile",
     "events_alert_episodes",
@@ -215,6 +214,7 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q14_promo_share",
+    "mm_video_features",
 ]
 
 

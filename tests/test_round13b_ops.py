@@ -165,6 +165,104 @@ def test_q14_plan_single_fact_pass_no_extra_exchange(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# ----------------------------------------------- Y4M video codec
+
+
+def _y4m_ref(doc_id, text, w=8, h=8):
+    """Pure-Python reference for attach_y4m_payload + y4m_features."""
+    import numpy as np
+
+    data = text.encode()
+    fb = w * h
+    n = len(data) // fb
+    if n < 1:
+        return None
+    arr = (
+        __import__("numpy").frombuffer(data[: n * fb], dtype="uint8")
+        .astype("int64").reshape(n, fb)
+    )
+    return {
+        "doc_id": doc_id, "width": w, "height": h, "n_frames": n,
+        "fps_num": 25, "fps_den": 1,
+        "mean_luma": round(int(arr.sum()) / arr.size + 1e-9, 6),
+        "luma_min": int(arr.min()), "luma_max": int(arr.max()),
+        "temporal_motion":
+            int(np.abs(arr[1:] - arr[:-1]).sum()) if n > 1 else 0,
+        "intra_grad": int(np.abs(np.diff(arr, axis=1)).sum()),
+    }
+
+
+def test_y4m_roundtrip_matches_reference(spark):
+    """SQL-built payloads through the real demuxer equal the
+    pure-Python byte math; sub-frame docs drop out (NULL payload)."""
+    from v3io_tsdb_spark.functions.multimodal import (
+        attach_y4m_payload, y4m_features,
+    )
+
+    texts = [
+        (1, "motion test " + "".join(chr(33 + (i * 11) % 90)
+                                     for i in range(180))),
+        (2, "short"),                 # < 64 bytes -> NULL, drops out
+        (3, "A" * 64),                # one flat frame: zero gradients
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in y4m_features(attach_y4m_payload(df)).collect()}
+    assert set(out) == {1, 3}
+    for i, t in texts:
+        ref = _y4m_ref(i, t)
+        if ref is not None:
+            assert out[i] == ref, (out[i], ref)
+    assert out[3]["temporal_motion"] == 0 and out[3]["intra_grad"] == 0
+
+
+def test_y4m_payload_is_real_container(spark):
+    """The assembled bytes ARE a yuv4mpeg stream: stream header line,
+    then FRAME markers every (6 + w*h) bytes."""
+    from v3io_tsdb_spark.functions.multimodal import attach_y4m_payload
+
+    df = spark.createDataFrame(
+        [(1, "B" * 130)], "doc_id long, text string"
+    )
+    p = bytes(attach_y4m_payload(df).collect()[0]["payload"])
+    hdr, body = p.split(b"\n", 1)
+    assert hdr == b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 Cmono"
+    assert body[:6] == b"FRAME\n" and body[70:76] == b"FRAME\n"
+    assert len(body) == 2 * 70  # two frames of marker + 64 luma bytes
+
+
+def test_y4m_header_grammar_and_malformed_raise(spark):
+    """Demuxer contract: I/A/X tags tolerated, unknown tags, non-mono
+    colorspaces (incl. the 420 default when C is absent), truncated
+    frames, and missing markers all raise — never silent partials."""
+    import pytest as _pytest
+
+    from v3io_tsdb_spark.functions.multimodal import y4m_features
+
+    def run(payload: bytes):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        return y4m_features(df).collect()
+
+    frame = b"FRAME\n" + bytes(range(64))
+    # tolerated tags parse; X extension ignored
+    ok = run(b"YUV4MPEG2 W8 H8 F30:1 Ip A1:1 Cmono XCOLORRANGE=FULL\n"
+             + frame)
+    assert ok[0]["fps_num"] == 30 and ok[0]["n_frames"] == 1
+    for bad in (
+        b"YUV4MPEG2 W8 H8 F25:1 Q9 Cmono\n" + frame,   # unknown tag
+        b"YUV4MPEG2 W8 H8 F25:1\n" + frame,            # C420 default
+        b"YUV4MPEG2 W8 H8 F25:1 C420jpeg\n" + frame,   # chroma planes
+        b"YUV4MPEG2 W8 F25:1 Cmono\n" + frame,         # missing H
+        b"YUV4MPEG2 W8 H8 F25:1 Cmono\n" + frame[:40], # truncated
+        b"YUV4MPEG2 W8 H8 F25:1 Cmono\nFRAMX\n" + bytes(64),  # marker
+        b"RIFF not a y4m stream\n" + frame,            # wrong magic
+    ):
+        with _pytest.raises(Exception):
+            run(bad)
+
+
 # ------------------------- stream_value_heatmap retirement pin
 
 

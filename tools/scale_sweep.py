@@ -971,6 +971,19 @@ def ops(spark):
 
         return E.queries()["tpch_q19_discount_promo"](spark, d).collect()
 
+    def op_video_features(d):
+        # real Y4M demux over SQL-built payloads (X188)
+        from v3io_tsdb_spark.functions.multimodal import (
+            attach_y4m_payload,
+            y4m_features,
+        )
+
+        return (
+            y4m_features(attach_y4m_payload(docs(d)))
+            .agg(F.sum("temporal_motion"))
+            .collect()
+        )
+
     def op_tpch_q7(d):
         # symmetric nation-pair disjunction over two broadcast dims
         # (X184): run through the registry entry itself
@@ -1154,6 +1167,7 @@ def ops(spark):
         "tpch_q8": op_tpch_q8,
         "tpch_q9": op_tpch_q9,
         "tpch_q14": op_tpch_q14,
+        "video_features": op_video_features,
     }
 
 

@@ -508,3 +508,196 @@ def ppm_features(
     return df.select(id_col, binary_col).mapInPandas(
         _extract, PPM_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec: Y4M (YUV4MPEG2) — the third genuinely-parsed
+# format, closing the video modality the way WAV closed audio and PPM
+# closed images. Y4M is the uncompressed interchange container
+# (ffmpeg/mplayer lingua franca): one ascii parameter line, then a
+# byte-exact plane dump per FRAME marker — i.e. a real DEMUX problem
+# (tagged header grammar, variable frame count, per-frame marker +
+# optional params) with no entropy coding, so a SQL oracle can build
+# and read the identical bytes. Compressed-codec demux (MP4/H.264)
+# stays the one declared NotImplementedError above — that requires
+# codec libraries this container does not ship.
+# ---------------------------------------------------------------------------
+
+Y4M_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("fps_num", T.IntegerType()),
+        T.StructField("fps_den", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("luma_min", T.IntegerType()),
+        T.StructField("luma_max", T.IntegerType()),
+        T.StructField("temporal_motion", T.LongType()),
+        T.StructField("intra_grad", T.LongType()),
+    ]
+)
+
+
+def attach_y4m_payload(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Derive a REAL YUV4MPEG2 payload from text bytes: the stream
+    header ``YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\\n`` followed by
+    one ``FRAME\\n`` marker + ``w·h`` luma bytes per frame, for as
+    many whole frames as the utf-8 text bytes fill. The data-dependent
+    part here is the FRAME COUNT — the hex body is assembled by a
+    ``transform(sequence(...))`` over frame indices interleaving the
+    marker with each frame's byte slice, entirely in Spark SQL
+    expressions, so the DuckDB oracle derives the IDENTICAL bytes
+    (``list_transform(range(...))``) — the attach_wav_payload
+    property extended to a repeated-section container. Docs shorter
+    than one frame get a NULL payload and drop out."""
+    fb = width * height          # bytes per frame
+    fhex = 2 * fb                # hex chars per frame
+    th = f"hex(encode({text_col}, 'utf-8'))"
+    n_expr = f"((length({th}) div 2) div {fb})"
+    n = F.expr(n_expr)
+    header_hex = _ascii_hex(f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n")
+    frame_marker_hex = _ascii_hex("FRAME\n")
+    body_hex = F.expr(
+        f"array_join(transform(sequence(0, CAST({n_expr} AS INT) - 1), "
+        f"i -> concat('{frame_marker_hex}', "
+        f"substring({th}, i * {fhex} + 1, {fhex}))), '')"
+    )
+    return df.withColumn(
+        "payload",
+        F.when(
+            n >= 1, F.unhex(F.concat(F.lit(header_hex), body_hex))
+        ).otherwise(F.lit(None).cast("binary")),
+    )
+
+
+def y4m_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL byte-level Y4M demux + decode: parses the stream header
+    the way the yuv4mpeg spec reads it (space-separated tagged
+    parameters on one line — W/H/F required, I/A/X tolerated, C
+    selects the plane layout; unknown tags raise), then walks the
+    FRAME sections (marker + optional params to newline + exactly one
+    plane-sized byte run each — a short final frame or trailing bytes
+    raise, never features from a silent partial decode), decodes the
+    mono luma planes with numpy, and emits per-payload video
+    features:
+
+    - ``width`` / ``height`` / ``n_frames`` / ``fps_num`` /
+      ``fps_den`` from the parsed container;
+    - ``mean_luma`` over the exact integer sum of every plane byte
+      (one float division — order-free) and ``luma_min``/``luma_max``;
+    - ``temporal_motion``: Σ|frame_i − frame_{i−1}| over aligned
+      pixels as an exact BIGINT — the inter-frame activity proxy
+      (static clips score 0 however long they run);
+    - ``intra_grad``: Σ|luma_j − luma_{j−1}| in raster order WITHIN
+      each frame — the spatial-detail proxy, ppm_features'
+      ``luma_grad`` per frame.
+
+    Only ``Cmono`` streams decode (the layout attach_y4m_payload
+    writes); 4:2:0/4:4:4 would change the plane math silently, so
+    they raise as unsupported instead. NULL payloads drop out.
+    Arrow-batched ``mapInPandas``. Oracle: DuckDB computes the same
+    planes from the identical bytes — lag(v) for intra, lag(v, w·h)
+    for temporal (see __spark_entry__ mm_video_features).
+    """
+    import numpy as np
+
+    bcol, icol = binary_col, id_col
+
+    def _parse(payload: bytes):
+        nl = payload.find(b"\n")
+        if nl < 0:
+            raise ValueError("missing Y4M header terminator")
+        toks = payload[:nl].split(b" ")
+        if toks[0] != b"YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 payload")
+        w = h = None
+        fn = fd = None
+        cs = b"420"  # spec default when C is absent
+        for t in toks[1:]:
+            if not t:
+                continue
+            tag, val = t[:1], t[1:]
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                a, b = val.split(b":")
+                fn, fd = int(a), int(b)
+            elif tag == b"C":
+                cs = val
+            elif tag in (b"I", b"A", b"X"):
+                pass  # interlacing/aspect/extensions: tolerated
+            else:
+                raise ValueError(f"unknown Y4M parameter {t!r}")
+        if w is None or h is None or fn is None:
+            raise ValueError("Y4M header missing W/H/F")
+        if cs != b"mono":
+            raise ValueError(f"unsupported Y4M colorspace C{cs.decode()}")
+        fsize = w * h
+        pos = nl + 1
+        frames = []
+        while pos < len(payload):
+            if payload[pos:pos + 5] != b"FRAME":
+                raise ValueError(f"missing FRAME marker at offset {pos}")
+            fnl = payload.find(b"\n", pos)
+            if fnl < 0:
+                raise ValueError("unterminated FRAME header")
+            pos = fnl + 1
+            if pos + fsize > len(payload):
+                raise ValueError(
+                    f"truncated Y4M frame: needs {fsize} bytes at "
+                    f"offset {pos} but payload ends at {len(payload)}"
+                )
+            frames.append(
+                np.frombuffer(payload[pos:pos + fsize], dtype=np.uint8)
+                .astype(np.int64)
+            )
+            pos += fsize
+        return w, h, fn, fd, frames
+
+    def _extract(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in Y4M_FEATURE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[icol].values, pdf[bcol].values):
+                if payload is None:
+                    continue
+                w, h, fn, fd, frames = _parse(bytes(payload))
+                if not frames:
+                    continue
+                arr = np.stack(frames)          # (n_frames, w*h)
+                n_px = arr.size
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["fps_num"].append(fn)
+                out["fps_den"].append(fd)
+                # exact integer sums -> one float division (wav rule)
+                out["mean_luma"].append(_round6(int(arr.sum()) / n_px))
+                out["luma_min"].append(int(arr.min()))
+                out["luma_max"].append(int(arr.max()))
+                out["temporal_motion"].append(
+                    int(np.abs(arr[1:] - arr[:-1]).sum())
+                    if len(frames) > 1 else 0
+                )
+                out["intra_grad"].append(
+                    int(np.abs(np.diff(arr, axis=1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _extract, Y4M_FEATURE_SCHEMA
+    )
