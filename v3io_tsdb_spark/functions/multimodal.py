@@ -200,6 +200,8 @@ def attach_wav_payload(
     (hex/substring/unhex), so a SQL oracle derives the IDENTICAL bytes
     from the same table — the property that makes the downstream
     byte-level parser hash-checkable cross-engine (VERDICT r11 #6).
+    Assembly parity is pinned byte-for-byte by
+    tests/test_codec_payload_parity.py.
     """
     # whole int16 samples: hex length truncated to a multiple of 4
     data_hex = F.expr(
@@ -385,8 +387,10 @@ def attach_ppm_payload(
     data-dependent decimal height via ``hex(encode(CAST(h AS
     STRING)))``), so the DuckDB oracle derives the identical bytes and
     the downstream parser is byte-level hash-gated, the
-    attach_wav_payload property. Docs shorter than one row (h = 0)
-    get a NULL payload and drop out (the empty-doc rule)."""
+    attach_wav_payload property (assembly parity pinned byte-for-byte
+    by tests/test_codec_payload_parity.py). Docs shorter than one
+    row (h = 0) get a NULL payload and drop out (the empty-doc
+    rule)."""
     th = f"hex(encode({text_col}, 'utf-8'))"
     h_expr = f"((length({th}) div 2) div {3 * width})"
     h = F.expr(h_expr)
@@ -556,8 +560,9 @@ def attach_y4m_payload(
     marker with each frame's byte slice, entirely in Spark SQL
     expressions, so the DuckDB oracle derives the IDENTICAL bytes
     (``list_transform(range(...))``) — the attach_wav_payload
-    property extended to a repeated-section container. Docs shorter
-    than one frame get a NULL payload and drop out."""
+    property extended to a repeated-section container (assembly parity
+    pinned byte-for-byte by tests/test_codec_payload_parity.py).
+    Docs shorter than one frame get a NULL payload and drop out."""
     fb = width * height          # bytes per frame
     fhex = 2 * fb                # hex chars per frame
     th = f"hex(encode({text_col}, 'utf-8'))"
