@@ -437,6 +437,7 @@ def main():
     warm = {}
     gc_ms = {}
     task_ms = {}
+    plan_sec = {}
     pipeline_stage_split = {}
     stream_split = {}
     total = 0.0
@@ -512,6 +513,23 @@ def main():
             if split:
                 stream_split[name]["warm"] = split
         print(f"bench {name}: {dt:.3f}s (warm {wt:.3f}s)", file=sys.stderr)
+        # Untimed diagnostic: DRIVER-side plan cost — DataFrame build +
+        # analyze + optimize + physical planning, no execution (r13: the
+        # detmath staged-ladder queries showed warm wall FLAT across a
+        # 10x data change, i.e. their bench delta is plan compile, which
+        # amortizes to ~0 per-submission at cluster scale; this field
+        # lets the next reader verify that split without re-deriving
+        # it). Stream queries are skipped: their fn() executes a real
+        # micro-batch run as a side effect.
+        if not name.startswith("stream_"):
+            try:
+                tp0 = time.perf_counter()
+                dfp = fn(spark, sf_dir)
+                dfp._jdf.queryExecution().executedPlan()
+                plan_sec[name] = round(time.perf_counter() - tp0, 3)
+                dfp = None
+            except Exception:
+                pass
         # Untimed inter-query cleanup: drop the Python-side plan refs so
         # the ContextCleaner can release localCheckpoint RDD blocks
         # before they become GC tax on later queries. Deliberately NOT
@@ -608,6 +626,10 @@ def main():
         # cumulative stage-prefix seconds of the corpus pipeline
         # (stats -> dedup -> decontaminate -> split); untimed diagnostic
         "corpus_pipeline_stage_prefix_sec": pipeline_stage_split,
+        # driver-side plan cost (build+analyze+optimize+plan, no
+        # execution) per non-stream query; subtract from warm wall to
+        # separate per-submission compile constants from executor work
+        "queries_plan_sec": plan_sec,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -621,7 +643,7 @@ def main():
         if k not in ("queries_warm", "queries_gc_ms", "queries_task_ms",
                      "corpus_pipeline_stage_prefix_sec",
                      "stream_setup_run_split", "queries_warm_effective",
-                     "host_noise", "ingest_runs_sec")
+                     "host_noise", "ingest_runs_sec", "queries_plan_sec")
     }
     line["n_queries"] = len(times)
     # compact noise verdict inline; full markers in BENCH_DETAIL.json
