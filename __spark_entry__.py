@@ -27,6 +27,8 @@ from v3io_tsdb_spark.functions.detmath import (
     det_ln_sql,
     det_pow_int_sql,
     floor_log2_sql,
+    half_away_div_sql,
+    q6_ratio_sql,
 )
 from v3io_tsdb_spark.querier import Querier, SelectParams
 from v3io_tsdb_spark.rollup import build_rollup
@@ -880,19 +882,14 @@ def q_stream_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     opens a gap (close-on-advance). Oracle = the batch X162 SQL
     restricted to CLOSED sessions (every session except each user's
     last)."""
-    from v3io_tsdb_spark.functions.detmath import with_det_ln
-    from v3io_tsdb_spark.functions.text import micro_nats
-    from v3io_tsdb_spark.operators.paths import markov_transitions
+    from v3io_tsdb_spark.operators.paths import markov_model_panel
     from v3io_tsdb_spark.streaming.stateful import stream_session_perplexity
 
     ev = _events_ms_clamped(spark, sf_dir)
     model = {
         (r["from_state"], r["to_state"]): r["mn"]
-        for r in with_det_ln(markov_transitions(ev), "_lnp", F.col("p"))
-        .select(
-            "from_state", "to_state",
-            micro_nats(F.col("_lnp")).alias("mn"),
-        )
+        for r in markov_model_panel(ev)
+        .select("from_state", "to_state", "mn")
         .collect()
     }  # |states|^2-bounded panel — the k-means centroid rule
     fx = _stream_session_fixture(spark, sf_dir)
@@ -3480,9 +3477,12 @@ def q_events_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
         id_col="event_id", gap_ms=1_800_000,
     )
+    # mean_logp emits UNWRAPPED: the operator already quantized it in
+    # exact integer arithmetic (detmath.half_away_div) — re-rounding
+    # through _rz would reintroduce the engine-native round() seam
+    # this family's three driver reds traced to (VERDICT r13 #1)
     return out.select(
-        "user_id", "sess", F.col("n_steps").cast("long"),
-        _rz("mean_logp", 6),
+        "user_id", "sess", F.col("n_steps").cast("long"), "mean_logp",
     )
 
 
@@ -4033,7 +4033,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "o_year", "nation_volume", "total_volume", "n_lines",
         (F.round(F.col("nation_volume") / F.col("total_volume")
-                 + F.lit(EPS4), 6) + F.lit(0.0)).alias("mkt_share"),
+                 + F.lit(EPS6), 6) + F.lit(0.0)).alias("mkt_share"),
     )
 
 
@@ -4119,7 +4119,7 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "promo_revenue", "total_revenue", "n_lines",
         (F.round(F.lit(100.0) * F.col("promo_revenue")
-                 / F.col("total_revenue") + F.lit(EPS4), 6)
+                 / F.col("total_revenue") + F.lit(EPS6), 6)
          + F.lit(0.0)).alias("promo_share"),
     )
 
@@ -4363,17 +4363,26 @@ def q_tsdb_topk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session Markov transition matrix (X146): row-normalized
     p(to|from) over consecutive in-session event pairs — the
-    generative summary of every path the n-gram miner samples."""
-    from v3io_tsdb_spark.operators.paths import markov_transitions
+    generative summary of every path the n-gram miner samples.
+
+    Since r14 this row gates the FULL scoring panel (c, the
+    exact-integer 6-dp probability p6 = (2c·10⁶+s) DIV (2s), its
+    det_ln micro-nat score mn, and p = p6/1e6) — the model half of
+    the session-perplexity family, hash-gated so a driver red on the
+    perplexity rows bisects model-vs-aggregation (VERDICT r13 #1a).
+    No engine-native round() touches any emitted column."""
+    from v3io_tsdb_spark.operators.paths import markov_model_panel
 
     ev = _events_ms_clamped(spark, sf_dir)
-    out = markov_transitions(
+    out = markov_model_panel(
         ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
         id_col="event_id", gap_ms=1_800_000,
     )
     return out.select(
         "from_state", "to_state", F.col("c").cast("long").alias("c"),
-        _rz("p", 6),
+        F.col("p6").cast("long").alias("p6"),
+        F.col("mn").cast("long").alias("mn"),
+        (F.col("p6") / F.lit(1e6)).alias("p"),
     )
 
 
@@ -4861,9 +4870,9 @@ def _hw_oracle_sql(
         # replay the engine's trend-multiplier recursion in python and
         # embed each tm_h as the identical float64 literal
         def _r6(x):
-            import math as _m
-            y = x + 1e-9
-            return (1.0 if y >= 0 else -1.0) * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+            # shared floor-form quantizer (detmath, VERDICT r13 #6)
+            from v3io_tsdb_spark.functions.detmath import quantize_micro_py
+            return quantize_micro_py(x + 1e-9)
         tm = phi
         for h in range(2, horizon + 1):
             tm = _r6(tm + phi ** h)
@@ -6957,13 +6966,15 @@ def oracle_sql() -> dict[str, str]:
           m AS (
             SELECT from_state, to_state, {_mn_sql('lnp')} AS mn
             FROM ({det_ln_sql(
-                f"SELECT from_state, to_state, "
-                f"round(c * 1.0 / sum(c) OVER (PARTITION BY from_state) "
-                f"+ {EPS6}, 6) AS p FROM cn", "p", "lnp")})
+                "SELECT from_state, to_state, GREATEST("
+                + q6_ratio_sql(
+                    'c', 'sum(c) OVER (PARTITION BY from_state)', 'duck')
+                + ", CAST(1 AS BIGINT)) AS p6 FROM cn",
+                "p6 / 1e6", "lnp")})
           )
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 round(sum(m.mn)
-                       / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
+                 {half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
+                   / 1e6 AS mean_logp
           FROM pp JOIN m USING (from_state, to_state)
           GROUP BY 1, 2
         """,
@@ -7001,13 +7012,15 @@ def oracle_sql() -> dict[str, str]:
           m AS (
             SELECT from_state, to_state, {_mn_sql('lnp')} AS mn
             FROM ({det_ln_sql(
-                f"SELECT from_state, to_state, "
-                f"round(c * 1.0 / sum(c) OVER (PARTITION BY from_state) "
-                f"+ {EPS6}, 6) AS p FROM cn", "p", "lnp")})
+                "SELECT from_state, to_state, GREATEST("
+                + q6_ratio_sql(
+                    'c', 'sum(c) OVER (PARTITION BY from_state)', 'duck')
+                + ", CAST(1 AS BIGINT)) AS p6 FROM cn",
+                "p6 / 1e6", "lnp")})
           )
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 round(sum(m.mn)
-                       / (1e6 * count(*)) + {EPS6}, 6) + 0.0 AS mean_logp
+                 {half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
+                   / 1e6 AS mean_logp
           FROM pp JOIN m USING (from_state, to_state)
           JOIN mx ON pp.user_id = mx.user_id
           WHERE pp.sess < mx.mxs
@@ -7059,7 +7072,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
           )
           SELECT o_year, nation_volume, total_volume, n_lines,
-                 round(nation_volume / total_volume + {EPS4}, 6) + 0.0
+                 round(nation_volume / total_volume + {EPS6}, 6) + 0.0
                    AS mkt_share
           FROM a
         """,
@@ -7097,7 +7110,7 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT promo_revenue, total_revenue, n_lines,
                  round(100.0 * promo_revenue / total_revenue
-                       + {EPS4}, 6) + 0.0 AS promo_share
+                       + {EPS6}, 6) + 0.0 AS promo_share
           FROM a
         """,
         "tpch_q19_discount_promo": """
@@ -7507,14 +7520,27 @@ def oracle_sql() -> dict[str, str]:
             WINDOW ws AS (PARTITION BY user_id, sess
                           ORDER BY t, event_type, event_id)
           ),
-          c AS (
+          cn AS (
             SELECT from_state, to_state, count(*) AS c FROM pr
             WHERE to_state IS NOT NULL GROUP BY 1, 2
-          )
-          SELECT from_state, to_state, CAST(c AS BIGINT) AS c,
-                 round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
-                       + {EPS6}, 6) + 0.0 AS p
-          FROM c
+          ),
+          -- exact-integer 6dp probability + det_ln micro-nat score:
+          -- no engine-native round() anywhere (VERDICT r13 #1)
+          cs AS (
+            SELECT from_state, to_state, c,
+                   sum(c) OVER (PARTITION BY from_state) AS srow
+            FROM cn
+          ),
+          p6t AS (
+            SELECT from_state, to_state, CAST(c AS BIGINT) AS c,
+                   GREATEST({q6_ratio_sql('c', 'srow', 'duck')},
+                            CAST(1 AS BIGINT)) AS p6
+            FROM cs
+          ),
+          lnt AS ({det_ln_sql("SELECT * FROM p6t", "p6 / 1e6", "lnp")})
+          SELECT from_state, to_state, c, CAST(p6 AS BIGINT) AS p6,
+                 {_mn_sql('lnp')} AS mn, p6 / 1e6 AS p
+          FROM lnt
         """,
         "events_markov_kstep": f"""
           WITH e AS (
@@ -7544,10 +7570,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_state, to_state, count(*) AS c FROM pr
             WHERE to_state IS NOT NULL GROUP BY 1, 2
           ),
+          -- matrix p and the uniform start are exact-integer ratios
+          -- quantized via q6_ratio (VERDICT r13 #3); the per-step
+          -- round of sum(p*tp) stays the shared round+eps convention
+          -- (genuinely-float products)
           mtx AS MATERIALIZED (
             SELECT from_state, to_state,
-                   round(c * 1.0 / sum(c) OVER (PARTITION BY from_state)
-                         + {EPS6}, 6) AS tp
+                   GREATEST({q6_ratio_sql(
+                       'c', 'sum(c) OVER (PARTITION BY from_state)',
+                       'duck')}, CAST(1 AS BIGINT)) / 1e6 AS tp
             FROM cn
           ),
           st AS MATERIALIZED (
@@ -7556,7 +7587,9 @@ def oracle_sql() -> dict[str, str]:
           ),
           v0 AS (
             SELECT state,
-                   round(1.0 / (SELECT count(*) FROM st) + {EPS6}, 6) AS p
+                   GREATEST({q6_ratio_sql(
+                       '1', '(SELECT count(*) FROM st)', 'duck')},
+                            CAST(1 AS BIGINT)) / 1e6 AS p
             FROM st
           ),
           v1 AS MATERIALIZED (

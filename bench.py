@@ -273,6 +273,37 @@ def _jvm_gc_ms(spark) -> tuple[int, int]:
         return -1, -1
 
 
+def engine_versions(spark=None) -> dict:
+    """Versions of every engine that touches a hashed value — recorded
+    in BENCH_r* and the local correctness sweeps (VERDICT r13 #4) so a
+    local-green/driver-red divergence can be checked against version
+    skew instead of guessed at."""
+    import platform
+
+    import duckdb
+    import numpy
+    import pandas
+    import pyspark
+
+    v = {
+        "duckdb": duckdb.__version__,
+        "pyspark": pyspark.__version__,
+        "pandas": pandas.__version__,
+        "numpy": numpy.__version__,
+        "python": platform.python_version(),
+    }
+    try:
+        if spark is not None:
+            v["java"] = str(
+                spark.sparkContext._jvm.java.lang.System.getProperty(
+                    "java.version"
+                )
+            )
+    except Exception:
+        pass
+    return v
+
+
 def _host_markers() -> dict:
     """Host-noise markers (VERDICT r12 #3): BENCH_r12's uniform 1.33×
     wall inflation with flat task CPU cost the judge an hour of
@@ -438,6 +469,7 @@ def main():
     gc_ms = {}
     task_ms = {}
     plan_sec = {}
+    plan_sec_eager = {}
     pipeline_stage_split = {}
     stream_split = {}
     total = 0.0
@@ -520,13 +552,24 @@ def main():
         # amortizes to ~0 per-submission at cluster scale; this field
         # lets the next reader verify that split without re-deriving
         # it). Stream queries are skipped: their fn() executes a real
-        # micro-batch run as a side effect.
+        # micro-batch run as a side effect. Several BATCH builders also
+        # run real Spark jobs during DataFrame construction (eager
+        # localCheckpoint in q11/q15/q20, centroid/query-vector
+        # collects in the kmeans/ANN/MMR families) — for those the
+        # probe records full execution, not plan compile, so they are
+        # detected DYNAMICALLY (did the job counter advance?) and
+        # reported under queries_plan_sec_eager instead (ADVICE r13 #1;
+        # a hand-kept skip-list would rot as builders change).
         if not name.startswith("stream_"):
             try:
+                st = spark.sparkContext.statusTracker()
+                jobs_before = len(st.getJobIdsForGroup(None))
                 tp0 = time.perf_counter()
                 dfp = fn(spark, sf_dir)
                 dfp._jdf.queryExecution().executedPlan()
-                plan_sec[name] = round(time.perf_counter() - tp0, 3)
+                dt_plan = round(time.perf_counter() - tp0, 3)
+                ran_jobs = len(st.getJobIdsForGroup(None)) > jobs_before
+                (plan_sec_eager if ran_jobs else plan_sec)[name] = dt_plan
                 dfp = None
             except Exception:
                 pass
@@ -599,6 +642,7 @@ def main():
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "versions": engine_versions(spark),
         # host-noise markers + verdict (VERDICT r12 #3)
         "host_noise": host,
         "ingest_runs_sec": ingest_runs,
@@ -630,6 +674,11 @@ def main():
         # execution) per non-stream query; subtract from warm wall to
         # separate per-submission compile constants from executor work
         "queries_plan_sec": plan_sec,
+        # queries whose BUILDER executed Spark jobs (eager
+        # localCheckpoint / driver collects): the probe time includes
+        # real execution, NOT pure plan compile — kept separate so the
+        # plan-cost split above stays honest (ADVICE r13 #1)
+        "queries_plan_sec_eager": plan_sec_eager,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
@@ -643,7 +692,8 @@ def main():
         if k not in ("queries_warm", "queries_gc_ms", "queries_task_ms",
                      "corpus_pipeline_stage_prefix_sec",
                      "stream_setup_run_split", "queries_warm_effective",
-                     "host_noise", "ingest_runs_sec", "queries_plan_sec")
+                     "host_noise", "ingest_runs_sec", "queries_plan_sec",
+                     "queries_plan_sec_eager")
     }
     line["n_queries"] = len(times)
     # compact noise verdict inline; full markers in BENCH_DETAIL.json
@@ -654,6 +704,10 @@ def main():
         "load1_pre": host_pre["load1"],
     }
     line["warm_detail"] = "BENCH_DETAIL.json"
+    # engine versions inline (VERDICT r13 #4): three rounds of "local
+    # green / driver red" had no way to even test the version-skew
+    # hypothesis — every artifact now records what computed it
+    line["versions"] = detail["versions"]
     # session-total task time inline (per-query map is in the detail
     # file — it cannot fit the driver's ~2 kB stdout-tail budget)
     if task_ms:

@@ -257,6 +257,9 @@ def test_y4m_header_grammar_and_malformed_raise(spark):
         b"YUV4MPEG2 W8 F25:1 Cmono\n" + frame,         # missing H
         b"YUV4MPEG2 W8 H8 F25:1 Cmono\n" + frame[:40], # truncated
         b"YUV4MPEG2 W8 H8 F25:1 Cmono\nFRAMX\n" + bytes(64),  # marker
+        # spec requires '\n' or ' ' right after FRAME — a glued
+        # parameter-less junk header must raise, not parse as a frame
+        b"YUV4MPEG2 W8 H8 F25:1 Cmono\nFRAMExyz\n" + bytes(64),
         b"RIFF not a y4m stream\n" + frame,            # wrong magic
     ):
         with _pytest.raises(Exception):

@@ -126,6 +126,13 @@ def main():
     if JSON_OUT:
         import json
 
+        # engine versions alongside the rows (VERDICT r13 #4): a
+        # local-green/driver-red split is only diagnosable if both
+        # sides record what computed them. Underscore key — consumers
+        # (gate.py, check_rotation.py) iterate rows and ignore it.
+        from bench import engine_versions
+
+        results["_versions"] = engine_versions(spark)
         with open(JSON_OUT, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {JSON_OUT} ({len(results)} queries)")

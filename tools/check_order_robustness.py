@@ -28,6 +28,18 @@ This is the local test that would have caught both r11/r12 driver
 reds on `events_session_perplexity`: a hash that survives ±1 ulp of
 log error cannot flip on a cross-engine ulp at a rounding boundary.
 
+ROUND-BOUNDARY passes (VERDICT r13 #3): for every query whose result
+has a float column, two further passes multiply the UNROUNDED value
+feeding every engine-native rounding seam by (1 ± 2^-52) — F.round is
+monkeypatched for the pass, and text.quantize_half_away consults
+``detmath.ROUND_PERTURB_ULPS``. The r13 driver red on
+`stream_session_perplexity` was this seam: three round()
+implementations (Spark BigDecimal, DuckDB native, Python floor form)
+touching a value that lands ON a .5 boundary. A hash that survives
+this stage cannot flip on a cross-build rounding disagreement;
+exact-integer quantizations (detmath.q6_ratio / half_away_div) have
+no float round at all and are unaffected by construction.
+
 Usage:
     python tools/check_order_robustness.py [sf_dir] [query ...]
     python tools/check_order_robustness.py [sf_dir] --json OUT.json
@@ -80,8 +92,32 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    import pyspark.sql.functions as PF
+
     import __spark_entry__ as E
     from v3io_tsdb_spark.functions import detmath
+
+    orig_round = PF.round
+
+    def set_round_perturb(ulps: int) -> None:
+        """±1 ulp on the unrounded value at EVERY engine-native round
+        seam: F.round is patched module-wide (all repo code calls it
+        as ``F.round``, resolving this attribute at build time) and
+        quantize_half_away consults the detmath flag. F.floor is NOT
+        patched — it also implements exact time/width bucketing, where
+        boundary values are legitimate and a perturbation would only
+        manufacture false positives."""
+        detmath.ROUND_PERTURB_ULPS = ulps
+        if ulps:
+            f = 1.0 + ulps * 2.0 ** -52
+
+            def _perturbed_round(col, scale=0):
+                c = PF.col(col) if isinstance(col, str) else col
+                return orig_round(c * f, scale)
+
+            PF.round = _perturbed_round
+        else:
+            PF.round = orig_round
 
     qs = E.queries()
     failures = 0
@@ -89,7 +125,7 @@ def main() -> int:
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
-        frames = []
+        frames, tags = [], []
         err = None
         det_before = detmath.BUILD_COUNT
         for parts, split_bytes in PASSES:
@@ -97,6 +133,7 @@ def main() -> int:
             spark.conf.set("spark.sql.files.maxPartitionBytes", split_bytes)
             try:
                 frames.append(norm(fn(spark, SF).toPandas()))
+                tags.append(f"{parts}-part")
             except Exception as exc:  # noqa: BLE001 - sweep must continue
                 err = f"{type(exc).__name__}: {str(exc)[:160]}"
                 break
@@ -112,21 +149,38 @@ def main() -> int:
                 detmath.PERTURB_ULPS = ulps
                 try:
                     frames.append(norm(fn(spark, SF).toPandas()))
+                    tags.append(f"ulp{ulps:+d}")
                 except Exception as exc:  # noqa: BLE001
                     err = f"perturb {ulps:+d}: {type(exc).__name__}: {str(exc)[:160]}"
                     break
                 finally:
                     detmath.PERTURB_ULPS = 0
-            if err is not None:
-                print(f"FAIL {name}: {err}")
-                results[name] = {"order_invariant": False, "err": err}
-                failures += 1
-                continue
+        # round-boundary passes (VERDICT r13 #3), only when a float
+        # column is emitted (an all-integer result has no round seam)
+        has_float = err is None and any(
+            str(t).startswith("float") for t in frames[0].dtypes
+        )
+        if has_float:
+            for ulps in (1, -1):
+                set_round_perturb(ulps)
+                try:
+                    frames.append(norm(fn(spark, SF).toPandas()))
+                    tags.append(f"round_ulp{ulps:+d}")
+                except Exception as exc:  # noqa: BLE001
+                    err = (f"round perturb {ulps:+d}: "
+                           f"{type(exc).__name__}: {str(exc)[:160]}")
+                    break
+                finally:
+                    set_round_perturb(0)
+        if err is not None:
+            print(f"FAIL {name}: {err}")
+            results[name] = {"order_invariant": False, "err": err}
+            failures += 1
+            continue
         a = frames[0]
         bad = None
         for i, b in enumerate(frames[1:], 1):
-            tag = ("32-part" if i == 1
-                   else f"ulp{+1 if i == 2 else -1:+d}")
+            tag = tags[i]
             same = (list(a.columns) == list(b.columns)
                     and len(a) == len(b) and a.equals(b))
             if not same:
@@ -148,12 +202,14 @@ def main() -> int:
             }
             failures += 1
         else:
-            extra = " + ±1ulp" if uses_det else ""
+            extra = ("" if len(tags) == 2
+                     else " + " + "/".join(tags[2:]))
             print(f"PASS {name}: {len(a)} rows invariant across "
                   f"1/32 partitions{extra}")
             results[name] = {
                 "order_invariant": True, "err": None,
                 "ulp_checked": bool(uses_det),
+                "round_ulp_checked": bool(has_float),
             }
     # restore the session defaults for any caller sharing the JVM
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -162,6 +218,9 @@ def main() -> int:
     if JSON_OUT:
         import json
 
+        from bench import engine_versions
+
+        results["_versions"] = engine_versions(spark)  # VERDICT r13 #4
         with open(JSON_OUT, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {JSON_OUT} ({len(results)} queries)")

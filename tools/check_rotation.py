@@ -31,9 +31,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def green(row) -> bool:
-    return row.get("err") is None and (
-        row.get("hash_match") or row.get("rows_match")
-    )
+    """HASH-strict: a driver row only counts as evidence if the value
+    hash matched and the row errored nowhere. ``rows_match`` alone is
+    NOT green — r11/r12's `events_session_perplexity` was hash-red
+    twice yet satisfied the old `hash_match OR rows_match` form, so the
+    rotation never forced it back into the head-50 (VERDICT r13 #2a).
+    Weaker rows-only queries (no oracle SQL) have ``hash_match`` null —
+    for those, rows_match is the strongest signal the driver records,
+    so accept it ONLY when no hash comparison was attempted."""
+    if row.get("err") is not None:
+        return False
+    hm = row.get("hash_match")
+    if hm is None:
+        return bool(row.get("rows_match"))
+    return bool(hm)
 
 
 def main() -> int:
@@ -62,9 +73,15 @@ def main() -> int:
     # the age bound follows the saturated-gate cycle length: with N
     # registered queries and a 50-slot gate, full coverage needs
     # ceil(N/50) windows, so the oldest tolerable evidence is
-    # (windows - 1) rounds back (2 at <=150 queries, 3 at 151-200)
+    # (windows - 1) rounds back.  The bound is anchored at the
+    # UPCOMING round (newest_round + 1), not the newest artifact: the
+    # current head-50 determines NEXT round's rows, so a gate-time
+    # pass must still hold the moment that artifact lands (VERDICT
+    # r13 #2b — the old anchor passed at gate time and violated its
+    # own contract one sweep later).
     windows = -(-len(order) // 50)
-    oldest_ok = newest_round - (windows - 1)
+    upcoming = newest_round + 1
+    oldest_ok = upcoming - (windows - 1)
     ok, fails, net_new = [], [], []
     for q in order:
         age = newest_green.get(q)
@@ -80,7 +97,8 @@ def main() -> int:
         f"{sorted(arts)}; newest: r{newest_round}"
     )
     print(
-        f"cycle: {windows} windows -> evidence bound r{oldest_ok}+; "
+        f"cycle: {windows} windows (anchored at upcoming r{upcoming}) -> "
+        f"evidence bound r{oldest_ok}+; "
         f"covered by recent rounds or current head: "
         f"{len(ok)}; net-new (first gate pending): {len(net_new)}"
     )

@@ -564,7 +564,118 @@ def benford_expected_col(digit: Column) -> Column:
 
 
 def benford_expected_sql(digit: str) -> str:
+    # literals route through _sql_double — DuckDB parses a bare numeric
+    # literal as DECIMAL first and DECIMAL→DOUBLE is not correctly
+    # rounded; the quoted-string cast is (module hazard rule, VERDICT
+    # r13 #5)
     parts = " ".join(
-        f"WHEN {d} THEN {repr(v)}" for d, v in BENFORD_EXPECTED.items()
+        f"WHEN {d} THEN {_sql_double(v)}" for d, v in BENFORD_EXPECTED.items()
     )
     return f"(CASE {digit} {parts} ELSE CAST(NULL AS DOUBLE) END)"
+
+
+# --------------------------------------------------------------------------
+# Exact-integer quantization (VERDICT r13 #1/#3/#6).
+#
+# Every hashed column that is a RATIO OF EXACT INTEGERS used to be
+# quantized with an engine-native ``round(x, 6)`` — three different
+# rounding implementations touched the same hashed doubles (Spark
+# F.round = BigDecimal HALF_UP, the stream twins' Python
+# ``int(m*1e6+0.5)`` floor form, DuckDB's native round), and a
+# boundary-straddling value (mean-of-micro-nat ratios land on exact
+# .5 boundaries routinely: s odd, n even ⇒ exactly x.5 µunits) can
+# legitimately differ between builds.  These helpers do the 6-dp
+# quantization in PURE INTEGER arithmetic instead — identical by
+# construction in Spark SQL, DuckDB SQL, and Python, with no float
+# boundary and no epsilon nudge anywhere:
+#
+#   q6_ratio:      ⌊num/den · 10⁶⌉ half-up      = (2·num·10⁶ + den) DIV (2·den)
+#   half_away_div: ⌊s/n⌉ half-away-from-zero    = sign(s)·((2·|s| + n) DIV (2·n))
+#
+# Integer division is `div` in Spark SQL (truncating) and `//` in
+# DuckDB (flooring) — identical on the NONNEGATIVE operands these
+# templates construct (q6_ratio requires num ≥ 0, den > 0; the CASE in
+# half_away_div splits the sign first).  The only float op left is the
+# caller's final single division of the quantized integer by 1e6 — one
+# correctly-rounded IEEE division of identical operands, bit-identical
+# everywhere.  Overflow bound: 2·num·10⁶ must fit int64, i.e.
+# num < 4.6e12 — at 100 TB a per-key count can approach this, so
+# callers counting raw rows per key should pre-aggregate or widen
+# before quantizing (documented, not silently wrapped).
+# --------------------------------------------------------------------------
+
+# Round-boundary perturbation hook (VERDICT r13 #3): when nonzero, the
+# order-robustness sweep is simulating a cross-engine disagreement on
+# the UNROUNDED value feeding every engine-native rounding seam — the
+# sweep monkeypatches F.round itself and quantize_half_away consults
+# this flag. A hashed column whose value survives ±1 ulp here cannot
+# flip on a build-skew ulp at a rounding boundary. Never set outside
+# tools/check_order_robustness.py.
+ROUND_PERTURB_ULPS = 0
+
+_IDIV = {"spark": "div", "duck": "//"}
+
+
+def q6_ratio_sql(num: str, den: str, dialect: str) -> str:
+    """SQL text: half-up quantization of ``num/den`` to integer
+    micro-units (num ≥ 0 integers, den > 0).  ``dialect`` is ``spark``
+    or ``duck`` — the program is identical, only the integer-division
+    token differs."""
+    d = _IDIV[dialect]
+    # explicit BIGINT casts: a 32-bit input column (or a DuckDB INT32
+    # literal in tests) would otherwise overflow the *1e6 widening
+    nm = f"CAST(({num}) AS BIGINT)"
+    dn = f"CAST(({den}) AS BIGINT)"
+    return f"((2 * {nm} * 1000000 + {dn}) {d} (2 * {dn}))"
+
+
+def q6_ratio_col(num: str, den: str) -> Column:
+    """Spark Column form of :func:`q6_ratio_sql` — ``num``/``den`` are
+    COLUMN NAMES on the frame (the long-domain `div` operator has no
+    Column-API equivalent; the float tricks `F.floor(a/b)` and
+    `((a - a%b)/b)` both route through a double conversion that is
+    inexact past 2^53)."""
+    return F.expr(q6_ratio_sql(num, den, "spark")).cast("long")
+
+
+def q6_ratio_py(num: int, den: int) -> int:
+    """Python twin (streams, tests)."""
+    return (2 * num * 1000000 + den) // (2 * den)
+
+
+def half_away_div_sql(s: str, n: str, dialect: str) -> str:
+    """SQL text: nearest-integer s/n, halves away from zero (s any
+    sign, n > 0) — the integer form of the repo-wide
+    :func:`~v3io_tsdb_spark.functions.text.quantize_half_away`
+    convention, for the case where s and n are exact integers."""
+    d = _IDIV[dialect]
+    sv = f"CAST(({s}) AS BIGINT)"
+    nv = f"CAST(({n}) AS BIGINT)"
+    return (
+        f"(CASE WHEN {sv} >= 0 "
+        f"THEN ((2 * {sv} + {nv}) {d} (2 * {nv})) "
+        f"ELSE -(((-2) * {sv} + {nv}) {d} (2 * {nv})) END)"
+    )
+
+
+def half_away_div_col(s: str, n: str) -> Column:
+    """Spark Column form of :func:`half_away_div_sql` (column names)."""
+    return F.expr(half_away_div_sql(s, n, "spark")).cast("long")
+
+
+def half_away_div_py(s: int, n: int) -> int:
+    """Python twin (streams, tests)."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def quantize_micro_py(y: float) -> float:
+    """Python twin of the repo-wide float 6-dp quantization
+    (text.quantize_half_away / __spark_entry__._mn_sql floor form,
+    divided back): ``sign(y)·floor(|y|·1e6 + 0.5)/1e6``.  The stream
+    twins used to hand-code this inline per operator (VERDICT r13 #6)
+    — one definition now, so a rounding change lands exactly once."""
+    if y >= 0:
+        return math.floor(y * 1e6 + 0.5) / 1e6
+    return -math.floor(-y * 1e6 + 0.5) / 1e6

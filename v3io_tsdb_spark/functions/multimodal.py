@@ -657,6 +657,15 @@ def y4m_features(
         while pos < len(payload):
             if payload[pos:pos + 5] != b"FRAME":
                 raise ValueError(f"missing FRAME marker at offset {pos}")
+            # yuv4mpeg: the marker is followed by '\n' or a ' '-led
+            # parameter list — anything else (e.g. b'FRAMExyz\n') is a
+            # malformed header, not a frame (malformed raises, never
+            # silent partials)
+            if payload[pos + 5:pos + 6] not in (b"\n", b" "):
+                raise ValueError(
+                    f"malformed FRAME header at offset {pos}: marker not "
+                    f"followed by newline or parameter space"
+                )
             fnl = payload.find(b"\n", pos)
             if fnl < 0:
                 raise ValueError("unterminated FRAME header")

@@ -969,13 +969,11 @@ def _qhalf(c: Column) -> Column:
 def _round6_half_up(x: float) -> float:
     """Driver-side mirror of both engines' round(x + 1e-9, 6):
     half-AWAY-FROM-ZERO at 6 dp (python's round() is banker's and
-    would diverge)."""
-    import math
+    would diverge).  Delegates to detmath.quantize_micro_py — one
+    definition of the floor form repo-wide (VERDICT r13 #6)."""
+    from v3io_tsdb_spark.functions.detmath import quantize_micro_py
 
-    y = x + 1e-9
-    if y >= 0:
-        return math.floor(y * 1e6 + 0.5) / 1e6
-    return -math.floor(-y * 1e6 + 0.5) / 1e6
+    return quantize_micro_py(x + 1e-9)
 
 
 def kmeans_lloyd(

@@ -42,6 +42,12 @@ def quantize_half_away(c: Column) -> Column:
     Single source of truth — :func:`micro_nats` and
     ``similarity._qhalf`` both delegate here; a change to the rounding
     form must land exactly once."""
+    from v3io_tsdb_spark.functions import detmath
+
+    if detmath.ROUND_PERTURB_ULPS:
+        # order-sweep round-boundary stage (VERDICT r13 #3): simulate a
+        # cross-engine ulp on the unrounded value feeding this seam
+        c = c * F.lit(1.0 + detmath.ROUND_PERTURB_ULPS * 2.0 ** -52)
     return F.when(c >= 0, F.floor(c + F.lit(0.5))).otherwise(
         -F.floor(-c + F.lit(0.5))
     )

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from v3io_tsdb_spark.functions.detmath import with_det_ln
+from v3io_tsdb_spark.functions.detmath import (
+    half_away_div_col,
+    q6_ratio_col,
+    q6_ratio_py,
+    with_det_ln,
+)
 from v3io_tsdb_spark.functions.text import micro_nats
 
 
@@ -87,14 +92,36 @@ def markov_transitions(
     The n-gram miner (session_path_ngrams) reports popular literal
     sequences; this is the generative summary of ALL of them.
 
-    p = c / Σ_from c is exact integer division rounded 6dp — both
-    engines consume identical integers, so the matrix is bit-stable.
+    p = c / Σ_from c is quantized to 6dp in EXACT INTEGER arithmetic
+    (detmath.q6_ratio: ``p6 = (2·c·10⁶ + s) DIV (2·s)`` as BIGINT,
+    half-up, then ONE correctly-rounded IEEE division ``p6/1e6``) — no
+    engine-native ``round()``, no epsilon, no float boundary anywhere
+    (VERDICT r13 #1b), so the matrix is bit-stable across Spark /
+    DuckDB / Python builds by construction.
 
     Plan: the session_path_ngrams exchange discipline — ONE user-keyed
     shuffle serves sessionize + the within-session lead; the pair
     aggregate is partial-aggregable on |states|²-bounded keys; the
     row normalization is a window over the |states|²-sized panel.
     """
+    return _transition_p6(
+        df, user_col, ts_col, type_col, id_col, gap_ms
+    ).select(
+        "from_state", "to_state", "c",
+        (F.col("p6") / F.lit(1e6)).alias("p"),
+    )
+
+
+def _sessionized_pairs(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """(user_id, sess, from_state, to_state) for every consecutive
+    in-session step — shared by the matrix build and session scoring."""
     order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
     wu = Window.partitionBy(user_col).orderBy(*order)
     new_sess = (
@@ -104,19 +131,60 @@ def markov_transitions(
         "_sess", F.sum(F.coalesce(new_sess, F.lit(1))).over(wu)
     )
     ws = Window.partitionBy(user_col, "_sess").orderBy(*order)
-    pairs = s.select(
+    return s.select(
+        F.col(user_col).alias("user_id"),
+        F.col("_sess").alias("sess"),
         F.col(type_col).alias("from_state"),
         F.lead(type_col).over(ws).alias("to_state"),
     ).where(F.col("to_state").isNotNull())
+
+
+def _transition_p6(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    gap_ms: int,
+) -> DataFrame:
+    """(from_state, to_state, c, p6): edge counts plus the 6-dp
+    probability as an exact integer in micro-units.  ``GREATEST(p6,1)``
+    clamps the sub-half-micro tail (c/s < 5e-7 quantizes to 0, whose
+    ln is undefined) — reachable only at extreme per-state cardinality,
+    but the clamp makes the ln domain total by construction."""
+    pairs = _sessionized_pairs(df, user_col, ts_col, type_col, id_col, gap_ms)
     counts = pairs.groupBy("from_state", "to_state").agg(
         F.count("*").cast("long").alias("c")
     )
     wrow = Window.partitionBy("from_state")
-    return counts.select(
-        "from_state",
-        "to_state",
-        "c",
-        F.round(F.col("c") / F.sum("c").over(wrow) + 1e-9, 6).alias("p"),
+    return counts.withColumn(
+        "_srow", F.sum("c").over(wrow)
+    ).withColumn(
+        "p6", F.greatest(q6_ratio_col("c", "_srow"), F.lit(1).cast("long"))
+    ).drop("_srow")
+
+
+def markov_model_panel(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """The full scoring panel behind :func:`session_perplexity` and its
+    streaming twin: (from_state, to_state, c, p6, mn) — edge count, the
+    exact-integer 6-dp probability (micro-units), and the edge's
+    det_ln score quantized to integer micro-nats.  |states|²-bounded;
+    det_ln + quantization run ONCE per edge here, never per transition.
+    Registered as a hash-gated driver row (events_markov_transitions)
+    so a driver red on the perplexity rows bisects model-vs-aggregation
+    (VERDICT r13 #1a)."""
+    t = _transition_p6(df, user_col, ts_col, type_col, id_col, gap_ms)
+    t = with_det_ln(t, "_lnp", F.col("p6") / F.lit(1e6))
+    return t.select(
+        "from_state", "to_state", "c", "p6",
+        micro_nats(F.col("_lnp")).alias("mn"),
     )
 
 
@@ -151,8 +219,11 @@ def markov_kstep(
         .distinct()
     )
     n = states.count()  # |event types| — bounded vocabulary, not data
+    # uniform start 1/n quantized 6dp in exact integer arithmetic
+    # (detmath.q6_ratio_py — n is a driver-side int, so the literal is
+    # computed once in Python, identically to the oracle's SQL form)
     v = states.select(
-        "state", F.round(F.lit(1.0 / n) + 1e-9, 6).alias("p")
+        "state", F.lit(max(q6_ratio_py(1, n), 1) / 1e6).alias("p")
     )
     m = trans.select(
         F.col("from_state"), F.col("to_state"), F.col("p").alias("tp")
@@ -212,36 +283,24 @@ def session_perplexity(
     bit-identical by construction (tests/test_detmath.py), and the
     robustness sweep additionally pins hash-invariance under a
     simulated ±1 ulp ln perturbation.
+
+    The remaining seam after r13's driver red (VERDICT r13 #1) was the
+    engine-native ``round(x, 6)`` itself — Spark BigDecimal HALF_UP vs
+    DuckDB native round vs the stream twin's Python floor form, on
+    values that land EXACTLY on .5 boundaries (mean of integer
+    micro-nats: s odd, n even ⇒ x.5 exactly).  Both roundings in the
+    family are now pure integer arithmetic (detmath.q6_ratio for the
+    matrix p, detmath.half_away_div for the session mean), and the
+    only float op per hashed value is the one final ``mm/1e6`` —
+    correctly-rounded IEEE division of identical integers, everywhere.
     """
-    order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
-    wu = Window.partitionBy(user_col).orderBy(*order)
-    new_sess = (
-        F.col(ts_col) - F.lag(ts_col).over(wu) > gap_ms
-    ).cast("long")
-    s = df.withColumn(
-        "_sess", F.sum(F.coalesce(new_sess, F.lit(1))).over(wu)
-    )
-    ws = Window.partitionBy(user_col, "_sess").orderBy(*order)
-    pairs = s.select(
-        F.col(user_col).alias("user_id"),
-        F.col("_sess").alias("sess"),
-        F.col(type_col).alias("from_state"),
-        F.lead(type_col).over(ws).alias("to_state"),
-    ).where(F.col("to_state").isNotNull())
-    counts = pairs.groupBy("from_state", "to_state").agg(
-        F.count("*").cast("long").alias("_c")
-    )
-    wrow = Window.partitionBy("from_state")
-    m = counts.select(
-        "from_state", "to_state",
-        F.round(F.col("_c") / F.sum("_c").over(wrow) + 1e-9, 6).alias("_p"),
-    )
+    pairs = _sessionized_pairs(df, user_col, ts_col, type_col, id_col, gap_ms)
     # det_ln + micro-nat quantization happen ONCE per matrix edge (the
     # |states|²-bounded panel), never per transition: the broadcast
     # side carries the already-quantized integer score.
-    m = with_det_ln(m, "_lnp", F.col("_p")).select(
-        "from_state", "to_state", micro_nats(F.col("_lnp")).alias("_mn")
-    )
+    m = markov_model_panel(
+        df, user_col, ts_col, type_col, id_col, gap_ms
+    ).select("from_state", "to_state", F.col("mn").alias("_mn"))
     return (
         pairs.join(F.broadcast(m), ["from_state", "to_state"])
         .groupBy("user_id", "sess")
@@ -249,12 +308,11 @@ def session_perplexity(
             F.count("*").cast("long").alias("n_steps"),
             F.sum("_mn").alias("_s"),
         )
+        .withColumn("_mm", half_away_div_col("_s", "n_steps"))
         .select(
             "user_id",
             "sess",
             "n_steps",
-            F.round(
-                F.col("_s") / (F.lit(1e6) * F.col("n_steps")) + 1e-9, 6
-            ).alias("mean_logp"),
+            (F.col("_mm") / F.lit(1e6)).alias("mean_logp"),
         )
     )

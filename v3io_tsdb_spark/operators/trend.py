@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.functions.detmath import quantize_micro_py
+
 
 def ewma_over_buckets(
     df: DataFrame,
@@ -835,11 +837,8 @@ def holt_winters(
         )
 
     def _r6(x: float) -> float:
-        import math as _m
-
-        y = x + 1e-9
-        s = 1.0 if y >= 0 else -1.0
-        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+        # shared floor-form quantizer (detmath, VERDICT r13 #6)
+        return quantize_micro_py(x + 1e-9)
 
     grid = (
         df.where(
@@ -1146,11 +1145,8 @@ def hw_anomaly(
     a_, b_, g_ = alpha, beta, gamma
 
     def _r6(x: float) -> float:
-        import math as _m
-
-        y = x + 1e-9
-        s = 1.0 if y >= 0 else -1.0
-        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
+        # shared floor-form quantizer (detmath, VERDICT r13 #6)
+        return quantize_micro_py(x + 1e-9)
 
     def _robust(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t").reset_index(drop=True)

@@ -128,7 +128,29 @@ class Querier:
     def samples_df(self) -> DataFrame:
         df = self._samples
         if isinstance(df, str):
-            df = self.spark.read.parquet(df)
+            import glob
+            import os
+
+            if not glob.glob(os.path.join(df, "dt=*")):
+                # a fully-deleted (or never-written) table: the
+                # reference returns an empty result set for a query
+                # over an empty TSDB, not an error — build an empty
+                # frame on the canonical on-disk schema instead of
+                # letting Parquet schema inference raise
+                # (ref: pkg/pquerier/querier.go Select over empty
+                # partitions yields an empty iterator)
+                from pyspark.sql import types as T
+
+                from v3io_tsdb_spark.appender import _INPUT_SCHEMA
+
+                schema = T.StructType(
+                    list(_INPUT_SCHEMA.fields)
+                    + [T.StructField("series_id", T.LongType()),
+                       T.StructField("dt", T.StringType())]
+                )
+                df = self.spark.createDataFrame([], schema)
+            else:
+                df = self.spark.read.parquet(df)
         if "series_id" not in df.columns:
             df = df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
         return df

@@ -29,6 +29,22 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from v3io_tsdb_spark.functions.detmath import (
+    half_away_div_py,
+    quantize_micro_py,
+)
+
+
+def _r6(x: float) -> float:
+    """Shared 6-dp quantization for float stream emissions: the repo's
+    floor form (detmath.quantize_micro_py — one definition for the
+    Column/SQL/Python emitters, VERDICT r13 #6) after the EPS6
+    tie-nudge that the batch ``_rz`` / oracle ``round(x + 1e-9, 6)``
+    sides apply on the same columns.  Integer-ratio emissions do NOT
+    come through here — they use detmath.half_away_div_py (exact)."""
+    return quantize_micro_py(x + 1e-9)
+
+
 _OUT_SCHEMA = StructType(
     [
         StructField("series_key", StringType()),
@@ -675,13 +691,6 @@ def _make_slo_fn(
 ):
     budget = 1.0 - slo_target
 
-    def _r6(x: float) -> float:
-        import math as _m
-
-        y = x + 1e-9
-        s = 1.0 if y >= 0 else -1.0
-        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
-
     def _fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -825,11 +834,6 @@ _DD_STATE_SCHEMA = StructType(
 def _make_drawdown_fn(step_ms: int, anchor_ms: int = 0):
     import math as _m
 
-    def _r6(x: float) -> float:
-        y = x + 1e-9
-        s = 1.0 if y >= 0 else -1.0
-        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
-
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -949,13 +953,6 @@ _PL_STATE_SCHEMA = StructType(
 
 def _make_predict_linear_fn(step_ms: int, lookback: int, horizon: int,
                             from_ms: int):
-    import math as _m
-
-    def _r6(x: float) -> float:
-        y = x + 1e-9
-        s = 1.0 if y >= 0 else -1.0
-        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
-
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -1081,13 +1078,6 @@ _TK_STATE_SCHEMA = StructType(
 
 
 def _make_topk_fn(step_ms: int, k: int, anchor_ms: int = 0):
-    import math as _m
-
-    def _r6(x: float) -> float:
-        y = x + 1e-9
-        s = 1.0 if y >= 0 else -1.0
-        return s * _m.floor(abs(y) * 1e6 + 0.5) / 1e6
-
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -1241,11 +1231,13 @@ def _make_session_perplexity_fn(model: dict, gap_ms: int):
                 rows["user_id"].append(uid)
                 rows["sess"].append(int(sess))
                 rows["n_steps"].append(int(n))
-                m = s / (1e6 * n) + 1e-9
-                rows["mean_logp"].append(
-                    (int(m * 1e6 + 0.5) if m >= 0 else -int(-m * 1e6 + 0.5))
-                    / 1e6
-                )
+                # exact-integer mean (VERDICT r13 #1b): s and n are
+                # exact integers, so the session mean quantizes in
+                # integer arithmetic — bit-identical to the batch
+                # operator's half_away_div_col and the oracle's
+                # half_away_div_sql by construction; the single /1e6
+                # is one correctly-rounded IEEE division everywhere
+                rows["mean_logp"].append(half_away_div_py(s, n) / 1e6)
 
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
