@@ -4440,48 +4440,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2, r8 #2):
     no query's newest driver row should age past ~2 rounds.
 
-    Round-13 head-50 = the 6 r12 net-new rows (local-only evidence,
-    VERDICT r12 #2) + the 7 r13 net-new rows (`tpch_q19_discount_promo`
-    — the disjunctive pushdown shape, `mm_image_features` — the real
-    PPM codec, the four remaining distinct public TPC-H plan
-    patterns `tpch_q7_volume_shipping` / `tpch_q8_market_share` /
-    `tpch_q9_product_profit` / `tpch_q14_promo_share` (VERDICT r12
-    missing-#2), and `mm_video_features` — the real Y4M video demux)
-    + the 37 oldest-evidence (r9) rows, per
-    `tools/check_rotation.py --plan`. `events_session_perplexity`
-    (X162, driver hash-red r11+r12 on cross-libm ln) re-gates inside
-    the r9 tier with the structural det_ln fix (functions/detmath.py).
+    Round-14 head-50 (VERDICT r13 #1/#2): the session-perplexity
+    family leads — `events_markov_transitions` (now the full model
+    panel c/p6/mn, the bisection row), `events_session_perplexity`
+    (hash-red r11/r12, never driver-green), and
+    `stream_session_perplexity` (hash-red r13 on its first gate) —
+    all rebuilt on exact-integer quantization (detmath.q6_ratio /
+    half_away_div, no engine-native round() on any hashed column).
+    Then the 8 r9-evidence rows and the 39 surviving r10-evidence
+    rows, per the now-HASH-STRICT `tools/check_rotation.py --plan`
+    (r13's `green()` accepted rows-only matches, which let the
+    hash-red X162 evade re-gating for two rounds).
 
-    At 200 registered queries the 50-slot gate is SATURATED: the
-    rotation is a ceil(N/50)-window cycle, so the evidence-age bound
-    is ceil(N/50)-1 rounds — computed DYNAMICALLY by
-    `tools/check_rotation.py`, which audits the newest green driver
-    row per query against that bound and prints the recommended next
-    head with --plan.
+    The 50-slot gate is SATURATED past 100 queries: the rotation is a
+    ceil(N/50)-window cycle, so the evidence-age bound is
+    ceil(N/50)-1 rounds, anchored at the UPCOMING round — computed
+    DYNAMICALLY by `tools/check_rotation.py`, which audits the newest
+    hash-green driver row per query against that bound and prints the
+    recommended next head with --plan.
 
-    Registry held at N=200 (VERDICT r12 #7): r13 added seven rows and
-    RETIRED seven near-duplicate stateful stream twins to pytest-only
-    status — `stream_drawdown`, `stream_hampel_hourly`,
-    `stream_predict_linear`, `stream_slo_burn`,
-    `stream_alert_episodes`, `stream_value_heatmap`,
-    `stream_new_returning` — each with its code path pinned by a
-    direct stream-vs-batch pytest (test_round10c_ops.py,
-    test_round9b_ops.py, test_round10d_ops.py, test_round9i_ops.py,
-    test_round13b_ops.py, test_streaming.py stream_first_seen) and
-    its batch operator keeping a gated row (tsdb_drawdown_daily,
-    events_hampel_hourly, tsdb_predict_linear, tsdb_slo_burn,
-    events_alert_episodes, events_value_heatmap,
-    events_new_returning)."""
+    Registry at N=194: r14 RETIRED six near-duplicate rows whose
+    families stay gated through siblings — `emb_pq_recall`,
+    `doc_logprob_profile`, `tsdb_hw_daily`, `emb_centroid_profile`,
+    `doc_weighted_sample`, `tsdb_seasonal_naive` (see RETIRED_R14;
+    tests/test_round14_retired.py still sweeps each against its DuckDB
+    oracle, so only the driver slot moved, not the correctness
+    coverage). The r13 retirements (seven stateful stream twins,
+    pinned by direct stream-vs-batch pytests in test_round10c/10d/
+    9b/9i/13b_ops.py and test_streaming.py) stand unchanged."""
     return {
-        # --- r13 head-50: the 6 r12 net-new rows + the 2 r13
-        # --- net-new (tpch_q19, mm_image) + the oldest-evidence
-        # --- (r9) tier, per tools/check_rotation.py --plan
+        # --- r14 head-50 (driver gates rows 0-49): the 3
+        # --- session-perplexity-family re-gates (VERDICT r13 #1 —
+        # --- exact-integer quantization, model-panel bisection row
+        # --- first), then the 8 r9-evidence rows and the 39
+        # --- surviving r10-evidence rows (VERDICT r13 #2), per the
+        # --- hash-strict tools/check_rotation.py --plan
+        "events_markov_transitions": q_events_markov_transitions,
+        "events_session_perplexity": q_events_session_perplexity,
+        "stream_session_perplexity": q_stream_session_perplexity,
+        "doc_normalized_dedup": q_doc_normalized_dedup,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_script_profile": q_doc_script_profile,
+        "tsdb_irate_daily": q_tsdb_irate_daily,
+        "doc_corpus_diff": q_doc_corpus_diff,
+        "tsdb_label_cardinality": q_tsdb_label_cardinality,
+        "emb_group_diversity": q_emb_group_diversity,
+        "doc_bm25_topk": q_doc_bm25_topk,
+        "doc_mixture_weights": q_doc_mixture_weights,
+        "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
+        "tsdb_mad_daily": q_tsdb_mad_daily,
+        "events_value_heatmap": q_events_value_heatmap,
+        "tsdb_integral_daily": q_tsdb_integral_daily,
+        "doc_zipf_fit": q_doc_zipf_fit,
+        "doc_cooccur_pmi": q_doc_cooccur_pmi,
+        "events_hampel_hourly": q_events_hampel_hourly,
+        "emb_pq_topk": q_emb_pq_topk,
+        "events_heavy_hitters": q_events_heavy_hitters,
+        "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
+        "events_assoc_rules": q_events_assoc_rules,
+        "doc_bigram_logprob": q_doc_bigram_logprob,
+        "doc_classifier_score": q_doc_classifier_score,
+        "tsdb_ols_trend_daily": q_tsdb_ols_trend_daily,
+        "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
+        "events_hist_quantile": q_events_hist_quantile,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
+        "events_bloom_semi": q_events_bloom_semi,
+        "stream_cms_sketch": q_stream_cms_sketch,
+        "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
+        "events_path_trigrams": q_events_path_trigrams,
+        "doc_readability": q_doc_readability,
+        "emb_hard_negatives": q_emb_hard_negatives,
+        "events_key_skew": q_events_key_skew,
+        "events_benford": q_events_benford,
+        "events_interarrival": q_events_interarrival,
+        "tsdb_corr_matrix": q_tsdb_corr_matrix,
+        "events_new_returning": q_events_new_returning,
+        "doc_psi_drift": q_doc_psi_drift,
+        "doc_source_overlap": q_doc_source_overlap,
+        "doc_oov_rate": q_doc_oov_rate,
+        "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
+        "events_attribution": q_events_attribution,
+        "emb_kmeans_profile": q_emb_kmeans_profile,
+        "events_alert_episodes": q_events_alert_episodes,
+        "tsdb_slo_burn": q_tsdb_slo_burn,
+        "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
+        "emb_mmr_topk": q_emb_mmr_topk,
+        # --- r11+-evidence tier (next windows), prior order kept
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "mm_wav_features": q_mm_wav_features,
         "stream_wav_features": q_stream_wav_features,
         "emb_semantic_decontaminate": q_emb_semantic_decontaminate,
-        "stream_session_perplexity": q_stream_session_perplexity,
         "tpch_q19_discount_promo": q_tpch_q19_discount_promo,
         "mm_image_features": q_mm_image_features,
         "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
@@ -4526,12 +4575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions_30m": q_stream_sessions_30m,
         "stream_counter_increase": q_stream_counter_increase,
         "doc_length_histogram": q_doc_length_histogram,
-        "doc_normalized_dedup": q_doc_normalized_dedup,
-        "doc_unigram_logprob": q_doc_unigram_logprob,
-        "doc_script_profile": q_doc_script_profile,
-        "tsdb_irate_daily": q_tsdb_irate_daily,
-        "doc_corpus_diff": q_doc_corpus_diff,
-        # --- tail: r10/r11/r12-evidenced tiers, rotation order
         "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
         "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
         "stream_topk_daily": q_stream_topk_daily,
@@ -4539,7 +4582,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
         "tpch_q13_custdist": q_tpch_q13_custdist,
         "tpch_q11_share_parts": q_tpch_q11_share_parts,
-        "events_session_perplexity": q_events_session_perplexity,
         "tsdb_range_join": q_tsdb_range_join,
         "tsdb_variant_raw": q_tsdb_variant_raw,
         "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
@@ -4598,7 +4640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
         "tsdb_predict_linear": q_tsdb_predict_linear,
         "tsdb_topk_daily": q_tsdb_topk_daily,
-        "events_markov_transitions": q_events_markov_transitions,
         "events_markov_kstep": q_events_markov_kstep,
         "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
         "doc_vocab_growth": q_doc_vocab_growth,
@@ -4629,54 +4670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
         "doc_word_entropy": q_doc_word_entropy,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
-        "tsdb_label_cardinality": q_tsdb_label_cardinality,
-        "emb_group_diversity": q_emb_group_diversity,
-        "doc_bm25_topk": q_doc_bm25_topk,
-        "doc_mixture_weights": q_doc_mixture_weights,
-        "doc_winnow_decontaminate": q_doc_winnow_decontaminate,
-        "tsdb_mad_daily": q_tsdb_mad_daily,
-        "events_value_heatmap": q_events_value_heatmap,
-        "tsdb_integral_daily": q_tsdb_integral_daily,
-        "doc_zipf_fit": q_doc_zipf_fit,
-        "doc_logprob_profile": q_doc_logprob_profile,
-        "doc_cooccur_pmi": q_doc_cooccur_pmi,
-        "emb_centroid_profile": q_emb_centroid_profile,
-        "events_hampel_hourly": q_events_hampel_hourly,
-        "emb_pq_topk": q_emb_pq_topk,
-        "emb_pq_recall": q_emb_pq_recall,
-        "events_heavy_hitters": q_events_heavy_hitters,
-        "tsdb_theilsen_daily": q_tsdb_theilsen_daily,
-        "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
-        "events_assoc_rules": q_events_assoc_rules,
-        "doc_bigram_logprob": q_doc_bigram_logprob,
-        "doc_classifier_score": q_doc_classifier_score,
-        "tsdb_ols_trend_daily": q_tsdb_ols_trend_daily,
-        "tsdb_xcorr_daily": q_tsdb_xcorr_daily,
-        "events_hist_quantile": q_events_hist_quantile,
-        "doc_hybrid_rrf": q_doc_hybrid_rrf,
-        "events_bloom_semi": q_events_bloom_semi,
-        "stream_cms_sketch": q_stream_cms_sketch,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "tsdb_seasonal_decompose": q_tsdb_seasonal_decompose,
-        "events_path_trigrams": q_events_path_trigrams,
-        "doc_readability": q_doc_readability,
-        "emb_hard_negatives": q_emb_hard_negatives,
-        "events_key_skew": q_events_key_skew,
-        "events_benford": q_events_benford,
-        "events_interarrival": q_events_interarrival,
-        "tsdb_corr_matrix": q_tsdb_corr_matrix,
-        "events_new_returning": q_events_new_returning,
-        "doc_psi_drift": q_doc_psi_drift,
-        "doc_source_overlap": q_doc_source_overlap,
-        "doc_oov_rate": q_doc_oov_rate,
-        "tsdb_minmax_decimate": q_tsdb_minmax_decimate,
-        "events_attribution": q_events_attribution,
-        "emb_kmeans_profile": q_emb_kmeans_profile,
-        "events_alert_episodes": q_events_alert_episodes,
-        "tsdb_slo_burn": q_tsdb_slo_burn,
-        "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
-        "tsdb_hw_daily": q_tsdb_hw_daily,
-        "emb_mmr_topk": q_emb_mmr_topk,
     }
 
 
@@ -5114,7 +5107,7 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
   FROM a{n_iter} GROUP BY 1"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_all() -> dict[str, str]:
     day_agg = f"""
       SELECT event_type AS name, CAST(user_id AS VARCHAR) AS uid,
              {_DAY_BUCKET} AS t,
@@ -9700,3 +9693,55 @@ def oracle_sql() -> dict[str, str]:
           FROM z GROUP BY doc_id, ns
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# Registry discipline (VERDICT r12 #7 / r13 #8): the driver gate holds 50
+# slots per round, so the registry stays <=200 and near-duplicate rows
+# retire to pytest-only status once a sibling keeps the family gated.
+# r14 retirements (tests/test_round14_retired.py sweeps every one of
+# these against its DuckDB oracle, so correctness coverage is unchanged
+# — only the driver slot is freed):
+#   emb_pq_recall        -> emb_pq_topk stays gated (same PQ index path)
+#   doc_logprob_profile  -> doc_unigram_logprob/doc_bigram_logprob gated
+#   tsdb_hw_daily        -> tsdb_hw_anomaly/tsdb_hw_forecast keep the
+#                           holt_winters recursion gated
+#   emb_centroid_profile -> emb_kmeans_profile keeps the assignment path
+#   doc_weighted_sample  -> events_sampled_hourly keeps sampling gated
+#   tsdb_seasonal_naive  -> tsdb_seasonal_decompose keeps the seasonal
+#                           frames gated
+# ---------------------------------------------------------------------------
+
+RETIRED_R14 = (
+    "emb_pq_recall",
+    "doc_logprob_profile",
+    "tsdb_hw_daily",
+    "emb_centroid_profile",
+    "doc_weighted_sample",
+    "tsdb_seasonal_naive",
+)
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver-facing oracle registry: every queries() key with a
+    DuckDB-executable ANSI twin (retired rows excluded alongside their
+    queries() entries, so the key sets always match)."""
+    return {k: v for k, v in _oracle_sql_all().items()
+            if k not in RETIRED_R14}
+
+
+def retired_queries() -> dict:
+    """Builders for rows retired from the driver registry — pinned by
+    tests/test_round14_retired.py against retired_oracle_sql()."""
+    return {
+        "emb_pq_recall": q_emb_pq_recall,
+        "doc_logprob_profile": q_doc_logprob_profile,
+        "tsdb_hw_daily": q_tsdb_hw_daily,
+        "emb_centroid_profile": q_emb_centroid_profile,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    return {k: _oracle_sql_all()[k] for k in RETIRED_R14}
