@@ -4434,6 +4434,113 @@ def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-14 operators (X189–X194)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (X189): returned-item reporting — the one
+    public TPC-H plan the registry lacked (completes 22/22): a
+    quarter-pruned orders window joins the returnflag-filtered fact,
+    customer and nation broadcast in, top-20 customers by lost
+    revenue with the key as the deterministic tiebreak. Both filters
+    push to their scans; the groupBy keys off the customer key so the
+    aggregate is broadcast-join-then-partial, one fact pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    q0 = F.lit("1998-07-01").cast("timestamp_ntz")
+    q1 = F.lit("1998-10-01").cast("timestamp_ntz")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o.where((F.col("o_orderdate") >= q0) & (F.col("o_orderdate") < q1)),
+              li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_DEC.format(expr="l_extendedprice*(1-l_discount)")).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the session-transition graph (X190): 5
+    exact-integer power iterations at d = 17/20 over the Markov p6
+    matrix — which event types matter structurally, vs markov_kstep's
+    "where is the population". Every iterate is BIGINT micro-units
+    (operators/paths.pagerank); the oracle unrolls the identical
+    integer program as a 5-CTE chain."""
+    from v3io_tsdb_spark.operators.paths import _transition_p6, pagerank
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    t = _transition_p6(ev, "user_id", "ts_ms", "event_type", "event_id",
+                       1_800_000)
+    return pagerank(t, k=5)
+
+
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette over the kmeans_lloyd clustering (X191):
+    per cluster, mean (b−a)/max(a,b) on the trainer's own 6dp squared
+    distances — the "are these clusters real" eval, O(n·k) via the
+    broadcast centroid panel (the full silhouette's O(n²) term is the
+    thing that cannot scale). s6/mean are exact-integer (q6_ratio /
+    half_away_div); oracle = the Lloyd CTE chain with a runner-up
+    distance column."""
+    from v3io_tsdb_spark.functions.similarity import kmeans_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_silhouette(emb, k=4, n_iter=3)
+
+
+def q_emb_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen (X192): per label, z-score each vector's
+    cosine to its own group centroid and count low-coherence outliers
+    (dev < 0 AND n·dev² > 4·Σdev², pure BIGINT — the squared-domain
+    z-test, no sqrt and no engine round() in the verdict column). The
+    mislabeled-example detector a labeled-corpus pipeline runs before
+    training."""
+    from v3io_tsdb_spark.functions.similarity import label_coherence
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_coherence(emb).select(
+        F.col("label").cast("long").alias("label"),
+        "n_vecs", "mean_cos", "var_cos", "n_outliers",
+    )
+
+
+def q_doc_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration panel (X193): bucket every MinHash candidate
+    pair by its signature estimate (⌊10·matches/32⌋) and score the
+    EXACT shingle Jaccard for those pairs only — the measured S-curve
+    that tells you whether the banding config holds on the real
+    corpus before you trust the dedup. Exact-verify work is bounded
+    by candidate volume, never the corpus."""
+    from v3io_tsdb_spark.functions.dedup import minhash_precision_buckets
+
+    docs = _docs_scattered(spark, sf_dir)
+    return minhash_precision_buckets(
+        docs, inv=_shingle_ensure_index(spark, sf_dir)
+    )
+
+
+def q_mm_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-style activity segmentation over REAL decoded PCM (X194):
+    the WAV payload bytes are parsed (the mm_wav RIFF walk), frames of
+    16 samples gate on the file's mean frame energy in EXACT integer
+    arithmetic (nf·E_f ≥ ΣE), and the active mask's run-length
+    structure is the verdict — the silence-trim pass an audio
+    pipeline runs before chunking. No float exists in the operator."""
+    from v3io_tsdb_spark.functions.multimodal import (
+        attach_wav_payload,
+        audio_segments,
+    )
+
+    docs = attach_wav_payload(load_table(spark, sf_dir, "documents"))
+    return audio_segments(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's oracle sweep records correctness
     rows for the FIRST 50 entries only (observed: CORRECTNESS_r05 had
@@ -4459,7 +4566,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     hash-green driver row per query against that bound and prints the
     recommended next head with --plan.
 
-    Registry at N=194: r14 RETIRED six near-duplicate rows whose
+    Registry at N=200: six net-new rows (X189–X194, SURVEY §2.10 —
+    TPC-H Q10 completing 22/22, exact-integer PageRank, simplified
+    silhouette, label-coherence outliers, LSH precision calibration,
+    VAD audio segmentation) joined at the TAIL as net-new-pending for
+    the r15 head. Earlier in r14, RETIRED six near-duplicate rows whose
     families stay gated through siblings — `emb_pq_recall`,
     `doc_logprob_profile`, `tsdb_hw_daily`, `emb_centroid_profile`,
     `doc_weighted_sample`, `tsdb_seasonal_naive` (see RETIRED_R14;
@@ -4670,6 +4781,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
         "doc_word_entropy": q_doc_word_entropy,
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
+        # --- r14 net-new rows (X189–X194): tail slots — the r14
+        # --- head-50 is the verdict-mandated perplexity + stale-
+        # --- evidence set, so these wait for their first driver gate
+        # --- in the r15 head (net-new pending per check_rotation.py);
+        # --- until then the local sweep + pytest carry them
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "events_pagerank": q_events_pagerank,
+        "emb_silhouette": q_emb_silhouette,
+        "emb_label_coherence": q_emb_label_coherence,
+        "doc_lsh_precision": q_doc_lsh_precision,
+        "mm_audio_segments": q_mm_audio_segments,
     }
 
 
@@ -5063,13 +5185,20 @@ def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
   FROM v{n_iter}"""
 
 
-def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations as a CTE chain — the oracle twin of
-    similarity.kmeans_lloyd. Each iteration mirrors the engine's two
+def _lloyd_chain_sql(k: int, n_iter: int, dim: int,
+                     final_rn: int = 1) -> tuple[str, str]:
+    """The unrolled Lloyd CTE chain shared by the kmeans and
+    silhouette oracles (extracted r14 — one training text, two
+    tails): seeds c0 from the k lowest ids, alternates assignment
+    a{i} / recompute c{i} exactly as similarity._lloyd_train, and
+    keeps the top-``final_rn`` candidate distances in the LAST
+    assignment (1 for kmeans' argmin, 2 when the runner-up distance
+    is the verdict input). Each iteration mirrors the engine's two
     determinism boundaries: distances rounded 6dp before the argmin
     (ties → lowest cid), recomputed per-dim means rounded 6dp before
     the next assignment. Empty clusters drop out of c{i} naturally,
-    matching the engine's die-on-empty rule."""
+    matching the engine's die-on-empty rule. Returns
+    ``(cte_text, final_assignment_name)``."""
     sq = ("round(list_sum(list_transform(list_zip(e.v, c.v), "
           "z -> (z[1] - z[2]) * (z[1] - z[2]))) + 1e-09, 6)")
     parts = [
@@ -5080,14 +5209,15 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
     ]
     prev = "c0"
     for it in range(1, n_iter + 1):
+        rn_keep = final_rn if it == n_iter else 1
         parts.append(f"""
   a{it} AS (
-    SELECT id, v, cid, d FROM (
+    SELECT id, v, cid, d, rn FROM (
       SELECT e.id, e.v, c.cid, {sq} AS d,
              row_number() OVER (PARTITION BY e.id
                                 ORDER BY {sq}, c.cid) AS rn
       FROM e, {prev} c
-    ) WHERE rn = 1
+    ) WHERE rn <= {rn_keep}
   )""")
         if it < n_iter:
             parts.append(f"""
@@ -5100,11 +5230,123 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
     ) GROUP BY 1
   )""")
             prev = f"c{it}"
-    return ",".join(parts) + f"""
+    return ",".join(parts), f"a{n_iter}"
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as a CTE chain — the oracle twin of
+    similarity.kmeans_lloyd (chain text in :func:`_lloyd_chain_sql`)."""
+    chain, fin = _lloyd_chain_sql(k, n_iter, dim, final_rn=1)
+    return chain + f"""
   SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
          round(sum(CAST(CASE WHEN d * 1e6 >= 0 THEN floor((d * 1e6) + 0.5) ELSE -floor(-(d * 1e6) + 0.5) END AS BIGINT)) / 1e6 + 1e-09, 4) + 0.0
            AS inertia
-  FROM a{n_iter} GROUP BY 1"""
+  FROM {fin} GROUP BY 1"""
+
+
+def _silhouette_oracle_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Oracle twin of similarity.kmeans_silhouette: the SAME Lloyd
+    chain, final assignment keeping rn ≤ 2 — rn=1 is the argmin (a,
+    the own-centroid distance and the membership), rn=2 the nearest-
+    other distance (b); s6 = q6_ratio(bu − au, bu) and the cluster
+    means are half_away_div — pure BIGINT end-to-end, one /1e6 per
+    output value (the r14 exact-integer rule)."""
+    chain, fin = _lloyd_chain_sql(k, n_iter, dim, final_rn=2)
+    qh = "CAST(floor(d * 1e6 + 0.5) AS BIGINT)"  # d >= 0 always
+    return chain + f""",
+  pv AS (
+    SELECT id,
+           max(CASE WHEN rn = 1 THEN cid END) AS cid,
+           max(CASE WHEN rn = 1 THEN {qh} END) AS au,
+           max(CASE WHEN rn = 2 THEN {qh} END) AS bu
+    FROM {fin} GROUP BY id
+  ),
+  s6 AS (
+    SELECT cid,
+           CASE WHEN bu > 0 THEN {q6_ratio_sql('(bu - au)', 'bu', 'duck')}
+                ELSE CAST(0 AS BIGINT) END AS s6, au
+    FROM pv
+  )
+  SELECT CAST(cid AS INT) AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+         {half_away_div_sql('sum(s6)', 'count(*)', 'duck')} / 1e6 AS mean_sil,
+         {half_away_div_sql('sum(au)', 'count(*)', 'duck')} / 1e6 AS mean_a
+  FROM s6 GROUP BY 1"""
+
+
+def _pagerank_oracle_sql(k: int = 5) -> str:
+    """Oracle twin of operators/paths.pagerank: the markov p6 matrix
+    CTEs, then ``k`` unrolled power-iteration CTEs in the IDENTICAL
+    exact-integer program — ``v'_u = half_up((3·10¹² + 17·N·T_j) /
+    (2·10⁷·N))`` with ``T_j = Σ v_u·p6`` as BIGINT sums; ``//`` on the
+    positive operands floors exactly like Spark's ``div``. N is the
+    state count — the engine embeds the driver-computed int, the
+    oracle a scalar subquery over the same state set."""
+    n = "(SELECT n FROM nn)"
+    num = f"(3000000000000 + 17 * {n} * COALESCE(tj.t0, 0))"
+    den = f"(2 * 10000000 * {n})"
+    upd = f"CAST((2 * {num} + {den}) // (2 * {den}) AS BIGINT)"
+    prefix = f"""
+      WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+        FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+      ),
+      g AS (
+        SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+      ),
+      s AS (
+        SELECT *, sum(new_sess) OVER w AS sess
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+      ),
+      pr AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER ws AS to_state
+        FROM s
+        WINDOW ws AS (PARTITION BY user_id, sess
+                      ORDER BY t, event_type, event_id)
+      ),
+      cn AS (
+        SELECT from_state, to_state, count(*) AS c FROM pr
+        WHERE to_state IS NOT NULL GROUP BY 1, 2
+      ),
+      mtx AS MATERIALIZED (
+        SELECT from_state, to_state,
+               GREATEST({q6_ratio_sql(
+                   'c', 'sum(c) OVER (PARTITION BY from_state)',
+                   'duck')}, CAST(1 AS BIGINT)) AS p6
+        FROM cn
+      ),
+      st AS MATERIALIZED (
+        SELECT from_state AS state FROM mtx
+        UNION SELECT to_state FROM mtx
+      ),
+      nn AS (SELECT count(*) AS n FROM st),
+      v0 AS (
+        SELECT state,
+               GREATEST({q6_ratio_sql('1', n, 'duck')},
+                        CAST(1 AS BIGINT)) AS vu
+        FROM st
+      )"""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f""",
+      v{i} AS MATERIALIZED (
+        SELECT s.state, {upd} AS vu
+        FROM st s LEFT JOIN (
+          SELECT m.to_state AS state, sum(v.vu * m.p6) AS t0
+          FROM v{i - 1} v JOIN mtx m ON m.from_state = v.state
+          GROUP BY 1
+        ) tj ON tj.state = s.state
+      )""")
+    return prefix + "".join(steps) + f"""
+      SELECT state, vu / 1e6 AS pr,
+             CAST(row_number() OVER (ORDER BY vu DESC, state) AS BIGINT)
+               AS rank
+      FROM v{k}"""
 
 
 def _oracle_sql_all() -> dict[str, str]:
@@ -9691,6 +9933,208 @@ def _oracle_sql_all() -> dict[str, str]:
                                THEN 1 ELSE 0 END) AS BIGINT)
                    AS zero_crossings
           FROM z GROUP BY doc_id, ns
+        """,
+        # --- r14 net-new rows (X189–X194) ---
+        "tpch_q10_returned_items": """
+          SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                 CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1998-07-01'
+            AND o_orderdate < TIMESTAMP '1998-10-01'
+          GROUP BY 1, 2, 3, 4
+          ORDER BY revenue DESC, c.c_custkey
+          LIMIT 20
+        """,
+        "events_pagerank": _pagerank_oracle_sql(k=5),
+        "emb_silhouette": _silhouette_oracle_sql(k=4, n_iter=3),
+        "emb_label_coherence": f"""
+          WITH e AS (
+            SELECT label,
+                   list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+            WHERE list_sum(list_transform(embedding,
+                                          x -> x::DOUBLE * x::DOUBLE)) > 0
+          ),
+          -- group centroids: exact integer means of 2^-15-quantized
+          -- coords, rounded 6dp (the Lloyd recompute rule)
+          cent AS (
+            SELECT label, list(m ORDER BY pos) AS cv FROM (
+              SELECT label, i AS pos,
+                     round(sum(CAST(CASE WHEN v[i + 1] * 32768.0 >= 0 THEN floor((v[i + 1] * 32768.0) + 0.5) ELSE -floor(-(v[i + 1] * 32768.0) + 0.5) END AS BIGINT))
+                           / (32768.0 * count(*)) + 1e-09, 6) AS m
+              FROM e, range(64) t(i) GROUP BY 1, 2
+            ) GROUP BY 1
+          ),
+          -- per-vector cosine quantized at 1e-8 (two digits finer
+          -- than any hashed output — a per-item boundary flip moves
+          -- the sum by 1 without moving the 6dp mean), floor-form
+          cosr AS (
+            SELECT e.label,
+                   list_sum(list_transform(list_zip(e.v, c.cv), z -> z[1] * z[2])) / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cr
+            FROM e JOIN cent c USING (label)
+          ),
+          sc AS (
+            SELECT label,
+                   CAST(CASE WHEN cr * 1e8 >= 0 THEN floor(cr * 1e8 + 0.5) ELSE -floor(-(cr * 1e8) + 0.5) END AS BIGINT) AS c8
+            FROM cosr
+          ),
+          -- µ-unit twin by PURE integer rounding (no second float
+          -- seam); dev/std/outlier run on it so squared products
+          -- stay int64
+          sc6 AS (
+            SELECT label, c8,
+                   {half_away_div_sql('c8', '100', 'duck')} AS c6
+            FROM sc
+          ),
+          mn AS (
+            SELECT label, count(*) AS n, sum(c8) AS s8,
+                   {half_away_div_sql('sum(c6)', 'count(*)', 'duck')} AS m6
+            FROM sc6 GROUP BY 1
+          ),
+          dv AS (
+            SELECT sc6.label, n, s8, c6 - m6 AS dev
+            FROM sc6 JOIN mn USING (label)
+          ),
+          ssq AS (SELECT label, sum(dev * dev) AS ss FROM dv GROUP BY 1)
+          SELECT CAST(dv.label AS BIGINT) AS label,
+                 CAST(n AS BIGINT) AS n_vecs,
+                 -- 6dp mean straight from the exact 1e-8 sum
+                 {half_away_div_sql('s8', '(100 * n)', 'duck')} / 1e6
+                   AS mean_cos,
+                 -- spread as VARIANCE: exact integer ratio, boundary-
+                 -- proof by construction (sqrt-std landed ON a grid
+                 -- boundary in the r14 ulp sweep)
+                 {half_away_div_sql('ss', 'n', 'duck')} / 1e12
+                   AS var_cos,
+                 CAST(sum(CASE WHEN dev < 0 AND n * dev * dev > 4 * ss
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM dv JOIN ssq ON dv.label = ssq.label
+          GROUP BY dv.label, n, s8, ss
+        """,
+        "doc_lsh_precision": f"""
+          WITH {shingle_d},
+          sh AS (SELECT id, unnest(sh) AS g FROM d),
+          h AS (SELECT id, ('0x' || substr(md5(g), 1, 15))::BIGINT % {P31} AS hm FROM sh),
+          s AS (SELECT id, {min_exprs}
+                FROM h GROUP BY id),
+          sigs AS (SELECT id, {sig_list} AS sig FROM s),
+          bands AS (
+            SELECT id, b, array_to_string(sig[b*4+1 : b*4+4], ',') AS key
+            FROM sigs, range(8) t(b)
+          ),
+          cand AS MATERIALIZED (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b USING (b, key) WHERE a.id < b.id
+          ),
+          mt AS (
+            SELECT id_a, id_b,
+                   CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                                                p -> (p[1] = p[2])::INT))
+                        AS BIGINT) AS mtc
+            FROM cand JOIN sigs sa ON cand.id_a = sa.id
+                      JOIN sigs sb ON cand.id_b = sb.id
+          ),
+          ex AS (
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+                   CAST(len(da.sh) AS BIGINT) AS na,
+                   CAST(len(db.sh) AS BIGINT) AS nb
+            FROM cand
+            JOIN d da ON cand.id_a = da.id
+            JOIN d db ON cand.id_b = db.id
+          ),
+          j AS (
+            SELECT mt.mtc,
+                   {q6_ratio_sql('ex.inter', '(ex.na + ex.nb - ex.inter)',
+                                 'duck')} AS j6
+            FROM mt JOIN ex USING (id_a, id_b)
+          ),
+          bk AS (
+            SELECT CAST((mtc * 10) // 32 AS BIGINT) AS est_bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN j6 >= 500000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true,
+                   sum(j6) AS sj6
+            FROM j GROUP BY 1
+          )
+          SELECT est_bucket, n_pairs, n_true,
+                 {q6_ratio_sql('n_true', 'n_pairs', 'duck')} / 1e6
+                   AS precision,
+                 {half_away_div_sql('sj6', 'n_pairs', 'duck')} / 1e6
+                   AS mean_jaccard
+          FROM bk
+        """,
+        "mm_audio_segments": """
+          WITH h AS (
+            SELECT doc_id,
+                   substring(hex(encode(text)), 1,
+                             4 * CAST(floor(length(hex(encode(text))) / 4)
+                                      AS INT)) AS dh
+            FROM documents
+          ),
+          n AS (
+            SELECT doc_id, dh, length(dh) // 4 AS ns
+            FROM h WHERE length(dh) >= 4
+          ),
+          ix AS (SELECT doc_id, ns, dh, unnest(range(ns)) AS i FROM n),
+          s AS (
+            SELECT doc_id, ns, i,
+                   CAST(('0x' || substr(dh, CAST(4 * i + 3 AS INT), 2)
+                              || substr(dh, CAST(4 * i + 1 AS INT), 2))
+                        AS INTEGER) AS u
+            FROM ix
+          ),
+          v AS (
+            SELECT doc_id, ns, i,
+                   CAST(u - 65536 * CAST(u >= 32768 AS INTEGER) AS BIGINT) AS x
+            FROM s
+          ),
+          -- whole 16-sample frames only (trailing partial dropped);
+          -- frame energy is an exact BIGINT sum of squares
+          fr AS (
+            SELECT doc_id, ns // 16 AS nf, i // 16 AS f, sum(x * x) AS e
+            FROM v WHERE i < 16 * (ns // 16)
+            GROUP BY doc_id, ns // 16, i // 16
+          ),
+          tot AS (SELECT doc_id, sum(e) AS te FROM fr GROUP BY 1),
+          -- active iff nf*E_f >= sum(E): the integer-exact mean gate
+          act AS (
+            SELECT fr.doc_id, nf, f,
+                   CASE WHEN nf * e >= te THEN 1 ELSE 0 END AS a
+            FROM fr JOIN tot ON fr.doc_id = tot.doc_id
+          ),
+          runs AS (
+            SELECT doc_id, nf, f, a,
+                   CASE WHEN a = 1 AND COALESCE(lag(a) OVER w, 0) = 0
+                        THEN 1 ELSE 0 END AS strt
+            FROM act WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+          ),
+          seg AS (
+            SELECT doc_id, nf, f, a, strt,
+                   sum(strt) OVER (PARTITION BY doc_id ORDER BY f) AS sid
+            FROM runs
+          ),
+          longest AS (
+            SELECT doc_id, max(rl) AS mrl FROM (
+              SELECT doc_id, sid, count(*) AS rl
+              FROM seg WHERE a = 1 GROUP BY 1, 2
+            ) GROUP BY 1
+          )
+          SELECT b.doc_id, CAST(nf AS BIGINT) AS n_frames,
+                 CAST(na AS BIGINT) AS n_active,
+                 CAST(nsg AS BIGINT) AS n_segments,
+                 CAST(COALESCE(mrl, 0) AS BIGINT) AS longest_run,
+                 CAST(COALESCE(fa, -1) AS BIGINT) AS first_active
+          FROM (
+            SELECT doc_id, nf, sum(a) AS na, sum(strt) AS nsg,
+                   min(CASE WHEN a = 1 THEN f END) AS fa
+            FROM seg GROUP BY 1, 2
+          ) b LEFT JOIN longest ON b.doc_id = longest.doc_id
         """,
     }
 

@@ -17,6 +17,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.functions.detmath import half_away_div_col, q6_ratio_col
+
 # Mersenne prime 2^31-1: universal-hash modulus. a*h+b stays < 2^62 for
 # h,a,b < P31, so the mix is exact signed-64 arithmetic in ANY engine —
 # the property that makes MinHash/SimHash signatures oracle-checkable.
@@ -557,6 +559,121 @@ def minhash_dedup(
         .select("id_a", "id_b", "est_jaccard")
     )
     return pairs
+
+
+def minhash_precision_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    true_threshold_micro: int = 500_000,
+    inv: DataFrame | tuple | None = None,
+) -> DataFrame:
+    """LSH calibration panel: how well does the MinHash ESTIMATE
+    predict the TRUE n-gram Jaccard on the pairs LSH actually
+    surfaces? The eval every dedup pipeline runs before trusting a
+    banding config (Leskovec/Rajaraman/Ullman ch.3's S-curve,
+    measured on the real corpus instead of assumed): bucket every LSH
+    candidate pair by its signature estimate (``⌊10·matches/32⌋``, an
+    exact integer), compute the EXACT shingle Jaccard for those pairs
+    only, and report per bucket the pair count, how many are true
+    near-dups (quantized exact Jaccard ≥ ``true_threshold_micro``
+    µ-units), the precision, and the mean exact Jaccard.
+
+    Exactness discipline (the r14 rule): the estimate bucket is pure
+    integer arithmetic, the exact Jaccard quantizes as
+    ``j6 = q6_ratio(inter, na+nb−inter)`` (exact BIGINT half-up),
+    precision is ``q6_ratio(n_true, n_pairs)`` and the bucket mean is
+    ``half_away_div(Σj6, n)`` — the only float op per output value is
+    the final /1e6.
+
+    Scale shape: the exact-verify work is bounded by the CANDIDATE
+    volume (the thing LSH exists to keep small), never the corpus —
+    postings are semi-joined down to candidate docs before the
+    intersection self-join, and the intersection count is the same
+    map-side-combinable groupBy(pair) count as ngram_jaccard_pairs
+    (no doc arrays shuffle). A candidate pair sharing NO shingle
+    (band collision) scores inter = 0 via the left join, not a
+    dropped row. Returns
+    ``(est_bucket, n_pairs, n_true, precision, mean_jaccard)``.
+    """
+    postings = inv[0] if isinstance(inv, tuple) else inv
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_n, "md5", inv
+    ).localCheckpoint(eager=True)
+    cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    ).cast("long")
+    est = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", matches.alias("_match"))
+    ).localCheckpoint(eager=True)
+    if postings is None:
+        docs = df.select(
+            F.col(id_col).alias("id"),
+            shingles_col(F.col(text_col), shingle_n).alias("sh"),
+        ).withColumn("n_sh", F.size("sh"))
+        postings = docs.select("id", "n_sh", F.explode("sh").alias("g"))
+    cand_ids = (
+        est.select(F.col("id_a").alias("id"))
+        .unionByName(est.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cp = postings.join(cand_ids, "id", "left_semi")
+    inter = (
+        cp.alias("a")
+        .join(cp.alias("b"), on="g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    nsh = postings.select("id", "n_sh").distinct()
+    scored = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(nsh.select(F.col("id").alias("id_a"),
+                         F.col("n_sh").alias("_na")), "id_a")
+        .join(nsh.select(F.col("id").alias("id_b"),
+                         F.col("n_sh").alias("_nb")), "id_b")
+        .select(
+            "_match",
+            F.coalesce(F.col("inter"), F.lit(0).cast("long")).alias("_i"),
+            F.col("_na").cast("long").alias("_san"),
+            F.col("_nb").cast("long").alias("_sbn"),
+        )
+        .withColumn("_j6", q6_ratio_col("_i", "(_san + _sbn - _i)"))
+    )
+    agg = (
+        scored.groupBy(
+            F.expr(f"(_match * 10) div {num_hashes}").cast("long").alias("est_bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("_j6") >= true_threshold_micro).cast("long")
+            ).alias("n_true"),
+            F.sum("_j6").alias("_sj6"),
+        )
+    )
+    return agg.select(
+        "est_bucket",
+        "n_pairs",
+        "n_true",
+        (q6_ratio_col("n_true", "n_pairs") / F.lit(1e6)).alias("precision"),
+        (half_away_div_col("_sj6", "n_pairs") / F.lit(1e6)).alias("mean_jaccard"),
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -236,6 +236,46 @@ def attach_wav_payload(
     return df.withColumn("payload", F.unhex(F.concat(header_hex, data_hex)))
 
 
+def _parse_wav(payload: bytes):
+    """The RIFF/WAVE walk shared by :func:`wav_features` and
+    :func:`audio_segments`: chunk-structure validation (magic, fmt
+    fields, data discovery — malformed payloads raise, they never
+    silently skip) → (sample_rate, int64 numpy PCM samples)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # a declared chunk overrunning the payload is a
+            # truncated blob — raise, never emit features computed
+            # from a silent partial decode (the module contract)
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {size} "
+                f"bytes at offset {pos + 8} but payload ends at "
+                f"{len(payload)}"
+            )
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or channels != 1 or bits != 16:
+        raise ValueError(f"unsupported wav format {fmt}")
+    return rate, np.frombuffer(
+        data[: (len(data) // 2) * 2], dtype="<i2"
+    ).astype(np.int64)
+
+
 def wav_features(
     df: DataFrame,
     binary_col: str = "payload",
@@ -260,42 +300,8 @@ def wav_features(
     one int16 per 4 hex chars via '0x' casts, lag() for the sign
     flips (see __spark_entry__ mm_wav_features).
     """
-    import struct
-
-    import numpy as np
-
     bcol, icol = binary_col, id_col
-
-    def _parse(payload: bytes):
-        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-            raise ValueError("not a RIFF/WAVE payload")
-        pos, fmt, data = 12, None, None
-        while pos + 8 <= len(payload):
-            cid = payload[pos:pos + 4]
-            (size,) = struct.unpack_from("<I", payload, pos + 4)
-            if pos + 8 + size > len(payload):
-                # a declared chunk overrunning the payload is a
-                # truncated blob — raise, never emit features computed
-                # from a silent partial decode (the module contract)
-                raise ValueError(
-                    f"truncated RIFF chunk {cid!r}: declares {size} "
-                    f"bytes at offset {pos + 8} but payload ends at "
-                    f"{len(payload)}"
-                )
-            body = payload[pos + 8: pos + 8 + size]
-            if cid == b"fmt ":
-                fmt = struct.unpack_from("<HHIIHH", body, 0)
-            elif cid == b"data":
-                data = body
-            pos += 8 + size + (size & 1)  # chunks are word-aligned
-        if fmt is None or data is None:
-            raise ValueError("missing fmt/data chunk")
-        audio_fmt, channels, rate, _, _, bits = fmt
-        if audio_fmt != 1 or channels != 1 or bits != 16:
-            raise ValueError(f"unsupported wav format {fmt}")
-        return rate, np.frombuffer(
-            data[: (len(data) // 2) * 2], dtype="<i2"
-        ).astype(np.int64)
+    _parse = _parse_wav
 
     def _extract(batches):
         for pdf in batches:
@@ -330,6 +336,95 @@ def wav_features(
 
     return df.select(id_col, binary_col).mapInPandas(
         _extract, WAV_FEATURE_SCHEMA
+    )
+
+
+AUDIO_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_run", T.LongType()),
+        T.StructField("first_active", T.LongType()),
+    ]
+)
+
+
+def audio_segments(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_len: int = 16,
+) -> DataFrame:
+    """Energy-based activity segmentation over decoded PCM — the
+    VAD-style silence-trim pass an audio training pipeline runs before
+    chunking (webrtcvad/silero do it with a model; the public baseline
+    is exactly this frame-energy gate): split the samples into
+    ``frame_len``-sample frames (trailing partial frame dropped), mark
+    a frame ACTIVE iff its energy clears the file's MEAN frame energy
+    — ``nf·E_f ≥ Σ_g E_g`` with ``E_f = Σx²`` over the frame, the
+    integer-exact form of ``E_f ≥ mean(E)`` — so the gate adapts to
+    each file's level — and report the run-length structure of the
+    active mask:
+
+    ``(doc_id, n_frames, n_active, n_segments, longest_run,
+    first_active)`` — segment = maximal run of active frames;
+    ``first_active`` = 0-based index of the first active frame (the
+    leading-silence trim offset). Files with zero whole frames drop
+    out (the empty-doc rule).
+
+    EVERY value is exact integer arithmetic: int16 samples, int64
+    energies (frame energy ≤ 16·32768² ≈ 1.7·10¹⁰ — per-frame, never
+    data-bounded; the threshold compare ``nf·E_f`` stays int64 to
+    ~5·10⁸ frames ≈ a year of 8 kHz audio per file), and integer
+    run-lengths. No float exists anywhere in the operator, so
+    cross-engine hash identity holds by construction.
+
+    Plan: the wav_features shape — Arrow ``mapInPandas`` over the
+    payload column, numpy-vectorized reshape/sum/diff per payload,
+    one output row per file; stateless, embarrassingly parallel, no
+    shuffle. Oracle: DuckDB decodes the SAME bytes (the mm_wav hex
+    CTE) and mirrors the mask with integer window functions.
+    """
+    import numpy as np
+
+    bcol, icol = binary_col, id_col
+
+    def _extract(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SEGMENT_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[icol].values, pdf[bcol].values):
+                if payload is None:
+                    continue
+                _, s = _parse_wav(bytes(payload))
+                nf = len(s) // frame_len
+                if nf == 0:
+                    continue
+                e = (
+                    (s[: nf * frame_len] * s[: nf * frame_len])
+                    .reshape(nf, frame_len)
+                    .sum(axis=1)
+                )
+                active = nf * e >= int(e.sum())
+                # run boundaries: transitions in the padded mask
+                d = np.diff(np.concatenate(([0], active.view(np.int8), [0])))
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(nf)
+                out["n_active"].append(int(active.sum()))
+                out["n_segments"].append(len(starts))
+                out["longest_run"].append(
+                    int((ends - starts).max()) if len(starts) else 0
+                )
+                out["first_active"].append(
+                    int(starts[0]) if len(starts) else -1
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _extract, AUDIO_SEGMENT_SCHEMA
     )
 
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from v3io_tsdb_spark.functions.detmath import half_away_div_col, q6_ratio_col
+
 
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -976,6 +978,92 @@ def _round6_half_up(x: float) -> float:
     return quantize_micro_py(x + 1e-9)
 
 
+def _lloyd_train(base: DataFrame, k: int, n_iter: int) -> DataFrame:
+    """The Lloyd training loop shared by :func:`kmeans_lloyd` and
+    :func:`kmeans_silhouette` (extracted r14 so the silhouette scores
+    the IDENTICAL trained panel — the expressions are bit-for-bit the
+    ones the hash-green kmeans row gated): seeds from the ``k``
+    lowest-id vectors, runs ``n_iter − 1`` assign/recompute rounds
+    (the n_iter-th assignment belongs to the caller), and returns the
+    one-row broadcastable centroid panel ``_cl`` —
+    ``array<struct<_cid,_cv>>`` sorted by centroid id. ``base`` must
+    carry ``(_id, _v: array<double>)``."""
+    qs = 32768.0  # 2^15 quantization scale (order-free integer means)
+
+    # seed panel: k lowest-id vectors, cid = dense 0..k-1 by id order
+    # (TakeOrdered + a k-row window — never a global sort)
+    wseed = Window.orderBy("_id")
+    cents = (
+        base.orderBy("_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(wseed) - 1).alias("_cid"),
+            F.col("_v").alias("_cv"),
+        )
+    )
+
+    def _panel(c):
+        # collapse the k-row centroid panel to ONE row holding an
+        # id-sorted array<struct<cid,cv>> — broadcast into the scan
+        return c.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_cid"), F.col("_cv")))
+            ).alias("_cl")
+        )
+
+    panel = _panel(cents)
+    for _ in range(n_iter - 1):
+        a = _lloyd_assign(base, panel)
+        means = (
+            a.select("_cid", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_cid", "_pos")
+            .agg(
+                F.round(
+                    F.sum(_qhalf(F.col("_val") * qs))
+                    / (F.lit(qs) * F.count("*"))
+                    + 1e-9,
+                    6,
+                ).alias("_m")
+            )
+        )  # k×dim rows — bounded panel, never touches the driver
+        nxt = means.groupBy("_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s.getField("_m"),
+            ).alias("_cv")
+        )
+        panel = _panel(nxt)
+    return panel
+
+
+def _lloyd_cands(panel_col: Column, v: Column) -> Column:
+    """The per-row candidate array: struct(6dp-rounded squared L2
+    distance, cid) per centroid — lexicographic struct order IS the
+    argmin order (distance decides, ties fall to the lowest cid)."""
+    return F.transform(
+        panel_col,
+        lambda c: F.struct(
+            F.round(
+                sq_dist_col(v, c.getField("_cv")) + 1e-9, 6
+            ).alias("d"),
+            c.getField("_cid").alias("cid"),
+        ),
+    )
+
+
+def _lloyd_assign(base: DataFrame, panel: DataFrame) -> DataFrame:
+    """One assignment pass against a trained panel: per-row argmin via
+    array_min over the k candidate structs — zero shuffle of the
+    vectors, no window."""
+    best = F.array_min(_lloyd_cands(F.col("_cl"), F.col("_v")))
+    return base.crossJoin(F.broadcast(panel)).select(
+        "_id",
+        "_v",
+        best.getField("cid").alias("_cid"),
+        best.getField("d").alias("_d"),
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 4,
@@ -1030,75 +1118,7 @@ def kmeans_lloyd(
         # spark.catalog.clearCache(), pinning one vector-frame copy
         # per call for the session lifetime.
         base = base.persist()
-    qs = 32768.0  # 2^15 quantization scale (order-free integer means)
-
-    # seed panel: k lowest-id vectors, cid = dense 0..k-1 by id order
-    # (TakeOrdered + a k-row window — never a global sort)
-    wseed = Window.orderBy("_id")
-    cents = (
-        base.orderBy("_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(wseed) - 1).alias("_cid"),
-            F.col("_v").alias("_cv"),
-        )
-    )
-
-    def _panel(c):
-        # collapse the k-row centroid panel to ONE row holding an
-        # id-sorted array<struct<cid,cv>> — broadcast into the scan
-        return c.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_cid"), F.col("_cv")))
-            ).alias("_cl")
-        )
-
-    def _assigned(panel):
-        # per-row argmin over the k candidates: array_min on
-        # struct(dist, cid) is lexicographic, so the 6dp-rounded
-        # distance decides and ties fall to the lowest centroid id —
-        # zero shuffle of the vectors, no window
-        best = F.array_min(
-            F.transform(
-                F.col("_cl"),
-                lambda c: F.struct(
-                    F.round(
-                        sq_dist_col(F.col("_v"), c.getField("_cv")) + 1e-9, 6
-                    ).alias("d"),
-                    c.getField("_cid").alias("cid"),
-                ),
-            )
-        )
-        return base.crossJoin(F.broadcast(panel)).select(
-            "_id",
-            "_v",
-            best.getField("cid").alias("_cid"),
-            best.getField("d").alias("_d"),
-        )
-
-    panel = _panel(cents)
-    for _ in range(n_iter - 1):
-        a = _assigned(panel)
-        means = (
-            a.select("_cid", F.posexplode("_v").alias("_pos", "_val"))
-            .groupBy("_cid", "_pos")
-            .agg(
-                F.round(
-                    F.sum(_qhalf(F.col("_val") * qs))
-                    / (F.lit(qs) * F.count("*"))
-                    + 1e-9,
-                    6,
-                ).alias("_m")
-            )
-        )  # k×dim rows — bounded panel, never touches the driver
-        nxt = means.groupBy("_cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
-                lambda s: s.getField("_m"),
-            ).alias("_cv")
-        )
-        panel = _panel(nxt)
-    final = _assigned(panel)
+    final = _lloyd_assign(base, _lloyd_train(base, k, n_iter))
     out = final.groupBy(F.col("_cid").cast("int").alias("centroid_id")).agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.round(
@@ -1114,6 +1134,298 @@ def kmeans_lloyd(
         out = out.localCheckpoint(eager=True)
         base.unpersist()
     return out
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified silhouette (Rousseeuw 1987; the centroid-based
+    O(n·k) variant of Hruschka et al. 2004 — the full silhouette's
+    O(n²) pairwise term is the one thing that cannot scale) over the
+    clustering :func:`kmeans_lloyd` trains: per point, with
+    ``a`` = distance to its OWN centroid and ``b`` = distance to the
+    nearest OTHER centroid,
+
+        s = (b − a) / max(a, b) = 1 − a/b     (b ≥ a by argmin)
+
+    and the verdict is the per-cluster mean — the standard "are these
+    clusters real" eval a training pipeline runs after clustering its
+    corpus (s → 1 tight and separated, s → 0 boundary soup).
+
+    Distances are the trainer's own 6dp-rounded SQUARED L2 (parity
+    with the assignment: the same candidate array produces both the
+    argmin and the runner-up, so a point's a/b can never disagree
+    with its cluster membership); using squared distances in s is the
+    documented simplified-variant choice, monotone in the L2 form.
+
+    Determinism (the r14 exact-integer rule): a and b sit on the 1e-6
+    grid, so ``s6 = q6_ratio(b_u − a_u, b_u)`` is pure BIGINT (zero
+    engine-native round() on any hashed column), the per-cluster mean
+    is ``half_away_div(Σs6, n)``, and the only float op per output
+    value is the final /1e6 division. ``b_u = 0`` (point equal to two
+    centroids) scores s = 0 by the standard convention.
+
+    Plan: ONE training reuse (_lloyd_train — the k-row panel), one
+    broadcast-panel scan computing the sorted candidate pair, one
+    k-row aggregate. The vectors never shuffle. Returns
+    ``(centroid_id, n_vecs, mean_sil, mean_a)``.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col).alias("_id"), v.alias("_v")).persist()
+    panel = _lloyd_train(base, k, n_iter)
+    # sorted candidates: [0] = own centroid (argmin), [1] = nearest other
+    cands = F.array_sort(_lloyd_cands(F.col("_cl"), F.col("_v")))
+    scored = (
+        base.crossJoin(F.broadcast(panel))
+        .select(
+            F.element_at(cands, 1).getField("cid").alias("_cid"),
+            _qhalf(F.element_at(cands, 1).getField("d") * 1e6).alias("_au"),
+            _qhalf(F.element_at(cands, 2).getField("d") * 1e6).alias("_bu"),
+        )
+        .withColumn(
+            "_s6",
+            F.when(F.col("_bu") > 0, q6_ratio_col("(_bu - _au)", "_bu"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+    )
+    out = (
+        scored.groupBy(F.col("_cid").cast("int").alias("centroid_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("_s6").alias("_ss6"),
+            F.sum("_au").alias("_sau"),
+        )
+        .select(
+            "centroid_id",
+            "n_vecs",
+            (half_away_div_col("_ss6", "n_vecs") / F.lit(1e6)).alias("mean_sil"),
+            (half_away_div_col("_sau", "n_vecs") / F.lit(1e6)).alias("mean_a"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
+
+
+def norm_outliers(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_threshold: int = 2,
+) -> DataFrame:
+    """Per-group embedding-norm outlier screen — the cheap sanity gate
+    a pipeline runs over a fresh embedding table before training on
+    it (a collapsed encoder shows as near-zero norms, a blown-up
+    batch as extreme ones; z-scoring per ``group_col`` keeps shards
+    with different encoders comparable).
+
+    Two passes in EXACT integer arithmetic end-to-end:
+
+    1. norms quantized to 1e-4 units (``n4 = round(1e4·round6(‖v‖))``
+       — the 6dp norm is one correctly-rounded sqrt of the exact
+       array-order dot product, then one half-away quantization), then
+       per-group ``n`` and ``Σn4`` → the integer mean
+       ``m4 = half_away_div(Σn4, n)``;
+    2. deviations ``dev = n4 − m4`` against the broadcast group panel:
+       ``Σdev²`` is an exact BIGINT (overflow bound: |dev| ≤ 2^31 ⇒
+       safe to ~2·10⁹ rows per group — beyond that widen to
+       DECIMAL(38,0), documented not silently wrapped), and the
+       outlier test ``|dev| > z·σ`` is evaluated in the SQUARED
+       integer domain: ``n·dev² > z²·Σdev²`` — no sqrt, no float, no
+       rounding boundary anywhere in the verdict column.
+
+    The reported ``mean_norm``/``std_norm`` are display values: exact
+    integer mean /1e4, and round6(sqrt(Σdev²/n)/1e4) — one division
+    of exact integers, one correctly-rounded sqrt, one final /1e4.
+
+    Plan: three map-side-combinable groupBy(group) aggregates over the
+    narrow (label, n4) projection with broadcast panel joins between —
+    the group stats are panel-sized, the data never shuffles by row.
+    Returns ``(label, n_vecs, mean_norm, std_norm, n_outliers)``.
+    """
+    norm6 = F.round(
+        F.sqrt(F.aggregate(
+            F.col(vec_col).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )) + 1e-9,
+        6,
+    )
+    base = df.select(
+        F.col(group_col).alias("label"),
+        _qhalf(norm6 * 1e4).alias("_n4"),
+    )
+    means = (
+        base.groupBy("label")
+        .agg(F.count("*").cast("long").alias("_n"), F.sum("_n4").alias("_s4"))
+        .select("label", "_n", half_away_div_col("_s4", "_n").alias("_m4"))
+    )
+    dev = base.join(F.broadcast(means), "label").withColumn(
+        "_dev", F.col("_n4") - F.col("_m4")
+    )
+    ss = dev.groupBy("label").agg(
+        F.sum(F.col("_dev") * F.col("_dev")).alias("_ss")
+    )
+    z2 = z_threshold * z_threshold
+    flagged = dev.join(F.broadcast(ss), "label").groupBy("label").agg(
+        F.first("_n").alias("_n"),
+        F.first("_m4").alias("_m4"),
+        F.first("_ss").alias("_ss"),
+        F.sum(
+            (F.col("_n") * F.col("_dev") * F.col("_dev")
+             > F.lit(z2) * F.col("_ss")).cast("long")
+        ).alias("_no"),
+    )
+    return flagged.select(
+        "label",
+        F.col("_n").alias("n_vecs"),
+        (F.col("_m4") / F.lit(1e4)).alias("mean_norm"),
+        F.round(
+            F.sqrt(F.col("_ss") / F.col("_n")) / F.lit(1e4) + 1e-9, 6
+        ).alias("std_norm"),
+        F.col("_no").alias("n_outliers"),
+    )
+
+
+def label_coherence(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_threshold: int = 2,
+) -> DataFrame:
+    """Label-noise screen over a labeled embedding table: per label
+    group, z-score every vector's cosine to its OWN group centroid
+    and count the low-coherence outliers — the classic
+    mislabeled-example detector (a vector whose cosine to its class
+    mean sits > z·σ below the class average is labeled wrong, poisoned,
+    or from a different distribution; confident-learning pipelines run
+    exactly this geometry before training).
+
+    Determinism ladder (the kmeans/PCA discipline end-to-end):
+
+    - group centroids are per-dimension EXACT integer means of
+      2⁻¹⁵-quantized coordinates, rounded 6dp before use — the
+      ``_lloyd_train`` recompute rule, so the centroid literals are
+      bit-identical cross-engine;
+    - each vector's cosine to its centroid quantizes to integer
+      1e-8 units (``c8`` — TWO decimal digits finer than any hashed
+      output, so a per-item quantization sitting within an ulp of its
+      own boundary moves Σc8 by ±1 without moving the 6dp mean; the
+      r14 order-sweep round-boundary stage caught exactly this with a
+      direct 6dp per-item quantize), the hashed group mean is
+      ``half_away_div(Σc8, 100·n)`` µ-units, and the dev/std/outlier
+      machinery runs on the µ-unit twin ``c6 = half_away_div(c8,
+      100)`` (int→int, no second float seam; keeps the squared
+      products int64): the outlier test is one-sided in the SQUARED
+      integer domain, ``dev < 0 AND n·dev² > z²·Σdev²`` with
+      ``dev = c6 − m6`` (scale-free, only LOW coherence flags — a
+      vector pulling the class mean UP is not label noise) — no
+      sqrt, no engine round(), no float boundary in any hashed
+      column
+      (overflow: |dev| ≤ 2·10⁶ ⇒ the test stays int64 past 10⁸ rows
+      per label — beyond that widen to DECIMAL(38,0), documented not
+      silently wrapped);
+    - the spread is reported as the VARIANCE ``var_cos =
+      half_away_div(Σdev², n)/1e12`` — an exact integer ratio, so it
+      cannot sit near a quantization boundary by construction (a
+      sqrt-based std landed its hashed value ON a .5 µ boundary in
+      the r14 ulp sweep: an irrational can be arbitrarily close to
+      any grid point, an exact ratio cannot).
+
+    Zero-norm vectors have no cosine direction and are excluded up
+    front (the group_diversity guard).
+
+    Plan: one posexplode aggregate builds the |labels|×dim centroid
+    panel (map-side combinable, never on the driver), broadcast back
+    for the cosine scan, then two panel-joined group aggregates —
+    the norm_outliers pass structure on a label-keyed panel. Returns
+    ``(label, n_vecs, mean_cos, var_cos, n_outliers)``.
+    """
+    qs = 32768.0
+    v = F.col(vec_col).cast("array<double>")
+    nz = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x) > 0
+    base = df.where(nz).select(
+        F.col(group_col).alias("label"), v.alias("_v")
+    )
+    cents = (
+        base.select("label", F.posexplode("_v").alias("_pos", "_val"))
+        .groupBy("label", "_pos")
+        .agg(
+            F.round(
+                F.sum(_qhalf(F.col("_val") * qs))
+                / (F.lit(qs) * F.count("*"))
+                + 1e-9,
+                6,
+            ).alias("_m")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s.getField("_m"),
+            ).alias("_cv")
+        )
+    )
+    scored = base.join(F.broadcast(cents), "label").select(
+        "label",
+        _qhalf(
+            cosine_sim_col(F.col("_v"), F.col("_cv")) * 1e8
+        ).alias("_c8"),
+    ).withColumn(
+        # µ-unit twin derived from c8 by PURE integer rounding (no
+        # second float seam) — feeds the dev/std/outlier machinery,
+        # whose squared-domain products then stay int64 to ~10⁶ rows
+        # per label worst-case (|dev| ≤ 2·10⁶)
+        "_c6", half_away_div_col("_c8", "100")
+    )
+    means = (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_c8").alias("_s8"),
+            F.sum("_c6").alias("_s6"),
+        )
+        .select(
+            "label", "_n", "_s8",
+            half_away_div_col("_s6", "_n").alias("_m6"),
+        )
+    )
+    dev = scored.join(F.broadcast(means), "label").withColumn(
+        "_dev", F.col("_c6") - F.col("_m6")
+    )
+    ss = dev.groupBy("label").agg(
+        F.sum(F.col("_dev") * F.col("_dev")).alias("_ss")
+    )
+    z2 = z_threshold * z_threshold
+    flagged = dev.join(F.broadcast(ss), "label").groupBy("label").agg(
+        F.first("_n").alias("_n"),
+        F.first("_s8").alias("_s8"),
+        F.first("_ss").alias("_ss"),
+        F.sum(
+            ((F.col("_dev") < 0)
+             & (F.col("_n") * F.col("_dev") * F.col("_dev")
+                > F.lit(z2) * F.col("_ss"))).cast("long")
+        ).alias("_no"),
+    ).withColumn("_d100", F.col("_n") * F.lit(100).cast("long"))
+    return flagged.select(
+        "label",
+        F.col("_n").alias("n_vecs"),
+        # 6dp mean straight from the exact 1e-8 sum: one half-up
+        # integer division, one /1e6
+        (half_away_div_col("_s8", "_d100") / F.lit(1e6)).alias("mean_cos"),
+        # spread as VARIANCE: an exact integer ratio (µ² units),
+        # quantization-boundary-proof by construction — a sqrt-based
+        # std is irrational and can land ON a grid boundary (it did,
+        # r14 ulp sweep)
+        (half_away_div_col("_ss", "_n") / F.lit(1e12)).alias("var_cos"),
+        F.col("_no").alias("n_outliers"),
+    )
 
 
 def mmr_topk(
