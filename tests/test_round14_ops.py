@@ -111,6 +111,20 @@ def test_pagerank_dangling_state_keeps_teleport_rank():
     assert rows["b"] > rows["a"]
 
 
+def test_pagerank_plan_matrix_materialized_once(spark):
+    """The |states|²-bounded matrix is checkpointed before the k
+    iterations: without it every iteration replays the data-sized
+    sessionize windows (r14 plan audit measured 50 exchanges / 57
+    window ops for k=5; with the checkpoint the final plan keeps only
+    the panel joins and the single rank window)."""
+    import __spark_entry__ as E
+
+    plan = _executed_plan(E.q_events_pagerank(spark, SF0001))
+    assert plan.count("Window") <= 2, plan.count("Window")
+    assert plan.count("Exchange hashpartitioning") <= 12
+    assert "SortMergeJoin" not in plan
+
+
 # ------------------------------------------------------ Silhouette
 
 

@@ -1045,6 +1045,59 @@ def ops(spark):
             .collect()
         )
 
+    def op_tpch_q10(d):
+        # returned-item reporting, completes 22/22 (X189)
+        import __spark_entry__ as E
+
+        return E.queries()["tpch_q10_returned_items"](spark, d).collect()
+
+    def op_pagerank(d):
+        # exact-integer damped PageRank (X190): data-sized work is the
+        # one matrix build; iterations are |states|^2 panel joins
+        from v3io_tsdb_spark.operators.paths import _transition_p6, pagerank
+
+        ev = _raw_events(d)
+        return pagerank(
+            _transition_p6(ev, "user_id", "ts_ms", "event_type",
+                           "event_id", 1_800_000), k=5
+        ).collect()
+
+    def op_silhouette(d):
+        # simplified silhouette over the Lloyd training (X191)
+        from v3io_tsdb_spark.functions.similarity import kmeans_silhouette
+
+        return kmeans_silhouette(
+            load_table(spark, d, "embeddings"), k=4, n_iter=3
+        ).collect()
+
+    def op_label_coherence(d):
+        # per-label cosine z-score outlier screen (X192)
+        from v3io_tsdb_spark.functions.similarity import label_coherence
+
+        return label_coherence(
+            load_table(spark, d, "embeddings")
+        ).collect()
+
+    def op_lsh_precision(d):
+        # LSH S-curve calibration (X193): self-contained shingling so
+        # the sweep measures the full first-run cost at scale
+        from v3io_tsdb_spark.functions.dedup import minhash_precision_buckets
+
+        return minhash_precision_buckets(docs(d)).collect()
+
+    def op_audio_segments(d):
+        # all-integer VAD segmentation over real PCM decode (X194)
+        from v3io_tsdb_spark.functions.multimodal import (
+            attach_wav_payload,
+            audio_segments,
+        )
+
+        return (
+            audio_segments(attach_wav_payload(docs(d)))
+            .agg(F.sum("n_segments"))
+            .collect()
+        )
+
     def op_hw_anomaly(d):
         from v3io_tsdb_spark.operators.trend import hw_anomaly
 
@@ -1168,6 +1221,12 @@ def ops(spark):
         "tpch_q9": op_tpch_q9,
         "tpch_q14": op_tpch_q14,
         "video_features": op_video_features,
+        "tpch_q10": op_tpch_q10,
+        "pagerank": op_pagerank,
+        "silhouette": op_silhouette,
+        "label_coherence": op_label_coherence,
+        "lsh_precision": op_lsh_precision,
+        "audio_segments": op_audio_segments,
     }
 
 

@@ -213,9 +213,17 @@ def markov_kstep(
     vocabulary, never by data volume); the data-sized work happened
     once in markov_transitions.
     """
+    # materialize the |states|²-bounded matrix ONCE: it feeds every
+    # iteration's join (and the state list twice), and without a
+    # checkpoint each reference replays the data-sized sessionize
+    # windows behind it — k+2 full scans instead of one (r14 plan
+    # audit: 50 exchanges / 57 windows in the k=5 pagerank twin)
+    m = trans.select(
+        F.col("from_state"), F.col("to_state"), F.col("p").alias("tp")
+    ).localCheckpoint(eager=True)
     states = (
-        trans.select(F.col("from_state").alias("state"))
-        .union(trans.select(F.col("to_state")))
+        m.select(F.col("from_state").alias("state"))
+        .union(m.select(F.col("to_state")))
         .distinct()
     )
     n = states.count()  # |event types| — bounded vocabulary, not data
@@ -224,9 +232,6 @@ def markov_kstep(
     # computed once in Python, identically to the oracle's SQL form)
     v = states.select(
         "state", F.lit(max(q6_ratio_py(1, n), 1) / 1e6).alias("p")
-    )
-    m = trans.select(
-        F.col("from_state"), F.col("to_state"), F.col("p").alias("tp")
     )
     for _ in range(k):
         v = (
@@ -289,13 +294,17 @@ def pagerank(
     teleport-only states keep their rank row. Returns
     ``(state, pr, rank)``, rank by pr desc / state asc.
     """
+    # matrix materialized once (the markov_kstep rule above): k
+    # iterations reference it, and states derive from it twice
+    m = trans.select(
+        "from_state", "to_state", F.col("p6").alias("_p6")
+    ).localCheckpoint(eager=True)
     states = (
-        trans.select(F.col("from_state").alias("state"))
-        .union(trans.select(F.col("to_state")))
+        m.select(F.col("from_state").alias("state"))
+        .union(m.select(F.col("to_state")))
         .distinct()
     )
     n = states.count()  # |event types| — bounded vocabulary, not data
-    m = trans.select("from_state", "to_state", F.col("p6").alias("_p6"))
     tele = damping_den - damping_num  # 3 in micro-form 3·10¹²/(2·10⁷·N)
     num = f"({tele} * 1000000000000 + {damping_num} * {n} * _t)"
     den = f"(2 * 10000000 * {n})"
