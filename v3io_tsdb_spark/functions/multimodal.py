@@ -300,6 +300,8 @@ def wav_features(
     one int16 per 4 hex chars via '0x' casts, lag() for the sign
     flips (see __spark_entry__ mm_wav_features).
     """
+    import numpy as np
+
     bcol, icol = binary_col, id_col
     _parse = _parse_wav
 
