@@ -5146,8 +5146,17 @@ def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
     FROM embeddings WHERE embedding IS NOT NULL
   ),
   nn AS (SELECT count(*) AS n FROM e),
+  -- µ-grid mean and covariance as EXACT half-away integer divisions
+  -- on the common denominator (HUGEINT; the r14 round-boundary rule
+  -- — 14 fixture covariance cells sat at boundary−eps under the old
+  -- float round). qs² = 32768² = 1073741824.
   mu AS MATERIALIZED (
-    SELECT i, round(sum(q[i + 1]) / (32768.0 * nn.n) + {E}, 6) AS mu
+    SELECT i,
+           CASE WHEN sum(q[i + 1]) >= 0
+             THEN (2 * sum(q[i + 1]) * 1000000 + 32768 * nn.n)
+                  // (2 * 32768 * nn.n)
+             ELSE -(((-2) * sum(q[i + 1]) * 1000000 + 32768 * nn.n)
+                    // (2 * 32768 * nn.n)) END AS muu
     FROM e, nn, range({dim}) t(i) GROUP BY 1, nn.n
   ),
   cells AS (
@@ -5156,27 +5165,37 @@ def _pca_oracle_sql(dim: int = 64, n_iter: int = 5) -> str:
     GROUP BY 1, 2
   ),
   cmat AS MATERIALIZED (
-    SELECT c.i, c.j,
-           round(CAST(c.s AS DOUBLE) / (32768.0 * 32768.0 * nn.n)
-                 - mi.mu * mj.mu + {E}, 6) AS c
-    FROM cells c, nn
-    JOIN mu mi ON mi.i = c.i
-    JOIN mu mj ON mj.i = c.j
+    SELECT i, j,
+           CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+                ELSE -(((-2) * num + den) // (2 * den)) END / 1e6 AS c
+    FROM (
+      SELECT c.i, c.j,
+             c.s * 1000000000000
+               - mi.muu * mj.muu * 1073741824 * nn.n AS num,
+             1073741824::HUGEINT * nn.n * 1000000 AS den
+      FROM cells c, nn
+      JOIN mu mi ON mi.i = c.i
+      JOIN mu mj ON mj.i = c.j
+    )
   ),
   v0 AS (SELECT i, {v0!r} AS p FROM range({dim}) t(i))"""]
     prev = "v0"
+    # the two integer-ratio state writes (w: the exact 1e-12 sum to
+    # µ; p: w_µ/nm_µ) quantize by half-away integer division, not a
+    # float round — the r14 round-boundary rule (grid-exact values
+    # can sit at boundary−eps, where round(x+eps) flips on an ulp)
+    haw = half_away_div_sql("sum(CAST(CASE WHEN c.c * v.p * 1e12 >= 0 THEN floor((c.c * v.p * 1e12) + 0.5) ELSE -floor(-(c.c * v.p * 1e12) + 0.5) END AS BIGINT))", "1000000", "duck")
+    hap = half_away_div_sql("CAST(CASE WHEN w * 1e6 >= 0 THEN floor(w * 1e6 + 0.5) ELSE -floor(-(w * 1e6) + 0.5) END AS BIGINT) * 1000000", "CAST(floor(nm * 1e6 + 0.5) AS BIGINT)", "duck")
     for it in range(1, n_iter + 1):
         parts.append(f""",
   w{it} AS MATERIALIZED (
-    SELECT c.i,
-           round(sum(CAST(CASE WHEN c.c * v.p * 1e12 >= 0 THEN floor((c.c * v.p * 1e12) + 0.5) ELSE -floor(-(c.c * v.p * 1e12) + 0.5) END AS BIGINT)) / 1e12
-                 + {E}, 6) AS w
+    SELECT c.i, {haw} / 1e6 AS w
     FROM cmat c JOIN {prev} v ON v.i = c.j GROUP BY 1
   ),
   n{it} AS (SELECT round(sqrt(sum(CAST(CASE WHEN w * w * 1e9 >= 0 THEN floor((w * w * 1e9) + 0.5) ELSE -floor(-(w * w * 1e9) + 0.5) END AS BIGINT)) / 1e9)
                          + {E}, 6) AS nm FROM w{it}),
   v{it} AS MATERIALIZED (
-    SELECT i, round(w / nm + {E}, 6) AS p FROM w{it}, n{it}
+    SELECT i, {hap} / 1e6 AS p FROM w{it}, n{it}
   )""")
         prev = f"v{it}"
     return "".join(parts) + f"""
@@ -8182,13 +8201,13 @@ def _oracle_sql_all() -> dict[str, str]:
           )
           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                  CAST(n_latin AS BIGINT) AS n_latin,
-                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_latin / n_chars END, 6) AS r_latin,
+                 CASE WHEN n_chars > 0 THEN ((2 * CAST((n_latin) AS BIGINT) * 1000000 + CAST((n_chars) AS BIGINT)) // (2 * CAST((n_chars) AS BIGINT))) / 1e6 END AS r_latin,
                  CAST(n_han AS BIGINT) AS n_han,
-                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_han / n_chars END, 6) AS r_han,
+                 CASE WHEN n_chars > 0 THEN ((2 * CAST((n_han) AS BIGINT) * 1000000 + CAST((n_chars) AS BIGINT)) // (2 * CAST((n_chars) AS BIGINT))) / 1e6 END AS r_han,
                  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
-                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_cyrillic / n_chars END, 6) AS r_cyrillic,
+                 CASE WHEN n_chars > 0 THEN ((2 * CAST((n_cyrillic) AS BIGINT) * 1000000 + CAST((n_chars) AS BIGINT)) // (2 * CAST((n_chars) AS BIGINT))) / 1e6 END AS r_cyrillic,
                  CAST(n_arabic AS BIGINT) AS n_arabic,
-                 round(CASE WHEN n_chars > 0 THEN 1.0 * n_arabic / n_chars END, 6) AS r_arabic,
+                 CASE WHEN n_chars > 0 THEN ((2 * CAST((n_arabic) AS BIGINT) * 1000000 + CAST((n_chars) AS BIGINT)) // (2 * CAST((n_chars) AS BIGINT))) / 1e6 END AS r_arabic,
                  CASE
                    WHEN n_latin >= n_han AND n_latin >= n_cyrillic
                         AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
@@ -9395,7 +9414,7 @@ def _oracle_sql_all() -> dict[str, str]:
                   = {F0} + ((pt - {F0}) // {DAY}) * {DAY}
           )
           SELECT name, day AS t, CAST(count(*) AS BIGINT) AS n_seg,
-                 round(sum(area) + {EPS6}, 4) + 0.0 AS auc
+                 round(sum(area) + {EPS4}, 4) + 0.0 AS auc
           FROM s GROUP BY 1, 2
         """,
         "doc_zipf_fit": f"""

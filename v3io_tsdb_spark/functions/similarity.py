@@ -1629,11 +1629,19 @@ def pca_top_component(
         F.sum(_qhalf(F.col("x") * qs)).alias("_sq"),
         F.count("*").alias("_cnt"),
     )
+    # µ-grid mean as EXACT half-away integer division in decimal(38,0)
+    # (r14 round-boundary rule: S_q/(qs·n) is an exact rational whose
+    # µ-grid representative can sit at boundary−eps, where a float
+    # round flips on an ulp; the integer form cannot)
+    _mu_num = "(CAST(_sq AS DECIMAL(38,0)) * 1000000)"
+    _mu_den = "(CAST(32768 AS DECIMAL(38,0)) * CAST(_cnt AS DECIMAL(38,0)))"
     mu = mu0.select(
         "i",
-        F.round(
-            F.col("_sq") / (F.lit(qs) * F.col("_cnt")) + eps, 6
-        ).alias("mu"),
+        F.expr(
+            f"CASE WHEN {_mu_num} >= 0 THEN "
+            f"((2 * {_mu_num} + {_mu_den}) div (2 * {_mu_den})) "
+            f"ELSE -(((-2) * {_mu_num} + {_mu_den}) div (2 * {_mu_den})) END"
+        ).cast("long").alias("_muu"),
     )
     nn = mu0.agg(F.max("_cnt").alias("_n"))
     # raw second moments -> d^2 cells. Two physically different plans
@@ -1712,19 +1720,30 @@ def pca_top_component(
                 F.sum((xq_i * xq_j).cast("decimal(38,0)")).alias("_s")
             )
         )
-    mui = mu.select(F.col("i"), F.col("mu").alias("_mi"))
-    muj = mu.select(F.col("i").alias("j"), F.col("mu").alias("_mj"))
+    mui = mu.select(F.col("i"), F.col("_muu").alias("_miu"))
+    muj = mu.select(F.col("i").alias("j"), F.col("_muu").alias("_mju"))
+    # c = S/(qs²·n) − mi·mj as ONE exact rational on the common
+    # denominator qs²·n·10⁶, quantized to the µ grid by half-away
+    # integer division in decimal(38,0) — 14 covariance cells of the
+    # r14 fixture sat exactly at boundary−eps under the old float
+    # round, and one flipped cell cascades through every later power
+    # step. qs² = 32768² = 1073741824.
+    _c_num = ("(CAST(_s AS DECIMAL(38,0)) * 1000000000000 "
+              "- CAST(_miu AS DECIMAL(38,0)) * CAST(_mju AS DECIMAL(38,0)) "
+              "* 1073741824 * CAST(_n AS DECIMAL(38,0)))")
+    _c_den = ("(CAST(1073741824 AS DECIMAL(38,0)) "
+              "* CAST(_n AS DECIMAL(38,0)) * 1000000)")
     cmat = (
         cells.join(F.broadcast(mui), "i")
         .join(F.broadcast(muj), "j")
         .crossJoin(F.broadcast(nn))
         .select(
             "i", "j",
-            F.round(
-                F.col("_s") / (F.lit(qs * qs) * F.col("_n"))
-                - F.col("_mi") * F.col("_mj")
-                + eps, 6,
-            ).alias("c"),
+            (F.expr(
+                f"CASE WHEN {_c_num} >= 0 THEN "
+                f"((2 * {_c_num} + {_c_den}) div (2 * {_c_den})) "
+                f"ELSE -(((-2) * {_c_num} + {_c_den}) div (2 * {_c_den})) END"
+            ).cast("long") / F.lit(1e6)).alias("c"),
         )
         # consumed once per iteration: cut the data-sized lineage so
         # the corpus scans once, not once per power step
@@ -1739,21 +1758,26 @@ def pca_top_component(
     )
     norm = None
     for _ in range(n_iter):
-        # d-term sums also quantize per term (1e-12 / 1e-9 integer
-        # grids) so partial-aggregation order can't move them; sqrt
-        # is IEEE-exact, so the 6dp state writes are engine-invariant
+        # d-term sums quantize per term (1e-12 / 1e-9 integer grids)
+        # so partial-aggregation order can't move them; the two
+        # iteration-state writes that are EXACT INTEGER RATIOS — w
+        # (the 1e-12 sum to µ) and p (w_µ/nm_µ) — quantize by integer
+        # half-away division, NOT a float round: the r14 round-
+        # boundary sweep caught a grid-exact intermediate sitting at
+        # (boundary − eps), where round(x+eps, 6) flips on a ±1-ulp
+        # build skew and the flip compounds through every later
+        # iteration. Only the sqrt-derived norm keeps a float round
+        # (irrational — exact-boundary hits have measure zero).
         w = (
             cmat.join(
                 vec.select(F.col("i").alias("j"), F.col("p")), "j"
             )
             .groupBy("i")
-            .agg(
-                F.round(
-                    F.sum(_qhalf(F.col("c") * F.col("p") * 1e12))
-                    / F.lit(1e12)
-                    + eps,
-                    6,
-                ).alias("w")
+            .agg(F.sum(_qhalf(F.col("c") * F.col("p") * 1e12)).alias("_s12"))
+            .select(
+                "i",
+                (half_away_div_col("_s12", "1000000") / F.lit(1e6))
+                .alias("w"),
             )
         )
         norm = w.agg(
@@ -1766,8 +1790,18 @@ def pca_top_component(
                 6,
             ).alias("nm")
         )
-        vec = w.crossJoin(F.broadcast(norm)).select(
-            "i", F.round(F.col("w") / F.col("nm") + eps, 6).alias("p")
+        vec = (
+            w.crossJoin(F.broadcast(norm))
+            .select(
+                "i",
+                _qhalf(F.col("w") * 1e6).alias("_wu"),
+                _qhalf(F.col("nm") * 1e6).alias("_nu"),
+            )
+            .select(
+                "i",
+                (half_away_div_col("_wu * 1000000", "_nu") / F.lit(1e6))
+                .alias("p"),
+            )
         )
     return vec.crossJoin(F.broadcast(norm)).select(
         F.col("i").cast("long").alias("dim_idx"),

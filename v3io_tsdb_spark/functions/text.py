@@ -594,9 +594,16 @@ def script_profile(
     SQL, so the whole profile is oracle-checkable. Dominant script =
     argmax of counts with first-listed-wins tie break; docs matching no
     profiled script get 'other'.
+
+    The per-script ratios are EXACT integer ratios (count/n_chars), so
+    they quantize via detmath.q6_ratio — pure BIGINT half-up, one /1e6
+    — not an engine round() (r14 rounding-seam audit: the old
+    ``round(c/len, 6)`` sat ON a 6dp boundary for 4 fixture cells and
+    failed the ±1-ulp round-boundary sweep stage).
     """
+    from v3io_tsdb_spark.functions.detmath import q6_ratio_col
+
     col = F.col(text_col)
-    n_chars = F.length(col).alias("n_chars")
     counts = {name: F.regexp_count(col, F.lit(java)) for name, java, _ in SCRIPTS}
     best = F.lit("other")
     best_n = F.lit(0)
@@ -605,14 +612,22 @@ def script_profile(
         c = counts[name]
         best = F.when(c > best_n, F.lit(name)).otherwise(best)
         best_n = F.when(c > best_n, c).otherwise(best_n)
-    out_cols = [F.col(id_col), n_chars]
+    base_cols = [F.col(id_col), F.length(col).alias("n_chars")]
     for name, _, _ in SCRIPTS:
-        out_cols.append(counts[name].cast("long").alias(f"n_{name}"))
+        base_cols.append(counts[name].cast("long").alias(f"n_{name}"))
+    base_cols.append(best.alias("dominant_script"))
+    base = df.select(*base_cols)
+    out_cols = [F.col(id_col), F.col("n_chars")]
+    for name, _, _ in SCRIPTS:
+        out_cols.append(F.col(f"n_{name}"))
         out_cols.append(
-            F.round(F.try_divide(counts[name], F.length(col)), 6).alias(f"r_{name}")
+            F.when(
+                F.col("n_chars") > 0,
+                q6_ratio_col(f"n_{name}", "n_chars") / F.lit(1e6),
+            ).alias(f"r_{name}")
         )
-    out_cols.append(best.alias("dominant_script"))
-    return df.select(*out_cols)
+    out_cols.append(F.col("dominant_script"))
+    return base.select(*out_cols)
 
 
 # -- document fingerprinting (winnowing) ------------------------------------

@@ -195,9 +195,13 @@ def trapezoid_integral(
     segs = paired.where(
         F.col("_pt").isNotNull() & (bucket == prev_bucket)
     ).select(*series_cols, bucket.alias(t_col), area.alias("_area"))
+    # EPS4 (1e-7) for the 4dp round, the repo-wide _r convention: auc
+    # reaches ~4e6 value·seconds, where 1 ulp ≈ 8.5e-10 — a 1e-9 nudge
+    # was the same order as a cross-build ulp and failed the r14
+    # round-boundary sweep; 1e-7 clears every boundary by 100x
     return segs.groupBy(*series_cols, t_col).agg(
         F.count("*").cast("long").alias("n_seg"),
-        (F.round(F.sum("_area") + eps, 4) + F.lit(0.0)).alias("auc"),
+        (F.round(F.sum("_area") + 1e-7, 4) + F.lit(0.0)).alias("auc"),
     )
 
 
