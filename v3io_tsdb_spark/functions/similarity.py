@@ -1802,6 +1802,13 @@ def pca_top_component(
                 (half_away_div_col("_wu * 1000000", "_nu") / F.lit(1e6))
                 .alias("p"),
             )
+            # cut the iteration tree every step: the d-row panel costs
+            # ~50ms to materialize, while letting 5 iterations of the
+            # integer half-away expressions nest lazily cost ~4s of
+            # driver analysis at action time (r14 bench regression —
+            # measured 4-7s exec collapsing to 0.5s with per-step
+            # checkpoints; values identical, plan-only change)
+            .localCheckpoint(eager=True)
         )
     return vec.crossJoin(F.broadcast(norm)).select(
         F.col("i").cast("long").alias("dim_idx"),
