@@ -897,9 +897,10 @@ def q_stream_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts long, user_id long, event_type string, event_id long"
     ).parquet(os.path.join(fx, "in"))
     out = _run_available_now(stream_session_perplexity(raw, model))
+    # integer-only contract, same as the batch row (VERDICT r14 #1d)
     return out.select(
         F.col("user_id").cast("long"), F.col("sess").cast("long"),
-        "n_steps", "mean_logp",
+        "n_steps", F.col("mean_logp_micro").cast("long"),
     )
 
 
@@ -3477,12 +3478,60 @@ def q_events_session_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
         id_col="event_id", gap_ms=1_800_000,
     )
-    # mean_logp emits UNWRAPPED: the operator already quantized it in
-    # exact integer arithmetic (detmath.half_away_div) — re-rounding
-    # through _rz would reintroduce the engine-native round() seam
-    # this family's three driver reds traced to (VERDICT r13 #1)
+    # r15 integer-only contract (VERDICT r14 #1d): after four driver
+    # hash-reds on a value that is provably one IEEE division of
+    # identical integers, the gated column is the exact BIGINT
+    # micro-nat mean itself — the operator's display double
+    # `mean_logp` never enters a hashed row
     return out.select(
-        "user_id", "sess", F.col("n_steps").cast("long"), "mean_logp",
+        "user_id", "sess", F.col("n_steps").cast("long"),
+        F.col("mean_logp_micro").cast("long"),
+    )
+
+
+def q_events_session_score_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-BIGINT session scoring panel (X195, VERDICT r14 #1a): the
+    session-perplexity family's pre-division frame — (user_id, sess,
+    n_steps, sum_mn), pure integer columns, NO float anywhere. With the
+    model half (events_markov_transitions) driver hash-green, this row
+    isolates the session-aggregation half: pairs ⋈ micro-nat panel →
+    sum(mn). A red here names the exact integer seam; a green here plus
+    a red on any float-emitting variant convicts the final division."""
+    from v3io_tsdb_spark.operators.paths import session_score_panel
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = session_score_panel(
+        ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
+        id_col="event_id", gap_ms=1_800_000,
+    )
+    return out.select(
+        "user_id", "sess",
+        F.col("n_steps").cast("long"), F.col("sum_mn").cast("long"),
+    )
+
+
+def q_diag_engine_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC probe, red-by-design (VERDICT r14 'What's missing'
+    #2): the driver's CORRECTNESS artifact records spark_rows and
+    oracle_rows per query but nothing about the driver host's engine
+    builds, so four rounds of local-green/driver-red had an untestable
+    version-skew hypothesis. This row encodes each engine's version
+    INTO its row count — major·10000 + minor·100 + patch — so the
+    artifact itself prints both driver-host engine versions
+    (spark_rows = PySpark, oracle_rows = DuckDB; e.g. 40102 = 4.1.2).
+    rows_match is false whenever the versions differ — that mismatch
+    IS the payload. Exempt from the rotation invariant and from the
+    local gate's failure count (diag_ prefix)."""
+    import re as _re
+
+    import pyspark
+
+    m = _re.match(r"(\d+)\.(\d+)\.(\d+)", pyspark.__version__)
+    n = (int(m.group(1)) * 10000 + int(m.group(2)) * 100
+         + int(m.group(3))) if m else 1
+    return spark.range(n).select(
+        F.lit(int(n)).cast("long").alias("ver_code"),
+        F.col("id").cast("long").alias("i"),
     )
 
 
@@ -4547,48 +4596,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2, r8 #2):
     no query's newest driver row should age past ~2 rounds.
 
-    Round-14 head-50 (VERDICT r13 #1/#2): the session-perplexity
-    family leads — `events_markov_transitions` (now the full model
-    panel c/p6/mn, the bisection row), `events_session_perplexity`
-    (hash-red r11/r12, never driver-green), and
-    `stream_session_perplexity` (hash-red r13 on its first gate) —
-    all rebuilt on exact-integer quantization (detmath.q6_ratio /
-    half_away_div, no engine-native round() on any hashed column).
-    Then the 8 r9-evidence rows and the 39 surviving r10-evidence
-    rows, per the now-HASH-STRICT `tools/check_rotation.py --plan`
-    (r13's `green()` accepted rows-only matches, which let the
-    hash-red X162 evade re-gating for two rounds).
+    Round-15 head-50 (VERDICT r14 #1/#2/#5): slot 0 is the
+    red-by-design `diag_engine_versions` probe (row counts encode each
+    driver-host engine's version into spark_rows/oracle_rows); slots
+    1-3 are the session-perplexity endgame — the all-BIGINT bisection
+    panel `events_session_score_panel` (pairs ⋈ micro-nat panel →
+    sum(mn), zero float columns) and the two family rows re-gated on
+    the INTEGER-ONLY contract (`mean_logp_micro BIGINT` is the hashed
+    value; the display double left every gated row) — then the six r14
+    net-new rows X189-X194, the 38 surviving r11-evidence rows, and
+    two r12 bonus re-gates.
 
     The 50-slot gate is SATURATED past 100 queries: the rotation is a
-    ceil(N/50)-window cycle, so the evidence-age bound is
-    ceil(N/50)-1 rounds, anchored at the UPCOMING round — computed
-    DYNAMICALLY by `tools/check_rotation.py`, which audits the newest
-    hash-green driver row per query against that bound and prints the
-    recommended next head with --plan.
+    ceil(N/50)-window cycle, so every query's newest hash-green driver
+    row must be at most ceil(N/50)-1 rounds old, anchored at the
+    NEWEST artifact — computed DYNAMICALLY by
+    `tools/check_rotation.py` (--plan prints the recommended next
+    head; --simulate proves the invariant still holds the moment the
+    planned head gates, the satisfiable replacement for the r14
+    upcoming-anchor whose capacity requirement 50·(windows-1) >= N was
+    provably unsatisfiable for any N > 100 — see the tool docstring).
 
-    Registry at N=200: six net-new rows (X189–X194, SURVEY §2.10 —
-    TPC-H Q10 completing 22/22, exact-integer PageRank, simplified
-    silhouette, label-coherence outliers, LSH precision calibration,
-    VAD audio segmentation) joined at the TAIL as net-new-pending for
-    the r15 head. Earlier in r14, RETIRED six near-duplicate rows whose
-    families stay gated through siblings — `emb_pq_recall`,
-    `doc_logprob_profile`, `tsdb_hw_daily`, `emb_centroid_profile`,
-    `doc_weighted_sample`, `tsdb_seasonal_naive` (see RETIRED_R14;
-    tests/test_round14_retired.py still sweeps each against its DuckDB
-    oracle, so only the driver slot moved, not the correctness
-    coverage). The r13 retirements (seven stateful stream twins,
-    pinned by direct stream-vs-batch pytests in test_round10c/10d/
-    9b/9i/13b_ops.py and test_streaming.py) stand unchanged."""
+    Registry at N=194: r15 RETIRED eight more near-duplicate rows
+    whose families stay gated through module siblings (RETIRED_R15;
+    tests/test_round15_retired.py sweeps each against its DuckDB
+    oracle) and added the two rows above. The r14 retirements
+    (RETIRED_R14, swept by test_round14_retired.py) and the r13
+    stream-twin retirements stand unchanged."""
     return {
-        # --- r14 head-50 (driver gates rows 0-49): the 3
-        # --- session-perplexity-family re-gates (VERDICT r13 #1 —
-        # --- exact-integer quantization, model-panel bisection row
-        # --- first), then the 8 r9-evidence rows and the 39
-        # --- surviving r10-evidence rows (VERDICT r13 #2), per the
-        # --- hash-strict tools/check_rotation.py --plan
-        "events_markov_transitions": q_events_markov_transitions,
+        # --- r15 head-50 (driver gates rows 0-49), per
+        # --- tools/check_rotation.py --plan + --simulate:
+        # --- [0] the engine-version probe (red-by-design diagnostic,
+        # --- VERDICT r14 'missing' #2), [1-3] the session-perplexity
+        # --- endgame (all-BIGINT bisection panel + the two family
+        # --- rows on the integer-only contract, VERDICT r14 #1),
+        # --- [4-9] the six r14 net-new rows X189-X194 (first gate),
+        # --- [10-47] the 38 surviving r11-evidence rows (8 near-
+        # --- duplicates retired to pytest, RETIRED_R15), [48-49]
+        # --- two r12-evidence bonus re-gates to smooth the r16 head
+        "diag_engine_versions": q_diag_engine_versions,
+        "events_session_score_panel": q_events_session_score_panel,
         "events_session_perplexity": q_events_session_perplexity,
         "stream_session_perplexity": q_stream_session_perplexity,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "events_pagerank": q_events_pagerank,
+        "emb_silhouette": q_emb_silhouette,
+        "emb_label_coherence": q_emb_label_coherence,
+        "doc_lsh_precision": q_doc_lsh_precision,
+        "mm_audio_segments": q_mm_audio_segments,
+        "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
+        "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
+        "doc_table_profile": q_doc_table_profile,
+        "events_survival": q_events_survival,
+        "tpch_fk_integrity": q_tpch_fk_integrity,
+        "events_incident_timeline": q_events_incident_timeline,
+        "events_split_leakage": q_events_split_leakage,
+        "events_ks_drift": q_events_ks_drift,
+        "tsdb_absent_hourly": q_tsdb_absent_hourly,
+        "tsdb_predict_linear": q_tsdb_predict_linear,
+        "tsdb_topk_daily": q_tsdb_topk_daily,
+        "events_markov_kstep": q_events_markov_kstep,
+        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
+        "doc_vocab_growth": q_doc_vocab_growth,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q12_modes": q_tpch_q12_modes,
+        "doc_kn_bigram": q_doc_kn_bigram,
+        "tsdb_subquery_rate": q_tsdb_subquery_rate,
+        "events_rfm_scores": q_events_rfm_scores,
+        "events_gini": q_events_gini,
+        "tsdb_calendar_profile": q_tsdb_calendar_profile,
+        "tpch_parts_no_sales": q_tpch_parts_no_sales,
+        "emb_pca_top": q_emb_pca_top,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "doc_perplexity_buckets": q_doc_perplexity_buckets,
+        "events_cohort_revenue": q_events_cohort_revenue,
+        "tpch_cube_pricing": q_tpch_cube_pricing,
+        "tsdb_hw_anomaly": q_tsdb_hw_anomaly,
+        "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
+        "doc_emb_join_stats": q_doc_emb_join_stats,
+        "events_seasonality": q_events_seasonality,
+        "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
+        "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
+        "tsdb_ewma_daily": q_tsdb_ewma_daily,
+        "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
+        "doc_word_entropy": q_doc_word_entropy,
+        "tsdb_sql_frontend": q_tsdb_sql_frontend,
+        "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
+        "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
+        # --- tail: r12-r14 evidence tiers, prior order kept
+        "events_markov_transitions": q_events_markov_transitions,
         "doc_normalized_dedup": q_doc_normalized_dedup,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_script_profile": q_doc_script_profile,
@@ -4636,7 +4733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_slo_burn": q_tsdb_slo_burn,
         "tsdb_adjusted_anomaly": q_tsdb_adjusted_anomaly,
         "emb_mmr_topk": q_emb_mmr_topk,
-        # --- r11+-evidence tier (next windows), prior order kept
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "mm_wav_features": q_mm_wav_features,
@@ -4686,8 +4782,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions_30m": q_stream_sessions_30m,
         "stream_counter_increase": q_stream_counter_increase,
         "doc_length_histogram": q_doc_length_histogram,
-        "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
-        "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
         "stream_topk_daily": q_stream_topk_daily,
         "tpch_q2_min_price": q_tpch_q2_min_price,
         "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
@@ -4735,63 +4829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_sql_star": q_tsdb_sql_star,
         "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_session_30m": q_tsdb_session_30m,
-        "events_hll_weekly_rollup": q_events_hll_weekly_rollup,
-        "tsdb_increase_daily": q_tsdb_increase_daily,
-        "tsdb_binop_ratio_daily": q_tsdb_binop_ratio_daily,
-        "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
-        "tsdb_wow_daily": q_tsdb_wow_daily,
-        "doc_table_profile": q_doc_table_profile,
-        "events_survival": q_events_survival,
-        "tpch_fk_integrity": q_tpch_fk_integrity,
-        "events_incident_timeline": q_events_incident_timeline,
-        "events_split_leakage": q_events_split_leakage,
-        "events_ks_drift": q_events_ks_drift,
-        "tsdb_absent_hourly": q_tsdb_absent_hourly,
-        "tsdb_hw_forecast": q_tsdb_hw_forecast,
-        "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
-        "tsdb_predict_linear": q_tsdb_predict_linear,
-        "tsdb_topk_daily": q_tsdb_topk_daily,
-        "events_markov_kstep": q_events_markov_kstep,
-        "doc_fuzzy_dedup": q_doc_fuzzy_dedup,
-        "doc_vocab_growth": q_doc_vocab_growth,
-        "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q12_modes": q_tpch_q12_modes,
-        "events_dau_wau": q_events_dau_wau,
-        "doc_kn_bigram": q_doc_kn_bigram,
-        "tsdb_subquery_rate": q_tsdb_subquery_rate,
-        "events_rfm_scores": q_events_rfm_scores,
-        "events_gini": q_events_gini,
-        "tsdb_calendar_profile": q_tsdb_calendar_profile,
-        "tpch_parts_no_sales": q_tpch_parts_no_sales,
-        "emb_pca_top": q_emb_pca_top,
-        "tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "tpch_q18_big_orders": q_tpch_q18_big_orders,
-        "doc_perplexity_buckets": q_doc_perplexity_buckets,
-        "events_cohort_revenue": q_events_cohort_revenue,
-        "tpch_cube_pricing": q_tpch_cube_pricing,
-        "tsdb_hw_anomaly": q_tsdb_hw_anomaly,
-        "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
-        "tsdb_percentiles_daily": q_tsdb_percentiles_daily,
-        "doc_emb_join_stats": q_doc_emb_join_stats,
-        "events_top_users_daily": q_events_top_users_daily,
-        "events_seasonality": q_events_seasonality,
-        "tsdb_preagg_rollup_daily": q_tsdb_preagg_rollup_daily,
-        "tsdb_client_agg_daily": q_tsdb_client_agg_daily,
-        "tsdb_ewma_daily": q_tsdb_ewma_daily,
-        "tsdb_autocorr_daily": q_tsdb_autocorr_daily,
-        "doc_word_entropy": q_doc_word_entropy,
-        "tsdb_sql_frontend": q_tsdb_sql_frontend,
-        # --- r14 net-new rows (X189–X194): tail slots — the r14
-        # --- head-50 is the verdict-mandated perplexity + stale-
-        # --- evidence set, so these wait for their first driver gate
-        # --- in the r15 head (net-new pending per check_rotation.py);
-        # --- until then the local sweep + pytest carry them
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "events_pagerank": q_events_pagerank,
-        "emb_silhouette": q_emb_silhouette,
-        "emb_label_coherence": q_emb_label_coherence,
-        "doc_lsh_precision": q_doc_lsh_precision,
-        "mm_audio_segments": q_mm_audio_segments,
     }
 
 
@@ -7226,11 +7263,77 @@ def _oracle_sql_all() -> dict[str, str]:
                 + ", CAST(1 AS BIGINT)) AS p6 FROM cn",
                 "p6 / 1e6", "lnp")})
           )
+          -- r15 integer-only contract (VERDICT r14 #1d): the gated
+          -- value is the BIGINT micro-nat mean itself; no float
+          -- column exists anywhere in this family's hashed rows
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 {half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
-                   / 1e6 AS mean_logp
+                 CAST({half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
+                   AS BIGINT) AS mean_logp_micro
           FROM pp JOIN m USING (from_state, to_state)
           GROUP BY 1, 2
+        """,
+        "events_session_score_panel": f"""
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          s AS (
+            SELECT *, sum(new_sess) OVER w AS sess
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          pr AS MATERIALIZED (
+            SELECT user_id, sess, event_type AS from_state,
+                   lead(event_type) OVER ws AS to_state
+            FROM s
+            WINDOW ws AS (PARTITION BY user_id, sess
+                          ORDER BY t, event_type, event_id)
+          ),
+          pp AS MATERIALIZED (SELECT * FROM pr WHERE to_state IS NOT NULL),
+          cn AS (
+            SELECT from_state, to_state, count(*) AS c FROM pp GROUP BY 1, 2
+          ),
+          m AS (
+            SELECT from_state, to_state, {_mn_sql('lnp')} AS mn
+            FROM ({det_ln_sql(
+                "SELECT from_state, to_state, GREATEST("
+                + q6_ratio_sql(
+                    'c', 'sum(c) OVER (PARTITION BY from_state)', 'duck')
+                + ", CAST(1 AS BIGINT)) AS p6 FROM cn",
+                "p6 / 1e6", "lnp")})
+          )
+          -- the r15 bisection row (VERDICT r14 #1a): the session
+          -- aggregation half in pure BIGINT — no division at all
+          SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
+                 CAST(sum(m.mn) AS BIGINT) AS sum_mn
+          FROM pp JOIN m USING (from_state, to_state)
+          GROUP BY 1, 2
+        """,
+        "diag_engine_versions": """
+          -- red-by-design diagnostic (VERDICT r14 'What's missing' #2):
+          -- row count = DuckDB version as major*10000+minor*100+patch,
+          -- mirrored by the Spark builder with pyspark's version — the
+          -- CORRECTNESS artifact's spark_rows/oracle_rows fields then
+          -- record both driver-host engine builds verbatim
+          WITH v AS (
+            SELECT CAST(regexp_extract(version(),
+                     '(\\d+)\\.(\\d+)\\.(\\d+)', 1) AS BIGINT) * 10000
+                 + CAST(regexp_extract(version(),
+                     '(\\d+)\\.(\\d+)\\.(\\d+)', 2) AS BIGINT) * 100
+                 + CAST(regexp_extract(version(),
+                     '(\\d+)\\.(\\d+)\\.(\\d+)', 3) AS BIGINT) AS n
+          )
+          SELECT CAST(v.n AS BIGINT) AS ver_code,
+                 CAST(r.range AS BIGINT) AS i
+          FROM range(1000000) r, v
+          WHERE r.range < v.n
         """,
         "stream_session_perplexity": f"""
           WITH e AS (
@@ -7272,9 +7375,10 @@ def _oracle_sql_all() -> dict[str, str]:
                 + ", CAST(1 AS BIGINT)) AS p6 FROM cn",
                 "p6 / 1e6", "lnp")})
           )
+          -- integer-only contract, same as the batch row (r14 #1d)
           SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
-                 {half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
-                   / 1e6 AS mean_logp
+                 CAST({half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
+                   AS BIGINT) AS mean_logp_micro
           FROM pp JOIN m USING (from_state, to_state)
           JOIN mx ON pp.user_id = mx.user_id
           WHERE pp.sess < mx.mxs
@@ -10184,18 +10288,48 @@ RETIRED_R14 = (
     "tsdb_seasonal_naive",
 )
 
+# r15 retirements (VERDICT r14 #2: the rotation needed >=6 more slots
+# shed to stay satisfiable — 46 stale + 8 never-green + 2 new rows for
+# 50 slots). Each family keeps a LIVE module sibling gated:
+#   tsdb_increase_daily     -> tsdb_irate_daily (operators/counters)
+#   tsdb_bollinger_daily    -> tsdb_ewma_daily (operators/trend)
+#   tsdb_wow_daily          -> tsdb_ewma_daily (operators/trend)
+#   tsdb_hw_forecast        -> tsdb_hw_anomaly (same holt_winters
+#                              recursion, operators/trend)
+#   tsdb_drawdown_daily     -> tsdb_ewma_daily (operators/trend
+#                              series-keyed window family)
+#   events_dau_wau          -> events_retention_cohorts
+#                              (operators/cohorts)
+#   tsdb_downsample_prev_6h -> tsdb_downsample_6h (same Seek+interp
+#                              path, operators/interpolate)
+#   events_top_users_daily  -> events_stratified_hourly
+#                              (functions/sampling)
+RETIRED_R15 = (
+    "tsdb_increase_daily",
+    "tsdb_bollinger_daily",
+    "tsdb_wow_daily",
+    "tsdb_hw_forecast",
+    "tsdb_drawdown_daily",
+    "events_dau_wau",
+    "tsdb_downsample_prev_6h",
+    "events_top_users_daily",
+)
+
+_RETIRED_ALL = RETIRED_R14 + RETIRED_R15
+
 
 def oracle_sql() -> dict[str, str]:
     """Driver-facing oracle registry: every queries() key with a
     DuckDB-executable ANSI twin (retired rows excluded alongside their
     queries() entries, so the key sets always match)."""
     return {k: v for k, v in _oracle_sql_all().items()
-            if k not in RETIRED_R14}
+            if k not in _RETIRED_ALL}
 
 
 def retired_queries() -> dict:
     """Builders for rows retired from the driver registry — pinned by
-    tests/test_round14_retired.py against retired_oracle_sql()."""
+    tests/test_round14_retired.py and test_round15_retired.py against
+    retired_oracle_sql()."""
     return {
         "emb_pq_recall": q_emb_pq_recall,
         "doc_logprob_profile": q_doc_logprob_profile,
@@ -10203,8 +10337,16 @@ def retired_queries() -> dict:
         "emb_centroid_profile": q_emb_centroid_profile,
         "doc_weighted_sample": q_doc_weighted_sample,
         "tsdb_seasonal_naive": q_tsdb_seasonal_naive,
+        "tsdb_increase_daily": q_tsdb_increase_daily,
+        "tsdb_bollinger_daily": q_tsdb_bollinger_daily,
+        "tsdb_wow_daily": q_tsdb_wow_daily,
+        "tsdb_hw_forecast": q_tsdb_hw_forecast,
+        "tsdb_drawdown_daily": q_tsdb_drawdown_daily,
+        "events_dau_wau": q_events_dau_wau,
+        "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
+        "events_top_users_daily": q_events_top_users_daily,
     }
 
 
 def retired_oracle_sql() -> dict[str, str]:
-    return {k: _oracle_sql_all()[k] for k in RETIRED_R14}
+    return {k: _oracle_sql_all()[k] for k in _RETIRED_ALL}

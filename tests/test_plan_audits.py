@@ -313,10 +313,13 @@ def test_events_family_ms_clamp_pushed_to_scan(spark):
 
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     try:
+        # events_top_users_daily retired to pytest in r15 — resolved
+        # through retired_queries() so its pushdown stays plan-audited
         for name in ("events_anomaly_hourly", "events_retention_cohorts",
                      "events_hll_daily", "events_seasonality",
                      "events_top_users_daily"):
-            plan = _plan(E.queries()[name](spark, SF))
+            fn = E.queries().get(name) or E.retired_queries()[name]
+            plan = _plan(fn(spark, SF))
             m = re.search(r"PushedFilters: \[[^\]]*\]", plan)
             assert m, f"{name}: no PushedFilters section"
             pushed = m.group(0)

@@ -90,16 +90,14 @@ def test_pagerank_mass_and_teleport_floor(spark):
     assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
 
 
-def test_pagerank_dangling_state_keeps_teleport_rank():
+def test_pagerank_dangling_state_keeps_teleport_rank(spark):
     """A sink state (no outgoing edges) forwards nothing but still
     receives teleport every step — hand-built 2-state chain a->b:
     b's matrix row is empty, so after the first step a holds only
-    teleport and b gets teleport + a's forwarded mass."""
-    from pyspark.sql import SparkSession
-
+    teleport and b gets teleport + a's forwarded mass. (Takes the
+    spark fixture — getActiveSession() is None under `pytest -k`
+    isolation, ADVICE r14 #3.)"""
     from v3io_tsdb_spark.operators.paths import pagerank
-
-    spark = SparkSession.getActiveSession()
     trans = spark.createDataFrame(
         [("a", "b", 1, 1_000_000)],
         "from_state string, to_state string, c long, p6 long",

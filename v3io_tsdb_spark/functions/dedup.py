@@ -640,7 +640,11 @@ def minhash_precision_buckets(
         )
         .agg(F.count("*").alias("inter"))
     )
-    nsh = postings.select("id", "n_sh").distinct()
+    # shingle counts come from the candidate-semi-joined frame, NOT
+    # the full corpus postings: a corpus-sized distinct here broke the
+    # "exact-verify bounded by candidate volume" contract (ADVICE r14
+    # #4 — only candidate docs' n_sh are ever consumed below)
+    nsh = cp.select("id", "n_sh").distinct()
     scored = (
         est.join(inter, ["id_a", "id_b"], "left")
         .join(nsh.select(F.col("id").alias("id_a"),

@@ -1328,9 +1328,12 @@ def label_coherence(
       vector pulling the class mean UP is not label noise) — no
       sqrt, no engine round(), no float boundary in any hashed
       column
-      (overflow: |dev| ≤ 2·10⁶ ⇒ the test stays int64 past 10⁸ rows
-      per label — beyond that widen to DECIMAL(38,0), documented not
-      silently wrapped);
+      (overflow: worst-case |dev| = 2·10⁶ puts n·dev² at int64's
+      edge near n ≈ 2.3·10⁶ rows per label — ADVICE r14 #2 corrected
+      the earlier 10⁸ claim, which only holds for |dev| ≤ 10⁵, i.e.
+      within-label cosine spreads under 0.1; past ~10⁶ worst-case
+      rows per label widen both squared sides to DECIMAL(38,0) —
+      documented, not silently wrapped);
     - the spread is reported as the VARIANCE ``var_cos =
       half_away_div(Σdev², n)/1e12`` — an exact integer ratio, so it
       cannot sit near a quantization boundary by construction (a

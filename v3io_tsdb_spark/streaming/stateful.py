@@ -1194,6 +1194,11 @@ _SP_OUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("sess", LongType()),
         StructField("n_steps", LongType()),
+        # the gated contract column (VERDICT r14 #1d): the exact
+        # integer micro-nat mean — no DOUBLE in any hashed column of
+        # the session-perplexity family
+        StructField("mean_logp_micro", LongType()),
+        # human-facing nats; display-only, never hashed
         StructField("mean_logp", DoubleType()),
     ]
 )
@@ -1224,7 +1229,8 @@ def _make_session_perplexity_fn(model: dict, gap_ms: int):
             last_ts, last_type, last_id, sess, n, s = state.get
         else:
             last_ts, last_type, last_id, sess, n, s = None, None, None, 0, 0, 0
-        rows = {"user_id": [], "sess": [], "n_steps": [], "mean_logp": []}
+        rows = {"user_id": [], "sess": [], "n_steps": [],
+                "mean_logp_micro": [], "mean_logp": []}
 
         def close():
             if n >= 1:
@@ -1235,9 +1241,12 @@ def _make_session_perplexity_fn(model: dict, gap_ms: int):
                 # exact integers, so the session mean quantizes in
                 # integer arithmetic — bit-identical to the batch
                 # operator's half_away_div_col and the oracle's
-                # half_away_div_sql by construction; the single /1e6
-                # is one correctly-rounded IEEE division everywhere
-                rows["mean_logp"].append(half_away_div_py(s, n) / 1e6)
+                # half_away_div_sql by construction. The INTEGER is
+                # the gated contract (VERDICT r14 #1d); the /1e6
+                # display double never enters a hashed row.
+                mm = half_away_div_py(s, n)
+                rows["mean_logp_micro"].append(int(mm))
+                rows["mean_logp"].append(mm / 1e6)
 
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
