@@ -801,6 +801,26 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppm_features(docs)
 
 
+def q_mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average-hash image fingerprints (X197) over the real
+    decoded PPM rasters — the image half of near-dup detection (text
+    has MinHash/SimHash; images dedup by perceptual hash). EXACT
+    integers end-to-end: gray = r+g+b, 8 row-bands by (row·8) div h,
+    each cell bit from the cross-multiplied mean test
+    cell_sum·n_px > gray_total·cell_n, bits packed MSB-first into two
+    unsigned-32 BIGINT halves (no two's-complement seam). The exact
+    multi-index Hamming pair search over these fingerprints
+    (functions/multimodal.image_ahash_pairs, pigeonhole-exact for
+    radius <= 3) is pinned by tests/test_round15_ops.py."""
+    from v3io_tsdb_spark.functions.multimodal import (
+        attach_ppm_payload,
+        image_ahash,
+    )
+
+    docs = attach_ppm_payload(load_table(spark, sf_dir, "documents"))
+    return image_ahash(docs)
+
+
 def q_mm_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL third-modality decode (X188): a valid YUV4MPEG2 stream is
     assembled per doc from pure SQL expressions — fixed ascii stream
@@ -4829,6 +4849,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_sql_star": q_tsdb_sql_star,
         "tsdb_asof_join": q_tsdb_asof_join,
         "tsdb_session_30m": q_tsdb_session_30m,
+        # --- r15 net-new (X197): tail slot — first driver gate in the
+        # --- r16 head (3 spare slots there per check_rotation
+        # --- --simulate); local sweep + pytest carry it until then
+        "mm_image_ahash": q_mm_image_ahash,
     }
 
 
@@ -9966,6 +9990,59 @@ def _oracle_sql_all() -> dict[str, str]:
                                THEN abs(lum - plum) ELSE 0 END) AS BIGINT)
                    AS luma_grad
           FROM z GROUP BY doc_id, h
+        """,
+        "mm_image_ahash": """
+          -- X197: the mm_image_features hex CTE extended with the
+          -- exact-integer aHash band/cell algebra (gray = r+g+b,
+          -- band = (row*8) DIV h, bit = cell_sum*n_px > total*cell_n,
+          -- bits packed MSB-first into two unsigned-32 halves)
+          WITH hb AS (
+            SELECT doc_id, hex(encode(text)) AS th,
+                   (length(hex(encode(text))) // 2) // 24 AS h
+            FROM documents
+          ),
+          n AS (SELECT doc_id, th, h, 8 * h AS np FROM hb WHERE h >= 8),
+          ix AS (SELECT doc_id, h, np, th, unnest(range(np)) AS i FROM n),
+          px AS (
+            SELECT doc_id, h, np, i,
+                   CAST(('0x' || substr(th, CAST(6 * i + 1 AS INT), 2))
+                        AS BIGINT)
+                 + CAST(('0x' || substr(th, CAST(6 * i + 3 AS INT), 2))
+                        AS BIGINT)
+                 + CAST(('0x' || substr(th, CAST(6 * i + 5 AS INT), 2))
+                        AS BIGINT) AS gray
+            FROM ix
+          ),
+          t AS (
+            SELECT doc_id, CAST(max(h) AS BIGINT) AS h,
+                   CAST(max(np) AS BIGINT) AS tn,
+                   CAST(sum(gray) AS BIGINT) AS ts
+            FROM px GROUP BY 1
+          ),
+          c AS (
+            SELECT doc_id, ((i // 8) * 8) // h AS band, i % 8 AS col_,
+                   CAST(sum(gray) AS BIGINT) AS cs,
+                   CAST(count(*) AS BIGINT) AS cn
+            FROM px GROUP BY 1, 2, 3
+          ),
+          bt AS (
+            SELECT c.doc_id, CAST(band * 8 + col_ AS INT) AS k,
+                   CASE WHEN c.cs * t.tn > t.ts * c.cn
+                        THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS bit
+            FROM c JOIN t USING (doc_id)
+          )
+          SELECT bt.doc_id,
+                 CAST(max(t.h) AS BIGINT) AS height,
+                 CAST(max(t.ts) AS BIGINT) AS gray_total,
+                 CAST(sum(CASE WHEN k < 32
+                               THEN bit << (31 - k) ELSE 0 END)
+                      AS BIGINT) AS ahash_hi,
+                 CAST(sum(CASE WHEN k >= 32
+                               THEN bit << (63 - k) ELSE 0 END)
+                      AS BIGINT) AS ahash_lo
+          FROM bt JOIN t USING (doc_id)
+          GROUP BY 1
         """,
         "mm_wav_features": """
           WITH h AS (

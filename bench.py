@@ -203,6 +203,7 @@ HEADLINE = [
     "stream_session_perplexity",
     "tpch_q19_discount_promo",
     "mm_image_features",
+    "mm_image_ahash",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",

@@ -258,6 +258,84 @@ class TestPagerankOverflow:
             assert out[s] == vu / 1e6, (s, out[s], vu)
 
 
+def _ppm(w, h, raster):
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(raster)
+
+
+class TestImageAhash:
+    def _fp(self, spark, images):
+        from v3io_tsdb_spark.functions.multimodal import image_ahash
+
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in images],
+            "doc_id long, payload binary",
+        )
+        return {r["doc_id"]: r for r in image_ahash(df).collect()}
+
+    def test_hash_matches_hand_computation(self, spark):
+        """8x8 image, left half dark (0) / right half bright (300 gray
+        = 100,100,100): bright cells sit above the global mean, dark
+        below — hash is 0x0F0F0F0F in both halves; gray_total exact."""
+        row = [0, 0, 0] * 4 + [100, 100, 100] * 4
+        img = _ppm(8, 8, row * 8)
+        fp = self._fp(spark, [(1, img)])[1]
+        assert fp["height"] == 8
+        assert fp["gray_total"] == 300 * 4 * 8
+        assert fp["ahash_hi"] == 0x0F0F0F0F
+        assert fp["ahash_lo"] == 0x0F0F0F0F
+
+    def test_short_and_wrong_width_images_drop(self, spark):
+        out = self._fp(spark, [
+            (1, _ppm(8, 7, [1, 2, 3] * 8 * 7)),   # h < 8: no 8 bands
+        ])
+        assert out == {}
+
+    def test_pairs_exact_multi_index(self, spark):
+        """Identical images pair at hamming 0; a 2-bit corruption
+        pairs at <= 3; an inverted image (hamming 64) never surfaces
+        — and the radius-4 request is rejected (the pigeonhole
+        guarantee only covers <= 3 with 4 chunks)."""
+        import pytest as _pytest
+
+        from v3io_tsdb_spark.functions.multimodal import (
+            image_ahash,
+            image_ahash_pairs,
+        )
+
+        row = [0, 0, 0] * 4 + [100, 100, 100] * 4
+        base = _ppm(8, 8, row * 8)
+        # flip the two leading dark cells of the first band to bright
+        r2 = ([100, 100, 100] * 2 + [0, 0, 0] * 2 + [100, 100, 100] * 4)
+        corrupted = _ppm(8, 8, r2 + row * 7)
+        inverted = _ppm(8, 8, ([100, 100, 100] * 4 + [0, 0, 0] * 4) * 8)
+        df = spark.createDataFrame(
+            [(1, bytearray(base)), (2, bytearray(base)),
+             (3, bytearray(corrupted)), (4, bytearray(inverted))],
+            "doc_id long, payload binary",
+        )
+        fp = image_ahash(df)
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in image_ahash_pairs(fp, max_hamming=3).collect()}
+        assert pairs[(1, 2)] == 0
+        assert pairs[(1, 3)] == 2 and pairs[(2, 3)] == 2
+        assert not any(4 in k for k in pairs)
+        with _pytest.raises(ValueError):
+            image_ahash_pairs(fp, max_hamming=4)
+
+    def test_registry_row_green_on_testdata(self, spark):
+        """The gated row emits all-BIGINT fingerprints on real docs."""
+        import __spark_entry__ as E
+
+        df = E.queries()["mm_image_ahash"](spark, SF)
+        kinds = {f.dataType.simpleString() for f in df.schema.fields}
+        assert kinds == {"bigint"}
+        rows = df.collect()
+        assert len(rows) > 0
+        for r in rows[:50]:
+            assert 0 <= r["ahash_hi"] < 2**32
+            assert 0 <= r["ahash_lo"] < 2**32
+
+
 class TestDiagAndRotation:
     def test_diag_row_encodes_pyspark_version(self, spark):
         import pyspark

@@ -507,6 +507,56 @@ def attach_ppm_payload(
     )
 
 
+def _parse_ppm(payload: bytes):
+    """Netpbm-spec P6 header tokenizer + raster decode (shared by
+    ppm_features and image_ahash — the _parse_wav extraction pattern):
+    any whitespace separates header tokens, ``#`` starts a
+    comment-to-newline, exactly one whitespace byte precedes the
+    raster; malformed payloads raise. Returns (w, h, int64 ndarray of
+    the interleaved RGB raster)."""
+    import numpy as np
+
+    pos = 0
+    ws = b" \t\r\n"
+
+    def token():
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos:pos + 1]
+            if c in ws:
+                pos += 1
+            elif c == b"#":
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("unterminated PPM comment")
+                pos = nl + 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos:pos + 1] not in ws:
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        return payload[start:pos]
+
+    if token() != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    w, h, mx = int(token()), int(token()), int(token())
+    if mx != 255:
+        raise ValueError(f"unsupported PPM maxval {mx}")
+    if pos >= len(payload) or payload[pos:pos + 1] not in ws:
+        raise ValueError("missing PPM raster separator")
+    pos += 1  # exactly ONE whitespace byte before the raster
+    need = 3 * w * h
+    raster = payload[pos:pos + need]
+    if len(raster) < need:
+        raise ValueError(
+            f"truncated PPM raster: header declares {need} bytes, "
+            f"payload carries {len(raster)}"
+        )
+    return w, h, np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+
+
 def ppm_features(
     df: DataFrame,
     binary_col: str = "payload",
@@ -536,47 +586,7 @@ def ppm_features(
     import numpy as np
 
     bcol, icol = binary_col, id_col
-
-    def _parse(payload: bytes):
-        pos = 0
-        ws = b" \t\r\n"
-
-        def token():
-            nonlocal pos
-            while pos < len(payload):
-                c = payload[pos:pos + 1]
-                if c in ws:
-                    pos += 1
-                elif c == b"#":
-                    nl = payload.find(b"\n", pos)
-                    if nl < 0:
-                        raise ValueError("unterminated PPM comment")
-                    pos = nl + 1
-                else:
-                    break
-            start = pos
-            while pos < len(payload) and payload[pos:pos + 1] not in ws:
-                pos += 1
-            if start == pos:
-                raise ValueError("truncated PPM header")
-            return payload[start:pos]
-
-        if token() != b"P6":
-            raise ValueError("not a P6 PPM payload")
-        w, h, mx = int(token()), int(token()), int(token())
-        if mx != 255:
-            raise ValueError(f"unsupported PPM maxval {mx}")
-        if pos >= len(payload) or payload[pos:pos + 1] not in ws:
-            raise ValueError("missing PPM raster separator")
-        pos += 1  # exactly ONE whitespace byte before the raster
-        need = 3 * w * h
-        raster = payload[pos:pos + need]
-        if len(raster) < need:
-            raise ValueError(
-                f"truncated PPM raster: header declares {need} bytes, "
-                f"payload carries {len(raster)}"
-            )
-        return w, h, np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+    _parse = _parse_ppm
 
     def _extract(batches):
         for pdf in batches:
@@ -608,6 +618,155 @@ def ppm_features(
 
     return df.select(id_col, binary_col).mapInPandas(
         _extract, PPM_FEATURE_SCHEMA
+    )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("gray_total", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit average-hash image fingerprint (X197) — the image half
+    of near-duplicate detection (text has MinHash/SimHash; training
+    pipelines dedup images with perceptual hashes; aHash is the
+    classic public baseline: downsample to 8×8, threshold each cell
+    against the global mean, read the bits as the fingerprint).
+
+    EXACT-INTEGER contract (the r14/r15 family rule — no float exists
+    anywhere): per pixel ``gray = r + g + b`` (unscaled integer sum;
+    a luma-weighted /10000 would add a division), the h-row canvas
+    folds into 8 row-bands ``band(row) = (row·8) div h``, and each
+    of the 64 (band, col) cells sets its bit by the cross-multiplied
+    comparison ``cell_sum · n_pixels > gray_total · cell_n`` — the
+    mean test with both divisions cleared. Bit k = band·8+col packs
+    MSB-first into two unsigned-32 halves (``ahash_hi`` bits 0-31,
+    ``ahash_lo`` bits 32-63) so every emitted value is a small
+    positive BIGINT — no two's-complement seam between engines.
+    Overflow: cell_sum·n ≤ 765·h·8h ≈ 6·10³·h², int64-safe to
+    h ≈ 10⁹ rows.
+
+    Images shorter than 8 rows have no 8-band structure and drop out
+    (the attach_ppm_payload h=0 rule extended). Arrow-batched
+    ``mapInPandas`` over the shared :func:`_parse_ppm`; oracle =
+    the mm_image_features hex CTE extended with the same integer
+    band/cell algebra (__spark_entry__ mm_image_ahash).
+
+    Scale: stateless per-image map — no shuffle, no state; the
+    downstream pair search (:func:`image_ahash_pairs`) is the only
+    exchange and it moves 3 BIGINTs per image, never pixels."""
+    import numpy as np
+
+    bcol, icol = binary_col, id_col
+
+    def _extract(batches):
+        for pdf in batches:
+            out = {k.name: [] for k in AHASH_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[icol].values, pdf[bcol].values):
+                if payload is None:
+                    continue
+                w, h, arr = _parse_ppm(bytes(payload))
+                if h < 8 or w != 8:
+                    continue
+                gray = arr.reshape(-1, 3).sum(axis=1)  # r+g+b, exact
+                grid = gray.reshape(h, w)
+                band = (np.arange(h) * 8) // h
+                total = int(gray.sum())
+                n_px = 8 * h
+                hi = lo = 0
+                for b in range(8):
+                    rows = grid[band == b]
+                    cn = rows.shape[0] * 1  # rows per band (same / col)
+                    csum = rows.sum(axis=0)  # per-column cell sums
+                    for col in range(8):
+                        k = b * 8 + col
+                        bit = int(int(csum[col]) * n_px > total * cn)
+                        if k < 32:
+                            hi |= bit << (31 - k)
+                        else:
+                            lo |= bit << (63 - k)
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(int(h))
+                out["gray_total"].append(total)
+                out["ahash_hi"].append(hi)
+                out["ahash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(
+        _extract, AHASH_SCHEMA
+    )
+
+
+def image_ahash_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image near-duplicate pairs by EXACT multi-index Hamming search
+    over :func:`image_ahash` fingerprints (Norouzi et al.'s
+    multi-index hashing, the public exact formulation): the 64-bit
+    hash splits into 4 disjoint 16-bit chunks; by pigeonhole any pair
+    within Hamming distance ≤ 3 agrees EXACTLY on at least one chunk,
+    so an equi-join per (chunk_index, chunk_value) surfaces every
+    qualifying pair — no quadratic scan, no recall loss (the
+    guarantee requires ``max_hamming < 4``; a larger radius needs
+    more chunks, enforced here). Verification is
+    ``bit_count(xor)`` on the two halves — integer end-to-end.
+
+    Plan: the fingerprint frame is image-count-sized (3 BIGINTs per
+    image, pixels never shuffle); candidates shuffle on 16-bit chunk
+    keys (bounded fan-out: ≤ 4 postings per image) and the pair
+    verify is a projection, the MinHash-LSH shape on the image
+    modality. Returns ``(id_a, id_b, hamming)``."""
+    if max_hamming >= 4:
+        raise ValueError(
+            "4-chunk multi-index search is exact only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    fp = fingerprints.select(
+        F.col(id_col).alias("id"), "ahash_hi", "ahash_lo"
+    )
+    chunks = fp.select(
+        "id", "ahash_hi", "ahash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("ci"),
+                         F.expr("ahash_hi div 65536").alias("cv")),
+                F.struct(F.lit(1).alias("ci"),
+                         F.expr("ahash_hi % 65536").alias("cv")),
+                F.struct(F.lit(2).alias("ci"),
+                         F.expr("ahash_lo div 65536").alias("cv")),
+                F.struct(F.lit(3).alias("ci"),
+                         F.expr("ahash_lo % 65536").alias("cv")),
+            )
+        ).alias("c"),
+    ).select("id", "ahash_hi", "ahash_lo", "c.ci", "c.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.ahash_hi").alias("ha"), F.col("a.ahash_lo").alias("la"),
+            F.col("b.ahash_hi").alias("hb"), F.col("b.ahash_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("long")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
     )
 
 
