@@ -478,10 +478,14 @@ def _canary_ab(sf_dir: str, cpus: str, warm_total: float) -> dict | None:
     prev = _prev_bench()
     prev_warm = prev.get("warm_total_sec")
     if not prev_warm or not warm_total:
-        return None
+        return {"verdict": "no-baseline"}
     ratio = warm_total / prev_warm
     if 0.90 <= ratio <= 1.10:
-        return None
+        # within band: record that the canary EVALUATED and stood down,
+        # so every artifact carries the attribution machinery's verdict
+        return {"trigger_warm_ratio": round(ratio, 3),
+                "prev_warm_total_sec": prev_warm,
+                "verdict": "within-band"}
     prev_tree = _prev_gate_tree(prev)
     out = {"trigger_warm_ratio": round(ratio, 3), "prev_tree": prev_tree,
            "queries": CANARY}
