@@ -322,6 +322,33 @@ class TestImageAhash:
         with _pytest.raises(ValueError):
             image_ahash_pairs(fp, max_hamming=4)
 
+    def test_pairs_match_bruteforce_on_testdata(self, spark):
+        """Multi-index search == brute-force quadratic scan on the real
+        corpus (the exactness claim, not just hand-built cases): the
+        sf0.001 documents carry an exact-copy band, so real hamming-0
+        pairs exist and both enumerations must agree exactly."""
+        import __spark_entry__ as E
+        from v3io_tsdb_spark.functions.multimodal import image_ahash_pairs
+
+        fp = E.queries()["mm_image_ahash"](spark, SF).localCheckpoint(
+            eager=True
+        )
+        fast = {(r["id_a"], r["id_b"]): r["hamming"]
+                for r in image_ahash_pairs(fp, max_hamming=3).collect()}
+        rows = [(r["doc_id"], r["ahash_hi"], r["ahash_lo"])
+                for r in fp.collect()]
+        brute = {}
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                hm = (bin(a[1] ^ b[1]).count("1")
+                      + bin(a[2] ^ b[2]).count("1"))
+                if hm <= 3:
+                    k = (min(a[0], b[0]), max(a[0], b[0]))
+                    brute[k] = hm
+        assert fast == brute
+        assert len(brute) > 0  # the exact-copy band is really there
+
     def test_registry_row_green_on_testdata(self, spark):
         """The gated row emits all-BIGINT fingerprints on real docs."""
         import __spark_entry__ as E
