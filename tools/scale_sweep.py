@@ -1085,6 +1085,33 @@ def ops(spark):
 
         return minhash_precision_buckets(docs(d)).collect()
 
+    def op_image_ahash(d):
+        # exact-integer aHash fingerprints + multi-index Hamming pair
+        # search (X197): the fingerprint map is stateless Arrow, the
+        # pair join moves 3 BIGINTs per image on 16-bit chunk keys —
+        # pair volume grows with the exact-copy band, the dedup shape
+        from v3io_tsdb_spark.functions.multimodal import (
+            attach_ppm_payload,
+            image_ahash,
+            image_ahash_pairs,
+        )
+
+        fp = image_ahash(attach_ppm_payload(docs(d)))
+        return (
+            image_ahash_pairs(fp, max_hamming=3)
+            .agg(F.count("*"), F.sum("hamming"))
+            .collect()
+        )
+
+    def op_session_score_panel(d):
+        # all-BIGINT session scoring panel (X195): pairs + broadcast
+        # model join + (user, sess) aggregate on ONE shared exchange
+        from v3io_tsdb_spark.operators.paths import session_score_panel
+
+        return session_score_panel(_raw_events(d)).agg(
+            F.sum("sum_mn"), F.count("*")
+        ).collect()
+
     def op_audio_segments(d):
         # all-integer VAD segmentation over real PCM decode (X194)
         from v3io_tsdb_spark.functions.multimodal import (
@@ -1227,6 +1254,8 @@ def ops(spark):
         "label_coherence": op_label_coherence,
         "lsh_precision": op_lsh_precision,
         "audio_segments": op_audio_segments,
+        "image_ahash": op_image_ahash,
+        "session_score_panel": op_session_score_panel,
     }
 
 
