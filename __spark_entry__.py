@@ -34,6 +34,13 @@ from v3io_tsdb_spark.querier import Querier, SelectParams
 from v3io_tsdb_spark.rollup import build_rollup
 
 # events table time envelope: [2024-01-01, 2024-02-01) UTC
+# names catalog for the events feed: events_as_samples constructs
+# labels{uid} for EVERY series, so label existence is metadata —
+# the "*" uniform-schema marker answers group-by validation with
+# zero Spark jobs instead of a limit(1) probe scan per label
+# (querier._validate_group_by; ref: pkg/appender/store.go:190-203
+# names directory)
+EVENTS_CATALOG = {"*": ["uid"]}
 F0 = 1704067200000
 T1 = 1706745600000
 DAY = 86_400_000
@@ -124,14 +131,16 @@ def _mn_sql(x: str) -> str:
 
 def q_tsdb_raw_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw select + name fast-path + v3io filter dialect (P1, P2, S4)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(SelectParams(name="click,purchase", filter="uid=='7'", from_time=F0, to_time=T1))
     return _uid(res).select("t", "name", "value", "uid")
 
 
 def q_tsdb_client_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Client aggregation with label group-by (A3, A4, A7)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="sum,count,min,max,avg", step="1d", group_by="uid",
                      from_time=F0, to_time=T1)
@@ -142,7 +151,8 @@ def q_tsdb_client_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_stddev_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stddev/stdvar from count/sum/sqr — reference sample formula (A4)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="stddev,stdvar,count", step="7d", group_by="uid",
                      from_time=F0, to_time=T1)
@@ -153,7 +163,8 @@ def q_tsdb_stddev_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """last + rate = Δlast/step_sec (A5)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="last,rate", step="1d", group_by="uid", from_time=F0, to_time=T1)
     )
@@ -162,7 +173,8 @@ def q_tsdb_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_downsample_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample: per-cell seek + next_val interpolation, tol 2×step (A11, A12)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(SelectParams(step="6h", from_time=F0, to_time=T1))
     return _uid(res).select("name", "uid", "t", "value")
 
@@ -173,7 +185,8 @@ def q_tsdb_downsample_prev_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash row (next_val and linear already have theirs); same-time
     samples are excluded from 'prev', matching Seek/PeakBack (ref:
     pkg/pquerier/interpolate.go:75-97 GetPrevInterpolatedValue)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(SelectParams(step="6h", interpolator="prev_val", tolerance="12h",
                                 from_time=F0, to_time=T1))
     return _uid(res).select("name", "uid", "t", "value")
@@ -181,7 +194,8 @@ def q_tsdb_downsample_prev_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_cross_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series *_all aggregation over interpolated step grid (A6)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="sum_all,avg_all,count_all", step="1d", from_time=F0, to_time=T1)
     )
@@ -190,7 +204,8 @@ def q_tsdb_cross_series_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_windowed_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding aggregation window: bucket covers [b-2d, b] (A8)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="sum,count", step="1d", aggregation_window="2d",
                      from_time=F0, to_time=T1)
@@ -314,7 +329,8 @@ def q_tsdb_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample with linear interpolation + explicit tolerance
     (A11+A12; ref: pkg/pquerier/interpolate.go:99-120 linear with
     tolerance, collector.go:236-281)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(SelectParams(step="6h", interpolator="linear", tolerance="12h",
                                 from_time=F0, to_time=T1))
     return _uid(res).select("name", "uid", "t", F.round(F.col("value") + EPS6, 6).alias("value"))
@@ -322,7 +338,8 @@ def q_tsdb_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_groupby_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-bucket aggregation with OR filter + group-by (A7, P1)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="sum,count", filter="uid=='3' or uid=='7'", group_by="uid",
                      from_time=F0, to_time=T1)
@@ -334,7 +351,8 @@ def q_tsdb_wide_frame_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide columnar frame: metrics pivot onto one time index (J1, J2)."""
     from v3io_tsdb_spark.operators.frames import to_wide_frame
 
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="sum", step="1d", filter="uid=='3'", group_by="uid",
                      from_time=F0, to_time=T1)
@@ -348,7 +366,8 @@ def q_tsdb_wide_frame_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_overlapping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v1 overlapping windows: last 1h/6h/24h cells per series (A9)."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="sum,count", step="1h", overlapping_windows=[1, 6, 24],
                      from_time=T1 - 4 * DAY, to_time=T1 - DAY)
@@ -363,7 +382,8 @@ def q_tsdb_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TSDB SQL dialect → wide frame (§2.7): per-uid daily sum/avg."""
     from v3io_tsdb_spark.sql.parser import run_sql
 
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     wide = run_sql(
         q, "select sum(click) as s_click, avg(purchase) as a_purch from samples group by uid",
         from_time=F0, to_time=T1, step="1d",
@@ -385,7 +405,8 @@ def q_tsdb_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # route the time clamp through the Querier scan so the range
     # predicate reaches the Parquet scan via the native raw-ts rider
     # (a filter on the derived ms column alone cannot be pushed)
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     raw = _uid(q.select(SelectParams(from_time=F0, to_time=T1)))
     res = sessionize(raw, "30m", ts_col="t", group_cols=("name", "uid"))
     return res.select(
@@ -405,7 +426,8 @@ def q_tsdb_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     task size under per-user skew at 100 TB."""
     from v3io_tsdb_spark.operators.asof import asof_join
 
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     left = _uid(q.select(SelectParams(name="purchase", from_time=F0, to_time=T1))).select(
         "uid", "t", F.col("value").alias("purchase_value")
     )
@@ -429,7 +451,8 @@ def q_tsdb_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from v3io_tsdb_spark.operators.intervals import range_join
     from v3io_tsdb_spark.operators.sessions import sessionize
 
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     clicks = _uid(q.select(SelectParams(name="click", from_time=F0, to_time=T1)))
     intervals = sessionize(clicks, "30m", ts_col="t", group_cols=("uid",)).select(
         "uid", F.col("session_start").alias("start"), F.col("session_end").alias("end")
@@ -462,7 +485,8 @@ def q_tsdb_label_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     querier.go:320-378): distinct (metric, canonical labels) pairs with
     a filter — the series-browser query. Distinct over two pruned
     columns, map-side combinable."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     sets = q.get_label_sets(filter="uid < '3'")
     return sets.select("name", "labels_str")
 
@@ -4221,7 +4245,8 @@ def q_tsdb_subquery_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max so boundary argmax verdicts are engine-stable — the
     changepoint rule). Operator COMPOSITION is the point: the inner
     grid is output-sized, so the outer aggregate is panel work."""
-    q = Querier(spark, events_as_samples(spark, sf_dir))
+    q = Querier(spark, events_as_samples(spark, sf_dir),
+                catalog=EVENTS_CATALOG)
     res = q.select(
         SelectParams(functions="rate", step="1h", group_by="uid",
                      from_time=F0, to_time=T1)

@@ -363,6 +363,41 @@ class TestImageAhash:
             assert 0 <= r["ahash_lo"] < 2**32
 
 
+class TestUniformCatalog:
+    def test_group_by_validation_runs_zero_jobs(self, spark):
+        """The '*' uniform-schema catalog marker answers group-by label
+        existence as METADATA: building a grouped select over the
+        events feed launches no Spark job (the limit(1) probe scan is
+        the no-catalog fallback only)."""
+        import __spark_entry__ as E
+        from v3io_tsdb_spark.datasets import events_as_samples
+        from v3io_tsdb_spark.querier import Querier, SelectParams
+
+        feed = events_as_samples(spark, SF)
+        feed.limit(1).write.format("noop").mode("overwrite").save()
+        st = spark.sparkContext.statusTracker()
+        q = Querier(spark, feed, catalog=E.EVENTS_CATALOG)
+        before = len(st.getJobIdsForGroup(None))
+        q.select(SelectParams(functions="sum", step="1d", group_by="uid",
+                              from_time=E.F0, to_time=E.T1))
+        assert len(st.getJobIdsForGroup(None)) == before
+
+    def test_group_by_missing_label_still_errors(self, spark):
+        import pytest as _pytest
+
+        import __spark_entry__ as E
+        from v3io_tsdb_spark.datasets import events_as_samples
+        from v3io_tsdb_spark.errors import BadRequest
+        from v3io_tsdb_spark.querier import Querier, SelectParams
+
+        q = Querier(spark, events_as_samples(spark, SF),
+                    catalog=E.EVENTS_CATALOG)
+        with _pytest.raises(BadRequest, match="does not exist"):
+            q.select(SelectParams(functions="sum", step="1d",
+                                  group_by="nope",
+                                  from_time=E.F0, to_time=E.T1))
+
+
 class TestDiagAndRotation:
     def test_diag_row_encodes_pyspark_version(self, spark):
         import pyspark

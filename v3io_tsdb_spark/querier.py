@@ -597,6 +597,11 @@ class Querier:
         chunk instead of aggregating the whole input."""
         if self._catalog is not None:
             known: set = set()
+            # "*" = label keys carried by EVERY metric in this source
+            # (a uniform-schema marker for feeds whose labels are fixed
+            # by construction, e.g. datasets.events_as_samples builds
+            # labels{uid} for every series) — metadata, not a scan
+            known.update(self._catalog.get("*", ()))
             requested = [n for n in (names or []) if n in self._catalog]
             for ks in (
                 (self._catalog[n] for n in requested)
