@@ -750,6 +750,14 @@ def main():
         if not name.startswith("stream_"):
             try:
                 st = spark.sparkContext.statusTracker()
+                # drain async job submissions from the preceding timed
+                # runs (noop-write cleanup etc.) so a straggler landing
+                # inside the probe window cannot misclassify a lazy
+                # builder as eager
+                try:
+                    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+                except Exception:
+                    pass
                 jobs_before = len(st.getJobIdsForGroup(None))
                 tp0 = time.perf_counter()
                 dfp = fn(spark, sf_dir)
