@@ -349,6 +349,43 @@ class TestImageAhash:
         assert fast == brute
         assert len(brute) > 0  # the exact-copy band is really there
 
+    def test_property_matches_python_reference(self, spark):
+        """Property pin: for random rasters the operator's fingerprint
+        equals an independent pure-Python recompute of the same
+        contract (band = (row*8) div h, bit = cell_sum*n_px >
+        total*cell_n, MSB-first packing into unsigned-32 halves)."""
+        import random
+
+        rng = random.Random(1503)
+        images = []
+        expected = {}
+        for doc_id in range(1, 21):
+            h = rng.randrange(8, 40)
+            raster = [rng.randrange(256) for _ in range(3 * 8 * h)]
+            images.append((doc_id, _ppm(8, h, raster)))
+            gray = [sum(raster[3 * i:3 * i + 3]) for i in range(8 * h)]
+            total, n_px = sum(gray), 8 * h
+            cells = {}
+            for row in range(h):
+                b = (row * 8) // h
+                for col in range(8):
+                    s, n = cells.get((b, col), (0, 0))
+                    cells[(b, col)] = (s + gray[row * 8 + col], n + 1)
+            hi = lo = 0
+            for (b, col), (s, n) in cells.items():
+                bit = int(s * n_px > total * n)
+                k = b * 8 + col
+                if k < 32:
+                    hi |= bit << (31 - k)
+                else:
+                    lo |= bit << (63 - k)
+            expected[doc_id] = (h, total, hi, lo)
+        got = self._fp(spark, images)
+        for doc_id, (h, total, hi, lo) in expected.items():
+            r = got[doc_id]
+            assert (r["height"], r["gray_total"], r["ahash_hi"],
+                    r["ahash_lo"]) == (h, total, hi, lo), doc_id
+
     def test_registry_row_green_on_testdata(self, spark):
         """The gated row emits all-BIGINT fingerprints on real docs."""
         import __spark_entry__ as E
