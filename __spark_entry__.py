@@ -4662,7 +4662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upcoming-anchor whose capacity requirement 50·(windows-1) >= N was
     provably unsatisfiable for any N > 100 — see the tool docstring).
 
-    Registry at N=194: r15 RETIRED eight more near-duplicate rows
+    Registry at N=193: r15 RETIRED ten more near-duplicate rows
     whose families stay gated through module siblings (RETIRED_R15;
     tests/test_round15_retired.py sweeps each against its DuckDB
     oracle) and added the two rows above. The r14 retirements
@@ -4677,7 +4677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows on the integer-only contract, VERDICT r14 #1),
         # --- [4-9] the six r14 net-new rows X189-X194 (first gate),
         # --- [10-47] the 38 surviving r11-evidence rows (8 near-
-        # --- duplicates retired to pytest, RETIRED_R15), [48-49]
+        # --- duplicates retired to pytest with 2 more r12-cohort
+        # --- twins for r16 slack, RETIRED_R15), [48-49]
         # --- two r12-evidence bonus re-gates to smooth the r16 head
         "diag_engine_versions": q_diag_engine_versions,
         "events_session_score_panel": q_events_session_score_panel,
@@ -4843,8 +4844,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_topk": q_emb_ivf_topk,
-        "emb_lsh_recall": q_emb_lsh_recall,
-        "emb_ivf_recall": q_emb_ivf_recall,
         "corpus_pipeline": q_corpus_pipeline,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_pii_scrub": q_doc_pii_scrub,
@@ -10392,7 +10391,8 @@ RETIRED_R14 = (
 
 # r15 retirements (VERDICT r14 #2: the rotation needed >=6 more slots
 # shed to stay satisfiable — 46 stale + 8 never-green + 2 new rows for
-# 50 slots). Each family keeps a LIVE module sibling gated:
+# 50 slots; the two recall twins buy r16 slack for a worst-case
+# perplexity re-gate). Each family keeps a LIVE module sibling gated:
 #   tsdb_increase_daily     -> tsdb_irate_daily (operators/counters)
 #   tsdb_bollinger_daily    -> tsdb_ewma_daily (operators/trend)
 #   tsdb_wow_daily          -> tsdb_ewma_daily (operators/trend)
@@ -10406,7 +10406,12 @@ RETIRED_R14 = (
 #                              path, operators/interpolate)
 #   events_top_users_daily  -> events_stratified_hourly
 #                              (functions/sampling)
+#   emb_lsh_recall          -> emb_lsh_topk (same persisted LSH index
+#                              path; the emb_pq_recall precedent)
+#   emb_ivf_recall          -> emb_ivf_topk (same persisted IVF index)
 RETIRED_R15 = (
+    "emb_lsh_recall",
+    "emb_ivf_recall",
     "tsdb_increase_daily",
     "tsdb_bollinger_daily",
     "tsdb_wow_daily",
@@ -10447,6 +10452,8 @@ def retired_queries() -> dict:
         "events_dau_wau": q_events_dau_wau,
         "tsdb_downsample_prev_6h": q_tsdb_downsample_prev_6h,
         "events_top_users_daily": q_events_top_users_daily,
+        "emb_lsh_recall": q_emb_lsh_recall,
+        "emb_ivf_recall": q_emb_ivf_recall,
     }
 
 

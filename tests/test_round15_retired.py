@@ -18,6 +18,8 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 RETIRED_R15_SIBLINGS = {
+    "emb_lsh_recall": "emb_lsh_topk",
+    "emb_ivf_recall": "emb_ivf_topk",
     "tsdb_increase_daily": "tsdb_irate_daily",
     "tsdb_bollinger_daily": "tsdb_ewma_daily",
     "tsdb_wow_daily": "tsdb_ewma_daily",
