@@ -3579,6 +3579,130 @@ def q_diag_engine_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# det_mn_probe input set: the literal 1..10⁶ sweep (step 97, plus the
+# exact-p6=10⁶ ln(1)=0 endpoint) and the 22 p6 values the sf0.01
+# events Markov model actually produces (computed once from the
+# parquet snapshot, embedded as literals so the probe stays
+# data-INDEPENDENT — a driver red names exact inputs, not a table).
+_PROBE_P6_SWEEP_N = 10310          # p6 = 1 + 97·k, k < N  (≤ 999_974)
+_PROBE_P6_LITERALS = (
+    1_000_000,
+    101266, 132653, 142857, 163462, 164384, 177215, 178082, 185567,
+    189873, 191781, 192308, 195876, 206186, 214286, 216495, 221154,
+    230769, 244898, 253165, 265306, 278481, 287671,
+)
+
+
+def _det_mn_probe_frame(spark: SparkSession) -> DataFrame:
+    """(p6, mn) over the literal probe set — det_ln + micro-nat
+    quantization via the exact code path the session-perplexity
+    family's model panel uses (paths.markov_model_panel)."""
+    from v3io_tsdb_spark.functions.detmath import with_det_ln
+    from v3io_tsdb_spark.functions.text import micro_nats
+
+    sweep = spark.range(_PROBE_P6_SWEEP_N).select(
+        (F.lit(1) + F.col("id") * F.lit(97)).cast("long").alias("p6")
+    )
+    lits = spark.createDataFrame(
+        [(int(v),) for v in _PROBE_P6_LITERALS], "p6 long"
+    )
+    df = with_det_ln(sweep.unionAll(lits), "_lnp", F.col("p6") / F.lit(1e6))
+    return df.select("p6", micro_nats(F.col("_lnp")).alias("mn"))
+
+
+def q_det_mn_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-independent det_ln/micro-nat probe (X198, VERDICT r15
+    next-round #1 control row ii): ``(p6, mn)`` for a literal p6 sweep
+    — zero table reads, so a driver hash-red on THIS row proves the
+    engines' det_ln ladders disagree on the driver host and the probe
+    set names the exact inputs; a green certifies the family's score
+    arithmetic end-to-end (its sessionize half is certified separately
+    by events_session_digest). diag_det_mn_code carries the same
+    computation's checksum through the artifact's row-count channel so
+    a red is READABLE, not just visible."""
+    return _det_mn_probe_frame(spark)
+
+
+def q_events_session_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-integer sessionization digest (X199, VERDICT r15
+    next-round #1 control row iii): the family's session assignment
+    with no model join and no ln — (user_id, sess, n_steps, min_t,
+    max_t), n_steps identical to the panel's per-session transition
+    count. Bisects a family red into sessionize-vs-score halves
+    within one driver artifact."""
+    from v3io_tsdb_spark.operators.paths import session_digest
+
+    ev = _events_ms_clamped(spark, sf_dir)
+    out = session_digest(
+        ev, user_col="user_id", ts_col="ts_ms", type_col="event_type",
+        id_col="event_id", gap_ms=1_800_000,
+    )
+    return out.select("user_id", "sess", "n_steps", "min_t", "max_t")
+
+
+def q_diag_session_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC session-config fingerprint (X200, VERDICT r15
+    'What's missing' #2 — reuses the retired engine-version probe's
+    head slot). The artifact's row-count channel encodes the driver
+    host's Spark session config: spark_rows = 1000 + utc·100 + aqe·10
+    + ansi. The oracle side emits the constant 1111 — the local gate
+    session's fingerprint (Spark 4.x defaults: ANSI on, AQE on, plus
+    the pinned UTC session timezone) — so unlike the version probe
+    this row is GREEN when the driver's config matches the local
+    environment and, when red, the differing digits name the flag.
+    Engine versions were proven identical by diag_engine_versions in
+    r15 (CORRECTNESS_r15: 40102/10000); session config is the last
+    unobserved local-vs-driver variable."""
+    def _on(key: str) -> int:
+        try:
+            return 1 if str(spark.conf.get(key)).lower() == "true" else 0
+        except Exception:
+            return 0
+
+    tz = ""
+    try:
+        tz = str(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        pass
+    utc = 1 if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00") else 0
+    n = (1000 + utc * 100 + _on("spark.sql.adaptive.enabled") * 10
+         + _on("spark.sql.ansi.enabled"))
+    return spark.range(n).select(
+        F.lit(int(n)).cast("long").alias("cfg_code"),
+        F.col("id").cast("long").alias("i"),
+    )
+
+
+def q_diag_det_mn_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIAGNOSTIC checksum channel for det_mn_probe (X198b): both
+    engines reduce their own probe frame to ONE weighted-checksum
+    integer — ``(|Σ mn·((p6 mod 97)+1)| mod 9973) + 1`` — and emit
+    that many rows, so the artifact's spark_rows/oracle_rows print
+    each engine's det_ln checksum verbatim. Equal checksums ⇒ the row
+    is fully green (identical frames); a divergence ⇒ the two counts
+    differ and their values localize the disagreement without any
+    access to the driver's hashed cells. Integer sums are exact and
+    order-free, so the checksum is partitioning-invariant.
+
+    The one driver-side ``.collect()`` is a 1-row reduction of a
+    10k-row literal frame (bounded, data-free) — the range() emitter
+    needs the count on the driver."""
+    chk = (
+        _det_mn_probe_frame(spark)
+        .agg(
+            (
+                F.abs(F.sum(F.col("mn") * ((F.col("p6") % 97) + F.lit(1))))
+                % F.lit(9973) + F.lit(1)
+            ).cast("long").alias("n")
+        )
+        .collect()[0][0]
+    )
+    return spark.range(int(chk)).select(
+        F.lit(int(chk)).cast("long").alias("chk_code"),
+        F.col("id").cast("long").alias("i"),
+    )
+
+
 def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (X163): revenue of lines below half their
     part's average quantity — the correlated-scalar-aggregate surface
@@ -4641,16 +4765,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exactly rows 0-49 of 55). Rotation policy (VERDICT r6 #2, r8 #2):
     no query's newest driver row should age past ~2 rounds.
 
-    Round-15 head-50 (VERDICT r14 #1/#2/#5): slot 0 is the
-    red-by-design `diag_engine_versions` probe (row counts encode each
-    driver-host engine's version into spark_rows/oracle_rows); slots
-    1-3 are the session-perplexity endgame — the all-BIGINT bisection
-    panel `events_session_score_panel` (pairs ⋈ micro-nat panel →
-    sum(mn), zero float columns) and the two family rows re-gated on
-    the INTEGER-ONLY contract (`mean_logp_micro BIGINT` is the hashed
-    value; the display double left every gated row) — then the six r14
-    net-new rows X189-X194, the 38 surviving r11-evidence rows, and
-    two r12 bonus re-gates.
+    Round-16 head-50 (VERDICT r15 #1/#2/#3): slots 0-1 are diagnostics
+    on the artifact's row-count channel — `diag_session_config` (the
+    driver Spark session's ANSI/AQE/UTC fingerprint vs the local
+    constant 1111; reuses the answered engine-version probe's slot)
+    and `diag_det_mn_code` (each engine's det_ln checksum printed as
+    its row count). Slots 2-7 are the perplexity control matrix,
+    gated together in ONE driver run for the first time: the data-free
+    det_ln probe, the sessionize-only digest, the model half, the
+    BIGINT panel, and both family rows — all carrying the r16 ROOT
+    CAUSE fix (the family oracles' `sess` was an uncast DuckDB window
+    sum → HUGEINT → float64 through the pandas bridge, value-equal to
+    Spark's int64 under the local tolerance compare but red under the
+    driver's typed value hash; now CAST AS BIGINT, and
+    tools/check_oracle.py fails the dtype-kind class locally). Slot 8
+    is mm_image_ahash's first gate (X197 net-new); slots 9-49 the 41
+    surviving r12-evidence rows.
 
     The 50-slot gate is SATURATED past 100 queries: the rotation is a
     ceil(N/50)-window cycle, so every query's newest hash-green driver
@@ -4662,28 +4792,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upcoming-anchor whose capacity requirement 50·(windows-1) >= N was
     provably unsatisfiable for any N > 100 — see the tool docstring).
 
-    Registry at N=193: r15 RETIRED ten more near-duplicate rows
-    whose families stay gated through module siblings (RETIRED_R15;
-    tests/test_round15_retired.py sweeps each against its DuckDB
-    oracle) and added the two rows above. The r14 retirements
-    (RETIRED_R14, swept by test_round14_retired.py) and the r13
-    stream-twin retirements stand unchanged."""
+    Registry at N=193: r16 RETIRED four more near-duplicate rows
+    whose families stay gated through module siblings (RETIRED_R16;
+    tests/test_round16_retired.py sweeps each against its DuckDB
+    oracle) and added the four control/probe rows above. The r13-r15
+    retirements (RETIRED_R14/RETIRED_R15, swept by
+    test_round14_retired.py / test_round15_retired.py) stand
+    unchanged."""
     return {
-        # --- r15 head-50 (driver gates rows 0-49), per
+        # --- r16 head-50 (driver gates rows 0-49), per
         # --- tools/check_rotation.py --plan + --simulate:
-        # --- [0] the engine-version probe (red-by-design diagnostic,
-        # --- VERDICT r14 'missing' #2), [1-3] the session-perplexity
-        # --- endgame (all-BIGINT bisection panel + the two family
-        # --- rows on the integer-only contract, VERDICT r14 #1),
-        # --- [4-9] the six r14 net-new rows X189-X194 (first gate),
-        # --- [10-47] the 38 surviving r11-evidence rows (8 near-
-        # --- duplicates retired to pytest with 2 more r12-cohort
-        # --- twins for r16 slack, RETIRED_R15), [48-49]
-        # --- two r12-evidence bonus re-gates to smooth the r16 head
-        "diag_engine_versions": q_diag_engine_versions,
+        # --- [0-1] diagnostics on the row-count channel (session-
+        # --- config fingerprint + det_ln checksum — green when the
+        # --- driver matches the local environment), [2-7] the
+        # --- perplexity control matrix in ONE run (VERDICT r15 #1:
+        # --- data-free det_ln probe, sessionize-only digest, model
+        # --- half, BIGINT panel, both family rows — all with the
+        # --- uncast-sess oracle dtype fix), [8] mm_image_ahash
+        # --- first gate (X197 net-new), [9-49] the 41 surviving
+        # --- r12-evidence rows (4 near-duplicates retired to
+        # --- pytest, RETIRED_R16)
+        "diag_session_config": q_diag_session_config,
+        "diag_det_mn_code": q_diag_det_mn_code,
+        "det_mn_probe": q_det_mn_probe,
+        "events_session_digest": q_events_session_digest,
+        "events_markov_transitions": q_events_markov_transitions,
         "events_session_score_panel": q_events_session_score_panel,
         "events_session_perplexity": q_events_session_perplexity,
         "stream_session_perplexity": q_stream_session_perplexity,
+        "mm_image_ahash": q_mm_image_ahash,
+        "stream_topk_daily": q_stream_topk_daily,
+        "tpch_q2_min_price": q_tpch_q2_min_price,
+        "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q11_share_parts": q_tpch_q11_share_parts,
+        "tsdb_range_join": q_tsdb_range_join,
+        "tsdb_variant_raw": q_tsdb_variant_raw,
+        "tsdb_label_sets": q_tsdb_label_sets,
+        "tsdb_resets_daily": q_tsdb_resets_daily,
+        "tsdb_gap_report": q_tsdb_gap_report,
+        "events_retention_cohorts": q_events_retention_cohorts,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "corpus_pipeline": q_corpus_pipeline,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "events_stratified_hourly": q_events_stratified_hourly,
+        "emb_dup_clusters": q_emb_dup_clusters,
+        "doc_quality_rules": q_doc_quality_rules,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_token_chunks": q_doc_token_chunks,
+        "events_json_props": q_events_json_props,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_priority_dedup": q_doc_priority_dedup,
+        "tsdb_groupby_two_labels": q_tsdb_groupby_two_labels,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
+        "events_funnel": q_events_funnel,
+        "doc_top_quality": q_doc_top_quality,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
+        "doc_slice_kl": q_doc_slice_kl,
+        "tsdb_changepoint_daily": q_tsdb_changepoint_daily,
+        "events_conversion_latency": q_events_conversion_latency,
+        "tsdb_des_forecast_daily": q_tsdb_des_forecast_daily,
+        "events_anomaly_hourly": q_events_anomaly_hourly,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "stream_rollup_1h": q_stream_rollup_1h,
+        "tsdb_sql_star": q_tsdb_sql_star,
+        "tsdb_asof_join": q_tsdb_asof_join,
+        "tsdb_session_30m": q_tsdb_session_30m,
+        # --- tail: r13-r15 evidence tiers, prior order kept;
+        # --- diag_engine_versions parked last (dormant probe —
+        # --- versions proven identical in r15, slot reused by
+        # --- diag_session_config per VERDICT r15 #3)
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "events_pagerank": q_events_pagerank,
         "emb_silhouette": q_emb_silhouette,
@@ -4730,8 +4912,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_sql_frontend": q_tsdb_sql_frontend,
         "tpch_q21_sole_blame": q_tpch_q21_sole_blame,
         "tpch_q20_share_suppliers": q_tpch_q20_share_suppliers,
-        # --- tail: r12-r14 evidence tiers, prior order kept
-        "events_markov_transitions": q_events_markov_transitions,
         "doc_normalized_dedup": q_doc_normalized_dedup,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_script_profile": q_doc_script_profile,
@@ -4828,55 +5008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions_30m": q_stream_sessions_30m,
         "stream_counter_increase": q_stream_counter_increase,
         "doc_length_histogram": q_doc_length_histogram,
-        "stream_topk_daily": q_stream_topk_daily,
-        "tpch_q2_min_price": q_tpch_q2_min_price,
-        "tpch_q22_idle_rich": q_tpch_q22_idle_rich,
-        "tpch_q13_custdist": q_tpch_q13_custdist,
-        "tpch_q11_share_parts": q_tpch_q11_share_parts,
-        "tsdb_range_join": q_tsdb_range_join,
-        "tsdb_variant_raw": q_tsdb_variant_raw,
-        "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
-        "tsdb_label_sets": q_tsdb_label_sets,
-        "tsdb_resets_daily": q_tsdb_resets_daily,
-        "tsdb_gap_report": q_tsdb_gap_report,
-        "events_retention_cohorts": q_events_retention_cohorts,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "emb_lsh_topk": q_emb_lsh_topk,
-        "emb_ivf_topk": q_emb_ivf_topk,
-        "corpus_pipeline": q_corpus_pipeline,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "events_stratified_hourly": q_events_stratified_hourly,
-        "emb_dup_clusters": q_emb_dup_clusters,
-        "doc_quality_rules": q_doc_quality_rules,
-        "doc_dup_spans": q_doc_dup_spans,
-        "doc_token_chunks": q_doc_token_chunks,
-        "events_json_props": q_events_json_props,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "doc_priority_dedup": q_doc_priority_dedup,
-        "tsdb_groupby_two_labels": q_tsdb_groupby_two_labels,
-        "doc_tfidf_terms": q_doc_tfidf_terms,
-        "events_funnel": q_events_funnel,
-        "doc_top_quality": q_doc_top_quality,
-        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
-        "doc_slice_kl": q_doc_slice_kl,
-        "tsdb_changepoint_daily": q_tsdb_changepoint_daily,
-        "events_conversion_latency": q_events_conversion_latency,
-        "doc_winnow_matches": q_doc_winnow_matches,
-        "tsdb_des_forecast_daily": q_tsdb_des_forecast_daily,
-        "stream_conversion_latency": q_stream_conversion_latency,
-        "events_anomaly_hourly": q_events_anomaly_hourly,
-        "events_hll_daily": q_events_hll_daily,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "stream_rollup_1h": q_stream_rollup_1h,
-        "tsdb_sql_star": q_tsdb_sql_star,
-        "tsdb_asof_join": q_tsdb_asof_join,
-        "tsdb_session_30m": q_tsdb_session_30m,
-        # --- r15 net-new (X197): tail slot — first driver gate in the
-        # --- r16 head (3 spare slots there per check_rotation
-        # --- --simulate); local sweep + pytest carry it until then
-        "mm_image_ahash": q_mm_image_ahash,
+        "diag_engine_versions": q_diag_engine_versions,
     }
 
 
@@ -7313,8 +7445,16 @@ def _oracle_sql_all() -> dict[str, str]:
           )
           -- r15 integer-only contract (VERDICT r14 #1d): the gated
           -- value is the BIGINT micro-nat mean itself; no float
-          -- column exists anywhere in this family's hashed rows
-          SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
+          -- column exists anywhere in this family's hashed rows.
+          -- r16 ROOT CAUSE (5 rounds of driver hash-red, VERDICT r15
+          -- #1): `sess` is a DuckDB window sum -> HUGEINT, which the
+          -- pandas bridge renders as float64 (3.0) while Spark emits
+          -- int64 (3) — value-equal, so the local tolerance compare
+          -- stayed green, but the driver's typed value hash reds.
+          -- CAST(.. AS BIGINT) aligns the dtype; tools/check_oracle.py
+          -- now fails this class locally (dtype kind mismatch).
+          SELECT pp.user_id, CAST(pp.sess AS BIGINT) AS sess,
+                 CAST(count(*) AS BIGINT) AS n_steps,
                  CAST({half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
                    AS BIGINT) AS mean_logp_micro
           FROM pp JOIN m USING (from_state, to_state)
@@ -7358,8 +7498,11 @@ def _oracle_sql_all() -> dict[str, str]:
                 "p6 / 1e6", "lnp")})
           )
           -- the r15 bisection row (VERDICT r14 #1a): the session
-          -- aggregation half in pure BIGINT — no division at all
-          SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
+          -- aggregation half in pure BIGINT — no division at all.
+          -- r16: CAST sess (HUGEINT -> float64 via pandas was the
+          -- driver-red seam; see events_session_perplexity)
+          SELECT pp.user_id, CAST(pp.sess AS BIGINT) AS sess,
+                 CAST(count(*) AS BIGINT) AS n_steps,
                  CAST(sum(m.mn) AS BIGINT) AS sum_mn
           FROM pp JOIN m USING (from_state, to_state)
           GROUP BY 1, 2
@@ -7382,6 +7525,84 @@ def _oracle_sql_all() -> dict[str, str]:
                  CAST(r.range AS BIGINT) AS i
           FROM range(1000000) r, v
           WHERE r.range < v.n
+        """,
+        "det_mn_probe": f"""
+          -- data-independent det_ln probe (VERDICT r15 #1 control ii):
+          -- same literal p6 set, same staged-IEEE ladder, same
+          -- micro-nat quantization as the Spark side — zero table
+          -- reads, so a hash split here convicts the engines' det_ln
+          -- on named inputs
+          WITH p6s AS (
+            SELECT CAST(1 + r.range * 97 AS BIGINT) AS p6
+            FROM range({_PROBE_P6_SWEEP_N}) r
+            UNION ALL
+            SELECT CAST(v AS BIGINT)
+            FROM (VALUES {", ".join(f"({v})" for v in _PROBE_P6_LITERALS)})
+                 t(v)
+          ),
+          lnt AS ({det_ln_sql("SELECT p6 FROM p6s", "p6 / 1e6", "lnp")})
+          SELECT p6, {_mn_sql('lnp')} AS mn FROM lnt
+        """,
+        "events_session_digest": f"""
+          -- sessionize-only control row (VERDICT r15 #1 control iii):
+          -- the family's session assignment, pure BIGINT, no model
+          WITH e AS (
+            SELECT user_id, epoch_ms(ts) AS t, event_type, event_id
+            FROM events WHERE epoch_ms(ts) BETWEEN {F0} AND {T1}
+          ),
+          g AS (
+            SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                           OR t - lag(t) OVER w > 1800000
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          ),
+          s AS (
+            SELECT *, sum(new_sess) OVER w AS sess
+            FROM g
+            WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type, event_id)
+          )
+          SELECT user_id, CAST(sess AS BIGINT) AS sess,
+                 CAST(count(*) - 1 AS BIGINT) AS n_steps,
+                 CAST(min(t) AS BIGINT) AS min_t,
+                 CAST(max(t) AS BIGINT) AS max_t
+          FROM s GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "diag_session_config": """
+          -- session-config fingerprint (VERDICT r15 'missing' #2):
+          -- the oracle side pins the LOCAL gate environment's code
+          -- 1111 (UTC session tz + AQE on + ANSI on, the Spark 4.x
+          -- defaults under the repo's pinned-UTC builder); the Spark
+          -- side emits 1000 + utc*100 + aqe*10 + ansi from the live
+          -- session, so rows_match == true certifies the driver runs
+          -- the same config and a red prints the differing digits
+          SELECT CAST(1111 AS BIGINT) AS cfg_code,
+                 CAST(r.range AS BIGINT) AS i
+          FROM range(1111) r
+        """,
+        "diag_det_mn_code": f"""
+          -- det_ln checksum through the row-count channel (X198b):
+          -- both engines emit (|sum(mn * ((p6 % 97) + 1))| % 9973) + 1
+          -- rows over their OWN probe frames — the artifact records
+          -- each engine's det_ln checksum verbatim even when red
+          WITH p6s AS (
+            SELECT CAST(1 + r.range * 97 AS BIGINT) AS p6
+            FROM range({_PROBE_P6_SWEEP_N}) r
+            UNION ALL
+            SELECT CAST(v AS BIGINT)
+            FROM (VALUES {", ".join(f"({v})" for v in _PROBE_P6_LITERALS)})
+                 t(v)
+          ),
+          lnt AS ({det_ln_sql("SELECT p6 FROM p6s", "p6 / 1e6", "lnp")}),
+          mnt AS (SELECT p6, {_mn_sql('lnp')} AS mn FROM lnt),
+          chk AS (
+            SELECT CAST((abs(sum(mn * ((p6 % 97) + 1))) % 9973) + 1
+                   AS BIGINT) AS n
+            FROM mnt
+          )
+          SELECT CAST(chk.n AS BIGINT) AS chk_code,
+                 CAST(r.range AS BIGINT) AS i
+          FROM range(9974) r, chk WHERE r.range < chk.n
         """,
         "stream_session_perplexity": f"""
           WITH e AS (
@@ -7423,8 +7644,11 @@ def _oracle_sql_all() -> dict[str, str]:
                 + ", CAST(1 AS BIGINT)) AS p6 FROM cn",
                 "p6 / 1e6", "lnp")})
           )
-          -- integer-only contract, same as the batch row (r14 #1d)
-          SELECT pp.user_id, pp.sess, CAST(count(*) AS BIGINT) AS n_steps,
+          -- integer-only contract, same as the batch row (r14 #1d).
+          -- r16: CAST sess (HUGEINT -> float64 via pandas was the
+          -- driver-red seam; see events_session_perplexity)
+          SELECT pp.user_id, CAST(pp.sess AS BIGINT) AS sess,
+                 CAST(count(*) AS BIGINT) AS n_steps,
                  CAST({half_away_div_sql('sum(m.mn)', 'count(*)', 'duck')}
                    AS BIGINT) AS mean_logp_micro
           FROM pp JOIN m USING (from_state, to_state)
@@ -10422,7 +10646,30 @@ RETIRED_R15 = (
     "events_top_users_daily",
 )
 
-_RETIRED_ALL = RETIRED_R14 + RETIRED_R15
+# r16 retirements (VERDICT r15 #2: 45 r12-stale rows + 1 net-new + the
+# 6-row perplexity control matrix + 2 diag probes demanded 53 slots of
+# 50 — shed 4 more near-duplicates, each family keeping a LIVE gated
+# module sibling):
+#   tsdb_variant_mixed_frame  -> tsdb_variant_raw (same typed-variant
+#                                decode path, stays in the r16 head)
+#   doc_winnow_matches        -> doc_winnow_fingerprints (r16 head) +
+#                                doc_winnow_decontaminate (r14 green;
+#                                same winnow index, functions/dedup)
+#   stream_conversion_latency -> events_conversion_latency (batch twin
+#                                of the same operator, r16 head) +
+#                                live stream rows stream_rollup_1h /
+#                                stream_sessions_30m
+#   events_hll_daily          -> events_hll_weekly_rollup (r15 green;
+#                                same HLL sketch + mergeable-partial
+#                                path, functions/sketches)
+RETIRED_R16 = (
+    "tsdb_variant_mixed_frame",
+    "doc_winnow_matches",
+    "stream_conversion_latency",
+    "events_hll_daily",
+)
+
+_RETIRED_ALL = RETIRED_R14 + RETIRED_R15 + RETIRED_R16
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10454,6 +10701,10 @@ def retired_queries() -> dict:
         "events_top_users_daily": q_events_top_users_daily,
         "emb_lsh_recall": q_emb_lsh_recall,
         "emb_ivf_recall": q_emb_ivf_recall,
+        "tsdb_variant_mixed_frame": q_tsdb_variant_mixed_frame,
+        "doc_winnow_matches": q_doc_winnow_matches,
+        "stream_conversion_latency": q_stream_conversion_latency,
+        "events_hll_daily": q_events_hll_daily,
     }
 
 

@@ -88,9 +88,11 @@ def test_retirement_bookkeeping():
     retired = set(E.retired_queries())
     assert live.isdisjoint(retired)
     assert set(E.oracle_sql()).isdisjoint(retired)
-    # r15 added RETIRED_R15 alongside — the full retired set is the
-    # union (test_round15_retired.py pins the r15 slice)
-    assert retired == set(E.RETIRED_R14) | set(E.RETIRED_R15)
+    # r15/r16 added RETIRED_R15/RETIRED_R16 alongside — the full
+    # retired set is the union (test_round15_retired.py /
+    # test_round16_retired.py pin the per-round slices)
+    assert retired == (set(E.RETIRED_R14) | set(E.RETIRED_R15)
+                       | set(E.RETIRED_R16))
     assert retired == set(E.retired_oracle_sql())
     assert set(E.RETIRED_R14) <= retired
     siblings = {

@@ -286,8 +286,10 @@ class TestImageAhash:
 
     def test_short_and_wrong_width_images_drop(self, spark):
         out = self._fp(spark, [
-            (1, _ppm(8, 7, [1, 2, 3] * 8 * 7)),   # h < 8: no 8 bands
-        ])
+            (1, _ppm(8, 7, [1, 2, 3] * 8 * 7)),    # h < 8: no 8 bands
+            (2, _ppm(7, 8, [1, 2, 3] * 7 * 8)),    # w != 8 (ADVICE r15
+            (3, _ppm(16, 8, [1, 2, 3] * 16 * 8)),  # #2: the case the
+        ])                                          # test name promised)
         assert out == {}
 
     def test_pairs_exact_multi_index(self, spark):

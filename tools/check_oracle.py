@@ -108,6 +108,28 @@ def main():
                    spark_rows=len(s), oracle_rows=len(o))
             failures += 1
             continue
+        # Dtype-KIND audit (VERDICT r15 #1 root cause): the driver's
+        # value hash is typed, so an int64 Spark column vs a float64
+        # oracle column (e.g. DuckDB window sum -> HUGEINT -> float64
+        # through the pandas bridge) hash-reds on the driver even when
+        # every value is numerically equal — which the tolerance
+        # compare below silently passes. Five rounds of
+        # events_session_perplexity local-green/driver-red were
+        # exactly this on the uncast `sess` column. Fail int-vs-float
+        # kind splits here so the class can never ship again.
+        kind_bad = []
+        for c in s.columns:
+            ka, kb = s[c].dtype.kind, o[c].dtype.kind
+            if ka != kb and {ka, kb} <= {"i", "u", "f"} and "f" in (ka, kb):
+                kind_bad.append((c, str(s[c].dtype), str(o[c].dtype)))
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch {kind_bad} "
+                  "(driver typed-hash red class)")
+            record(name, schema_match=True, rows_match=True, hash_match=False,
+                   spark_rows=len(s), oracle_rows=len(o),
+                   err=f"dtype kind {kind_bad[:3]}")
+            failures += 1
+            continue
         diff_cells = []
         for c in s.columns:
             a, b = s[c], o[c]

@@ -180,8 +180,15 @@ def main() -> int:
 
         ranked = sorted((q for q in order if not q.startswith("diag_")),
                         key=rank)
-        print("\nsuggested next head-50 (oldest evidence first):")
-        for q in ranked[:50]:
+        # diag_ probes are excluded from the ranking but HOLD head
+        # slots in the committed order (ADVICE r15 #4: printing a full
+        # 50 while a diag row keeps a slot over-subscribes the plan by
+        # one per probe) — budget only the slots diag rows don't own
+        n_diag = sum(1 for q in order[:50] if q.startswith("diag_"))
+        slots = 50 - n_diag
+        print(f"\nsuggested next head ({slots} slots: 50 minus {n_diag} "
+              "standing diag probe(s); oldest evidence first):")
+        for q in ranked[:slots]:
             tag = (f"r{newest_green[q]}" if q in newest_green
                    else ("RED" if q in ever_gated else "new"))
             print(f"  {q} ({tag})")

@@ -77,18 +77,19 @@ def run_registry() -> bool:
     gated = set()
     for f in glob.glob(f"{REPO}/CORRECTNESS_r*.json"):
         gated |= set(json.load(open(f)))
-    local_green = set()
+    local_green, local_rows = set(), {}
     locals_ = sorted(glob.glob(f"{REPO}/CORRECTNESS_LOCAL_r*.json"))
     if locals_:
-        rows = json.load(open(locals_[-1]))
-        local_green = {q for q, v in rows.items() if v.get("hash_match")}
-    # diag_ rows are red-by-design probes (row counts encode engine
-    # versions) — "evidence" for them is any recorded row, never a hash
+        with open(locals_[-1]) as f:
+            local_rows = json.load(f)
+        local_green = {q for q, v in local_rows.items()
+                       if isinstance(v, dict) and v.get("hash_match")}
+    # diag_ rows are row-count-channel probes (may be red by design) —
+    # "evidence" for them is any recorded row, never a hash
     unevidenced = [
         q for q in qs
         if q not in gated and q not in local_green
-        and not (q.startswith("diag_") and locals_
-                 and q in json.load(open(locals_[-1])))
+        and not (q.startswith("diag_") and q in local_rows)
     ]
     if unevidenced:
         print(f"NO CORRECTNESS EVIDENCE (driver or local): {unevidenced}")

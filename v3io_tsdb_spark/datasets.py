@@ -37,16 +37,23 @@ _PLAN_CACHE: dict = {}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    hit = _PLAN_CACHE.get(key)
-    if hit is not None:
-        return hit
     if name == "events":
+        # Re-asserted on EVERY call, not just cache misses (ADVICE r15
+        # #1): the cache key is applicationId, which sibling sessions
+        # (spark.newSession) share without sharing conf — a cache hit
+        # from one of those, or after a caller changed the session
+        # timezone, would otherwise execute the cached frame's ntz→ltz
+        # cast under the wrong timezone. spark.conf.set is a local map
+        # write, no job.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The driver has shipped `ts` as naive timestamp[us] (Spark 4 reads
         # it as TIMESTAMP_NTZ). The hash-matching semantics is wall-clock-UTC
         # (DuckDB reads the same naive value as UTC), so pin the session tz:
         # the ntz→ltz cast below then interprets the wall clock as UTC.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if len(_PLAN_CACHE) > 256:  # bound: many short-lived test sessions
         _PLAN_CACHE.clear()

@@ -656,8 +656,12 @@ def image_ahash(
     Overflow: cell_sum·n ≤ 765·h·8h ≈ 6·10³·h², int64-safe to
     h ≈ 10⁹ rows.
 
-    Images shorter than 8 rows have no 8-band structure and drop out
-    (the attach_ppm_payload h=0 rule extended). Arrow-batched
+    Domain: exactly the attach_ppm_payload canvases — width 8, height
+    ≥ 8. Images with w != 8 drop out alongside h < 8 (ADVICE r15 #2:
+    the operator only folds ROWS into bands; a general-width raster
+    would need column folding this contract deliberately excludes, so
+    off-width rasters are skipped like short ones, not errors).
+    Arrow-batched
     ``mapInPandas`` over the shared :func:`_parse_ppm`; oracle =
     the mm_image_features hex CTE extended with the same integer
     band/cell algebra (__spark_entry__ mm_image_ahash).

@@ -487,3 +487,48 @@ def session_score_panel(
             F.sum("_mn").cast("long").alias("sum_mn"),
         )
     )
+
+
+def session_digest(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Pure-integer sessionization fingerprint: ``(user_id, sess,
+    n_steps, min_t, max_t)`` per multi-event session — the
+    session-perplexity family's sessionize stage with NO model join
+    and NO log anywhere (VERDICT r15 next-round #1 control row iii).
+
+    Same session assignment as :func:`_sessionized_pairs` (total
+    order ``(ts, type, id)``, inactivity gap), but aggregated straight
+    off the events: ``n_steps = count(*) - 1`` equals the family's
+    per-session transition count exactly (consecutive pairs of an
+    n-event run), and ``min_t``/``max_t`` pin the boundary decisions —
+    a single mis-bucketed event moves an endpoint. Together with the
+    data-free det_ln probe this bisects any family red into
+    sessionize-vs-score halves inside ONE driver artifact.
+
+    Plan: the one user-keyed exchange every family member shares, then
+    a partial-aggregable group on (user, sess) — same 100 TB posture
+    as :func:`session_perplexity` minus the broadcast join.
+    """
+    order = [F.col(ts_col), F.col(type_col), F.col(id_col)]
+    wu = Window.partitionBy(user_col).orderBy(*order)
+    new_sess = (F.col(ts_col) - F.lag(ts_col).over(wu) > gap_ms).cast("long")
+    s = df.withColumn(
+        "_sess", F.sum(F.coalesce(new_sess, F.lit(1))).over(wu)
+    )
+    return (
+        s.groupBy(
+            F.col(user_col).alias("user_id"), F.col("_sess").alias("sess")
+        )
+        .agg(
+            (F.count("*") - F.lit(1)).cast("long").alias("n_steps"),
+            F.min(ts_col).cast("long").alias("min_t"),
+            F.max(ts_col).cast("long").alias("max_t"),
+        )
+        .where(F.col("n_steps") >= 1)
+    )
