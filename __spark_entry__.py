@@ -1329,7 +1329,9 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "split", "lang", token_count_col(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(docs, budget=2048).select(
-        "doc_id", "split", "lang", "n_tokens", "pack_id", "pack_offset"
+        "doc_id", "split", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "pack_id", "pack_offset",
     )
 
 
@@ -1901,7 +1903,8 @@ def q_events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
     out = benford_profile(s, value_col="value")
     return out.select(
-        "digit", "n", _rz("share", 6), _rz("expected", 6), _rz("chi2", 6)
+        F.col("digit").cast("long").alias("digit"), "n",
+        _rz("share", 6), _rz("expected", 6), _rz("chi2", 6),
     )
 
 
@@ -2046,7 +2049,10 @@ def q_emb_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = kmeans_lloyd(emb, k=4, n_iter=3)
-    return out.select("centroid_id", "n_vecs", _rz("inertia", 4))
+    return out.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "n_vecs", _rz("inertia", 4),
+    )
 
 
 def q_events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2151,7 +2157,8 @@ def q_doc_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-level companion to the stopword language-ID."""
     from v3io_tsdb_spark.functions.text import script_profile
 
-    return script_profile(_docs_scattered(spark, sf_dir))
+    out = script_profile(_docs_scattered(spark, sf_dir))
+    return out.withColumn("n_chars", F.col("n_chars").cast("long"))
 
 
 def q_tsdb_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4792,10 +4799,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upcoming-anchor whose capacity requirement 50·(windows-1) >= N was
     provably unsatisfiable for any N > 100 — see the tool docstring).
 
-    Registry at N=193: r16 RETIRED four more near-duplicate rows
+    Registry at N=191: r16 RETIRED six more near-duplicate rows
     whose families stay gated through module siblings (RETIRED_R16;
     tests/test_round16_retired.py sweeps each against its DuckDB
-    oracle) and added the four control/probe rows above. The r13-r15
+    oracle — four for the head arithmetic, two r13-cohort stream
+    twins proactively for r17 slack) and added the four control/probe
+    rows above. The r13-r15
     retirements (RETIRED_R14/RETIRED_R15, swept by
     test_round14_retired.py / test_round15_retired.py) stand
     unchanged."""
@@ -4962,7 +4971,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "mm_wav_features": q_mm_wav_features,
-        "stream_wav_features": q_stream_wav_features,
         "emb_semantic_decontaminate": q_emb_semantic_decontaminate,
         "tpch_q19_discount_promo": q_tpch_q19_discount_promo,
         "mm_image_features": q_mm_image_features,
@@ -5003,7 +5011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_join_nation_revenue": q_tpch_join_nation_revenue,
         "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
         "doc_budget_selection": q_doc_budget_selection,
-        "stream_anomaly_hourly": q_stream_anomaly_hourly,
         "stream_dedup_hourly": q_stream_dedup_hourly,
         "stream_sessions_30m": q_stream_sessions_30m,
         "stream_counter_increase": q_stream_counter_increase,
@@ -10145,10 +10152,10 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM c GROUP BY 1
           )
           SELECT name, n_a, n_b, ks_d + 0.0 AS ks_d,
-                 CASE WHEN ks_d IS NULL THEN NULL
+                 CAST(CASE WHEN ks_d IS NULL THEN NULL
                       WHEN ks_d > round(1.358 * sqrt((n_a + n_b)
                            / (CAST(n_a AS DOUBLE) * n_b)) + 1e-09, 6)
-                      THEN 1 ELSE 0 END AS reject
+                      THEN 1 ELSE 0 END AS BIGINT) AS reject
           FROM g
         """,
         "tsdb_absent_hourly": f"""
@@ -10662,11 +10669,23 @@ RETIRED_R15 = (
 #   events_hll_daily          -> events_hll_weekly_rollup (r15 green;
 #                                same HLL sketch + mergeable-partial
 #                                path, functions/sketches)
+# ...plus two r13-cohort stream twins shed PROACTIVELY for r17 slack:
+# the r13 evidence cohort is 49 rows — exactly the next head with zero
+# slack, so one r16 red would over-subscribe r17 the way r15's reds
+# over-subscribed r16. Stream-twin precedent from the r13/r15 rounds:
+#   stream_wav_features   -> mm_wav_features (same _parse_wav decode,
+#                            functions/multimodal)
+#   stream_anomaly_hourly -> events_anomaly_hourly (batch twin of the
+#                            same hourly anomaly screen, r16 head) +
+#                            live stream rows stream_rollup_1h /
+#                            stream_sessions_30m / stream_cms_sketch
 RETIRED_R16 = (
     "tsdb_variant_mixed_frame",
     "doc_winnow_matches",
     "stream_conversion_latency",
     "events_hll_daily",
+    "stream_wav_features",
+    "stream_anomaly_hourly",
 )
 
 _RETIRED_ALL = RETIRED_R14 + RETIRED_R15 + RETIRED_R16
@@ -10705,6 +10724,8 @@ def retired_queries() -> dict:
         "doc_winnow_matches": q_doc_winnow_matches,
         "stream_conversion_latency": q_stream_conversion_latency,
         "events_hll_daily": q_events_hll_daily,
+        "stream_wav_features": q_stream_wav_features,
+        "stream_anomaly_hourly": q_stream_anomaly_hourly,
     }
 
 

@@ -18,6 +18,8 @@ from pyspark.sql import SparkSession
 
 HEADLINE = [
     "events_session_score_panel",
+    "events_session_digest",
+    "det_mn_probe",
     "tsdb_raw_filter",
     "tsdb_client_agg_daily",
     "tsdb_stddev_weekly",
@@ -33,7 +35,6 @@ HEADLINE = [
     "tsdb_sql_frontend",
     "tsdb_session_30m",
     "tsdb_variant_raw",
-    "tsdb_variant_mixed_frame",
     "tsdb_label_sets",
     "tsdb_groupby_total",
     "tpch_q1_pricing",
@@ -88,10 +89,8 @@ HEADLINE = [
     "tsdb_autocorr_daily",
     "events_retention_cohorts",
     "events_anomaly_hourly",
-    "events_hll_daily",
     "doc_length_histogram",
     "doc_word_entropy",
-    "stream_anomaly_hourly",
     "tsdb_percentiles_daily",
     "doc_emb_join_stats",
     "stream_dedup_hourly",
@@ -109,9 +108,7 @@ HEADLINE = [
     "emb_group_diversity",
     "tsdb_changepoint_daily",
     "events_conversion_latency",
-    "doc_winnow_matches",
     "tsdb_des_forecast_daily",
-    "stream_conversion_latency",
     "doc_mixture_weights",
     "doc_winnow_decontaminate",
     "tsdb_mad_daily",
@@ -198,7 +195,6 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
     "mm_wav_features",
-    "stream_wav_features",
     "emb_semantic_decontaminate",
     "stream_session_perplexity",
     "tpch_q19_discount_promo",

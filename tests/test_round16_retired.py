@@ -22,6 +22,10 @@ RETIRED_R16_SIBLINGS = {
     "doc_winnow_matches": "doc_winnow_fingerprints",
     "stream_conversion_latency": "events_conversion_latency",
     "events_hll_daily": "events_hll_weekly_rollup",
+    # proactive r17-slack pair (the r13 evidence cohort is 49 rows —
+    # the next head with zero slack; stream-twin precedent r13/r15)
+    "stream_wav_features": "mm_wav_features",
+    "stream_anomaly_hourly": "events_anomaly_hourly",
 }
 
 

@@ -117,11 +117,17 @@ def main():
         # events_session_perplexity local-green/driver-red were
         # exactly this on the uncast `sess` column. Fail int-vs-float
         # kind splits here so the class can never ship again.
-        kind_bad = []
+        kind_bad, width_warn = [], []
         for c in s.columns:
             ka, kb = s[c].dtype.kind, o[c].dtype.kind
             if ka != kb and {ka, kb} <= {"i", "u", "f"} and "f" in (ka, kb):
                 kind_bad.append((c, str(s[c].dtype), str(o[c].dtype)))
+            elif str(s[c].dtype) != str(o[c].dtype):
+                width_warn.append((c, str(s[c].dtype), str(o[c].dtype)))
+        if width_warn:
+            # same kind, different width/repr (e.g. int32 vs int64) —
+            # driver-green rows with these exist, so report-only
+            print(f"WARN {name}: dtype width {width_warn[:4]}")
         if kind_bad:
             print(f"FAIL {name}: dtype kind mismatch {kind_bad} "
                   "(driver typed-hash red class)")
