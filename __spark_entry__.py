@@ -2991,6 +2991,37 @@ def q_doc_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability table (X201, Guo et al. 2017 ECE shape):
+    the serving classifier's scores bucketed into deciles against the
+    rule-based quality labels — per bucket n/n_pos/mean-score/observed
+    positive rate/|gap|, ALL exact BIGINT micro-units (score quantized
+    BEFORE the decile split, mean by half_away_div, rate by q6_ratio).
+    The eval step between training a quality filter and trusting its
+    threshold to drop corpus mass."""
+    from v3io_tsdb_spark.functions.classifier import calibration_buckets
+
+    out = calibration_buckets(_docs_scattered(spark, sf_dir))
+    return out.select(
+        "bucket", "n_docs", "n_pos", "mean_score_micro",
+        "pos_rate_micro", "gap_micro",
+    )
+
+
+def q_doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (X202, Xie et al. 2023): per doc the
+    mean micro-nat log-likelihood ratio of its hashed bigram features
+    under the target-domain (lang='en') vs raw-corpus add-one
+    multinomials — importance-resampling data selection, built from
+    the session-perplexity machinery pointed at feature space (q6
+    bucket probabilities, det_ln + micro-nats ONCE per panel bucket,
+    exact integer per-doc mean)."""
+    from v3io_tsdb_spark.functions.classifier import dsir_scores
+
+    out = dsir_scores(_docs_scattered(spark, sf_dir))
+    return out.select("doc_id", "n_features", "dsir_micro")
+
+
 def q_tsdb_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS line fit per daily series (X98): slope/intercept/R² from
     five moments in ONE series-keyed aggregate — the least-squares
@@ -4799,12 +4830,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upcoming-anchor whose capacity requirement 50·(windows-1) >= N was
     provably unsatisfiable for any N > 100 — see the tool docstring).
 
-    Registry at N=191: r16 RETIRED six more near-duplicate rows
+    Registry at N=193: r16 RETIRED six more near-duplicate rows
     whose families stay gated through module siblings (RETIRED_R16;
     tests/test_round16_retired.py sweeps each against its DuckDB
     oracle — four for the head arithmetic, two r13-cohort stream
-    twins proactively for r17 slack) and added the four control/probe
-    rows above. The r13-r15
+    twins proactively for r17 slack), added the four control/probe
+    rows above, and two net-new tail operators (X201 calibration
+    table, X202 DSIR importance scores — first driver gate in the
+    r17 head alongside the r13 evidence cohort). The r13-r15
     retirements (RETIRED_R14/RETIRED_R15, swept by
     test_round14_retired.py / test_round15_retired.py) stand
     unchanged."""
@@ -5015,6 +5048,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions_30m": q_stream_sessions_30m,
         "stream_counter_increase": q_stream_counter_increase,
         "doc_length_histogram": q_doc_length_histogram,
+        # --- r16 net-new (X201/X202): tail slots — first driver
+        # --- gate in the r17 head; local sweep + pytest carry them
+        "doc_calibration": q_doc_calibration,
+        "doc_dsir_scores": q_doc_dsir_scores,
         "diag_engine_versions": q_diag_engine_versions,
     }
 
@@ -9527,6 +9564,138 @@ def _oracle_sql_all() -> dict[str, str]:
                  margin + 0.0 AS margin,
                  round(1.0 / (1.0 + enm) + {EPS6}, 6) AS score
           FROM ({det_exp_sql("SELECT * FROM a", "- margin", "enm")})
+        """,
+        "doc_calibration": f"""
+          -- classifier reliability table (X201): the classifier CTEs
+          -- verbatim, the quality-rules keep verdict as the label,
+          -- micro-quantize THEN decile-split, every output BIGINT
+          WITH tk AS (
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                   END AS arr
+            FROM documents
+          ),
+          f AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(arr)),
+                     i -> ('0x' || substr(md5(arr[i] || ' ' || arr[i + 1]),
+                           1, 15))::BIGINT % 4096)) AS bucket
+            FROM tk
+          ),
+          w AS (
+            SELECT r AS bucket,
+                   ((r * 2654435761) % 1999) / 999.5 - 1.0 AS weight
+            FROM (SELECT unnest(range(4096)) AS r)
+          ),
+          a AS (
+            SELECT doc_id, count(*) AS n_features,
+                   round(avg(weight) + 1e-9, 6) AS margin
+            FROM f JOIN w USING (bucket) GROUP BY 1
+          ),
+          -- sharpened temperature 1/32 (Guo et al.'s calibration
+          -- knob): one exact IEEE multiply on the 6dp margin, so the
+          -- stand-in model's near-0.5 scores spread across deciles
+          sc AS (
+            SELECT doc_id, 1.0 / (1.0 + enm) AS score
+            FROM ({det_exp_sql("SELECT * FROM a", "- margin * 32", "enm")})
+          ),
+          qm AS (
+            SELECT doc_id, len(arr) AS n,
+                   CASE WHEN len(arr) > 0 THEN
+                     CAST(list_sum(list_transform(arr, x -> len(x)))
+                          AS DOUBLE) / len(arr)
+                   ELSE 0.0 END AS avg_len,
+                   coalesce(list_max(list_transform(arr, x -> len(x))), 0)
+                     AS max_len,
+                   len(list_intersect(arr, {_stops})) AS n_stop,
+                   CASE WHEN len(arr) > 0 THEN
+                     CAST(coalesce(list_max(list_transform(list_distinct(arr),
+                          x -> len(list_filter(arr, y -> y = x)))), 0)
+                          AS DOUBLE) / len(arr)
+                   ELSE 0.0 END AS top_ratio
+            FROM tk
+          ),
+          lb AS (
+            SELECT doc_id,
+                   CAST((CAST(n BETWEEN 15 AND 100000 AS INT)
+                       + CAST(avg_len BETWEEN 2.0 AND 8.0 AS INT)
+                       + CAST(max_len <= 15 AS INT)
+                       + CAST(n_stop >= 2 AS INT)
+                       + CAST(top_ratio <= 0.125 AS INT)) = 5 AS INT) AS y
+            FROM qm
+          ),
+          j AS (
+            SELECT {_mn_sql('score')} AS sm, y
+            FROM sc JOIN lb USING (doc_id)
+          ),
+          b AS (
+            SELECT LEAST(sm // 100000, 9) AS bucket, sm, y FROM j
+          ),
+          g AS (
+            SELECT bucket, count(*) AS n, sum(y) AS np, sum(sm) AS ssm
+            FROM b GROUP BY 1
+          )
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 CAST(n AS BIGINT) AS n_docs,
+                 CAST(np AS BIGINT) AS n_pos,
+                 CAST({half_away_div_sql('ssm', 'n', 'duck')} AS BIGINT)
+                   AS mean_score_micro,
+                 CAST({q6_ratio_sql('np', 'n', 'duck')} AS BIGINT)
+                   AS pos_rate_micro,
+                 CAST(abs({half_away_div_sql('ssm', 'n', 'duck')}
+                        - {q6_ratio_sql('np', 'n', 'duck')}) AS BIGINT)
+                   AS gap_micro
+          FROM g
+        """,
+        "doc_dsir_scores": f"""
+          -- DSIR importance scores (X202): add-one multinomials over
+          -- the hashed feature space, q6-quantized bucket probs,
+          -- det_ln + micro-nats once per panel bucket, exact integer
+          -- per-doc mean — the perplexity machinery in feature space
+          WITH tk AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                   END AS arr
+            FROM documents
+          ),
+          f AS (
+            SELECT doc_id, CAST(lang = 'en' AS INT) AS t,
+                   unnest(list_transform(range(1, len(arr)),
+                     i -> ('0x' || substr(md5(arr[i] || ' ' || arr[i + 1]),
+                           1, 15))::BIGINT % 4096)) AS bucket
+            FROM tk
+          ),
+          cn AS (
+            SELECT bucket, sum(t) AS ct, count(*) AS cr FROM f GROUP BY 1
+          ),
+          pan AS (
+            SELECT r.range AS bucket, coalesce(cn.ct, 0) AS ct,
+                   coalesce(cn.cr, 0) AS cr
+            FROM range(4096) r LEFT JOIN cn ON r.range = cn.bucket
+          ),
+          tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM pan),
+          pq AS (
+            SELECT bucket,
+                   GREATEST({q6_ratio_sql('ct + 1', 'nt + 4096', 'duck')},
+                            CAST(1 AS BIGINT)) AS p6,
+                   GREATEST({q6_ratio_sql('cr + 1', 'nr + 4096', 'duck')},
+                            CAST(1 AS BIGINT)) AS q6v
+            FROM pan, tot
+          ),
+          l2 AS ({det_ln_sql(
+              det_ln_sql("SELECT * FROM pq", "p6 / 1e6", "lnp", "_dp_"),
+              "q6v / 1e6", "lnq", "_dq_")}),
+          mnp AS (
+            SELECT bucket, {_mn_sql('lnp')} - {_mn_sql('lnq')} AS mn
+            FROM l2
+          )
+          SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                 CAST({half_away_div_sql('sum(mnp.mn)', 'count(*)', 'duck')}
+                   AS BIGINT) AS dsir_micro
+          FROM f JOIN mnp USING (bucket)
+          GROUP BY 1
         """,
         "tsdb_ols_trend_daily": f"""
           WITH b AS (

@@ -20,6 +20,8 @@ HEADLINE = [
     "events_session_score_panel",
     "events_session_digest",
     "det_mn_probe",
+    "doc_calibration",
+    "doc_dsir_scores",
     "tsdb_raw_filter",
     "tsdb_client_agg_daily",
     "tsdb_stddev_weekly",

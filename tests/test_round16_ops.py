@@ -18,6 +18,7 @@ import math
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
 
@@ -201,3 +202,110 @@ def test_head_contains_control_matrix():
                  "events_session_score_panel", "events_session_perplexity",
                  "stream_session_perplexity", "mm_image_ahash"):
         assert name in head, name
+
+
+class TestCalibrationBuckets:
+    def test_invariants_and_oracle(self, spark, oracle_con):
+        import __spark_entry__ as E
+
+        s = (E.queries()["doc_calibration"](spark, SF).toPandas()
+             .sort_values("bucket").reset_index(drop=True))
+        o = (oracle_con.sql(E.oracle_sql()["doc_calibration"]).df()
+             .sort_values("bucket").reset_index(drop=True))
+        pd.testing.assert_frame_equal(s, o, check_dtype=False)
+        assert {d.kind for d in s.dtypes} == {"i"}  # all-BIGINT contract
+        assert s["bucket"].between(0, 9).all()
+        assert (s["n_pos"] <= s["n_docs"]).all()
+        assert (s["gap_micro"]
+                == (s["mean_score_micro"] - s["pos_rate_micro"]).abs()).all()
+
+    def test_mass_conservation(self, spark):
+        """Every (scored ∩ labeled) doc lands in exactly one bucket."""
+        import __spark_entry__ as E
+        from v3io_tsdb_spark.functions.classifier import classifier_score
+        from v3io_tsdb_spark.datasets import load_table
+
+        docs = load_table(spark, SF, "documents")
+        n_scored = classifier_score(docs).count()
+        total = (E.queries()["doc_calibration"](spark, SF)
+                 .agg(F.sum("n_docs")).collect()[0][0])
+        assert total == n_scored
+
+
+class TestDsirScores:
+    def test_oracle_identical(self, spark, oracle_con):
+        import __spark_entry__ as E
+
+        s = (E.queries()["doc_dsir_scores"](spark, SF).toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        o = (oracle_con.sql(E.oracle_sql()["doc_dsir_scores"]).df()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(s, o, check_dtype=False)
+        assert {d.kind for d in s.dtypes} == {"i"}
+
+    def test_matches_python_reference_on_tiny_corpus(self, spark):
+        """Hand-built 3-doc corpus, the full DSIR pipeline recomputed
+        in pure Python (same md5 bucket hash, same q6/add-one
+        smoothing, det_ln_py, micro-nat quantization) — pins every
+        stage against an engine-free reference."""
+        import hashlib
+        import math
+
+        from v3io_tsdb_spark.functions.classifier import dsir_scores
+        from v3io_tsdb_spark.functions.detmath import (
+            det_ln_py,
+            half_away_div_py,
+            q6_ratio_py,
+        )
+
+        B = 4096
+        corpus = [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "a dog ran fast"),
+            (3, "fr", "le chat dort sur le tapis"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, lang string, text string")
+        got = {r["doc_id"]: (r["n_features"], r["dsir_micro"])
+               for r in dsir_scores(df).collect()}
+
+        def buckets(text):
+            toks = text.lower().strip().split()
+            return [int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:15], 16)
+                    % B for a, b in zip(toks, toks[1:])]
+
+        ct, cr = {}, {}
+        for _, lang, text in corpus:
+            for b in buckets(text):
+                cr[b] = cr.get(b, 0) + 1
+                if lang == "en":
+                    ct[b] = ct.get(b, 0) + 1
+        nt, nr = sum(ct.values()), sum(cr.values())
+
+        def mn_of(p6):
+            lnp = det_ln_py(p6 / 1e6)
+            e = lnp * 1e6
+            return (int(math.floor(e + 0.5)) if e >= 0
+                    else -int(math.floor(-e + 0.5)))
+
+        def mn_diff(b):
+            p6 = max(q6_ratio_py(ct.get(b, 0) + 1, nt + B), 1)
+            q6 = max(q6_ratio_py(cr.get(b, 0) + 1, nr + B), 1)
+            return mn_of(p6) - mn_of(q6)
+
+        for doc_id, _, text in corpus:
+            bs = buckets(text)
+            sm = sum(mn_diff(b) for b in bs)
+            assert got[doc_id] == (len(bs), half_away_div_py(sm, len(bs))), doc_id
+        # the English docs must score above the French one: that is
+        # the operator's PURPOSE (target-domain likelihood ratio)
+        assert got[1][1] > got[3][1] and got[2][1] > got[3][1]
+
+    def test_short_docs_drop(self, spark):
+        from v3io_tsdb_spark.functions.classifier import dsir_scores
+
+        df = spark.createDataFrame(
+            [(1, "en", "single"), (2, "en", ""), (3, "en", "two tokens")],
+            "doc_id long, lang string, text string",
+        )
+        got = {r["doc_id"] for r in dsir_scores(df).collect()}
+        assert got == {3}

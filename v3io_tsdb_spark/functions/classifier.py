@@ -110,3 +110,201 @@ def classifier_score(
         "margin",
         (F.lit(1.0) / (F.lit(1.0) + F.col("_enm"))).alias("score"),
     )
+
+
+def calibration_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 10,
+    inv_temperature: int = 32,
+) -> DataFrame:
+    """Reliability table for the serving classifier (the ECE /
+    reliability-diagram shape, Guo et al. '17): scores bucketed into
+    ``n_bins`` deciles against the rule-based reference labels
+    (text.quality_rules' ``keep``), per bucket the doc count, positive
+    count, mean score and observed positive rate — the eval step every
+    classifier-filtered corpus needs BEFORE the score threshold is
+    trusted to drop data (a filter calibrated at 0.9 that only keeps
+    62% true positives is a different corpus than its config claims).
+
+    The table is built at a sharpened temperature — Guo et al.'s own
+    calibration knob — because the stand-in weight table's mean-margin
+    scores concentrate near 0.5 (avg of ~uniform weights over n
+    features has σ ≈ 0.58/√n): ``score_T = σ(margin / T)`` with
+    ``1/T = inv_temperature`` an exact integer, so the scaling is one
+    exact IEEE multiply on the 6dp-rounded margin and the deciles
+    actually populate. T is the free parameter a real calibration fit
+    would tune; the table is its objective function materialized.
+
+    Exact-integer contract (the r14-r16 family rule): the sigmoid
+    score — bit-identical cross-engine via the 6dp-rounded margin +
+    det_exp — is quantized to micro-units FIRST (quantize_half_away),
+    the decile is integer division on the quantized value (never
+    floor on a raw double at a bucket boundary), and every emitted
+    column is BIGINT: mean score by half_away_div of the exact micro
+    sum, positive rate by q6_ratio, and ``gap_micro = |mean − rate|``
+    is the per-bucket ECE term.
+
+    Plan at 100 TB: the classifier side is its own doc-keyed
+    aggregate; the rules side is a zero-shuffle per-doc projection;
+    their join keys both on ``doc_id`` so ONE exchange aligns them;
+    the final bucket aggregate is partial-aggregable on ≤ n_bins keys.
+    """
+    from v3io_tsdb_spark.functions.detmath import (
+        half_away_div_col,
+        q6_ratio_col,
+        with_det_exp,
+    )
+    from v3io_tsdb_spark.functions.text import quality_rules, quantize_half_away
+
+    scored = classifier_score(df, text_col=text_col, id_col=id_col)
+    scored = with_det_exp(
+        scored, "_enmt", -(F.col("margin") * F.lit(int(inv_temperature)))
+    )
+    scored = scored.select(
+        F.col(id_col),
+        (F.lit(1.0) / (F.lit(1.0) + F.col("_enmt"))).alias("_score_t"),
+    )
+    labels = quality_rules(df, text_col=text_col, id_col=id_col).select(
+        F.col(id_col), F.col("keep").cast("long").alias("_y")
+    )
+    j = scored.join(labels, id_col).select(
+        quantize_half_away(F.col("_score_t") * F.lit(1e6)).alias("_sm"),
+        F.col("_y"),
+    )
+    width = 1_000_000 // n_bins
+    b = j.select(
+        F.least(
+            F.expr(f"_sm div {width}"), F.lit(n_bins - 1).cast("long")
+        ).alias("bucket"),
+        "_sm",
+        "_y",
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum("_sm").cast("long").alias("_sum_sm"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_pos",
+        half_away_div_col("_sum_sm", "n_docs").alias("mean_score_micro"),
+        q6_ratio_col("n_pos", "n_docs").alias("pos_rate_micro"),
+        F.abs(
+            half_away_div_col("_sum_sm", "n_docs")
+            - q6_ratio_col("n_pos", "n_docs")
+        ).cast("long").alias("gap_micro"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance scores for data selection (Xie et al.
+    '23, "Data Selection for Language Models via Importance
+    Resampling"): per document, the mean log-likelihood ratio of its
+    hashed n-gram features under the TARGET distribution vs the RAW
+    corpus distribution — the principled replacement for binary
+    quality filters when the goal is "more data LIKE this slice".
+    High score = looks like the target domain; resampling by these
+    weights shifts the corpus mixture toward it.
+
+    Model: both distributions are add-one-smoothed multinomials over
+    the classifier's hashed bigram buckets (the hashing trick makes
+    the feature space fixed at ``n_buckets`` regardless of corpus
+    vocabulary — DSIR's own construction):
+
+        p_b = (c_target,b + 1) / (N_target + B)
+        q_b = (c_raw,b + 1)    / (N_raw + B)
+        score(doc) = mean over features of [ln p_b − ln q_b]
+
+    Exact-integer contract: each bucket's probability quantizes to an
+    exact-integer 6dp ratio (q6_ratio, GREATEST(·,1) ln-domain clamp —
+    the X146 Markov-panel rule), det_ln + micro-nat quantization run
+    ONCE per bucket on the B-row panel, the per-doc score is an exact
+    integer sum + half_away_div — the session-perplexity machinery
+    pointed at feature space instead of state space. Docs with < 2
+    tokens have no features and drop out (the classifier rule).
+
+    Plan at 100 TB: feature hashing is scan-side column algebra; the
+    two distribution builds are partial-aggregable counts on ≤ B keys
+    (panel-sized, NOT data-sized); the scored join broadcasts the
+    B-row micro-nat panel; one doc-keyed aggregate ends the plan. The
+    corpus is never shuffled except by doc_id for its own aggregate.
+    """
+    from v3io_tsdb_spark.functions.detmath import (
+        half_away_div_col,
+        q6_ratio_col,
+        with_det_ln,
+    )
+    from v3io_tsdb_spark.functions.text import micro_nats
+
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    feats = df.select(
+        F.col(id_col),
+        target_pred.cast("long").alias("_t"),
+        F.explode(
+            hashed_bigram_buckets(F.col(text_col), n_buckets)
+        ).alias("bucket"),
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum("_t").cast("long").alias("_ct"),
+        F.count("*").cast("long").alias("_cr"),
+    )
+    panel = (
+        df.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("_ct", F.lit(0)).cast("long").alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).cast("long").alias("_cr"),
+        )
+    )
+    totals = panel.agg(
+        F.sum("_ct").cast("long").alias("_nt"),
+        F.sum("_cr").cast("long").alias("_nr"),
+    )
+    p = (
+        panel.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (F.col("_ct") + F.lit(1)).alias("_pn"),
+            (F.col("_nt") + F.lit(n_buckets)).alias("_pd"),
+            (F.col("_cr") + F.lit(1)).alias("_qn"),
+            (F.col("_nr") + F.lit(n_buckets)).alias("_qd"),
+        )
+        .select(
+            "bucket",
+            F.greatest(q6_ratio_col("_pn", "_pd"), F.lit(1).cast("long"))
+            .alias("_p6"),
+            F.greatest(q6_ratio_col("_qn", "_qd"), F.lit(1).cast("long"))
+            .alias("_q6"),
+        )
+    )
+    p = with_det_ln(p, "_lnp", F.col("_p6") / F.lit(1e6), prefix="_dp_")
+    p = with_det_ln(p, "_lnq", F.col("_q6") / F.lit(1e6), prefix="_dq_")
+    mn_panel = p.select(
+        "bucket",
+        (micro_nats(F.col("_lnp")) - micro_nats(F.col("_lnq"))).alias("_mn"),
+    )
+    return (
+        feats.join(F.broadcast(mn_panel), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("_mn").cast("long").alias("_sum_mn"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            half_away_div_col("_sum_mn", "n_features").alias("dsir_micro"),
+        )
+    )
