@@ -1103,6 +1103,24 @@ def ops(spark):
             .collect()
         )
 
+    def op_doc_calibration(d):
+        # classifier reliability table (X201): doc-keyed score + label
+        # aggregates joined on one exchange, <= n_bins-key final agg
+        from v3io_tsdb_spark.functions.classifier import calibration_buckets
+
+        return calibration_buckets(docs(d)).agg(
+            F.sum("n_docs"), F.sum("gap_micro")
+        ).collect()
+
+    def op_dsir_scores(d):
+        # DSIR importance scores (X202): panel-sized distribution
+        # builds + broadcast micro-nat panel join + one doc-keyed agg
+        from v3io_tsdb_spark.functions.classifier import dsir_scores
+
+        return dsir_scores(docs(d)).agg(
+            F.sum("dsir_micro"), F.count("*")
+        ).collect()
+
     def op_session_score_panel(d):
         # all-BIGINT session scoring panel (X195): pairs + broadcast
         # model join + (user, sess) aggregate on ONE shared exchange
@@ -1255,6 +1273,8 @@ def ops(spark):
         "lsh_precision": op_lsh_precision,
         "audio_segments": op_audio_segments,
         "image_ahash": op_image_ahash,
+        "doc_calibration": op_doc_calibration,
+        "dsir_scores": op_dsir_scores,
         "session_score_panel": op_session_score_panel,
     }
 
