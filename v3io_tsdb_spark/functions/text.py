@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.functions.detmath import with_det_exp, with_det_ln
+from v3io_tsdb_spark.functions.share import shared
 
 # Small per-language stopword sets for the n-gram/stopword heuristic
 # language-ID (public, standard function words).
@@ -360,7 +361,9 @@ def tfidf_top_terms(
         F.col(id_col),
         F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("term"),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # tf feeds document frequencies AND the scoring join: shared()
+    # tokenizes/aggregates once (pre-r16: 2 scans + 2 explodes)
+    tf = shared(toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count_distinct(F.col(id_col)).alias("_df"))
     n = df.agg(F.count_distinct(F.col(id_col)).alias("_N"))
     # det_ln (detmath: shared IEEE-only log, identical in the oracle
@@ -539,8 +542,11 @@ def unigram_logprob(
         F.col(id_col),
         F.explode(tokens_col(F.lower(F.trim(F.col(text_col))))).alias("term"),
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("c_doc"))
-    corpus = tf.groupBy("term").agg(F.sum("c_doc").alias("c_corpus"))
+    # tf feeds the corpus model AND the final scoring join; corpus
+    # feeds the totals row AND the per-term panel — shared() computes
+    # each once (pre-r16: 3 scans + 3 explodes of the corpus per call)
+    tf = shared(toks.groupBy(id_col, "term").agg(F.count("*").alias("c_doc")))
+    corpus = shared(tf.groupBy("term").agg(F.sum("c_doc").alias("c_corpus")))
     totals = corpus.agg(
         F.sum("c_corpus").alias("n_total"), F.count("*").alias("v_size")
     )
@@ -743,17 +749,22 @@ def bm25_topk(
 
     terms = F.array(*[F.lit(t) for t in query_terms])
     toks = tokens_col(F.lower(F.col(text_col)))
-    base = df.select(
+    # base (N + avglen pass AND the matched-term pass) and tf (dfreq
+    # AND scoring) each had 2 consumers: shared() tokenizes the corpus
+    # once (pre-r16: 3 scans + 3 tokenizations per call). `_hit`
+    # (array_intersect) existed only for the non-empty filter, which
+    # `_occ` already answers — size(_occ)>0 ⟺ size(_hit)>0 — so the
+    # second per-row array pass is dropped outright.
+    base = shared(df.select(
         F.col(id_col),
         F.size(toks).alias("_len"),
-        F.array_intersect(toks, terms).alias("_hit"),
         F.filter(toks, lambda t: F.array_contains(terms, t)).alias("_occ"),
-    )
+    ))
     stats = base.agg(
         F.count("*").alias("_N"), F.avg("_len").alias("_avglen")
     )
-    tf = (
-        base.where(F.size(F.col("_hit")) > 0)
+    tf = shared(
+        base.where(F.size(F.col("_occ")) > 0)
         .select(F.col(id_col), F.col("_len"), F.explode("_occ").alias("term"))
         .groupBy(id_col, "_len", "term")
         .agg(F.count("*").alias("tf"))
@@ -824,8 +835,13 @@ def slice_kl_divergence(
         F.col(slice_col).alias("_sl"),
         F.explode(tokens_col(F.lower(F.col(text_col)))).alias("term"),
     )
-    per_slice = toks.groupBy("_sl", "term").agg(F.count("*").alias("_c"))
-    per_term = per_slice.groupBy("term").agg(F.sum("_c").alias("_ct"))
+    # per_slice has 3 consumers (per_term, totals, join), per_term 2
+    # (grand, join): shared() computes each once (pre-r16: 4 scans +
+    # 4 explodes of the corpus per call)
+    per_slice = shared(
+        toks.groupBy("_sl", "term").agg(F.count("*").alias("_c"))
+    )
+    per_term = shared(per_slice.groupBy("term").agg(F.sum("_c").alias("_ct")))
     totals = per_slice.groupBy("_sl").agg(F.sum("_c").alias("_n"))
     grand = per_term.agg(F.sum("_ct").alias("_nt"))
     p = F.col("_c") / F.col("_n")
@@ -1110,10 +1126,13 @@ def logprob_profile(
         F.col(slice_col),
         F.col("n_tokens"),
     )
-    cells = binned.groupBy("bin_lo", slice_col).agg(
+    # cells (bins × slices panel) feeds the totals row AND the final
+    # select: shared() runs the whole unigram-model subtree once
+    # (pre-r16: the entire unigram_logprob pipeline executed twice)
+    cells = shared(binned.groupBy("bin_lo", slice_col).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-    )
+    ))
     totals = cells.agg(F.sum("n_tokens").alias("_total"))
     return cells.crossJoin(F.broadcast(totals)).select(
         "bin_lo",
@@ -1175,6 +1194,11 @@ def cooccur_pmi(
         )
         dfreq = idx.groupBy("g").agg(F.count("*").alias("c"))
     kept = dfreq.where((F.col("c") >= min_df) & (F.col("c") <= max_df))
+    # capped is deliberately NOT shared(): it is postings-scale (every
+    # kept occurrence), so materializing it costs more than its two
+    # rebuilds — each is one pruned scan + a broadcast-sized kept join
+    # (measured r16: sharing it tripled the wall on GC pressure from
+    # the row-copied blocks; the duplicated subtree is the cheap kind)
     capped = idx.join(kept, "g").select("id", "g", "c")
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
@@ -1248,6 +1272,11 @@ def bigram_logprob(
     same contract as unigram_logprob's empty-doc rule.
     """
     toks = tokens_col(F.lower(F.trim(F.col(text_col))))
+    # base (tokenized docs) is input-scale, so it is NOT shared() —
+    # materializing the token arrays would be a full corpus copy at
+    # 100 TB; its two consumers (vocab pass, bigram pass) each re-scan
+    # pruned parquet instead. tf and corpus ARE shared: each had two
+    # consumers (pre-r16: 4 scans + 4 tokenizations per call)
     base = df.select(F.col(id_col), toks.alias("_tk"))
     vocab = base.select(F.explode("_tk").alias("term")).agg(
         F.count_distinct("term").alias("v_size")
@@ -1255,8 +1284,8 @@ def bigram_logprob(
     bg = base.select(
         F.col(id_col), F.explode(_bigram_structs(F.col("_tk"))).alias("p")
     ).select(id_col, "p.w1", "p.w2")
-    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c_doc"))
-    corpus = tf.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg"))
+    tf = shared(bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c_doc")))
+    corpus = shared(tf.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg")))
     ctx = corpus.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
     # det_ln + micro-nats at BIGRAM level (bigram-vocabulary panel) —
     # the per-(doc, bigram) pass consumes the integer directly
@@ -1563,8 +1592,11 @@ def kn_bigram_logprob(
     bg = base.select(
         F.col(id_col), F.explode(_bigram_structs(F.col("_tk"))).alias("p")
     ).select(id_col, "p.w1", "p.w2")
-    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c_doc"))
-    corpus = tf.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg"))
+    # tf has 2 consumers, corpus 4 (ctx/cont/btot/panel): shared()
+    # computes each once (pre-r16: 5 scans + 5 explodes per call, and
+    # perplexity_buckets doubled that again)
+    tf = shared(bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c_doc")))
+    corpus = shared(tf.groupBy("w1", "w2").agg(F.sum("c_doc").alias("c_bg")))
     ctx = corpus.groupBy("w1").agg(
         F.sum("c_bg").alias("c_ctx"),
         F.count("*").cast("long").alias("n_follow"),  # N1+(w1·)
@@ -1628,7 +1660,11 @@ def perplexity_buckets(
     {'head','middle','tail'} (higher logprob = head).
     """
     eps = 1e-9
-    scored = (
+    # scored (per-doc KN scores + lang) feeds the tercile aggregate AND
+    # the final bucket join: shared() runs the whole KN model once
+    # (pre-r16 this duplicated the entire kn_bigram_logprob tree —
+    # 12 executed parquet scans / 10 explodes in the final AQE plan)
+    scored = shared(
         kn_bigram_logprob(df, text_col=text_col, id_col=id_col,
                           discount=discount)
         .join(df.select(id_col, lang_col), id_col)
