@@ -1748,73 +1748,68 @@ def pca_top_component(
                 f"ELSE -(((-2) * {_c_num} + {_c_den}) div (2 * {_c_den})) END"
             ).cast("long") / F.lit(1e6)).alias("c"),
         )
-        # consumed once per iteration: cut the data-sized lineage so
-        # the corpus scans once, not once per power step
-        .localCheckpoint(eager=True)
     )
-    spark = df.sparkSession
+    # Power iteration runs ON THE DRIVER over the collected d²-row
+    # covariance panel (r16 optimization; guide §5 bounded-metadata
+    # exception, the same class as the IVF-centroid / PQ-codebook
+    # collects): the iteration state is d rows and each step is d²
+    # multiply-adds, but as Spark jobs the 5 steps cost ~30 serial
+    # job/stage round-trips per call (measured: 48 jobs / 101 stages,
+    # ~2s of pure scheduling at sf0.1 — and the same serial barriers
+    # at any scale, since the panel never grows with data). Every
+    # arithmetic step below is the EXACT twin of the previous Spark
+    # expressions, in the same IEEE doubles and exact Python ints:
+    #   w    = half_away_div(Σ_j qhalf(c·p·1e12), 1e6) / 1e6
+    #   nm   = java_round6(sqrt(Σ qhalf(w²·1e9) / 1e9) + eps)
+    #   p'   = half_away_div(qhalf(w·1e6)·1e6, qhalf(nm·1e6)) / 1e6
+    # qhalf honors detmath.ROUND_PERTURB_ULPS so the order-sweep's
+    # round-boundary stage perturbs this path exactly as before; the
+    # one float round (the irrational sqrt norm) replicates Spark's
+    # Round(double, 6) = BigDecimal.valueOf(shortest-repr).setScale(6,
+    # HALF_UP) via Decimal(repr(x)) — Python's repr is the same
+    # shortest round-trip decimal.
     import math as _m
+    from decimal import ROUND_HALF_UP, Decimal
 
+    from v3io_tsdb_spark.functions import detmath
+    from v3io_tsdb_spark.functions.detmath import half_away_div_py
+
+    spark = df.sparkSession
+    out_schema = "dim_idx long, component double, eigenvalue double"
+    rows = cmat.collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+
+    _pert = 1.0 + detmath.ROUND_PERTURB_ULPS * 2.0 ** -52
+
+    def _qh(x: float) -> int:
+        x = x * _pert
+        return _m.floor(x + 0.5) if x >= 0 else -_m.floor(-x + 0.5)
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    by_i: dict = {}
+    for r in rows:
+        by_i.setdefault(r["i"], []).append((r["j"], r["c"]))
     v0 = round(1.0 / _m.sqrt(dim) + eps, 6)
-    vec = spark.range(dim).select(
-        F.col("id").cast("int").alias("i"), F.lit(v0).alias("p")
-    )
-    norm = None
+    p = {i: v0 for i in range(dim)}
+    nm = None
     for _ in range(n_iter):
-        # d-term sums quantize per term (1e-12 / 1e-9 integer grids)
-        # so partial-aggregation order can't move them; the two
-        # iteration-state writes that are EXACT INTEGER RATIOS — w
-        # (the 1e-12 sum to µ) and p (w_µ/nm_µ) — quantize by integer
-        # half-away division, NOT a float round: the r14 round-
-        # boundary sweep caught a grid-exact intermediate sitting at
-        # (boundary − eps), where round(x+eps, 6) flips on a ±1-ulp
-        # build skew and the flip compounds through every later
-        # iteration. Only the sqrt-derived norm keeps a float round
-        # (irrational — exact-boundary hits have measure zero).
-        w = (
-            cmat.join(
-                vec.select(F.col("i").alias("j"), F.col("p")), "j"
-            )
-            .groupBy("i")
-            .agg(F.sum(_qhalf(F.col("c") * F.col("p") * 1e12)).alias("_s12"))
-            .select(
-                "i",
-                (half_away_div_col("_s12", "1000000") / F.lit(1e6))
-                .alias("w"),
-            )
-        )
-        norm = w.agg(
-            F.round(
-                F.sqrt(
-                    F.sum(_qhalf(F.col("w") * F.col("w") * 1e9))
-                    / F.lit(1e9)
-                )
-                + eps,
-                6,
-            ).alias("nm")
-        )
-        vec = (
-            w.crossJoin(F.broadcast(norm))
-            .select(
-                "i",
-                _qhalf(F.col("w") * 1e6).alias("_wu"),
-                _qhalf(F.col("nm") * 1e6).alias("_nu"),
-            )
-            .select(
-                "i",
-                (half_away_div_col("_wu * 1000000", "_nu") / F.lit(1e6))
-                .alias("p"),
-            )
-            # cut the iteration tree every step: the d-row panel costs
-            # ~50ms to materialize, while letting 5 iterations of the
-            # integer half-away expressions nest lazily cost ~4s of
-            # driver analysis at action time (r14 bench regression —
-            # measured 4-7s exec collapsing to 0.5s with per-step
-            # checkpoints; values identical, plan-only change)
-            .localCheckpoint(eager=True)
-        )
-    return vec.crossJoin(F.broadcast(norm)).select(
-        F.col("i").cast("long").alias("dim_idx"),
-        F.col("p").alias("component"),
-        F.col("nm").alias("eigenvalue"),
+        w = {}
+        for i, cols_ in by_i.items():
+            s12 = sum(_qh(c * p[j] * 1e12) for j, c in cols_ if j in p)
+            w[i] = half_away_div_py(s12, 1000000) / 1e6
+        s9 = sum(_qh(wi * wi * 1e9) for wi in w.values())
+        nm = _round6(_m.sqrt(s9 / 1e9) + eps)
+        nu = _qh(nm * 1e6)
+        p = {
+            i: half_away_div_py(_qh(wi * 1e6) * 1000000, nu) / 1e6
+            for i, wi in w.items()
+        }
+    return spark.createDataFrame(
+        [(int(i), float(pi), float(nm)) for i, pi in sorted(p.items())],
+        out_schema,
     )
