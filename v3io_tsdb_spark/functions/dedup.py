@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from v3io_tsdb_spark.functions.detmath import half_away_div_col, q6_ratio_col
+from v3io_tsdb_spark.functions.share import shared
 
 # Mersenne prime 2^31-1: universal-hash modulus. a*h+b stays < 2^62 for
 # h,a,b < P31, so the mix is exact signed-64 arithmetic in ANY engine —
@@ -537,12 +538,14 @@ def minhash_dedup(
     fixed-width join key — equality semantics are the slice's), and the
     estimate is an exact fraction of 32."""
     rows = num_hashes // bands
-    # eager checkpoint: the signature subtree feeds three self-join
-    # branches and would be recomputed per branch otherwise (at scale,
-    # signatures are a materialized table). localCheckpoint, not
-    # persist(): no CacheManager entry to race on back-to-back runs.
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n, hash_fn, inv) \
-        .localCheckpoint(eager=True)
+    # shared(): the signature subtree feeds three self-join branches
+    # and would be recomputed per branch otherwise (at scale,
+    # signatures are a materialized table). Lazy localCheckpoint, not
+    # persist(): no CacheManager entry to race on back-to-back runs;
+    # lazy, not eager (r16): no separate serial job in the builder.
+    sigs = shared(minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_n, hash_fn, inv
+    ))
     cands = minhash_lsh_candidates(sigs, bands, rows)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -600,9 +603,13 @@ def minhash_precision_buckets(
     ``(est_bucket, n_pairs, n_true, precision, mean_jaccard)``.
     """
     postings = inv[0] if isinstance(inv, tuple) else inv
-    sigs = minhash_signature(
+    # lazy shared() instead of eager checkpoints (r16): same
+    # compute-once semantics for the 3-consumer signature table and
+    # the 2-consumer candidate table, without a separate serial job
+    # per checkpoint inside the builder
+    sigs = shared(minhash_signature(
         df, text_col, id_col, num_hashes, shingle_n, "md5", inv
-    ).localCheckpoint(eager=True)
+    ))
     cands = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -612,10 +619,10 @@ def minhash_precision_buckets(
             lambda m: m == 1,
         )
     ).cast("long")
-    est = (
+    est = shared(
         cands.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", matches.alias("_match"))
-    ).localCheckpoint(eager=True)
+    )
     if postings is None:
         docs = df.select(
             F.col(id_col).alias("id"),
@@ -627,7 +634,12 @@ def minhash_precision_buckets(
         .unionByName(est.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    cp = postings.join(cand_ids, "id", "left_semi")
+    # candidate-bounded by the semi-join, and consumed THREE times
+    # (both sides of the intersection self-join + the n_sh lookup):
+    # shared() computes the postings semi-join once (pre-r16 each
+    # consumer re-ran the postings scan + semi-join — 3 of the 5
+    # SortMergeJoin subtrees in the plan)
+    cp = shared(postings.join(cand_ids, "id", "left_semi"))
     inter = (
         cp.alias("a")
         .join(cp.alias("b"), on="g")
