@@ -247,6 +247,8 @@ def dsir_scores(
 
     if target_pred is None:
         target_pred = F.col("lang") == "en"
+    from v3io_tsdb_spark.functions.share import shared
+
     feats = df.select(
         F.col(id_col),
         target_pred.cast("long").alias("_t"),
@@ -254,9 +256,18 @@ def dsir_scores(
             hashed_bigram_buckets(F.col(text_col), n_buckets)
         ).alias("bucket"),
     )
-    counts = feats.groupBy("bucket").agg(
-        F.sum("_t").cast("long").alias("_ct"),
-        F.count("*").cast("long").alias("_cr"),
+    # pre-aggregate to the (doc, bucket) count table and share() it:
+    # feats had two consumers (distribution counts + the scored join),
+    # each re-running the scan + tokenize + feature hash; g is the
+    # metadata-narrow tf form (≤ docs × n_buckets rows) from which
+    # both derive exactly — Σ_t·c and Σc reproduce the per-occurrence
+    # sums as pure integer identities
+    g = shared(
+        feats.groupBy(id_col, "_t", "bucket").agg(F.count("*").alias("_c"))
+    )
+    counts = g.groupBy("bucket").agg(
+        F.sum(F.col("_t") * F.col("_c")).cast("long").alias("_ct"),
+        F.sum("_c").cast("long").alias("_cr"),
     )
     panel = (
         df.sparkSession.range(n_buckets)
@@ -296,11 +307,11 @@ def dsir_scores(
         (micro_nats(F.col("_lnp")) - micro_nats(F.col("_lnq"))).alias("_mn"),
     )
     return (
-        feats.join(F.broadcast(mn_panel), "bucket")
+        g.join(F.broadcast(mn_panel), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_features"),
-            F.sum("_mn").cast("long").alias("_sum_mn"),
+            F.sum("_c").cast("long").alias("n_features"),
+            F.sum(F.col("_c") * F.col("_mn")).cast("long").alias("_sum_mn"),
         )
         .select(
             id_col,

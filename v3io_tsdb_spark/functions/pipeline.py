@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .dedup import decontaminate
 from .sampling import assign_split
+from .share import shared
 from .text import text_stats
 
 
@@ -57,7 +58,13 @@ def corpus_pipeline(
        quality gate on it);
     4. deterministic split assignment (md5-bucket train/val/test).
     """
-    stats = text_stats(docs, text_col=text_col, id_col=id_col)
+    # the stats table is METADATA-scale (id + stat columns, no text)
+    # and feeds four consumers through q/kept (keepers, the semi-join,
+    # decontaminate's input, the anti-join) — shared() tokenizes the
+    # corpus once instead of once per consumer (r16; the text-bearing
+    # frames stay declarative: materializing them would copy the
+    # corpus, the share.py "do not wrap raw scans" rule)
+    stats = shared(text_stats(docs, text_col=text_col, id_col=id_col))
     enriched = docs.select(id_col, text_col).join(stats, id_col)
     q = enriched.where(F.col("quality") >= quality_min)
 
@@ -91,7 +98,7 @@ def corpus_pipeline_stages(
     per stage (stage_k cost ≈ time[k] - time[k-1], modulo shared
     codegen). Keys in execution order: ``stats``, ``dedup``,
     ``decontaminate``, ``split`` (== the full pipeline)."""
-    stats = text_stats(docs, text_col=text_col, id_col=id_col)
+    stats = shared(text_stats(docs, text_col=text_col, id_col=id_col))
     enriched = docs.select(id_col, text_col).join(stats, id_col)
     q = enriched.where(F.col("quality") >= quality_min)
     keepers = q.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
