@@ -811,7 +811,7 @@ def embedding_near_dup_pairs(
 
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     d = d.withColumn("nrm", norm_col(F.col("v")))
-    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes, dim)) \
+    d = d.withColumn("sig", hyperplane_sig_col(F.col("v"), n_planes, dim, v_sql="v")) \
         .localCheckpoint(eager=True)
     a = d.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "sig")
     b = d.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "sig")
@@ -886,7 +886,7 @@ def semantic_decontaminate(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
         return d.withColumn("nrm", norm_col(F.col("v"))).withColumn(
-            "sig", hyperplane_sig_col(F.col("v"), n_planes, dim)
+            "sig", hyperplane_sig_col(F.col("v"), n_planes, dim, v_sql="v")
         )
 
     c = prep(corpus, "id")

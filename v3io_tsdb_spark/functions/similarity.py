@@ -50,16 +50,44 @@ def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def hyperplane_sig_col(v: Column, n_planes: int = 6, dim: int | None = None) -> Column:
+def hyperplane_sig_sql(v_sql: str, n_planes: int = 6, dim: int = 64) -> str:
+    """One-string SQL form of the dim-given hyperplane signature —
+    the same expression tree :func:`hyperplane_sig_col` assembles
+    Column-by-Column, emitted as a single ``F.expr`` payload. The
+    Column assembly costs ~(n_planes·dim) py4j round-trips per call
+    (measured 0.7s of pure driver latency at 6×64 per builder call,
+    r16); the string form is ONE round trip and parses to the same
+    Catalyst nodes, so values are identical by construction. Literals
+    go through detmath's correctly-rounded string→DOUBLE cast."""
+    from v3io_tsdb_spark.functions.detmath import _sql_double
+
+    planes = plane_matrix(n_planes, dim)
+    sig = "CAST(0 AS BIGINT)"
+    for p in range(n_planes):
+        arr = ", ".join(_sql_double(x) for x in planes[p])
+        dot = (f"aggregate(zip_with({v_sql}, array({arr}), "
+               f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+        bit = f"CAST(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END AS BIGINT)"
+        sig = f"({sig} | {bit})"
+    return sig
+
+
+def hyperplane_sig_col(v: Column, n_planes: int = 6, dim: int | None = None,
+                       v_sql: str | None = None) -> Column:
     """Random-hyperplane LSH signature bit p = sign(v · plane_p).
 
     With ``dim`` given (the fast + oracle-parity path) the planes are
     literal constant arrays from :func:`plane_matrix` — the dot is a
     plain ``zip_with``/``aggregate`` over literals, reproducible in SQL.
-    Without ``dim`` falls back to per-element xxhash plane generation
+    Pass ``v_sql`` (a SQL reference for ``v``, e.g. the column name)
+    to emit the whole signature as one ``F.expr`` instead of
+    ~n_planes·dim py4j calls (:func:`hyperplane_sig_sql`). Without
+    ``dim`` falls back to per-element xxhash plane generation
     (dimension-agnostic, engine-only). Assembled in a Python loop
     (shiftleft needs int bit counts); one JVM expression tree, no UDF.
     """
+    if dim is not None and v_sql is not None:
+        return F.expr(hyperplane_sig_sql(v_sql, n_planes, dim))
     sig = F.lit(0).cast("long")
     if dim is not None:
         planes = plane_matrix(n_planes, dim)
@@ -333,7 +361,7 @@ def lsh_bucketed_topk(
     v = F.col(vec_col).cast("array<double>")
     q = query_vec_lit(query_vec)
     tagged = df.select(F.col(id_col), v.alias("_v")).withColumn(
-        "sig", hyperplane_sig_col(F.col("_v"), n_planes, dim)
+        "sig", hyperplane_sig_col(F.col("_v"), n_planes, dim, v_sql="_v")
     )
     qsig = hyperplane_sig_col(q, n_planes, dim)
     near = F.bit_count(F.col("sig").bitwiseXOR(qsig)) <= probe_hamming
@@ -364,7 +392,7 @@ def lsh_write_index(
 
     v = F.col(vec_col).cast("array<double>")
     tagged = df.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
-        "sig", hyperplane_sig_col(F.col("v"), n_planes, dim)
+        "sig", hyperplane_sig_col(F.col("v"), n_planes, dim, v_sql="v")
     )
     tagged.write.mode("overwrite").partitionBy("sig").parquet(path)
     with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
@@ -576,7 +604,8 @@ def lsh_append_index(
     meta = lsh_read_meta(path)
     v = F.col(vec_col).cast("array<double>")
     tagged = df.select(F.col(id_col).alias("id"), v.alias("v")).withColumn(
-        "sig", hyperplane_sig_col(F.col("v"), meta["n_planes"], meta["dim"])
+        "sig", hyperplane_sig_col(F.col("v"), meta["n_planes"], meta["dim"],
+                                  v_sql="v")
     )
     tagged.write.mode("append").partitionBy("sig").parquet(path)
 
