@@ -400,17 +400,37 @@ def _with_program(df: DataFrame, program, p: str, out: str,
     names = [f"{p}x"] + [name for name, _ in program]
     try:
         R = lambda n: n  # noqa: E731
-        q = "SELECT * FROM {df}"
-        for name, fn in program:
-            q = f"SELECT *, {fn(_SqlOps, R)} AS {name} FROM ({q})"
-        q = f"SELECT *, {p}res AS {out} FROM ({q})"
+        # ONE flat SELECT using lateral column aliases (Spark 3.4+):
+        # each stage references earlier aliases in the same list. The
+        # nested-subquery form re-expanded SELECT * per stage, so its
+        # analysis cost was stages × columns — measured 317 ms/build
+        # nested vs 149 ms flat for the 35-stage ln ladder (r16), with
+        # bit-identical outputs on a 7k-value randomized + edge-case
+        # sweep (same ops, same order — LCA is resolution sugar).
+        # Guard: a stage name already present on the frame would be
+        # silently preferred by LCA resolution (the nested form errors
+        # instead), so collisions fall back to the nested emission.
+        if any(n in df.columns for n in names):
+            raise ValueError("det-ladder prefix collides with a column")
+        items = ["*"] + [
+            f"{fn(_SqlOps, R)} AS {name}" for name, fn in program
+        ] + [f"{p}res AS {out}"]
+        q = "SELECT " + ", ".join(items) + " FROM {df}"
         res_df = staged.sparkSession.sql(q, df=staged)
     except Exception:
-        Rc = lambda n: F.col(n)  # noqa: E731
-        res_df = staged
-        for name, fn in program:
-            res_df = res_df.withColumn(name, fn(_SparkOps, Rc))
-        res_df = res_df.withColumn(out, F.col(f"{p}res"))
+        try:
+            R = lambda n: n  # noqa: E731
+            q = "SELECT * FROM {df}"
+            for name, fn in program:
+                q = f"SELECT *, {fn(_SqlOps, R)} AS {name} FROM ({q})"
+            q = f"SELECT *, {p}res AS {out} FROM ({q})"
+            res_df = staged.sparkSession.sql(q, df=staged)
+        except Exception:
+            Rc = lambda n: F.col(n)  # noqa: E731
+            res_df = staged
+            for name, fn in program:
+                res_df = res_df.withColumn(name, fn(_SparkOps, Rc))
+            res_df = res_df.withColumn(out, F.col(f"{p}res"))
     if PERTURB_ULPS:
         res_df = res_df.withColumn(
             out, F.col(out) * F.lit(1.0 + PERTURB_ULPS * 2.0 ** -52)

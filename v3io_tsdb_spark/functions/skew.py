@@ -37,12 +37,14 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.avg("_n").alias("_mean_n"),
         F.sum("_n").alias("_tot"),
     )
-    from v3io_tsdb_spark.functions.detmath import floor_log2_long
+    from v3io_tsdb_spark.functions.detmath import floor_log2_sql
 
     # exact integer bit-length binning (detmath) — floor(libm log2)
-    # can flip at exact powers of two across engines
+    # can flip at exact powers of two across engines. Emitted as ONE
+    # F.expr: the Column form's 62-term loop cost ~0.5s of py4j
+    # round-trips per call (r16; same expression, same values)
     bins = counts.groupBy(
-        floor_log2_long(F.col("_n")).alias("bin")
+        F.expr(floor_log2_sql("_n")).alias("bin")
     ).agg(
         F.count("*").cast("long").alias("n_keys"),
         F.sum("_n").cast("long").alias("n_rows"),
