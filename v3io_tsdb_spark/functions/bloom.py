@@ -64,8 +64,16 @@ def bloom_might_contain(
     """Scan-side membership test: all k bits set → maybe-member (the
     bitmap rides into the plan as ONE array literal — a constant, not
     a per-row CreateArray of m/64 elements; executor-local, no join,
-    no shuffle)."""
-    words = F.lit(bitmap).cast("array<bigint>")
+    no shuffle).
+
+    The literal is emitted as a single SQL ``array(..L)`` expression
+    string: ``F.lit(<list>)`` expands Python-side to ``array(*[lit(w)
+    for w in words])`` — m/64 py4j round-trips (~0.5 s of driver time
+    per build at m=2^16) for what is one constant. One ``F.expr``
+    call hands the whole array to the JVM parser instead; the element
+    type (``L`` suffix = bigint) and values are identical.
+    """
+    words = F.expr("array(" + ",".join("%dL" % w for w in bitmap) + ")")
     ks = key.cast("string")
     checks = []
     for i in range(k):
