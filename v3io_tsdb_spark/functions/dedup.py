@@ -140,7 +140,7 @@ def shingle_index(
 
     This is the build-once artifact of a production dedup pipeline:
     shingling + feature hashing run ONCE over the corpus, then n-gram
-    Jaccard joins on ``g``, MinHash reduces ``h60 % P31`` through the
+    Jaccard self-joins on ``h60``, MinHash reduces ``h60 % P31`` through the
     universal-hash family, and SimHash votes on ``h60``'s bits — none
     of them re-touch the raw text. Persist with
     :func:`shingle_write_index` (which also maintains the ``(g, df)``
@@ -241,7 +241,9 @@ def ngram_jaccard_pairs(
     """All-pairs n-gram Jaccard via shingle inverted index.
 
     Candidate pairs share ≥1 shingle (inverted-index self-join on the
-    shingle key — no O(N²) cross join), and the SAME join computes the
+    shingle key — the persisted index's 60-bit feature hash, the
+    collision-checked stand-in for the shingle string; no O(N²) cross
+    join), and the SAME join computes the
     intersection size: ``groupBy(id_a, id_b).count()`` over the join
     rows is map-side combinable and ships no document arrays. ``max_df``
     caps the document frequency of shingles admitted to the join: a
@@ -278,21 +280,33 @@ def ngram_jaccard_pairs(
             "id", "n_sh", F.explode("sh").alias("g")
         ).localCheckpoint(eager=True)
         dfs = postings.groupBy("g").agg(F.count("*").alias("df"))
+        join_key = "g"
     else:
         # parquet-backed: no checkpoint needed, the scans behind each
         # consumer are cheap, parallel, and already materialized on disk
         postings, dfs = inv
+        # the persisted index carries h60 (the md5-derived 60-bit
+        # feature hash of g, collision-checked per corpus): self-join
+        # on the BIGINT instead of the shingle string — the candidate
+        # exchange ships 8 bytes/key instead of the text, and when no
+        # shingle is over the df cap the string column prunes out of
+        # the postings scan entirely.
+        join_key = "h60"
     if max_df is not None:
         # the above-cap shingle set is stop-shingle-small by
-        # construction → broadcast anti-/semi-joins, never a shuffle of
-        # the postings on df. (A per-posting df column would couple the
-        # postings layout to the whole corpus and break incremental
-        # appends.)
-        hot = dfs.where(F.col("df") > max_df).select("g").localCheckpoint(eager=True)
-        if hot.isEmpty():
+        # construction (one bounded collect — the same driver-side-
+        # bounded-metadata exception as the IVF centroids), never a
+        # shuffle of the postings on df. (A per-posting df column
+        # would couple the postings layout to the whole corpus and
+        # break incremental appends.)
+        hot_rows = dfs.where(F.col("df") > max_df).select("g").collect()
+        if not hot_rows:
             cand_inv = postings
             hot_ids = None
         else:
+            hot = postings.sparkSession.createDataFrame(
+                [(r["g"],) for r in hot_rows], "g string"
+            )
             cand_inv = postings.join(F.broadcast(hot), "g", "left_anti")
             # docs touching ANY high-df shingle: only their pairs can
             # have shared shingles missing from the capped index, so
@@ -314,7 +328,7 @@ def ngram_jaccard_pairs(
     # (jaccard ≥ t ⇒ t ≤ na/nb ≤ 1/t) prunes before the shuffle.
     counted = (
         cand_inv.alias("a")
-        .join(cand_inv.alias("b"), on="g")
+        .join(cand_inv.alias("b"), on=join_key)
         .where(
             (F.col("a.id") < F.col("b.id"))
             & (F.col("a.n_sh") * threshold <= F.col("b.n_sh"))
@@ -937,10 +951,12 @@ def semantic_decontaminate(
 
 # -- duplicate clustering ---------------------------------------------------
 
-def _union_find_driver(e: DataFrame) -> DataFrame:
+def _union_find_driver(e: DataFrame, rows: list | None = None) -> DataFrame:
     """Union-find (path compression + union by size) over a bounded,
     already-materialized edge list — the small-graph fast path of
-    :func:`connected_components`. One collect, zero iterative jobs."""
+    :func:`connected_components`. One collect (or zero, when the
+    caller already holds the rows from its size probe), zero
+    iterative jobs."""
     from pyspark.sql import types as T
 
     parent: dict = {}
@@ -954,7 +970,7 @@ def _union_find_driver(e: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in e.collect():
+    for row in e.collect() if rows is None else rows:
         s, d = row[0], row[1]
         for v in (s, d):
             if v not in parent:
@@ -992,8 +1008,9 @@ def connected_components(
     canonical duplicate-cluster representative.
 
     Two paths, picked by measured edge count (the edge list is
-    materialized once with ``localCheckpoint``, so the count is a
-    block-read, not a recompute):
+    materialized once with ``localCheckpoint``, so the size probe is a
+    block-read, not a recompute — and on the small path the probe's
+    ``take`` already IS the collect):
 
     * ``n_edges <= small_cutoff`` (default 1M): collect the edges and
       run union-find (path compression + union by size) on the driver
@@ -1017,8 +1034,13 @@ def connected_components(
     """
     a, b = F.col(a_col), F.col(b_col)
     e = edges.select(a.alias("src"), b.alias("dst")).localCheckpoint(eager=True)
-    if e.count() <= small_cutoff:
-        return _union_find_driver(e)
+    # size-probe and small-path collect in ONE job: take() on the
+    # checkpointed blocks returns the edges themselves, so the common
+    # case (near-dup pair lists are corpus-small) pays collect-once
+    # instead of count-then-collect — two serial jobs become one.
+    head = e.take(small_cutoff + 1)
+    if len(head) <= small_cutoff:
+        return _union_find_driver(e, rows=head)
 
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
