@@ -57,6 +57,17 @@ def labels_string_col(labels_col: Column) -> Column:
     return F.concat_ws(",", kv)
 
 
+def labels_string_sql(col_name: str) -> str:
+    """SQL-string twin of :func:`labels_string_col`: the identical
+    expression tree (default array_sort comparator, element_at map
+    lookup) emitted as ONE parseable payload for builders that would
+    otherwise pay per-node py4j round-trips constructing it."""
+    return (
+        "concat_ws(',', transform(array_sort(map_keys(`%s`)), "
+        "k -> concat(k, '=', element_at(`%s`, k))))" % (col_name, col_name)
+    )
+
+
 def labels_map_col(labels_str_col: Column) -> Column:
     """Inverse of :func:`labels_string_col` (JVM-side).
 

@@ -118,28 +118,37 @@ def _align_exploded(
 ) -> DataFrame:
     keys = list(key_cols)
     n_cells = (to_ms - from_ms) // step_ms  # max cell index K
-    a = F.col(ts_col) - F.lit(from_ms)
-    tol = F.lit(tolerance_ms)
-    step = F.lit(step_ms)
+    # The role-array algebra below is emitted as SQL STRINGS (one
+    # selectExpr payload): Column-by-Column construction of the same
+    # tree costs ~1,800 py4j round-trips ≈ 0.5 s of driver latency per
+    # build (measured on tsdb_interp_linear). Integer `/` in Spark SQL
+    # is double division exactly like Column `/`, so every floor /
+    # greatest / least lands on identical values.
+    ET = "ARRAY<STRUCT<k: BIGINT, role: INT>>"
+    a = f"(`{ts_col}` - {from_ms})"
 
     # cells this sample serves as NEXT neighbor (t <= ts, ts - t <= tol):
     # k ∈ [ceil((a - tol)/step), floor(a/step)]
-    next_lo = F.greatest(F.lit(0), -F.floor((tol - a) / step).cast("long"))
-    next_hi = F.least(F.lit(n_cells), F.floor(a / step).cast("long"))
-    roles = F.when(
-        next_lo <= next_hi,
-        F.transform(F.sequence(next_lo, next_hi), lambda k: F.struct(k.alias("k"), F.lit(1).alias("role"))),
-    ).otherwise(F.array().cast("array<struct<k:bigint,role:int>>"))
+    next_lo = f"greatest(0, -CAST(floor(({tolerance_ms} - {a}) / {step_ms}) AS BIGINT))"
+    next_hi = f"least({n_cells}, CAST(floor({a} / {step_ms}) AS BIGINT))"
+    roles = (
+        f"CASE WHEN {next_lo} <= {next_hi} THEN "
+        f"transform(sequence({next_lo}, {next_hi}), "
+        f"k -> named_struct('k', k, 'role', 1)) "
+        f"ELSE CAST(array() AS {ET}) END"
+    )
     if interp == "linear":
         # cells this sample serves as PREV neighbor (t > ts, t - ts <= tol):
         # k ∈ [floor(a/step) + 1, floor((a + tol)/step)]
-        prev_lo = F.greatest(F.lit(0), F.floor(a / step).cast("long") + 1)
-        prev_hi = F.least(F.lit(n_cells), F.floor((a + tol) / step).cast("long"))
-        prev_roles = F.when(
-            prev_lo <= prev_hi,
-            F.transform(F.sequence(prev_lo, prev_hi), lambda k: F.struct(k.alias("k"), F.lit(0).alias("role"))),
-        ).otherwise(F.array().cast("array<struct<k:bigint,role:int>>"))
-        roles = F.concat(roles, prev_roles)
+        prev_lo = f"greatest(0, CAST(floor({a} / {step_ms}) AS BIGINT) + 1)"
+        prev_hi = f"least({n_cells}, CAST(floor(({a} + {tolerance_ms}) / {step_ms}) AS BIGINT))"
+        prev_roles = (
+            f"CASE WHEN {prev_lo} <= {prev_hi} THEN "
+            f"transform(sequence({prev_lo}, {prev_hi}), "
+            f"k -> named_struct('k', k, 'role', 0)) "
+            f"ELSE CAST(array() AS {ET}) END"
+        )
+        roles = f"concat({roles}, {prev_roles})"
 
     # group on hashable keys; carry map-typed keys (labels) through the
     # group key as canonical strings — first(map) would force
@@ -147,34 +156,33 @@ def _align_exploded(
     # map→string conversion happens BELOW the explode (once per sample,
     # not once per role row — a ×(2·tol/step) saving), and the map
     # column itself never enters the exploded projection.
-    from v3io_tsdb_spark.labels import labels_map_col, labels_string_col
+    from v3io_tsdb_spark.labels import labels_map_col, labels_string_sql
 
     map_cols = {
         f.name for f in samples.schema.fields
         if f.dataType.typeName() == "map" and f.name in keys
     }
     hash_keys = [k for k in keys if k not in map_cols]
-    exploded = samples.select(
-        *hash_keys,
-        *[labels_string_col(F.col(c)).alias(f"_mstr_{c}") for c in map_cols],
-        F.col(ts_col).alias("_ts"),
-        F.col(value_col).alias("_v"),
-        F.explode(roles).alias("_r"),
-    ).select(
-        *hash_keys, *[f"_mstr_{c}" for c in map_cols],
-        "_ts", "_v", F.col("_r.k").alias("_k"), F.col("_r.role").alias("_role"),
+    exploded = samples.selectExpr(
+        *[f"`{k}`" for k in hash_keys],
+        *[f"{labels_string_sql(c)} AS `_mstr_{c}`" for c in map_cols],
+        f"`{ts_col}` AS _ts",
+        f"`{value_col}` AS _v",
+        f"explode({roles}) AS _r",
+    ).selectExpr(
+        *[f"`{k}`" for k in hash_keys],
+        *[f"`_mstr_{c}`" for c in map_cols],
+        "_ts", "_v", "_r.k AS _k", "_r.role AS _role",
     )
-    nxt = F.when(F.col("_role") == 1, F.col("_ts"))
-    prv = F.when(F.col("_role") == 0, F.col("_ts"))
     cells = exploded.groupBy(*hash_keys, *[f"_mstr_{c}" for c in map_cols], "_k").agg(
-        F.min(nxt).alias("_next_t"),
-        F.min_by("_v", nxt).alias("_next_v"),
-        F.max(prv).alias("_prev_t"),
-        F.max_by("_v", prv).alias("_prev_v"),
+        F.expr("min(CASE WHEN _role = 1 THEN _ts END)").alias("_next_t"),
+        F.expr("min_by(_v, CASE WHEN _role = 1 THEN _ts END)").alias("_next_v"),
+        F.expr("max(CASE WHEN _role = 0 THEN _ts END)").alias("_prev_t"),
+        F.expr("max_by(_v, CASE WHEN _role = 0 THEN _ts END)").alias("_prev_v"),
     )
     for c in map_cols:
         cells = cells.withColumn(c, labels_map_col(F.col(f"_mstr_{c}"))).drop(f"_mstr_{c}")
-    t = (F.lit(from_ms) + F.col("_k") * step).cast("long")
+    t = (F.lit(from_ms) + F.col("_k") * F.lit(step_ms)).cast("long")
     cells = cells.withColumn("t", t)
     next_t, next_v = F.col("_next_t"), F.col("_next_v")
     prev_t, prev_v = F.col("_prev_t"), F.col("_prev_v")
