@@ -2213,15 +2213,29 @@ def q_events_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (applicationId, sf_dir) -> the daily grid frame: 9 trend queries
+# share this builder; memoized as a lazy plan per session like
+# datasets._SAMPLES_CACHE (no data cached — plan reuse only).
+_DAILY_AVG_CACHE: dict = {}
+
+
 def _daily_avg_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily bucket averages per (name, uid) series — the bucketed grid
     the trend operators run on (x = sum/count, matching the oracle's
     division exactly)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _DAILY_AVG_CACHE.get(key)
+    if hit is not None:
+        return hit
     s = _uid(events_as_samples(spark, sf_dir)).where(F.col("ts").between(F0, T1))
     t = (F.lit(F0) + F.floor((F.col("ts") - F0) / DAY) * DAY).cast("long")
-    return s.groupBy("name", "uid", t.alias("t")).agg(
+    out = s.groupBy("name", "uid", t.alias("t")).agg(
         (F.sum("value") / F.count("value")).alias("x")
     )
+    if len(_DAILY_AVG_CACHE) > 256:
+        _DAILY_AVG_CACHE.clear()
+    _DAILY_AVG_CACHE[key] = out
+    return out
 
 
 def q_tsdb_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

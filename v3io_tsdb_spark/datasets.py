@@ -97,6 +97,16 @@ def ts_raw_rider(ts_col: str, ts_type: str) -> Column:
     return F.col(ts_col).alias("_ts_raw_ts")
 
 
+# (applicationId, sf_dir) -> the built samples frame. The projection
+# (ts_millis + labels map + xxhash64 series id with its sorted-keys
+# lambda) costs ~0.13 s of py4j round-trips per build and is invoked
+# by ~50 registry queries — memoized as a LAZY PLAN per session, the
+# same reuse class as _PLAN_CACHE (no data is computed or cached; a
+# DataFrame is immutable, every caller derives from it). Session confs
+# are still re-asserted on every call via load_table (ADVICE r15 #1).
+_SAMPLES_CACHE: dict = {}
+
+
 def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → long-format samples: (ts ms, name, labels{uid}, series_id, value).
 
@@ -107,6 +117,10 @@ def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent range on it so the scan prunes row groups / pages.
     """
     ev = load_table(spark, sf_dir, "events")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _SAMPLES_CACHE.get(key)
+    if hit is not None:
+        return hit
     ts_type = dict(ev.dtypes)["ts"]
     ts_ms = ts_millis("ts", ts_type)
     raw = ts_raw_rider("ts", ts_type)
@@ -118,7 +132,11 @@ def events_as_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.lit(None).cast("string").alias("value_str"),
     )
-    return df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    df = df.withColumn("series_id", series_id_col(F.col("name"), F.col("labels")))
+    if len(_SAMPLES_CACHE) > 256:  # bound: many short-lived test sessions
+        _SAMPLES_CACHE.clear()
+    _SAMPLES_CACHE[key] = df
+    return df
 
 
 def events_as_string_samples(
