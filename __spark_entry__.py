@@ -673,7 +673,13 @@ def _shingle_ensure_index(spark: SparkSession, sf_dir: str):
     path = _persist_path("spark_graft_shingle3_v2", sf_dir, "documents")
     if not os.path.exists(os.path.join(path, "df", "_SUCCESS")):
         shingle_write_index(_docs_scattered(spark, sf_dir), path)
-    return read_shingle_index(spark, path)
+    # keep the opened tables across calls (same as _ROLLUP_CACHE): the
+    # two spark.read.parquet calls are a schema/footer job each, paid
+    # by every one of the 9 sketch queries otherwise
+    key = (id(spark), path)
+    if key not in _ROLLUP_CACHE:
+        _ROLLUP_CACHE[key] = read_shingle_index(spark, path)
+    return _ROLLUP_CACHE[key]
 
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,7 +1029,12 @@ def _winnow_ensure_index(spark: SparkSession, sf_dir: str):
     path = _persist_path("spark_graft_winnow54", sf_dir, "documents")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         winnow_write_index(_docs_scattered(spark, sf_dir), path, k=5, w=4)
-    return read_winnow_index(spark, path)
+    # open-table reuse across the 6 winnow consumers (_ROLLUP_CACHE
+    # pattern: schema + file listing once per session)
+    key = (id(spark), path)
+    if key not in _ROLLUP_CACHE:
+        _ROLLUP_CACHE[key] = read_winnow_index(spark, path)
+    return _ROLLUP_CACHE[key]
 
 
 def _stream_conv_fixture(spark: SparkSession, sf_dir: str) -> str:
