@@ -53,6 +53,13 @@ def _uid(df: DataFrame) -> DataFrame:
     return df.withColumn("uid", F.element_at(F.col("labels"), "uid"))
 
 
+# (applicationId, sf_dir, lo, hi) -> the clamped frame: 36 event
+# queries share this builder; lazy-plan memo, same class as
+# datasets._SAMPLES_CACHE (no data cached, session confs re-asserted
+# through load_table on every call).
+_EVENTS_CLAMP_CACHE: dict = {}
+
+
 def _events_ms_clamped(spark: SparkSession, sf_dir: str,
                        lo: int = F0, hi: int = T1) -> DataFrame:
     """events with a derived epoch-ms ``ts_ms`` column, time-clamped to
@@ -65,6 +72,10 @@ def _events_ms_clamped(spark: SparkSession, sf_dir: str,
     from v3io_tsdb_spark.datasets import ts_millis
 
     ev = load_table(spark, sf_dir, "events")
+    ck = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), lo, hi)
+    hit = _EVENTS_CLAMP_CACHE.get(ck)
+    if hit is not None:
+        return hit
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type in ("bigint", "long"):  # int64 ns epochs
         pred = (F.col("ts") >= lo * 1_000_000) & (
@@ -80,9 +91,13 @@ def _events_ms_clamped(spark: SparkSession, sf_dir: str,
             lo_lit = lo_lit.cast("timestamp_ntz")
             hi_lit = hi_lit.cast("timestamp_ntz")
         pred = (F.col("ts") >= lo_lit) & (F.col("ts") < hi_lit)
-    return ev.where(pred).withColumn(
+    out = ev.where(pred).withColumn(
         "ts_ms", ts_millis("ts", ts_type).cast("long")
     )
+    if len(_EVENTS_CLAMP_CACHE) > 256:
+        _EVENTS_CLAMP_CACHE.clear()
+    _EVENTS_CLAMP_CACHE[ck] = out
+    return out
 
 
 def _docs_scattered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3158,8 +3173,16 @@ def _bloom_ensure(spark: SparkSession, sf_dir: str):
         bitmap = build_bloom_bitmap(spark.read.parquet(keys_dir), "user_id")
         with open(bm_file, "w") as f:
             _json.dump(bitmap, f)
-    with open(bm_file) as f:
-        return keys_dir, _json.load(f)
+    # serve the opened keys table and parsed bitmap across calls
+    # (_ROLLUP_CACHE pattern): the per-call spark.read.parquet was a
+    # schema/footer job and the bitmap a per-call json parse
+    key = (id(spark), fx)
+    if key not in _ROLLUP_CACHE:
+        with open(bm_file) as f:
+            _ROLLUP_CACHE[key] = (
+                spark.read.parquet(keys_dir), _json.load(f)
+            )
+    return _ROLLUP_CACHE[key]
 
 
 def q_events_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,13 +3197,11 @@ def q_events_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-metadata pattern)."""
     from v3io_tsdb_spark.functions.bloom import bloom_might_contain
 
-    keys_dir, bitmap = _bloom_ensure(spark, sf_dir)
+    keys_df, bitmap = _bloom_ensure(spark, sf_dir)
     ev = _events_ms_clamped(spark, sf_dir)
     big = ev.select("user_id", "event_type", "ts_ms")
     pruned = big.where(bloom_might_contain(F.col("user_id"), bitmap))
-    joined = pruned.join(
-        spark.read.parquet(keys_dir), "user_id", "left_semi"
-    )
+    joined = pruned.join(keys_df, "user_id", "left_semi")
     day = (F.lit(F0) + F.floor((F.col("ts_ms") - F0) / DAY) * DAY).cast("long")
     return joined.groupBy(
         F.col("event_type").alias("name"), day.alias("t")
