@@ -291,44 +291,49 @@ def quality_rules(
     row, no explode/shuffle, and expressible verbatim in DuckDB list
     functions for the oracle.
     """
-    t = F.col(text_col)
-    out = df.select(
-        F.col(id_col), tokens_col(F.lower(F.trim(t))).alias("_lt")
-    ).withColumn("_n", F.size("_lt"))
-    lt, n = F.col("_lt"), F.col("_n")
-    avg_len = F.when(
-        n > 0,
-        F.aggregate(
-            F.transform(lt, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-        ).cast("double")
-        / n,
-    ).otherwise(F.lit(0.0))
-    max_len = F.coalesce(
-        F.array_max(F.transform(lt, lambda x: F.length(x))), F.lit(0)
+    # Emitted as SQL strings (two selectExpr payloads): the
+    # Column-by-Column construction of the same trees (lambda
+    # transforms, the stopword literal array, each rule expression
+    # inlined twice) cost 939 py4j round-trips ≈ 0.9 s of driver
+    # latency per build (cProfile). The SQL re-inlines each rule
+    # expression exactly where the Column version did, and double
+    # literals carry the D suffix, so the expression trees — and
+    # therefore the values — are unchanged.
+    tok = f"trim(lower(trim(`{text_col}`)))"
+    tok_sql = (
+        f"CASE WHEN length({tok}) = 0 THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split({tok}, '\\\\s+') END"
     )
-    n_stop = F.size(F.array_intersect(lt, F.array(*[F.lit(s) for s in STOPWORDS["en"]])))
-    top_cnt = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(lt),
-                lambda x: F.size(F.filter(lt, lambda y: y == x)),
-            )
-        ),
-        F.lit(0),
+    out = df.selectExpr(f"`{id_col}`", f"{tok_sql} AS _lt").selectExpr(
+        "*", "size(_lt) AS _n"
     )
-    top_ratio = F.when(n > 0, top_cnt.cast("double") / n).otherwise(F.lit(0.0))
-    out = out.select(
-        F.col(id_col),
-        n.cast("long").alias("n_tokens"),
-        F.round(avg_len, 6).alias("avg_token_len"),
-        max_len.cast("long").alias("max_token_len"),
-        n_stop.cast("long").alias("n_stopwords"),
-        F.round(top_ratio, 6).alias("top_token_ratio"),
-        ((n >= 15) & (n <= 100000)).cast("int").alias("r_len"),
-        ((avg_len >= 2.0) & (avg_len <= 8.0)).cast("int").alias("r_avg_len"),
-        (max_len <= 15).cast("int").alias("r_word_len"),
-        (n_stop >= 2).cast("int").alias("r_stop"),
-        (top_ratio <= 0.125).cast("int").alias("r_top"),
+    avg_sql = (
+        "CASE WHEN _n > 0 THEN CAST(aggregate(transform(_lt, x -> length(x)), "
+        "0, (a, x) -> a + x) AS DOUBLE) / _n ELSE 0.0D END"
+    )
+    maxlen_sql = "coalesce(array_max(transform(_lt, x -> length(x))), 0)"
+    stop_arr = "array(%s)" % ", ".join("'%s'" % s for s in STOPWORDS["en"])
+    nstop_sql = f"size(array_intersect(_lt, {stop_arr}))"
+    topcnt_sql = (
+        "coalesce(array_max(transform(array_distinct(_lt), "
+        "x -> size(filter(_lt, y -> y = x)))), 0)"
+    )
+    topratio_sql = (
+        f"CASE WHEN _n > 0 THEN CAST({topcnt_sql} AS DOUBLE) / _n "
+        f"ELSE 0.0D END"
+    )
+    out = out.selectExpr(
+        f"`{id_col}`",
+        "CAST(_n AS BIGINT) AS n_tokens",
+        f"round({avg_sql}, 6) AS avg_token_len",
+        f"CAST({maxlen_sql} AS BIGINT) AS max_token_len",
+        f"CAST({nstop_sql} AS BIGINT) AS n_stopwords",
+        f"round({topratio_sql}, 6) AS top_token_ratio",
+        "CAST(_n >= 15 AND _n <= 100000 AS INT) AS r_len",
+        f"CAST({avg_sql} >= 2.0D AND {avg_sql} <= 8.0D AS INT) AS r_avg_len",
+        f"CAST({maxlen_sql} <= 15 AS INT) AS r_word_len",
+        f"CAST({nstop_sql} >= 2 AS INT) AS r_stop",
+        f"CAST({topratio_sql} <= 0.125D AS INT) AS r_top",
     )
     keep = (
         (F.col("r_len") + F.col("r_avg_len") + F.col("r_word_len")
