@@ -30,7 +30,18 @@ def cosine_sim_col(a: Column, b: Column, na: Column | None = None, nb: Column | 
 
 
 def query_vec_lit(vec) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    """Literal query vector as ONE SQL array expression: the
+    ``F.array(*[F.lit(x) ...])`` form costs one py4j round-trip per
+    component (~64/use across the ANN/MMR entry points). ``repr`` of
+    a finite Python float is the shortest round-tripping decimal and
+    Spark's ``D``-suffixed literal parses via correctly-rounded
+    ``Double.parseDouble``, so every component is bit-identical to
+    ``F.lit(float(x))``; non-finite components fall back to the
+    Column form (no SQL literal spells NaN/Inf)."""
+    vals = [float(x) for x in vec]
+    if all(x == x and x not in (float("inf"), float("-inf")) for x in vals):
+        return F.expr("array(%s)" % ",".join("%sD" % repr(x) for x in vals))
+    return F.array(*[F.lit(x) for x in vals])
 
 
 def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
@@ -92,7 +103,7 @@ def hyperplane_sig_col(v: Column, n_planes: int = 6, dim: int | None = None,
     if dim is not None:
         planes = plane_matrix(n_planes, dim)
         for p in range(n_planes):
-            dot = dot_col(v, F.array(*[F.lit(x) for x in planes[p]]))
+            dot = dot_col(v, query_vec_lit(planes[p]))
             sig = sig.bitwiseOR(
                 F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
             )
@@ -782,7 +793,7 @@ def _sq_dist_lit(v: Column, lit_vec) -> Column:
     return F.aggregate(
         F.zip_with(
             v,
-            F.array(*[F.lit(float(x)) for x in lit_vec]),
+            query_vec_lit(lit_vec),
             lambda a, b: (a - b) * (a - b),
         ),
         F.lit(0.0),
@@ -888,7 +899,7 @@ def pq_topk(
     approx = F.lit(0.0)
     for s in range(m):
         approx = approx + F.element_at(
-            F.array(*[F.lit(x) for x in lut[s]]),
+            query_vec_lit(lut[s]),
             F.element_at(F.col("codes"), s + 1) + 1,
         )
     scored = codes.select(
