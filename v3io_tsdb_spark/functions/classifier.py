@@ -81,24 +81,7 @@ def classifier_score(
     the sigmoid (same rule as the logprob scorers), so both engines
     exponentiate bit-identical doubles.
     """
-    w = weights if weights is not None else default_weight_table(
-        df.sparkSession, n_buckets
-    )
-    feats = df.select(
-        F.col(id_col),
-        F.explode(hashed_bigram_buckets(F.col(text_col), n_buckets)).alias(
-            "bucket"
-        ),
-    )
-    eps = 1e-9
-    scored = (
-        feats.join(F.broadcast(w), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_features"),
-            F.round(F.avg("weight") + F.lit(eps), 6).alias("margin"),
-        )
-    )
+    scored = _classifier_margin(df, weights, text_col, id_col, n_buckets)
     from v3io_tsdb_spark.functions.detmath import with_det_exp
 
     # det_exp (detmath: shared IEEE-only exp) so the sigmoid is
@@ -109,6 +92,38 @@ def classifier_score(
         "n_features",
         "margin",
         (F.lit(1.0) / (F.lit(1.0) + F.col("_enm"))).alias("score"),
+    )
+
+
+def _classifier_margin(
+    df: DataFrame,
+    weights: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """The pre-sigmoid classifier aggregate ``(id, n_features, margin)``
+    — the shared head of :func:`classifier_score` and
+    :func:`calibration_buckets` (which applies its own temperature to
+    the margin and never consumes the untempered sigmoid, so building
+    the score ladder there was a dead ~150 ms analysis pass)."""
+    w = weights if weights is not None else default_weight_table(
+        df.sparkSession, n_buckets
+    )
+    feats = df.select(
+        F.col(id_col),
+        F.explode(hashed_bigram_buckets(F.col(text_col), n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    eps = 1e-9
+    return (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.round(F.avg("weight") + F.lit(eps), 6).alias("margin"),
+        )
     )
 
 
@@ -158,7 +173,11 @@ def calibration_buckets(
     )
     from v3io_tsdb_spark.functions.text import quality_rules, quantize_half_away
 
-    scored = classifier_score(df, text_col=text_col, id_col=id_col)
+    # tempered sigmoid straight off the margin aggregate: the untempered
+    # ``score`` ladder of classifier_score was never consumed here (its
+    # column pruned out), so skipping its emission drops a dead
+    # analysis pass while leaving every output value untouched
+    scored = _classifier_margin(df, None, text_col, id_col, 4096)
     scored = with_det_exp(
         scored, "_enmt", -(F.col("margin") * F.lit(int(inv_temperature)))
     )
@@ -241,7 +260,7 @@ def dsir_scores(
     from v3io_tsdb_spark.functions.detmath import (
         half_away_div_col,
         q6_ratio_col,
-        with_det_ln,
+        with_det_many,
     )
     from v3io_tsdb_spark.functions.text import micro_nats
 
@@ -300,8 +319,11 @@ def dsir_scores(
             .alias("_q6"),
         )
     )
-    p = with_det_ln(p, "_lnp", F.col("_p6") / F.lit(1e6), prefix="_dp_")
-    p = with_det_ln(p, "_lnq", F.col("_q6") / F.lit(1e6), prefix="_dq_")
+    # both ladders in ONE SELECT (one analysis pass instead of two)
+    p = with_det_many(p, [
+        ("ln", "_lnp", F.col("_p6") / F.lit(1e6), "_dp_"),
+        ("ln", "_lnq", F.col("_q6") / F.lit(1e6), "_dq_"),
+    ])
     mn_panel = p.select(
         "bucket",
         (micro_nats(F.col("_lnp")) - micro_nats(F.col("_lnq"))).alias("_mn"),

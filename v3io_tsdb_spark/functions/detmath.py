@@ -438,6 +438,73 @@ def _with_program(df: DataFrame, program, p: str, out: str,
     return res_df.drop(*names)
 
 
+def with_det_many(df: DataFrame, specs) -> DataFrame:
+    """Append SEVERAL det columns in ONE flat SELECT (one analysis pass).
+
+    ``specs``: ordered list of ``(kind, out, x, prefix)`` with ``kind``
+    in {"ln", "exp"}; ``x`` is either a pyspark Column over ``df``'s
+    columns or a SQL string that may additionally reference EARLIER
+    specs' ``out`` names (lateral column aliases, Spark 3.4+ — the
+    dependent-ladder case, e.g. exp(c · ln r)). Prefixes must be
+    pairwise distinct.
+
+    Why: each `_with_program` SELECT costs ~150 ms of analyzer time
+    per det column (measured r16 — per-Project LCA resolution, not
+    tree size), so a 2-ladder builder pays it twice. Emitting both
+    programs' stages in one alias list halves the build. The SQL text
+    per ladder is IDENTICAL to the single-ladder emission (same
+    _SqlOps program, same stage order), so outputs are bit-identical;
+    on any emission failure (e.g. stage-name collision with a frame
+    column) it falls back to sequential :func:`_with_program` calls,
+    which accept the same specs.
+    """
+    global BUILD_COUNT
+    programs = []
+    for kind, out, x, prefix in specs:
+        prog = _program_det_ln(prefix) if kind == "ln" else _program_det_exp(prefix)
+        programs.append((prog, out, x, prefix))
+    names = []
+    for prog, _out, _x, p in programs:
+        names.append(f"{p}x")
+        names.extend(name for name, _ in prog)
+    try:
+        if len({p for _, _, _, p in programs}) != len(programs):
+            raise ValueError("det-ladder prefixes must be distinct")
+        if any(n in df.columns for n in names):
+            raise ValueError("det-ladder prefix collides with a column")
+        # Column x's stage in one pre-select; string x's become lateral
+        # aliases inside the same flat SELECT (so they can reference
+        # earlier specs' outs).
+        col_stage = [
+            x.cast("double").alias(f"{p}x")
+            for _prog, _out, x, p in programs
+            if isinstance(x, Column)
+        ]
+        staged = df.select("*", *col_stage) if col_stage else df
+        R = lambda n: n  # noqa: E731
+        items = ["*"]
+        for prog, out, x, p in programs:
+            if not isinstance(x, Column):
+                items.append(f"CAST(({x}) AS DOUBLE) AS {p}x")
+            items.extend(f"{fn(_SqlOps, R)} AS {name}" for name, fn in prog)
+            items.append(f"{p}res AS {out}")
+        q = "SELECT " + ", ".join(items) + " FROM {df}"
+        res_df = staged.sparkSession.sql(q, df=staged)
+        BUILD_COUNT += len(programs)
+        if PERTURB_ULPS:
+            for _prog, out, _x, _p in programs:
+                res_df = res_df.withColumn(
+                    out, F.col(out) * F.lit(1.0 + PERTURB_ULPS * 2.0 ** -52)
+                )
+        return res_df.drop(*names)
+    except Exception:
+        res_df = df
+        for prog, out, x, p in programs:
+            xc = x if isinstance(x, Column) else F.expr(x)
+            res_df = _with_program(res_df, prog, p, out, xc)
+        return res_df
+
+
 def with_det_ln(df: DataFrame, out: str, x: Column,
                 prefix: str = "_dl_") -> DataFrame:
     """Append column ``out`` = det_ln(x) to ``df`` (staged; temps dropped).

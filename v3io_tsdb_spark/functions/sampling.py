@@ -230,11 +230,17 @@ def mixture_sample(
         base = base.withColumn("_sc", ratio)
     else:
         from v3io_tsdb_spark.functions.detmath import (
-            with_det_exp, with_det_ln,
+            _sql_double, with_det_many,
         )
 
-        base = with_det_ln(base, "_lnr", ratio)
-        base = with_det_exp(base, "_sc", F.lit(expnt) * F.col("_lnr"))
+        # both ladders in ONE SELECT; the exp's input references the
+        # ln's out as a lateral alias (identical arithmetic to
+        # F.lit(expnt) * _lnr — the quoted-string cast IS how Spark
+        # parses a correctly-rounded double literal)
+        base = with_det_many(base, [
+            ("ln", "_lnr", ratio, "_dl_"),
+            ("exp", "_sc", f"{_sql_double(expnt)} * _lnr", "_de_"),
+        ])
     rates = base.select(
         source_col,
         F.floor(

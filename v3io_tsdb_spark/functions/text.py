@@ -14,6 +14,12 @@ from pyspark.sql import functions as F
 from v3io_tsdb_spark.functions.detmath import with_det_exp, with_det_ln
 from v3io_tsdb_spark.functions.share import shared
 
+# driver-side dictionary bound for cooccur_pmi's kept vocabulary:
+# below it the order-preserving gi assignment runs on the driver from
+# one bounded collect; above it (or on a null term) the distributed
+# single-partition row_number window is used instead.
+_GID_CAP = 2_000_000
+
 # Small per-language stopword sets for the n-gram/stopword heuristic
 # language-ID (public, standard function words).
 STOPWORDS = {
@@ -1047,10 +1053,12 @@ def zipf_fit(
     ranked = top.select(
         "term", "c", F.row_number().over(w).alias("rank")
     )
-    ranked = with_det_ln(ranked, "_lnr", F.col("rank").cast("double"),
-                         prefix="_dlr_")
-    ranked = with_det_ln(ranked, "_lnc", F.col("c").cast("double"),
-                         prefix="_dlc_")
+    from v3io_tsdb_spark.functions.detmath import with_det_many
+
+    ranked = with_det_many(ranked, [
+        ("ln", "_lnr", F.col("rank").cast("double"), "_dlr_"),
+        ("ln", "_lnc", F.col("c").cast("double"), "_dlc_"),
+    ])
     lx = micro_nats(F.col("_lnr"))
     ly = micro_nats(F.col("_lnc"))
     eps = 1e-9
@@ -1203,16 +1211,31 @@ def cooccur_pmi(
     # join + count runs integer-only: the pair multiset is ~94%
     # distinct (measured sf0.1: 7.7M of 8.2M), so the count exchange
     # carries nearly every pair once — with 2 string keys + 2 longs
-    # that is ~4x the bytes of (gi_a, gi_b). row_number over g is
-    # order-preserving (g_a < g_b ⟺ gi_a < gi_b; kept g is distinct,
-    # Spark's window and '<' share one string collation), so counts
-    # and orientation are identical and the strings + df re-attach by
-    # exact broadcast join-back on the ~28k surviving pairs. The
-    # single-partition window rides the same bound that already lets
-    # kept be BROADCAST to every executor (df-capped vocab metadata).
-    gid = kept.select(
-        "g", "c", F.row_number().over(Window.orderBy("g")).alias("gi")
-    )
+    # that is ~4x the bytes of (gi_a, gi_b). The id assignment is
+    # order-preserving (g_a < g_b ⟺ gi_a < gi_b; kept g is distinct),
+    # so counts and orientation are identical and the strings + df
+    # re-attach by exact broadcast join-back on the ~28k surviving
+    # pairs. The ids are assigned DRIVER-SIDE from one bounded collect
+    # of the df-capped vocabulary — the same metadata bound that
+    # already lets kept be BROADCAST to every executor — sorted by
+    # UTF-8 bytes, which IS Spark's string comparator, so the walk
+    # matches a row_number over Window.orderBy(g) exactly. This
+    # replaces the r16 single-partition window whose exchange+sort
+    # added two serial constant-size stages per consumer (the r16
+    # sf0.1 wall regression); past the cap (or on a null g) it falls
+    # back to that distributed form.
+    _rows = kept.limit(_GID_CAP + 1).collect()
+    if len(_rows) <= _GID_CAP and all(r["g"] is not None for r in _rows):
+        _rows.sort(key=lambda r: r["g"].encode("utf-8"))
+        gid = df.sparkSession.createDataFrame(
+            [(r["g"], int(r["c"]), i + 1) for i, r in enumerate(_rows)],
+            "g string, c bigint, gi int",
+        )
+    else:
+        gid = kept.select(
+            "g", F.col("c").cast("long").alias("c"),
+            F.row_number().over(Window.orderBy("g")).alias("gi"),
+        )
     # capped is deliberately NOT shared(): it is postings-scale (every
     # kept occurrence), so materializing it costs more than its two
     # rebuilds — each is one pruned scan + a broadcast-sized kept join
@@ -1530,10 +1553,12 @@ def vocab_growth(
     # the fit no longer depends on float accumulation order — only the
     # final divisions and one exp touch floats, on identical operands.
     pts = panel.where((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
-    pts = with_det_ln(pts, "_lnt", F.col("n_tokens").cast("double"),
-                      prefix="_dlt_")
-    pts = with_det_ln(pts, "_lnv", F.col("vocab").cast("double"),
-                      prefix="_dlv_")
+    from v3io_tsdb_spark.functions.detmath import with_det_many
+
+    pts = with_det_many(pts, [
+        ("ln", "_lnt", F.col("n_tokens").cast("double"), "_dlt_"),
+        ("ln", "_lnv", F.col("vocab").cast("double"), "_dlv_"),
+    ])
     pts = pts.select(
         "cp",
         micro_nats(F.col("_lnt")).alias("_x"),
