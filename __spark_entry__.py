@@ -272,6 +272,7 @@ def _rollup_ensure(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = _persist_path(f"spark_graft_rollup{_ROLLUP_GRAN}_v1", sf_dir, "events")
+    key = _open_key(spark, path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         samples = events_as_samples(spark, sf_dir)
         # compact to a few files: the rollup is ~5% of the raw table,
@@ -279,15 +280,22 @@ def _rollup_ensure(spark: SparkSession, sf_dir: str) -> DataFrame:
         # footer/listing-bound (a real deployment compacts rollups too)
         build_rollup(samples, TSDBConfig(aggregation_granularity=_ROLLUP_GRAN).granularity_ms) \
             .coalesce(4).write.mode("overwrite").parquet(path)
+        _ROLLUP_CACHE.pop(key, None)  # a rebuilt dir invalidates the handle
     # keep the opened table (schema + file listing) across calls — the
     # deployed shape is an open index, not a per-query re-listing
-    key = (id(spark), path)
     if key not in _ROLLUP_CACHE:
         _ROLLUP_CACHE[key] = spark.read.parquet(path)
     return _ROLLUP_CACHE[key]
 
 
 _ROLLUP_CACHE: dict = {}
+
+
+def _open_key(spark: SparkSession, path: str):
+    """Open-table cache key: (applicationId, path). applicationId is
+    unique per session — unlike ``id(spark)``, which a new session can
+    reuse after the old one is GC'd (ADVICE r16 #3)."""
+    return (spark.sparkContext.applicationId, path)
 
 
 def q_tsdb_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,11 +322,12 @@ def _label_rollup_ensure(spark: SparkSession, sf_dir: str, gran_ms: int) -> Data
     from v3io_tsdb_spark.rollup import build_label_rollup
 
     path = _persist_path("spark_graft_lrollup_uid_v1", sf_dir, "events")
+    key = _open_key(spark, path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         samples = events_as_samples(spark, sf_dir)
         build_label_rollup(samples, gran_ms, ("uid",)) \
             .coalesce(2).write.mode("overwrite").parquet(path)
-    key = (id(spark), path)
+        _ROLLUP_CACHE.pop(key, None)
     if key not in _ROLLUP_CACHE:
         _ROLLUP_CACHE[key] = spark.read.parquet(path)
     return _ROLLUP_CACHE[key]
@@ -675,23 +684,25 @@ def q_doc_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_ensure_index(spark: SparkSession, sf_dir: str):
     """Build-once persisted shingle feature index (dedup.shingle_index:
-    append-only postings (id, n_sh, g, h60) + small (g, df) sidecar)
-    shared by the jaccard / minhash / simhash / cluster / top-trigram
-    queries — the deployed shape: shingling, md5 feature hashing, and
-    df counting run once per corpus, every sketch query reads the
-    parquet; ingest appends via shingle_append_index. Keyed by sf dir;
-    _v2 versions the layout."""
+    append-only postings (id, n_sh, g, h60, h60b) + small (g, df)
+    sidecar) shared by the jaccard / minhash / simhash / cluster /
+    top-trigram queries — the deployed shape: shingling, md5 feature
+    hashing, and df counting run once per corpus, every sketch query
+    reads the parquet; ingest appends via shingle_append_index. Keyed
+    by sf dir; _v3 versions the layout (r17: the two-BIGINT wide
+    feature key — stale _v2 trees rebuild)."""
     import os
 
     from v3io_tsdb_spark.functions.dedup import read_shingle_index, shingle_write_index
 
-    path = _persist_path("spark_graft_shingle3_v2", sf_dir, "documents")
+    path = _persist_path("spark_graft_shingle3_v3", sf_dir, "documents")
+    key = _open_key(spark, path)
     if not os.path.exists(os.path.join(path, "df", "_SUCCESS")):
         shingle_write_index(_docs_scattered(spark, sf_dir), path)
+        _ROLLUP_CACHE.pop(key, None)
     # keep the opened tables across calls (same as _ROLLUP_CACHE): the
     # two spark.read.parquet calls are a schema/footer job each, paid
     # by every one of the 9 sketch queries otherwise
-    key = (id(spark), path)
     if key not in _ROLLUP_CACHE:
         _ROLLUP_CACHE[key] = read_shingle_index(spark, path)
     return _ROLLUP_CACHE[key]
@@ -1042,11 +1053,12 @@ def _winnow_ensure_index(spark: SparkSession, sf_dir: str):
     )
 
     path = _persist_path("spark_graft_winnow54", sf_dir, "documents")
+    key = _open_key(spark, path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         winnow_write_index(_docs_scattered(spark, sf_dir), path, k=5, w=4)
+        _ROLLUP_CACHE.pop(key, None)
     # open-table reuse across the 6 winnow consumers (_ROLLUP_CACHE
     # pattern: schema + file listing once per session)
-    key = (id(spark), path)
     if key not in _ROLLUP_CACHE:
         _ROLLUP_CACHE[key] = read_winnow_index(spark, path)
     return _ROLLUP_CACHE[key]
@@ -3158,6 +3170,7 @@ def _bloom_ensure(spark: SparkSession, sf_dir: str):
     fx = _persist_path("spark_graft_bloom", sf_dir, "events")
     keys_dir = os.path.join(fx, "keys")
     bm_file = os.path.join(fx, "bitmap.json")
+    key = _open_key(spark, fx)
     if not os.path.exists(bm_file):
         from v3io_tsdb_spark.functions.bloom import build_bloom_bitmap
 
@@ -3173,10 +3186,10 @@ def _bloom_ensure(spark: SparkSession, sf_dir: str):
         bitmap = build_bloom_bitmap(spark.read.parquet(keys_dir), "user_id")
         with open(bm_file, "w") as f:
             _json.dump(bitmap, f)
+        _ROLLUP_CACHE.pop(key, None)
     # serve the opened keys table and parsed bitmap across calls
     # (_ROLLUP_CACHE pattern): the per-call spark.read.parquet was a
     # schema/footer job and the bitmap a per-call json parse
-    key = (id(spark), fx)
     if key not in _ROLLUP_CACHE:
         with open(bm_file) as f:
             _ROLLUP_CACHE[key] = (

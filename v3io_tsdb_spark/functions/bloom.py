@@ -73,7 +73,12 @@ def bloom_might_contain(
     call hands the whole array to the JVM parser instead; the element
     type (``L`` suffix = bigint) and values are identical.
     """
-    words = F.expr("array(" + ",".join("%dL" % w for w in bitmap) + ")")
+    # .cast keeps the empty-list edge analyzable (array() alone types
+    # ARRAY<VOID>, which element_at rejects — ADVICE r16 #5); for the
+    # normal non-empty ..L literal the cast is a no-op
+    words = F.expr(
+        "array(" + ",".join("%dL" % w for w in bitmap) + ")"
+    ).cast("array<bigint>")
     ks = key.cast("string")
     checks = []
     for i in range(k):
