@@ -1227,10 +1227,15 @@ def cooccur_pmi(
     _rows = kept.limit(_GID_CAP + 1).collect()
     if len(_rows) <= _GID_CAP and all(r["g"] is not None for r in _rows):
         _rows.sort(key=lambda r: r["g"].encode("utf-8"))
+        # coalesce(1) + eager checkpoint: a createDataFrame frame is
+        # Python-RDD-backed, so each of its three broadcast consumers
+        # would otherwise re-run the Python deserialization (measured
+        # +20-40 core-s of task run, zero extra CPU — pure worker
+        # spin-up/wait). One 1-task job pins the rows as JVM blocks.
         gid = df.sparkSession.createDataFrame(
             [(r["g"], int(r["c"]), i + 1) for i, r in enumerate(_rows)],
             "g string, c bigint, gi int",
-        )
+        ).coalesce(1).localCheckpoint(eager=True)
     else:
         gid = kept.select(
             "g", F.col("c").cast("long").alias("c"),
