@@ -84,39 +84,27 @@ def pmi_docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_cooccur_gid_local_matches_distributed(spark, pmi_docs, monkeypatch):
-    """The driver-side id assignment (bounded collect + UTF-8-byte
-    sort) produces exactly the rows of the distributed row_number
-    window path (forced via _GID_CAP=0)."""
-    from v3io_tsdb_spark.functions import text as text_mod
+def test_cooccur_checkpointed_dict_orientation(spark, pmi_docs):
+    """The r17 checkpointed-dictionary cooccur keeps the declared
+    shape: pairs oriented term_a < term_b in Spark's string order
+    (checked as UTF-8 bytes, including non-ASCII terms), counts
+    positive, pmi finite."""
+    from v3io_tsdb_spark.functions.text import cooccur_pmi
 
-    fast = sorted(map(tuple, text_mod.cooccur_pmi(
-        pmi_docs, min_df=2, max_df=30, min_pair=2).collect()))
-    monkeypatch.setattr(text_mod, "_GID_CAP", 0)
-    slow = sorted(map(tuple, text_mod.cooccur_pmi(
-        pmi_docs, min_df=2, max_df=30, min_pair=2).collect()))
-    assert fast == slow
-    assert len(fast) > 0
-
-
-def test_cooccur_gid_nonascii_order(spark, monkeypatch):
-    """Non-ASCII terms: the driver sort keys on UTF-8 bytes — Spark's
-    string comparator — so orientation (term_a < term_b) matches the
-    distributed row_number path even off the ASCII plane."""
-    from v3io_tsdb_spark.functions import text as text_mod
+    out = cooccur_pmi(pmi_docs, min_df=2, max_df=30, min_pair=2).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["term_a"].encode("utf-8") < r["term_b"].encode("utf-8")
+        assert r["c_ab"] >= 2 and r["c_a"] >= r["c_ab"] and r["c_b"] >= r["c_ab"]
 
     docs = spark.createDataFrame(
         [(i, "émile zola Über café") for i in range(4)],
         "doc_id long, text string",
     )
-    args = dict(n=1, min_df=2, max_df=10, min_pair=2)
-    fast = sorted(map(tuple, text_mod.cooccur_pmi(docs, **args).collect()))
-    monkeypatch.setattr(text_mod, "_GID_CAP", 0)
-    slow = sorted(map(tuple, text_mod.cooccur_pmi(docs, **args).collect()))
-    assert fast == slow
-    assert fast
-    for ta, tb, *_ in fast:
-        assert ta.encode("utf-8") < tb.encode("utf-8")
+    nasc = cooccur_pmi(docs, n=1, min_df=2, max_df=10, min_pair=2).collect()
+    assert nasc
+    for r in nasc:
+        assert r["term_a"].encode("utf-8") < r["term_b"].encode("utf-8")
 
 
 # -- wide shingle key --------------------------------------------------------
