@@ -206,6 +206,55 @@ def test_cc_probe_paths_agree(spark, monkeypatch):
     assert want == mid == big
 
 
+# -- single-payload text_stats / shingles emission ---------------------------
+
+def test_text_stats_emission_golden(spark):
+    """The r17 selectExpr-emitted text_stats pins the exact values of
+    the Column form it replaced (goldens captured from a collected
+    old-vs-new parity run on the sf0.01 corpus + this edge fixture:
+    empty text, whitespace-only, stopword-heavy en, de, zh)."""
+    from v3io_tsdb_spark.functions.text import text_stats
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "   "),
+         (3, "the the the and of to a in is that it for extra"),
+         (5, "Der der UND das ist von zu mit den ein"),
+         (7, "的 是 在 了 和 有 我 他 这 中 extra words here now ok fine")],
+        "doc_id long, text string")
+    got = [tuple(r) for r in text_stats(edge).orderBy("doc_id").collect()]
+    assert got == [
+        (1, 0, 0, 0.0, 0.0, "und", 0.0, "d41d8cd98f00b204e9800998ecf8427e"),
+        (2, 3, 0, 0.0, 0.0, "und", 0.0, "d41d8cd98f00b204e9800998ecf8427e"),
+        (3, 47, 13, 2.692308, 0.923077, "en", 1.0,
+         "eb84e39ba5fd723b985779d48848bf27"),
+        (5, 38, 10, 2.9, 0.0, "de", 0.666667,
+         "7d65847154806b76feed404666c7c8fa"),
+        (7, 48, 16, 2.0625, 0.0, "zh", 0.666667,
+         "acb2a86bc061db190bc24c1c295fbfc6"),
+    ]
+
+
+def test_shingles_sql_matches_column(spark):
+    """shingles_sql must explode to exactly shingles_col's rows —
+    including the short-doc whole-text fallback and non-ASCII."""
+    from pyspark.sql import functions as F
+
+    from v3io_tsdb_spark.functions.dedup import shingles_col, shingles_sql
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "one two"), (3, ""), (4, "solo"),
+         (5, "Ünïcode tokens RIGHT here and more of them")],
+        "doc_id long, text string")
+    for n in (2, 3, 8):
+        a = sorted(map(tuple, docs.select(
+            "doc_id", F.explode(shingles_col(F.col("text"), n)).alias("g")
+        ).collect()))
+        b = sorted(map(tuple, docs.selectExpr(
+            "doc_id", f"explode({shingles_sql('`text`', n)}) AS g"
+        ).collect()))
+        assert a == b and a
+
+
 # -- MMR incremental max_sim --------------------------------------------------
 
 def test_mmr_incremental_matches_full_recompute(spark):

@@ -140,61 +140,67 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     regex split ~10× per row (Spark's subexpression elimination does
     not reliably collapse repeated ``split`` calls).
     """
-    t = F.col(text_col)
     langs = ("en", "es", "fr", "de", "zh")
-    toks = F.col("_toks")
-    ltoks = F.col("_ltoks")
-    n = F.col("_n")
-
-    base = df.select(
-        F.col(id_col),
-        t.alias("_t"),
-        tokens_col(t).alias("_toks"),
-    ).select(
-        id_col, "_t", "_toks",
-        F.transform(toks, lambda x: F.lower(x)).alias("_ltoks"),
-        F.size(toks).cast("long").alias("_n"),
+    # single-payload emission (r17, §7.3): the Column-by-Column build
+    # cost ~0.4 s of driver latency per call (measured; corpus_pipeline
+    # pays it once per run, doc_text_stats per run). Each selectExpr
+    # below mirrors one of the original selects op for op — same
+    # CASE/split/transform/filter/aggregate nodes, D-suffixed double
+    # literals where F.lit(float) stood — so every value is identical
+    # by construction (collected-parity-tested vs the Column form).
+    t, i = f"`{text_col}`", f"`{id_col}`"
+    toks = (
+        f"CASE WHEN (length(trim({t})) = 0) "
+        f"THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split(trim({t}), '\\\\s+') END"
+    )
+    base = df.selectExpr(i, f"{t} AS _t", f"{toks} AS _toks").selectExpr(
+        i, "_t", "_toks",
+        "transform(_toks, x -> lower(x)) AS _ltoks",
+        "CAST(size(_toks) AS BIGINT) AS _n",
     )
 
-    def hits(lang: str):
-        return F.size(F.filter(ltoks, lambda x: x.isin(*STOPWORDS[lang])))
+    def hits(lang: str) -> str:
+        words = ", ".join("'%s'" % w for w in STOPWORDS[lang])
+        return f"size(filter(_ltoks, x -> x IN ({words})))"
 
-    scored = base.select(
-        id_col, "_t", "_n",
-        F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
-        .alias("_sumlen"),
-        *[hits(lg).alias(f"_s_{lg}") for lg in langs],
+    scored = base.selectExpr(
+        i, "_t", "_n",
+        "aggregate(transform(_toks, x -> length(x)), 0, (a, x) -> a + x)"
+        " AS _sumlen",
+        *[f"{hits(lg)} AS _s_{lg}" for lg in langs],
     )
 
-    atl = F.when(n > 0, F.col("_sumlen").cast("double") / n)
-    swr = F.when(n > 0, F.col("_s_en").cast("double") / n).otherwise(F.lit(0.0))
-    best = F.greatest(*[F.col(f"_s_{lg}") for lg in langs])
-    lang_pred = F.lit("und")
+    atl = "CASE WHEN (_n > 0) THEN (CAST(_sumlen AS DOUBLE) / _n) END"
+    atl0 = f"coalesce({atl}, 0.0D)"
+    swr = "CASE WHEN (_n > 0) THEN (CAST(_s_en AS DOUBLE) / _n) ELSE 0.0D END"
+    best = "greatest(" + ", ".join(f"_s_{lg}" for lg in langs) + ")"
+    lang_pred = "'und'"
     for lg in reversed(langs):
-        lang_pred = F.when((best > 0) & (F.col(f"_s_{lg}") == best), F.lit(lg)).otherwise(lang_pred)
-    atl0 = F.coalesce(atl, F.lit(0.0))
-    quality = F.round(
-        (
-            F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.0)
-            + F.when((atl0 >= 2.0) & (atl0 <= 12.0), 1.0).otherwise(0.0)
-            + F.when(swr >= 0.01, 1.0).otherwise(0.0)
+        lang_pred = (
+            f"CASE WHEN (({best} > 0) AND (_s_{lg} = {best})) "
+            f"THEN '{lg}' ELSE {lang_pred} END"
         )
-        / F.lit(3.0),
-        6,
+    quality = (
+        "round(("
+        "CASE WHEN ((_n >= 10) AND (_n <= 100000)) THEN 1.0D ELSE 0.0D END"
+        f" + CASE WHEN (({atl0} >= 2.0D) AND ({atl0} <= 12.0D)) "
+        "THEN 1.0D ELSE 0.0D END"
+        f" + CASE WHEN ({swr} >= 0.01D) THEN 1.0D ELSE 0.0D END"
+        ") / 3.0D, 6)"
     )
-
-    return scored.select(
-        F.col(id_col),
-        F.length(F.col("_t")).cast("long").alias("n_chars"),
-        n.alias("n_tokens"),
-        # +1e-9 before rounding: int/int ratios land exactly on round-half
-        # boundaries where engines' tie-breaks differ; the shift (applied
-        # identically in the DuckDB oracles) makes rounding unambiguous.
-        F.round(atl0 + 1e-9, 6).alias("avg_token_len"),
-        F.round(swr + 1e-9, 6).alias("stopword_ratio_en"),
-        lang_pred.alias("lang_pred"),
-        quality.alias("quality"),
-        fingerprint_col(F.col("_t")).alias("fingerprint"),
+    # +1e-9 before rounding: int/int ratios land exactly on round-half
+    # boundaries where engines' tie-breaks differ; the shift (applied
+    # identically in the DuckDB oracles) makes rounding unambiguous.
+    return scored.selectExpr(
+        i,
+        "CAST(length(_t) AS BIGINT) AS n_chars",
+        "_n AS n_tokens",
+        f"round({atl0} + 1E-9, 6) AS avg_token_len",
+        f"round({swr} + 1E-9, 6) AS stopword_ratio_en",
+        f"{lang_pred} AS lang_pred",
+        f"{quality} AS quality",
+        "md5(regexp_replace(lower(trim(_t)), '\\\\s+', ' ')) AS fingerprint",
     )
 
 
