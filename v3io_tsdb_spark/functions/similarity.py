@@ -15,6 +15,39 @@ from pyspark.sql import functions as F
 from v3io_tsdb_spark.functions.detmath import half_away_div_col, q6_ratio_col
 
 
+# Open-index cache (r17, VERDICT r16 next-round #6): opened parquet
+# HANDLES and parsed index METADATA only, never computed data — the
+# entry-layer _ROLLUP_CACHE discipline brought to the ANN searches,
+# which re-paid a schema/footer job (spark.read.parquet) and a json
+# parse per call. Parquet handles key by (applicationId, path) and are
+# invalidated by the append paths; json metadata keys by (path, mtime)
+# so an index rebuild re-reads automatically.
+_OPEN_INDEX_CACHE: dict = {}
+
+
+def _open_parquet(spark, path: str):
+    key = ("pq", spark.sparkContext.applicationId, path)
+    if key not in _OPEN_INDEX_CACHE:
+        _OPEN_INDEX_CACHE[key] = spark.read.parquet(path)
+    return _OPEN_INDEX_CACHE[key]
+
+
+def _invalidate_open_parquet(path: str) -> None:
+    for key in [k for k in _OPEN_INDEX_CACHE if k[0] == "pq" and k[2] == path]:
+        _OPEN_INDEX_CACHE.pop(key, None)
+
+
+def _load_json_meta(path: str):
+    import json
+    import os
+
+    key = ("json", path, os.path.getmtime(path))
+    if key not in _OPEN_INDEX_CACHE:
+        with open(path) as f:
+            _OPEN_INDEX_CACHE[key] = json.load(f)
+    return _OPEN_INDEX_CACHE[key]
+
+
 def dot_col(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -278,17 +311,16 @@ def ivf_write_index(
 
     assignments, centroids = ivf_build(df, vec_col, id_col, n_clusters, iters)
     assignments.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    _invalidate_open_parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(centroids, f)
     return centroids
 
 
 def ivf_read_centroids(path: str):
-    import json
     import os
 
-    with open(os.path.join(path, "_centroids.json")) as f:
-        return json.load(f)
+    return _load_json_meta(os.path.join(path, "_centroids.json"))
 
 
 def ivf_search(
@@ -310,7 +342,7 @@ def ivf_search(
 
     order = sorted(range(len(centroids)), key=lambda c: (_sq(centroids[c], list(query_vec)), c))
     probes = order[:n_probe]
-    idx = spark.read.parquet(path).where(F.col("cluster").isin(probes))
+    idx = _open_parquet(spark, path).where(F.col("cluster").isin(probes))
     q = query_vec_lit(query_vec)
     return (
         idx.withColumn("cosine", F.round(cosine_sim_col(F.col("v"), q) + 1e-9, 6))
@@ -406,16 +438,15 @@ def lsh_write_index(
         "sig", hyperplane_sig_col(F.col("v"), n_planes, dim, v_sql="v")
     )
     tagged.write.mode("overwrite").partitionBy("sig").parquet(path)
+    _invalidate_open_parquet(path)
     with open(os.path.join(path, "_lsh_meta.json"), "w") as f:
         json.dump({"n_planes": n_planes, "dim": dim}, f)
 
 
 def lsh_read_meta(path: str) -> dict:
-    import json
     import os
 
-    with open(os.path.join(path, "_lsh_meta.json")) as f:
-        return json.load(f)
+    return _load_json_meta(os.path.join(path, "_lsh_meta.json"))
 
 
 def lsh_query_sig(query_vec, n_planes: int, dim: int) -> int:
@@ -453,7 +484,7 @@ def lsh_search(
         s for s in range(1 << n_planes)
         if bin(s ^ qsig).count("1") <= probe_hamming
     ]
-    idx = spark.read.parquet(path).where(F.col("sig").isin(probes))
+    idx = _open_parquet(spark, path).where(F.col("sig").isin(probes))
     q = query_vec_lit(query_vec)
     return (
         idx.withColumn("cosine", F.round(cosine_sim_col(F.col("v"), q) + 1e-9, 6))
@@ -510,7 +541,7 @@ def ivf_batch_search(
         .where(F.col("_pr") <= n_probe)
         .select(q_id_col, "_qv", "cluster")
     )
-    idx = spark.read.parquet(path)
+    idx = _open_parquet(spark, path)
     w_rank = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col("id"))
     return (
         idx.join(F.broadcast(probes), "cluster")
@@ -597,6 +628,7 @@ def ivf_append_index(
         .join(base, "id")
     )
     assigned.write.mode("append").partitionBy("cluster").parquet(path)
+    _invalidate_open_parquet(path)  # the cached handle pins a file list
 
 
 def lsh_append_index(
@@ -619,6 +651,7 @@ def lsh_append_index(
                                   v_sql="v")
     )
     tagged.write.mode("append").partitionBy("sig").parquet(path)
+    _invalidate_open_parquet(path)
 
 
 # -- group diversity (closed form) ------------------------------------------
@@ -936,6 +969,7 @@ def pq_write_index(
     pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "codes"))
+    _invalidate_open_parquet(os.path.join(path, "codes"))
     with open(os.path.join(path, "_pq_meta.json"), "w") as f:
         json.dump({"m": m, "ks": ks, "codebooks": codebooks}, f)
     return codebooks
@@ -946,9 +980,8 @@ def read_pq_index(spark, path: str) -> tuple:
     import json
     import os
 
-    with open(os.path.join(path, "_pq_meta.json")) as f:
-        meta = json.load(f)
-    return spark.read.parquet(os.path.join(path, "codes")), meta["codebooks"]
+    meta = _load_json_meta(os.path.join(path, "_pq_meta.json"))
+    return _open_parquet(spark, os.path.join(path, "codes")), meta["codebooks"]
 
 
 def hard_negatives(
