@@ -191,17 +191,33 @@ class TestRowCountChannelProbes:
 
 
 def test_head_contains_control_matrix():
-    """The r16 head-50 must gate the full control matrix + the X197
-    net-new in ONE driver run (VERDICT r15 next-round #1/#3) — pinned
-    so a registry edit can't silently push one below slot 50."""
+    """r16 pinned the control-matrix rows into the head so ONE driver
+    run gated them (VERDICT r15 next-round #1/#3) — which happened:
+    CORRECTNESS_r16 has all of them hash-green, evidence valid through
+    the 4-window cycle. The r17 head ROTATES (the rotation contract in
+    the queries() docstring): this pin now guards the r17 plan — the
+    two never-gated rows, the standing environment probe, and the
+    oldest-evidence r13 cohort must sit in slots 0-49 so the r17 gate
+    clears the stale set check_rotation --simulate models."""
     import __spark_entry__ as E
 
     head = list(E.queries())[:50]
-    for name in ("diag_session_config", "diag_det_mn_code", "det_mn_probe",
+    for name in ("diag_session_config", "doc_calibration",
+                 "doc_dsir_scores", "tpch_q15_top_supplier",
+                 "mm_wav_features", "emb_semantic_decontaminate",
+                 "tsdb_interp_linear", "doc_dedup_clusters",
+                 "stream_counter_increase", "doc_length_histogram"):
+        assert name in head, name
+    # and the r16 matrix really is r16-green (the reason it may leave)
+    import json
+
+    with open("/root/repo/CORRECTNESS_r16.json") as f:
+        art = json.load(f)
+    for name in ("diag_det_mn_code", "det_mn_probe",
                  "events_session_digest", "events_markov_transitions",
                  "events_session_score_panel", "events_session_perplexity",
                  "stream_session_perplexity", "mm_image_ahash"):
-        assert name in head, name
+        assert art[name]["hash_match"] is True, name
 
 
 class TestCalibrationBuckets:
