@@ -1100,10 +1100,12 @@ def _run_available_now(sink_df, partitions: int = 8, output_mode: str = "append"
 
     Cleanup is part of the contract: the per-run checkpoint dir and the
     memory-sink temp view used to leak per invocation (driver memory +
-    /tmp growth across a bench session); the sink rows are copied into
-    a fresh local DataFrame so both can be released before returning.
-    Streaming results here are small by construction (watermark-closed
-    sessions / per-step deltas), so the copy is bounded."""
+    /tmp growth across a bench session); the sink is detached into an
+    eagerly localCheckpoint-ed DataFrame (JVM blocks — no py4j row
+    round trip, unlike the earlier collect()+createDataFrame copy) so
+    both can be released before returning. Streaming results here are
+    small by construction (watermark-closed sessions / per-step
+    deltas), so the copy is bounded."""
     import shutil
     import tempfile
     import time as _time
@@ -1127,8 +1129,11 @@ def _run_available_now(sink_df, partitions: int = 8, output_mode: str = "append"
         t_started = _time.perf_counter()
         q.awaitTermination()
         t_done = _time.perf_counter()
-        sink = spark.table(qn)
-        rows, schema = sink.collect(), sink.schema
+        # Detach from the memory sink by materializing it as JVM
+        # blocks (eager localCheckpoint): same release-the-view
+        # contract as the old collect()+createDataFrame copy, minus
+        # the py4j round trip of every result row through Python.
+        out = spark.table(qn).localCheckpoint()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
         try:
@@ -1149,7 +1154,7 @@ def _run_available_now(sink_df, partitions: int = 8, output_mode: str = "append"
             "run_sec": round(t_done - t_started, 3),
         }
     )
-    return spark.createDataFrame(rows, schema)
+    return out
 
 
 def _stream_sess_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -3700,8 +3705,14 @@ def _det_mn_probe_frame(spark: SparkSession) -> DataFrame:
     sweep = spark.range(_PROBE_P6_SWEEP_N).select(
         (F.lit(1) + F.col("id") * F.lit(97)).cast("long").alias("p6")
     )
-    lits = spark.createDataFrame(
-        [(int(v),) for v in _PROBE_P6_LITERALS], "p6 long"
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
+    # JVM VALUES LocalRelation, not a Python-RDD local relation: the
+    # RDD form split 23 rows over defaultParallelism partitions and
+    # paid one Python-worker round trip per partition per consumer
+    # (~8.7 core-s of idle task time on this row alone; guide §4).
+    lits = values_frame(
+        spark, [(int(v),) for v in _PROBE_P6_LITERALS], "p6 long"
     )
     df = with_det_ln(sweep.unionAll(lits), "_lnp", F.col("p6") / F.lit(1e6))
     return df.select("p6", micro_nats(F.col("_lnp")).alias("mn"))

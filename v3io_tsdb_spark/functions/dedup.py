@@ -1051,7 +1051,11 @@ def _union_find_driver(e: DataFrame, rows: list | None = None) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("comp", id_type)]
     )
-    return e.sparkSession.createDataFrame(rows, schema)
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
+    # JVM VALUES when the mapping is small enough to emit (its own
+    # size budget falls back to createDataFrame for big graphs)
+    return values_frame(e.sparkSession, rows, schema)
 
 
 def connected_components(

@@ -123,7 +123,9 @@ def histogram_quantile(
         F.sum(n_col).over(wcum).alias("_cum"),
         F.sum(n_col).over(wtot).alias("_tot"),
     )
-    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
+    qs = values_frame(spark, [(float(q),) for q in quantiles], "q double")
     j = h.crossJoin(F.broadcast(qs))
     target = F.col("q") * F.col("_tot")
     crossing = j.where(

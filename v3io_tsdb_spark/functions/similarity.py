@@ -254,8 +254,13 @@ def ivf_build(
     def _assign(cents):
         # centroids as broadcast DATA, not plan literals: the join plan
         # compiles once and is reused every Lloyd iteration (literal
-        # centroids re-codegen the whole distance expression per pass)
-        cdf = spark.createDataFrame(
+        # centroids re-codegen the whole distance expression per pass).
+        # values_frame keeps that shape (a LocalRelation is still a
+        # data-side broadcast) minus the per-iteration Python-RDD tasks.
+        from v3io_tsdb_spark.functions.localrel import values_frame
+
+        cdf = values_frame(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cluster int, cv array<double>",
         )
@@ -525,8 +530,11 @@ def ivf_batch_search(
 
     Output schema matches :func:`cosine_topk_per_query`:
     (query_id, vec_id, cosine, rank)."""
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
     centroids = ivf_read_centroids(path)
-    cdf = spark.createDataFrame(
+    cdf = values_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, cv array<double>",
     )
@@ -610,9 +618,12 @@ def ivf_append_index(
     search code is unchanged and sees appended vectors immediately.
     Mirrors shingle_append_index's append-only posture for the text
     index."""
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
     spark = df.sparkSession
     centroids = ivf_read_centroids(path)
-    cdf = spark.createDataFrame(
+    cdf = values_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, cv array<double>",
     )
@@ -1604,7 +1615,10 @@ def mmr_topk(
         for ent in remaining.values():
             c = _round6_half_up(_cos(ent[0], sel_vec))
             ent[2] = c if ent[2] is None else max(ent[2], c)
-    return df.sparkSession.createDataFrame(
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
+    return values_frame(
+        df.sparkSession,
         rows,
         "rank long, vec_id long, relevance double, max_sim double, "
         "mmr_score double",
@@ -1892,7 +1906,10 @@ def pca_top_component(
             i: half_away_div_py(_qh(wi * 1e6) * 1000000, nu) / 1e6
             for i, wi in w.items()
         }
-    return spark.createDataFrame(
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
+    return values_frame(
+        spark,
         [(int(i), float(pi), float(nm)) for i, pi in sorted(p.items())],
         out_schema,
     )

@@ -413,8 +413,12 @@ def _pagerank_driver(m: DataFrame, k: int, damping_num: int,
         T.StructField("pr", T.DoubleType()),
         T.StructField("rank", T.LongType()),
     ])
-    return m.sparkSession.createDataFrame(
-        [(s, v[s] / 1e6, i + 1) for i, s in enumerate(ranked)], schema
+    from v3io_tsdb_spark.functions.localrel import values_frame
+
+    return values_frame(
+        m.sparkSession,
+        [(s, v[s] / 1e6, i + 1) for i, s in enumerate(ranked)],
+        schema,
     )
 
 
